@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 DuckDB-oracle compare.
+
+Usage: python3 tools/check_parity.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
+the matching SQL from oracle_sql.json in DuckDB with views over the same
+parquet tables, and compares: schema (column names sorted), row count,
+and values (columns sorted by name, rows sorted by all columns).
+Dev-only tool — not part of the shipped library.
+"""
+import sys, os, json, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.dt.floor("ms")
+            out[c] = s.astype("datetime64[ms]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.round(6)
+        else:
+            # dates, ints, strings, lists; duckdb hugeint -> object
+            try:
+                out[c] = pd.to_numeric(s)
+            except (ValueError, TypeError):
+                out[c] = s.astype(str)
+    r = pd.DataFrame(out)
+    r = r.sort_values(by=list(r.columns), ignore_index=True)
+    return r
+
+
+def cmp(name, spark_df, duck_df):
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = pd.to_numeric(av, errors="coerce")
+            bv = pd.to_numeric(bv, errors="coerce")
+            bad = ~((av.isna() & bv.isna()) |
+                    (av.sub(bv).abs() <= 1e-9 + 1e-9 * bv.abs()))
+        else:
+            bad = ~((av.isna() & bv.isna()) | (av == bv))
+        if bad.any():
+            i = bad.idxmax()
+            return (f"VALUES col={c} row={i} "
+                    f"spark={a[c][i]!r} duck={b[c][i]!r} "
+                    f"({int(bad.sum())} diffs)")
+    return None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = n_noor = 0
+    for name in names:
+        spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        if name not in oracle:
+            n_noor += 1
+            print(f"  NO-ORACLE {name}: rows={len(spark_df)}"
+                  f"{' EMPTY!' if len(spark_df) == 0 else ''}")
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            n_fail += 1
+            print(f"  FAIL {name}: oracle SQL error: {e}")
+            continue
+        err = cmp(name, spark_df, duck_df)
+        if err:
+            n_fail += 1
+            print(f"  FAIL {name}: {err}")
+        else:
+            n_pass += 1
+            print(f"  pass {name} ({len(spark_df)} rows)")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noor} no-oracle ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session configuration so Verify, Bench and
+  * the test suites run identical settings (SURVEY.md §4.2).
+  *
+  *  - `nanosAsLong`: the events fixture stores timestamp[ns]; Spark 4.x's
+  *    vectorized reader cannot widen ns→µs, so we read raw nanos as Long
+  *    (see Tables.read) — without this flag every scan of `events` throws.
+  *  - AQE + skew-join: explicit, because skewed `user_id`/`concept_cd`-style
+  *    keys are the expected hot spot at 100 TB (SURVEY.md §4.2).
+  *  - shuffle.partitions = cores: local-mode right-sizing; a real cluster
+  *    deployment would raise this (or rely on AQE coalescing, enabled).
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def local(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

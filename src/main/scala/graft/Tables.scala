@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Pinned schemas + readers for the harness tables (TESTDATA.md).
@@ -11,10 +12,14 @@ import org.apache.spark.sql.types._
   * fixed-schema scan. Declared schemas also make DuckDB-oracle parity
   * byte-stable and are required for Structured Streaming sources.
   *
-  * Note on `events.ts`: the parquet stores nanosecond timestamps; Spark's
-  * TimestampType is microsecond so the read truncates ns→µs. Queries that
-  * emit timestamps must truncate to ms (or coarser) at output edges so the
-  * DuckDB oracle (which reads full ns) agrees — see FIXTURES.md §1.
+  * Note on `events.ts`: the parquet stores nanosecond timestamps, which
+  * Spark 4.x's vectorized reader refuses to read as TimestampType
+  * (SchemaColumnConvertNotSupportedException). We therefore read `ts` as
+  * raw nanos (LongType, via spark.sql.legacy.parquet.nanosAsLong) and
+  * convert to a microsecond TimestampType in [[read]]. The DuckDB oracle
+  * must apply the same µs truncation (`CAST(ts AS TIMESTAMP)` casts
+  * DuckDB's TIMESTAMP_NS to µs TIMESTAMP) so boundary predicates agree —
+  * see FIXTURES.md §1.
   */
 object Tables {
 
@@ -69,9 +74,12 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  /** On-disk schema: `ts` is declared LongType because the parquet column
+    * is timestamp[ns] (read as raw nanos; converted to TimestampType in
+    * [[read]]). */
   val events = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -97,7 +105,17 @@ object Tables {
 
   /** Scan one harness table with its pinned schema. Column pruning and
     * predicate pushdown reach the parquet scan because the schema is
-    * declared up front (no inference pass). */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    * declared up front (no inference pass).
+    *
+    * `events.ts` special case: the file stores timestamp[ns]; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` the vectorized reader
+    * yields raw nanos as LongType, which we floor-divide to µs and wrap in
+    * TimestampType. Division of positive epoch-nanos is exact truncation,
+    * matching DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs cast. */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

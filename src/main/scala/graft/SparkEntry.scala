@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    _root_.graft.queries.Cohort.all
+    _root_.graft.queries.Cohort.all ++
+      _root_.graft.queries.Relational.all ++
+      _root_.graft.queries.Aggregates.all ++
+      _root_.graft.queries.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

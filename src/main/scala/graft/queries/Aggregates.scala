@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window / reshape breadth (SURVEY.md §2.4, 2.5, 2.9).
+  *
+  * Scale notes (100 TB): every groupBy below is a two-phase hash agg
+  * (map-side partial → shuffle on the group key → final); countDistinct
+  * adds Spark's standard expand+two-pass plan. Windows are partitioned by
+  * a key wherever they run over fact-sized data; the only unpartitioned
+  * windows run over already-aggregated per-day frames (≤ a few thousand
+  * rows). Double sums route through DECIMAL(18,6) so results are
+  * order-independent (exact integer arithmetic) — required for parity and
+  * for deterministic re-runs under AQE re-partitioning.
+  */
+object Aggregates {
+
+  /** A1: count distinct per group — the reference's universal metric. */
+  val qAggCountDistinct = Q("q_agg_count_distinct",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |       count(DISTINCT o_custkey) AS n_customers,
+           |       count(*) AS n_orders
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  /** A2: MIN/MAX per key (first/last event dates). */
+  val qAggMinFirst = Q("q_agg_min_first",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_custkey")
+        .agg(to_date(min($"o_orderdate")).as("first_order"),
+          to_date(max($"o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey,
+           |       CAST(min(o_orderdate) AS DATE) AS first_order,
+           |       CAST(max(o_orderdate) AS DATE) AS last_order,
+           |       count(*) AS n_orders
+           |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
+  /** A3: AVG/STDEV + log-stats — the Labs.csv statistical shape (TPC-H
+    * Q1 flavored). stddev of 1 sample: Spark NaN → normalized to NULL to
+    * match ANSI/DuckDB. */
+  val qAggStats = Q("q_agg_stats",
+    (spark, sfDir) => {
+      import spark.implicits._
+      def noNaN(c: org.apache.spark.sql.Column) =
+        when(isnan(c), lit(null)).otherwise(c)
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum($"l_quantity".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_qty"),
+          round(avg($"l_extendedprice"), 6).as("avg_price"),
+          round(noNaN(stddev_samp($"l_extendedprice")), 6)
+            .as("stdev_price"),
+          round(avg(log($"l_extendedprice" + 0.5)), 6).as("avg_log_price"),
+          round(noNaN(stddev_samp(log($"l_extendedprice" + 0.5))), 6)
+            .as("stdev_log_price"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       count(*) AS n_rows,
+           |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_qty,
+           |       round(avg(l_extendedprice), 6) AS avg_price,
+           |       round(stddev_samp(l_extendedprice), 6) AS stdev_price,
+           |       round(avg(ln(l_extendedprice + 0.5)), 6)
+           |         AS avg_log_price,
+           |       round(stddev_samp(ln(l_extendedprice + 0.5)), 6)
+           |         AS stdev_log_price
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** A4: conditional aggregation — the severe-vs-all split columns. */
+  val qAggConditional = Q("q_agg_conditional",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val o = Tables.read(spark, sfDir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+          count(when($"o_orderstatus" === "O", 1)).as("n_open"),
+          countDistinct(when($"o_totalprice" > 100000, $"o_custkey"))
+            .as("n_big_spenders"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+           |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           |  count(DISTINCT CASE WHEN o_totalprice > 100000
+           |    THEN o_custkey END) AS n_big_spenders
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** A5: grouping sets / cube with `'all'` relabeling — the Demographics
+    * output shape (counts per (segment × nation) plus `all` rows per
+    * dimension), the reference's most distinctive aggregation. */
+  val qAggGroupingSets = Q("q_agg_grouping_sets",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val n = Tables.read(spark, sfDir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .cube($"c_mktsegment", $"n_name")
+        .agg(countDistinct($"c_custkey").as("n_customers"),
+          grouping($"c_mktsegment").as("g_seg"),
+          grouping($"n_name").as("g_nat"))
+        .select(
+          when($"g_seg" === 1, "all").otherwise($"c_mktsegment")
+            .as("segment"),
+          when($"g_nat" === 1, "all").otherwise($"n_name").as("nation"),
+          $"n_customers")
+        .orderBy($"segment", $"nation")
+    },
+    Some("""SELECT
+           |  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'all'
+           |       ELSE c_mktsegment END AS segment,
+           |  CASE WHEN GROUPING(n_name) = 1 THEN 'all'
+           |       ELSE n_name END AS nation,
+           |  count(DISTINCT c_custkey) AS n_customers
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY CUBE (c_mktsegment, n_name)
+           |ORDER BY segment, nation""".stripMargin))
+
+  /** A7: scalar (global, no-group) aggregation. */
+  val qAggGlobal = Q("q_agg_global",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders").agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"),
+        to_date(min($"o_orderdate")).as("first_date"),
+        to_date(max($"o_orderdate")).as("last_date"),
+        round(sum($"o_totalprice".cast("decimal(18,6)")), 6)
+          .cast("double").as("total_price"))
+    },
+    Some("""SELECT count(*) AS n_orders,
+           |       count(DISTINCT o_custkey) AS n_customers,
+           |       CAST(min(o_orderdate) AS DATE) AS first_date,
+           |       CAST(max(o_orderdate) AS DATE) AS last_date,
+           |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS total_price
+           |FROM orders""".stripMargin))
+
+  /** W1: cumulative window over ordered dates, partitioned by priority so
+    * the window shuffles on the partition key (never single-partition
+    * over fact-sized data; the per-key frames are small daily rows). */
+  val qWindowCumulative = Q("q_window_cumulative",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority", to_date($"o_orderdate").as("d"))
+        .agg(round(sum($"o_totalprice".cast("decimal(18,6)")), 6)
+          .cast("double").as("day_rev"))
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select($"o_orderpriority", $"d",
+          round(sum($"day_rev".cast("decimal(18,6)")).over(w), 6)
+            .cast("double").as("cum_rev"))
+        .orderBy($"o_orderpriority", $"d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+           |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),
+           |           6) AS DOUBLE) AS day_rev
+           |  FROM orders GROUP BY 1, 2
+           |)
+           |SELECT o_orderpriority, d,
+           |  CAST(round(sum(CAST(day_rev AS DECIMAL(18,6))) OVER (
+           |    PARTITION BY o_orderpriority ORDER BY d
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           |    AS DOUBLE) AS cum_rev
+           |FROM daily ORDER BY o_orderpriority, d""".stripMargin))
+
+  /** W3: moving average over a 7-row frame per key. */
+  val qWindowMovingAvg = Q("q_window_moving_avg",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority", to_date($"o_orderdate").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"d")
+        .rowsBetween(-6, Window.currentRow)
+      daily.select($"o_orderpriority", $"d",
+          round(avg($"n").over(w), 6).as("ma7"))
+        .orderBy($"o_orderpriority", $"d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+           |         count(*) AS n
+           |  FROM orders GROUP BY 1, 2
+           |)
+           |SELECT o_orderpriority, d,
+           |  round(avg(n) OVER (PARTITION BY o_orderpriority ORDER BY d
+           |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+           |FROM daily ORDER BY o_orderpriority, d""".stripMargin))
+
+  /** W4: lead/lag — day-over-day deltas per key. */
+  val qWindowLag = Q("q_window_lag",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority", to_date($"o_orderdate").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"d")
+      daily.select($"o_orderpriority", $"d", $"n",
+          ($"n" - coalesce(lag($"n", 1).over(w), lit(0L)))
+            .as("delta_vs_prev"))
+        .orderBy($"o_orderpriority", $"d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+           |         count(*) AS n
+           |  FROM orders GROUP BY 1, 2
+           |)
+           |SELECT o_orderpriority, d, n,
+           |  n - COALESCE(lag(n, 1) OVER (PARTITION BY o_orderpriority
+           |    ORDER BY d), 0) AS delta_vs_prev
+           |FROM daily ORDER BY o_orderpriority, d""".stripMargin))
+
+  /** R1: EAV → wide pivot (the Phase 2 LocalPatientClinicalCourse shape):
+    * per user, one column per event_type. Pivot values are declared so no
+    * discovery job runs (at 100 TB an unbounded pivot would scan twice). */
+  val qPivotEav = Q("q_pivot_eav",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .count()
+      types.foldLeft(p)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id,
+           |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           |  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+           |    AS purchase,
+           |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** R2: unpivot / melt wide measures to long rows (output_as_columns=0
+    * flattening). stack() is a generator — no shuffle, row-local. */
+  val qUnpivot = Q("q_unpivot",
+    (spark, sfDir) => {
+      Tables.read(spark, sfDir, "part")
+        .selectExpr("p_partkey",
+          """stack(2,
+            |  'retailprice', p_retailprice,
+            |  'size', CAST(p_size AS DOUBLE)) AS (measure, val)"""
+            .stripMargin)
+        .orderBy(col("p_partkey"), col("measure"))
+    },
+    Some("""SELECT p_partkey, 'retailprice' AS measure,
+           |       p_retailprice AS val FROM part
+           |UNION ALL
+           |SELECT p_partkey, 'size' AS measure,
+           |       CAST(p_size AS DOUBLE) AS val FROM part
+           |ORDER BY p_partkey, measure""".stripMargin))
+
+  val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
+    qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
+    qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot)
+}

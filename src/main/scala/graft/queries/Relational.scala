@@ -1,0 +1,350 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core breadth (SURVEY.md §2.1–2.3, 2.6, 2.7): the scan /
+  * filter / join / sort / set-op patterns the reference exercises on the
+  * i2b2 star schema, re-expressed on the TPC-H-ish harness tables.
+  *
+  * Scale notes (100 TB): every dim-side join below (`part`, `nation`,
+  * `region`, code lists) is explicitly `broadcast()` — the reference's
+  * code-map pattern [SURVEY.md §4.1] — so no fact-side shuffle happens
+  * for dimension enrichment. Fact⋈fact joins (orders⋈lineitem,
+  * customer⋈orders) carry their natural equi keys and sort-merge; AQE
+  * skew-join splitting is enabled in Sessions. Filters sit directly on
+  * scans so parquet pushdown prunes row groups.
+  */
+object Relational {
+
+  /** S2/P2: selective code-list scan — fact filter from a small IN list
+    * (the reference's `concept_cd IN (SELECT local_code …)` pattern). */
+  val qScanFilterIn = Q("q_scan_filter_in",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "lineitem")
+        .filter($"l_returnflag".isin("R", "A") &&
+          $"l_quantity" > 25 && $"l_discount".between(0.02, 0.08))
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+          $"l_quantity", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           |       l_discount
+           |FROM lineitem
+           |WHERE l_returnflag IN ('R','A') AND l_quantity > 25
+           |  AND l_discount BETWEEN 0.02 AND 0.08
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** S3/P3: metadata LIKE scan — the reference's
+    * `concept_path LIKE '\ACT\%'` local-code discovery. */
+  val qFilterLike = Q("q_filter_like",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "part")
+        .filter($"p_type".like("%BRASS%") && $"p_size".between(5, 25))
+        .select($"p_partkey", $"p_name", $"p_type", $"p_size")
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_type, p_size
+           |FROM part
+           |WHERE p_type LIKE '%BRASS%' AND p_size BETWEEN 5 AND 25
+           |ORDER BY p_partkey""".stripMargin))
+
+  /** J1: inner equi join, fact⋈fact on the natural key (sort-merge at
+    * scale; both sides shuffle once on o_custkey). */
+  val qJoinInnerEqui = Q("q_join_inner_equi",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val o = Tables.read(spark, sfDir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice".cast("decimal(18,6)")), 6)
+            .cast("double").as("total_price"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+           |       count(*) AS n_orders,
+           |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS total_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** J2: broadcast dim join — the code-map pattern; `broadcast()` is
+    * explicit so the plan is a BroadcastHashJoin with no fact shuffle. */
+  val qJoinBroadcastDim = Q("q_join_broadcast_dim",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val l = Tables.read(spark, sfDir, "lineitem")
+      val p = Tables.read(spark, sfDir, "part")
+        .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy($"p_brand")
+        .agg(round(sum($"l_quantity".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_qty"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand,
+           |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_qty,
+           |       count(DISTINCT l_orderkey) AS n_orders
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  /** J3: left outer join keeping unmatched left rows (patients without a
+    * death_date in the reference), null-filled via coalesce. */
+  val qJoinLeftOuter = Q("q_join_left_outer",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val o = Tables.read(spark, sfDir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy($"c_custkey", $"c_mktsegment")
+        .agg(count($"o_orderkey").as("n_orders"),
+          coalesce(round(sum($"o_totalprice".cast("decimal(18,6)")), 6)
+            .cast("double"), lit(0.0)).as("total_price"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+           |       count(o_orderkey) AS n_orders,
+           |       COALESCE(CAST(round(sum(CAST(o_totalprice AS
+           |         DECIMAL(18,6))), 6) AS DOUBLE), 0.0) AS total_price
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey, c_mktsegment
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** J4: semi join — EXISTS-shaped cohort membership. left_semi keeps the
+    * probe side narrow (no row multiplication, no payload columns). */
+  val qJoinSemi = Q("q_join_semi",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val o = Tables.read(spark, sfDir, "orders")
+        .filter($"o_orderstatus" === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_orderstatus = 'O')
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** J5: anti join — NOT EXISTS exclusions. */
+  val qJoinAnti = Q("q_join_anti",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val o = Tables.read(spark, sfDir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** J6: range/interval join with the equi key carried (the reference's
+    * admission-within-[pos−7,pos+14] pattern): lineitems shipped within
+    * 30 days of their order's date. Equi key l_orderkey=o_orderkey makes
+    * Catalyst plan SMJ + post-filter, never a nested-loop join. */
+  val qJoinRange = Q("q_join_range",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+      val l = Tables.read(spark, sfDir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") &&
+          l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_lineitems"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+           |       count(*) AS n_lineitems,
+           |       count(DISTINCT o_orderkey) AS n_orders
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  AND l_shipdate >= o_orderdate
+           |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** J7/W2: as-of / first-event-per-key via row_number — the reference's
+    * first-positive-test. Tiebreaker o_orderkey gives a total order. */
+  val qJoinAsof = Q("q_join_asof",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      o.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey".as("first_orderkey"),
+          to_date($"o_orderdate").as("first_order_date"),
+          $"o_totalprice".as("first_order_price"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey AS first_orderkey,
+           |       CAST(o_orderdate AS DATE) AS first_order_date,
+           |       o_totalprice AS first_order_price
+           |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+           |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+           |WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
+
+  /** J9: multi-way star join — fact ⋈ two dim chains, exactly the
+    * fact⋈patient_dim⋈visit_dim⋈code-map shape. Dims broadcast; Catalyst
+    * ReorderJoin + AQE pick the final order. */
+  val qJoinStar = Q("q_join_star",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val l = Tables.read(spark, sfDir, "lineitem")
+      val o = Tables.read(spark, sfDir, "orders")
+      val c = Tables.read(spark, sfDir, "customer")
+      val n = Tables.read(spark, sfDir, "nation")
+      val r = Tables.read(spark, sfDir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast("decimal(18,6)")), 6).cast("double").as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""SELECT r_name, n_name,
+           |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+           |         AS DECIMAL(18,6))), 6) AS DOUBLE) AS revenue,
+           |       count(DISTINCT o_orderkey) AS n_orders
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin))
+
+  /** A6: distinct / dropDuplicates. */
+  val qDistinct = Q("q_distinct",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus")
+        .distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus
+           |FROM lineitem
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** O1: global sort (range-partitioned exchange + per-partition sort). */
+  val qSortOutput = Q("q_sort_output",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+           |FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin))
+
+  /** O2: top-k — Spark plans TakeOrderedAndProject (per-partition heap +
+    * single merge, no global sort). Tiebreaker makes the k-set stable. */
+  val qTopk = Q("q_topk",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+      o.groupBy($"o_custkey")
+        .agg(round(sum($"o_totalprice".cast("decimal(18,6)")), 6)
+          .cast("double").as("total_spent"))
+        .orderBy($"total_spent".desc, $"o_custkey")
+        .limit(10)
+    },
+    Some("""SELECT o_custkey,
+           |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS total_spent
+           |FROM orders GROUP BY o_custkey
+           |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin))
+
+  /** U1: UNION ALL of two labeled branches (the reference's ICD9/ICD10
+    * branch assembly). unionByName for positional safety. */
+  val qSetUnionAll = Q("q_set_union_all",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+      val hi = o.filter($"o_totalprice" > 200000)
+        .select(lit("high").as("bucket"), $"o_orderkey", $"o_totalprice")
+      val lo = o.filter($"o_totalprice" < 10000)
+        .select(lit("low").as("bucket"), $"o_orderkey", $"o_totalprice")
+      hi.unionByName(lo).orderBy($"bucket", $"o_orderkey")
+    },
+    Some("""SELECT 'high' AS bucket, o_orderkey, o_totalprice
+           |FROM orders WHERE o_totalprice > 200000
+           |UNION ALL
+           |SELECT 'low' AS bucket, o_orderkey, o_totalprice
+           |FROM orders WHERE o_totalprice < 10000
+           |ORDER BY bucket, o_orderkey""".stripMargin))
+
+  /** U2: INTERSECT (distinct semantics on both engines). */
+  val qSetIntersect = Q("q_set_intersect",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val o = Tables.read(spark, sfDir, "orders")
+      val building = c.filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("custkey"))
+      val withOrders = o.select($"o_custkey".as("custkey"))
+      building.intersect(withOrders).orderBy($"custkey")
+    },
+    Some("""SELECT c_custkey AS custkey FROM customer
+           |WHERE c_mktsegment = 'BUILDING'
+           |INTERSECT
+           |SELECT o_custkey AS custkey FROM orders
+           |ORDER BY custkey""".stripMargin))
+
+  /** U3: EXCEPT (distinct semantics on both engines). */
+  val qSetExcept = Q("q_set_except",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val o = Tables.read(spark, sfDir, "orders")
+      c.select($"c_custkey".as("custkey"))
+        .except(o.select($"o_custkey".as("custkey")))
+        .orderBy($"custkey")
+    },
+    Some("""SELECT c_custkey AS custkey FROM customer
+           |EXCEPT
+           |SELECT o_custkey AS custkey FROM orders
+           |ORDER BY custkey""".stripMargin))
+
+  /** S4: single-column concatenated output (the reference's
+    * output_as_columns=0 mode). */
+  val qOutputConcat = Q("q_output_concat",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val n = Tables.read(spark, sfDir, "nation")
+      val r = Tables.read(spark, sfDir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(concat_ws("|", $"r_name", $"n_name",
+          $"n_nationkey".cast("string")).as("line"))
+        .orderBy($"line")
+    },
+    Some("""SELECT concat_ws('|', r_name, n_name,
+           |         CAST(n_nationkey AS VARCHAR)) AS line
+           |FROM nation JOIN region ON n_regionkey = r_regionkey
+           |ORDER BY line""".stripMargin))
+
+  val all: Seq[Q] = Seq(qScanFilterIn, qFilterLike, qJoinInnerEqui,
+    qJoinBroadcastDim, qJoinLeftOuter, qJoinSemi, qJoinAnti, qJoinRange,
+    qJoinAsof, qJoinStar, qDistinct, qSortOutput, qTopk, qSetUnionAll,
+    qSetIntersect, qSetExcept, qOutputConcat)
+}

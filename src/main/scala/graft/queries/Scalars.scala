@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function breadth (SURVEY.md §2.8): date arithmetic, string ops
+  * (the ICD 3-char-rollup family), math, conditional/null handling, JSON
+  * and array higher-order functions. All built-in `functions._` — every
+  * expression stays inside WholeStageCodegen (no UDFs in these paths).
+  */
+object Scalars {
+
+  /** F1: date arithmetic — datediff/date_add/date_trunc, the reference's
+    * days_since_admission computations. */
+  val qScalarDate = Q("q_scalar_date",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+      val l = Tables.read(spark, sfDir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(
+          datediff($"l_shipdate", $"o_orderdate").as("ship_delay_days"),
+          to_date(date_trunc("month", $"o_orderdate")).as("order_month"))
+        .groupBy($"order_month", $"ship_delay_days")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"order_month", $"ship_delay_days")
+    },
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+           |         AS order_month,
+           |       date_diff('day', CAST(o_orderdate AS DATE),
+           |         CAST(l_shipdate AS DATE)) AS ship_delay_days,
+           |       count(*) AS n
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1, 2 ORDER BY order_month, ship_delay_days"""
+      .stripMargin))
+
+  /** F2: string functions — the LEFT(concept_cd,3) rollup, REPLACE,
+    * UPPER, concat, split-part. */
+  val qScalarString = Q("q_scalar_string",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "part")
+        .select(
+          $"p_partkey",
+          substring($"p_name", 1, 3).as("name3"),
+          upper($"p_brand").as("brand_upper"),
+          regexp_replace($"p_brand", "Brand#", "B").as("brand_short"),
+          element_at(split($"p_type", " "), 1).as("type_head"),
+          concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+          length($"p_name").as("name_len"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |       substring(p_name, 1, 3) AS name3,
+           |       upper(p_brand) AS brand_upper,
+           |       replace(p_brand, 'Brand#', 'B') AS brand_short,
+           |       split_part(p_type, ' ', 1) AS type_head,
+           |       concat_ws('/', p_brand, p_type) AS brand_type,
+           |       length(p_name) AS name_len
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  /** F3: math functions — log/exp/round/abs/floor/sqrt + scale-factor
+    * multiply (the reference's units normalization). */
+  val qScalarMath = Q("q_scalar_math",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "supplier")
+        .select(
+          $"s_suppkey",
+          round(log($"s_acctbal" + 10000.0), 6).as("log_bal"),
+          round(sqrt(abs($"s_acctbal")), 6).as("sqrt_abs_bal"),
+          floor($"s_acctbal" / 100).cast("long").as("bal_bucket"),
+          round($"s_acctbal" * 1.1, 6).as("scaled_bal"),
+          round(pow($"s_acctbal" / 1000.0, 2), 6).as("bal_sq"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey,
+           |       round(ln(s_acctbal + 10000.0), 6) AS log_bal,
+           |       round(sqrt(abs(s_acctbal)), 6) AS sqrt_abs_bal,
+           |       CAST(floor(s_acctbal / 100) AS BIGINT) AS bal_bucket,
+           |       round(s_acctbal * 1.1, 6) AS scaled_bal,
+           |       round(pow(s_acctbal / 1000.0, 2), 6) AS bal_sq
+           |FROM supplier ORDER BY s_suppkey""".stripMargin))
+
+  /** F4: conditional / null handling — CASE buckets (the age-group
+    * pattern), coalesce, nullif. */
+  val qScalarCase = Q("q_scalar_case",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "customer")
+        .select(
+          $"c_custkey",
+          when($"c_acctbal" < 0, "negative")
+            .when($"c_acctbal" < 1000, "low")
+            .when($"c_acctbal" < 5000, "mid")
+            .otherwise("high").as("bal_bucket"),
+          coalesce(nullif($"c_mktsegment", lit("MACHINERY")),
+            lit("OTHER")).as("segment_masked"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey,
+           |  CASE WHEN c_acctbal < 0 THEN 'negative'
+           |       WHEN c_acctbal < 1000 THEN 'low'
+           |       WHEN c_acctbal < 5000 THEN 'mid'
+           |       ELSE 'high' END AS bal_bucket,
+           |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER')
+           |    AS segment_masked
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  /** F7: JSON extraction from the events props column (extension —
+    * the reference's EAV model has no JSON, harness events do). */
+  val qScalarJson = Q("q_scalar_json",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k_val"))
+        .filter($"k_val".isNotNull)
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+           |       CAST(json_extract_string(props, '$.k') AS BIGINT)
+           |         AS k_val
+           |FROM events
+           |WHERE json_extract_string(props, '$.k') IS NOT NULL
+           |ORDER BY event_id""".stripMargin))
+
+  /** F8: array higher-order functions over the embedding column —
+    * aggregate (fold) for the L2 norm², transform+filter for counting.
+    * Pure codegen'd HOFs, the scalar building blocks of X3 cosine. */
+  val qArrayHof = Q("q_array_hof",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "embeddings")
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          round(aggregate($"embedding", lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
+            .as("norm_sq"),
+          size(filter($"embedding", x => x > 0.0f)).as("n_positive"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id,
+           |       len(embedding) AS dim,
+           |       round(list_sum(list_transform(embedding,
+           |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+           |         AS norm_sq,
+           |       len(list_filter(embedding, x -> x > 0)) AS n_positive
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
+    qScalarCase, qScalarJson, qArrayHof)
+}

@@ -1,0 +1,602 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Typed result of the multimodal decode stub (q_multimodal_meta). */
+case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+    channels: Int)
+
+/** LLM-data-pipeline operators (SURVEY.md §2.11, X1–X8 + the
+  * training-data extensions): dedup (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine), similarity search (brute-force
+  * top-k baseline + IVF-bucketed scale path), multimodal columns,
+  * text analysis (language-ID, quality, token counts, fingerprinting),
+  * and the UDF/UDAF extension surface.
+  *
+  * Every text operator is built on one portable hash so the DuckDB
+  * oracle can replicate results bit-for-bit: a char-code polynomial
+  * fold `h = fold(chars, (a,c) => (a*31 + c) mod 1000003)` computed with
+  * Spark `aggregate`/`transform` HOFs (codegen'd) and DuckDB
+  * `list_reduce`/`list_transform`. No engine-specific hash (xxhash64,
+  * sha) sits on a correctness-bearing path where the oracle needs it.
+  *
+  * Scale notes (100 TB):
+  *  - Near-dup mining NEVER does an all-pairs cross join. MinHash
+  *    candidates come from an equi-join on (band, min-hash) buckets;
+  *    SimHash candidates from an equi-join on the fingerprint;
+  *    embedding near-dup and ANN probe only their IVF cell (label
+  *    bucket). This is the banded-LSH plan shape that survives 1000
+  *    executors — candidate generation is a shuffle on small keys,
+  *    verification touches only candidate pairs.
+  *  - Hot buckets (skew) are dropped by a bucket-size cap (2..50 docs),
+  *    the standard LSH frequent-band guard — on this harness's tiny
+  *    31-word vocabulary the cap discards nothing at oracle scale
+  *    (max bucket 39 at sf0.01) and prevents the quadratic blowup at
+  *    sf0.1+ (max bucket 303 → 2.6M uncapped vs 102k capped pairs).
+  *  - Dot products / norms are sequential HOF folds (deterministic
+  *    order, retry-safe), not groupBy-sums over exploded dimensions.
+  */
+object LLMOps {
+
+  private val P = 1000003L // prime modulus for all portable hashing
+
+  /** Portable char-code polynomial hash (see object doc). */
+  private def charFold(s: Column): Column =
+    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, c) => (a * 31L + c) % P)
+
+  /** Same hash in DuckDB SQL. */
+  private def charFoldSql(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''),
+       |    c -> CAST(unicode(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "embeddings")
+
+  /** (doc_id, s): distinct word-bigram shingles per document. */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"doc_id", split(trim($"text"), " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"ws") - 1),
+          i => concat_ws(" ", element_at($"ws", i),
+            element_at($"ws", i + 1))))).as("s"))
+  }
+
+  /** Shared DuckDB CTEs: toks (token list) and sh (distinct bigrams). */
+  private val shCte: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
+      |    len(ws) - 1)) AS i) t
+      |  WHERE len(ws) >= 2
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- X1
+  /** Exact dedup: content-hash groupBy, keep lowest doc_id. Spark
+    * groups on sha2(text) — a 256-bit key is what you'd shuffle at
+    * 100 TB, never the full text; the oracle groups on the text itself
+    * (same result, collision-free by construction). */
+  val qDedupExact = Q("q_dedup_exact",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .groupBy(sha2($"text", 256).as("h"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    },
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin))
+
+  // ---------------------------------------------------------------- X2
+  /** Near-dup via banded MinHash LSH: shingle → portable hash → 8
+    * one-hash-per-band minima → bucket equi-join (capped 2..50) →
+    * candidate pairs → exact-Jaccard verification ≥ 0.5. */
+  val qDedupMinhash = Q("q_dedup_minhash",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val sh = shingles(spark, sfDir)
+      val hs = sh.select($"doc_id", $"s", charFold($"s").as("h"))
+      val bands = hs
+        .select($"doc_id", explode(sequence(lit(0), lit(7))).as("band"),
+          $"h")
+        .groupBy($"doc_id", $"band")
+        .agg(min((($"band" * 31L + 7L) * $"h" + $"band" * 97L + 13L) % P)
+          .as("mv"))
+      val kept = bands.join(
+        bands.groupBy($"band", $"mv").agg(count(lit(1)).as("bn"))
+          .filter($"bn".between(2, 50)),
+        Seq("band", "mv"))
+      val cand = kept.as("a")
+        .join(kept.as("b"), $"a.band" === $"b.band" &&
+          $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.as("x"), $"d1" === $"x.doc_id")
+        .join(sh.as("y"), $"d2" === $"y.doc_id" && $"x.s" === $"y.s")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+        .select($"d1", $"d2",
+          round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""WITH $shCte, hs AS (
+            |  SELECT doc_id, s, ${charFoldSql("s")} AS h FROM sh
+            |), bm AS (
+            |  SELECT doc_id, band,
+            |         min(((band*31 + 7) * h + band*97 + 13) % $P) AS mv
+            |  FROM hs, (SELECT unnest(range(0, 8)) AS band) b
+            |  GROUP BY 1, 2
+            |), kept AS (
+            |  SELECT bm.* FROM bm
+            |  JOIN (SELECT band, mv FROM bm GROUP BY 1, 2
+            |        HAVING count(*) BETWEEN 2 AND 50) ok
+            |    USING (band, mv)
+            |), cand AS (
+            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM kept a JOIN kept b
+            |    ON a.band = b.band AND a.mv = b.mv
+            |   AND a.doc_id < b.doc_id
+            |), sizes AS (
+            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            |), common AS (
+            |  SELECT d1, d2, count(*) AS c
+            |  FROM cand
+            |  JOIN sh x ON x.doc_id = d1
+            |  JOIN sh y ON y.doc_id = d2 AND y.s = x.s
+            |  GROUP BY 1, 2
+            |)
+            |SELECT d1, d2,
+            |       round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+            |FROM common
+            |JOIN sizes s1 ON s1.doc_id = d1
+            |JOIN sizes s2 ON s2.doc_id = d2
+            |WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+            |ORDER BY d1, d2""".stripMargin))
+
+  // ------------------------------------------------------------ SimHash
+  /** SimHash dedup: 16-bit majority-vote fingerprint over word hashes;
+    * candidate pairs = identical fingerprints (pure equi-join on the
+    * fingerprint — the degenerate-but-cheapest LSH band). */
+  val qDedupSimhash = Q("q_dedup_simhash",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val words = docs(spark, sfDir)
+        .select($"doc_id",
+          explode(array_distinct(split(trim($"text"), " "))).as("w"))
+        .filter($"w" =!= "")
+        .select($"doc_id", charFold($"w").as("h"))
+      val bits = words
+        .select($"doc_id", explode(sequence(lit(0), lit(15))).as("k"),
+          $"h")
+        .groupBy($"doc_id", $"k")
+        .agg(sum(when(expr("shiftright(h, k) & 1") === 1, 1).otherwise(-1))
+          .as("v"))
+      val sims2 = bits.groupBy($"doc_id")
+        .agg(sum(expr(
+          "CASE WHEN v >= 0 THEN CAST(shiftleft(1, k) AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+      sims2.as("a")
+        .join(sims2.as("b"), $"a.simhash" === $"b.simhash" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          $"a.simhash".as("simhash"))
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id,
+            |         unnest(list_distinct(string_split(trim(text), ' ')))
+            |           AS w
+            |  FROM documents
+            |), h AS (
+            |  SELECT doc_id, ${charFoldSql("w")} AS hw
+            |  FROM toks WHERE w <> ''
+            |), bits AS (
+            |  SELECT doc_id, k,
+            |    sum(CASE WHEN (hw >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            |  FROM h, (SELECT unnest(range(0, 16)) AS k) kk
+            |  GROUP BY 1, 2
+            |), sim AS (
+            |  SELECT doc_id,
+            |    CAST(sum(CASE WHEN v >= 0 THEN (1 << k) ELSE 0 END)
+            |      AS BIGINT) AS simhash
+            |  FROM bits GROUP BY 1
+            |)
+            |SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash
+            |FROM sim a JOIN sim b
+            |  ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+            |ORDER BY d1, d2""".stripMargin))
+
+  // ---------------------------------------------------- n-gram Jaccard
+  /** Exact n-gram Jaccard near-dup: shingle equi-join (pairs share ≥1
+    * bigram — an inverted-index join, not a cross join), Jaccard ≥ 0.5.
+    * The ground truth qDedupMinhash approximates. */
+  val qDedupNgramJaccard = Q("q_dedup_ngram_jaccard",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val sh = shingles(spark, sfDir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = sh.as("x")
+        .join(sh.as("y"), $"x.s" === $"y.s" &&
+          $"x.doc_id" < $"y.doc_id")
+        .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+        .select($"d1", $"d2",
+          round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""WITH $shCte, sizes AS (
+            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            |), common AS (
+            |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+            |  FROM sh x JOIN sh y
+            |    ON x.s = y.s AND x.doc_id < y.doc_id
+            |  GROUP BY 1, 2
+            |)
+            |SELECT d1, d2,
+            |       round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+            |FROM common
+            |JOIN sizes s1 ON s1.doc_id = d1
+            |JOIN sizes s2 ON s2.doc_id = d2
+            |WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+            |ORDER BY d1, d2""".stripMargin))
+
+  // ------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-dup, bucketed: pairs are generated only
+    * within an IVF cell (the label bucket), never across the whole
+    * table — the bucket join IS the scale story. */
+  val qDedupEmbed = Q("q_dedup_embed",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = emb(spark, sfDir)
+      e.as("a")
+        .join(e.as("b"), $"a.label" === $"b.label" &&
+          $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+          $"a.label".as("label"),
+          round(Vectors.cosine($"a.embedding", $"b.embedding"), 6)
+            .as("cos_sim"))
+        .filter($"cos_sim" >= 0.35)
+        .orderBy($"v1", $"v2")
+    },
+    Some("""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+           |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+           |    (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) *
+           |     sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))), 6)
+           |    AS cos_sim
+           |FROM embeddings a JOIN embeddings b
+           |  ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+           |    (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) *
+           |     sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))), 6)
+           |  >= 0.35
+           |ORDER BY v1, v2""".stripMargin))
+
+  // ---------------------------------------------------------------- X3
+  /** Brute-force cosine top-k: 10 query vectors broadcast against the
+    * full table (the exact baseline every ANN variant is measured
+    * against). Ranking uses the ROUNDED similarity + vec_id tiebreak so
+    * the k-set is engine-stable. */
+  val qSimCosineTopk = Q("q_sim_cosine_topk",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = emb(spark, sfDir)
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          round(Vectors.cosine($"qv", $"embedding"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .orderBy($"q_id", $"rank")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id < 10
+           |), scored AS (
+           |  SELECT q_id, e.vec_id AS neighbor_id,
+           |    round(list_sum(list_transform(list_zip(qv, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+           |      (sqrt(list_sum(list_transform(list_zip(qv, qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))), 6)
+           |      AS cos_sim
+           |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT q_id, neighbor_id, cos_sim, rank
+           |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** IVF-bucketed ANN: each query probes only its own cell (label) —
+    * the partition-pruned scale path; 1/|cells| of the work of
+    * brute force per probe. */
+  val qSimAnnIvf = Q("q_sim_ann_ivf",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = emb(spark, sfDir)
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+          $"label".as("q_label"))
+      val scored = e.join(broadcast(q), $"label" === $"q_label" &&
+          $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"), $"label",
+          round(Vectors.cosine($"qv", $"embedding"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .orderBy($"q_id", $"rank")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+           |  FROM embeddings WHERE vec_id < 50
+           |), scored AS (
+           |  SELECT q_id, e.vec_id AS neighbor_id, e.label AS label,
+           |    round(list_sum(list_transform(list_zip(qv, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+           |      (sqrt(list_sum(list_transform(list_zip(qv, qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))), 6)
+           |      AS cos_sim
+           |  FROM embeddings e JOIN q
+           |    ON e.label = q.q_label AND e.vec_id <> q.q_id
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT q_id, neighbor_id, label, cos_sim, rank
+           |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+
+  // ---------------------------------------------------------------- X4
+  /** Multimodal join: text table ⋈ vector table on the shared id, with
+    * predicates on both modalities. */
+  val qMultimodalJoin = Q("q_multimodal_join",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val d = docs(spark, sfDir)
+      val e = emb(spark, sfDir)
+      d.join(e, d("doc_id") === e("vec_id"))
+        .filter($"lang" === "en" && $"n_chars" > 200)
+        .select($"doc_id", $"lang", $"n_chars", $"label",
+          round(Vectors.normSq($"embedding"), 6).as("norm_sq"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars, label,
+           |       round(list_sum(list_transform(list_zip(embedding, embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
+           |         AS norm_sq
+           |FROM documents JOIN embeddings ON doc_id = vec_id
+           |WHERE lang = 'en' AND n_chars > 200
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal binary plumbing: text → binary payload column →
+    * partition-wise typed decode (mapPartitions). The decode itself is a
+    * DETERMINISTIC STUB (no image libs in this container — it derives
+    * fake dimensions from the byte length); the Spark-side contract —
+    * binary column, typed Dataset, per-partition batch processing, no
+    * driver collect — is the real thing a media pipeline needs. */
+  val qMultimodalMeta = Q("q_multimodal_meta",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // STUB decoder: a real pipeline would parse image headers
+          // here; we derive metadata deterministically from the bytes.
+          val n = bytes.length
+          MediaMeta(id, n, 64 + n % 512, 64 + (n * 7) % 512, 1 + n % 3)
+        })
+        .toDF()
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           |  CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT)
+           |    AS width,
+           |  CAST(64 + (octet_length(CAST(text AS BLOB)) * 7) % 512
+           |    AS INT) AS height,
+           |  CAST(1 + octet_length(CAST(text AS BLOB)) % 3 AS INT)
+           |    AS channels
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- X5
+  /** Term frequency: tokenize → (lang, term) counts → top-10 per lang. */
+  val qTextTf = Q("q_text_tf",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tf = docs(spark, sfDir)
+        .select($"lang", explode(split(trim($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"lang")
+        .orderBy($"cnt".desc, $"term")
+      tf.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .orderBy($"lang", $"rank")
+    },
+    Some("""WITH tf AS (
+           |  SELECT lang, w AS term, count(*) AS cnt
+           |  FROM (SELECT lang,
+           |          unnest(string_split(trim(text), ' ')) AS w
+           |        FROM documents) u
+           |  WHERE w <> '' GROUP BY 1, 2
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY cnt DESC, term) AS rank
+           |  FROM tf
+           |)
+           |SELECT lang, term, cnt, rank FROM ranked
+           |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin))
+
+  // ------------------------------------------------------- language ID
+  /** Language ID heuristic: stopword-ratio scoring (the n-gram-profile
+    * family reduced to its dataflow: tokenize → score → classify). */
+  val qLangId = Q("q_lang_id",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", $"lang",
+          split(trim($"text"), " ").as("ws"))
+        .select($"doc_id", $"lang",
+          round(size(filter($"ws", w => w.isin("a", "the"))) /
+            size($"ws").cast("double"), 6).as("stop_ratio"))
+        .select($"doc_id", $"lang", $"stop_ratio",
+          when($"stop_ratio" >= 0.08, "en").otherwise("other")
+            .as("lang_guess"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+           |  round(len(list_filter(string_split(trim(text), ' '),
+           |      w -> w IN ('a', 'the'))) * 1.0 /
+           |    len(string_split(trim(text), ' ')), 6) AS stop_ratio,
+           |  CASE WHEN round(len(list_filter(
+           |      string_split(trim(text), ' '),
+           |      w -> w IN ('a', 'the'))) * 1.0 /
+           |    len(string_split(trim(text), ' ')), 6) >= 0.08
+           |    THEN 'en' ELSE 'other' END AS lang_guess
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------------------- quality scoring
+  /** Quality scoring: length / vocabulary-diversity ratios combined
+    * into one score — the standard pre-training filter signals. */
+  val qQualityScore = Q("q_quality_score",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", $"n_chars",
+          split(trim($"text"), " ").as("ws"))
+        .select($"doc_id", $"n_chars",
+          size($"ws").as("n_words"),
+          size(array_distinct($"ws")).as("n_distinct_words"))
+        .select($"doc_id", $"n_chars", $"n_words", $"n_distinct_words",
+          round($"n_distinct_words" / $"n_words".cast("double"), 6)
+            .as("distinct_ratio"),
+          round($"n_chars" / $"n_words".cast("double"), 6)
+            .as("avg_word_len"),
+          round(
+            ($"n_distinct_words" / $"n_words".cast("double")) * 0.5 +
+              least($"n_words".cast("double") / 100.0, lit(1.0)) * 0.5,
+            6).as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id, n_chars,
+           |         len(string_split(trim(text), ' ')) AS n_words,
+           |         len(list_distinct(string_split(trim(text), ' ')))
+           |           AS n_distinct_words
+           |  FROM documents
+           |)
+           |SELECT doc_id, n_chars, n_words, n_distinct_words,
+           |  round(n_distinct_words * 1.0 / n_words, 6)
+           |    AS distinct_ratio,
+           |  round(n_chars * 1.0 / n_words, 6) AS avg_word_len,
+           |  round((n_distinct_words * 1.0 / n_words) * 0.5 +
+           |    least(n_words * 1.0 / 100.0, 1.0) * 0.5, 6) AS quality
+           |FROM b ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------ token counts
+  /** Token counting: whitespace tokens, regex word-runs, and a BPE-ish
+    * chars/4 estimate. */
+  val qTokenCount = Q("q_token_count",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id",
+          size(split(trim($"text"), " ")).as("n_ws_tokens"),
+          regexp_count($"text", lit("[a-z]+")).as("n_word_runs"),
+          ceil($"n_chars" / 4.0).cast("long").as("n_bpeish"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  len(string_split(trim(text), ' ')) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT)
+           |    AS n_word_runs,
+           |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpeish
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------ fingerprint
+  /** Document fingerprinting: order-sensitive polynomial rolling hash
+    * over per-word hashes (nested HOF fold) — a content-defined id that
+    * unlike the shingle set distinguishes word order. */
+  val qFingerprint = Q("q_fingerprint",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", split(trim($"text"), " ").as("ws"))
+        .select($"doc_id",
+          aggregate(transform($"ws", w => charFold(w)), lit(0L),
+            (a, h) => (a * 131L + h) % P).as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id,
+            |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |    list_transform(string_split(trim(text), ' '),
+            |      w -> ${charFoldSql("w")})),
+            |    (a, h) -> (a * 131 + h) % $P) AS fingerprint
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- X6
+  /** UDF surface: L2 norm via a Scala UDF (oracle: SQL equivalent). */
+  val qUdfNorm = Q("q_udf_norm",
+    (spark, sfDir) => {
+      import spark.implicits._
+      emb(spark, sfDir)
+        .select($"vec_id",
+          round(Vectors.l2NormUdf($"embedding"), 6).as("l2_norm"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id,
+           |  round(sqrt(list_sum(list_transform(list_zip(embedding, embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))), 6)
+           |    AS l2_norm
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  // ---------------------------------------------------------------- X7
+  /** UDAF surface: per-label centroid via the custom Aggregator,
+    * exploded to (label, dim, value) rows for engine-stable compare. */
+  val qUdafCentroid = Q("q_udaf_centroid",
+    (spark, sfDir) => {
+      import spark.implicits._
+      emb(spark, sfDir)
+        .groupBy($"label")
+        .agg(Vectors.centroidUdaf($"embedding").as("centroid"))
+        .select($"label", posexplode($"centroid").as(Seq("dim", "v")))
+        .select($"label", $"dim", round($"v", 6).as("centroid_val"))
+        .orderBy($"label", $"dim")
+    },
+    Some("""SELECT label, i - 1 AS dim,
+           |       round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val
+           |FROM (SELECT label, unnest(embedding) AS v,
+           |        generate_subscripts(embedding, 1) AS i
+           |      FROM embeddings) u
+           |GROUP BY label, i ORDER BY label, dim""".stripMargin))
+
+  val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash,
+    qDedupNgramJaccard, qDedupEmbed, qSimCosineTopk, qSimAnnIvf,
+    qMultimodalJoin, qMultimodalMeta, qTextTf, qLangId, qQualityScore,
+    qTokenCount, qFingerprint, qUdfNorm, qUdafCentroid)
+}

@@ -118,4 +118,19 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Structured Streaming file source over the same fixture, same pinned
+    * schema and ts conversion — the batch/stream symmetry that makes the
+    * batch-equivalence self-tests (SURVEY.md §5.2.6) meaningful. */
+  def readStream(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    // The file-stream source requires a directory or glob (a bare file
+    // path fails the basePath-must-be-a-directory check), so glob the
+    // one fixture file.
+    val df = spark.readStream.schema(schemas(name))
+      .parquet(s"$sfDir/*$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

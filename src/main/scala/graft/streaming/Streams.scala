@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Per-user running state for q_stream_state (T6). */
+case class UserAgg(user_id: Long, n_events: Long, ever_error: Boolean)
+
+/** Structured Streaming operators (SURVEY.md §2.10, T1–T6). The
+  * reference is pure batch re-run per refresh; Structured Streaming's
+  * incremental-view model is the streaming equivalent of that refresh
+  * (same query, incrementally maintained).
+  *
+  * Execution contract: each query runs the stream from the parquet file
+  * source to completion into an in-memory sink (`processAllAvailable`)
+  * and returns the materialized result as a batch DataFrame — so the
+  * driver's Verify/Bench harness treats streaming queries exactly like
+  * batch ones, and most get a full DuckDB oracle (the fixture is finite,
+  * so the converged streaming result equals the batch answer).
+  *
+  * Scale notes: all aggregations are keyed (event_type / user_id /
+  * window), so state is partitioned across executors by group key;
+  * nothing accumulates unbounded per key. The memory sink is a harness
+  * device — production sinks would be kafka/parquet with checkpoints.
+  */
+object Streams {
+
+  private val runId = new AtomicInteger(0)
+
+  /** Run a streaming DF to completion into a memory sink, return the
+    * materialized table (unique name per invocation — safe to re-run in
+    * one session). */
+  private def runToTable(spark: SparkSession, df: DataFrame,
+      base: String, mode: String): DataFrame = {
+    val name = s"${base}_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** T1: tumbling 1-hour window counts per event_type. */
+  val qStreamTumbling = Q("q_stream_tumbling",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val s = Tables.readStream(spark, sfDir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("window_start"), $"event_type", $"n")
+      runToTable(spark, s, "t_tumbling", "complete")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+           |         AS window_start,
+           |       event_type, count(*) AS n
+           |FROM events GROUP BY 1, 2
+           |ORDER BY window_start, event_type""".stripMargin))
+
+  /** T2: sliding window (1 hour, slide 15 min) — every event lands in 4
+    * overlapping windows. */
+  val qStreamSliding = Q("q_stream_sliding",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val s = Tables.readStream(spark, sfDir, "events")
+        .groupBy(window($"ts", "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("window_start"), $"n")
+      runToTable(spark, s, "t_sliding", "complete")
+        .orderBy($"window_start")
+    },
+    Some("""SELECT time_bucket(INTERVAL 15 MINUTE,
+           |         CAST(ts AS TIMESTAMP))
+           |         - k * INTERVAL 15 MINUTE AS window_start,
+           |       count(*) AS n
+           |FROM events, (SELECT unnest(range(0, 4)) AS k) kk
+           |GROUP BY 1 ORDER BY window_start""".stripMargin))
+
+  /** T3: session windows (30-minute gap) per user. */
+  val qStreamSession = Q("q_stream_session",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val s = Tables.readStream(spark, sfDir, "events")
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"session_window.start".as("session_start"),
+          $"user_id", $"n_events")
+      runToTable(spark, s, "t_session", "append")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           |    CASE WHEN CAST(ts AS TIMESTAMP)
+           |        - lag(CAST(ts AS TIMESTAMP)) OVER
+           |          (PARTITION BY user_id ORDER BY ts, event_id)
+           |        > INTERVAL 30 MINUTE OR
+           |      lag(ts) OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id) IS NULL
+           |    THEN 1 ELSE 0 END AS new_s
+           |  FROM events
+           |), sess AS (
+           |  SELECT user_id, ts,
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS sid
+           |  FROM marked
+           |)
+           |SELECT min(ts) AS session_start, user_id,
+           |       count(*) AS n_events
+           |FROM sess GROUP BY user_id, sid
+           |HAVING max(ts) + INTERVAL 30 MINUTE <=
+           |  (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+           |   FROM events)
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  /** T4: watermark + late-data semantics — append mode emits only
+    * windows finalized below the final watermark (max ts − 1 hour);
+    * the oracle reproduces exactly that subset. */
+  val qStreamWatermark = Q("q_stream_watermark",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val s = Tables.readStream(spark, sfDir, "events")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("window_start"), $"n")
+      runToTable(spark, s, "t_watermark", "append")
+        .orderBy($"window_start")
+    },
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+           |         AS window_start,
+           |       count(*) AS n
+           |FROM events
+           |GROUP BY 1
+           |HAVING window_start + INTERVAL 1 HOUR <=
+           |  (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+           |   FROM events)
+           |ORDER BY window_start""".stripMargin))
+
+  /** T5: stateful exact dedup on event_id across the stream. */
+  val qStreamDedup = Q("q_stream_dedup",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val s = Tables.readStream(spark, sfDir, "events")
+        .select($"event_id", $"user_id", $"event_type")
+        .dropDuplicates("event_id")
+      runToTable(spark, s, "t_dedup", "append")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT DISTINCT event_id, user_id, event_type
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** T6: arbitrary stateful processing (mapGroupsWithState): per-user
+    * running event count + ever-seen-error flag — the streaming version
+    * of the cohort's severity state. */
+  val qStreamState = Q("q_stream_state",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val updateFn: (Long, Iterator[(Long, String)],
+          GroupState[UserAgg]) => UserAgg =
+        (uid, rows, state) => {
+          var agg = state.getOption.getOrElse(UserAgg(uid, 0L, false))
+          rows.foreach { case (_, et) =>
+            agg = UserAgg(uid, agg.n_events + 1,
+              agg.ever_error || et == "error")
+          }
+          state.update(agg)
+          agg
+        }
+      val s = Tables.readStream(spark, sfDir, "events")
+        .select($"user_id", $"event_type").as[(Long, String)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
+        .toDF()
+      // update-mode emission: the last row per user is the final state
+      runToTable(spark, s, "t_state", "update")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"),
+          max($"ever_error").as("ever_error"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+           |       max(event_type = 'error') AS ever_error
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
+    qStreamWatermark, qStreamDedup, qStreamState)
+}

@@ -45,7 +45,7 @@ object LLMOps {
   private val P = 1000003L // prime modulus for all portable hashing
 
   /** Portable char-code polynomial hash (see object doc). */
-  private def charFold(s: Column): Column =
+  private[graft] def charFold(s: Column): Column =
     aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L), (a, c) => (a * 31L + c) % P)
 

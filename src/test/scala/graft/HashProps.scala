@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.LLMOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks (SURVEY.md §5.2.4) for the arithmetic that
+  * correctness rests on. Each property evaluates one Spark job over a
+  * generated batch (not one job per sample) to keep runtime sane. */
+object HashProps extends Properties("graft") {
+
+  // Spark-job-per-sample is the cost driver; 10 samples × batched rows
+  // gives plenty of coverage.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val asciiWord: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  property("charFold lands in [0, P) and is deterministic") =
+    forAll(Gen.nonEmptyListOf(asciiWord)) { words =>
+      val out = words.toDF("s")
+        .select(LLMOps.charFold(col("s")).as("h"))
+        .collect().map(_.getLong(0))
+      val again = words.toDF("s")
+        .select(LLMOps.charFold(col("s")).as("h"))
+        .collect().map(_.getLong(0))
+      out.forall(h => h >= 0L && h < 1000003L) && out.sameElements(again)
+    }
+
+  property("obfuscation noise stays within ±blur for any epoch day") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 40000))) { days =>
+      // same arithmetic as Cohort.qObfuscate
+      val noise = days.map(d => (d % 100003) * 31 % 5 - 2)
+      noise.forall(n => n >= -2 && n <= 2)
+    }
+
+  property("blur-then-mask: output is -99 xor within blur") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 200L), Gen.choose(0, 40000)))) { rows =>
+      val out = rows.toDF("n_true", "epoch_day")
+        .select(col("n_true"),
+          when(col("n_true") < 5, lit(-99L))
+            .otherwise(col("n_true") +
+              col("epoch_day") % 100003 * 31 % 5 - 2).as("obf"))
+        .collect()
+      out.forall { r =>
+        val t = r.getLong(0); val o = r.getLong(1)
+        if (t < 5) o == -99L else math.abs(o - t) <= 2
+      }
+    }
+
+  property("cosine of a vector with itself is 1") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-10f, 10f))
+      .suchThat(v => v.exists(x => math.abs(x) > 0.1f))) { v =>
+      val c = Seq(Tuple1(v)).toDF("v")
+        .select(graft.functions.Vectors.cosine(col("v"), col("v")))
+        .head().getDouble(0)
+      math.abs(c - 1.0) < 1e-9
+    }
+}

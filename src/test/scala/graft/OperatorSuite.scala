@@ -1,0 +1,152 @@
+package graft
+
+import graft.functions.Vectors
+import graft.queries.{Aggregates, Cohort, LLMOps, Relational}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator golden tests (SURVEY.md §5.2.3) + invariants the DuckDB
+  * oracle cannot express (§5.2.4, §5.2.6): hand-computed values on tiny
+  * inputs, semantic properties on sf0.001, and streaming↔batch
+  * equivalence. */
+class OperatorSuite extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  // ---------------------------------------------------------- goldens
+
+  test("events.ts reads as microsecond timestamps (ns fixture)") {
+    val row = Tables.read(spark, sf, "events")
+      .select(min($"ts"), max($"ts")).head()
+    assert(row.getTimestamp(0).getTime >= 1704067200000L) // 2024-01-01
+    assert(row.getTimestamp(1).after(row.getTimestamp(0)))
+  }
+
+  test("charFold matches the portable reference value") {
+    // DuckDB: list_reduce fold of 'key agg' == 940086 (verified there)
+    val v = Seq("key agg").toDF("s")
+      .select(LLMOps.charFold($"s").as("h")).head().getLong(0)
+    assert(v === 940086L)
+  }
+
+  test("Vectors.dot / cosine / l2NormUdf golden values") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot($"a", $"b").as("dot"),
+      Vectors.cosine($"a", $"a").as("self_cos"),
+      Vectors.l2NormUdf($"b").as("norm")).head()
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(77.0)) < 1e-12)
+  }
+
+  test("CentroidAgg computes the element-wise mean") {
+    val df = Seq((0, Seq(1f, 2f)), (0, Seq(3f, 4f)), (1, Seq(5f, 6f)))
+      .toDF("label", "embedding")
+    val rows = df.groupBy($"label")
+      .agg(Vectors.centroidUdaf($"embedding").as("c"))
+      .orderBy($"label").collect()
+    assert(rows(0).getSeq[Double](1) === Seq(2.0, 3.0))
+    assert(rows(1).getSeq[Double](1) === Seq(5.0, 6.0))
+  }
+
+  // ------------------------------------------------------- invariants
+
+  test("obfuscation: masked or within blur of the true count") {
+    val blur = 2
+    val truth = Cohort.cohortDf(spark, sf)
+      .groupBy($"entry_date")
+      .agg(countDistinct($"user_id").as("n_true"))
+    val obf = Cohort.qObfuscate.fn(spark, sf)
+    val joined = obf.join(truth, "entry_date").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val o = r.getAs[Long]("n_users_obf")
+      val t = r.getAs[Long]("n_true")
+      if (o == -99L) assert(t < 5)
+      else assert(math.abs(o - t) <= blur && t >= 5)
+    }
+  }
+
+  test("cumulative daily counts are monotone nondecreasing") {
+    val rows = Cohort.qCohortDailyCounts.fn(spark, sf)
+      .select($"cumulative_users_all", $"cumulative_users_severe")
+      .collect()
+    val all = rows.map(_.getLong(0))
+    val sev = rows.map(_.getLong(1))
+    assert(all.sameElements(all.sorted) && sev.sameElements(sev.sorted))
+    assert(all.zip(sev).forall { case (a, s) => a >= s })
+  }
+
+  test("exact dedup is idempotent") {
+    val once = LLMOps.qDedupExact.fn(spark, sf)
+    // dedup of an already-deduped id set keeps every row
+    assert(once.select($"keep_id").distinct().count() === once.count())
+  }
+
+  test("grouping sets: the all/all row equals the grand total") {
+    val df = Aggregates.qAggGroupingSets.fn(spark, sf)
+    val allAll = df.filter($"segment" === "all" && $"nation" === "all")
+      .select($"n_customers").head().getLong(0)
+    val total = Tables.read(spark, sf, "customer").count()
+    assert(allAll === total)
+  }
+
+  test("top-k returns exactly k rows in descending order") {
+    val rows = Relational.qTopk.fn(spark, sf).collect()
+    assert(rows.length === 10)
+    val vals = rows.map(_.getAs[Double]("total_spent"))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cosine top-k: 5 neighbors per query, similarity in [-1,1]") {
+    val rows = LLMOps.qSimCosineTopk.fn(spark, sf).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("q_id")).values
+    assert(perQ.forall(_.length == 5))
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cos_sim"); c >= -1.0 && c <= 1.0
+    })
+  }
+
+  test("minhash candidates are a subset of exact n-gram near-dups") {
+    val mh = LLMOps.qDedupMinhash.fn(spark, sf)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = LLMOps.qDedupNgramJaccard.fn(spark, sf)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(mh.nonEmpty) // fixture plants near-dup pairs
+    assert(mh.forall(exact.contains))
+  }
+
+  // ------------------------------------- streaming↔batch equivalence
+
+  test("streaming tumbling window equals batch aggregation") {
+    val streamed = Streams.qStreamTumbling.fn(spark, sf)
+    val batch = Tables.read(spark, sf, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming per-user state equals batch aggregation") {
+    val streamed = Streams.qStreamState.fn(spark, sf)
+    val batch = Tables.read(spark, sf, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"event_type" === "error").as("ever_error"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup emits each event_id exactly once") {
+    val streamed = Streams.qStreamDedup.fn(spark, sf)
+    assert(streamed.count() ===
+      streamed.select($"event_id").distinct().count())
+    assert(streamed.count() ===
+      Tables.read(spark, sf, "events").select($"event_id")
+        .distinct().count())
+  }
+}

@@ -6,6 +6,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
+    // untimed warmup: pay JVM/codegen/scan setup once, not inside the
+    // first query's number
+    try Tables.read(spark, sfDir, "lineitem").count()
+    catch { case _: Throwable => () }
     var anyErr = false
     val results: Seq[(String, String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

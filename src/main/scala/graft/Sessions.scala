@@ -25,6 +25,11 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // each fixture table is ONE small parquet file; without a minimum
+      // split count every scan is a single partition and the whole
+      // pre-shuffle pipeline runs on one core (measured 1.5-5× slower).
+      // On a real cluster with many files/row-groups this is a no-op.
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

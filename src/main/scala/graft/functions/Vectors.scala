@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Deterministic sequential-fold dot product of two float vectors in
+  /** Deterministic left-to-right dot product of two float vectors in
     * double precision — identical evaluation order on every engine and
-    * every retry (a groupBy-sum over exploded dims would not be). */
-  def dot(a: Column, b: Column): Column =
+    * every retry (a groupBy-sum over exploded dims would not be).
+    * Dispatches to the native codegen'd [[VecDotExpr]] (registered as
+    * `vec_dot` by [[GraftExtensions]]); [[dotHof]] is the pure-built-in
+    * equivalent with bitwise-identical results. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** HOF fold form of [[dot]] — same accumulation order and results;
+    * kept as the no-extensions fallback and for equivalence tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
 

@@ -1,0 +1,261 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Run parameters — the reference's `#config` table as a broadcast-able
+  * case class (SURVEY.md §1.2, §1.4). `blur = 0` disables noise;
+  * `maskThreshold = 0` disables small-count masking. */
+case class FourCEConfig(
+    siteId: String = "site",
+    blur: Int = 0,
+    maskThreshold: Int = 0,
+    positiveCategory: String = "positive",
+    severeCategory: String = "severe",
+    windowBeforeDays: Int = 7,
+    windowAfterDays: Int = 14)
+
+/** The capability claim (SURVEY.md §5.2.5): the reference's Phase-1.1
+  * pipeline — cohort construction and the aggregate output files — as a
+  * reusable library over i2b2-CRC-shaped DataFrames:
+  *
+  *   observation_fact(patient_num, encounter_num, concept_cd,
+  *                    start_date TIMESTAMP, valtype_cd, nval_num, ...)
+  *   patient_dimension(patient_num, sex_cd, age_in_years_num,
+  *                     death_date, ...)
+  *   visit_dimension(encounter_num, patient_num, inout_cd,
+  *                   start_date, end_date)
+  *   code_map(code_category, local_code, scale_factor)
+  *
+  * A site that runs the reference's SQL scripts can point this at the
+  * same four tables and get the same output shapes (DailyCounts,
+  * ClinicalCourse, Demographics, Labs, Diagnoses) computed on Spark.
+  *
+  * Plan shapes (SURVEY.md §3.1 traces A–C, §4.2): the code map always
+  * broadcasts; fact⋈cohort joins carry patient_num (sort-merge, AQE
+  * skew-split eligible); the cohort is the only materialization barrier
+  * (caller may persist); the date spine stays tiny so spine joins
+  * broadcast; every output ends in a total-order sort.
+  */
+object FourCE {
+
+  /** Codes for one category from the code map — always broadcast. */
+  private def codes(codeMap: DataFrame, category: String): DataFrame =
+    broadcast(codeMap.filter(col("code_category") === category)
+      .select(col("local_code"), col("scale_factor")))
+
+  /** Deterministic obfuscation (SURVEY.md §4.2): hash-keyed blur then
+    * small-count mask (mask wins — the 4CE-specified order). Unlike the
+    * reference's RAND()/NEWID() this is retry-safe under task
+    * re-execution and identical across re-runs. */
+  def obfuscate(count: Column, key: Column, cfg: FourCEConfig): Column = {
+    val blurred =
+      if (cfg.blur <= 0) count
+      else count +
+        pmod(xxhash64(key, lit(cfg.siteId)), lit(2 * cfg.blur + 1)) -
+        cfg.blur
+    if (cfg.maskThreshold <= 0) blurred
+    else when(count < cfg.maskThreshold, lit(-99L)).otherwise(blurred)
+  }
+
+  /** Trace A — the cohort: patients whose first positive-category fact
+    * is followed by an inpatient admission within
+    * [pos − windowBefore, pos + windowAfter]; keep the earliest such
+    * admission; severe iff a severe-category fact lands on/after it.
+    * Output: patient_num, admission_date, severe(0/1), severe_date,
+    * death_date. */
+  def cohort(obs: DataFrame, visits: DataFrame, patients: DataFrame,
+      codeMap: DataFrame, cfg: FourCEConfig): DataFrame = {
+    val pos = obs
+      .join(codes(codeMap, cfg.positiveCategory),
+        obs("concept_cd") === col("local_code"))
+      .groupBy(col("patient_num"))
+      .agg(to_date(min(col("start_date"))).as("pos_date"))
+
+    val admissions = visits.filter(col("inout_cd") === "I")
+      .select(col("patient_num"), to_date(col("start_date")).as("adm"))
+
+    // J6 range join with the equi key carried → SMJ + post-filter
+    val entry = admissions.join(pos, Seq("patient_num"))
+      .filter(col("adm") >= date_sub(col("pos_date"), cfg.windowBeforeDays)
+        && col("adm") <= date_add(col("pos_date"), cfg.windowAfterDays))
+      .groupBy(col("patient_num"))
+      .agg(min(col("adm")).as("admission_date"))
+
+    val severeFacts = obs
+      .join(codes(codeMap, cfg.severeCategory),
+        obs("concept_cd") === col("local_code"))
+      .select(col("patient_num"), to_date(col("start_date")).as("sev_d"))
+
+    entry
+      .join(severeFacts.join(entry, Seq("patient_num"))
+          .filter(col("sev_d") >= col("admission_date"))
+          .groupBy(col("patient_num"))
+          .agg(min(col("sev_d")).as("severe_date")),
+        Seq("patient_num"), "left")
+      .join(patients.select(col("patient_num"),
+        to_date(col("death_date")).as("death_date")),
+        Seq("patient_num"), "left")
+      .select(col("patient_num"), col("admission_date"),
+        when(col("severe_date").isNotNull, 1).otherwise(0).as("severe"),
+        col("severe_date"), col("death_date"))
+  }
+
+  /** Trace B — DailyCounts.csv: per calendar date, cumulative
+    * all/severe/dead cohort patients + in-hospital census. */
+  def dailyCounts(cohortDf: DataFrame, visits: DataFrame,
+      cfg: FourCEConfig): DataFrame = {
+    val bounds = cohortDf.agg(min(col("admission_date")).as("d0"))
+      .crossJoin(visits.agg(to_date(max(col("end_date"))).as("d1")))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("calendar_date"))
+
+    // one small frame per date-valued column: new patients on that day
+    def perDay(dateCol: String, out: String) =
+      cohortDf.filter(col(dateCol).isNotNull)
+        .groupBy(col(dateCol).as("d"))
+        .agg(countDistinct(col("patient_num")).as(out))
+
+    // census: inpatient visits of cohort patients covering the date
+    val census = visits.filter(col("inout_cd") === "I")
+      .join(cohortDf.select(col("patient_num"), col("severe")),
+        Seq("patient_num"))
+      .select(col("patient_num"), col("severe"),
+        explode(sequence(to_date(col("start_date")),
+          to_date(col("end_date")))).as("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("patient_num")).as("in_hosp"),
+        countDistinct(when(col("severe") === 1, col("patient_num")))
+          .as("in_hosp_severe"))
+
+    // spine is tiny → all four joins broadcast; the cumulative window
+    // runs over the spine only (single partition is fine there)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("calendar_date"))
+      .rowsBetween(Long.MinValue, 0)
+    def left(df: DataFrame, acc: DataFrame) =
+      acc.join(df, acc("calendar_date") === df("d"), "left")
+        .drop("d")
+
+    left(census,
+      left(perDay("death_date", "n_dead"),
+        left(perDay("severe_date", "n_sev"),
+          left(perDay("admission_date", "n_new"), spine))))
+      .select(col("calendar_date"),
+        sum(coalesce(col("n_new"), lit(0L))).over(w)
+          .as("cumulative_patients_all"),
+        sum(coalesce(col("n_sev"), lit(0L))).over(w)
+          .as("cumulative_patients_severe"),
+        sum(coalesce(col("n_dead"), lit(0L))).over(w)
+          .as("cumulative_patients_dead"),
+        coalesce(col("in_hosp"), lit(0L))
+          .as("num_patients_in_hospital_on_this_date"),
+        coalesce(col("in_hosp_severe"), lit(0L))
+          .as("num_patients_in_hospital_and_severe_on_this_date"))
+      .select(lit(cfg.siteId).as("siteid"), col("calendar_date"),
+        col("cumulative_patients_all"),
+        col("cumulative_patients_severe"),
+        col("cumulative_patients_dead"),
+        col("num_patients_in_hospital_on_this_date"),
+        col("num_patients_in_hospital_and_severe_on_this_date"))
+      .orderBy(col("calendar_date"))
+  }
+
+  /** Demographics.csv: counts per (sex × age_group) INCLUDING the
+    * `all` rows — cube + grouping() relabel (SURVEY.md §2.4 A5). */
+  def demographics(cohortDf: DataFrame, patients: DataFrame,
+      cfg: FourCEConfig): DataFrame = {
+    val ageGroup = when(col("age_in_years_num") < 21, "00to20")
+      .when(col("age_in_years_num") < 46, "21to45")
+      .when(col("age_in_years_num") < 66, "46to65")
+      .otherwise("66plus")
+    cohortDf
+      .join(patients.select(col("patient_num"), col("sex_cd"),
+        col("age_in_years_num")), Seq("patient_num"))
+      .select(col("patient_num"), col("severe"),
+        col("sex_cd"), ageGroup.as("age_group"))
+      .cube(col("sex_cd"), col("age_group"))
+      .agg(countDistinct(col("patient_num")).as("n_all"),
+        countDistinct(when(col("severe") === 1, col("patient_num")))
+          .as("n_severe"),
+        grouping(col("sex_cd")).as("g_sex"),
+        grouping(col("age_group")).as("g_age"))
+      .select(lit(cfg.siteId).as("siteid"),
+        when(col("g_sex") === 1, "all").otherwise(col("sex_cd"))
+          .as("sex"),
+        when(col("g_age") === 1, "all").otherwise(col("age_group"))
+          .as("age_group"),
+        obfuscate(col("n_all"), concat(col("sex_cd"), col("age_group")),
+          cfg).as("num_patients_all"),
+        obfuscate(col("n_severe"),
+          concat(col("sex_cd"), col("age_group"), lit("s")), cfg)
+          .as("num_patients_ever_severe"))
+      .orderBy(col("sex"), col("age_group"))
+  }
+
+  /** Labs.csv: per (code, days_since_admission) value stats incl. the
+    * 4CE log-stats `log(value + 0.5)` and scale-factor normalization. */
+  def labs(obs: DataFrame, cohortDf: DataFrame, codeMap: DataFrame,
+      cfg: FourCEConfig, labCategory: String = "lab"): DataFrame = {
+    def noNaN(c: Column) = when(isnan(c), lit(null)).otherwise(c)
+    obs.filter(col("valtype_cd") === "N" && col("nval_num").isNotNull)
+      .join(codes(codeMap, labCategory),
+        obs("concept_cd") === col("local_code"))
+      .join(cohortDf.select(col("patient_num"), col("admission_date"),
+        col("severe")), Seq("patient_num"))
+      .select(col("local_code").as("loinc"),
+        datediff(to_date(col("start_date")), col("admission_date"))
+          .as("days_since_admission"),
+        (col("nval_num") * col("scale_factor")).as("v"),
+        col("patient_num"), col("severe"))
+      .filter(col("days_since_admission") >= 0 && col("v") > 0)
+      .groupBy(col("loinc"), col("days_since_admission"))
+      .agg(
+        countDistinct(col("patient_num")).as("num_patients_all"),
+        round(avg(col("v")), 6).as("mean_value_all"),
+        round(noNaN(stddev_samp(col("v"))), 6).as("stdev_value_all"),
+        round(avg(log(col("v") + 0.5)), 6).as("mean_log_value_all"),
+        round(noNaN(stddev_samp(log(col("v") + 0.5))), 6)
+          .as("stdev_log_value_all"),
+        countDistinct(when(col("severe") === 1, col("patient_num")))
+          .as("num_patients_ever_severe"))
+      .select(lit(cfg.siteId).as("siteid"), col("loinc"),
+        col("days_since_admission"), col("num_patients_all"),
+        col("mean_value_all"), col("stdev_value_all"),
+        col("mean_log_value_all"), col("stdev_log_value_all"),
+        col("num_patients_ever_severe"))
+      .orderBy(col("loinc"), col("days_since_admission"))
+  }
+
+  /** Diagnoses.csv: per 3-char code rollup, distinct patients
+    * before/since admission, split by ever-severe (A4 + F2). */
+  def diagnoses(obs: DataFrame, cohortDf: DataFrame,
+      cfg: FourCEConfig): DataFrame = {
+    obs
+      .join(cohortDf.select(col("patient_num"), col("admission_date"),
+        col("severe")), Seq("patient_num"))
+      .select(
+        substring(regexp_replace(col("concept_cd"), "^[A-Z]+:", ""),
+          1, 3).as("icd_code_3chars"),
+        (to_date(col("start_date")) < col("admission_date"))
+          .as("before"), col("patient_num"), col("severe"))
+      .groupBy(col("icd_code_3chars"))
+      .agg(
+        countDistinct(when(col("before"), col("patient_num")))
+          .as("num_patients_all_before_admission"),
+        countDistinct(when(!col("before"), col("patient_num")))
+          .as("num_patients_all_since_admission"),
+        countDistinct(when(col("before") && col("severe") === 1,
+          col("patient_num")))
+          .as("num_patients_ever_severe_before_admission"),
+        countDistinct(when(!col("before") && col("severe") === 1,
+          col("patient_num")))
+          .as("num_patients_ever_severe_since_admission"))
+      .select(lit(cfg.siteId).as("siteid"), col("icd_code_3chars"),
+        col("num_patients_all_before_admission"),
+        col("num_patients_all_since_admission"),
+        col("num_patients_ever_severe_before_admission"),
+        col("num_patients_ever_severe_since_admission"))
+      .orderBy(col("icd_code_3chars"))
+  }
+}

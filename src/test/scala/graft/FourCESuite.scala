@@ -1,0 +1,158 @@
+package graft
+
+import graft.pipeline.{FourCE, FourCEConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M4 end-to-end capability test (SURVEY.md §5.2.5): build the mini
+  * i2b2-shaped fixture from the harness tables (FIXTURES.md §3 mapping,
+  * deterministic), run the full FourCE pipeline, and assert the output
+  * shapes + cross-file consistency invariants the 4CE consortium's QC
+  * checks enforce. */
+class FourCESuite extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  private val cfg = FourCEConfig()
+
+  // FIXTURES.md §3: events → observation_fact ('EVT:'||event_type,
+  // purchase = positive code, error = severity code), one inpatient
+  // encounter per user-day, customer → patient_dimension.
+  private lazy val obs: DataFrame =
+    Tables.read(spark, sf, "events").select(
+      $"user_id".as("patient_num"),
+      (dayofyear(to_date($"ts")) * lit(100000) + $"user_id")
+        .cast("long").as("encounter_num"),
+      concat(lit("EVT:"), $"event_type").as("concept_cd"),
+      $"ts".as("start_date"),
+      when($"value".isNotNull, "N").otherwise("T").as("valtype_cd"),
+      $"value".as("nval_num"))
+
+  private lazy val visits: DataFrame =
+    Tables.read(spark, sf, "events")
+      .select($"user_id".as("patient_num"),
+        to_date($"ts").as("d"))
+      .distinct()
+      .select(
+        (dayofyear($"d") * lit(100000) + $"patient_num").cast("long")
+          .as("encounter_num"),
+        $"patient_num", lit("I").as("inout_cd"),
+        $"d".cast("timestamp").as("start_date"),
+        date_add($"d", 1).cast("timestamp").as("end_date"))
+
+  private lazy val patients: DataFrame =
+    Tables.read(spark, sf, "customer").select(
+      $"c_custkey".as("patient_num"),
+      when($"c_custkey" % 2 === 0, "female").otherwise("male")
+        .as("sex_cd"),
+      ($"c_custkey" % 80 + 10).cast("int").as("age_in_years_num"),
+      lit(null).cast("timestamp").as("death_date"))
+
+  private lazy val codeMap: DataFrame = Seq(
+    ("positive", "EVT:purchase", 1.0),
+    ("severe", "EVT:error", 1.0),
+    ("lab", "EVT:view", 2.0),
+    ("lab", "EVT:click", 1.0)
+  ).toDF("code_category", "local_code", "scale_factor")
+
+  private lazy val cohortDf =
+    FourCE.cohort(obs, visits, patients, codeMap, cfg).cache()
+
+  test("cohort: every member has a positive fact and a windowed admission") {
+    val n = cohortDf.count()
+    assert(n > 0)
+    // independently derived: patients with a purchase whose first
+    // event-day (= first admission) falls in [pos-7, pos+14]
+    val e = Tables.read(spark, sf, "events")
+    val pos = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(to_date(min($"ts")).as("pos_date"))
+    val adm = e.select($"user_id", to_date($"ts").as("d")).distinct()
+    val expected = adm.join(pos, Seq("user_id"))
+      .filter($"d" >= date_sub($"pos_date", 7) &&
+        $"d" <= date_add($"pos_date", 14))
+      .select($"user_id").distinct().count()
+    assert(n === expected)
+  }
+
+  test("daily counts: monotone cumulatives converging to cohort totals") {
+    val dc = FourCE.dailyCounts(cohortDf, visits, cfg).collect()
+    assert(dc.nonEmpty)
+    val cumAll = dc.map(_.getAs[Long]("cumulative_patients_all"))
+    assert(cumAll.sameElements(cumAll.sorted))
+    assert(cumAll.last === cohortDf.count())
+    val cumSev = dc.map(_.getAs[Long]("cumulative_patients_severe"))
+    assert(cumSev.last ===
+      cohortDf.filter($"severe" === 1).count())
+    // census never exceeds the cumulative admitted population
+    dc.foreach { r =>
+      assert(r.getAs[Long]("num_patients_in_hospital_on_this_date") <=
+        r.getAs[Long]("cumulative_patients_all"))
+    }
+  }
+
+  test("demographics: all/all row equals cohort size; parts sum to all") {
+    val d = FourCE.demographics(cohortDf, patients, cfg)
+    val rows = d.collect()
+    val allAll = rows.find(r => r.getAs[String]("sex") == "all" &&
+      r.getAs[String]("age_group") == "all").get
+    assert(allAll.getAs[Long]("num_patients_all") === cohortDf.count())
+    // one-dimension marginals: sum over sexes at age_group='all'
+    val bySex = rows.filter(r => r.getAs[String]("sex") != "all" &&
+      r.getAs[String]("age_group") == "all")
+    assert(bySex.map(_.getAs[Long]("num_patients_all")).sum ===
+      allAll.getAs[Long]("num_patients_all"))
+  }
+
+  test("labs: scale factor applied, stats well-formed, days nonnegative") {
+    val l = FourCE.labs(obs, cohortDf, codeMap, cfg).collect()
+    assert(l.nonEmpty)
+    l.foreach { r =>
+      assert(r.getAs[Int]("days_since_admission") >= 0)
+      assert(r.getAs[Long]("num_patients_all") >=
+        r.getAs[Long]("num_patients_ever_severe"))
+      assert(r.getAs[Double]("mean_value_all") > 0)
+    }
+    // view has scale_factor 2.0: its global mean must be exactly 2×
+    // the raw event mean over the same (cohort, window) subset
+    val raw = obs.filter($"concept_cd" === "EVT:view" &&
+        $"valtype_cd" === "N" && $"nval_num" > 0)
+      .join(cohortDf.select($"patient_num", $"admission_date"),
+        Seq("patient_num"))
+      .filter(to_date($"start_date") >= $"admission_date")
+    val rawMean = raw.agg(avg($"nval_num" * 2.0)).head().getDouble(0)
+    val labMean = FourCE.labs(obs, cohortDf, codeMap, cfg)
+      .filter($"loinc" === "EVT:view")
+      .agg(sum($"mean_value_all" * $"num_patients_all") /
+        sum($"num_patients_all")).head().getDouble(0)
+    // weighted day-mean vs global mean agree only when groups weight by
+    // patient counts = event counts; allow loose agreement
+    assert(math.abs(labMean - rawMean) / rawMean < 0.5)
+  }
+
+  test("diagnoses: 3-char rollup, severe counts bounded by all counts") {
+    val dg = FourCE.diagnoses(obs, cohortDf, cfg).collect()
+    assert(dg.nonEmpty)
+    dg.foreach { r =>
+      assert(r.getAs[String]("icd_code_3chars").length <= 3)
+      assert(r.getAs[Long]("num_patients_all_since_admission") >=
+        r.getAs[Long]("num_patients_ever_severe_since_admission"))
+    }
+  }
+
+  test("obfuscation: masked small counts, blur bounded, deterministic") {
+    val ocfg = cfg.copy(blur = 2, maskThreshold = 10)
+    val d1 = FourCE.demographics(cohortDf, patients, ocfg).collect()
+    val d2 = FourCE.demographics(cohortDf, patients, ocfg).collect()
+    assert(d1.sameElements(d2)) // retry-safe determinism
+    val exact = FourCE.demographics(cohortDf, patients, cfg)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        r.getAs[Long]("num_patients_all")).toMap
+    d1.foreach { r =>
+      val t = exact((r.getString(1), r.getString(2)))
+      val o = r.getAs[Long]("num_patients_all")
+      if (t < 10) assert(o === -99L)
+      else assert(math.abs(o - t) <= 2)
+    }
+  }
+}

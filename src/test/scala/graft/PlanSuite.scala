@@ -1,0 +1,95 @@
+package graft
+
+import graft.queries.{Aggregates, LLMOps, Relational}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2): the scale story lives in
+  * the plan shape, not the sf0.001 runtime — lock the load-bearing
+  * properties so a regression shows up as a red test, not as a 100 TB
+  * incident. Streaming queries are excluded (their fn executes the
+  * stream; plans are checked by their own suite's equivalence tests). */
+class PlanSuite extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("broadcast dim join plans a BroadcastHashJoin, no shuffle of facts") {
+    val p = plan("q_join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("star join broadcasts both small dims") {
+    val p = plan("q_join_star")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("code-list scan pushes the IN filter into the parquet scan") {
+    val p = plan("q_scan_filter_in")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("In(l_returnflag"))
+  }
+
+  test("projection prunes the parquet read schema") {
+    val p = plan("q_scan_filter_in")
+    // only the 5 selected columns reach ReadSchema — no shipdate etc.
+    assert(!p.contains("l_shipdate"))
+    assert(!p.contains("l_extendedprice"))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("range join carries the equi key — never a nested-loop join") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semi/anti joins plan as semi/anti, not join+distinct") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("no query plans a cartesian product") {
+    val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
+    batch.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins appear only where a tiny broadcast probe is intended") {
+    // cosine top-k broadcasts ≤10 query vectors against the table with
+    // a non-equi (!=) condition — the one legitimate BNLJ; the daily-
+    // counts/date-spine family broadcasts a tiny spine the same way.
+    val allowed = Set("q_sim_cosine_topk", "q_cohort_daily_counts")
+    val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
+    batch.filterNot(allowed).foreach { name =>
+      assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+        s"$name plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("aggregates run two-phase (partial then final)") {
+    val p = plan("q_agg_stats")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("vec_dot runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_dedup_embed")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("vec_dot"))
+    // AQE finalizes codegen stages only at execution time
+    df.collect()
+    // the generated code for the stage must contain the primitive
+    // loop (getFloat), i.e. VecDotExpr did not fall back to interpreted
+    val gen = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(gen.contains("WholeStageCodegen"))
+    assert(gen.contains("getFloat"))
+  }
+}

@@ -138,9 +138,9 @@ object Cohort {
     (spark, sfDir) => {
       import spark.implicits._
       val e = Tables.read(spark, sfDir, "events")
+      // cohortDf is memoized+persisted; no extra cache layer needed
       val cohort = cohortDf(spark, sfDir)
         .select($"user_id", $"entry_date", $"severe", $"severe_date")
-        .cache() // reused 3× below — the reference's temp-table barrier
 
       val bounds = cohort.agg(min($"entry_date").as("d0"))
         .crossJoin(e.agg(max(to_date($"ts")).as("d1")))
@@ -339,20 +339,24 @@ object Cohort {
          |GROUP BY 1 ORDER BY event_type""".stripMargin))
 
   /** F5 deterministic obfuscation: blur = hash-keyed noise in [-2, +2],
-    * then small counts (< 5) masked to -99 — mask wins over blur, the
-    * 4CE-specified order. Hash is plain integer arithmetic so the DuckDB
-    * oracle computes the identical noise; unlike the reference's RAND()
-    * this is retry-safe under task re-execution (SURVEY.md §4.2). */
+    * then small counts (< 10) masked to -99 — mask wins over blur, the
+    * 4CE-specified order (FIXTURES.md §2). The noise key is a Knuth
+    * multiplicative hash of the epoch day (not a short arithmetic
+    * cycle — ADVICE r1), in plain integer ops so the DuckDB oracle
+    * computes the identical noise; unlike the reference's RAND() this
+    * is retry-safe under task re-execution (SURVEY.md §4.2). */
   val qObfuscate = Q("q_obfuscate",
     (spark, sfDir) => {
       import spark.implicits._
       val cohort = cohortDf(spark, sfDir)
       val blur = 2
-      val mask = 5
+      val mask = 10
       val perDay = cohort.groupBy($"entry_date")
         .agg(countDistinct($"user_id").as("n_true"))
       val epochDay = datediff($"entry_date", to_date(lit("1970-01-01")))
-      val noise = (epochDay % 100003) * 31 % (2 * blur + 1) - blur
+      val noise =
+        epochDay.cast("long") * 2654435761L % 2147483648L %
+          (2 * blur + 1) - blur
       perDay.select(
           $"entry_date",
           when($"n_true" < mask, lit(-99L))
@@ -365,9 +369,10 @@ object Cohort {
          |  FROM cohort GROUP BY 1
          |)
          |SELECT entry_date,
-         |  CAST(CASE WHEN n_true < 5 THEN -99 ELSE n_true +
-         |    ((date_diff('day', DATE '1970-01-01', entry_date) % 100003)
-         |      * 31 % 5 - 2) END AS BIGINT) AS n_users_obf
+         |  CAST(CASE WHEN n_true < 10 THEN -99 ELSE n_true +
+         |    (CAST(date_diff('day', DATE '1970-01-01', entry_date)
+         |       AS BIGINT) * 2654435761 % 2147483648 % 5 - 2)
+         |    END AS BIGINT) AS n_users_obf
          |FROM perday ORDER BY entry_date""".stripMargin))
 
   /** F6 date spine on its own: sequence + explode (generator). */

@@ -34,8 +34,8 @@ object HashProps extends Properties("graft") {
 
   property("obfuscation noise stays within ±blur for any epoch day") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 40000))) { days =>
-      // same arithmetic as Cohort.qObfuscate
-      val noise = days.map(d => (d % 100003) * 31 % 5 - 2)
+      // same arithmetic as Cohort.qObfuscate (Knuth multiplicative)
+      val noise = days.map(d => d.toLong * 2654435761L % 2147483648L % 5 - 2)
       noise.forall(n => n >= -2 && n <= 2)
     }
 
@@ -44,13 +44,14 @@ object HashProps extends Properties("graft") {
       Gen.zip(Gen.choose(0L, 200L), Gen.choose(0, 40000)))) { rows =>
       val out = rows.toDF("n_true", "epoch_day")
         .select(col("n_true"),
-          when(col("n_true") < 5, lit(-99L))
+          when(col("n_true") < 10, lit(-99L))
             .otherwise(col("n_true") +
-              col("epoch_day") % 100003 * 31 % 5 - 2).as("obf"))
+              col("epoch_day").cast("long") * 2654435761L
+                % 2147483648L % 5 - 2).as("obf"))
         .collect()
       out.forall { r =>
         val t = r.getLong(0); val o = r.getLong(1)
-        if (t < 5) o == -99L else math.abs(o - t) <= 2
+        if (t < 10) o == -99L else math.abs(o - t) <= 2
       }
     }
 

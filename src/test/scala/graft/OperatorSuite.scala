@@ -64,8 +64,8 @@ class OperatorSuite extends AnyFunSuite {
     joined.foreach { r =>
       val o = r.getAs[Long]("n_users_obf")
       val t = r.getAs[Long]("n_true")
-      if (o == -99L) assert(t < 5)
-      else assert(math.abs(o - t) <= blur && t >= 5)
+      if (o == -99L) assert(t < 10)
+      else assert(math.abs(o - t) <= blur && t >= 10)
     }
   }
 

@@ -70,10 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  def register(ext: SparkSessionExtensions): Unit =
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         VecDotExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("char_fold"),
+      new ExpressionInfo(classOf[CharFoldExpr].getName, "char_fold"),
+      (children: Seq[Expression]) => CharFoldExpr(children.head)))
+  }
 }

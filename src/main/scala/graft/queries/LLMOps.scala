@@ -44,8 +44,14 @@ object LLMOps {
 
   private val P = 1000003L // prime modulus for all portable hashing
 
-  /** Portable char-code polynomial hash (see object doc). */
+  /** Portable char-code polynomial hash (see object doc) — dispatches
+    * to the native codegen'd CharFoldExpr. */
   private[graft] def charFold(s: Column): Column =
+    call_function("char_fold", s)
+
+  /** Pure-built-in HOF form of [[charFold]] — identical values; kept
+    * as the no-extensions fallback and for equivalence tests. */
+  private[graft] def charFoldHof(s: Column): Column =
     aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L), (a, c) => (a * 31L + c) % P)
 

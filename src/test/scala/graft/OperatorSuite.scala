@@ -30,6 +30,17 @@ class OperatorSuite extends AnyFunSuite {
     assert(v === 940086L)
   }
 
+  test("native char_fold equals the HOF fold on every fixture shingle") {
+    val words = Tables.read(spark, sf, "documents")
+      .select(explode(split(trim($"text"), " ")).as("w"))
+      .filter($"w" =!= "").distinct()
+    val diff = words
+      .select(LLMOps.charFold($"w").as("a"),
+        LLMOps.charFoldHof($"w").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff === 0L)
+  }
+
   test("Vectors.dot / cosine / l2NormUdf golden values") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     val r = df.select(

@@ -31,6 +31,8 @@ object Sessions {
       // pre-shuffle pipeline runs on one core (measured 1.5-5× slower).
       // On a real cluster with many files/row-groups this is a no-op.
       .config("spark.sql.files.minPartitionNum", cpus)
+      // keep managed tables (bucketed-layout tests) out of the repo root
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path mechanics that only show up as plan/layout properties:
+  * bucketed co-located joins (SURVEY.md §4.1 "clustered index"
+  * equivalent, §4.2 100 TB layout) and sketch-aggregate accuracy. */
+class BucketingSuite extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // the in-memory catalog forgets tables across JVMs but their files
+    // survive in the warehouse dir — clear them or CTAS refuses
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val p = new java.io.File(s"target/spark-warehouse/$t")
+      if (p.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(p)
+      }
+    }
+    Tables.read(spark, sf, "orders")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    Tables.read(spark, sf, "lineitem")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+
+    // force the join strategy a fact⋈fact join would get at scale
+    // (at sf0.001 AQE would broadcast these tiny tables)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined =
+      try {
+        val j = spark.table("lineitem_b")
+          .join(spark.table("orders_b"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+        j.collect() // finalize the adaptive plan
+        j
+      } finally spark.conf
+        .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides are pre-bucketed on the join key: the sort-merge join
+    // must consume the buckets directly — no shuffle before the join
+    // (the only exchange allowed is the post-join aggregation's)
+    val joinPart = plan.split("HashAggregate").last
+    assert(plan.contains("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"))
+    assert(plan.contains("SelectedBucketsCount"))
+
+    // and the co-located join returns the same result as the plain one
+    val plain = Tables.read(spark, sf, "lineitem")
+      .join(Tables.read(spark, sf, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(joined.exceptAll(plain).isEmpty &&
+      plain.exceptAll(joined).isEmpty)
+  }
+
+  test("approx aggregates land within tolerance of exact values") {
+    val approx = Formats.qAggApprox.fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("approx_customers"),
+          r.getAs[Double]("approx_median_price"))).toMap
+    val exact = Tables.read(spark, sf, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("nd"),
+        expr("percentile(o_totalprice, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("nd"), r.getAs[Double]("med"))).toMap
+    exact.foreach { case (k, (nd, med)) =>
+      val (and_, amed) = approx(k)
+      assert(math.abs(and_ - nd).toDouble / nd < 0.1,
+        s"$k distinct: approx $and_ vs exact $nd")
+      assert(math.abs(amed - med) / med < 0.25,
+        s"$k median: approx $amed vs exact $med")
+    }
+  }
+}

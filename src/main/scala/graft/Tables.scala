@@ -113,6 +113,11 @@ object Tables {
     * TimestampType. Division of positive epoch-nanos is exact truncation,
     * matching DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs cast. */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // defensive: callers may pass a session built outside Sessions.local
+    // (e.g. the harness smoke check); without this flag every events
+    // scan throws on the timestamp[ns] column
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

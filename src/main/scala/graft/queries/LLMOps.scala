@@ -173,12 +173,17 @@ object LLMOps {
       import spark.implicits._
       val sh = shingles(spark, sfDir)
       val hs = sh.select($"doc_id", $"s", charFold($"s").as("h"))
-      val bands = hs
-        .select($"doc_id", explode(sequence(lit(0), lit(7))).as("band"),
-          $"h")
-        .groupBy($"doc_id", $"band")
-        .agg(min((($"band" * 31L + 7L) * $"h" + $"band" * 97L + 13L) % P)
-          .as("mv"))
+      // all 8 band minima in ONE aggregation pass over the shingles
+      // (an explode-by-band form would shuffle 8× the rows), then melt
+      // the wide row to (band, mv) pairs — generator, no extra shuffle
+      val minCols = (0 until 8).map(b =>
+        min(((lit(b) * 31L + 7L) * $"h" + lit(b) * 97L + 13L) % P)
+          .as(s"m$b"))
+      val stackExpr = (0 until 8).map(b => s"$b, m$b").mkString(", ")
+      val bands = hs.groupBy($"doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .selectExpr("doc_id",
+          s"stack(8, $stackExpr) AS (band, mv)")
       val kept = bands.join(
         bands.groupBy($"band", $"mv").agg(count(lit(1)).as("bn"))
           .filter($"bn".between(2, 50)),

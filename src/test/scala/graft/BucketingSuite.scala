@@ -69,6 +69,37 @@ class BucketingSuite extends AnyFunSuite {
       plain.exceptAll(joined).isEmpty)
   }
 
+  test("date-partitioned layout prunes partitions dynamically") {
+    // SURVEY.md §4.2 100 TB layout: fact tables partitioned by day.
+    // A selective dim filter on the partition key must reach the scan
+    // as dynamic partition pruning, so only matching days are read.
+    val dir = "target/layout/events_by_day"
+    Tables.read(spark, sf, "events")
+      .withColumn("event_date", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.read(spark, sf, "events")
+      .select(to_date($"ts").as("d")).distinct()
+      .orderBy($"d").limit(3) // a selective dim: first 3 days
+
+    val q = fact.join(dim, fact("event_date") === dim("d"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("PartitionFilters: [isnotnull(event_date"),
+      "partition pruning did not reach the scan")
+
+    // correctness of the pruned read
+    val expected = Tables.read(spark, sf, "events")
+      .withColumn("d", to_date($"ts"))
+      .join(dim, Seq("d"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    assert(q.exceptAll(expected).isEmpty &&
+      expected.exceptAll(q).isEmpty)
+  }
+
   test("approx aggregates land within tolerance of exact values") {
     val approx = Formats.qAggApprox.fn(spark, sf)
       .collect().map(r => r.getString(0) ->

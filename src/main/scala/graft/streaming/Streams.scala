@@ -188,6 +188,41 @@ object Streams {
            |       max(event_type = 'error') AS ever_error
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** T7 (extension): stream-stream interval join — the streaming form
+    * of the cohort's entry join (purchase within 14 days after signup,
+    * equi key user_id carried). Watermarks on both sides bound the join
+    * state; on the finite fixture the converged result equals the batch
+    * join, which the oracle computes. */
+  val qStreamJoin = Q("q_stream_join",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.readStream(spark, sfDir, "events")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = signups.join(purchases,
+        $"s_user" === $"p_user" &&
+          $"p_ts" > $"s_ts" &&
+          $"p_ts" <= $"s_ts" + expr("INTERVAL 14 DAYS"))
+      val out = runToTable(spark, joined, "t_join", "append")
+      out.groupBy($"s_user".as("user_id"))
+        .agg(count(lit(1)).as("n_windowed_purchases"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           |  FROM events
+           |)
+           |SELECT s.user_id, count(*) AS n_windowed_purchases
+           |FROM ev s JOIN ev p
+           |  ON s.event_type = 'signup' AND p.event_type = 'purchase'
+           | AND p.user_id = s.user_id
+           | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 14 DAY
+           |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
-    qStreamWatermark, qStreamDedup, qStreamState)
+    qStreamWatermark, qStreamDedup, qStreamState, qStreamJoin)
 }

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-technique and pipeline-utility operators beyond the SURVEY §2
+  * inventory: manual skew salting (the explicit form of what AQE does
+  * adaptively), single-pass column profiling (data-quality stage of a
+  * training pipeline), and batch sessionization (the batch twin of the
+  * T3 session window, same semantics — useful for backfills). */
+object Extras {
+
+  /** Salted skew join: the fact side's join key is salted with a
+    * deterministic bucket and the (small) build side is exploded across
+    * all salt values, so one hot key spreads over `SALTS` reducers.
+    * Result is provably identical to the unsalted join — the oracle
+    * runs the plain join. (AQE skew-split handles this adaptively; the
+    * manual form is for engines/stages where AQE can't see the skew,
+    * e.g. pre-partitioned writes.) */
+  val qJoinSalted = Q("q_join_salted",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val SALTS = 8
+      val e = Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"event_type", $"event_id")
+        .withColumn("salt", pmod($"event_id", lit(SALTS)).cast("int"))
+      val dim = Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+        .withColumn("salt",
+          explode(sequence(lit(0), lit(SALTS - 1))))
+      e.join(dim, Seq("user_id", "salt"))
+        .groupBy($"c_mktsegment", $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"c_mktsegment", $"event_type")
+    },
+    Some("""SELECT c_mktsegment, event_type,
+           |       count(*) AS n_events,
+           |       count(DISTINCT user_id) AS n_users
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
+      .stripMargin))
+
+  /** Single-pass column profiler: null/distinct/length stats for every
+    * column of `documents` in ONE aggregation (no per-column scans),
+    * melted to long form. The data-quality step of an ingest pipeline. */
+  val qProfileColumns = Q("q_profile_columns",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cols = Seq("text", "lang", "source")
+      val aggs = cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        round(avg(length(col(c))), 6).as(s"${c}_avglen")))
+      val stackArgs = cols
+        .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_avglen")
+        .mkString(", ")
+      Tables.read(spark, sfDir, "documents")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) " +
+          "AS (column_name, n_nulls, n_distinct, avg_len)")
+        .orderBy($"column_name")
+    },
+    Some("""SELECT 'lang' AS column_name,
+           |       count(CASE WHEN lang IS NULL THEN 1 END) AS n_nulls,
+           |       count(DISTINCT lang) AS n_distinct,
+           |       round(avg(length(lang)), 6) AS avg_len
+           |FROM documents
+           |UNION ALL
+           |SELECT 'source', count(CASE WHEN source IS NULL THEN 1 END),
+           |       count(DISTINCT source), round(avg(length(source)), 6)
+           |FROM documents
+           |UNION ALL
+           |SELECT 'text', count(CASE WHEN text IS NULL THEN 1 END),
+           |       count(DISTINCT text), round(avg(length(text)), 6)
+           |FROM documents
+           |ORDER BY column_name""".stripMargin))
+
+  /** Batch sessionization: 30-minute-gap sessions per user via
+    * lag + cumulative-sum windows — same session semantics as the
+    * streaming session_window (T3), for backfill/batch parity. */
+  val qSessionize = Q("q_sessionize",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"ts", $"event_id")
+      val order = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      val marked = e.withColumn("new_s",
+        when(lag($"ts", 1).over(order).isNull ||
+          unix_timestamp($"ts") -
+            unix_timestamp(lag($"ts", 1).over(order)) > 1800, 1)
+          .otherwise(0))
+      val sess = marked.withColumn("sid",
+        sum($"new_s").over(order
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max($"n").as("max_session_events"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           |  FROM events
+           |), marked AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL OR
+           |      epoch(ts) - epoch(lag(ts) OVER w) > 1800
+           |    THEN 1 ELSE 0 END AS new_s
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), sess AS (
+           |  SELECT user_id,
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS sid
+           |  FROM marked
+           |), per AS (
+           |  SELECT user_id, sid, count(*) AS n
+           |  FROM sess GROUP BY 1, 2
+           |)
+           |SELECT user_id, count(*) AS n_sessions,
+           |       max(n) AS max_session_events
+           |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize)
+}

@@ -140,6 +140,20 @@ class FourCESuite extends AnyFunSuite {
     }
   }
 
+  test("empty cohort yields empty, well-formed outputs (no crash)") {
+    val noMatch = Seq(("positive", "EVT:never", 1.0),
+      ("severe", "EVT:never2", 1.0), ("lab", "EVT:never3", 1.0))
+      .toDF("code_category", "local_code", "scale_factor")
+    val c = FourCE.cohort(obs, visits, patients, noMatch, cfg)
+    assert(c.count() === 0)
+    assert(FourCE.dailyCounts(c, visits, cfg).count() === 0)
+    assert(FourCE.labs(obs, c, noMatch, cfg).count() === 0)
+    assert(FourCE.diagnoses(obs, c, cfg).count() === 0)
+    // demographics of an empty cohort: at most the empty cube shell
+    val d = FourCE.demographics(c, patients, cfg).collect()
+    assert(d.forall(_.getAs[Long]("num_patients_all") == 0L))
+  }
+
   test("obfuscation: masked small counts, blur bounded, deterministic") {
     val ocfg = cfg.copy(blur = 2, maskThreshold = 10)
     val d1 = FourCE.demographics(cohortDf, patients, ocfg).collect()

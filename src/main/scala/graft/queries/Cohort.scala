@@ -123,13 +123,18 @@ object Cohort {
   val qCohort = Q("q_cohort",
     (spark, sfDir) => {
       import spark.implicits._
+      // severe_date is the one NULLABLE date in any oracle output; cast
+      // to string on both sides so NULL renders identically ('None')
+      // in the comparator regardless of how pandas types the column
       cohortDf(spark, sfDir)
-        .select($"user_id", $"entry_date", $"severe", $"severe_date")
+        .select($"user_id", $"entry_date", $"severe",
+          $"severe_date".cast("string").as("severe_date"))
         .orderBy($"user_id")
     },
     Some(
       s"""$cohortCte
-         |SELECT user_id, entry_date, severe, severe_date
+         |SELECT user_id, entry_date, severe,
+         |       CAST(severe_date AS VARCHAR) AS severe_date
          |FROM cohort ORDER BY user_id""".stripMargin))
 
   /** DailyCounts analog: calendar spine (F6) + cumulative distinct users

@@ -478,6 +478,115 @@ object LLMOps {
            |    AS channels
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal resize/frame-sample plumbing (decode stubs like
+    * qMultimodalMeta): treat the payload as a "video", emit one row per
+    * sampled frame (stride 128 bytes, 64-byte frames) with typed
+    * offsets — posexplode over a per-row generated frame list, the
+    * shape a real frame-sampler produces. Frame geometry is pure
+    * arithmetic on the byte length, so the oracle replicates it. */
+  val qMultimodalFrames = Q("q_multimodal_frames",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .select($"doc_id", length($"payload").as("n_bytes"))
+        .filter($"n_bytes" >= 64)
+        .select($"doc_id", $"n_bytes",
+          posexplode(sequence(lit(0),
+            expr("(n_bytes - 64) div 128").cast("int")))
+            .as(Seq("frame_idx", "k")))
+        .select($"doc_id", $"frame_idx",
+          ($"k" * 128).as("frame_offset"),
+          least(lit(64), $"n_bytes" - $"k" * 128).as("frame_len"))
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id,
+           |         octet_length(CAST(text AS BLOB)) AS n_bytes
+           |  FROM documents
+           |  WHERE octet_length(CAST(text AS BLOB)) >= 64
+           |)
+           |SELECT doc_id,
+           |       CAST(k AS INT) AS frame_idx,
+           |       CAST(k * 128 AS INT) AS frame_offset,
+           |       CAST(least(64, n_bytes - k * 128) AS INT) AS frame_len
+           |FROM b, LATERAL (SELECT unnest(generate_series(0,
+           |  (n_bytes - 64) // 128)) AS k) t
+           |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  /** LSH-bucketed ANN (the second scale path next to qSimAnnIvf):
+    * 8 random-hyperplane sign bits → 256 buckets; queries probe only
+    * their bucket. Hyperplanes come from a portable LCG so both engines
+    * derive bit-identical planes, dots are sequential double folds →
+    * identical signs → identical buckets; the oracle replicates the
+    * whole thing. Recall trades against the 1/|buckets| probe cost —
+    * the standard LSH contract. */
+  val qSimAnnLsh = Q("q_sim_ann_lsh",
+    (spark, sfDir) => {
+      import spark.implicits._
+      def plane(p: Int): Column = array((0 until 64).map { i =>
+        lit((((p * 64 + i).toLong * 2654435761L) % 2147483648L)
+          / 2147483648.0 - 0.5)
+      }: _*)
+      val bucket = (0 until 8).map(p =>
+        when(Vectors.dotHof($"embedding", plane(p)) >= 0, lit(1L << p))
+          .otherwise(0L)).reduce(_ + _)
+      val e = emb(spark, sfDir)
+        .withColumn("bkt", bucket)
+        .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+          $"bkt".as("q_bkt"), $"nrm".as("qnrm"))
+      val scored = e.join(broadcast(q), $"bkt" === $"q_bkt" &&
+          $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"), $"bkt",
+          round(Vectors.dot($"qv", $"embedding") /
+            ($"qnrm" * $"nrm"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .orderBy($"q_id", $"rank")
+    },
+    Some("""WITH planes AS (
+           |  SELECT p, list_transform(range(0, 64), i ->
+           |    (((p * 64 + i) * 2654435761) % 2147483648)
+           |      / 2147483648.0 - 0.5) AS pl
+           |  FROM (SELECT unnest(range(0, 8)) AS p)
+           |), dots AS (
+           |  SELECT e.vec_id, pp.p,
+           |    list_sum(list_transform(list_zip(e.embedding, pp.pl),
+           |      z -> CAST(z[1] AS DOUBLE) * z[2])) AS d
+           |  FROM embeddings e, planes pp
+           |), bkts AS (
+           |  SELECT vec_id,
+           |    CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END)
+           |      AS BIGINT) AS bkt
+           |  FROM dots GROUP BY vec_id
+           |), ee AS (
+           |  SELECT e.vec_id, e.embedding, b.bkt,
+           |    sqrt(list_sum(list_transform(list_zip(e.embedding,
+           |      e.embedding), z -> CAST(z[1] AS DOUBLE)
+           |        * CAST(z[2] AS DOUBLE)))) AS nrm
+           |  FROM embeddings e JOIN bkts b USING (vec_id)
+           |), q AS (
+           |  SELECT vec_id AS q_id, embedding AS qv, bkt AS q_bkt,
+           |         nrm AS qnrm
+           |  FROM ee WHERE vec_id < 50
+           |), scored AS (
+           |  SELECT q_id, e.vec_id AS neighbor_id, e.bkt,
+           |    round(list_sum(list_transform(list_zip(qv, e.embedding),
+           |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           |      / (qnrm * e.nrm), 6) AS cos_sim
+           |  FROM ee e JOIN q ON e.bkt = q.q_bkt AND e.vec_id <> q.q_id
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT q_id, neighbor_id, bkt, cos_sim, rank
+           |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+
   // ---------------------------------------------------------------- X5
   /** Term frequency: tokenize → (lang, term) counts → top-10 per lang. */
   val qTextTf = Q("q_text_tf",
@@ -651,6 +760,7 @@ object LLMOps {
 
   val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash,
     qDedupNgramJaccard, qDedupEmbed, qSimCosineTopk, qSimAnnIvf,
-    qMultimodalJoin, qMultimodalMeta, qTextTf, qLangId, qQualityScore,
-    qTokenCount, qFingerprint, qUdfNorm, qUdafCentroid)
+    qSimAnnLsh, qMultimodalJoin, qMultimodalMeta, qMultimodalFrames,
+    qTextTf, qLangId, qQualityScore, qTokenCount, qFingerprint,
+    qUdfNorm, qUdafCentroid)
 }

@@ -120,6 +120,19 @@ class OperatorSuite extends AnyFunSuite {
     })
   }
 
+  test("LSH ANN never finds a closer neighbor than brute force") {
+    val bf = LLMOps.qSimCosineTopk.fn(spark, sf)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val lsh = LLMOps.qSimAnnLsh.fn(spark, sf)
+      .filter($"rank" === 1 && $"q_id" < 10).collect()
+    lsh.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") <=
+        bf(r.getAs[Long]("q_id")) + 1e-9)
+    }
+  }
+
   test("minhash candidates are a subset of exact n-gram near-dups") {
     val mh = LLMOps.qDedupMinhash.fn(spark, sf)
       .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))

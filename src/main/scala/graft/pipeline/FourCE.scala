@@ -227,6 +227,66 @@ object FourCE {
       .orderBy(col("loinc"), col("days_since_admission"))
   }
 
+  /** ClinicalCourse.csv: per day-offset since admission, patients (all
+    * and ever-severe) still in hospital — inpatient visit intervals
+    * exploded to days, offset against the cohort admission. */
+  def clinicalCourse(cohortDf: DataFrame, visits: DataFrame,
+      cfg: FourCEConfig): DataFrame = {
+    visits.filter(col("inout_cd") === "I")
+      .join(cohortDf.select(col("patient_num"), col("admission_date"),
+        col("severe")), Seq("patient_num"))
+      .select(col("patient_num"), col("severe"), col("admission_date"),
+        explode(sequence(to_date(col("start_date")),
+          to_date(col("end_date")))).as("hosp_day"))
+      .select(col("patient_num"), col("severe"),
+        datediff(col("hosp_day"), col("admission_date"))
+          .as("days_since_admission"))
+      .filter(col("days_since_admission") >= 0)
+      .groupBy(col("days_since_admission"))
+      .agg(
+        countDistinct(col("patient_num"))
+          .as("num_patients_all_still_in_hospital"),
+        countDistinct(when(col("severe") === 1, col("patient_num")))
+          .as("num_patients_ever_severe_still_in_hospital"))
+      .select(lit(cfg.siteId).as("siteid"), col("days_since_admission"),
+        col("num_patients_all_still_in_hospital"),
+        col("num_patients_ever_severe_still_in_hospital"))
+      .orderBy(col("days_since_admission"))
+  }
+
+  /** Medications.csv: same four-count shape as Diagnoses but per
+    * code-map class (the med-class rollup). */
+  def medications(obs: DataFrame, cohortDf: DataFrame,
+      codeMap: DataFrame, cfg: FourCEConfig,
+      medCategory: String = "med"): DataFrame = {
+    obs
+      .join(codes(codeMap, medCategory),
+        obs("concept_cd") === col("local_code"))
+      .join(cohortDf.select(col("patient_num"), col("admission_date"),
+        col("severe")), Seq("patient_num"))
+      .select(col("local_code").as("med_class"),
+        (to_date(col("start_date")) < col("admission_date"))
+          .as("before"), col("patient_num"), col("severe"))
+      .groupBy(col("med_class"))
+      .agg(
+        countDistinct(when(col("before"), col("patient_num")))
+          .as("num_patients_all_before_admission"),
+        countDistinct(when(!col("before"), col("patient_num")))
+          .as("num_patients_all_since_admission"),
+        countDistinct(when(col("before") && col("severe") === 1,
+          col("patient_num")))
+          .as("num_patients_ever_severe_before_admission"),
+        countDistinct(when(!col("before") && col("severe") === 1,
+          col("patient_num")))
+          .as("num_patients_ever_severe_since_admission"))
+      .select(lit(cfg.siteId).as("siteid"), col("med_class"),
+        col("num_patients_all_before_admission"),
+        col("num_patients_all_since_admission"),
+        col("num_patients_ever_severe_before_admission"),
+        col("num_patients_ever_severe_since_admission"))
+      .orderBy(col("med_class"))
+  }
+
   /** Diagnoses.csv: per 3-char code rollup, distinct patients
     * before/since admission, split by ever-severe (A4 + F2). */
   def diagnoses(obs: DataFrame, cohortDf: DataFrame,

@@ -140,6 +140,30 @@ class FourCESuite extends AnyFunSuite {
     }
   }
 
+  test("clinical course: day-0 census equals cohort admitted that day") {
+    val cc = FourCE.clinicalCourse(cohortDf, visits, cfg).collect()
+    assert(cc.nonEmpty)
+    cc.foreach { r =>
+      assert(r.getAs[Int]("days_since_admission") >= 0)
+      assert(r.getAs[Long]("num_patients_all_still_in_hospital") >=
+        r.getAs[Long]("num_patients_ever_severe_still_in_hospital"))
+    }
+    // every cohort member has an event (=visit) on their admission day
+    val day0 = cc.find(_.getAs[Int]("days_since_admission") == 0).get
+    assert(day0.getAs[Long]("num_patients_all_still_in_hospital") ===
+      cohortDf.count())
+  }
+
+  test("medications: four-count shape over the med code map") {
+    val medMap = Seq(("med", "EVT:click", 1.0)).toDF(
+      "code_category", "local_code", "scale_factor")
+    val m = FourCE.medications(obs, cohortDf, medMap, cfg).collect()
+    assert(m.length === 1 && m.head.getAs[String]("med_class") ==
+      "EVT:click")
+    assert(m.head.getAs[Long]("num_patients_all_since_admission") >=
+      m.head.getAs[Long]("num_patients_ever_severe_since_admission"))
+  }
+
   test("empty cohort yields empty, well-formed outputs (no crash)") {
     val noMatch = Seq(("positive", "EVT:never", 1.0),
       ("severe", "EVT:never2", 1.0), ("lab", "EVT:never3", 1.0))

@@ -80,5 +80,6 @@ object GraftExtensions {
       new FunctionIdentifier("char_fold"),
       new ExpressionInfo(classOf[CharFoldExpr].getName, "char_fold"),
       (children: Seq[Expression]) => CharFoldExpr(children.head)))
+    ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
   }
 }

@@ -80,6 +80,25 @@ class PlanSuite extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("HOF dot-product pattern is rewritten to native vec_dot") {
+    import spark.implicits._
+    import graft.functions.Vectors
+    import org.apache.spark.sql.functions.{array, lit}
+    val df = Tables.read(spark, sf, "embeddings")
+      .select($"vec_id",
+        Vectors.dotHof($"embedding", $"embedding").as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot"),
+      "VecDotRewrite did not fire on the HOF pattern")
+    assert(!optimized.contains("aggregate(zip_with"))
+    // and a double-array side must NOT be rewritten (getFloat unsafe)
+    val planes = array((0 until 4).map(i => lit(i * 0.5d)): _*)
+    val mixed = Tables.read(spark, sf, "embeddings")
+      .select(Vectors.dotHof($"embedding", planes).as("d"))
+    assert(!mixed.queryExecution.optimizedPlan.toString
+      .contains("vec_dot"))
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q_dedup_embed")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("vec_dot"))

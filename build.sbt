@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON. Two sbt
+// behaviors break that: the "[success] Total time ..." trailer printed
+// after the run, and the "[info] " prefix sbt's logger adds to forked
+// process output. Suppress both so a main's final println IS the final
+// stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by commands, lint can't see it
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

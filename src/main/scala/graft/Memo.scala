@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped memoization of persisted DataFrames — the Spark analog
+  * of the reference's temp-table barrier for intermediates reused by
+  * several queries (cohort, shingle table).
+  *
+  * Keys hold the `SparkSession` itself (reference equality), not
+  * `System.identityHashCode(session)`: an identity hash can be reused
+  * after the original session is GC'd, which could hand a caller a
+  * DataFrame bound to a dead session (ADVICE r2 item 4). Entries are
+  * evicted when the owning session's context stops (application end), so
+  * cached blocks are not pinned past the session's life. Sessions that
+  * stop while sharing a still-live SparkContext keep their entries until
+  * that context ends — acceptable for this engine's one-context-per-JVM
+  * deployments. */
+object Memo {
+  private val entries = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val hooked = TrieMap.empty[SparkSession, Unit]
+
+  /** Build-once per (session, key); the result is persisted
+    * MEMORY_AND_DISK. */
+  def cached(spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    hook(spark)
+    entries.getOrElseUpdate((spark, key),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def hook(spark: SparkSession): Unit =
+    if (hooked.putIfAbsent(spark, ()).isEmpty) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = {
+          entries.filterInPlace { case ((s, _), _) => s ne spark }
+          hooked.remove(spark)
+          ()
+        }
+      })
+    }
+}

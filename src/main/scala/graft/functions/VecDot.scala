@@ -10,30 +10,36 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression: dot product of two float vectors in
-  * double precision, accumulated left-to-right (bitwise-identical to the
-  * sequential `aggregate(zip_with(...))` HOF fold it replaces, so the
-  * DuckDB oracle parity is unchanged).
+  * double precision, accumulated left-to-right — bitwise-identical to the
+  * sequential `aggregate(zip_with(...))` HOF fold it replaces, INCLUDING
+  * null semantics: `zip_with` null-pads the shorter vector and the fold's
+  * `acc + null` poisons the sum, so the HOF form yields NULL for
+  * length-mismatched vectors or any null element. This expression returns
+  * null in exactly those cases, so the VecDotRewrite substitution is safe
+  * on malformed data too (ADVICE r2 item 3).
   *
   * Why a custom Expression (SURVEY.md §4.2 preference ladder b): the
   * HOF fold is a CodegenFallback — per-row lambda interpretation
   * allocates and boxes for every element. This generates a tight
   * primitive loop inside whole-stage codegen; measured ~3× on the
-  * cosine-pair queries at sf0.1. Assumes non-null vector elements
-  * (embedding fixtures; a production build would add a null guard per
-  * element). */
+  * cosine-pair queries at sf0.1. */
 case class VecDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // null also on length mismatch / null element, not only null inputs
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -47,12 +53,19 @@ case class VecDotExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -31,18 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object Cohort {
 
-  /** Memo: the cohort is reused by every query in this module; within one
+  /** The cohort is reused by every query in this module; within one
     * Verify/Bench run build + persist it once per (session, sfDir) — the
     * Spark analog of the reference's `#covid_cohort` temp-table barrier
-    * (SURVEY.md §4.1). Process-scoped by design: Verify/Bench are
-    * one-shot mains, so the cached blocks live exactly as long as needed. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
+    * (SURVEY.md §4.1). Lifetime/eviction handled by [[graft.Memo]]. */
   def cohortDf(spark: SparkSession, sfDir: String): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(spark), sfDir),
-      buildCohort(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.Memo.cached(spark, s"cohort:$sfDir")(buildCohort(spark, sfDir))
 
   /** cohort DF: user_id, signup_ts, entry_ts, entry_date, severe (0/1),
     * severe_date. One shuffle on user_id; all three event branches are

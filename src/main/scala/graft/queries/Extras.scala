@@ -87,10 +87,13 @@ object Extras {
         .select($"user_id", $"ts", $"event_id")
       val order = Window.partitionBy($"user_id")
         .orderBy($"ts", $"event_id")
+      // full-precision timestamp comparison on BOTH engines (interval
+      // arithmetic is exact at µs grain; unix_timestamp would truncate
+      // to whole seconds and could flip a near-1800s gap vs the oracle)
+      val lagTs = lag($"ts", 1).over(order)
       val marked = e.withColumn("new_s",
-        when(lag($"ts", 1).over(order).isNull ||
-          unix_timestamp($"ts") -
-            unix_timestamp(lag($"ts", 1).over(order)) > 1800, 1)
+        when(lagTs.isNull ||
+          $"ts" > lagTs + expr("INTERVAL 1800 SECONDS"), 1)
           .otherwise(0))
       val sess = marked.withColumn("sid",
         sum($"new_s").over(order
@@ -106,15 +109,15 @@ object Extras {
            |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
            |  FROM events
            |), marked AS (
-           |  SELECT user_id, ts,
+           |  SELECT user_id, ts, event_id,
            |    CASE WHEN lag(ts) OVER w IS NULL OR
-           |      epoch(ts) - epoch(lag(ts) OVER w) > 1800
+           |      ts - lag(ts) OVER w > INTERVAL 1800 SECOND
            |    THEN 1 ELSE 0 END AS new_s
            |  FROM ev
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |), sess AS (
            |  SELECT user_id,
-           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |      AS sid
            |  FROM marked

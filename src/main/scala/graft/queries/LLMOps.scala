@@ -68,30 +68,26 @@ object LLMOps {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "embeddings")
 
-  /** Memoized per (session, sfDir): the shingle table feeds both the
-    * MinHash and exact-Jaccard queries (2–3 scans each) — persist once,
-    * the same temp-table barrier treatment the cohort gets. */
-  private val shingleMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
-  /** (doc_id, s): distinct word-bigram shingles per document. */
+  /** (doc_id, s): distinct word-bigram shingles per document. Memoized
+    * per (session, sfDir) via [[graft.Memo]]: the shingle table feeds
+    * both the MinHash and exact-Jaccard queries (2–3 scans each) —
+    * persist once, the same temp-table barrier treatment the cohort
+    * gets. */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    shingleMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir), {
-        import spark.implicits._
-        docs(spark, sfDir)
-          .select($"doc_id", split(trim($"text"), " ").as("ws"))
-          .filter(size($"ws") >= 2)
-          .select($"doc_id", explode(array_distinct(
-            transform(sequence(lit(1), size($"ws") - 1),
-              i => concat_ws(" ", element_at($"ws", i),
-                element_at($"ws", i + 1))))).as("s"))
-          // the fixture is one small parquet file → one input partition;
-          // spread the cached shingles so every downstream join/agg
-          // reads them with full parallelism
-          .repartition(Sessions.cpus.toInt)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+    graft.Memo.cached(spark, s"shingles:$sfDir") {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", split(trim($"text"), " ").as("ws"))
+        .filter(size($"ws") >= 2)
+        .select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(1), size($"ws") - 1),
+            i => concat_ws(" ", element_at($"ws", i),
+              element_at($"ws", i + 1))))).as("s"))
+        // the fixture is one small parquet file → one input partition;
+        // spread the cached shingles so every downstream join/agg
+        // reads them with full parallelism
+        .repartition(Sessions.cpus.toInt)
+    }
 
   /** Exact-Jaccard verification of candidate pairs: count common
     * shingles via an inverted-index join restricted to the candidates,
@@ -164,6 +160,29 @@ object LLMOps {
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
            |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin))
 
+  /** (doc_id, band, mv): the 8 per-band MinHash minima, computed in ONE
+    * aggregation pass over the shingles (an explode-by-band form would
+    * shuffle 8× the rows) and melted wide→long with a generator (no
+    * extra shuffle). Memoized via [[graft.Memo]]: the LSH query
+    * references the band table four times (both self-join legs × the
+    * bucket filter) — without the cache the 1M-row shingle aggregation
+    * re-runs for each reference (measured ~2× on the whole query at
+    * sf0.1); cached it is a ~8·|docs|-row table, negligible memory. */
+  private def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo.cached(spark, s"mh_bands:$sfDir") {
+      import spark.implicits._
+      val hs = shingles(spark, sfDir)
+        .select($"doc_id", charFold($"s").as("h"))
+      val minCols = (0 until 8).map(b =>
+        min(((lit(b) * 31L + 7L) * $"h" + lit(b) * 97L + 13L) % P)
+          .as(s"m$b"))
+      val stackExpr = (0 until 8).map(b => s"$b, m$b").mkString(", ")
+      hs.groupBy($"doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .selectExpr("doc_id",
+          s"stack(8, $stackExpr) AS (band, mv)")
+    }
+
   // ---------------------------------------------------------------- X2
   /** Near-dup via banded MinHash LSH: shingle → portable hash → 8
     * one-hash-per-band minima → bucket equi-join (capped 2..50) →
@@ -171,23 +190,13 @@ object LLMOps {
   val qDedupMinhash = Q("q_dedup_minhash",
     (spark, sfDir) => {
       import spark.implicits._
-      val sh = shingles(spark, sfDir)
-      val hs = sh.select($"doc_id", $"s", charFold($"s").as("h"))
-      // all 8 band minima in ONE aggregation pass over the shingles
-      // (an explode-by-band form would shuffle 8× the rows), then melt
-      // the wide row to (band, mv) pairs — generator, no extra shuffle
-      val minCols = (0 until 8).map(b =>
-        min(((lit(b) * 31L + 7L) * $"h" + lit(b) * 97L + 13L) % P)
-          .as(s"m$b"))
-      val stackExpr = (0 until 8).map(b => s"$b, m$b").mkString(", ")
-      val bands = hs.groupBy($"doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-        .selectExpr("doc_id",
-          s"stack(8, $stackExpr) AS (band, mv)")
-      val kept = bands.join(
-        bands.groupBy($"band", $"mv").agg(count(lit(1)).as("bn"))
-          .filter($"bn".between(2, 50)),
-        Seq("band", "mv"))
+      val bands = minhashBands(spark, sfDir)
+      // bucket-size cap as a windowed count over (band, mv): one shuffle
+      // of the tiny band table instead of a groupBy + re-join
+      val kept = bands
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy($"band", $"mv")))
+        .filter($"bn".between(2, 50)).drop("bn")
       val cand = kept.as("a")
         .join(kept.as("b"), $"a.band" === $"b.band" &&
           $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
@@ -226,16 +235,18 @@ object LLMOps {
           explode(array_distinct(split(trim($"text"), " "))).as("w"))
         .filter($"w" =!= "")
         .select($"doc_id", charFold($"w").as("h"))
-      val bits = words
-        .select($"doc_id", explode(sequence(lit(0), lit(15))).as("k"),
-          $"h")
-        .groupBy($"doc_id", $"k")
-        .agg(sum(when(expr("shiftright(h, k) & 1") === 1, 1).otherwise(-1))
-          .as("v"))
-      val sims2 = bits.groupBy($"doc_id")
-        .agg(sum(expr(
-          "CASE WHEN v >= 0 THEN CAST(shiftleft(1, k) AS BIGINT) " +
-            "ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+      // all 16 bit-majority votes as conditional aggs in ONE
+      // groupBy(doc_id) pass (the explode-by-bit form shuffled 16× the
+      // word rows), then assemble the fingerprint from the wide row
+      val voteCols = (0 until 16).map(k =>
+        sum(when(expr(s"shiftright(h, $k) & 1") === 1, 1).otherwise(-1))
+          .as(s"v$k"))
+      val sims2 = words.groupBy($"doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select($"doc_id",
+          (0 until 16).map(k =>
+            when(col(s"v$k") >= 0, lit(1L << k)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
       sims2.as("a")
         .join(sims2.as("b"), $"a.simhash" === $"b.simhash" &&
           $"a.doc_id" < $"b.doc_id")

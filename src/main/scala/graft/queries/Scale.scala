@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 scale-path and sink operators:
+  *
+  *  - the binned range-join refinement SURVEY.md §4.2(c) promises for
+  *    range joins that carry NO equi key (the one plan shape where naive
+  *    Spark falls back to a nested-loop join),
+  *  - a RANGE-frame window (the frame type W3's rowsBetween form does
+  *    not exercise),
+  *  - ROLLUP (the hierarchy-shaped cousin of A5's cube),
+  *  - stream-static join + foreachBatch sink (the two Structured
+  *    Streaming surfaces T1–T6 left uncovered).
+  */
+object Scale {
+
+  /** §4.2(c) binned range join: signup→purchase pairs within 1 hour
+    * ACROSS ALL USERS — no equi key exists, so a naive formulation is a
+    * BroadcastNestedLoopJoin that dies at scale. The refinement: bin both
+    * sides to the window width (1 h), probe bins {b, b+1} via explode,
+    * equi-join on the bin, refine with the exact interval predicate.
+    * Each qualifying pair matches in exactly one probe bin (the
+    * purchase's own bin), so no dedup pass is needed. At 100 TB this is
+    * a plain shuffled equi-join whose per-bin fan-out is bounded by the
+    * event rate per window — the standard interval-join plan every
+    * streaming engine uses. The oracle runs the naive range join. */
+  val qJoinRangeBinned = Q("q_join_range_binned",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "events")
+      val binUs = 3600000000L // 1 hour in µs
+      val s = e.filter($"event_type" === "signup")
+        .select($"ts".as("s_ts"),
+          (unix_micros($"ts") / binUs).cast("long").as("s_bin"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"ts".as("p_ts"),
+          (unix_micros($"ts") / binUs).cast("long").as("p_bin"))
+      s.withColumn("probe_bin", explode(array($"s_bin", $"s_bin" + 1)))
+        .join(p, $"probe_bin" === $"p_bin" &&
+          $"p_ts" > $"s_ts" &&
+          $"p_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"))
+        .groupBy(date_trunc("hour", $"s_ts").as("signup_hour"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"signup_hour")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+           |)
+           |SELECT date_trunc('hour', s.ts) AS signup_hour,
+           |       count(*) AS n_pairs
+           |FROM ev s JOIN ev p
+           |  ON s.event_type = 'signup' AND p.event_type = 'purchase'
+           | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+           |GROUP BY 1 ORDER BY signup_hour""".stripMargin))
+
+  /** W3b: RANGE-frame moving aggregate — 7-day trailing event volume per
+    * calendar day. RANGE frames bound by value, not row position, so gaps
+    * in the date sequence shrink the window (rowsBetween would silently
+    * span them). Runs over the tiny daily spine (≤ span days), so the
+    * unpartitioned ordered window is safe at any fact scale — same
+    * argument as W1. */
+  val qWindowRangeFrame = Q("q_window_range_frame",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dn", datediff($"d", lit("1970-01-01").cast("date")))
+      val w = Window.orderBy($"dn").rangeBetween(-6, 0)
+      daily.select($"d", $"n", sum($"n").over(w).as("n_7d"))
+        .orderBy($"d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |         count(*) AS n
+           |  FROM events GROUP BY 1
+           |), d2 AS (
+           |  SELECT d, n, datediff('day', DATE '1970-01-01', d) AS dn
+           |  FROM daily
+           |)
+           |SELECT d, n,
+           |       sum(n) OVER (ORDER BY dn
+           |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+           |FROM d2 ORDER BY d""".stripMargin))
+
+  /** A5b: ROLLUP — the hierarchical subset of grouping sets (nation →
+    * (nation, segment)), with grouping() relabeled to 'all' exactly like
+    * the Demographics cube (SURVEY.md §2.4 A5). */
+  val qAggRollup = Q("q_agg_rollup",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val c = Tables.read(spark, sfDir, "customer")
+      val n = Tables.read(spark, sfDir, "nation")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .rollup($"n_name", $"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum($"c_acctbal").cast("decimal(18,6)"), 6)
+            .cast("double").as("total_bal"),
+          grouping($"n_name").as("g_nat"),
+          grouping($"c_mktsegment").as("g_seg"))
+        .select(
+          when($"g_nat" === 1, "all").otherwise($"n_name").as("nation"),
+          when($"g_seg" === 1, "all").otherwise($"c_mktsegment")
+            .as("segment"),
+          $"n_cust", $"total_bal")
+        .orderBy($"nation", $"segment")
+    },
+    Some("""SELECT
+           |  CASE WHEN GROUPING(n_name) = 1 THEN 'all'
+           |       ELSE n_name END AS nation,
+           |  CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'all'
+           |       ELSE c_mktsegment END AS segment,
+           |  count(*) AS n_cust,
+           |  CAST(round(CAST(sum(c_acctbal) AS DECIMAL(18,6)), 6)
+           |    AS DOUBLE) AS total_bal
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY ROLLUP (n_name, c_mktsegment)
+           |ORDER BY nation, segment""".stripMargin))
+
+  /** T7b: stream-static join — the streaming fact flow enriched by a
+    * static broadcast dimension (the streaming twin of J2). The static
+    * side is planned as a broadcast hash join inside every micro-batch;
+    * no state is kept for it, so the join adds zero to the state store —
+    * exactly how a 100 TB/day stream joins a code-map. */
+  val qStreamStatic = Q("q_stream_static",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dim = broadcast(Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment"))
+      val s = Tables.readStream(spark, sfDir, "events")
+        .join(dim, Seq("user_id"))
+        .groupBy($"c_mktsegment", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value").cast("decimal(18,6)"), 6)
+            .cast("double").as("sum_value"))
+      graft.streaming.StreamRun.toTable(spark, s, "t_static", "complete")
+        .orderBy($"c_mktsegment", $"event_type")
+    },
+    Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+           |  CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 6) AS DOUBLE)
+           |    AS sum_value
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin))
+
+  /** S4b: foreachBatch sink — the programmable-sink surface (idempotent
+    * parquet append per micro-batch, the pattern every custom warehouse
+    * sink uses). The batches land in a per-run temp dir which is then
+    * read back and aggregated, so the check is independent of how the
+    * source split micro-batches. */
+  val qSinkForeach = Q("q_sink_foreach",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fb_").toString
+      val src = Tables.readStream(spark, sfDir, "events")
+        .select($"event_id", $"event_type", $"value")
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          // mode=append + per-batch task retry safety comes from parquet
+          // file-commit atomicity; real deployments key on batchId for
+          // exactly-once into transactional stores
+          batch.write.mode("append").parquet(dir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value").cast("decimal(18,6)"), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 6) AS DOUBLE)
+           |    AS sum_value
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(qJoinRangeBinned, qWindowRangeFrame, qAggRollup,
+    qStreamStatic, qSinkForeach)
+}

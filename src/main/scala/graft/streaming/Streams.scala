@@ -27,14 +27,13 @@ case class UserAgg(user_id: Long, n_events: Long, ever_error: Boolean)
   * nothing accumulates unbounded per key. The memory sink is a harness
   * device — production sinks would be kafka/parquet with checkpoints.
   */
-object Streams {
-
+/** Shared harness runner: run a streaming DF to completion into a memory
+  * sink, return the materialized table (unique name per invocation — safe
+  * to re-run in one session). */
+object StreamRun {
   private val runId = new AtomicInteger(0)
 
-  /** Run a streaming DF to completion into a memory sink, return the
-    * materialized table (unique name per invocation — safe to re-run in
-    * one session). */
-  private def runToTable(spark: SparkSession, df: DataFrame,
+  def toTable(spark: SparkSession, df: DataFrame,
       base: String, mode: String): DataFrame = {
     val name = s"${base}_${runId.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
@@ -43,6 +42,13 @@ object Streams {
     q.stop()
     spark.table(name)
   }
+}
+
+object Streams {
+
+  private def runToTable(spark: SparkSession, df: DataFrame,
+      base: String, mode: String): DataFrame =
+    StreamRun.toTable(spark, df, base, mode)
 
   /** T1: tumbling 1-hour window counts per event_type. */
   val qStreamTumbling = Q("q_stream_tumbling",
@@ -94,7 +100,7 @@ object Streams {
         .orderBy($"user_id", $"session_start")
     },
     Some("""WITH marked AS (
-           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
            |    CASE WHEN CAST(ts AS TIMESTAMP)
            |        - lag(CAST(ts AS TIMESTAMP)) OVER
            |          (PARTITION BY user_id ORDER BY ts, event_id)
@@ -105,7 +111,7 @@ object Streams {
            |  FROM events
            |), sess AS (
            |  SELECT user_id, ts,
-           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |      AS sid
            |  FROM marked

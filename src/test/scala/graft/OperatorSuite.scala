@@ -41,6 +41,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("char_fold forms agree on supplementary-plane text (non-BMP)") {
+    // emoji, math alphanumerics, Gothic, CJK-ext — all outside the BMP;
+    // the native expression iterates code points, the HOF + DuckDB forms
+    // must match it (ADVICE r2 item 5)
+    val samples = Seq("😀", "a😀b",
+      "𝕍park 𠀀", "mixed😀𐍈x")
+    def fold(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31L + cp) % 1000003L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val rows = samples.toDF("s")
+      .select($"s", LLMOps.charFold($"s").as("a"),
+        LLMOps.charFoldHof($"s").as("b")).collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) === fold(s), s"native char_fold($s)")
+      assert(r.getLong(2) === fold(s), s"HOF char_fold($s)")
+    }
+  }
+
   test("Vectors.dot / cosine / l2NormUdf golden values") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     val r = df.select(
@@ -50,6 +75,27 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getDouble(0) === 32.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(2) - math.sqrt(77.0)) < 1e-12)
+  }
+
+  test("vec_dot null semantics match the HOF fold (mismatch/null elems)") {
+    // zip_with null-pads unequal lengths and a null element poisons the
+    // fold → HOF yields NULL; the native expression must agree
+    val rows = spark.sql(
+      """SELECT
+        |  vec_dot(array(cast(1 as float), cast(2 as float)),
+        |          array(cast(3 as float))) AS mismatch_native,
+        |  aggregate(zip_with(array(cast(1 as float), cast(2 as float)),
+        |            array(cast(3 as float)),
+        |            (x, y) -> cast(x as double) * cast(y as double)),
+        |    cast(0 as double), (a, v) -> a + v) AS mismatch_hof,
+        |  vec_dot(array(cast(1 as float), cast(null as float)),
+        |          array(cast(3 as float), cast(4 as float)))
+        |    AS nullelem_native,
+        |  vec_dot(array(cast(1 as float), cast(2 as float)),
+        |          array(cast(3 as float), cast(4 as float))) AS ok
+        |""".stripMargin).head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(rows.getDouble(3) === 11.0)
   }
 
   test("CentroidAgg computes the element-wise mean") {

@@ -50,6 +50,16 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("binned range join (no equi key) still avoids nested-loop plans") {
+    // §4.2(c): the bin refinement turns a keyless interval join into an
+    // equi join on the bin — the exact plan property this query exists
+    // to demonstrate
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("probe_bin"))
+  }
+
   test("semi/anti joins plan as semi/anti, not join+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))

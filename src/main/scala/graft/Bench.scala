@@ -16,10 +16,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
-    // untimed warmup: pay JVM/codegen/scan setup once, not inside the
-    // first query's number
-    try Tables.read(spark, sfDir, "lineitem").count()
-    catch { case _: Throwable => () }
+    // untimed warmup: pay JVM/Catalyst/codegen setup once, not inside
+    // the first query's number. A bare scan is not enough — the first
+    // *complex* plan pays ~6 s of one-time analyzer/optimizer/codegen
+    // JIT (measured), so warm up with a small join+agg+window too.
+    try {
+      Tables.read(spark, sfDir, "lineitem").count()
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val n = Tables.read(spark, sfDir, "nation")
+      Tables.read(spark, sfDir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("n").desc, col("n_name"))))
+        .count()
+    } catch { case _: Throwable => () }
     var anyErr = false
     val results: Seq[(String, String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

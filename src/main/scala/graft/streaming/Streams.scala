@@ -3,12 +3,37 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Per-user running state for q_stream_state (T6). */
 case class UserAgg(user_id: Long, n_events: Long, ever_error: Boolean)
+
+/** T6b: the same per-user running aggregate as a Spark 4
+  * `StatefulProcessor` for `transformWithState` — the successor API to
+  * mapGroupsWithState (typed state handles, TTL support, timers), backed
+  * by the RocksDB state store. */
+class UserAggProcessor
+    extends StatefulProcessor[Long, (Long, String), UserAgg] {
+  @transient private var state: ValueState[UserAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserAgg]("agg",
+      Encoders.product[UserAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[UserAgg] = {
+    var agg = if (state.exists()) state.get() else UserAgg(key, 0L, false)
+    rows.foreach { case (_, et) =>
+      agg = UserAgg(key, agg.n_events + 1, agg.ever_error || et == "error")
+    }
+    state.update(agg)
+    Iterator.single(agg)
+  }
+}
 
 /** Structured Streaming operators (SURVEY.md §2.10, T1–T6). The
   * reference is pure batch re-run per refresh; Structured Streaming's
@@ -194,6 +219,41 @@ object Streams {
            |       max(event_type = 'error') AS ever_error
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** T6b: q_stream_state's semantics through the Spark 4
+    * `transformWithState` API (typed ValueState handle, RocksDB state
+    * store — the provider the API requires). State is partitioned by
+    * group key exactly like mapGroupsWithState; RocksDB keeps it
+    * off-heap and spillable, which is the store you'd run at 100 TB/day
+    * anyway. The provider override is scoped to this query and restored
+    * after the stream finishes. */
+  val qStreamTws = Q("q_stream_tws",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val s = Tables.readStream(spark, sfDir, "events")
+          .select($"user_id", $"event_type").as[(Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new UserAggProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF()
+        runToTable(spark, s, "t_tws", "update")
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"),
+            max($"ever_error").as("ever_error"))
+          .orderBy($"user_id")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+           |       max(event_type = 'error') AS ever_error
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** T7 (extension): stream-stream interval join — the streaming form
     * of the cohort's entry join (purchase within 14 days after signup,
     * equi key user_id carried). Watermarks on both sides bound the join
@@ -230,5 +290,5 @@ object Streams {
            |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
-    qStreamWatermark, qStreamDedup, qStreamState, qStreamJoin)
+    qStreamWatermark, qStreamDedup, qStreamState, qStreamTws, qStreamJoin)
 }

@@ -211,6 +211,22 @@ class OperatorSuite extends AnyFunSuite {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("transformWithState equals batch aggregation (RocksDB store)") {
+    val streamed = Streams.qStreamTws.fn(spark, sf)
+    val batch = Tables.read(spark, sf, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"event_type" === "error").as("ever_error"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    // provider override must not leak into later streaming queries
+    // (getOption surfaces the built-in default, HDFSBacked, when the
+    // override has been cleared)
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass")
+      .contains("HDFSBackedStateStoreProvider"))
+  }
+
   test("streaming dedup emits each event_id exactly once") {
     val streamed = Streams.qStreamDedup.fn(spark, sf)
     assert(streamed.count() ===

@@ -54,7 +54,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     val full = line(_.toString)
-    val compact = line(s => BigDecimal(s).setScale(3,
+    val compact = line(s => BigDecimal(s).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString)
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")

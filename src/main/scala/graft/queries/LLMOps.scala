@@ -525,6 +525,67 @@ object LLMOps {
            |  (n_bytes - 64) // 128)) AS k) t
            |ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** Multimodal feature-extraction plumbing: a 16-bin histogram over
+    * the decoded payload's units — the fixed-size feature vector a real
+    * pipeline derives per image/audio chunk (codepoint%16 stands in for
+    * byte%16, same stub contract as qMultimodalMeta). Distributed as a
+    * plain explode + two-phase count — feature extraction is
+    * embarrassingly parallel and must never collect. */
+  val qMmFeatures = Q("q_mm_features",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", explode(split($"text", "")).as("c"))
+        .filter($"c" =!= "")
+        .groupBy($"doc_id", pmod(ascii($"c"), lit(16)).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"doc_id", $"bin")
+    },
+    Some("""SELECT doc_id, unicode(c) % 16 AS bin, count(*) AS cnt
+           |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+           |      FROM documents) u
+           |WHERE c <> ''
+           |GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin))
+
+  /** Multimodal resize plumbing: strided downsample of the payload to a
+    * ~64-unit target (stride = len/64), emitting the sampled length and
+    * a content hash of the sampled units — the deterministic skeleton of
+    * an image resize (stride over pixels) with the pixel math stubbed,
+    * per the harness's no-media-libs contract. Pure per-row HOFs: no
+    * shuffle at all before the output sort. */
+  val qMmResize = Q("q_mm_resize",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .filter(length($"text") > 0)
+        .select($"doc_id", split($"text", "").as("cs"))
+        .withColumn("stride",
+          greatest(lit(1), floor(size($"cs") / 64).cast("int")))
+        .withColumn("sampled",
+          expr("transform(sequence(1, size(cs), stride), " +
+            "i -> element_at(cs, i))"))
+        .select($"doc_id", size($"cs").as("n_in"),
+          size($"sampled").as("n_out"),
+          charFold(concat_ws("", $"sampled")).as("sample_hash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH b AS (
+            |  SELECT doc_id, string_split(text, '') AS cs
+            |  FROM documents WHERE len(text) > 0
+            |), p AS (
+            |  SELECT doc_id, CAST(len(cs) AS INT) AS n_in,
+            |         greatest(1, len(cs) // 64) AS stride, cs
+            |  FROM b
+            |)
+            |SELECT doc_id, n_in,
+            |  CAST(len(generate_series(1, n_in, stride)) AS INT)
+            |    AS n_out,
+            |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |    list_transform(generate_series(1, n_in, stride),
+            |      i -> CAST(unicode(cs[i]) AS BIGINT))),
+            |    (a, c) -> (a * 31 + c) % $P) AS sample_hash
+            |FROM p ORDER BY doc_id""".stripMargin))
+
   /** LSH-bucketed ANN (the second scale path next to qSimAnnIvf):
     * 8 random-hyperplane sign bits → 256 buckets; queries probe only
     * their bucket. Hyperplanes come from a portable LCG so both engines
@@ -772,6 +833,6 @@ object LLMOps {
   val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash,
     qDedupNgramJaccard, qDedupEmbed, qSimCosineTopk, qSimAnnIvf,
     qSimAnnLsh, qMultimodalJoin, qMultimodalMeta, qMultimodalFrames,
-    qTextTf, qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qUdfNorm, qUdafCentroid)
+    qMmFeatures, qMmResize, qTextTf, qLangId, qQualityScore,
+    qTokenCount, qFingerprint, qUdfNorm, qUdafCentroid)
 }

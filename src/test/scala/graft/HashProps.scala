@@ -55,6 +55,26 @@ object HashProps extends Properties("graft") {
       }
     }
 
+  property("binned range join equals the naive range join") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 6L * 3600L * 1000000L), // µs over a 6-hour span
+      Gen.oneOf("signup", "purchase", "view")))) { evs =>
+      // the §4.2(c) refinement: bin to the window width, probe {b, b+1},
+      // refine exactly — pair set must equal the naive quadratic scan
+      val winUs = 3600L * 1000000L
+      val s = evs.filter(_._2 == "signup").map(_._1)
+      val p = evs.filter(_._2 == "purchase").map(_._1)
+      val naive = (for (a <- s; b <- p
+        if b > a && b <= a + winUs) yield (a, b)).toSet
+      val binned = (for {
+        a <- s
+        probe <- Seq(a / winUs, a / winUs + 1)
+        b <- p
+        if b / winUs == probe && b > a && b <= a + winUs
+      } yield (a, b)).toSet
+      naive == binned
+    }
+
   property("cosine of a vector with itself is 1") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-10f, 10f))
       .suchThat(v => v.exists(x => math.abs(x) > 0.1f))) { v =>

@@ -795,6 +795,42 @@ object LLMOps {
             |    (a, h) -> (a * 131 + h) % $P) AS fingerprint
             |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------- train/test split
+  /** Leakage-safe train/test split: the fold is a deterministic hash of
+    * the GROUP key (`source`), not the row, so every document from one
+    * source lands in the same fold — the split you need when near-dup
+    * documents cluster within a source (row-hash splits leak them
+    * across folds). Hash = portable char-fold spread by the Knuth
+    * multiplicative constant, so both engines (and every retry on every
+    * cluster) assign identical folds; no rand(), no sampleBy (both are
+    * partitioning-dependent). Output: per-fold document/source/length
+    * stats. */
+  val qSplitGroup = Q("q_split_group",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val bucket =
+        charFold($"source") * 2654435761L % 2147483648L % 100L
+      docs(spark, sfDir)
+        .withColumn("fold",
+          when(bucket < 80, "train").otherwise("test"))
+        .groupBy($"fold")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"source").as("n_sources"),
+          round(avg($"n_chars"), 6).as("avg_chars"))
+        .orderBy($"fold")
+    },
+    Some(s"""WITH f AS (
+            |  SELECT CASE WHEN ${charFoldSql("source")}
+            |      * 2654435761 % 2147483648 % 100 < 80
+            |    THEN 'train' ELSE 'test' END AS fold,
+            |    source, n_chars
+            |  FROM documents
+            |)
+            |SELECT fold, count(*) AS n_docs,
+            |       count(DISTINCT source) AS n_sources,
+            |       round(avg(n_chars), 6) AS avg_chars
+            |FROM f GROUP BY 1 ORDER BY fold""".stripMargin))
+
   // ---------------------------------------------------------------- X6
   /** UDF surface: L2 norm via a Scala UDF (oracle: SQL equivalent). */
   val qUdfNorm = Q("q_udf_norm",
@@ -834,5 +870,5 @@ object LLMOps {
     qDedupNgramJaccard, qDedupEmbed, qSimCosineTopk, qSimAnnIvf,
     qSimAnnLsh, qMultimodalJoin, qMultimodalMeta, qMultimodalFrames,
     qMmFeatures, qMmResize, qTextTf, qLangId, qQualityScore,
-    qTokenCount, qFingerprint, qUdfNorm, qUdafCentroid)
+    qTokenCount, qFingerprint, qSplitGroup, qUdfNorm, qUdafCentroid)
 }

@@ -150,6 +150,29 @@ class OperatorSuite extends AnyFunSuite {
     assert(allAll === total)
   }
 
+  test("grouped split never leaks a source across folds") {
+    // the leakage-safety invariant q_split_group exists for: fold is a
+    // function of the group key, so (source, fold) pairs == sources
+    val bucket =
+      LLMOps.charFold($"source") * 2654435761L % 2147483648L % 100L
+    val folded = Tables.read(spark, sf, "documents")
+      .withColumn("fold", when(bucket < 80, "train").otherwise("test"))
+    val pairs = folded.select($"source", $"fold").distinct().count()
+    val sources = folded.select($"source").distinct().count()
+    assert(pairs === sources)
+    // and both folds are populated on the fixture
+    assert(folded.select($"fold").distinct().count() === 2)
+  }
+
+  test("rollup: the all/all row equals the grand total") {
+    val out = SparkEntry.queries("q_agg_rollup")(spark, sf).collect()
+    val grand = out.filter(r =>
+      r.getString(0) == "all" && r.getString(1) == "all")
+    assert(grand.length === 1)
+    val total = Tables.read(spark, sf, "customer").count()
+    assert(grand.head.getAs[Long]("n_cust") === total)
+  }
+
   test("top-k returns exactly k rows in descending order") {
     val rows = Relational.qTopk.fn(spark, sf).collect()
     assert(rows.length === 10)

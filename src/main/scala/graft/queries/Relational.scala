@@ -43,13 +43,16 @@ object Relational {
     (spark, sfDir) => {
       import spark.implicits._
       Tables.read(spark, sfDir, "part")
-        .filter($"p_type".like("%BRASS%") && $"p_size".between(5, 25))
+        .filter($"p_type".like("%AND%") && $"p_size".between(5, 25))
         .select($"p_partkey", $"p_name", $"p_type", $"p_size")
         .orderBy($"p_partkey")
     },
+    // '%AND%' matches the fixture's STANDARD rows (13/135/1386 rows at
+    // sf0.001/0.01/0.1), so the LIKE actually selects — a never-true
+    // pattern would prove pushdown but not evaluation.
     Some("""SELECT p_partkey, p_name, p_type, p_size
            |FROM part
-           |WHERE p_type LIKE '%BRASS%' AND p_size BETWEEN 5 AND 25
+           |WHERE p_type LIKE '%AND%' AND p_size BETWEEN 5 AND 25
            |ORDER BY p_partkey""".stripMargin))
 
   /** J1: inner equi join, fact⋈fact on the natural key (sort-merge at
@@ -137,12 +140,16 @@ object Relational {
            |                AND o.o_orderstatus = 'O')
            |ORDER BY c_custkey""".stripMargin))
 
-  /** J5: anti join — NOT EXISTS exclusions. */
+  /** J5: anti join — NOT EXISTS exclusions. The right side is filtered
+    * to high-value orders so unmatched customers exist at every sf
+    * (3/30/308 rows at sf0.001/0.01/0.1) — an unfiltered right side
+    * matches every customer and the anti join never emits a row. */
   val qJoinAnti = Q("q_join_anti",
     (spark, sfDir) => {
       import spark.implicits._
       val c = Tables.read(spark, sfDir, "customer")
       val o = Tables.read(spark, sfDir, "orders")
+        .filter($"o_totalprice" > 300000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select($"c_custkey", $"c_name", $"c_mktsegment")
         .orderBy($"c_custkey")
@@ -150,7 +157,8 @@ object Relational {
     Some("""SELECT c_custkey, c_name, c_mktsegment
            |FROM customer c
            |WHERE NOT EXISTS (SELECT 1 FROM orders o
-           |                  WHERE o.o_custkey = c.c_custkey)
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_totalprice > 300000)
            |ORDER BY c_custkey""".stripMargin))
 
   /** J6: range/interval join with the equi key carried (the reference's
@@ -311,19 +319,26 @@ object Relational {
            |SELECT o_custkey AS custkey FROM orders
            |ORDER BY custkey""".stripMargin))
 
-  /** U3: EXCEPT (distinct semantics on both engines). */
+  /** U3: EXCEPT (distinct semantics on both engines). Both sides are
+    * filtered so the difference is non-empty at every sf (3/39/393 rows
+    * at sf0.001/0.01/0.1) — customer-minus-all-order-custkeys is empty
+    * because every fixture customer has orders. */
   val qSetExcept = Q("q_set_except",
     (spark, sfDir) => {
       import spark.implicits._
       val c = Tables.read(spark, sfDir, "customer")
       val o = Tables.read(spark, sfDir, "orders")
-      c.select($"c_custkey".as("custkey"))
-        .except(o.select($"o_custkey".as("custkey")))
+      c.filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("custkey"))
+        .except(o.filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey".as("custkey")))
         .orderBy($"custkey")
     },
     Some("""SELECT c_custkey AS custkey FROM customer
+           |WHERE c_mktsegment = 'BUILDING'
            |EXCEPT
            |SELECT o_custkey AS custkey FROM orders
+           |WHERE o_orderpriority = '1-URGENT'
            |ORDER BY custkey""".stripMargin))
 
   /** S4: single-column concatenated output (the reference's

@@ -32,12 +32,18 @@ object Scale {
       import spark.implicits._
       val e = Tables.read(spark, sfDir, "events")
       val binUs = 3600000000L // 1 hour in µs
+      // True floor division (pmod keeps the remainder non-negative), so
+      // pre-1970 timestamps bin correctly and the {b, b+1} probe-bin
+      // invariant holds on both sides of the epoch. The subtraction
+      // leaves an exact multiple of binUs, so the double division is
+      // exact (quotient magnitude << 2^53).
+      def floorBin(ts: org.apache.spark.sql.Column) =
+        ((unix_micros(ts) - pmod(unix_micros(ts), lit(binUs))) / binUs)
+          .cast("long")
       val s = e.filter($"event_type" === "signup")
-        .select($"ts".as("s_ts"),
-          (unix_micros($"ts") / binUs).cast("long").as("s_bin"))
+        .select($"ts".as("s_ts"), floorBin($"ts").as("s_bin"))
       val p = e.filter($"event_type" === "purchase")
-        .select($"ts".as("p_ts"),
-          (unix_micros($"ts") / binUs).cast("long").as("p_bin"))
+        .select($"ts".as("p_ts"), floorBin($"ts").as("p_bin"))
       s.withColumn("probe_bin", explode(array($"s_bin", $"s_bin" + 1)))
         .join(p, $"probe_bin" === $"p_bin" &&
           $"p_ts" > $"s_ts" &&
@@ -82,8 +88,9 @@ object Scale {
            |  FROM daily
            |)
            |SELECT d, n,
-           |       sum(n) OVER (ORDER BY dn
-           |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+           |       CAST(sum(n) OVER (ORDER BY dn
+           |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |         AS BIGINT) AS n_7d
            |FROM d2 ORDER BY d""".stripMargin))
 
   /** A5b: ROLLUP — the hierarchical subset of grouping sets (nation →
@@ -168,12 +175,29 @@ object Scale {
         .start()
       q.processAllAvailable()
       q.stop()
-      spark.read.parquet(dir)
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          round(sum($"value").cast("decimal(18,6)"), 6)
-            .cast("double").as("sum_value"))
-        .orderBy($"event_type")
+      // The per-run batch dir is scratch: materialize the (tiny,
+      // per-event-type) aggregate on the driver, then delete the dir so
+      // repeated bench/verify runs don't accumulate parquet in /tmp. The
+      // returned frame is rebuilt from the collected rows, so laziness
+      // can't resurrect the deleted path.
+      try {
+        val agg = spark.read.parquet(dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"value").cast("decimal(18,6)"), 6)
+              .cast("double").as("sum_value"))
+          .orderBy($"event_type")
+        val rows = agg.collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), agg.schema)
+          .orderBy($"event_type")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     },
     Some("""SELECT event_type, count(*) AS n,
            |  CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 6) AS DOUBLE)

@@ -193,4 +193,210 @@ class FourCESuite extends AnyFunSuite {
       else assert(math.abs(o - t) <= 2)
     }
   }
+
+  // ---- hand-computed tiny i2b2 fixture (Phase-2 goldens + severe labs)
+
+  // patient 1: pos 01-02, admitted 01-03, severe 01-05, dies 01-10;
+  //            inpatient 01-03..01-06 and 01-08..01-09
+  // patient 2: pos 01-04, admitted 01-04, never severe;
+  //            inpatient 01-04..01-05
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+  private lazy val tinyObs: DataFrame = Seq(
+    (1L, 10L, "COVID:pos", ts("2020-01-02"), "T", None),
+    (1L, 10L, "SEV:icu", ts("2020-01-05"), "T", None),
+    (1L, 10L, "LAB:crp", ts("2020-01-03"), "N", Some(10.0)),
+    (1L, 10L, "LAB:crp", ts("2020-01-04"), "N", Some(20.0)),
+    (1L, 10L, "ICD10:U07.1", ts("2020-01-01"), "T", None),
+    (2L, 20L, "COVID:pos", ts("2020-01-04"), "T", None),
+    (2L, 20L, "LAB:crp", ts("2020-01-05"), "N", Some(5.0))
+  ).toDF("patient_num", "encounter_num", "concept_cd", "start_date",
+    "valtype_cd", "nval_num")
+
+  private lazy val tinyVisits: DataFrame = Seq(
+    (10L, 1L, "I", ts("2020-01-03"), ts("2020-01-06")),
+    (11L, 1L, "I", ts("2020-01-08"), ts("2020-01-09")),
+    (20L, 2L, "I", ts("2020-01-04"), ts("2020-01-05"))
+  ).toDF("encounter_num", "patient_num", "inout_cd", "start_date",
+    "end_date")
+
+  private lazy val tinyPatients: DataFrame = Seq(
+    (1L, "male", 30, Some(ts("2020-01-10")), "white"),
+    (2L, "female", 50, None: Option[java.sql.Timestamp], "asian")
+  ).toDF("patient_num", "sex_cd", "age_in_years_num", "death_date",
+    "race_cd")
+
+  private lazy val tinyCodeMap: DataFrame = Seq(
+    ("positive", "COVID:pos", 1.0),
+    ("severe", "SEV:icu", 1.0),
+    ("lab", "LAB:crp", 1.0),
+    ("diag", "ICD10:U07.1", 1.0)
+  ).toDF("code_category", "local_code", "scale_factor")
+
+  private lazy val tinyCohort =
+    FourCE.cohort(tinyObs, tinyVisits, tinyPatients, tinyCodeMap, cfg)
+      .cache()
+
+  test("tiny cohort golden: admissions, severity, death as hand-computed") {
+    val rows = tinyCohort.orderBy($"patient_num").collect()
+    assert(rows.length === 2)
+    val p1 = rows(0)
+    assert(p1.getAs[java.sql.Date]("admission_date").toString ===
+      "2020-01-03")
+    assert(p1.getAs[Int]("severe") === 1)
+    assert(p1.getAs[java.sql.Date]("severe_date").toString ===
+      "2020-01-05")
+    assert(p1.getAs[java.sql.Date]("death_date").toString ===
+      "2020-01-10")
+    val p2 = rows(1)
+    assert(p2.getAs[java.sql.Date]("admission_date").toString ===
+      "2020-01-04")
+    assert(p2.getAs[Int]("severe") === 0)
+    assert(p2.getAs[java.sql.Date]("severe_date") === null)
+  }
+
+  test("labs: ever-severe subgroup stats match hand-computed goldens") {
+    val l = FourCE.labs(tinyObs, tinyCohort, tinyCodeMap, cfg)
+      .orderBy($"days_since_admission").collect()
+    // (crp, day 0): p1 value 10; (crp, day 1): p1=20 (severe), p2=5
+    assert(l.length === 2)
+    val day0 = l(0)
+    assert(day0.getAs[Int]("days_since_admission") === 0)
+    assert(day0.getAs[String]("units") === "-999")
+    assert(day0.getAs[Long]("num_patients_all") === 1L)
+    assert(day0.getAs[Double]("mean_value_all") === 10.0)
+    assert(day0.getAs[Long]("num_patients_ever_severe") === 1L)
+    assert(day0.getAs[Double]("mean_value_ever_severe") === 10.0)
+    val day1 = l(1)
+    assert(day1.getAs[Long]("num_patients_all") === 2L)
+    assert(day1.getAs[Double]("mean_value_all") === 12.5)
+    assert(day1.getAs[Long]("num_patients_ever_severe") === 1L)
+    assert(day1.getAs[Double]("mean_value_ever_severe") === 20.0)
+    // single severe sample: stdev NaN-normalized to NULL
+    assert(day1.isNullAt(day1.fieldIndex("stdev_value_ever_severe")))
+    assert(math.abs(day1.getAs[Double]("mean_log_value_ever_severe") -
+      math.log(20.5)) < 1e-6)
+  }
+
+  test("labs: units_cd column passes through when present") {
+    val withUnits = tinyObs.withColumn("units_cd",
+      when($"concept_cd" === "LAB:crp", "mg/L"))
+    val l = FourCE.labs(withUnits, tinyCohort, tinyCodeMap, cfg)
+      .collect()
+    assert(l.nonEmpty && l.forall(_.getAs[String]("units") == "mg/L"))
+  }
+
+  test("diagnoses: icd_version derived from the concept prefix") {
+    val dg = FourCE.diagnoses(tinyObs, tinyCohort, cfg).collect()
+    val icd = dg.filter(_.getAs[String]("icd_code_3chars") == "U07")
+    assert(icd.length === 1)
+    assert(icd.head.getAs[Int]("icd_version") === 10)
+    // non-ICD prefixes carry the -999 sentinel, never a fake version
+    assert(dg.filterNot(_.getAs[String]("icd_code_3chars") == "U07")
+      .forall(_.getAs[Int]("icd_version") === -999))
+  }
+
+  test("demographics: race off -> -999 sentinel; race on -> 3rd dimension") {
+    val off = FourCE.demographics(tinyCohort, tinyPatients, cfg).collect()
+    assert(off.nonEmpty &&
+      off.forall(_.getAs[String]("race") == "-999"))
+    val on = FourCE.demographics(tinyCohort, tinyPatients,
+      cfg.copy(includeRace = true)).collect()
+    val races = on.map(_.getAs[String]("race")).toSet
+    assert(races === Set("white", "asian", "all"))
+    // the all/all/all row still counts the whole cohort exactly once
+    val allAll = on.find(r => r.getAs[String]("sex") == "all" &&
+      r.getAs[String]("age_group") == "all" &&
+      r.getAs[String]("race") == "all").get
+    assert(allAll.getAs[Long]("num_patients_all") === 2L)
+    // per-race marginal at sex=all, age=all sums back to the total
+    val byRace = on.filter(r => r.getAs[String]("sex") == "all" &&
+      r.getAs[String]("age_group") == "all" &&
+      r.getAs[String]("race") != "all")
+    assert(byRace.map(_.getAs[Long]("num_patients_all")).sum === 2L)
+  }
+
+  test("obfuscation: mask wins over blur on every aggregate output") {
+    // threshold above every true count -> every count column must be -99
+    val mcfg = cfg.copy(blur = 2, maskThreshold = 1000000)
+    def countCols(df: DataFrame): Seq[String] =
+      df.columns.filter(c => c.startsWith("num_patients") ||
+        c.startsWith("cumulative_patients")).toSeq
+    val outputs = Seq(
+      FourCE.dailyCounts(tinyCohort, tinyVisits, mcfg),
+      FourCE.demographics(tinyCohort, tinyPatients, mcfg),
+      FourCE.labs(tinyObs, tinyCohort, tinyCodeMap, mcfg),
+      FourCE.clinicalCourse(tinyCohort, tinyVisits, mcfg),
+      FourCE.medications(tinyObs, tinyCohort, tinyCodeMap, mcfg, "diag"),
+      FourCE.diagnoses(tinyObs, tinyCohort, mcfg))
+    outputs.foreach { df =>
+      val cols = countCols(df)
+      assert(cols.nonEmpty)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        cols.foreach { c =>
+          assert(r.getAs[Long](c) === -99L,
+            s"column $c not masked in ${df.columns.mkString(",")}")
+        }
+      }
+    }
+    // and with masking off, blur stays within ±blur of the truth
+    val bcfg = cfg.copy(blur = 2)
+    val exact = FourCE.clinicalCourse(tinyCohort, tinyVisits, cfg)
+      .collect().map(r => r.getAs[Int]("days_since_admission") ->
+        r.getAs[Long]("num_patients_all_still_in_hospital")).toMap
+    FourCE.clinicalCourse(tinyCohort, tinyVisits, bcfg).collect()
+      .foreach { r =>
+        val t = exact(r.getAs[Int]("days_since_admission"))
+        assert(math.abs(
+          r.getAs[Long]("num_patients_all_still_in_hospital") - t) <= 2)
+      }
+  }
+
+  test("patient clinical course: hand-computed per-day flag golden") {
+    val pcc = FourCE.patientClinicalCourse(tinyCohort, tinyVisits, cfg)
+      .collect()
+      .map(r => (r.getAs[Long]("patient_num"),
+        r.getAs[Int]("days_since_admission")) ->
+        (r.getAs[Int]("in_hospital"), r.getAs[Int]("severe"),
+          r.getAs[Int]("deceased"))).toMap
+    // p1: admitted 01-03, in hospital 03-06 and 08-09, severe from
+    // 01-05 (day 2), dies 01-10 (day 7) -> spine runs day 0..7
+    val p1Expected = Map(
+      0 -> (1, 0, 0), 1 -> (1, 0, 0), 2 -> (1, 1, 0), 3 -> (1, 1, 0),
+      4 -> (0, 1, 0), 5 -> (1, 1, 0), 6 -> (1, 1, 0), 7 -> (0, 1, 1))
+    p1Expected.foreach { case (d, exp) =>
+      assert(pcc((1L, d)) === exp, s"patient 1 day $d")
+    }
+    // p2: admitted 01-04, in hospital 04-05, never severe, alive
+    assert(pcc((2L, 0)) === ((1, 0, 0)))
+    assert(pcc((2L, 1)) === ((1, 0, 0)))
+    assert(pcc.size === 10)
+  }
+
+  test("patient observations: hand-computed EAV export golden") {
+    val po = FourCE.patientObservations(tinyObs, tinyCohort, tinyCodeMap,
+      cfg).collect()
+      .map(r => (r.getAs[Long]("patient_num"),
+        r.getAs[Int]("days_since_admission"),
+        r.getAs[String]("concept_type"),
+        r.getAs[String]("concept_code")) -> r.getAs[Double]("value"))
+      .toMap
+    assert(po === Map(
+      (1L, -2, "diag", "ICD10:U07.1") -> -999.0,
+      (1L, -1, "positive", "COVID:pos") -> -999.0,
+      (1L, 0, "lab", "LAB:crp") -> 10.0,
+      (1L, 1, "lab", "LAB:crp") -> 20.0,
+      (1L, 2, "severe", "SEV:icu") -> -999.0,
+      (2L, 0, "positive", "COVID:pos") -> -999.0,
+      (2L, 1, "lab", "LAB:crp") -> 5.0))
+  }
+
+  test("patient mapping: dense deterministic study numbers") {
+    val m1 = FourCE.patientMapping(tinyCohort, cfg).collect()
+    val m2 = FourCE.patientMapping(tinyCohort, cfg).collect()
+    assert(m1.sameElements(m2))
+    assert(m1.map(r => r.getAs[Long]("patient_num") ->
+      r.getAs[Int]("study_num")).toMap === Map(1L -> 1, 2L -> 2))
+  }
 }

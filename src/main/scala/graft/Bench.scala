@@ -6,7 +6,7 @@ package graft
   *
   * Output contract hardening (round 3): the harness that invokes this via
   * sbt captures only the LAST ~2000 chars of stdout and parses the last
-  * line as JSON. Therefore (a) per-query seconds are rounded to 3 decimals
+  * line as JSON. Therefore (a) per-query seconds are rounded to 2 decimals
   * to keep the line well under that window, (b) the JSON is printed AFTER
   * `spark.stop()` so no engine shutdown logging can land after it, and
   * (c) build.sbt suppresses sbt's own `[success]` trailer and `[info] `

@@ -286,14 +286,35 @@ object LLMOps {
     * filter was measured: on this 31-word vocabulary it cuts candidate
     * pairs only 12.5M→7.9M and its re-verification costs more than the
     * direct count — with a realistic Zipfian vocabulary the prefix
-    * filter wins and qDedupMinhash is the scale path regardless.) */
+    * filter wins and qDedupMinhash is the scale path regardless.)
+    *
+    * Frequent-shingle guard (the PPJoin-family max-df cap): shingles
+    * appearing in more than max(50, 10% of corpus) documents are
+    * excluded from the SELF-JOIN ONLY — document sizes stay exact. A
+    * single Zipfian-hot shingle otherwise lands df² pair rows on one
+    * reducer, the one quadratic blowup class this operator had. The
+    * cap exceeds the fixture's max df at every sf (46/500 docs at
+    * sf0.01, 338/5000 at sf0.1), so fixture results are bit-identical
+    * to the unguarded form — OperatorSuite asserts this. At production
+    * scale a dropped hot shingle makes the computed Jaccard a lower
+    * bound (stop-shingle semantics, standard for near-dup mining). */
   val qDedupNgramJaccard = Q("q_dedup_ngram_jaccard",
     (spark, sfDir) => {
       import spark.implicits._
       val sh = shingles(spark, sfDir)
+      val nDocs = docs(spark, sfDir)
+        .select(countDistinct($"doc_id").as("nd"))
+      // drop-list of OVER-cap shingles: tiny by construction (at most
+      // corpus/cap entries can exceed the cap) → broadcast anti-join;
+      // never broadcast the keep side, which is the whole vocabulary
+      val hot = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter($"df" > greatest(lit(50L), ($"nd" / 10L).cast("long")))
+        .select($"s")
+      val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val common = sh.as("x")
-        .join(sh.as("y"), $"x.s" === $"y.s" &&
+      val common = capped.as("x")
+        .join(capped.as("y"), $"x.s" === $"y.s" &&
           $"x.doc_id" < $"y.doc_id")
         .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
         .agg(count(lit(1)).as("c"))

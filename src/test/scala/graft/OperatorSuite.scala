@@ -212,6 +212,34 @@ class OperatorSuite extends AnyFunSuite {
     assert(mh.forall(exact.contains))
   }
 
+  test("ngram-jaccard frequent-shingle cap drops nothing on the fixture") {
+    // the max-df guard's cap (max(50, corpus/10)) exceeds the fixture's
+    // max shingle df at every sf, so the guarded query must equal the
+    // unguarded inverted-index form bit-for-bit
+    val guarded = LLMOps.qDedupNgramJaccard.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Tables.read(spark, sf, "documents")
+      .select($"doc_id", split(trim($"text"), " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"ws") - 1),
+          i => concat_ws(" ", element_at($"ws", i),
+            element_at($"ws", i + 1))))).as("s"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val unguarded = sh.as("x")
+      .join(sh.as("y"), $"x.s" === $"y.s" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .select($"d1", $"d2",
+        round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(guarded === unguarded)
+  }
+
   // ------------------------------------- streaming↔batch equivalence
 
   test("streaming tumbling window equals batch aggregation") {

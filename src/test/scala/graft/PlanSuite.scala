@@ -76,8 +76,11 @@ class PlanSuite extends AnyFunSuite {
   test("nested-loop joins appear only where a tiny broadcast probe is intended") {
     // cosine top-k broadcasts ≤10 query vectors against the table with
     // a non-equi (!=) condition — the one legitimate BNLJ; the daily-
-    // counts/date-spine family broadcasts a tiny spine the same way.
-    val allowed = Set("q_sim_cosine_topk", "q_cohort_daily_counts")
+    // counts/date-spine family broadcasts a tiny spine the same way;
+    // ngram-jaccard cross-joins ONE scalar row (the corpus size, for
+    // the max-df cap) into the shingle-df frame.
+    val allowed = Set("q_sim_cosine_topk", "q_cohort_daily_counts",
+      "q_dedup_ngram_jaccard")
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -19,7 +19,8 @@ object SparkEntry {
       _root_.graft.streaming.Streams.all ++
       _root_.graft.sources.Formats.all ++
       _root_.graft.queries.Extras.all ++
-      _root_.graft.queries.Scale.all
+      _root_.graft.queries.Scale.all ++
+      _root_.graft.queries.FourCEQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -472,6 +472,45 @@ object FourCE {
         col("concept_type"), col("concept_code"))
   }
 
+  /** Phase 2 — LocalPatientSummary.csv (SURVEY.md §1.3): one row per
+    * cohort patient — admission, hospital-day total, severity, death,
+    * and demographics in one flat file. Derives the day flags from
+    * [[patientClinicalCourse]] so the two files can never disagree.
+    * Race carries the `-999` sentinel unless `includeRace`. */
+  def patientSummary(cohortDf: DataFrame, visits: DataFrame,
+      patients: DataFrame, cfg: FourCEConfig): DataFrame = {
+    val ageGroup = when(col("age_in_years_num") < 21, "00to20")
+      .when(col("age_in_years_num") < 46, "21to45")
+      .when(col("age_in_years_num") < 66, "46to65")
+      .otherwise("66plus")
+    val perDay = patientClinicalCourse(cohortDf, visits, cfg)
+      .groupBy(col("patient_num"))
+      .agg(sum(col("in_hospital")).cast("long")
+          .as("num_days_in_hospital"),
+        max(when(col("in_hospital") === 1, col("calendar_date")))
+          .as("last_hospital_date"))
+    val patCols = Seq(col("patient_num"), col("sex_cd"),
+      col("age_in_years_num")) ++
+      (if (cfg.includeRace) Seq(col("race_cd")) else Nil)
+    val race =
+      if (cfg.includeRace) coalesce(col("race_cd"), lit("other"))
+      else lit("-999")
+    cohortDf
+      .join(perDay, Seq("patient_num"), "left")
+      .join(patients.select(patCols: _*), Seq("patient_num"))
+      .select(lit(cfg.siteId).as("siteid"), col("patient_num"),
+        col("admission_date"),
+        coalesce(col("num_days_in_hospital"), lit(0L))
+          .as("num_days_in_hospital"),
+        col("last_hospital_date"),
+        col("severe"), col("severe_date"),
+        when(col("death_date").isNotNull, 1).otherwise(0).as("deceased"),
+        col("death_date"),
+        col("sex_cd").as("sex"), ageGroup.as("age_group"),
+        race.as("race"))
+      .orderBy(col("patient_num"))
+  }
+
   /** Phase 2 — LocalPatientMapping.csv: patient_num ↔ study_num
     * re-identification map, kept local. study_num is a dense
     * deterministic rank over patient_num — stable across re-runs (the

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.pipeline.{FourCE, FourCEConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 4CE pipeline library itself under the DuckDB-oracle hash gate.
+  *
+  * `graft.pipeline.FourCE` was previously proven only by golden and
+  * invariant tests (FourCESuite); these queries run the REAL library
+  * functions over i2b2-CRC-shaped frames mapped from the harness
+  * tables (the FIXTURES.md §3 mapping: events → observation_fact with
+  * `EVT:`-prefixed concepts, one inpatient user-day per event day,
+  * customer → patient_dimension) and hash-compare the full outputs
+  * against independent DuckDB SQL that re-derives the same files from
+  * the raw parquet. A library bug anywhere in the
+  * cohort→demographics/labs/clinical-course dataflow now fails Verify,
+  * not just a unit test.
+  *
+  * Obfuscation runs at blur=0/mask=0 (identity) so the oracle is
+  * deterministic; nonzero-blur behavior is property-tested in
+  * FourCESuite (oracle-expressible blur is covered by q_obfuscate). */
+object FourCEQueries {
+
+  private val cfg = FourCEConfig() // siteId "site", blur/mask off
+
+  private def obs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events").select(
+      $"user_id".as("patient_num"),
+      (dayofyear(to_date($"ts")) * lit(100000) + $"user_id")
+        .cast("long").as("encounter_num"),
+      concat(lit("EVT:"), $"event_type").as("concept_cd"),
+      $"ts".as("start_date"),
+      when($"value".isNotNull, "N").otherwise("T").as("valtype_cd"),
+      $"value".as("nval_num"))
+  }
+
+  private def visits(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "events")
+      .select($"user_id".as("patient_num"), to_date($"ts").as("d"))
+      .distinct()
+      .select(
+        (dayofyear($"d") * lit(100000) + $"patient_num").cast("long")
+          .as("encounter_num"),
+        $"patient_num", lit("I").as("inout_cd"),
+        $"d".cast("timestamp").as("start_date"),
+        date_add($"d", 1).cast("timestamp").as("end_date"))
+  }
+
+  private def patients(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "customer").select(
+      $"c_custkey".as("patient_num"),
+      when($"c_custkey" % 2 === 0, "female").otherwise("male")
+        .as("sex_cd"),
+      ($"c_custkey" % 80 + 10).cast("int").as("age_in_years_num"),
+      lit(null).cast("timestamp").as("death_date"))
+  }
+
+  private def codeMap(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("positive", "EVT:purchase", 1.0),
+      ("severe", "EVT:error", 1.0),
+      ("lab", "EVT:view", 2.0),
+      ("lab", "EVT:click", 1.0))
+      .toDF("code_category", "local_code", "scale_factor")
+  }
+
+  private def cohortDf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo.cached(spark, s"fource_cohort:$sfDir")(
+      FourCE.cohort(obs(spark, sfDir), visits(spark, sfDir),
+        patients(spark, sfDir), codeMap(spark), cfg))
+
+  /** DuckDB re-derivation of the FourCE cohort from raw events: first
+    * purchase = positive date; admission = earliest event-day within
+    * [pos−7, pos+14]; severe = earliest error on/after admission. */
+  private val fourceCohortCte: String =
+    s"""WITH ${Cohort.evCte}, pos AS (
+       |  SELECT user_id AS patient_num, CAST(min(ts) AS DATE) AS pos_date
+       |  FROM ev WHERE event_type = 'purchase' GROUP BY 1
+       |), admdays AS (
+       |  SELECT DISTINCT user_id AS patient_num, CAST(ts AS DATE) AS adm
+       |  FROM ev
+       |), entry AS (
+       |  SELECT a.patient_num, min(a.adm) AS admission_date
+       |  FROM admdays a JOIN pos p ON a.patient_num = p.patient_num
+       |  WHERE a.adm >= p.pos_date - 7 AND a.adm <= p.pos_date + 14
+       |  GROUP BY 1
+       |), sev AS (
+       |  SELECT en.patient_num, min(CAST(e.ts AS DATE)) AS severe_date
+       |  FROM entry en JOIN ev e ON e.user_id = en.patient_num
+       |   AND e.event_type = 'error'
+       |   AND CAST(e.ts AS DATE) >= en.admission_date
+       |  GROUP BY 1
+       |), cohort AS (
+       |  SELECT en.patient_num, en.admission_date,
+       |         CASE WHEN sev.severe_date IS NULL THEN 0 ELSE 1 END
+       |           AS severe,
+       |         sev.severe_date
+       |  FROM entry en LEFT JOIN sev ON en.patient_num = sev.patient_num
+       |)""".stripMargin
+
+  /** Demographics.csv through the library (cohort → cube with 'all'
+    * rows, race sentinel) vs an independent DuckDB CUBE. COALESCE
+    * relabel is safe: the mapped sex/age values are never NULL, so a
+    * NULL group key can only mean a cube margin. */
+  val qFourceDemographics = Q("q_fource_demographics",
+    (spark, sfDir) =>
+      FourCE.demographics(cohortDf(spark, sfDir),
+        patients(spark, sfDir), cfg),
+    Some(
+      s"""$fourceCohortCte, pat AS (
+         |  SELECT c_custkey AS patient_num,
+         |         CASE WHEN c_custkey % 2 = 0 THEN 'female'
+         |              ELSE 'male' END AS sex_cd,
+         |         c_custkey % 80 + 10 AS age
+         |  FROM customer
+         |), j AS (
+         |  SELECT co.patient_num, co.severe, p.sex_cd,
+         |         CASE WHEN p.age < 21 THEN '00to20'
+         |              WHEN p.age < 46 THEN '21to45'
+         |              WHEN p.age < 66 THEN '46to65'
+         |              ELSE '66plus' END AS ag
+         |  FROM cohort co JOIN pat p ON co.patient_num = p.patient_num
+         |)
+         |SELECT 'site' AS siteid,
+         |       COALESCE(sex_cd, 'all') AS sex,
+         |       COALESCE(ag, 'all') AS age_group,
+         |       '-999' AS race,
+         |       count(DISTINCT patient_num) AS num_patients_all,
+         |       count(DISTINCT CASE WHEN severe = 1 THEN patient_num END)
+         |         AS num_patients_ever_severe
+         |FROM j GROUP BY CUBE (sex_cd, ag)
+         |ORDER BY sex, age_group, race""".stripMargin))
+
+  /** Labs.csv through the library — scale factors, the `-999` units
+    * sentinel, the 4CE log-stats, AND the ever-severe conditional
+    * stats all hash-checked. */
+  val qFourceLabs = Q("q_fource_labs",
+    (spark, sfDir) =>
+      FourCE.labs(obs(spark, sfDir), cohortDf(spark, sfDir),
+        codeMap(spark), cfg),
+    Some(
+      s"""$fourceCohortCte, lm AS (
+         |  SELECT * FROM (VALUES ('EVT:view', 2.0), ('EVT:click', 1.0))
+         |    AS t(local_code, scale_factor)
+         |), labf AS (
+         |  SELECT e.user_id AS patient_num,
+         |         date_diff('day', c.admission_date, CAST(e.ts AS DATE))
+         |           AS days_since_admission,
+         |         m.local_code AS loinc,
+         |         e.value * m.scale_factor AS v,
+         |         c.severe
+         |  FROM ev e
+         |  JOIN lm m ON 'EVT:' || e.event_type = m.local_code
+         |  JOIN cohort c ON c.patient_num = e.user_id
+         |  WHERE e.value IS NOT NULL
+         |    AND CAST(e.ts AS DATE) >= c.admission_date
+         |    AND e.value * m.scale_factor > 0
+         |)
+         |SELECT 'site' AS siteid, loinc, days_since_admission,
+         |       '-999' AS units,
+         |       count(DISTINCT patient_num) AS num_patients_all,
+         |       round(avg(v), 6) AS mean_value_all,
+         |       round(stddev_samp(v), 6) AS stdev_value_all,
+         |       round(avg(ln(v + 0.5)), 6) AS mean_log_value_all,
+         |       round(stddev_samp(ln(v + 0.5)), 6)
+         |         AS stdev_log_value_all,
+         |       count(DISTINCT CASE WHEN severe = 1 THEN patient_num END)
+         |         AS num_patients_ever_severe,
+         |       round(avg(CASE WHEN severe = 1 THEN v END), 6)
+         |         AS mean_value_ever_severe,
+         |       round(stddev_samp(CASE WHEN severe = 1 THEN v END), 6)
+         |         AS stdev_value_ever_severe,
+         |       round(avg(CASE WHEN severe = 1 THEN ln(v + 0.5) END), 6)
+         |         AS mean_log_value_ever_severe,
+         |       round(stddev_samp(
+         |         CASE WHEN severe = 1 THEN ln(v + 0.5) END), 6)
+         |         AS stdev_log_value_ever_severe
+         |FROM labf GROUP BY loinc, days_since_admission
+         |ORDER BY loinc, days_since_admission""".stripMargin))
+
+  /** ClinicalCourse.csv through the library: the mapped visits span
+    * [day, day+1], so each inpatient day contributes two census days —
+    * the oracle unions both explicitly. */
+  val qFourceClinicalCourse = Q("q_fource_clinical_course",
+    (spark, sfDir) =>
+      FourCE.clinicalCourse(cohortDf(spark, sfDir),
+        visits(spark, sfDir), cfg),
+    Some(
+      s"""$fourceCohortCte, vis AS (
+         |  SELECT DISTINCT user_id AS patient_num, CAST(ts AS DATE) AS d
+         |  FROM ev
+         |), days AS (
+         |  SELECT patient_num, d AS hosp_day FROM vis
+         |  UNION ALL
+         |  SELECT patient_num, d + 1 AS hosp_day FROM vis
+         |), cc AS (
+         |  SELECT date_diff('day', c.admission_date, dy.hosp_day)
+         |           AS days_since_admission,
+         |         dy.patient_num, c.severe
+         |  FROM days dy JOIN cohort c ON dy.patient_num = c.patient_num
+         |  WHERE dy.hosp_day >= c.admission_date
+         |)
+         |SELECT 'site' AS siteid, days_since_admission,
+         |       count(DISTINCT patient_num)
+         |         AS num_patients_all_still_in_hospital,
+         |       count(DISTINCT CASE WHEN severe = 1 THEN patient_num END)
+         |         AS num_patients_ever_severe_still_in_hospital
+         |FROM cc GROUP BY days_since_admission
+         |ORDER BY days_since_admission""".stripMargin))
+
+  val all: Seq[Q] = Seq(qFourceDemographics, qFourceLabs,
+    qFourceClinicalCourse)
+}

@@ -392,6 +392,27 @@ class FourCESuite extends AnyFunSuite {
       (2L, 1, "lab", "LAB:crp") -> 5.0))
   }
 
+  test("patient summary: hand-computed per-patient golden") {
+    val ps = FourCE.patientSummary(tinyCohort, tinyVisits, tinyPatients,
+      cfg).collect()
+    assert(ps.length === 2)
+    val p1 = ps.find(_.getAs[Long]("patient_num") == 1L).get
+    // p1 in hospital on {01-03..06, 01-08, 01-09} = 6 days
+    assert(p1.getAs[Long]("num_days_in_hospital") === 6L)
+    assert(p1.getAs[java.sql.Date]("last_hospital_date").toString ===
+      "2020-01-09")
+    assert(p1.getAs[Int]("severe") === 1)
+    assert(p1.getAs[Int]("deceased") === 1)
+    assert(p1.getAs[String]("age_group") === "21to45")
+    assert(p1.getAs[String]("race") === "-999")
+    val p2 = ps.find(_.getAs[Long]("patient_num") == 2L).get
+    assert(p2.getAs[Long]("num_days_in_hospital") === 2L)
+    assert(p2.getAs[Int]("severe") === 0)
+    assert(p2.getAs[Int]("deceased") === 0)
+    assert(p2.getAs[String]("sex") === "female")
+    assert(p2.getAs[String]("age_group") === "46to65")
+  }
+
   test("patient mapping: dense deterministic study numbers") {
     val m1 = FourCE.patientMapping(tinyCohort, cfg).collect()
     val m2 = FourCE.patientMapping(tinyCohort, cfg).collect()

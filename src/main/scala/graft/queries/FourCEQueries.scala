@@ -65,7 +65,8 @@ object FourCEQueries {
     Seq(("positive", "EVT:purchase", 1.0),
       ("severe", "EVT:error", 1.0),
       ("lab", "EVT:view", 2.0),
-      ("lab", "EVT:click", 1.0))
+      ("lab", "EVT:click", 1.0),
+      ("med", "EVT:click", 1.0))
       .toDF("code_category", "local_code", "scale_factor")
   }
 
@@ -213,6 +214,123 @@ object FourCEQueries {
          |FROM cc GROUP BY days_since_admission
          |ORDER BY days_since_admission""".stripMargin))
 
+  /** DailyCounts.csv through the library: spine from first admission to
+    * the day after the last event (mapped visits end at day+1),
+    * cumulative admitted/severe/dead plus the in-hospital census. The
+    * mapped patient_dimension has no deaths, so the dead cumulative is
+    * the constant-zero column on both sides. */
+  val qFourceDailyCounts = Q("q_fource_daily_counts",
+    (spark, sfDir) =>
+      FourCE.dailyCounts(cohortDf(spark, sfDir), visits(spark, sfDir),
+        cfg),
+    Some(
+      s"""$fourceCohortCte, bounds AS (
+         |  SELECT (SELECT min(admission_date) FROM cohort) AS d0,
+         |         (SELECT max(CAST(ts AS DATE)) + 1 FROM ev) AS d1
+         |), spine AS (
+         |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |         CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+         |         AS calendar_date FROM bounds
+         |), newd AS (
+         |  SELECT admission_date AS d, count(DISTINCT patient_num) AS n
+         |  FROM cohort GROUP BY 1
+         |), sevd AS (
+         |  SELECT severe_date AS d, count(DISTINCT patient_num) AS n
+         |  FROM cohort WHERE severe = 1 GROUP BY 1
+         |), vis AS (
+         |  SELECT DISTINCT user_id AS patient_num, CAST(ts AS DATE) AS d
+         |  FROM ev
+         |), days AS (
+         |  SELECT patient_num, d AS hosp_day FROM vis
+         |  UNION ALL
+         |  SELECT patient_num, d + 1 AS hosp_day FROM vis
+         |), census AS (
+         |  SELECT dy.hosp_day AS d,
+         |         count(DISTINCT dy.patient_num) AS ih,
+         |         count(DISTINCT CASE WHEN c.severe = 1
+         |           THEN dy.patient_num END) AS ihs
+         |  FROM days dy JOIN cohort c ON dy.patient_num = c.patient_num
+         |  GROUP BY 1
+         |), daily AS (
+         |  SELECT s.calendar_date,
+         |         COALESCE(n.n, 0) AS n_new,
+         |         COALESCE(v.n, 0) AS n_sev,
+         |         COALESCE(ce.ih, 0) AS ih,
+         |         COALESCE(ce.ihs, 0) AS ihs
+         |  FROM spine s
+         |  LEFT JOIN newd n ON n.d = s.calendar_date
+         |  LEFT JOIN sevd v ON v.d = s.calendar_date
+         |  LEFT JOIN census ce ON ce.d = s.calendar_date
+         |)
+         |SELECT 'site' AS siteid, calendar_date,
+         |  CAST(sum(n_new) OVER (ORDER BY calendar_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cumulative_patients_all,
+         |  CAST(sum(n_sev) OVER (ORDER BY calendar_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cumulative_patients_severe,
+         |  CAST(0 AS BIGINT) AS cumulative_patients_dead,
+         |  CAST(ih AS BIGINT) AS num_patients_in_hospital_on_this_date,
+         |  CAST(ihs AS BIGINT)
+         |    AS num_patients_in_hospital_and_severe_on_this_date
+         |FROM daily ORDER BY calendar_date""".stripMargin))
+
+  /** Diagnoses.csv through the library: `EVT:` concepts strip to the
+    * event type's first 3 chars, icd_version is the `-999` sentinel
+    * (no ICD prefixes in the mapped fixture — the real derivation is
+    * golden-tested in FourCESuite with ICD10 concepts). */
+  val qFourceDiagnoses = Q("q_fource_diagnoses",
+    (spark, sfDir) =>
+      FourCE.diagnoses(obs(spark, sfDir), cohortDf(spark, sfDir), cfg),
+    Some(
+      s"""$fourceCohortCte, diag AS (
+         |  SELECT substr(e.event_type, 1, 3) AS icd_code_3chars,
+         |         -999 AS icd_version,
+         |         CAST(e.ts AS DATE) < c.admission_date AS bef,
+         |         e.user_id AS patient_num, c.severe
+         |  FROM ev e JOIN cohort c ON e.user_id = c.patient_num
+         |)
+         |SELECT 'site' AS siteid, icd_code_3chars, icd_version,
+         |  count(DISTINCT CASE WHEN bef THEN patient_num END)
+         |    AS num_patients_all_before_admission,
+         |  count(DISTINCT CASE WHEN NOT bef THEN patient_num END)
+         |    AS num_patients_all_since_admission,
+         |  count(DISTINCT CASE WHEN bef AND severe = 1
+         |    THEN patient_num END)
+         |    AS num_patients_ever_severe_before_admission,
+         |  count(DISTINCT CASE WHEN NOT bef AND severe = 1
+         |    THEN patient_num END)
+         |    AS num_patients_ever_severe_since_admission
+         |FROM diag GROUP BY icd_code_3chars, icd_version
+         |ORDER BY icd_code_3chars, icd_version""".stripMargin))
+
+  /** Medications.csv through the library (med class = `EVT:click`). */
+  val qFourceMedications = Q("q_fource_medications",
+    (spark, sfDir) =>
+      FourCE.medications(obs(spark, sfDir), cohortDf(spark, sfDir),
+        codeMap(spark), cfg),
+    Some(
+      s"""$fourceCohortCte, med AS (
+         |  SELECT 'EVT:click' AS med_class,
+         |         CAST(e.ts AS DATE) < c.admission_date AS bef,
+         |         e.user_id AS patient_num, c.severe
+         |  FROM ev e JOIN cohort c ON e.user_id = c.patient_num
+         |  WHERE e.event_type = 'click'
+         |)
+         |SELECT 'site' AS siteid, med_class,
+         |  count(DISTINCT CASE WHEN bef THEN patient_num END)
+         |    AS num_patients_all_before_admission,
+         |  count(DISTINCT CASE WHEN NOT bef THEN patient_num END)
+         |    AS num_patients_all_since_admission,
+         |  count(DISTINCT CASE WHEN bef AND severe = 1
+         |    THEN patient_num END)
+         |    AS num_patients_ever_severe_before_admission,
+         |  count(DISTINCT CASE WHEN NOT bef AND severe = 1
+         |    THEN patient_num END)
+         |    AS num_patients_ever_severe_since_admission
+         |FROM med GROUP BY med_class ORDER BY med_class""".stripMargin))
+
   val all: Seq[Q] = Seq(qFourceDemographics, qFourceLabs,
-    qFourceClinicalCourse)
+    qFourceClinicalCourse, qFourceDailyCounts, qFourceDiagnoses,
+    qFourceMedications)
 }

@@ -88,6 +88,15 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("FourCE library: code-map joins broadcast, no fact-side shuffle for them") {
+    // the cohort inside every q_fource_* query joins obs⋈code-map twice
+    // (positive, severe); both must plan as BroadcastHashJoin — the
+    // fact side shuffles only on patient_num for the admission window
+    val p = plan("q_fource_demographics")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("aggregates run two-phase (partial then final)") {
     val p = plan("q_agg_stats")
     assert("HashAggregate".r.findAllIn(p).length >= 2)

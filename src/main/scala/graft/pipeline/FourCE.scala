@@ -511,6 +511,27 @@ object FourCE {
       .orderBy(col("patient_num"))
   }
 
+  /** The file deliverable (SURVEY.md §1.3): write each output as a CSV
+    * with header — the exact artifact a 4CE site submits. Aggregate
+    * outputs are site-level files (≤ thousands of rows), so they
+    * coalesce to ONE csv part like the reference's single flat file;
+    * set `singlePart = false` for the patient-level Phase-2 files,
+    * which can be arbitrarily large and stay partitioned. */
+  def writeCsv(df: DataFrame, path: String,
+      singlePart: Boolean = true): Unit = {
+    val out = if (singlePart) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** The reference's `output_as_columns = 0` mode (SURVEY.md §2.1 S4):
+    * every column rendered into ONE pipe-joined text column, NULLs as
+    * empty strings — for sites whose upload tooling takes a single
+    * text field per row. */
+  def concatColumns(df: DataFrame, sep: String = "|"): DataFrame =
+    df.select(concat_ws(sep,
+      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      .as("line"))
+
   /** Phase 2 — LocalPatientMapping.csv: patient_num ↔ study_num
     * re-identification map, kept local. study_num is a dense
     * deterministic rank over patient_num — stable across re-runs (the

@@ -176,6 +176,42 @@ class FourCESuite extends AnyFunSuite {
     // demographics of an empty cohort: at most the empty cube shell
     val d = FourCE.demographics(c, patients, cfg).collect()
     assert(d.forall(_.getAs[Long]("num_patients_all") == 0L))
+    // Phase-2 files degrade to empty frames, never throw
+    assert(FourCE.patientClinicalCourse(c, visits, cfg).count() === 0)
+    assert(FourCE.patientObservations(obs, c, noMatch, cfg)
+      .count() === 0)
+    assert(FourCE.patientSummary(c, visits, patients, cfg).count() === 0)
+    assert(FourCE.patientMapping(c, cfg).count() === 0)
+  }
+
+  test("writeCsv emits one headered part per aggregate file; concat mode") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("fource_csv_").toString
+    try {
+      FourCE.writeCsv(
+        FourCE.demographics(tinyCohort, tinyPatients, cfg),
+        s"$dir/Demographics")
+      val parts = new java.io.File(s"$dir/Demographics").listFiles()
+        .filter(_.getName.endsWith(".csv"))
+      assert(parts.length === 1) // site-level file = one flat CSV
+      val back = spark.read.option("header", "true")
+        .csv(s"$dir/Demographics")
+      assert(back.count() ===
+        FourCE.demographics(tinyCohort, tinyPatients, cfg).count())
+      assert(back.columns.toSeq === Seq("siteid", "sex", "age_group",
+        "race", "num_patients_all", "num_patients_ever_severe"))
+      // output_as_columns=0: one pipe-joined line per row, NULLs -> ''
+      val lines = FourCE.concatColumns(
+        FourCE.demographics(tinyCohort, tinyPatients, cfg)).collect()
+      assert(lines.forall(_.getString(0).count(_ == '|') === 5))
+      assert(lines.exists(_.getString(0).startsWith("site|")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("obfuscation: masked small counts, blur bounded, deterministic") {

@@ -129,5 +129,34 @@ object Extras {
            |       max(n) AS max_session_events
            |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize)
+  /** Correlated LATERAL join (Spark 4 SQL surface): top-2 customers by
+    * balance per nation, the canonical per-group-top-k as a lateral
+    * subquery. Catalyst decorrelates the LIMIT-bearing subquery into a
+    * rank-based join rewrite — semantically identical to the window
+    * row_number form (W2/J7) but exercising the decorrelation path a
+    * SQL user hits. DuckDB runs the same LATERAL syntax. */
+  val qJoinLateral = Q("q_join_lateral",
+    (spark, sfDir) => {
+      Tables.read(spark, sfDir, "nation")
+        .createOrReplaceTempView("v_nation")
+      Tables.read(spark, sfDir, "customer")
+        .createOrReplaceTempView("v_customer")
+      spark.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM v_nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM v_customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    },
+    Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+           |FROM nation n,
+           |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+           |         WHERE c.c_nationkey = n.n_nationkey
+           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+           |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey"""
+      .stripMargin))
+
+  val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
+    qJoinLateral)
 }

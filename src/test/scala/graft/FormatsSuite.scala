@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Malformed-record handling on the JSON ingest path — the production
+  * concern the round-trip queries can't show (their input is clean by
+  * construction). At 100 TB some fraction of a text-format drop is
+  * always corrupt; the declared-schema readers must quarantine, not
+  * silently null-fill or die, and the strict mode must be loud. */
+class FormatsSuite extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val slim = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("fmt_bad_").toString
+    val lines = Seq(
+      """{"event_id":1,"user_id":10,"event_type":"click","value":1.5}""",
+      """{"event_id":2,"user_id":11,"event_type":"view""", // truncated
+      "not json at all",
+      """{"event_id":3,"user_id":12,"event_type":"buy","value":2.0}""")
+    Files.write(Paths.get(dir, "part.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private def rmrf(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(dir)).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+  }
+
+  test("PERMISSIVE quarantines corrupt JSON rows into _corrupt_record") {
+    val dir = writeFixture()
+    try {
+      val withCorrupt = slim.add(StructField("_corrupt_record", StringType))
+      val df = spark.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .cache() // Spark requires a materialized plan to filter on the
+                 // corrupt column alone
+      assert(df.count() === 4)
+      assert(df.filter($"_corrupt_record".isNotNull).count() === 2)
+      val good = df.filter($"_corrupt_record".isNull)
+      assert(good.count() === 2)
+      assert(good.agg(sum($"value")).head().getDouble(0) === 3.5)
+      df.unpersist()
+    } finally rmrf(dir)
+  }
+
+  test("DROPMALFORMED keeps only parseable rows; FAILFAST is loud") {
+    val dir = writeFixture()
+    try {
+      assert(spark.read.schema(slim)
+        .option("mode", "DROPMALFORMED").json(dir).count() === 2)
+      intercept[Exception] {
+        spark.read.schema(slim)
+          .option("mode", "FAILFAST").json(dir).count()
+      }
+    } finally rmrf(dir)
+  }
+}

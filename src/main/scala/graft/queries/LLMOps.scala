@@ -298,8 +298,12 @@ object LLMOps {
     * to the unguarded form — OperatorSuite asserts this. At production
     * scale a dropped hot shingle makes the computed Jaccard a lower
     * bound (stop-shingle semantics, standard for near-dup mining). */
-  val qDedupNgramJaccard = Q("q_dedup_ngram_jaccard",
-    (spark, sfDir) => {
+  /** The ≥0.5-Jaccard pair table, memoized per (session, sfDir): it
+    * feeds both the pair query and the cluster-assignment query below —
+    * the same temp-table barrier treatment the cohort and shingle
+    * tables get. Tiny output (one row per near-dup pair). */
+  private def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo.cached(spark, s"ngram_pairs:$sfDir") {
       import spark.implicits._
       val sh = shingles(spark, sfDir)
       val nDocs = docs(spark, sfDir)
@@ -324,7 +328,12 @@ object LLMOps {
         .select($"d1", $"d2",
           round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
         .filter($"jaccard" >= 0.5)
-        .orderBy($"d1", $"d2")
+    }
+
+  val qDedupNgramJaccard = Q("q_dedup_ngram_jaccard",
+    (spark, sfDir) => {
+      import spark.implicits._
+      ngramPairs(spark, sfDir).orderBy($"d1", $"d2")
     },
     Some(s"""WITH $shCte, sizes AS (
             |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
@@ -341,6 +350,77 @@ object LLMOps {
             |JOIN sizes s2 ON s2.doc_id = d2
             |WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
             |ORDER BY d1, d2""".stripMargin))
+
+  // --------------------------------------------- dedup cluster assignment
+  /** Connected components over the near-dup pair graph — the step a
+    * dedup pipeline runs AFTER pair mining: assign every paired doc a
+    * cluster id (the min reachable doc_id) so exactly one
+    * representative per duplicate cluster survives. Spark side is
+    * min-label propagation: each round every node takes the min label
+    * among itself and its neighbors; converges in O(diameter) rounds
+    * (≤ O(log n) on the short-path near-dup graphs this produces —
+    * near-dup clusters are dense). Each round is one equi-join + one
+    * groupBy-min, all distributed; the driver only checks the
+    * converged-count, the standard coordination loop every iterative
+    * graph algorithm uses (GraphX/Pregel included). Iterations are
+    * capped; the cap is asserted unreached on the fixture. The oracle
+    * computes the same components with a recursive CTE. */
+  val qDedupCluster = Q("q_dedup_cluster",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val pairs = ngramPairs(spark, sfDir).select($"d1", $"d2")
+      val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
+        .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
+        .persist()
+      var labels = edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("label")).persist()
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < 20) {
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("id", "src2"),
+            $"src" === $"src2")
+          .select($"dst".as("id"), $"label")
+        val next = labels.select($"id", $"label").union(viaNeighbor)
+          .groupBy($"id").agg(min($"label").as("label"))
+          .persist()
+        changed = next
+          .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter($"label" < $"old").count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      require(changed == 0, s"label propagation hit the $iter-iter cap")
+      labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shCte, sizes AS (
+            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            |), common AS (
+            |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+            |  FROM sh x JOIN sh y
+            |    ON x.s = y.s AND x.doc_id < y.doc_id
+            |  GROUP BY 1, 2
+            |), pairs AS (
+            |  SELECT d1, d2
+            |  FROM common
+            |  JOIN sizes s1 ON s1.doc_id = d1
+            |  JOIN sizes s2 ON s2.doc_id = d2
+            |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+            |), edges AS (
+            |  SELECT d1 AS src, d2 AS dst FROM pairs
+            |  UNION
+            |  SELECT d2 AS src, d1 AS dst FROM pairs
+            |), reach AS (
+            |  SELECT src AS id, src AS r FROM edges
+            |  UNION
+            |  SELECT e.dst AS id, r.r
+            |  FROM reach r JOIN edges e ON e.src = r.id
+            |)
+            |SELECT id AS doc_id, min(r) AS cluster_id
+            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup, bucketed: pairs are generated only
@@ -888,8 +968,9 @@ object LLMOps {
            |GROUP BY label, i ORDER BY label, dim""".stripMargin))
 
   val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash,
-    qDedupNgramJaccard, qDedupEmbed, qSimCosineTopk, qSimAnnIvf,
-    qSimAnnLsh, qMultimodalJoin, qMultimodalMeta, qMultimodalFrames,
-    qMmFeatures, qMmResize, qTextTf, qLangId, qQualityScore,
-    qTokenCount, qFingerprint, qSplitGroup, qUdfNorm, qUdafCentroid)
+    qDedupNgramJaccard, qDedupCluster, qDedupEmbed, qSimCosineTopk,
+    qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
+    qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qLangId,
+    qQualityScore, qTokenCount, qFingerprint, qSplitGroup, qUdfNorm,
+    qUdafCentroid)
 }

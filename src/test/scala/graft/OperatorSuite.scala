@@ -240,6 +240,19 @@ class OperatorSuite extends AnyFunSuite {
     assert(guarded === unguarded)
   }
 
+  test("dedup clusters: pair endpoints agree; representative is its own label") {
+    val pairs = LLMOps.qDedupNgramJaccard.fn(spark, sf)
+      .select($"d1", $"d2").collect()
+    val cl = LLMOps.qDedupCluster.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(cl(r.getLong(0)) === cl(r.getLong(1)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+    }
+    cl.values.toSet.foreach((c: Long) => assert(cl(c) === c))
+  }
+
   // ------------------------------------- streaming↔batch equivalence
 
   test("streaming tumbling window equals batch aggregation") {

@@ -4,14 +4,20 @@ package graft
   * query that throws is recorded as "err" (not a fake duration — VERDICT
   * r1 item 2) and the process exits nonzero.
   *
-  * Output contract hardening (round 3): the harness that invokes this via
-  * sbt captures only the LAST ~2000 chars of stdout and parses the last
-  * line as JSON. Therefore (a) per-query seconds are rounded to 2 decimals
-  * to keep the line well under that window, (b) the JSON is printed AFTER
-  * `spark.stop()` so no engine shutdown logging can land after it, and
-  * (c) build.sbt suppresses sbt's own `[success]` trailer and `[info] `
-  * run-output prefix. Full-precision numbers go to target/bench_full.json
-  * for BASELINE.md bookkeeping.
+  * Output contract hardening (round 3, tightened round 4): the harness
+  * that invokes this via sbt captures only the LAST 2000 chars of stdout
+  * (measured from the BENCH_r03 artifact: tail length exactly 2000) and
+  * parses the last line as JSON. A full 89-query map is ~2100 chars —
+  * it would be truncated and the artifact would record parsed:null (the
+  * r01/r02 failure mode). Therefore the printed line keeps itself under
+  * a 1800-char budget: every errored query plus the SLOWEST queries
+  * that fit, with the omitted remainder reconciled in "others_sec" and
+  * the full count in "n_queries" (value == sum(queries) + others_sec up
+  * to rounding). The COMPLETE full-precision per-query map always goes
+  * to target/bench_full.json, which BASELINE.md's table is generated
+  * from. The JSON is printed AFTER `spark.stop()` so no shutdown
+  * logging can land after it, and build.sbt suppresses sbt's own
+  * `[success]` trailer and `[info]` run-output prefix.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,16 +62,39 @@ object Bench {
         val sec = runs.map(_._2).min
         (name, if (ok) sec.toString else "\"err\"", if (ok) sec else 0.0)
       }
-    def line(fmt: Double => String): String = {
+    def r2(s: Double): String = BigDecimal(s).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    val total = results.map(_._3).sum
+    // full-fidelity line for target/bench_full.json (no size limit)
+    val full = {
       val qs = results.map { case (k, v, s) =>
-        "\"" + k + "\":" + (if (v == "\"err\"") v else fmt(s))
+        "\"" + k + "\":" + (if (v == "\"err\"") v else s.toString)
       }.mkString("{", ",", "}")
-      val total = fmt(results.map(_._3).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val full = line(_.toString)
-    val compact = line(s => BigDecimal(s).setScale(2,
-      BigDecimal.RoundingMode.HALF_UP).toString)
+    // stdout line under the 1800-char budget: errs first (always), then
+    // slowest-first until full; remainder reconciled via others_sec
+    val compact = {
+      val budget = 1800
+      val overhead = // fixed part of the line, with placeholder lengths
+        s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
+      val ordered = results.sortBy { case (_, v, s) =>
+        (if (v == "\"err\"") 0 else 1, -s) // errs first, then slowest
+      }
+      var used = overhead
+      val picked = ordered.takeWhile { case (k, v, s) =>
+        val entry = k.length + 4 +
+          (if (v == "\"err\"") 5 else r2(s).length)
+        if (used + entry <= budget) { used += entry; true } else false
+      }
+      val pickedNames = picked.map(_._1).toSet
+      val othersSec = r2(results.collect {
+        case (k, _, s) if !pickedNames.contains(k) => s }.sum)
+      val qs = picked.sortBy(_._1).map { case (k, v, s) =>
+        "\"" + k + "\":" + (if (v == "\"err\"") v else r2(s))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
+    }
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -45,8 +45,15 @@ object Bench {
     // the min is the standard steady-state estimator and is what the
     // 2× BASELINE bar should be judged against (methodology recorded in
     // BASELINE.md). Failures still surface as "err" + nonzero exit.
+    // dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_b times just those
+    // queries (the driver never sets it, so round artifacts are always
+    // full-scope)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results: Seq[(String, String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           val ok =

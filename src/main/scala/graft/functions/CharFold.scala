@@ -26,6 +26,34 @@ object CharFoldHelper {
   }
 }
 
+/** Column/SQL-level entry points to the portable hash, shared by the
+  * LLM-ops queries and the 4CE portable-blur obfuscation path so every
+  * consumer (and every DuckDB oracle) folds identically. */
+object PortableHash {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  final val P: Long = CharFoldHelper.P
+
+  /** Native codegen'd form — requires the `char_fold` function
+    * registered by [[GraftExtensions]] (graft.Sessions does). */
+  def charFold(s: Column): Column = call_function("char_fold", s)
+
+  /** Pure-built-in HOF form — identical values on any SparkSession,
+    * no extension registration needed; CodegenFallback-slow, so only
+    * for small post-aggregation row counts (e.g. obfuscation noise). */
+  def charFoldHof(s: Column): Column =
+    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, c) => (a * 31L + c) % P)
+
+  /** Same hash in DuckDB SQL over the given SQL string expression. */
+  def charFoldSql(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''),
+       |    c -> CAST(unicode(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
+}
+
 /** Native codegen'd form of the portable char-fold polynomial hash
   * `fold(chars, (a,c) => (a*31 + codepoint(c)) mod 1000003)` — same
   * values as the `aggregate(transform(split(s,"")))` HOF chain

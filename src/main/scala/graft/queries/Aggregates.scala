@@ -277,7 +277,69 @@ object Aggregates {
            |       CAST(p_size AS DOUBLE) AS val FROM part
            |ORDER BY p_partkey, measure""".stripMargin))
 
+  /** W2b: the full ranking-function family over one window — rank,
+    * dense_rank, ntile, percent_rank, cume_dist (the reference's
+    * first/ordinal-event patterns use row_number/rank; the quantile
+    * bucketing ntile gives is the cohort-quartile shape). The ORDER BY
+    * carries the o_orderkey tiebreaker so every function is total-order
+    * deterministic across engines (the rank-flip lesson from round 2).
+    * One window spec → one shuffle on o_orderpriority; all five
+    * functions evaluate in the same Window physical operator. */
+  val qWindowRank = Q("q_window_rank",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+        .filter($"o_totalprice" > 300000)
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      o.select($"o_orderpriority", $"o_orderkey",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+           |       rank() OVER w AS rnk,
+           |       dense_rank() OVER w AS drnk,
+           |       ntile(4) OVER w AS quartile,
+           |       round(percent_rank() OVER w, 6) AS pct_rank,
+           |       round(cume_dist() OVER w, 6) AS cdist
+           |FROM orders WHERE o_totalprice > 300000
+           |WINDOW w AS (PARTITION BY o_orderpriority
+           |             ORDER BY o_totalprice DESC, o_orderkey)
+           |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
+
+  /** A3b: exact interpolated percentiles per group (the lab-value
+    * quartile/median summaries 4CE sites report). Spark `percentile`
+    * and DuckDB `quantile_cont` share the lower+(upper−lower)·frac
+    * interpolation, so values hash-match after the standard 6-dp
+    * round. Exact percentile sorts within each group — right up to
+    * groups of ~10⁸ rows; beyond that approx_percentile (q_agg_approx)
+    * is the scale path. */
+  val qAggPercentile = Q("q_agg_percentile",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9D)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.95D)"), 6)
+            .as("p95_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           |       round(quantile_cont(l_extendedprice, 0.95), 6)
+           |         AS p95_price
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
-    qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot)
+    qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
+    qAggPercentile)
 }

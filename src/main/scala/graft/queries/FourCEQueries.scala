@@ -330,7 +330,59 @@ object FourCEQueries {
          |    AS num_patients_ever_severe_since_admission
          |FROM med GROUP BY med_class ORDER BY med_class""".stripMargin))
 
+  /** The demographics deliverable in its REAL shipped form — nonzero
+    * blur + small-count mask — under the hash gate. Uses
+    * `portableBlur=true` so DuckDB can replicate the noise exactly
+    * (charFold of the same `sex|age|race[|s]` key the library builds,
+    * salted with siteId); mask-wins-over-blur is thereby
+    * oracle-checked end-to-end, not just unit-tested. The xxhash64
+    * default path stays covered by FourCESuite's blur properties. */
+  private val obfCfg = cfg.copy(blur = 2, maskThreshold = 10,
+    portableBlur = true)
+
+  private def obfSql(count: String, key: String): String =
+    s"""CASE WHEN $count < 10 THEN -99 ELSE $count +
+       |  (${graft.functions.PortableHash.charFoldSql(key)} % 5 - 2)
+       |  END""".stripMargin
+
+  val qFourceDemographicsObf = Q("q_fource_demographics_obf",
+    (spark, sfDir) =>
+      FourCE.demographics(cohortDf(spark, sfDir),
+        patients(spark, sfDir), obfCfg),
+    Some(
+      s"""$fourceCohortCte, pat AS (
+         |  SELECT c_custkey AS patient_num,
+         |         CASE WHEN c_custkey % 2 = 0 THEN 'female'
+         |              ELSE 'male' END AS sex_cd,
+         |         c_custkey % 80 + 10 AS age
+         |  FROM customer
+         |), j AS (
+         |  SELECT co.patient_num, co.severe, p.sex_cd,
+         |         CASE WHEN p.age < 21 THEN '00to20'
+         |              WHEN p.age < 46 THEN '21to45'
+         |              WHEN p.age < 66 THEN '46to65'
+         |              ELSE '66plus' END AS ag
+         |  FROM cohort co JOIN pat p ON co.patient_num = p.patient_num
+         |), cub AS (
+         |  SELECT sex_cd, ag,
+         |         count(DISTINCT patient_num) AS n_all,
+         |         count(DISTINCT CASE WHEN severe = 1
+         |           THEN patient_num END) AS n_severe
+         |  FROM j GROUP BY CUBE (sex_cd, ag)
+         |)
+         |SELECT 'site' AS siteid,
+         |       COALESCE(sex_cd, 'all') AS sex,
+         |       COALESCE(ag, 'all') AS age_group,
+         |       '-999' AS race,
+         |       CAST(${obfSql("n_all",
+                  "concat_ws('|', sex_cd, ag, '-999', 'site')")}
+         |         AS BIGINT) AS num_patients_all,
+         |       CAST(${obfSql("n_severe",
+                  "concat_ws('|', sex_cd, ag, '-999', 's', 'site')")}
+         |         AS BIGINT) AS num_patients_ever_severe
+         |FROM cub ORDER BY sex, age_group, race""".stripMargin))
+
   val all: Seq[Q] = Seq(qFourceDemographics, qFourceLabs,
     qFourceClinicalCourse, qFourceDailyCounts, qFourceDiagnoses,
-    qFourceMedications)
+    qFourceMedications, qFourceDemographicsObf)
 }

@@ -45,22 +45,19 @@ object LLMOps {
   private val P = 1000003L // prime modulus for all portable hashing
 
   /** Portable char-code polynomial hash (see object doc) — dispatches
-    * to the native codegen'd CharFoldExpr. */
+    * to the native codegen'd CharFoldExpr. Shared impl lives in
+    * [[graft.functions.PortableHash]]. */
   private[graft] def charFold(s: Column): Column =
-    call_function("char_fold", s)
+    graft.functions.PortableHash.charFold(s)
 
   /** Pure-built-in HOF form of [[charFold]] — identical values; kept
     * as the no-extensions fallback and for equivalence tests. */
   private[graft] def charFoldHof(s: Column): Column =
-    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L), (a, c) => (a * 31L + c) % P)
+    graft.functions.PortableHash.charFoldHof(s)
 
   /** Same hash in DuckDB SQL. */
   private def charFoldSql(s: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(string_split($s, ''),
-       |    c -> CAST(unicode(c) AS BIGINT))),
-       |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
+    graft.functions.PortableHash.charFoldSql(s)
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")

@@ -161,6 +161,50 @@ object Relational {
            |                    AND o.o_totalprice > 300000)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** J3b: FULL OUTER join — reconciliation of two partial views where
+    * unmatched rows on BOTH sides carry meaning (the reference's
+    * pattern: site patient roster vs registry extract, each missing
+    * rows the other has). Sides are filtered so both null-sides are
+    * non-empty at every sf (2/12/147 building-only and 110/1142/11442
+    * hi-only at sf0.001/0.01/0.1 — the vacuity lesson from VERDICT
+    * r3): BUILDING-segment customers vs per-customer counts of
+    * >350k-value orders. Equi-keyed, so Catalyst plans a shuffled SMJ
+    * (full outer can't broadcast) — shuffle on the join key is the
+    * plan you want at scale. */
+  val qJoinFullOuter = Q("q_join_full_outer",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val b = Tables.read(spark, sfDir, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", $"c_name")
+      val hi = Tables.read(spark, sfDir, "orders")
+        .filter($"o_totalprice" > 350000)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_hi"))
+      b.join(hi, b("c_custkey") === hi("o_custkey"), "full_outer")
+        .select(
+          coalesce(b("c_custkey"), hi("o_custkey")).as("custkey"),
+          b("c_name").as("c_name"),
+          coalesce($"n_hi", lit(0L)).as("n_hi"),
+          b("c_custkey").isNull.as("only_hi"),
+          hi("o_custkey").isNull.as("only_building"))
+        .orderBy($"custkey")
+    },
+    Some("""WITH hi AS (
+           |  SELECT o_custkey, count(*) AS n_hi FROM orders
+           |  WHERE o_totalprice > 350000 GROUP BY 1
+           |), b AS (
+           |  SELECT c_custkey, c_name FROM customer
+           |  WHERE c_mktsegment = 'BUILDING'
+           |)
+           |SELECT COALESCE(b.c_custkey, hi.o_custkey) AS custkey,
+           |       b.c_name AS c_name,
+           |       COALESCE(n_hi, 0) AS n_hi,
+           |       b.c_custkey IS NULL AS only_hi,
+           |       hi.o_custkey IS NULL AS only_building
+           |FROM b FULL OUTER JOIN hi ON b.c_custkey = hi.o_custkey
+           |ORDER BY custkey""".stripMargin))
+
   /** J6: range/interval join with the equi key carried (the reference's
     * admission-within-[pos−7,pos+14] pattern): lineitems shipped within
     * 30 days of their order's date. Equi key l_orderkey=o_orderkey makes
@@ -359,7 +403,7 @@ object Relational {
            |ORDER BY line""".stripMargin))
 
   val all: Seq[Q] = Seq(qScanFilterIn, qFilterLike, qJoinInnerEqui,
-    qJoinBroadcastDim, qJoinLeftOuter, qJoinSemi, qJoinAnti, qJoinRange,
-    qJoinAsof, qJoinStar, qDistinct, qSortOutput, qTopk, qSetUnionAll,
-    qSetIntersect, qSetExcept, qOutputConcat)
+    qJoinBroadcastDim, qJoinLeftOuter, qJoinFullOuter, qJoinSemi,
+    qJoinAnti, qJoinRange, qJoinAsof, qJoinStar, qDistinct, qSortOutput,
+    qTopk, qSetUnionAll, qSetIntersect, qSetExcept, qOutputConcat)
 }

@@ -149,6 +149,34 @@ object Scalars {
            |       len(list_filter(embedding, x -> x > 0)) AS n_positive
            |FROM embeddings ORDER BY vec_id""".stripMargin))
 
+  /** F2b: regex scalar family — extract / replace-all / match (the
+    * reference's loyalty-code and local-code pattern munging,
+    * i2b2-style `concept_cd` prefixes). Patterns stay in the
+    * RE2∩Java-regex common subset (character classes, anchors, greedy
+    * quantifiers — no backrefs/lookaround) so Spark's java.util.regex
+    * and DuckDB's RE2 agree. DuckDB's regexp_replace needs the
+    * explicit 'g' flag to match Spark's replace-ALL default. All three
+    * are row-local codegen'd expressions — no shuffle, pushdown
+    * unaffected. */
+  val qScalarRegex = Q("q_scalar_regex",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey",
+          regexp_extract($"c_name", "Customer#(\\d+)", 1)
+            .cast("long").as("cust_id"),
+          regexp_replace($"c_name", "0+", "0").as("name_squeezed"),
+          $"c_name".rlike("[02468]$").as("id_even"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey,
+           |       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1)
+           |         AS BIGINT) AS cust_id,
+           |       regexp_replace(c_name, '0+', '0', 'g')
+           |         AS name_squeezed,
+           |       regexp_matches(c_name, '[02468]$') AS id_even
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
-    qScalarCase, qScalarJson, qArrayHof)
+    qScalarCase, qScalarJson, qArrayHof, qScalarRegex)
 }

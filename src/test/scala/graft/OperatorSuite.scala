@@ -253,6 +253,68 @@ class OperatorSuite extends AnyFunSuite {
     cl.values.toSet.foreach((c: Long) => assert(cl(c) === c))
   }
 
+  test("full outer join keeps unmatched rows from BOTH sides") {
+    val rows = Relational.qJoinFullOuter.fn(spark, sf).collect()
+    assert(rows.count(_.getAs[Boolean]("only_building")) > 0)
+    assert(rows.count(_.getAs[Boolean]("only_hi")) > 0)
+    val keys = rows.map(_.getAs[Long]("custkey"))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("ranking window family invariants (rank/ntile/percent_rank)") {
+    val rows = Aggregates.qWindowRank.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rnk") >= r.getAs[Long]("drnk"))
+      val q = r.getAs[Long]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("pct_rank")
+      val cd = r.getAs[Double]("cdist")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(cd > 0.0 && cd <= 1.0)
+    }
+  }
+
+  test("exact percentiles are ordered and inside the value range") {
+    val l = Tables.read(spark, sf, "lineitem")
+      .agg(min($"l_quantity").cast("double"),
+        max($"l_quantity").cast("double")).head()
+    val (lo, hi) = (l.getDouble(0), l.getDouble(1))
+    Aggregates.qAggPercentile.fn(spark, sf).collect().foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50_qty"),
+        r.getAs[Double]("p90_qty"))
+      assert(p50 <= p90)
+      assert(p50 >= lo && p90 <= hi)
+    }
+  }
+
+  test("regex extract recovers the numeric customer id exactly") {
+    val bad = graft.queries.Scalars.qScalarRegex.fn(spark, sf)
+      .filter($"cust_id" =!= $"c_custkey" ||
+        ($"id_even" =!= ($"c_custkey" % 2 === 0)))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("obfuscated demographics: mask wins, else within blur of truth") {
+    import graft.queries.FourCEQueries
+    val truth = FourCEQueries.qFourceDemographics.fn(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        r.getAs[Long]("num_patients_all")).toMap
+    val obf = FourCEQueries.qFourceDemographicsObf.fn(spark, sf)
+      .collect()
+    assert(obf.nonEmpty)
+    var masked = 0
+    obf.foreach { r =>
+      val t = truth((r.getString(1), r.getString(2)))
+      val v = r.getAs[Long]("num_patients_all")
+      if (t < 10) { assert(v === -99L); masked += 1 }
+      else assert(math.abs(v - t) <= 2, s"blur out of range: $v vs $t")
+    }
+    assert(masked > 0, "no small cell exercised the mask at this sf")
+  }
+
   // ------------------------------------- streaming↔batch equivalence
 
   test("streaming tumbling window equals batch aggregation") {

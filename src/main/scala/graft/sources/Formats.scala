@@ -68,5 +68,41 @@ object Formats {
     },
     None)
 
-  val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qAggApprox)
+  /** S1b: Hive-style partitioned parquet layout — the 100-TB table
+    * organization. Writes events partitioned by event_type (low
+    * cardinality: 5 directories), reads back filtered to two types,
+    * and aggregates. The filter must resolve at PLANNING time from the
+    * directory listing (`PartitionFilters` in the scan, pruned before
+    * any file is opened) — the property that makes a 100 TB scan touch
+    * 2/5ths of the data; PlanSuite locks it. The oracle aggregates the
+    * original parquet under the same predicate, so any row lost or
+    * duplicated by the partitioned write fails parity. */
+  val qSourcePartitioned = Q("q_source_partitioned_roundtrip",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = "target/fmt/" +
+        s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/part_events"
+      val slimmed = Tables.read(spark, sfDir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      slimmed.write.mode("overwrite")
+        .partitionBy("event_type").parquet(dir)
+      spark.read.schema(slim).parquet(dir)
+        .filter($"event_type".isin("click", "error"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |       count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events WHERE event_type IN ('click', 'error')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qAggApprox,
+    qSourcePartitioned)
 }

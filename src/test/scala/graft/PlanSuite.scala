@@ -103,6 +103,43 @@ class PlanSuite extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("partitioned roundtrip prunes partitions at planning time") {
+    val p = plan("q_source_partitioned_roundtrip")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r
+      .findFirstIn(p).isDefined,
+      "event_type predicate must land in PartitionFilters (directory " +
+        "pruning), not just a row-level filter")
+  }
+
+  test("full outer join plans a shuffled SMJ with both scans filtered") {
+    val p = plan("q_join_full_outer")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"))
+    // the order side pre-aggregates before the join (partial count)
+    assert(p.contains("partial_count"))
+    assert(p.contains("GreaterThan(o_totalprice,350000.0)"))
+  }
+
+  test("ranking family evaluates in ONE Window operator, one shuffle") {
+    val p = plan("q_window_rank")
+    assert("Window \\[".r.findAllIn(p).length === 1,
+      "five ranking functions must share a single Window node")
+    Seq("rank(", "dense_rank(", "ntile(", "percent_rank(", "cume_dist()")
+      .foreach(f => assert(p.contains(f), s"missing $f in Window node"))
+  }
+
+  test("exact percentiles aggregate two-phase (partial_percentile map-side)") {
+    val p = plan("q_agg_percentile")
+    assert(p.contains("partial_percentile"))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("regex scalars stay row-local over a pruned 2-column scan") {
+    val p = plan("q_scalar_regex")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"))
+    assert(!p.contains("Exchange hashpartitioning"), // only the sort shuffles
+      "regex projection must not introduce a shuffle")
+  }
+
   test("HOF dot-product pattern is rewritten to native vec_dot") {
     import spark.implicits._
     import graft.functions.Vectors

@@ -157,6 +157,106 @@ object Extras {
            |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey"""
       .stripMargin))
 
+  /** MERGE INTO / upsert semantics without a table format: the
+    * reference's whole-refresh model re-runs everything; the
+    * incremental equivalent a warehouse needs is latest-wins upsert of
+    * a change feed into a base snapshot. Three-way outcome per key —
+    * matched (update), not-in-base (insert), untouched (keep) — via
+    * ONE full-outer join on the key; the change feed is first
+    * collapsed to latest-per-key with the W2 row_number pattern
+    * (ts + event_id total order). Base = even-keyed customers so all
+    * three outcome classes are non-empty at every sf. Scale: the join
+    * shuffles both sides once on the key; latest-per-key is a
+    * partial-agg-friendly window, no driver involvement. */
+  val qMergeUpsert = Q("q_merge_upsert",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = Tables.read(spark, sfDir, "customer")
+        .filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"), $"c_mktsegment",
+          $"c_acctbal".cast("double").as("balance"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val latest = Tables.read(spark, sfDir, "events")
+        .filter($"event_type" === "purchase" && $"value".isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id".as("key"), $"value".as("new_balance"))
+      base.join(latest, Seq("key"), "full_outer")
+        .select($"key",
+          $"c_mktsegment",
+          coalesce($"new_balance", $"balance").as("balance"),
+          when($"new_balance".isNull, "keep")
+            .when($"c_mktsegment".isNull, "insert")
+            .otherwise("update").as("action"))
+        .orderBy($"key")
+    },
+    Some(s"""WITH ${Cohort.evCte}, pur AS (
+           |  SELECT user_id, value, ts, event_id FROM ev
+           |  WHERE event_type = 'purchase' AND value IS NOT NULL
+           |), latest AS (
+           |  SELECT user_id AS key, value AS new_balance
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           |          ORDER BY ts DESC, event_id DESC) AS rn FROM pur)
+           |  WHERE rn = 1
+           |), base AS (
+           |  SELECT c_custkey AS key, c_mktsegment,
+           |         CAST(c_acctbal AS DOUBLE) AS balance
+           |  FROM customer WHERE c_custkey % 2 = 0
+           |)
+           |SELECT COALESCE(b.key, l.key) AS key,
+           |       b.c_mktsegment,
+           |       COALESCE(l.new_balance, b.balance) AS balance,
+           |       CASE WHEN l.new_balance IS NULL THEN 'keep'
+           |            WHEN b.c_mktsegment IS NULL THEN 'insert'
+           |            ELSE 'update' END AS action
+           |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+           |ORDER BY key""".stripMargin))
+
+  /** SCD type-2 history build: collapse each user's event stream to
+    * rows where the tracked attribute (event_type) actually CHANGES
+    * (lag-compare), then derive version number, valid_from,
+    * valid_to = next change (NULL = current) and an is_current flag.
+    * Two window passes over one user_id partitioning — a single
+    * shuffle; this is the standard dimension-history builder a
+    * warehouse refresh runs incrementally. */
+  val qScd2History = Q("q_scd2_history",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val wOrd = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      val changes = Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev", lag($"event_type", 1).over(wOrd))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+      changes
+        .withColumn("version", row_number().over(wOrd))
+        .withColumn("valid_to", lead($"ts", 1).over(wOrd))
+        .select($"user_id", $"version",
+          $"event_type".as("state"),
+          $"ts".as("valid_from"), $"valid_to",
+          $"valid_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"version")
+    },
+    Some(s"""WITH ${Cohort.evCte}, marked AS (
+            |  SELECT user_id, event_type, ts, event_id,
+            |         lag(event_type) OVER (PARTITION BY user_id
+            |           ORDER BY ts, event_id) AS prev
+            |  FROM ev
+            |), changes AS (
+            |  SELECT user_id, event_type, ts, event_id FROM marked
+            |  WHERE prev IS NULL OR prev <> event_type
+            |)
+            |SELECT user_id,
+            |       row_number() OVER w AS version,
+            |       event_type AS state,
+            |       ts AS valid_from,
+            |       lead(ts) OVER w AS valid_to,
+            |       lead(ts) OVER w IS NULL AS is_current
+            |FROM changes
+            |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            |ORDER BY user_id, version""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
-    qJoinLateral)
+    qJoinLateral, qMergeUpsert, qScd2History)
 }

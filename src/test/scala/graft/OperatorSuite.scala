@@ -315,6 +315,27 @@ class OperatorSuite extends AnyFunSuite {
     assert(masked > 0, "no small cell exercised the mask at this sf")
   }
 
+  test("merge upsert: all three actions appear, output key is unique") {
+    val rows = graft.queries.Extras.qMergeUpsert.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("action")).toSet ===
+      Set("keep", "insert", "update"))
+    val keys = rows.map(_.getAs[Long]("key"))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("scd2 history: adjacent versions differ, exactly one current row per user") {
+    val rows = graft.queries.Extras.qScd2History.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { vs =>
+      val states = vs.sortBy(_.getAs[Int]("version"))
+        .map(_.getAs[String]("state"))
+      states.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(0) !== p(1), "un-collapsed repeat state")
+      }
+      assert(vs.count(_.getAs[Boolean]("is_current")) === 1)
+    }
+  }
+
   // ------------------------------------- streaming↔batch equivalence
 
   test("streaming tumbling window equals batch aggregation") {

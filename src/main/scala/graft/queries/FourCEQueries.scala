@@ -490,8 +490,44 @@ object FourCEQueries {
          |FROM (SELECT DISTINCT patient_num FROM cohort)
          |ORDER BY patient_num""".stripMargin))
 
+  /** LocalPatientSummary: one row per cohort patient — admission,
+    * hospital-day total (= the count of distinct hospitalized days,
+    * re-derived independently here rather than via the per-day file),
+    * last hospital date, severity, death, demographics. */
+  val qFourcePatientSummary = Q("q_fource_patient_summary",
+    (spark, sfDir) =>
+      FourCE.patientSummary(cohortDf(spark, sfDir),
+        visits(spark, sfDir), patients(spark, sfDir), cfg),
+    Some(
+      s"""$fourceCohortCte, $patientDaysCte, hs AS (
+         |  SELECT patient_num, count(*) AS ndays,
+         |         max(calendar_date) AS lastd
+         |  FROM hosp GROUP BY 1
+         |), pat AS (
+         |  SELECT c_custkey AS patient_num,
+         |         CASE WHEN c_custkey % 2 = 0 THEN 'female'
+         |              ELSE 'male' END AS sex_cd,
+         |         c_custkey % 80 + 10 AS age
+         |  FROM customer
+         |)
+         |SELECT 'site' AS siteid, c.patient_num, c.admission_date,
+         |       COALESCE(hs.ndays, 0) AS num_days_in_hospital,
+         |       hs.lastd AS last_hospital_date,
+         |       c.severe, c.severe_date,
+         |       0 AS deceased, CAST(NULL AS TIMESTAMP) AS death_date,
+         |       p.sex_cd AS sex,
+         |       CASE WHEN p.age < 21 THEN '00to20'
+         |            WHEN p.age < 46 THEN '21to45'
+         |            WHEN p.age < 66 THEN '46to65'
+         |            ELSE '66plus' END AS age_group,
+         |       '-999' AS race
+         |FROM cohort c
+         |LEFT JOIN hs ON c.patient_num = hs.patient_num
+         |JOIN pat p ON c.patient_num = p.patient_num
+         |ORDER BY c.patient_num""".stripMargin))
+
   val all: Seq[Q] = Seq(qFourceDemographics, qFourceLabs,
     qFourceClinicalCourse, qFourceDailyCounts, qFourceDiagnoses,
     qFourceMedications, qFourceDemographicsObf, qFourcePatientCourse,
-    qFourcePatientObs, qFourcePatientMapping)
+    qFourcePatientObs, qFourcePatientMapping, qFourcePatientSummary)
 }

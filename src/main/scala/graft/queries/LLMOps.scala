@@ -996,10 +996,65 @@ object LLMOps {
            |      FROM embeddings) u
            |GROUP BY label, i ORDER BY label, dim""".stripMargin))
 
+  // ------------------------------------- end-to-end corpus pipeline
+  /** The training-data pipeline COMPOSED: quality-filter → exact-dedup
+    * (keep the min-doc_id representative per identical text) →
+    * leakage-safe fold assignment, in one declarative plan — the
+    * shape a real corpus build runs nightly, proving the stages
+    * compose without materialization barriers. One shuffle for the
+    * dedup window (partitioned by the text hash at scale — here the
+    * fixture's text column directly mirrors the oracle's GROUP BY) and
+    * everything else row-local. The 0.5 quality threshold keeps ~55%
+    * and drops ~45% at every sf, so the filter is never vacuous; both
+    * engines compute the score with identical double operand order, so
+    * the boundary comparison agrees bit-for-bit. */
+  val qPipelineCorpus = Q("q_pipeline_corpus",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val scored = docs(spark, sfDir)
+        .select($"doc_id", $"source", $"text",
+          split(trim($"text"), " ").as("ws"))
+        .select($"doc_id", $"source", $"text",
+          (size(array_distinct($"ws")) / size($"ws").cast("double")
+            * 0.5 +
+            least(size($"ws").cast("double") / 100.0, lit(1.0)) * 0.5)
+            .as("quality"))
+        .filter($"quality" >= 0.5)
+      val wDedup = Window.partitionBy(sha2($"text", 256))
+        .orderBy($"doc_id")
+      scored
+        .withColumn("rn", row_number().over(wDedup))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"source",
+          when(charFold($"source") * 2654435761L % 2147483648L % 100L
+            < 80, "train").otherwise("test").as("fold"),
+          round($"quality", 6).as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH b AS (
+            |  SELECT doc_id, source, text,
+            |    (len(list_distinct(string_split(trim(text), ' ')))
+            |       * 1.0 / len(string_split(trim(text), ' '))) * 0.5 +
+            |    least(len(string_split(trim(text), ' ')) * 1.0 / 100,
+            |      1.0) * 0.5 AS quality
+            |  FROM documents
+            |), q AS (
+            |  SELECT * FROM b WHERE quality >= 0.5
+            |), k AS (
+            |  SELECT *, row_number() OVER (PARTITION BY text
+            |    ORDER BY doc_id) AS rn FROM q
+            |)
+            |SELECT doc_id, source,
+            |  CASE WHEN ${charFoldSql("source")}
+            |      * 2654435761 % 2147483648 % 100 < 80
+            |    THEN 'train' ELSE 'test' END AS fold,
+            |  round(quality, 6) AS quality
+            |FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupEmbed, qSimCosineTopk,
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qLangId,
     qQualityScore, qTokenCount, qFingerprint, qSplitGroup, qUdfNorm,
-    qUdafCentroid)
+    qUdafCentroid, qPipelineCorpus)
 }

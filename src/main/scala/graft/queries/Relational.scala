@@ -402,8 +402,46 @@ object Relational {
            |FROM nation JOIN region ON n_regionkey = r_regionkey
            |ORDER BY line""".stripMargin))
 
+  /** U1b: union across DRIFTED schemas — the append every long-lived
+    * pipeline eventually needs when an extract gains a column.
+    * `unionByName(allowMissingColumns = true)` aligns by NAME (plain
+    * UNION ALL is positional and would silently mis-align) and
+    * null-fills the column the old extract lacks; DuckDB's
+    * `UNION ALL BY NAME` is the oracle's exact counterpart. Both
+    * "versions" scan with their own pushed filter and pruned schema —
+    * drift handling costs no extra shuffle. */
+  val qSetUnionByName = Q("q_set_union_by_name",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+      val v1 = o.filter(year($"o_orderdate") < 1996)
+        .select($"o_orderkey", $"o_totalprice")
+      val v2 = o.filter(year($"o_orderdate") >= 1996)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(coalesce($"o_orderpriority", lit("unknown"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice".cast("decimal(18,6)")), 6)
+            .cast("double").as("total"))
+        .orderBy($"priority")
+    },
+    Some("""WITH u AS (
+           |  SELECT o_orderkey, o_totalprice FROM orders
+           |  WHERE year(o_orderdate) < 1996
+           |  UNION ALL BY NAME
+           |  SELECT o_orderkey, o_totalprice, o_orderpriority
+           |  FROM orders WHERE year(o_orderdate) >= 1996
+           |)
+           |SELECT COALESCE(o_orderpriority, 'unknown') AS priority,
+           |       count(*) AS n,
+           |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),
+           |         6) AS DOUBLE) AS total
+           |FROM u GROUP BY 1 ORDER BY priority""".stripMargin))
+
   val all: Seq[Q] = Seq(qScanFilterIn, qFilterLike, qJoinInnerEqui,
     qJoinBroadcastDim, qJoinLeftOuter, qJoinFullOuter, qJoinSemi,
     qJoinAnti, qJoinRange, qJoinAsof, qJoinStar, qDistinct, qSortOutput,
-    qTopk, qSetUnionAll, qSetIntersect, qSetExcept, qOutputConcat)
+    qTopk, qSetUnionAll, qSetIntersect, qSetExcept, qSetUnionByName,
+    qOutputConcat)
 }

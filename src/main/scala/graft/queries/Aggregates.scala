@@ -338,8 +338,94 @@ object Aggregates {
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 
+  /** W2c: frame-navigation window values — first_value / last_value /
+    * nth_value over the FULL partition frame (UNBOUNDED..UNBOUNDED;
+    * last_value under the default frame is the current row, the
+    * classic silent bug — the explicit frame is the point). Per
+    * customer: first, latest and second order price by order date.
+    * Same single-shuffle Window shape as q_window_rank. */
+  val qWindowFirstLast = Q("q_window_first_last",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val frame = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_totalprice").over(frame).as("first_price"),
+          last($"o_totalprice").over(frame).as("last_price"),
+          nth_value($"o_totalprice", 2).over(frame).as("second_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |       first_value(o_totalprice) OVER w AS first_price,
+           |       last_value(o_totalprice) OVER w AS last_price,
+           |       nth_value(o_totalprice, 2) OVER w AS second_price
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey
+           |             ORDER BY o_orderdate, o_orderkey
+           |             ROWS BETWEEN UNBOUNDED PRECEDING
+           |               AND UNBOUNDED FOLLOWING)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** A3c: bivariate statistics per group — corr / covar_samp /
+    * covar_pop (the lab-value-vs-severity association summaries a 4CE
+    * analysis runs). Both engines use the co-moment formulation;
+    * 6-dp rounding absorbs partial-aggregation float drift, same as
+    * the stddev family in q_agg_stats. */
+  val qAggCorr = Q("q_agg_corr",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 6)
+            .as("corr_qty_price"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 6)
+            .as("covar_s"),
+          round(covar_pop($"l_quantity", $"l_extendedprice"), 6)
+            .as("covar_p"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |       round(corr(l_quantity, l_extendedprice), 6)
+           |         AS corr_qty_price,
+           |       round(covar_samp(l_quantity, l_extendedprice), 6)
+           |         AS covar_s,
+           |       round(covar_pop(l_quantity, l_extendedprice), 6)
+           |         AS covar_p
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
+  /** A8: array aggregation with a DETERMINISTIC order — collect_list
+    * alone is partition-order-dependent (a silent flake at scale), so
+    * the list is sorted then joined to a string, which also sidesteps
+    * engine array-rendering differences in the comparator. Small
+    * groups only (≤ a few hundred elements); an unbounded collect is
+    * an anti-pattern at 100 TB — aggregate instead. */
+  val qAggCollect = Q("q_agg_collect",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .filter($"o_custkey" < 50)
+        .groupBy($"o_custkey")
+        .agg(
+          concat_ws(",", transform(sort_array(collect_list($"o_orderkey")),
+            x => x.cast("string"))).as("orderkeys"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey,
+           |       array_to_string(list_transform(
+           |         list_sort(list(o_orderkey)),
+           |         x -> CAST(x AS VARCHAR)), ',') AS orderkeys,
+           |       count(*) AS n
+           |FROM orders WHERE o_custkey < 50
+           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
-    qAggPercentile)
+    qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect)
 }

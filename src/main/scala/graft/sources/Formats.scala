@@ -51,6 +51,12 @@ object Formats {
   /** JSON-lines sink + source round-trip. */
   val qSourceJson = roundtrip("json")
 
+  /** ORC sink + source round-trip (the other columnar format Spark
+    * bundles natively — common as the i2b2-site export format on
+    * Hive-era warehouses). The oracle reads the original parquet, so
+    * the check is format-independent. */
+  val qSourceOrc = roundtrip("orc")
+
   /** 100 TB variants (SURVEY.md §2.4 note): HyperLogLog++ distinct and
     * quantile sketches — sketch implementations are engine-specific, so
     * no DuckDB oracle (driver records rows>0); accuracy is asserted
@@ -103,6 +109,6 @@ object Formats {
            |FROM events WHERE event_type IN ('click', 'error')
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qAggApprox,
+  val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qAggApprox,
     qSourcePartitioned)
 }

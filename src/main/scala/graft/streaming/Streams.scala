@@ -280,6 +280,67 @@ object Streams {
     * equi key user_id carried). Watermarks on both sides bound the join
     * state; on the finite fixture the converged result equals the batch
     * join, which the oracle computes. */
+  /** T7b: stream-stream LEFT OUTER interval join — the "signup with no
+    * purchase in the window" alerting shape. Matched pairs emit
+    * immediately; a null-extended left row emits only when the global
+    * watermark (min over both inputs' max(ts) − delay) passes the END
+    * of its join window, i.e. the no-data micro-batch after the file
+    * batch evicts closed-window state. The oracle replicates exactly
+    * that emission subset: matched pairs plus unmatched signups whose
+    * s_ts + window < least(max(signup ts), max(purchase ts)) − 1 h —
+    * signups whose window is still open at end-of-stream are
+    * correctly ABSENT from both sides. A 3-day window keeps the
+    * expired-unmatched class non-empty at every sf (34/516/4754). */
+  val qStreamJoinOuter = Q("q_stream_join_outer",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.readStream(spark, sfDir, "events")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = signups.join(purchases,
+        $"s_user" === $"p_user" &&
+          $"p_ts" > $"s_ts" &&
+          $"p_ts" <= $"s_ts" + expr("INTERVAL 3 DAYS"),
+        "left_outer")
+      val out = runToTable(spark, joined, "t_join_outer", "append")
+      out.groupBy($"s_user".as("user_id"))
+        .agg(count($"p_ts").as("n_matched"),
+          count(when($"p_ts".isNull, 1)).as("n_expired"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           |  FROM events
+           |), s AS (
+           |  SELECT user_id, ts FROM ev WHERE event_type = 'signup'
+           |), p AS (
+           |  SELECT user_id, ts FROM ev WHERE event_type = 'purchase'
+           |), wm AS (
+           |  SELECT least((SELECT max(ts) FROM s),
+           |               (SELECT max(ts) FROM p))
+           |         - INTERVAL 1 HOUR AS w
+           |), m AS (
+           |  SELECT s.user_id, 1 AS matched
+           |  FROM s JOIN p ON p.user_id = s.user_id
+           |   AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 3 DAY
+           |), un AS (
+           |  SELECT s.user_id, 0 AS matched FROM s, wm
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM p WHERE p.user_id = s.user_id
+           |     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 3 DAY)
+           |   AND s.ts + INTERVAL 3 DAY < wm.w
+           |), allr AS (
+           |  SELECT * FROM m UNION ALL SELECT * FROM un
+           |)
+           |SELECT user_id,
+           |       count(CASE WHEN matched = 1 THEN 1 END) AS n_matched,
+           |       count(CASE WHEN matched = 0 THEN 1 END) AS n_expired
+           |FROM allr GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val qStreamJoin = Q("q_stream_join",
     (spark, sfDir) => {
       import spark.implicits._
@@ -311,5 +372,6 @@ object Streams {
            |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
-    qStreamWatermark, qStreamDedup, qStreamState, qStreamTws, qStreamJoin)
+    qStreamWatermark, qStreamDedup, qStreamState, qStreamTws, qStreamJoin,
+    qStreamJoinOuter)
 }

@@ -94,5 +94,8 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CharFoldExpr].getName, "char_fold"),
       (children: Seq[Expression]) => CharFoldExpr(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
+    // whole-operator extension (SURVEY §4.2 rung c): plans the
+    // TopKPerKey logical node as a bounded-heap physical operator
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -204,6 +204,36 @@ object Scale {
            |    AS sum_value
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
+  /** O2b/§4.2(c): top-k PER KEY through the custom whole-operator
+    * machinery — graft.plans.TopKPerKey (logical node → injected
+    * planner strategy → bounded-heap physical operator). Unlike the
+    * Window form (Exchange → FULL Sort → Window → Filter) the custom
+    * plan is Exchange → TopKPerKeyExec: one k-heap per key, no
+    * partition sort, O(n log k) comparisons — the shape that wins at
+    * 100 TB for small k. The (o_totalprice DESC, o_orderkey ASC)
+    * order is total, so the kept SET is engine-independent and the
+    * row_number oracle reproduces it exactly. PlanSuite locks
+    * TopKPerKeyExec present + Window absent. */
+  val qTopkPerKey = Q("q_topk_per_key",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      graft.plans.TopKPerKey.of(o,
+          partitionCols = Seq("o_orderpriority"),
+          orderCol = "o_totalprice", desc = true,
+          tiebreak = "o_orderkey", k = 3)
+        .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice
+           |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+           |        row_number() OVER (PARTITION BY o_orderpriority
+           |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |      FROM orders)
+           |WHERE rn <= 3
+           |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qJoinRangeBinned, qWindowRangeFrame, qAggRollup,
-    qStreamStatic, qSinkForeach)
+    qStreamStatic, qSinkForeach, qTopkPerKey)
 }

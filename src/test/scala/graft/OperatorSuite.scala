@@ -336,6 +336,25 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("TopKPerKey equals the Window row_number form exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.read(spark, sf, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    val custom = graft.plans.TopKPerKey.of(o,
+        Seq("o_orderpriority"), "o_totalprice", desc = true,
+        tiebreak = "o_orderkey", k = 3)
+      .select($"o_orderpriority", $"o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val window = o.withColumn("rn", row_number().over(
+        Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")))
+      .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(custom === window)
+    assert(custom.size === 15) // 5 priorities × k=3
+  }
+
   // ------------------------------------- streaming↔batch equivalence
 
   test("streaming tumbling window equals batch aggregation") {

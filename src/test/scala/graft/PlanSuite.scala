@@ -103,6 +103,20 @@ class PlanSuite extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("custom top-k-per-key plans the bounded-heap operator, never a sort") {
+    val p = plan("q_topk_per_key")
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("TopKPerKey ["),
+      "the injected strategy must plan the custom physical operator")
+    assert(!p.contains("Window"),
+      "custom plan must not fall back to the Window form")
+    // the only Sort allowed is the final presentation orderBy ABOVE the
+    // operator — below it the whole point is that no partition sort runs
+    val belowOp = p.substring(p.indexOf("TopKPerKey ["))
+    assert(!belowOp.contains("Sort "),
+      "no sort may run below TopKPerKeyExec")
+  }
+
   test("partitioned roundtrip prunes partitions at planning time") {
     val p = plan("q_source_partitioned_roundtrip")
     assert("PartitionFilters: \\[[^\\]]*event_type".r

@@ -75,6 +75,25 @@ object HashProps extends Properties("graft") {
       naive == binned
     }
 
+  property("TopKPerKey keeps exactly the window-rank top-k on random data") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(-50, 50))),
+      Gen.choose(1, 4)) { (rows, k) =>
+      // unique id per row = total order, so the kept SET is unique
+      val df = rows.zipWithIndex
+        .map { case ((key, v), id) => (key.toLong, v.toLong, id.toLong) }
+        .toDF("key", "v", "id")
+      val custom = graft.plans.TopKPerKey
+        .of(df, Seq("key"), "v", desc = true, tiebreak = "id", k = k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = rows.zipWithIndex
+        .map { case ((key, v), id) => (key, v, id) }
+        .groupBy(_._1).values.flatMap(g =>
+          g.sortBy(t => (-t._2, t._3)).take(k).map(_._3.toLong))
+        .toSet
+      custom == expected
+    }
+
   property("cosine of a vector with itself is 1") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-10f, 10f))
       .suchThat(v => v.exists(x => math.abs(x) > 0.1f))) { v =>

@@ -257,6 +257,40 @@ object Extras {
             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             |ORDER BY user_id, version""".stripMargin))
 
+  /** The SQL-TEXT half of the API surface: the same Catalyst pipeline
+    * is reachable through `spark.sql(...)` over registered views — a
+    * user of the reference's SQL scripts can paste dialect-adjusted
+    * SQL instead of learning the DataFrame API, and gets the identical
+    * plan (pushdown, broadcast, two-phase agg all still apply; view
+    * registration is pure metadata, no materialization). */
+  val qSqlSurface = Q("q_sql_surface",
+    (spark, sfDir) => {
+      Seq("orders", "customer", "nation").foreach(t =>
+        Tables.read(spark, sfDir, t)
+          .createOrReplaceTempView(s"v_$t"))
+      spark.sql(
+        """SELECT n.n_name AS nation,
+          |       count(*) AS n_orders,
+          |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))),
+          |         6) AS DOUBLE) AS revenue
+          |FROM v_orders o
+          |JOIN v_customer c ON o.o_custkey = c.c_custkey
+          |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE o.o_orderstatus = 'F'
+          |GROUP BY n.n_name
+          |ORDER BY nation""".stripMargin)
+    },
+    Some("""SELECT n.n_name AS nation,
+           |       count(*) AS n_orders,
+           |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))),
+           |         6) AS DOUBLE) AS revenue
+           |FROM orders o
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |WHERE o.o_orderstatus = 'F'
+           |GROUP BY n.n_name
+           |ORDER BY nation""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
-    qJoinLateral, qMergeUpsert, qScd2History)
+    qJoinLateral, qMergeUpsert, qScd2History, qSqlSurface)
 }

@@ -439,9 +439,53 @@ object Relational {
            |         6) AS DOUBLE) AS total
            |FROM u GROUP BY 1 ORDER BY priority""".stripMargin))
 
+  /** U2b/U3b: MULTISET set operations — `intersectAll` / `exceptAll`
+    * keep duplicate multiplicity (min / difference of per-row counts),
+    * where the U2/U3 set forms collapse to distinct rows. The
+    * post-aggregation makes multiplicity visible in the output (the
+    * per-key counts differ from what the set forms would give) and
+    * keeps the result compact and totally ordered. Spark plans these
+    * as an aggregate-join-generate (sum of signed counts → replicate),
+    * all shuffle-on-key — no sort, scale-safe. */
+  val qSetExceptAll = Q("q_set_except_all",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val l = Tables.read(spark, sfDir, "lineitem")
+      val a = l.filter($"l_returnflag" === "A").select($"l_partkey")
+      val r = l.filter($"l_returnflag" === "R").select($"l_partkey")
+      a.exceptAll(r)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_surplus"))
+        .orderBy($"l_partkey")
+    },
+    Some("""SELECT l_partkey, count(*) AS n_surplus
+           |FROM (
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+           |  EXCEPT ALL
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+           |)
+           |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
+
+  val qSetIntersectAll = Q("q_set_intersect_all",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val l = Tables.read(spark, sfDir, "lineitem")
+      val a = l.filter($"l_returnflag" === "A").select($"l_partkey")
+      val r = l.filter($"l_returnflag" === "R").select($"l_partkey")
+      a.intersectAll(r)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_common"))
+        .orderBy($"l_partkey")
+    },
+    Some("""SELECT l_partkey, count(*) AS n_common
+           |FROM (
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+           |  INTERSECT ALL
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+           |)
+           |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qScanFilterIn, qFilterLike, qJoinInnerEqui,
     qJoinBroadcastDim, qJoinLeftOuter, qJoinFullOuter, qJoinSemi,
     qJoinAnti, qJoinRange, qJoinAsof, qJoinStar, qDistinct, qSortOutput,
     qTopk, qSetUnionAll, qSetIntersect, qSetExcept, qSetUnionByName,
-    qOutputConcat)
+    qSetExceptAll, qSetIntersectAll, qOutputConcat)
 }

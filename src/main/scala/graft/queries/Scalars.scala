@@ -177,6 +177,34 @@ object Scalars {
            |       regexp_matches(c_name, '[02468]$') AS id_even
            |FROM customer ORDER BY c_custkey""".stripMargin))
 
+  /** F4b: ANSI-safe scalar error handling — Spark 4 runs ANSI mode by
+    * default, where a bad cast or division-by-zero THROWS; `try_cast`
+    * and `try_divide` are the per-expression escape hatch that returns
+    * NULL instead (the dirty-data posture every 100 TB ingest needs —
+    * one malformed row must not kill a 6-hour job). Both null classes
+    * are non-empty at every sf (p_type never parses; p_size = 11 rows
+    * make the divisor zero: 2/45/376 rows). DuckDB: TRY_CAST is 1:1;
+    * try_divide is expressed as the equivalent NULLIF guard. */
+  val qScalarTry = Q("q_scalar_try",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "part")
+        .select($"p_partkey",
+          expr("try_cast(substring(p_brand, 7) AS INT)")
+            .as("brand_num"),
+          expr("try_cast(p_type AS INT)").as("type_num"),
+          round(expr("try_divide(p_retailprice, p_size - 11)"), 6)
+            .as("price_per"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |       TRY_CAST(substring(p_brand, 7) AS INTEGER)
+           |         AS brand_num,
+           |       TRY_CAST(p_type AS INTEGER) AS type_num,
+           |       round(p_retailprice / NULLIF(p_size - 11, 0), 6)
+           |         AS price_per
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
-    qScalarCase, qScalarJson, qArrayHof, qScalarRegex)
+    qScalarCase, qScalarJson, qArrayHof, qScalarRegex, qScalarTry)
 }

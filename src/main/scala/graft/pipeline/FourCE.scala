@@ -541,7 +541,8 @@ object FourCE {
     * text field per row. */
   def concatColumns(df: DataFrame, sep: String = "|"): DataFrame =
     df.select(concat_ws(sep,
-      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      df.columns.toIndexedSeq
+        .map(c => coalesce(col(c).cast("string"), lit(""))): _*)
       .as("line"))
 
   /** Phase 2 — LocalPatientMapping.csv: patient_num ↔ study_num

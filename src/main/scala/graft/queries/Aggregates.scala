@@ -424,8 +424,39 @@ object Aggregates {
            |FROM orders WHERE o_custkey < 50
            |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
 
+  /** A9: boolean and bitwise aggregates — bool_and / bool_or (the
+    * every/any per-group predicates a QC stage runs) and count_if,
+    * plus bit_or folding per-row flags into a group bitmask (the
+    * compact "which event types did this user ever produce" encoding).
+    * All are plain partial-aggregable functions — map-side combine,
+    * one shuffle. */
+  val qAggBoolBit = Q("q_agg_bool_bit",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          bool_and($"o_totalprice" > 1000).as("all_over_1k"),
+          bool_or($"o_totalprice" > 400000).as("any_over_400k"),
+          count_if($"o_orderstatus" === "F").as("n_finished"),
+          bit_or(
+            when($"o_orderstatus" === "F", 1)
+              .when($"o_orderstatus" === "O", 2)
+              .otherwise(4)).as("status_mask"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |       bool_and(o_totalprice > 1000) AS all_over_1k,
+           |       bool_or(o_totalprice > 400000) AS any_over_400k,
+           |       count_if(o_orderstatus = 'F') AS n_finished,
+           |       bit_or(CASE WHEN o_orderstatus = 'F' THEN 1
+           |                   WHEN o_orderstatus = 'O' THEN 2
+           |                   ELSE 4 END) AS status_mask
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
-    qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect)
+    qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit)
 }

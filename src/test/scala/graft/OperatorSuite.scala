@@ -336,6 +336,36 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("exceptAll surplus equals the per-key count difference") {
+    val l = Tables.read(spark, sf, "lineitem")
+    def cnt(flag: String) = l.filter($"l_returnflag" === flag)
+      .groupBy($"l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = cnt("A"); val r = cnt("R")
+    val surplus = Relational.qSetExceptAll.fn(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val expected = a.map { case (k, n) =>
+      k -> math.max(0L, n - r.getOrElse(k, 0L)) }.filter(_._2 > 0)
+    assert(surplus === expected)
+  }
+
+  test("try_cast family: failing class all-null, succeeding class never") {
+    val rows = graft.queries.Scalars.qScalarTry.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.isNullAt(2)), "p_type must never parse as INT")
+    assert(rows.forall(!_.isNullAt(1)), "brand digit must always parse")
+    assert(rows.exists(_.isNullAt(3)), "p_size=11 rows must null divide")
+    assert(rows.exists(!_.isNullAt(3)), "non-zero divisors must divide")
+  }
+
+  test("union-by-name: drifted rows land in the null-filled bucket") {
+    val rows = Relational.qSetUnionByName.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(rows.getOrElse("unknown", 0L) > 0,
+      "old-extract rows must appear with the null-filled column")
+    assert(rows.size > 1, "new-extract priorities must also appear")
+  }
+
   test("TopKPerKey equals the Window row_number form exactly") {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.read(spark, sf, "orders")

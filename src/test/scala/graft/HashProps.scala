@@ -94,6 +94,22 @@ object HashProps extends Properties("graft") {
       custom == expected
     }
 
+  property("portable-blur obfuscation: -99 xor within ±blur, mask wins") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 40L), asciiWord))) { rows =>
+      import graft.pipeline.{FourCE, FourCEConfig}
+      val cfg = FourCEConfig(blur = 2, maskThreshold = 10,
+        portableBlur = true)
+      val out = rows.toDF("n", "key")
+        .select(col("n"),
+          FourCE.obfuscate(col("n"), col("key"), cfg).as("o"))
+        .collect()
+      out.forall { r =>
+        val (n, o) = (r.getLong(0), r.getLong(1))
+        if (n < 10) o == -99L else math.abs(o - n) <= 2
+      }
+    }
+
   property("cosine of a vector with itself is 1") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-10f, 10f))
       .suchThat(v => v.exists(x => math.abs(x) > 0.1f))) { v =>

@@ -366,6 +366,23 @@ class OperatorSuite extends AnyFunSuite {
     assert(rows.size > 1, "new-extract priorities must also appear")
   }
 
+  test("TopKPerKey edge cases: empty input; k larger than any group") {
+    val empty = Tables.read(spark, sf, "orders")
+      .filter(lit(false))
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    assert(graft.plans.TopKPerKey.of(empty, Seq("o_orderpriority"),
+      "o_totalprice", desc = true, tiebreak = "o_orderkey",
+      k = 3).count() === 0L)
+    // k ≥ group size degrades to identity (every row kept)
+    val o = Tables.read(spark, sf, "orders")
+      .filter($"o_custkey" < 5)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val kept = graft.plans.TopKPerKey.of(o, Seq("o_custkey"),
+      "o_totalprice", desc = true, tiebreak = "o_orderkey",
+      k = 1000000)
+    assert(kept.count() === o.count())
+  }
+
   test("TopKPerKey equals the Window row_number form exactly") {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.read(spark, sf, "orders")

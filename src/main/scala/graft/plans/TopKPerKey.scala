@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
   UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution}
+  ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
   UnaryExecNode}
 
@@ -30,9 +30,24 @@ import scala.collection.mutable
   * before it can number rows; this operator holds one bounded k-heap
   * per key and never sorts beyond it — O(n log k) comparisons, O(keys·k)
   * memory, no sort spill. At 100 TB with small k the eliminated
-  * per-partition sort is the dominant cost. The shuffle on the keys
-  * (ClusteredDistribution) is still required and still AQE-managed;
-  * only the sort disappears. */
+  * per-partition sort is the dominant cost.
+  *
+  * The strategy plans the operator TWO-PHASE, mirroring partial/final
+  * aggregation (and Spark's own WindowGroupLimit): a map-side partial
+  * pass runs the same bounded-heap pruning on each input partition
+  * BEFORE the key exchange, so at most `map-partitions · keys · k`
+  * rows cross the network instead of the full child output; the final
+  * pass after the exchange merges the survivors. Top-k per key is
+  * decomposable (the global top-k of a key is contained in the union
+  * of per-partition top-k's), so the split is exact.
+  *
+  * Memory bound (cf. round-5 advisory): each pass holds O(distinct
+  * keys in its partition · k) rows in an in-heap HashMap with no spill
+  * path. That is the right trade for the dimension-like key domains
+  * this operator targets (≲ a few million keys·k rows per executor at
+  * production heap sizes). For key domains approaching the row count —
+  * where top-k-per-key degenerates toward identity anyway — use the
+  * Window `row_number` form instead: it sorts, but the sort spills. */
 case class TopKPerKey(partitionExprs: Seq[Expression],
     order: Seq[SortOrder], k: Int, child: LogicalPlan)
   extends UnaryNode {
@@ -46,23 +61,33 @@ case class TopKPerKey(partitionExprs: Seq[Expression],
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(p, o, k, child) =>
-      TopKPerKeyExec(p, o, k, planLater(child)) :: Nil
+      // final above the (EnsureRequirements-inserted) exchange,
+      // partial below it — the partial declares no distribution
+      // requirement, so it stays map-side
+      TopKPerKeyExec(p, o, k, partial = false,
+        TopKPerKeyExec(p, o, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(partitionExprs: Seq[Expression],
-    order: Seq[SortOrder], k: Int, child: SparkPlan)
+    order: Seq[SortOrder], k: Int, partial: Boolean, child: SparkPlan)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Rows sharing a key must meet in one partition; the planner
-    * inserts the hash Exchange (and AQE coalesces it) exactly as for
-    * an aggregate — no sort requirement is declared, which is the
-    * whole point. */
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  /** Final pass: rows sharing a key must meet in one partition; the
+    * planner inserts the hash Exchange (and AQE coalesces it) exactly
+    * as for an aggregate — no sort requirement is declared, which is
+    * the whole point. Partial pass: runs on whatever partitioning the
+    * child already has (map-side), requiring nothing. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(partitionExprs) :: Nil
+    (if (partial) UnspecifiedDistribution
+     else ClusteredDistribution(partitionExprs)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -101,10 +126,18 @@ object TopKPerKey {
   def of(df: DataFrame, partitionCols: Seq[String], orderCol: String,
       desc: Boolean, tiebreak: String, k: Int): DataFrame = {
     val plan = df.queryExecution.analyzed
-    def attr(name: String): Attribute = plan.output
-      .find(_.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $name not in ${plan.output.map(_.name)}"))
+    // resolve with the session's resolver (case-insensitive by
+    // default, matching DataFrame.col) and reject ambiguity instead
+    // of silently taking the first duplicate
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    def attr(name: String): Attribute =
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name)}")
+        case dups => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${dups.map(_.name)}")
+      }
     val order = Seq(
       SortOrder(attr(orderCol), if (desc) Descending else Ascending),
       SortOrder(attr(tiebreak), Ascending))

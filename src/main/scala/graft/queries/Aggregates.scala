@@ -448,7 +448,7 @@ object Aggregates {
     Some("""SELECT o_orderpriority,
            |       bool_and(o_totalprice > 1000) AS all_over_1k,
            |       bool_or(o_totalprice > 400000) AS any_over_400k,
-           |       count_if(o_orderstatus = 'F') AS n_finished,
+           |       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
            |       bit_or(CASE WHEN o_orderstatus = 'F' THEN 1
            |                   WHEN o_orderstatus = 'O' THEN 2
            |                   ELSE 4 END) AS status_mask

@@ -32,11 +32,14 @@ case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
   *    bucket). This is the banded-LSH plan shape that survives 1000
   *    executors — candidate generation is a shuffle on small keys,
   *    verification touches only candidate pairs.
-  *  - Hot buckets (skew) are dropped by a bucket-size cap (2..50 docs),
-  *    the standard LSH frequent-band guard — on this harness's tiny
-  *    31-word vocabulary the cap discards nothing at oracle scale
-  *    (max bucket 39 at sf0.01) and prevents the quadratic blowup at
-  *    sf0.1+ (max bucket 303 → 2.6M uncapped vs 102k capped pairs).
+  *  - Hot buckets (skew) are dropped by a bucket-size cap (>50 docs),
+  *    the standard LSH frequent-band guard, applied as a groupBy-count
+  *    → broadcast anti-join of the tiny over-cap set (never a windowed
+  *    count, which would buffer the hot bucket on one task first) — on
+  *    this harness's tiny 31-word vocabulary the cap discards nothing
+  *    at oracle scale (max bucket 39 at sf0.01) and prevents the
+  *    quadratic blowup at sf0.1+ (max bucket 303 → 2.6M uncapped vs
+  *    102k capped pairs).
   *  - Dot products / norms are sequential HOF folds (deterministic
   *    order, retry-safe), not groupBy-sums over exploded dimensions.
   */
@@ -92,7 +95,7 @@ object LLMOps {
     * array_intersect variant was measured 2.8× SLOWER at sf0.1 —
     * per-pair string-set building beats the join only when candidates
     * are few; the join form also partial-aggregates map-side.) */
-  private def verifyJaccard(spark: SparkSession, sfDir: String,
+  private[graft] def verifyJaccard(spark: SparkSession, sfDir: String,
       cand: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, sfDir)
@@ -165,7 +168,7 @@ object LLMOps {
     * bucket filter) — without the cache the 1M-row shingle aggregation
     * re-runs for each reference (measured ~2× on the whole query at
     * sf0.1); cached it is a ~8·|docs|-row table, negligible memory. */
-  private def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo.cached(spark, s"mh_bands:$sfDir") {
       import spark.implicits._
       val hs = shingles(spark, sfDir)
@@ -188,12 +191,21 @@ object LLMOps {
     (spark, sfDir) => {
       import spark.implicits._
       val bands = minhashBands(spark, sfDir)
-      // bucket-size cap as a windowed count over (band, mv): one shuffle
-      // of the tiny band table instead of a groupBy + re-join
-      val kept = bands
-        .withColumn("bn",
-          count(lit(1)).over(Window.partitionBy($"band", $"mv")))
-        .filter($"bn".between(2, 50)).drop("bn")
+      // hot-bucket cap via the ngram-guard idiom: the over-cap
+      // (band, mv) drop-list is tiny by construction (at most
+      // rows/cap buckets can exceed the cap) → groupBy count (map-side
+      // partial, skew-immune) + broadcast anti-join. The previous
+      // windowed count buffered each hot bucket on ONE task before the
+      // filter could drop it — exactly the skew the cap exists to
+      // kill. The old 2-row floor needs no filter at all: a singleton
+      // bucket cannot produce an a.doc_id < b.doc_id pair, so letting
+      // it flow into the self-join leaves the result identical
+      // (OperatorSuite asserts bit-equality with the windowed form).
+      val hot = bands.groupBy($"band", $"mv")
+        .agg(count(lit(1)).as("bn"))
+        .filter($"bn" > 50)
+        .select($"band", $"mv")
+      val kept = bands.join(broadcast(hot), Seq("band", "mv"), "left_anti")
       val cand = kept.as("a")
         .join(kept.as("b"), $"a.band" === $"b.band" &&
           $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
@@ -379,7 +391,13 @@ object LLMOps {
     *    doubling step of distributed CC (cf. the large-star/small-star
     *    family): rounds drop from O(diameter) to O(log diameter), and
     *    on a 1000-executor cluster rounds are the scarce resource —
-    *    each is a full shuffle barrier. */
+    *    each is a full shuffle barrier.
+    * Each round unpersists the previous round's checkpoint blocks once
+    * the next round is eagerly materialized, so executor storage stays
+    * O(1) in iteration count. `localCheckpoint` trades fault tolerance
+    * for speed (blocks are not replicated; losing an executor kills
+    * the job) — a long-running production job on a real cluster should
+    * use reliable `checkpoint` with a checkpoint dir instead. */
   private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo.cached(spark, s"ngram_cluster_labels:$sfDir") {
       import spark.implicits._
@@ -411,6 +429,9 @@ object LLMOps {
         val s = labelSum(next)
         converged = s == prevSum
         prevSum = s
+        // next is already materialized (eager checkpoint + labelSum),
+        // so the previous round's blocks can never be re-read
+        labels.unpersist(blocking = false)
         labels = next
         iter += 1
       }

@@ -74,6 +74,14 @@ object StreamRun {
     spark.conf.getOption("graft.stream.statePartitions")
       .map(_.toInt).getOrElse(8)
 
+  /** Runs `df` to a memory-sink table and returns it. NOTE: the
+    * shuffle-partition override below mutates the session-global conf
+    * for the duration of the stream (restored in `finally`) — the
+    * streaming plan is built against `df`'s own session, so a cloned
+    * `newSession` could not govern it. This assumes no concurrent
+    * query planning on the same session (true for the sequential
+    * Verify/Bench harness); a multi-tenant caller should pass a
+    * dedicated session per stream. */
   def toTable(spark: SparkSession, df: DataFrame,
       base: String, mode: String): DataFrame = {
     val name = s"${base}_${runId.incrementAndGet()}"

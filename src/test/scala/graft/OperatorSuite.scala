@@ -240,6 +240,30 @@ class OperatorSuite extends AnyFunSuite {
     assert(guarded === unguarded)
   }
 
+  test("minhash hot-bucket anti-join guard equals the windowed 2..50 cap") {
+    // the guard drops only >50 buckets; singletons flow through the
+    // self-join but cannot pair with themselves (doc_id < doc_id), so
+    // the anti-join form must equal the old windowed BETWEEN(2,50)
+    // form bit-for-bit
+    import org.apache.spark.sql.expressions.Window
+    val guarded = LLMOps.qDedupMinhash.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bands = LLMOps.minhashBands(spark, sf)
+    val keptW = bands
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy($"band", $"mv")))
+      .filter($"bn".between(2, 50)).drop("bn")
+    val candW = keptW.as("a")
+      .join(keptW.as("b"), $"a.band" === $"b.band" &&
+        $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val windowed = LLMOps.verifyJaccard(spark, sf, candW, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(guarded === windowed)
+  }
+
   test("dedup clusters: pair endpoints agree; representative is its own label") {
     val pairs = LLMOps.qDedupNgramJaccard.fn(spark, sf)
       .select($"d1", $"d2").collect()

@@ -117,6 +117,20 @@ class PlanSuite extends AnyFunSuite {
       "no sort may run below TopKPerKeyExec")
   }
 
+  test("top-k-per-key runs two-phase: map-side partial below the exchange") {
+    val p = plan("q_topk_per_key")
+    val fin = p.indexOf("TopKPerKey [")
+    val part = p.indexOf("TopKPerKeyPartial [")
+    assert(fin >= 0 && part >= 0,
+      "both the final and the map-side partial operator must plan")
+    assert(part > fin, "partial must sit BELOW the final pass")
+    // the key exchange separates them: at most map-partitions·keys·k
+    // rows cross the network, not the full child output
+    val between = p.substring(fin, part)
+    assert(between.contains("Exchange") || between.contains("ShuffleQueryStage"),
+      "the shuffle must run between partial and final, pruned input only")
+  }
+
   test("partitioned roundtrip prunes partitions at planning time") {
     val p = plan("q_source_partitioned_roundtrip")
     assert("PartitionFilters: \\[[^\\]]*event_type".r

@@ -49,10 +49,22 @@ object Jdbc {
   def readPartitionedAuto(spark: SparkSession, url: String,
       table: String, partitionColumn: String, numPartitions: Int,
       props: Map[String, String] = Map.empty): DataFrame = {
+    // the column's stored case depends on how the table was created
+    // (Spark's jdbc writer quotes → lowercase; plain DDL case-folds →
+    // e.g. uppercase on Derby), so an unquoted or naively-quoted
+    // reference can miss it. Resolve the actual stored name from the
+    // table's JDBC schema (one WHERE-1=0 metadata query) and quote
+    // THAT via the url's dialect — the same resolve-then-quote Spark
+    // applies to the range predicates in readPartitioned.
+    val stored = spark.read.jdbc(url, table, toProps(props))
+      .schema.fieldNames
+      .find(_.equalsIgnoreCase(partitionColumn))
+      .getOrElse(partitionColumn)
+    val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(stored)
     val bounds = spark.read
       .jdbc(url,
-        s"(SELECT MIN($partitionColumn) AS lo, MAX($partitionColumn) " +
-          s"AS hi FROM $table) b",
+        s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM $table) b",
         toProps(props))
       .head()
     if (bounds.isNullAt(0)) // empty table: any single partition works

@@ -131,6 +131,16 @@ class PlanSuite extends AnyFunSuite {
       "the shuffle must run between partial and final, pruned input only")
   }
 
+  test("bucketed-table join consumes buckets: no exchange on the join keys") {
+    val p = plan("q_source_bucketed_join")
+    // both sides pre-bucketed on the key → the sort-merge join reads
+    // bucket files directly; the only exchange allowed is the
+    // post-join aggregation's (on o_orderstatus)
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"))
+  }
+
   test("partitioned roundtrip prunes partitions at planning time") {
     val p = plan("q_source_partitioned_roundtrip")
     assert("PartitionFilters: \\[[^\\]]*event_type".r

@@ -1,8 +1,9 @@
 package graft
-/** Benchmark main: times `.count()` per declared query (min of 2 runs —
-  * see inline note) on SPARK_GRAFT_SF_DIR and prints ONE JSON line. A
-  * query that throws is recorded as "err" (not a fake duration — VERDICT
-  * r1 item 2) and the process exits nonzero.
+/** Benchmark main: times `.count()` per declared query (min of 2 runs,
+  * with the FIRST run also recorded as the "cold" column — see inline
+  * notes) on SPARK_GRAFT_SF_DIR and prints ONE JSON line. A query that
+  * throws is recorded as "err" (not a fake duration — VERDICT r1
+  * item 2) and the process exits nonzero.
   *
   * Output contract hardening (round 3, tightened round 4): the harness
   * that invokes this via sbt captures only the LAST 2000 chars of stdout
@@ -50,7 +51,13 @@ object Bench {
     // full-scope)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results: Seq[(String, String, Double)] =
+    // each query also records its FIRST run ("cold": includes memo
+    // builds, side-store loads and first-plan codegen for that query)
+    // alongside the min — the cold column is what a contended or
+    // cache-cold host (the driver environment) actually observes, so
+    // BASELINE.md records both and round artifacts can be judged
+    // against whichever condition they ran under (VERDICT r5 item 8)
+    val results: Seq[(String, String, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
@@ -67,40 +74,45 @@ object Bench {
         }
         val ok = runs.forall(_._1)
         val sec = runs.map(_._2).min
-        (name, if (ok) sec.toString else "\"err\"", if (ok) sec else 0.0)
+        (name, if (ok) sec.toString else "\"err\"", if (ok) sec else 0.0,
+          if (ok) runs.head._2 else 0.0)
       }
     def r2(s: Double): String = BigDecimal(s).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._3).sum
+    val coldTotal = results.map(_._4).sum
     // full-fidelity line for target/bench_full.json (no size limit)
     val full = {
-      val qs = results.map { case (k, v, s) =>
+      val qs = results.map { case (k, v, s, _) =>
         "\"" + k + "\":" + (if (v == "\"err\"") v else s.toString)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val cs = results.map { case (k, v, _, c) =>
+        "\"" + k + "\":" + (if (v == "\"err\"") v else c.toString)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"cold":$cs,"sf":"$sfDir"}"""
     }
     // stdout line under the 1800-char budget: errs first (always), then
     // slowest-first until full; remainder reconciled via others_sec
     val compact = {
       val budget = 1800
       val overhead = // fixed part of the line, with placeholder lengths
-        s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
-      val ordered = results.sortBy { case (_, v, s) =>
+        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
+      val ordered = results.sortBy { case (_, v, s, _) =>
         (if (v == "\"err\"") 0 else 1, -s) // errs first, then slowest
       }
       var used = overhead
-      val picked = ordered.takeWhile { case (k, v, s) =>
+      val picked = ordered.takeWhile { case (k, v, s, _) =>
         val entry = k.length + 4 +
           (if (v == "\"err\"") 5 else r2(s).length)
         if (used + entry <= budget) { used += entry; true } else false
       }
       val pickedNames = picked.map(_._1).toSet
       val othersSec = r2(results.collect {
-        case (k, _, s) if !pickedNames.contains(k) => s }.sum)
-      val qs = picked.sortBy(_._1).map { case (k, v, s) =>
+        case (k, _, s, _) if !pickedNames.contains(k) => s }.sum)
+      val qs = picked.sortBy(_._1).map { case (k, v, s, _) =>
         "\"" + k + "\":" + (if (v == "\"err\"") v else r2(s))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
     }
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")

@@ -982,6 +982,97 @@ object LLMOps {
             |       round(avg(n_chars), 6) AS avg_chars
             |FROM f GROUP BY 1 ORDER BY fold""".stripMargin))
 
+  // ------------------------------------------- stratified down-sample
+  /** Deterministic stratified sampling — corpus REBALANCING, the other
+    * half of the split story: keep 10% of the over-represented class
+    * (`en`) and 50% of everything else, with membership decided by a
+    * portable hash of the row key instead of `rand()`/`sample()` (both
+    * are partitioning-dependent: a retry, an executor loss or a
+    * different file split silently changes the sample — unacceptable
+    * for a training corpus that must be reproducible bit-for-bit).
+    * The hash-threshold form is also embarrassingly parallel: a pure
+    * per-row filter, no shuffle until the summary aggregation, and the
+    * same rows survive on a laptop and a 1000-executor cluster.
+    * Output: per-lang kept counts + length stats. */
+  val qSampleStratified = Q("q_sample_stratified",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val bucket = $"doc_id" * 2654435761L % 2147483648L % 100L
+      val rate = when($"lang" === "en", 10L).otherwise(50L)
+      docs(spark, sfDir)
+        .filter(bucket < rate)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct($"source").as("n_sources"),
+          round(avg($"n_chars"), 6).as("avg_chars"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_kept,
+           |       count(DISTINCT source) AS n_sources,
+           |       round(avg(n_chars), 6) AS avg_chars
+           |FROM documents
+           |WHERE doc_id * 2654435761 % 2147483648 % 100 <
+           |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // ------------------------------------------------------------ TF-IDF
+  /** TF-IDF term ranking: document frequency over the WHOLE corpus,
+    * term frequency per probe document, idf = ln((N+1)/(df+1)), top-3
+    * terms per probe by tf·idf. The df table is vocabulary-sized (a
+    * groupBy with map-side partial counts — at 100 TB it is the ~1e7-row
+    * term dictionary, a plain equi-join target, never broadcast by us;
+    * AQE may at fixture scale). The probe set is bounded (doc_id < 50)
+    * so the windowed ranking is small; the full-corpus pass is the df
+    * aggregation only. Rounded before ranking + term tiebreaker so both
+    * engines pick the same top-3 under float ties. */
+  val qTextTfidf = Q("q_text_tfidf",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tokens = docs(spark, sfDir)
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+      // corpus size as a ONE-row broadcast cross join (the ngram-
+      // jaccard idiom), not a driver-side count() action
+      val nDf = docs(spark, sfDir).agg(count(lit(1)).as("n_docs_total"))
+      val df = tokens.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"))
+      val tf = tokens.filter($"doc_id" < 50)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nDf))
+        .withColumn("tfidf",
+          round($"tf" * log(($"n_docs_total" + 1.0) / ($"df" + 1.0)), 6))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tfidf".desc, $"term")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"tfidf", $"rank")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, w AS term
+           |  FROM (SELECT doc_id,
+           |          unnest(string_split(trim(text), ' ')) AS w
+           |        FROM documents) u
+           |  WHERE w <> ''
+           |), df AS (
+           |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+           |), n AS (SELECT count(*) AS n FROM documents),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM tok
+           |  WHERE doc_id < 50 GROUP BY 1, 2
+           |), scored AS (
+           |  SELECT doc_id, tf.term, tf, df,
+           |         round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+           |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY tfidf DESC, term) AS rank
+           |  FROM scored
+           |)
+           |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
+           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
   // ---------------------------------------------------------------- X6
   /** UDF surface: L2 norm via a Scala UDF (oracle: SQL equivalent). */
   val qUdfNorm = Q("q_udf_norm",
@@ -1075,7 +1166,7 @@ object LLMOps {
   val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupEmbed, qSimCosineTopk,
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
-    qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qLangId,
-    qQualityScore, qTokenCount, qFingerprint, qSplitGroup, qUdfNorm,
-    qUdafCentroid, qPipelineCorpus)
+    qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
+    qLangId, qQualityScore, qTokenCount, qFingerprint, qSplitGroup,
+    qSampleStratified, qUdfNorm, qUdafCentroid, qPipelineCorpus)
 }

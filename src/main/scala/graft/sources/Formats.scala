@@ -31,7 +31,8 @@ object Formats {
       |         AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  private def roundtrip(fmt: String, provider: Option[String] = None) =
+  private def roundtrip(fmt: String, provider: Option[String] = None,
+      options: Map[String, String] = Map.empty) =
     Q(s"q_source_${fmt}_roundtrip",
     (spark, sfDir) => {
       import spark.implicits._
@@ -39,8 +40,8 @@ object Formats {
       val dir = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/$fmt"
       val slimmed = Tables.read(spark, sfDir, "events")
         .select($"event_id", $"user_id", $"event_type", $"value")
-      slimmed.write.mode("overwrite").format(src).save(dir)
-      spark.read.schema(slim).format(src).load(dir)
+      slimmed.write.mode("overwrite").format(src).options(options).save(dir)
+      spark.read.schema(slim).format(src).options(options).load(dir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct($"user_id").as("n_users"),
@@ -71,6 +72,14 @@ object Formats {
     * round-trip fails parity. */
   val qSourceAvro =
     roundtrip("avro", Some("org.apache.spark.sql.avro.AvroFileFormat"))
+
+  /** XML sink + source round-trip — Spark 4 absorbed spark-xml as a
+    * built-in source (service-registered, unlike avro here). The i2b2
+    * ecosystem is XML-heavy (CRC/ONT cell messages), so the format
+    * matters for real sites. `rowTag` names the per-row element on
+    * both sides; the declared read schema avoids the inference scan. */
+  val qSourceXml =
+    roundtrip("xml", None, Map("rowTag" -> "row"))
 
   /** Build-once guards for the side stores the round-trips below read
     * back from (Derby database, bucketed warehouse tables). Keyed on
@@ -223,5 +232,6 @@ object Formats {
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
-    qSourceJdbc, qSourceBucketed, qAggApprox, qSourcePartitioned)
+    qSourceXml, qSourceJdbc, qSourceBucketed, qAggApprox,
+    qSourcePartitioned)
 }

@@ -291,6 +291,115 @@ object Extras {
            |GROUP BY n.n_name
            |ORDER BY nation""".stripMargin))
 
+  /** Conversion funnel (view → click → purchase, 6-hour conversion
+    * windows): each step's entry time is the user's FIRST qualifying
+    * event after the previous step, so the funnel is strictly
+    * sequential — the ClickHouse-`windowFunnel`-class operator, built
+    * from three per-user min-aggregations chained by equi-joins on
+    * `user_id`. Every shuffle in the chain is on the same key, so the
+    * exchanges co-locate and no window function ever sorts the full
+    * event stream. Output is one row of step counts; each step is
+    * non-vacuously smaller than the last at every fixture sf. */
+  val qFunnel = Q("q_funnel",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"event_type", $"ts")
+      val win = expr("INTERVAL 6 HOURS")
+      val tv = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("tv"))
+      val tc = e.filter($"event_type" === "click")
+        .join(tv, Seq("user_id"))
+        .filter($"ts" > $"tv" && $"ts" <= $"tv" + win)
+        .groupBy($"user_id").agg(min($"ts").as("tc"))
+      val tp = e.filter($"event_type" === "purchase")
+        .join(tc, Seq("user_id"))
+        .filter($"ts" > $"tc" && $"ts" <= $"tc" + win)
+        .groupBy($"user_id").agg(min($"ts").as("tp"))
+      tv.join(tc, Seq("user_id"), "left")
+        .join(tp, Seq("user_id"), "left")
+        .agg(count($"tv").as("n_view"),
+          count($"tc").as("n_view_click"),
+          count($"tp").as("n_view_click_purchase"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events
+           |), tv AS (
+           |  SELECT user_id, min(ts) AS tv FROM ev
+           |  WHERE event_type = 'view' GROUP BY 1
+           |), tc AS (
+           |  SELECT e.user_id, min(e.ts) AS tc
+           |  FROM ev e JOIN tv ON e.user_id = tv.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > tv.tv
+           |    AND e.ts <= tv.tv + INTERVAL 6 HOUR
+           |  GROUP BY 1
+           |), tp AS (
+           |  SELECT e.user_id, min(e.ts) AS tp
+           |  FROM ev e JOIN tc ON e.user_id = tc.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > tc.tc
+           |    AND e.ts <= tc.tc + INTERVAL 6 HOUR
+           |  GROUP BY 1
+           |)
+           |SELECT count(tv.tv) AS n_view,
+           |       count(tc.tc) AS n_view_click,
+           |       count(tp.tp) AS n_view_click_purchase
+           |FROM tv
+           |LEFT JOIN tc ON tv.user_id = tc.user_id
+           |LEFT JOIN tp ON tv.user_id = tp.user_id""".stripMargin))
+
+  /** Retention cohorts: users grouped by their first-seen day (anchored
+    * as days since a fixed epoch, not calendar-week truncation — the
+    * anchor sidesteps ISO-week dialect drift), activity bucketed into
+    * week offsets from that first day, retained share = cohort users
+    * active at the offset / cohort size. The cohort-size side of the
+    * final join is cohort-days-sized (tiny at any scale — one row per
+    * distinct first-seen day), so it broadcasts; the heavy work is two
+    * user-keyed aggregations. */
+  val qRetentionCohort = Q("q_retention_cohort",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"ts")
+      val f = e.groupBy($"user_id").agg(min(to_date($"ts")).as("d0"))
+      val act = e.join(f, Seq("user_id"))
+        .select(
+          datediff($"d0", lit("2024-01-01").cast("date"))
+            .cast("long").as("cohort_day"),
+          floor(datediff(to_date($"ts"), $"d0") / 7.0).as("week_offset"),
+          $"user_id")
+        .groupBy($"cohort_day", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+      val base = act.filter($"week_offset" === 0)
+        .select($"cohort_day", $"n_users".as("n0"))
+      act.join(broadcast(base), Seq("cohort_day"))
+        .select($"cohort_day", $"week_offset", $"n_users",
+          round($"n_users" / $"n0".cast("double"), 6).as("retained_pct"))
+        .orderBy($"cohort_day", $"week_offset")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+           |), f AS (
+           |  SELECT user_id, min(CAST(ts AS DATE)) AS d0
+           |  FROM ev GROUP BY 1
+           |), act AS (
+           |  SELECT CAST(datediff('day', DATE '2024-01-01', d0)
+           |           AS BIGINT) AS cohort_day,
+           |         CAST(floor(datediff('day', d0, CAST(e.ts AS DATE))
+           |           / 7) AS BIGINT) AS week_offset,
+           |         count(DISTINCT e.user_id) AS n_users
+           |  FROM ev e JOIN f ON e.user_id = f.user_id
+           |  GROUP BY 1, 2
+           |), base AS (
+           |  SELECT cohort_day, n_users AS n0 FROM act WHERE week_offset = 0
+           |)
+           |SELECT a.cohort_day, a.week_offset, a.n_users,
+           |       round(a.n_users / CAST(b.n0 AS DOUBLE), 6)
+           |         AS retained_pct
+           |FROM act a JOIN base b ON a.cohort_day = b.cohort_day
+           |ORDER BY a.cohort_day, a.week_offset""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
-    qJoinLateral, qMergeUpsert, qScd2History, qSqlSurface)
+    qJoinLateral, qMergeUpsert, qScd2History, qSqlSurface, qFunnel,
+    qRetentionCohort)
 }

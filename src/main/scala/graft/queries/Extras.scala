@@ -291,6 +291,33 @@ object Extras {
            |GROUP BY n.n_name
            |ORDER BY nation""".stripMargin))
 
+  /** Fixed-width binned histogram — the distribution half of the
+    * profiling story (qProfileColumns covers moments/extremes). One
+    * map-side-combinable groupBy over the fact table produces the
+    * 20-row bin table; the share column's global-window sum runs over
+    * those 20 POST-AGGREGATION rows, so the single-partition window
+    * exchange moves 20 rows at any input scale, never the input. Bin
+    * edges are fixed (width 5000, capped at bin 19) rather than
+    * data-dependent min/max so the histogram is one pass, not two. */
+  val qProfileHistogram = Q("q_profile_histogram",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "lineitem")
+        .select(least(floor($"l_extendedprice" / 5000.0), lit(19L))
+          .as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as("n"))
+        .withColumn("pct",
+          round($"n".cast("double") /
+            sum($"n").over(Window.partitionBy()).cast("double"), 6))
+        .orderBy($"bin")
+    },
+    Some("""SELECT least(CAST(floor(l_extendedprice / 5000.0)
+           |         AS BIGINT), 19) AS bin,
+           |       count(*) AS n,
+           |       round(CAST(count(*) AS DOUBLE) /
+           |         CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS pct
+           |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin))
+
   /** Conversion funnel (view → click → purchase, 6-hour conversion
     * windows): each step's entry time is the user's FIRST qualifying
     * event after the previous step, so the funnel is strictly
@@ -401,5 +428,5 @@ object Extras {
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qScd2History, qSqlSurface, qFunnel,
-    qRetentionCohort)
+    qRetentionCohort, qProfileHistogram)
 }

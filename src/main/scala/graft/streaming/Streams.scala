@@ -349,6 +349,79 @@ object Streams {
            |       count(CASE WHEN matched = 0 THEN 1 END) AS n_expired
            |FROM allr GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** T7c: stream-stream FULL OUTER interval join — completes the
+    * streaming join family (inner T7, left-outer T7b). Emission is the
+    * symmetric extension of T7b's rule: matched pairs immediately;
+    * null-extended SIGNUPS when the global watermark passes the END of
+    * their 3-day window (`s_ts + 3d < wm`); null-extended PURCHASES
+    * when it passes the purchase itself (`p_ts < wm` — a purchase can
+    * only match EARLIER signups, so its joinability closes at its own
+    * timestamp, not timestamp+window). All three classes are non-empty
+    * at every fixture sf (e.g. 2477/516/591 at sf0.01). */
+  val qStreamJoinFull = Q("q_stream_join_full",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.readStream(spark, sfDir, "events")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = signups.join(purchases,
+        $"s_user" === $"p_user" &&
+          $"p_ts" > $"s_ts" &&
+          $"p_ts" <= $"s_ts" + expr("INTERVAL 3 DAYS"),
+        "full_outer")
+      val out = runToTable(spark, joined, "t_join_full", "append")
+      out.groupBy(coalesce($"s_user", $"p_user").as("user_id"))
+        .agg(
+          count(when($"s_ts".isNotNull && $"p_ts".isNotNull, 1))
+            .as("n_matched"),
+          count(when($"p_ts".isNull, 1)).as("n_expired_signups"),
+          count(when($"s_ts".isNull, 1)).as("n_expired_purchases"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           |  FROM events
+           |), s AS (
+           |  SELECT user_id, ts FROM ev WHERE event_type = 'signup'
+           |), p AS (
+           |  SELECT user_id, ts FROM ev WHERE event_type = 'purchase'
+           |), wm AS (
+           |  SELECT least((SELECT max(ts) FROM s),
+           |               (SELECT max(ts) FROM p))
+           |         - INTERVAL 1 HOUR AS w
+           |), m AS (
+           |  SELECT s.user_id, 'm' AS cls
+           |  FROM s JOIN p ON p.user_id = s.user_id
+           |   AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 3 DAY
+           |), un_s AS (
+           |  SELECT s.user_id, 's' AS cls FROM s, wm
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM p WHERE p.user_id = s.user_id
+           |     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 3 DAY)
+           |   AND s.ts + INTERVAL 3 DAY < wm.w
+           |), un_p AS (
+           |  SELECT p.user_id, 'p' AS cls FROM p, wm
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM s WHERE s.user_id = p.user_id
+           |     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 3 DAY)
+           |   AND p.ts < wm.w
+           |), allr AS (
+           |  SELECT * FROM m
+           |  UNION ALL SELECT * FROM un_s
+           |  UNION ALL SELECT * FROM un_p
+           |)
+           |SELECT user_id,
+           |       count(CASE WHEN cls = 'm' THEN 1 END) AS n_matched,
+           |       count(CASE WHEN cls = 's' THEN 1 END)
+           |         AS n_expired_signups,
+           |       count(CASE WHEN cls = 'p' THEN 1 END)
+           |         AS n_expired_purchases
+           |FROM allr GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val qStreamJoin = Q("q_stream_join",
     (spark, sfDir) => {
       import spark.implicits._
@@ -381,5 +454,5 @@ object Streams {
 
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamState, qStreamTws, qStreamJoin,
-    qStreamJoinOuter)
+    qStreamJoinOuter, qStreamJoinFull)
 }

@@ -264,6 +264,55 @@ class OperatorSuite extends AnyFunSuite {
     assert(guarded === windowed)
   }
 
+  test("funnel steps are monotone and every stage is non-vacuous") {
+    val r = graft.queries.Extras.qFunnel.fn(spark, sf).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, "each funnel stage must contain the next")
+    assert(p > 0, "final stage empty — the fixture window is mistuned")
+    assert(v > c, "view→click must actually filter, not pass everyone")
+  }
+
+  test("retention cohorts: week-0 share is exactly 1, later shares in (0,1]") {
+    val rows = graft.queries.Extras.qRetentionCohort.fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, pct) = (r.getLong(1), r.getDouble(3))
+      if (off == 0L) assert(pct === 1.0)
+      assert(pct > 0.0 && pct <= 1.0)
+    }
+  }
+
+  test("histogram shares sum to 1 within rounding; bins stay in range") {
+    val rows = graft.queries.Extras.qProfileHistogram.fn(spark, sf)
+      .collect()
+    val bins = rows.map(_.getLong(0))
+    assert(bins.forall(b => b >= 0L && b <= 19L))
+    val pctSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(pctSum - 1.0) < 1e-4, s"pct sum $pctSum")
+  }
+
+  test("stratified sample keeps the down-weighted class smallest") {
+    val rows = LLMOps.qSampleStratified.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size === 5, "every language must survive sampling")
+    val en = rows("en")
+    rows.filterKeys(_ != "en").foreach { case (lang, n) =>
+      assert(en < n, s"en ($en) must be sampled below $lang ($n)")
+    }
+  }
+
+  test("tfidf ranks are a dense 1..3 per probe doc, scores non-increasing") {
+    val rows = LLMOps.qTextTfidf.fn(spark, sf)
+      .select($"doc_id", $"tfidf", $"rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === Seq(1, 2, 3))
+      assert(sorted.sliding(2).forall(p => p.head._2 >= p.last._2))
+    }
+  }
+
   test("dedup clusters: pair endpoints agree; representative is its own label") {
     val pairs = LLMOps.qDedupNgramJaccard.fn(spark, sf)
       .select($"d1", $"d2").collect()

@@ -142,6 +142,18 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"))
   }
 
+  test("funnel pushes each step's event-type filter into the parquet scan") {
+    val p = plan("q_funnel")
+    assert(p.contains("EqualTo(event_type,view)"))
+    assert(p.contains("EqualTo(event_type,click)"))
+    assert(p.contains("EqualTo(event_type,purchase)"))
+  }
+
+  test("retention cohort broadcasts the cohort-size side of the share join") {
+    // base is one row per distinct first-seen day — tiny at any scale
+    assert(plan("q_retention_cohort").contains("BroadcastHashJoin"))
+  }
+
   test("partitioned roundtrip prunes partitions at planning time") {
     val p = plan("q_source_partitioned_roundtrip")
     assert("PartitionFilters: \\[[^\\]]*event_type".r

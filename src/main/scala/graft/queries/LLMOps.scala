@@ -1073,6 +1073,51 @@ object LLMOps {
            |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
            |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
+  // ------------------------------------------------ sequence packing
+  /** Greedy sequence packing: documents fill fixed token-budget bins —
+    * the training-batch construction step that turns a corpus into
+    * dense context windows. Docs are range-partitioned and sorted by
+    * doc_id, then ONE sequential pass per partition fills bins
+    * greedily; `mapPartitions` is the honest tool here (the running
+    * bin fill is inherently sequential state), the documented
+    * last-resort case. Bin ids encode (partition, local bin) so they
+    * never collide; determinism comes from the FIXED partition count
+    * plus the total order, never from task scheduling. Running-capacity
+    * state is not SQL-expressible, so no DuckDB oracle: the driver
+    * records rows>0 and OperatorSuite asserts the packing invariants
+    * (budget respected, every doc packed exactly once, fill bound).
+    * At 100 TB: packing is embarrassingly parallel per partition, one
+    * pass, O(1) state; the range partitioner is the only shuffle. */
+  val qPackSequences = Q("q_pack_sequences",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val budget = 256L
+      val parts = 8
+      val toks = docs(spark, sfDir)
+        .select($"doc_id",
+          size(split(trim($"text"), " ")).cast("long").as("n_tokens"))
+      val packed = toks
+        .repartitionByRange(parts, $"doc_id")
+        .sortWithinPartitions($"doc_id")
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+          var bin = 0L
+          var used = 0L
+          it.map { case (id, n) =>
+            if (used > 0L && used + n > budget) { bin += 1L; used = 0L }
+            used += n
+            (id, n, pid * 1000000L + bin)
+          }
+        }
+      packed.toDF("doc_id", "n_tokens", "bin_id")
+        .groupBy($"bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"bin_id")
+    },
+    None)
+
   // ---------------------------------------------------------------- X6
   /** UDF surface: L2 norm via a Scala UDF (oracle: SQL equivalent). */
   val qUdfNorm = Q("q_udf_norm",
@@ -1168,5 +1213,6 @@ object LLMOps {
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qSplitGroup,
-    qSampleStratified, qUdfNorm, qUdafCentroid, qPipelineCorpus)
+    qSampleStratified, qPackSequences, qUdfNorm, qUdafCentroid,
+    qPipelineCorpus)
 }

@@ -215,6 +215,31 @@ object Streams {
     Some("""SELECT DISTINCT event_id, user_id, event_type
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** T5b: `dropDuplicatesWithinWatermark` (Spark 3.5+) — the
+    * BOUNDED-STATE dedup: a key's state is evicted once the watermark
+    * passes its event time, so dedup is exact only within the
+    * watermark horizon (the at-least-once sink-dedup contract — at
+    * 100 TB/day the unbounded T5 state would grow forever; this is the
+    * production variant). First occurrence per key emits immediately;
+    * on the finite single-batch fixture no key recurs after eviction,
+    * so the emitted set equals exact distinct-per-key firsts, which
+    * the oracle computes. */
+  val qStreamDedupWm = Q("q_stream_dedup_wm",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val s = Tables.readStream(spark, sfDir, "events")
+        .select($"user_id", $"event_type", $"ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      runToTable(spark, s, "t_dedup_wm", "append")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+           |FROM events GROUP BY event_type
+           |ORDER BY event_type""".stripMargin))
+
   /** T6: arbitrary stateful processing (mapGroupsWithState): per-user
     * running event count + ever-seen-error flag — the streaming version
     * of the cohort's severity state. */
@@ -453,6 +478,6 @@ object Streams {
            |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
-    qStreamWatermark, qStreamDedup, qStreamState, qStreamTws, qStreamJoin,
-    qStreamJoinOuter, qStreamJoinFull)
+    qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamState,
+    qStreamTws, qStreamJoin, qStreamJoinOuter, qStreamJoinFull)
 }

@@ -313,6 +313,28 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: budget respected, every doc packed once, dense fill") {
+    val budget = 256L
+    val bins = LLMOps.qPackSequences.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a bin may exceed the budget only as a single oversized doc
+    bins.foreach { case (bin, nDocs, sumTok) =>
+      assert(sumTok <= budget || nDocs == 1L, s"bin $bin overfilled")
+    }
+    // conservation: every document lands in exactly one bin
+    val corpus = Tables.read(spark, sf, "documents").count()
+    assert(bins.map(_._2).sum === corpus)
+    // greedy guarantee: a bin is closed only because the NEXT doc did
+    // not fit, so every non-final bin holds > budget - max_doc_tokens;
+    // with fixture docs <= 99 tokens only the last bin of each of the
+    // 8 range partitions may sit under half-full
+    assert(bins.count(_._3 < budget / 2) <= 8)
+    // determinism: the same plan packs identically on a second run
+    val again = LLMOps.qPackSequences.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bins.toSeq === again.toSeq)
+  }
+
   test("dedup clusters: pair endpoints agree; representative is its own label") {
     val pairs = LLMOps.qDedupNgramJaccard.fn(spark, sf)
       .select($"d1", $"d2").collect()

@@ -196,6 +196,30 @@ object Formats {
     },
     None)
 
+  /** Mergeable-sketch RE-aggregation — the 100 TB distinct-count
+    * architecture: per-day HLL sketches (Apache DataSketches, bundled
+    * with Spark 4) are built in one partial-aggregable pass — the shape
+    * a daily rollup table would persist — then UNIONED at query time to
+    * answer distinct-users-per-type over any date range without
+    * rescanning raw events. [[qAggApprox]] sketches directly; this
+    * query proves the sketch-of-sketches property that makes
+    * pre-aggregation composable. Sketch bytes are engine-specific, so
+    * no DuckDB oracle (driver records rows>0); OperatorSuite bounds the
+    * estimate against exact countDistinct instead. */
+  val qAggHllUnion = Q("q_agg_hll_union",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      daily.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk"))
+            .as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy($"event_type")
+    },
+    None)
+
   /** S1b: Hive-style partitioned parquet layout — the 100-TB table
     * organization. Writes events partitioned by event_type (low
     * cardinality: 5 directories), reads back filtered to two types,
@@ -232,6 +256,6 @@ object Formats {
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
-    qSourceXml, qSourceJdbc, qSourceBucketed, qAggApprox,
+    qSourceXml, qSourceJdbc, qSourceBucketed, qAggApprox, qAggHllUnion,
     qSourcePartitioned)
 }

@@ -119,4 +119,18 @@ class BucketingSuite extends AnyFunSuite {
         s"$k median: approx $amed vs exact $med")
     }
   }
+
+  test("unioned daily HLL sketches estimate exact distinct users within 5%") {
+    val approx = Formats.qAggHllUnion.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.read(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, nd) =>
+      assert(math.abs(approx(k) - nd).toDouble / nd < 0.05,
+        s"$k: sketch-union estimate ${approx(k)} vs exact $nd")
+    }
+  }
 }

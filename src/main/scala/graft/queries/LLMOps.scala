@@ -430,8 +430,17 @@ object LLMOps {
         converged = s == prevSum
         prevSum = s
         // next is already materialized (eager checkpoint + labelSum),
-        // so the previous round's blocks can never be re-read
-        labels.unpersist(blocking = false)
+        // so the previous round's blocks can never be re-read. Free
+        // them at the RDD level: a localCheckpoint'd Dataset's blocks
+        // belong to the checkpointed RDD inside its LogicalRDD plan,
+        // NOT the CacheManager, so Dataset.unpersist would be a no-op
+        // and the blocks would otherwise linger until the
+        // ContextCleaner GCs the dropped reference.
+        labels.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
         labels = next
         iter += 1
       }
@@ -997,7 +1006,13 @@ object LLMOps {
   val qSampleStratified = Q("q_sample_stratified",
     (spark, sfDir) => {
       import spark.implicits._
-      val bucket = $"doc_id" * 2654435761L % 2147483648L % 100L
+      // fold the id into 31 bits BEFORE the Knuth multiply: max product
+      // (2^31-1)·2654435761 ≈ 5.7e18 stays inside Long/BIGINT, whereas
+      // a raw doc_id ≥ ~3.5e9 would overflow (silent wrap in Spark, a
+      // hard error in DuckDB) and corrupt the keep rates
+      val bucket =
+        pmod($"doc_id", lit(2147483648L)) * 2654435761L %
+          2147483648L % 100L
       val rate = when($"lang" === "en", 10L).otherwise(50L)
       docs(spark, sfDir)
         .filter(bucket < rate)
@@ -1011,7 +1026,8 @@ object LLMOps {
            |       count(DISTINCT source) AS n_sources,
            |       round(avg(n_chars), 6) AS avg_chars
            |FROM documents
-           |WHERE doc_id * 2654435761 % 2147483648 % 100 <
+           |WHERE (doc_id % 2147483648) * 2654435761
+           |        % 2147483648 % 100 <
            |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
@@ -1107,7 +1123,9 @@ object LLMOps {
           it.map { case (id, n) =>
             if (used > 0L && used + n > budget) { bin += 1L; used = 0L }
             used += n
-            (id, n, pid * 1000000L + bin)
+            // (partition << 32 | local) — collision-free for any
+            // realistic per-partition bin count (< 2^32)
+            (id, n, (pid << 32) | bin)
           }
         }
       packed.toDF("doc_id", "n_tokens", "bin_id")

@@ -43,9 +43,11 @@ object Jdbc {
       numPartitions, toProps(props))
 
   /** [[readPartitioned]] with bounds discovered by one scalar
-    * min/max query — the convenience form for ad-hoc pulls. The extra
-    * round-trip is one row; skip it (pass bounds) when the caller
-    * already knows the key range. */
+    * min/max query — the convenience form for ad-hoc pulls. Costs a
+    * few extra metadata round-trips (stored-name probe, bounds
+    * subquery schema, then the bounds row itself); skip it (pass
+    * bounds) when the caller already knows the key range — the
+    * documented fast path for repeated production pulls. */
   def readPartitionedAuto(spark: SparkSession, url: String,
       table: String, partitionColumn: String, numPartitions: Int,
       props: Map[String, String] = Map.empty): DataFrame = {

@@ -1089,6 +1089,49 @@ object LLMOps {
            |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
            |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
+  // --------------------------------------------------- doc chunking
+  /** Sliding-window document chunking (context-window preprocessing:
+    * 40-token windows, stride 30, 10-token overlap): each doc explodes
+    * into `ceil(n_tokens/stride)` chunk descriptors via a generated
+    * index sequence — pure narrow ops (no shuffle at all until a
+    * downstream consumer aggregates), so chunking 100 TB is a single
+    * embarrassingly-parallel scan pass. The last chunk is short by
+    * design; boundary arithmetic is exact in FP on both engines
+    * because `n/30.0` only lands on an integer when 30 divides n. */
+  val qChunkDocs = Q("q_chunk_docs",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val stride = 30L
+      val width = 40L
+      docs(spark, sfDir)
+        .select($"doc_id",
+          size(split(trim($"text"), " ")).cast("long").as("n_tokens"))
+        .select($"doc_id", $"n_tokens",
+          explode(sequence(lit(0L),
+            ceil($"n_tokens" / lit(stride.toDouble)).cast("long") - 1))
+            .as("chunk_idx"))
+        .select($"doc_id", $"chunk_idx",
+          ($"chunk_idx" * stride).as("start_tok"),
+          least(lit(width), $"n_tokens" - $"chunk_idx" * stride)
+            .as("chunk_tokens"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |         len(string_split(trim(text), ' ')) AS n_tokens
+           |  FROM documents
+           |), ix AS (
+           |  SELECT doc_id, n_tokens,
+           |         unnest(generate_series(0,
+           |           CAST(ceil(n_tokens / 30.0) AS BIGINT) - 1)) AS i
+           |  FROM d
+           |)
+           |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           |       CAST(i * 30 AS BIGINT) AS start_tok,
+           |       CAST(least(40, n_tokens - i * 30) AS BIGINT)
+           |         AS chunk_tokens
+           |FROM ix ORDER BY doc_id, chunk_idx""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -1231,6 +1274,6 @@ object LLMOps {
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qSplitGroup,
-    qSampleStratified, qPackSequences, qUdfNorm, qUdafCentroid,
-    qPipelineCorpus)
+    qSampleStratified, qChunkDocs, qPackSequences, qUdfNorm,
+    qUdafCentroid, qPipelineCorpus)
 }

@@ -21,6 +21,7 @@ import scala.collection.concurrent.TrieMap
   * deployments. */
 object Memo {
   private val entries = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val actions = TrieMap.empty[(SparkSession, String), Unit]
   private val hooked = TrieMap.empty[SparkSession, Unit]
 
   /** Build-once per (session, key); the result is persisted
@@ -32,12 +33,23 @@ object Memo {
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Run a side-effecting load (Derby fill, bucketed-table CTAS) once
+    * per (session, key). Entries are evicted with the session like
+    * [[cached]]'s, so a long-lived multi-session JVM does not pin
+    * stopped sessions through this map (ADVICE r6 item 4). */
+  def once(spark: SparkSession, key: String)(load: => Unit): Unit = {
+    hook(spark)
+    actions.getOrElseUpdate((spark, key), load)
+    ()
+  }
+
   private def hook(spark: SparkSession): Unit =
     if (hooked.putIfAbsent(spark, ()).isEmpty) {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(
             end: SparkListenerApplicationEnd): Unit = {
           entries.filterInPlace { case ((s, _), _) => s ne spark }
+          actions.filterInPlace { case ((s, _), _) => s ne spark }
           hooked.remove(spark)
           ()
         }

@@ -234,6 +234,68 @@ object Scale {
            |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""
       .stripMargin))
 
+  /** E2b: AQE skew-join — the production-DEFAULT answer to the skewed
+    * key that E2 (q_join_salted) handles manually. Half of all events
+    * collapse onto key 0 (the Zipf-hot key of SURVEY.md §4.2 — keyed
+    * off event_id, whose domain is dense at every sf), then join a
+    * uniform per-key dim built from customer. The `merge` hint
+    * pins the sort-merge strategy this join gets at real scale (both
+    * sides are fact-sized there; AQE would broadcast the fixture-sized
+    * dim and bypass the mechanism being demonstrated). At production
+    * sizes `spark.sql.adaptive.skewJoin` (on in Sessions) splits the
+    * hot partition into advisory-sized chunks and duplicates the
+    * matching dim partition — no code changes, no salt column; the
+    * PlanSuite lock runs this same join with the skew thresholds scaled
+    * down to fixture bytes and asserts the split fired (`skew=true` on
+    * the SMJ). The oracle checks the join result is split-invariant.
+    * pmod-emulation on the oracle side keeps parity for negative ids
+    * (same contract as q_sample_stratified). */
+  val qJoinSkewAqe = Q("q_join_skew_aqe",
+    (spark, sfDir) => {
+      import spark.implicits._
+      // round-robin spread first: AQE splits a skewed partition at
+      // MAPPER granularity (contiguous map-index ranges), and the
+      // fixture's single-file single-row-group parquet collapses the
+      // scan to ONE effective mapper — unsplittable no matter how
+      // skewed. A production layout has thousands of mappers; the
+      // spread stands in for that (the same single-file remedy the
+      // shingle table uses, LLMOps.scala)
+      val e = Tables.read(spark, sfDir, "events")
+        .repartition(graft.Sessions.cpus.toInt)
+        .select(when(pmod($"event_id", lit(1000L)) < 500L, 0L)
+          .otherwise(pmod($"event_id", lit(1000L))).as("k"), $"value")
+      // the dim stays a pure projection: OptimizeSkewedJoin only
+      // matches SMJ(Sort(shuffle), Sort(shuffle)) — an aggregate
+      // sitting between the dim's exchange and the join (already
+      // partitioned on the join key) would hide the shuffle stage from
+      // the rule and silently disable the skew split
+      val c = Tables.read(spark, sfDir, "customer")
+        .select(pmod($"c_custkey", lit(1000L)).as("k"), $"c_custkey")
+      e.hint("merge").join(c, Seq("k"))
+        .groupBy(($"k" === 0L).as("hot"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"k").as("n_keys"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"hot")
+    },
+    Some("""WITH e AS (
+           |  SELECT CASE WHEN (event_id % 1000 + 1000) % 1000 < 500
+           |           THEN 0
+           |           ELSE (event_id % 1000 + 1000) % 1000 END AS k,
+           |         value
+           |  FROM events
+           |), c AS (
+           |  SELECT (c_custkey % 1000 + 1000) % 1000 AS k, c_custkey
+           |  FROM customer
+           |)
+           |SELECT (k = 0) AS hot, count(*) AS n,
+           |       count(DISTINCT k) AS n_keys,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM e JOIN c USING (k)
+           |GROUP BY 1 ORDER BY hot""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinRangeBinned, qWindowRangeFrame, qAggRollup,
-    qStreamStatic, qSinkForeach, qTopkPerKey)
+    qStreamStatic, qSinkForeach, qTopkPerKey, qJoinSkewAqe)
 }

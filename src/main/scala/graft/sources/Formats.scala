@@ -5,8 +5,6 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import scala.collection.concurrent.TrieMap
-
 /** Source/sink format coverage beyond parquet (SURVEY.md §2.1 S4/S5):
   * CSV and JSON-lines round-trips with declared schemas (never
   * inferred — an inference pass would double-scan at 100 TB), and the
@@ -82,14 +80,16 @@ object Formats {
     roundtrip("xml", None, Map("rowTag" -> "row"))
 
   /** Build-once guards for the side stores the round-trips below read
-    * back from (Derby database, bucketed warehouse tables). Keyed on
-    * (session, sfDir) like [[graft.Memo]]: the load is paid once per
-    * session, so Bench's min-of-2 times the steady-state read path —
-    * matching how a site would query an already-loaded store. */
-  private val loaded = TrieMap.empty[(SparkSession, String, String), Unit]
+    * back from (Derby database, bucketed warehouse tables). Delegates
+    * to [[graft.Memo.once]], which keys on (session, sfDir) and evicts
+    * entries when the owning session's context ends — so a long-lived
+    * multi-session JVM never pins stopped sessions here (ADVICE r6
+    * item 4). The load is paid once per session; Bench's min-of-2 times
+    * the steady-state read path — matching how a site would query an
+    * already-loaded store. */
   private def loadOnce(spark: SparkSession, sfDir: String, what: String)
       (load: => Unit): Unit =
-    loaded.getOrElseUpdate((spark, sfDir, what), load)
+    graft.Memo.once(spark, s"load:$what:$sfDir")(load)
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
@@ -255,7 +255,61 @@ object Formats {
            |FROM events WHERE event_type IN ('click', 'error')
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** S1b-DPP: dynamic partition pruning — THE scan-reduction mechanism
+    * for a 100 TB star join (SURVEY.md §4.2). The fact is the
+    * partitioned-by-event_type layout (E17's organization, written once
+    * per session); the dim maps event_type → category and is filtered
+    * on CATEGORY, so the set of surviving partition keys is only known
+    * at RUNTIME — static partition pruning cannot fire. DPP must: the
+    * optimizer plants a DynamicPruningExpression in the fact scan's
+    * PartitionFilters, fed by reusing the dim's broadcast exchange, so
+    * only the matching partition directories are ever opened. PlanSuite
+    * locks the expression in the scan AND (post-execution) that only
+    * 2 of the 5 partitions were read. The oracle runs the same join
+    * over the original parquet with the dim inlined as VALUES, so the
+    * partitioned write must also preserve every row. */
+  val qSourceDpp = Q("q_source_dpp",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val factDir = s"$base/dpp_events"
+      val dimDir = s"$base/dpp_dim"
+      loadOnce(spark, sfDir, "dpp") {
+        Tables.read(spark, sfDir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(factDir)
+        Seq(("click", "engage"), ("view", "engage"),
+            ("purchase", "convert"), ("signup", "account"),
+            ("error", "ops"))
+          .toDF("event_type", "category")
+          .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      }
+      val fact = spark.read.schema(slim).parquet(factDir)
+      val dim = spark.read.parquet(dimDir)
+        .filter($"category" === "engage")
+      fact.join(dim, Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH dim(event_type, category) AS (
+           |  VALUES ('click', 'engage'), ('view', 'engage'),
+           |         ('purchase', 'convert'), ('signup', 'account'),
+           |         ('error', 'ops')
+           |)
+           |SELECT e.event_type, count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events e JOIN dim d ON e.event_type = d.event_type
+           |WHERE d.category = 'engage'
+           |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceJdbc, qSourceBucketed, qAggApprox, qAggHllUnion,
-    qSourcePartitioned)
+    qSourcePartitioned, qSourceDpp)
 }

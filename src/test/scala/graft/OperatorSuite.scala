@@ -335,6 +335,80 @@ class OperatorSuite extends AnyFunSuite {
     assert(bins.toSeq === again.toSeq)
   }
 
+  test("decontamination flags exactly the docs sharing probe shingles at threshold") {
+    val manifest = LLMOps.qDecontaminate.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(manifest.nonEmpty, "fixture must contain contaminated docs")
+    manifest.foreach { case (id, n, ov, c) =>
+      assert(id >= 20L, "probe docs must never appear in the manifest")
+      assert(ov > 0L && ov <= n)
+      assert(c >= 0.8 && c <= 1.0)
+    }
+    // independent ground truth: per-doc containment recomputed in-memory
+    val sh = Tables.read(spark, sf, "documents")
+      .select($"doc_id", split(trim($"text"), " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"ws") - 1),
+          i => concat_ws(" ", element_at($"ws", i),
+            element_at($"ws", i + 1))))).as("s"))
+      .as[(Long, String)].collect()
+    val probe = sh.collect { case (id, s) if id < 20L => s }.toSet
+    val expected = sh.filter(_._1 >= 20L).groupBy(_._1).collect {
+      case (id, ss)
+          if BigDecimal(ss.count(p => probe(p._2)).toDouble / ss.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.8 => id
+    }.toSet
+    assert(manifest.map(_._1).toSet === expected,
+      "manifest must equal the ground-truth contaminated set — " +
+        "clean docs stay untouched")
+  }
+
+  test("sequence packing invariants hold at multiple range counts") {
+    val corpus = Tables.read(spark, sf, "documents").count()
+    Seq(4, 8).foreach { r =>
+      val bins = LLMOps.packSequences(spark, sf, ranges = Some(r))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      bins.foreach { case (bin, nDocs, sumTok) =>
+        assert(sumTok <= 256L || nDocs == 1L,
+          s"bin $bin overfilled (ranges=$r)")
+      }
+      assert(bins.map(_._2).sum === corpus, s"conservation (ranges=$r)")
+      // only the final bin of each id range may sit under half-full
+      assert(bins.count(_._3 < 128L) <= r, s"fill bound (ranges=$r)")
+      val again = LLMOps.packSequences(spark, sf, ranges = Some(r))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      assert(bins.toSeq === again.toSeq, s"determinism (ranges=$r)")
+    }
+    // the derived default (no explicit count) must also pack every doc
+    val auto = LLMOps.packSequences(spark, sf).collect()
+    assert(auto.map(_.getLong(1)).sum === corpus)
+  }
+
+  test("cluster labels are identical under reliable checkpoint") {
+    val base = LLMOps.qDedupCluster.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    spark.conf.set("graft.checkpoint.dir", dir.toString)
+    try {
+      val reliable = LLMOps.qDedupCluster.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(base === reliable,
+        "checkpoint durability mode must not change results")
+      // the barrier really wrote durable checkpoint files
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(java.nio.file.Files.isRegularFile(_))
+      assert(files > 0, "no reliable checkpoint files were written")
+    } finally {
+      spark.conf.unset("graft.checkpoint.dir")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("dedup clusters: pair endpoints agree; representative is its own label") {
     val pairs = LLMOps.qDedupNgramJaccard.fn(spark, sf)
       .select($"d1", $"d2").collect()

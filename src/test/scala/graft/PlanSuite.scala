@@ -210,6 +210,68 @@ class PlanSuite extends AnyFunSuite {
       .contains("vec_dot"))
   }
 
+  test("runtime dim filter prunes fact partitions via DPP") {
+    // SURVEY §4.2: "partition pruning + DPP for star joins". The dim is
+    // filtered on category, so the surviving event_type keys are only
+    // known at runtime — the optimizer must plant a
+    // DynamicPruningExpression in the fact scan's PartitionFilters
+    // (fed by reusing the dim's broadcast) and open only the matching
+    // partition directories.
+    val df = SparkEntry.queries("q_source_dpp")(spark, sf)
+    val pre = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r
+      .findFirstIn(pre).isDefined,
+      "fact scan must carry a DynamicPruningExpression partition filter")
+    df.collect()
+    // post-execution: the scan's own metrics show 2 of 5 partitions read
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val fact = scans(df.queryExecution.executedPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains("dpp_events")))
+    assert(fact.isDefined, "partitioned fact scan not found in final plan")
+    val read = fact.get.metrics.get("numPartitions").map(_.value)
+    assert(read.contains(2L),
+      s"DPP must read exactly the 2 'engage' partitions, read=$read")
+  }
+
+  test("AQE splits the skewed join partition once thresholds are crossed") {
+    // q_join_skew_aqe's correctness row runs under production-default
+    // thresholds (256 MB — never crossed by the fixture); this lock
+    // scales the thresholds down to fixture bytes and asserts the
+    // mechanism itself fires: the hot partition is split and the SMJ
+    // is re-planned with skew=true.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "512")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val df = SparkEntry.queries("q_join_skew_aqe")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE skew-join split did not fire on the hot key")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q_dedup_embed")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("vec_dot"))

@@ -1056,6 +1056,52 @@ object LLMOps {
            |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // --------------------------------------------- per-source doc cap
+  /** Deterministic per-source cap — the third corpus-rebalancing verb
+    * beside the grouped split and the stratified sample: keep at most
+    * 5 documents per source (the "cap docs per domain" step every
+    * web-scale corpus build runs so no single domain dominates
+    * training). Selection order within a source is a portable
+    * pseudo-random hash of doc_id (the stratified sample's Knuth
+    * spread — partition/retry-independent, identical on every engine
+    * and cluster), with doc_id as the total-order tiebreak, so the
+    * kept set is reproducible bit-for-bit.
+    *
+    * Runs through the custom [[graft.plans.TopKPerKey]] operator — the
+    * second consumer of the whole-operator machinery, and the shape
+    * where it beats the Window form hardest at 100 TB: two-phase
+    * bounded heaps keep at most `map-partitions · sources · 5` rows
+    * crossing the exchange and never sort a partition, while the
+    * row_number form must exchange + fully sort every document row.
+    * The oracle IS that Window form, so the equivalence is
+    * hash-checked per round. */
+  val qSamplePerSource = Q("q_sample_per_source",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val scored = docs(spark, sfDir)
+        .select($"source", $"doc_id",
+          (pmod($"doc_id", lit(2147483648L)) * 2654435761L %
+            2147483648L).as("h"))
+      graft.plans.TopKPerKey.of(scored,
+          partitionCols = Seq("source"), orderCol = "h", desc = false,
+          tiebreak = "doc_id", k = 5)
+        .select($"source", $"doc_id")
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""WITH h AS (
+           |  SELECT source, doc_id,
+           |    ((doc_id % 2147483648 + 2147483648) % 2147483648)
+           |      * 2654435761 % 2147483648 AS h
+           |  FROM documents
+           |), r AS (
+           |  SELECT source, doc_id,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY h, doc_id) AS rn
+           |  FROM h
+           |)
+           |SELECT source, doc_id FROM r WHERE rn <= 5
+           |ORDER BY source, doc_id""".stripMargin))
+
   // ------------------------------------------------------------ TF-IDF
   /** TF-IDF term ranking: document frequency over the WHOLE corpus,
     * term frequency per probe document, idf = ln((N+1)/(df+1)), top-3
@@ -1404,6 +1450,6 @@ object LLMOps {
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qSplitGroup,
-    qSampleStratified, qChunkDocs, qDecontaminate, qPackSequences,
-    qUdfNorm, qUdafCentroid, qPipelineCorpus)
+    qSampleStratified, qSamplePerSource, qChunkDocs, qDecontaminate,
+    qPackSequences, qUdfNorm, qUdafCentroid, qPipelineCorpus)
 }

@@ -296,6 +296,40 @@ object Scale {
            |FROM e JOIN c USING (k)
            |GROUP BY 1 ORDER BY hot""".stripMargin))
 
+  /** Runtime Bloom-filter join — the third runtime scan-reduction
+    * mechanism next to DPP (E46, partitioned layouts) and the AQE skew
+    * split (E47): when the fact side is NOT partitioned on the join
+    * key, Spark's InjectRuntimeFilter can still build a Bloom filter
+    * from the selectively-filtered dim side and push a
+    * `might_contain` probe into the fact scan, cutting shuffle input
+    * by the dim's selectivity (urgent orders ≈ 1/5 of lineitem rows
+    * here). The production thresholds are sized for real clusters
+    * (application side ≥ 10 GB), so the fixture-scale correctness row
+    * runs the plain join; the PlanSuite lock scopes the thresholds
+    * down and asserts the bloom probe lands in the plan AND that the
+    * filtered result is bit-identical to the unfiltered one. */
+  val qJoinBloom = Q("q_join_bloom",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      Tables.read(spark, sfDir, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 6)
+           |    AS DOUBLE) AS sum_qty
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinRangeBinned, qWindowRangeFrame, qAggRollup,
-    qStreamStatic, qSinkForeach, qTopkPerKey, qJoinSkewAqe)
+    qStreamStatic, qSinkForeach, qTopkPerKey, qJoinSkewAqe, qJoinBloom)
 }

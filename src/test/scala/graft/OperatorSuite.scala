@@ -364,6 +364,23 @@ class OperatorSuite extends AnyFunSuite {
         "clean docs stay untouched")
   }
 
+  test("per-source cap keeps at most 5 docs per source, deterministically") {
+    val rows = LLMOps.qSamplePerSource.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySource = rows.groupBy(_._1)
+    val sources = Tables.read(spark, sf, "documents")
+      .select($"source").distinct().count()
+    assert(bySource.size === sources,
+      "every source must survive the cap (each has >= 5 docs)")
+    bySource.foreach { case (s, docs) =>
+      assert(docs.length <= 5, s"source $s kept ${docs.length} > 5")
+    }
+    // deterministic: a second run keeps the identical doc set
+    val again = LLMOps.qSamplePerSource.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("sequence packing invariants hold at multiple range counts") {
     val corpus = Tables.read(spark, sf, "documents").count()
     Seq(4, 8).foreach { r =>

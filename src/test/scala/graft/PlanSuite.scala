@@ -272,6 +272,51 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter probes the fact scan when thresholds allow") {
+    // production thresholds (app side >= 10 GB) keep the fixture run
+    // plain; scoping them down must inject a might_contain probe built
+    // from the filtered order side into the lineitem branch, and the
+    // probed result must be bit-identical to the unprobed one
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val plain = SparkEntry.queries("q_join_bloom")(spark, sf).collect()
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      // the filtered dim would be broadcast at fixture size, and a
+      // broadcast join never earns a bloom probe — force the shuffled
+      // plan the mechanism exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_join_bloom")(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        "InjectRuntimeFilter did not add a bloom probe")
+      assert(opt.contains("bloom_filter_agg"),
+        "bloom filter must be built by aggregating the dim keys")
+      assert(df.collect() === plain,
+        "bloom probing must not change the join result")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
+  test("per-source cap plans through two-phase TopKPerKey, no sort below") {
+    val p = plan("q_sample_per_source")
+    assert(p.contains("TopKPerKey ["))
+    assert(p.contains("TopKPerKeyPartial ["))
+    assert(!p.contains("Window"),
+      "per-source cap must not fall back to the Window form")
+    val belowOp = p.substring(p.indexOf("TopKPerKey ["))
+    assert(!belowOp.contains("Sort "),
+      "no sort may run below the bounded-heap operator")
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q_dedup_embed")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("vec_dot"))

@@ -79,6 +79,28 @@ object Formats {
   val qSourceXml =
     roundtrip("xml", None, Map("rowTag" -> "row"))
 
+  /** Plain-text source/sink round-trip — the line-oriented format raw
+    * web-scale corpora arrive in (one record per line; the writer
+    * accepts exactly one string column). The json `props` column is the
+    * fixture's line-safe payload (no embedded newlines, no nulls —
+    * both would break any line format, which is the point of the
+    * check). The oracle aggregates the source parquet, so any line
+    * lost, split or mangled by the round-trip fails parity. */
+  val qSourceText = Q("q_source_text_roundtrip",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/text"
+      Tables.read(spark, sfDir, "events").select($"props")
+        .write.mode("overwrite").text(dir)
+      spark.read.text(dir)
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"value").as("n_distinct"),
+          sum(length($"value")).as("sum_len"))
+    },
+    Some("""SELECT count(*) AS n, count(DISTINCT props) AS n_distinct,
+           |       CAST(sum(len(props)) AS BIGINT) AS sum_len
+           |FROM events""".stripMargin))
+
   /** Build-once guards for the side stores the round-trips below read
     * back from (Derby database, bucketed warehouse tables). Delegates
     * to [[graft.Memo.once]], which keys on (session, sfDir) and evicts
@@ -220,6 +242,105 @@ object Formats {
     },
     None)
 
+  /** Binary-file ingestion source — how a multimodal corpus (images,
+    * audio, video) actually enters Spark at 100 TB: each media object
+    * is ONE file on object storage, read by `format("binaryFile")` as
+    * (path, modificationTime, length, content) with `pathGlobFilter` /
+    * recursive lookup for layout control; the opaque `content` bytes
+    * then feed the typed decode pipeline (LLMOps.qMultimodalMeta).
+    * The source is read-only by design, so the fixture stands in for
+    * object storage with a once-per-session bounded write of 50 doc
+    * payloads as individual files (side-store setup, like the Derby
+    * load — the 50-row collect is setup, not the query path). The
+    * query recovers each file's id from its path, and length + sha256
+    * digest from the bytes; the oracle recomputes both from the source
+    * table, so a truncated, duplicated or bit-flipped file fails
+    * parity. */
+  val qSourceBinary = Q("q_source_binary",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        "/bin_docs"
+      loadOnce(spark, sfDir, "binary") {
+        val docs = Tables.read(spark, sfDir, "documents")
+          .filter($"doc_id" < 50).select($"doc_id", $"text").collect()
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        docs.foreach { r =>
+          java.nio.file.Files.write(p.resolve(s"d${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+          ()
+        }
+      }
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(dir)
+        .select(
+          regexp_extract($"path", "d(\\d+)\\.bin$", 1).cast("long")
+            .as("doc_id"),
+          $"length".cast("long").as("n_bytes"),
+          sha2($"content", 256).as("digest"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+           |    AS n_bytes,
+           |  sha256(text) AS digest
+           |FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+      .stripMargin))
+
+  /** Mergeable FREQUENCY-sketch re-aggregation (Count-Min) — completes
+    * the sketch family's 100 TB architecture: [[qAggHllUnion]] answers
+    * mergeable distinct counts, [[qAggApprox]] quantiles; this answers
+    * "how often did key X occur" over any date range from per-day
+    * rollup sketches, never rescanning raw events. One partial-
+    * aggregable pass builds a Count-Min sketch per day (the shape a
+    * daily rollup table persists); query time merges the day sketches
+    * ONCE (associative `mergeInPlace`; same eps/confidence/seed is the
+    * mergeability contract) and probes each key — probe cost is
+    * sketch-local, independent of event count. The merge/probe UDFs
+    * are the standard sketch surface (the sketch is opaque bytes, like
+    * E44's HLL): driver-bounded rows, never the hot path. Sketch bytes
+    * are engine-specific → no DuckDB oracle (driver records rows>0);
+    * BucketingSuite asserts the CMS guarantee vs exact counts
+    * (overestimate-only, within eps·N). */
+  private val cmsMerge = udf((sks: Seq[Array[Byte]]) => {
+    val it = sks.iterator
+    val acc = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(it.next()))
+    it.foreach { b =>
+      acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    acc.writeTo(out)
+    out.toByteArray
+  })
+
+  private val cmsProbe = udf((sk: Array[Byte], key: String) =>
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sk))
+      .estimateCount(key))
+
+  val qAggCmsFreq = Q("q_agg_cms_freq",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)")
+          .as("sk"))
+      val merged = daily
+        .agg(collect_list($"sk").as("sks"), count(lit(1)).as("n_days"))
+        .select(cmsMerge($"sks").as("sk"), $"n_days")
+      val probes = Tables.read(spark, sfDir, "events")
+        .select($"event_type").distinct()
+      probes.crossJoin(broadcast(merged))
+        .select($"event_type",
+          cmsProbe($"sk", $"event_type").as("est_count"),
+          $"n_days")
+        .orderBy($"event_type")
+    },
+    None)
+
   /** S1b: Hive-style partitioned parquet layout — the 100-TB table
     * organization. Writes events partitioned by event_type (low
     * cardinality: 5 directories), reads back filtered to two types,
@@ -310,6 +431,7 @@ object Formats {
            |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
 
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
-    qSourceXml, qSourceJdbc, qSourceBucketed, qAggApprox, qAggHllUnion,
-    qSourcePartitioned, qSourceDpp)
+    qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
+    qAggApprox, qAggHllUnion, qAggCmsFreq, qSourcePartitioned,
+    qSourceDpp)
 }

@@ -120,6 +120,36 @@ class BucketingSuite extends AnyFunSuite {
     }
   }
 
+  test("merged daily CMS sketches honor the overestimate-only eps*N bound") {
+    val est = Formats.qAggCmsFreq.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.read(spark, sf, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: CMS must never underestimate ($n)")
+      // eps = 0.001 → additive error <= eps * total stream length
+      assert(est(k) - n <= math.ceil(0.001 * total).toLong,
+        s"$k: estimate ${est(k)} exceeds exact $n by more than eps*N")
+    }
+  }
+
+  test("a second session over the same context gets isolated memo state") {
+    // library-use contract: Memo.cached / Memo.once key on the SESSION,
+    // so a sibling session rebuilds its own shingle/band memos and
+    // side-store loads (Derby overwrite) without touching — or reading
+    // — the first session's entries, and both compute identical results
+    val s2 = spark.newSession()
+    val mine = Formats.qSourceJdbc.fn(spark, sf).collect().toSeq
+    val theirs = Formats.qSourceJdbc.fn(s2, sf).collect().toSeq
+    assert(mine === theirs)
+    val d1 = graft.queries.LLMOps.qDedupExact.fn(spark, sf).collect().toSeq
+    val d2 = graft.queries.LLMOps.qDedupExact.fn(s2, sf).collect().toSeq
+    assert(d1 === d2)
+  }
+
   test("unioned daily HLL sketches estimate exact distinct users within 5%") {
     val approx = Formats.qAggHllUnion.fn(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -253,15 +253,19 @@ object Scale {
   val qJoinSkewAqe = Q("q_join_skew_aqe",
     (spark, sfDir) => {
       import spark.implicits._
-      // round-robin spread first: AQE splits a skewed partition at
-      // MAPPER granularity (contiguous map-index ranges), and the
-      // fixture's single-file single-row-group parquet collapses the
-      // scan to ONE effective mapper — unsplittable no matter how
-      // skewed. A production layout has thousands of mappers; the
-      // spread stands in for that (the same single-file remedy the
-      // shingle table uses, LLMOps.scala)
-      val e = Tables.read(spark, sfDir, "events")
-        .repartition(graft.Sessions.cpus.toInt)
+      // AQE splits a skewed partition at MAPPER granularity
+      // (contiguous map-index ranges), and the fixture's single-file
+      // single-row-group parquet collapses the scan to ONE effective
+      // mapper — unsplittable no matter how skewed. A production
+      // layout has thousands of files (= mappers), so the round-robin
+      // spread is gated on the actual file count: it fires only on
+      // few-file fixtures and costs a 100 TB run nothing (the same
+      // single-file remedy the shingle table uses, LLMOps.scala)
+      val raw = Tables.read(spark, sfDir, "events")
+      val spread =
+        if (raw.inputFiles.length >= graft.Sessions.cpus.toInt) raw
+        else raw.repartition(graft.Sessions.cpus.toInt)
+      val e = spread
         .select(when(pmod($"event_id", lit(1000L)) < 500L, 0L)
           .otherwise(pmod($"event_id", lit(1000L))).as("k"), $"value")
       // the dim stays a pure projection: OptimizeSkewedJoin only

@@ -341,6 +341,35 @@ object Formats {
     },
     None)
 
+  /** REBALANCE-hinted output — the 100 TB small-files answer on the
+    * WRITE side: a plain `df.write` emits one file per task (32 here;
+    * tens of thousands on a real cluster — the classic small-files
+    * problem that poisons every downstream scan), while the
+    * `rebalance` hint lets AQE re-pack output partitions to the
+    * advisory size (64 MB default) before the sink, collapsing the
+    * fixture write to a single right-sized file with NO semantic
+    * change. FormatsSuite asserts both the RebalancePartitions node in
+    * the plan and the on-disk file-count collapse; the oracle (shared
+    * with the format round-trips) asserts the re-pack loses nothing. */
+  val qOutputRebalance = Q("q_output_rebalance",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        "/rebalance_events"
+      Tables.read(spark, sfDir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .hint("rebalance")
+        .write.mode("overwrite").parquet(dir)
+      spark.read.schema(slim).parquet(dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some(roundtripOracle))
+
   /** S1b: Hive-style partitioned parquet layout — the 100-TB table
     * organization. Writes events partitioned by event_type (low
     * cardinality: 5 directories), reads back filtered to two types,
@@ -433,5 +462,5 @@ object Formats {
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qAggApprox, qAggHllUnion, qAggCmsFreq, qSourcePartitioned,
-    qSourceDpp)
+    qSourceDpp, qOutputRebalance)
 }

@@ -69,4 +69,25 @@ class FormatsSuite extends AnyFunSuite {
       }
     } finally rmrf(dir)
   }
+
+  test("rebalance hint collapses output files and plans RebalancePartitions") {
+    import TestSpark.sf
+    // the hinted logical plan must carry the rebalance node AQE re-packs
+    val hinted = Tables.read(spark, sf, "events")
+      .select($"event_id", $"event_type").hint("rebalance")
+    assert(hinted.queryExecution.optimizedPlan.toString
+      .contains("RebalancePartitions"))
+    // running the query writes the re-packed output: the fixture's
+    // sub-advisory-size data must land in a handful of files, not one
+    // per task (32) — the small-files guard the hint exists for
+    sources.Formats.qOutputRebalance.fn(spark, sf).collect()
+    val dir = Paths.get("target/fmt/" +
+      s"${sf.replaceAll("[^A-Za-z0-9]", "_")}/rebalance_events")
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(dir).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parts >= 1 && parts <= 4,
+      s"rebalanced write produced $parts part files; expected a " +
+        "handful, not one per task")
+  }
 }

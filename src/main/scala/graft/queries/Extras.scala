@@ -426,7 +426,61 @@ object Extras {
            |FROM act a JOIN base b ON a.cohort_day = b.cohort_day
            |ORDER BY a.cohort_day, a.week_offset""".stripMargin))
 
+  /** Recursive-CTE surface (`WITH RECURSIVE`, new in Spark 4) — the
+    * SQL-text twin of the iterative pointer-jumping cluster assignment
+    * (LLMOps.clusterLabels): min-label reachability over the near-dup
+    * edge graph, written as recursion and run by Spark's UnionLoop
+    * execution. Spark's recursion supports UNION ALL only (no UNION
+    * dedup between levels yet), so an unguarded closure over a cyclic
+    * graph never terminates; the recursion carries an explicit depth
+    * bound instead, and the DuckDB oracle runs the IDENTICAL
+    * depth-bounded form, so parity is exact by construction. The
+    * fixture's dup clusters are near-cliques (diameter ≤ 2), so depth
+    * 4 reaches every true min label — OperatorSuite asserts the result
+    * equals the iterative clusterLabels fixpoint, closing the 3-way
+    * loop (DataFrame iteration ↔ Spark recursive SQL ↔ DuckDB
+    * recursive SQL). At 100 TB the iterative form stays the production
+    * path: pointer jumping converges in O(log d) distributed rounds
+    * with one row per node, while UNION ALL recursion materializes
+    * every path and runs O(d) levels. */
+  val qSqlRecursive = Q("q_sql_recursive",
+    (spark, sfDir) => {
+      import spark.implicits._
+      graft.queries.LLMOps.ngramPairs(spark, sfDir)
+        .select($"d1", $"d2")
+        .createOrReplaceTempView("np_pairs")
+      spark.sql(
+        """WITH RECURSIVE reach(id, r, depth) AS (
+          |  SELECT id, id AS r, 0 AS depth
+          |  FROM (SELECT d1 AS id FROM np_pairs
+          |        UNION SELECT d2 FROM np_pairs) n
+          |  UNION ALL
+          |  SELECT e.dst AS id, reach.r, reach.depth + 1
+          |  FROM reach
+          |  JOIN (SELECT d1 AS src, d2 AS dst FROM np_pairs
+          |        UNION ALL SELECT d2, d1 FROM np_pairs) e
+          |    ON e.src = reach.id
+          |  WHERE reach.depth < 4
+          |)
+          |SELECT id AS doc_id, min(r) AS cluster_id
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+    },
+    Some(s"""WITH RECURSIVE ${LLMOps.pairsCte}, reach(id, r, depth) AS (
+            |  SELECT id, id AS r, 0 AS depth
+            |  FROM (SELECT d1 AS id FROM pairs
+            |        UNION SELECT d2 FROM pairs) n
+            |  UNION ALL
+            |  SELECT e.dst AS id, reach.r, reach.depth + 1
+            |  FROM reach
+            |  JOIN (SELECT d1 AS src, d2 AS dst FROM pairs
+            |        UNION ALL SELECT d2, d1 FROM pairs) e
+            |    ON e.src = reach.id
+            |  WHERE reach.depth < 4
+            |)
+            |SELECT id AS doc_id, min(r) AS cluster_id
+            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qScd2History, qSqlSurface, qFunnel,
-    qRetentionCohort, qProfileHistogram)
+    qRetentionCohort, qProfileHistogram, qSqlRecursive)
 }

@@ -316,7 +316,7 @@ object LLMOps {
     * feeds both the pair query and the cluster-assignment query below —
     * the same temp-table barrier treatment the cohort and shingle
     * tables get. Tiny output (one row per near-dup pair). */
-  private def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo.cached(spark, s"ngram_pairs:$sfDir") {
       import spark.implicits._
       val sh = shingles(spark, sfDir)
@@ -469,6 +469,25 @@ object LLMOps {
     }
   }
 
+  /** DuckDB CTE chain ending in `pairs(d1,d2)` — the ≥0.5-Jaccard
+    * near-dup pair table; shared by the cluster-assignment oracle and
+    * the recursive-SQL oracle (Extras.qSqlRecursive). */
+  private[graft] val pairsCte: String =
+    s"""$shCte, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), common AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+       |  FROM sh x JOIN sh y
+       |    ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT d1, d2
+       |  FROM common
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+       |)""".stripMargin
+
   val qDedupCluster = Q("q_dedup_cluster",
     (spark, sfDir) => {
       import spark.implicits._
@@ -476,20 +495,7 @@ object LLMOps {
         .select($"id".as("doc_id"), $"label".as("cluster_id"))
         .orderBy($"doc_id")
     },
-    Some(s"""WITH RECURSIVE $shCte, sizes AS (
-            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-            |), common AS (
-            |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
-            |  FROM sh x JOIN sh y
-            |    ON x.s = y.s AND x.doc_id < y.doc_id
-            |  GROUP BY 1, 2
-            |), pairs AS (
-            |  SELECT d1, d2
-            |  FROM common
-            |  JOIN sizes s1 ON s1.doc_id = d1
-            |  JOIN sizes s2 ON s2.doc_id = d2
-            |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
-            |), edges AS (
+    Some(s"""WITH RECURSIVE $pairsCte, edges AS (
             |  SELECT d1 AS src, d2 AS dst FROM pairs
             |  UNION
             |  SELECT d2 AS src, d1 AS dst FROM pairs
@@ -1203,6 +1209,38 @@ object LLMOps {
            |         AS chunk_tokens
            |FROM ix ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  // ------------------------------------------- blocklist scrubbing
+  /** Term-blocklist scrubbing — the redaction pass every corpus build
+    * runs before training (PII patterns, toxic terms, site-specific
+    * blocklists): count the hits and replace them, as one row-local
+    * regex projection — zero shuffle before the output sort, so
+    * scrubbing 100 TB is a pure scan pass exactly like chunking. The
+    * fixture blocklist is `customer|key` (its vocabulary has no
+    * digits, so a digit-PII pattern would be vacuous — the dataflow is
+    * identical for any RE2-portable pattern); parity is asserted on
+    * BOTH the hit count and a portable hash of the scrubbed text, so
+    * an engine disagreeing on any replacement position fails. DuckDB's
+    * regexp_replace needs the explicit 'g' flag to match Spark's
+    * replace-all default — half the point of gating this query. */
+  val qScrubBlocklist = Q("q_scrub_blocklist",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id",
+          regexp_count($"text", lit("(customer|key)"))
+            .as("n_redactions"),
+          charFold(regexp_replace($"text", "(customer|key)", "#"))
+            .as("scrubbed_hash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id,
+            |  CAST(len(regexp_extract_all(text, '(customer|key)'))
+            |    AS INT) AS n_redactions,
+            |  ${charFoldSql(
+                 "regexp_replace(text, '(customer|key)', '#', 'g')")}
+            |    AS scrubbed_hash
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------- eval decontamination
   /** Benchmark/eval-set decontamination — the standard corpus step of
     * finding training documents that overlap an evaluation set before
@@ -1450,6 +1488,7 @@ object LLMOps {
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qSplitGroup,
-    qSampleStratified, qSamplePerSource, qChunkDocs, qDecontaminate,
-    qPackSequences, qUdfNorm, qUdafCentroid, qPipelineCorpus)
+    qSampleStratified, qSamplePerSource, qChunkDocs, qScrubBlocklist,
+    qDecontaminate, qPackSequences, qUdfNorm, qUdafCentroid,
+    qPipelineCorpus)
 }

@@ -426,6 +426,30 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("recursive-SQL clustering equals the iterative fixpoint") {
+    // diameter of the fixture's dup clusters is <= 2, so the depth-4
+    // recursion must reach every true min label — the 3-way loop:
+    // DataFrame iteration == Spark recursive SQL (== DuckDB via gate)
+    val rec = graft.queries.Extras.qSqlRecursive.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = LLMOps.qDedupCluster.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rec === iter)
+  }
+
+  test("blocklist scrub: redaction counts match a token-level recount") {
+    val rows = LLMOps.qScrubBlocklist.fn(spark, sf)
+      .select($"doc_id", $"n_redactions").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val recount = Tables.read(spark, sf, "documents")
+      .select($"doc_id", split(trim($"text"), " ").as("ws"))
+      .select($"doc_id", size(filter($"ws",
+        w => w.isin("customer", "key"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows === recount)
+    assert(rows.values.sum > 0, "fixture must contain blocklist hits")
+  }
+
   test("dedup clusters: pair endpoints agree; representative is its own label") {
     val pairs = LLMOps.qDedupNgramJaccard.fn(spark, sf)
       .select($"d1", $"d2").collect()

@@ -205,6 +205,65 @@ object Scalars {
            |         AS price_per
            |FROM part ORDER BY p_partkey""".stripMargin))
 
+  /** VARIANT semi-structured access (Spark 4) — the 100 TB upgrade
+    * over F7's string-JSON scalars: `parse_json` decodes once into the
+    * binary VARIANT encoding and `variant_get` does typed path access
+    * without re-parsing the string per extraction (and the encoding
+    * shreds into parquet in newer writers, getting columnar pruning on
+    * semi-structured data). Values and grouping are identical to the
+    * string-JSON path, so the oracle runs DuckDB's native JSON
+    * extraction over the same rows — engine-neutral semantics, engine-
+    * specific encodings. `k` is non-negative in the fixture contract
+    * (props is the synthetic `{"k": 0..99}` payload), so `%` and pmod
+    * agree. */
+  val qScalarVariant = Q("q_scalar_variant",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .select(
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          $"value")
+        .groupBy(pmod($"k", lit(10L)).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"k_mod")
+    },
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+           |         % 10 AS k_mod,
+           |       count(*) AS n,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin))
+
+  /** Parameterized SQL — the injection-safe text surface (named
+    * parameters, Spark 3.4+): the parameter is BOUND, not spliced, so
+    * caller-supplied values can never alter query structure — the
+    * contract every multi-tenant i2b2-style deployment needs when
+    * thresholds/code-lists arrive from a UI. The oracle inlines the
+    * same constant, so binding must be semantically identical to
+    * splicing for value parameters. */
+  val qSqlParams = Q("q_sql_params",
+    (spark, sfDir) => {
+      Tables.read(spark, sfDir, "orders")
+        .createOrReplaceTempView("params_orders")
+      spark.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
+          |    AS DOUBLE) AS sum_price
+          |FROM params_orders WHERE o_totalprice > :floor
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+          .stripMargin,
+        Map("floor" -> 200000.0))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
+           |    AS DOUBLE) AS sum_price
+           |FROM orders WHERE o_totalprice > 200000.0
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
-    qScalarCase, qScalarJson, qArrayHof, qScalarRegex, qScalarTry)
+    qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
+    qScalarTry, qSqlParams)
 }

@@ -34,14 +34,24 @@ object Memo {
   }
 
   /** Run a side-effecting load (Derby fill, bucketed-table CTAS) once
-    * per (session, key). Entries are evicted with the session like
-    * [[cached]]'s, so a long-lived multi-session JVM does not pin
-    * stopped sessions through this map (ADVICE r6 item 4). */
+    * per (session, key). Entries follow [[cached]]'s eviction contract
+    * (the object doc above): they are released when the owning
+    * session's CONTEXT ends — sessions stopped while sharing a
+    * still-live SparkContext keep their entries until that context
+    * ends, the accepted bound for this engine's one-context-per-JVM
+    * deployments (ADVICE r6 item 4). */
   def once(spark: SparkSession, key: String)(load: => Unit): Unit = {
     hook(spark)
     actions.getOrElseUpdate((spark, key), load)
     ()
   }
+
+  /** Test hook: the memo/load keys held for exactly this session —
+    * lets suites prove per-session isolation (a sibling session must
+    * build its OWN entries, not observe another's). */
+  private[graft] def keysFor(spark: SparkSession): Set[String] =
+    (entries.keysIterator ++ actions.keysIterator)
+      .collect { case (s, k) if s eq spark => k }.toSet
 
   private def hook(spark: SparkSession): Unit =
     if (hooked.putIfAbsent(spark, ()).isEmpty) {

@@ -62,6 +62,23 @@ object LLMOps {
   private def charFoldSql(s: String): String =
     graft.functions.PortableHash.charFoldSql(s)
 
+  /** Portable pseudo-random spread of a long id into [0, 2^31) — the
+    * shared selection hash of the sampling family (stratified keep
+    * rates, per-source cap order). The id is folded into 31 bits with
+    * pmod BEFORE the Knuth multiply: max product (2^31-1)·2654435761
+    * ≈ 5.7e18 stays inside Long/BIGINT, whereas a raw id ≥ ~3.5e9
+    * would overflow (silent wrap in Spark, a hard error in DuckDB);
+    * pmod (not %) folds negative ids into range too. One definition on
+    * each engine so the two sampling queries can never diverge. */
+  private[graft] def knuthSpread(id: Column): Column =
+    pmod(id, lit(2147483648L)) * 2654435761L % 2147483648L
+
+  /** DuckDB mirror of [[knuthSpread]] — pmod emulated with the
+    * add-then-mod idiom so negative ids agree with the Spark side. */
+  private def knuthSpreadSql(e: String): String =
+    s"(($e % 2147483648 + 2147483648) % 2147483648) " +
+      "* 2654435761 % 2147483648"
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
 
@@ -418,8 +435,37 @@ object LLMOps {
       import spark.implicits._
       ckptDir.foreach(spark.sparkContext.setCheckpointDir)
       def barrier(df: DataFrame): DataFrame =
-        if (ckptDir.isDefined) df.checkpoint(true)
-        else df.localCheckpoint(true)
+        if (ckptDir.isDefined) {
+          // persist BEFORE the eager checkpoint: RDD.checkpoint re-runs
+          // the lineage to write its files (the documented caveat), so
+          // without a cache every iteration's join+agg would execute
+          // twice — once for the eager materialization, once for the
+          // write. The scratch cache is dropped as soon as the files
+          // are durable.
+          val cached = df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val ck = cached.checkpoint(true)
+          cached.unpersist(blocking = false)
+          ck
+        } else df.localCheckpoint(true)
+      // delete a superseded round's reliable checkpoint files: the
+      // ContextCleaner does NOT reclaim them (cleanCheckpoints defaults
+      // to false), so a 20-round job would otherwise strand ~20 full
+      // label-table snapshots in the checkpoint dir. Only the
+      // just-replaced `labels` files are deleted — never `next`
+      // (becomes `labels`), never the edge table (read every round),
+      // never the final result (the memoized DataFrame reads from it).
+      def dropCheckpointFiles(df: DataFrame): Unit =
+        df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.getCheckpointFile.foreach { f =>
+              val p = new org.apache.hadoop.fs.Path(f)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(p, true)
+              ()
+            }
+          case _ => ()
+        }
       val pairs = ngramPairs(spark, sfDir).select($"d1", $"d2")
       val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
         .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
@@ -447,20 +493,22 @@ object LLMOps {
         converged = s == prevSum
         prevSum = s
         // next is already materialized (eager checkpoint + labelSum),
-        // so the previous round's blocks can never be re-read. Free
-        // them at the RDD level: a localCheckpoint'd Dataset's blocks
-        // belong to the checkpointed RDD inside its LogicalRDD plan,
-        // NOT the CacheManager, so Dataset.unpersist would be a no-op
-        // and the blocks would otherwise linger until the
-        // ContextCleaner GCs the dropped reference. (Under reliable
-        // checkpoint the data lives in files, not blocks — unpersist
-        // is a harmless no-op and the files are reclaimed by the
-        // ContextCleaner / the deployment's checkpoint-dir retention.)
+        // so the previous round's blocks/files can never be re-read.
+        // Free blocks at the RDD level: a localCheckpoint'd Dataset's
+        // blocks belong to the checkpointed RDD inside its LogicalRDD
+        // plan, NOT the CacheManager, so Dataset.unpersist would be a
+        // no-op and the blocks would otherwise linger until the
+        // ContextCleaner GCs the dropped reference. Under reliable
+        // checkpoint the data lives in FILES instead — delete the
+        // superseded round's files explicitly (see dropCheckpointFiles;
+        // steady-state dir footprint stays at 2 snapshots + edges, not
+        // one per round).
         labels.queryExecution.analyzed match {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
             lr.rdd.unpersist(blocking = false)
           case _ => ()
         }
+        if (ckptDir.isDefined) dropCheckpointFiles(labels)
         labels = next
         iter += 1
       }
@@ -1033,17 +1081,9 @@ object LLMOps {
   val qSampleStratified = Q("q_sample_stratified",
     (spark, sfDir) => {
       import spark.implicits._
-      // fold the id into 31 bits BEFORE the Knuth multiply: max product
-      // (2^31-1)·2654435761 ≈ 5.7e18 stays inside Long/BIGINT, whereas
-      // a raw doc_id ≥ ~3.5e9 would overflow (silent wrap in Spark, a
-      // hard error in DuckDB) and corrupt the keep rates. pmod (not %)
-      // so negative ids fold into [0, 2^31) too; the oracle emulates
-      // pmod with the add-then-mod idiom so both engines agree for
-      // ANY long id, not just the fixture's non-negative ones
-      // (ADVICE r6 item 3)
-      val bucket =
-        pmod($"doc_id", lit(2147483648L)) * 2654435761L %
-          2147483648L % 100L
+      // selection hash shared with the per-source cap — overflow and
+      // negative-id contracts live on [[knuthSpread]] (ADVICE r6 item 3)
+      val bucket = knuthSpread($"doc_id") % 100L
       val rate = when($"lang" === "en", 10L).otherwise(50L)
       docs(spark, sfDir)
         .filter(bucket < rate)
@@ -1053,14 +1093,13 @@ object LLMOps {
           round(avg($"n_chars"), 6).as("avg_chars"))
         .orderBy($"lang")
     },
-    Some("""SELECT lang, count(*) AS n_kept,
-           |       count(DISTINCT source) AS n_sources,
-           |       round(avg(n_chars), 6) AS avg_chars
-           |FROM documents
-           |WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648)
-           |        * 2654435761 % 2147483648 % 100 <
-           |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
-           |GROUP BY lang ORDER BY lang""".stripMargin))
+    Some(s"""SELECT lang, count(*) AS n_kept,
+            |       count(DISTINCT source) AS n_sources,
+            |       round(avg(n_chars), 6) AS avg_chars
+            |FROM documents
+            |WHERE ${knuthSpreadSql("doc_id")} % 100 <
+            |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+            |GROUP BY lang ORDER BY lang""".stripMargin))
 
   // --------------------------------------------- per-source doc cap
   /** Deterministic per-source cap — the third corpus-rebalancing verb
@@ -1085,21 +1124,18 @@ object LLMOps {
     (spark, sfDir) => {
       import spark.implicits._
       val scored = docs(spark, sfDir)
-        .select($"source", $"doc_id",
-          (pmod($"doc_id", lit(2147483648L)) * 2654435761L %
-            2147483648L).as("h"))
+        .select($"source", $"doc_id", knuthSpread($"doc_id").as("h"))
       graft.plans.TopKPerKey.of(scored,
           partitionCols = Seq("source"), orderCol = "h", desc = false,
           tiebreak = "doc_id", k = 5)
         .select($"source", $"doc_id")
         .orderBy($"source", $"doc_id")
     },
-    Some("""WITH h AS (
-           |  SELECT source, doc_id,
-           |    ((doc_id % 2147483648 + 2147483648) % 2147483648)
-           |      * 2654435761 % 2147483648 AS h
-           |  FROM documents
-           |), r AS (
+    Some(s"""WITH h AS (
+            |  SELECT source, doc_id,
+            |    ${knuthSpreadSql("doc_id")} AS h
+            |  FROM documents
+            |), r AS (
            |  SELECT source, doc_id,
            |         row_number() OVER (PARTITION BY source
            |           ORDER BY h, doc_id) AS rn
@@ -1355,15 +1391,23 @@ object LLMOps {
     val (lo, hi, nDocs) = (stat.getLong(0), stat.getLong(1), stat.getLong(2))
     val nRanges = ranges.getOrElse(
       math.max(8L, nDocs / 50000L).min(1 << 20).toInt)
-    // equal-width id slices; width ≥ 1 and the least() clamp absorbs
-    // both rounding and a sparse top end. Pure per-row arithmetic →
-    // the same doc lands in the same range on every run and cluster.
-    val width = math.max(1L, (hi - lo) / nRanges + 1L)
-    // integer `div`, not `/` (which is double division in Spark SQL and
-    // would round at the 2^53 boundary for extreme id spans)
+    // range id via MONOTONE double binning: long→double conversion,
+    // constant subtraction, division and floor are all monotone
+    // non-decreasing, so ranges stay contiguous in doc_id order, and
+    // double arithmetic cannot overflow for ANY id pair — a raw
+    // `(doc_id - lo) div width` wraps for 64-bit-spread (e.g. hashed
+    // or negative) ids, which would both destroy the equal-width
+    // slicing AND leak sign bits into the `(rid << 32) | bin` encoding.
+    // FP rounding may shift a boundary doc by one range — still the
+    // SAME range on every run/cluster (identical FP ops per row), so
+    // the determinism contract is unaffected; the greatest/least clamp
+    // pins rid into [0, nRanges).
+    val widthD = math.max(1.0,
+      (BigDecimal(hi) - BigDecimal(lo)).toDouble / nRanges)
     val ranged = toks.withColumn("rid",
-      least(lit(nRanges - 1L),
-        expr(s"(doc_id - ${lo}L) div ${width}L")))
+      least(lit(nRanges - 1L), greatest(lit(0L),
+        floor(($"doc_id".cast("double") - lit(lo.toDouble)) / widthD)
+          .cast("long"))))
     val packed = ranged
       .repartition(nRanges, $"rid")
       .sortWithinPartitions($"rid", $"doc_id")

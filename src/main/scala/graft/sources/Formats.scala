@@ -20,6 +20,13 @@ object Formats {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** One definition of the on-disk scratch layout every side-store
+    * write below uses — `target/fmt/<sanitized sfDir>/<leaf>` — so the
+    * sanitization can never drift between the writer and a reader
+    * (FormatsSuite locates the rebalanced output through this too). */
+  private[graft] def fmtDir(sfDir: String, leaf: String): String =
+    s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/$leaf"
+
   /** Oracle shared by both round-trips: per-type stats off parquet. */
   private val roundtripOracle =
     """SELECT event_type,
@@ -35,7 +42,7 @@ object Formats {
     (spark, sfDir) => {
       import spark.implicits._
       val src = provider.getOrElse(fmt)
-      val dir = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/$fmt"
+      val dir = fmtDir(sfDir, fmt)
       val slimmed = Tables.read(spark, sfDir, "events")
         .select($"event_id", $"user_id", $"event_type", $"value")
       slimmed.write.mode("overwrite").format(src).options(options).save(dir)
@@ -89,7 +96,7 @@ object Formats {
   val qSourceText = Q("q_source_text_roundtrip",
     (spark, sfDir) => {
       import spark.implicits._
-      val dir = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/text"
+      val dir = fmtDir(sfDir, "text")
       Tables.read(spark, sfDir, "events").select($"props")
         .write.mode("overwrite").text(dir)
       spark.read.text(dir)
@@ -259,8 +266,7 @@ object Formats {
   val qSourceBinary = Q("q_source_binary",
     (spark, sfDir) => {
       import spark.implicits._
-      val dir = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}" +
-        "/bin_docs"
+      val dir = fmtDir(sfDir, "bin_docs")
       loadOnce(spark, sfDir, "binary") {
         val docs = Tables.read(spark, sfDir, "documents")
           .filter($"doc_id" < 50).select($"doc_id", $"text").collect()
@@ -354,8 +360,7 @@ object Formats {
   val qOutputRebalance = Q("q_output_rebalance",
     (spark, sfDir) => {
       import spark.implicits._
-      val dir = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}" +
-        "/rebalance_events"
+      val dir = fmtDir(sfDir, "rebalance_events")
       Tables.read(spark, sfDir, "events")
         .select($"event_id", $"user_id", $"event_type", $"value")
         .hint("rebalance")
@@ -382,8 +387,7 @@ object Formats {
   val qSourcePartitioned = Q("q_source_partitioned_roundtrip",
     (spark, sfDir) => {
       import spark.implicits._
-      val dir = "target/fmt/" +
-        s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/part_events"
+      val dir = fmtDir(sfDir, "part_events")
       val slimmed = Tables.read(spark, sfDir, "events")
         .select($"event_id", $"user_id", $"event_type", $"value")
       slimmed.write.mode("overwrite")
@@ -421,9 +425,8 @@ object Formats {
   val qSourceDpp = Q("q_source_dpp",
     (spark, sfDir) => {
       import spark.implicits._
-      val base = s"target/fmt/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val factDir = s"$base/dpp_events"
-      val dimDir = s"$base/dpp_dim"
+      val factDir = fmtDir(sfDir, "dpp_events")
+      val dimDir = fmtDir(sfDir, "dpp_dim")
       loadOnce(spark, sfDir, "dpp") {
         Tables.read(spark, sfDir, "events")
           .select($"event_id", $"user_id", $"event_type", $"value")

@@ -145,9 +145,22 @@ class BucketingSuite extends AnyFunSuite {
     val mine = Formats.qSourceJdbc.fn(spark, sf).collect().toSeq
     val theirs = Formats.qSourceJdbc.fn(s2, sf).collect().toSeq
     assert(mine === theirs)
-    val d1 = graft.queries.LLMOps.qDedupExact.fn(spark, sf).collect().toSeq
-    val d2 = graft.queries.LLMOps.qDedupExact.fn(s2, sf).collect().toSeq
+    val d1 = graft.queries.LLMOps.qDedupMinhash.fn(spark, sf)
+      .collect().toSeq
+    val d2 = graft.queries.LLMOps.qDedupMinhash.fn(s2, sf)
+      .collect().toSeq
     assert(d1 === d2)
+    // falsifiability: equal results alone would also hold if the memo
+    // ignored the session — assert s2 really built ITS OWN entries
+    // (the shingle/band memos and the Derby load) under its key space
+    val k2 = Memo.keysFor(s2)
+    assert(k2.exists(_.startsWith("shingles:")),
+      s"second session built no shingle memo of its own: $k2")
+    assert(k2.exists(_.startsWith("load:jdbc:")),
+      s"second session ran no Derby load of its own: $k2")
+    assert(Memo.keysFor(spark).intersect(k2).nonEmpty,
+      "same keys must exist in BOTH sessions' key spaces (per-session " +
+        "copies, not a shared entry)")
   }
 
   test("unioned daily HLL sketches estimate exact distinct users within 5%") {

@@ -81,8 +81,7 @@ class FormatsSuite extends AnyFunSuite {
     // sub-advisory-size data must land in a handful of files, not one
     // per task (32) — the small-files guard the hint exists for
     sources.Formats.qOutputRebalance.fn(spark, sf).collect()
-    val dir = Paths.get("target/fmt/" +
-      s"${sf.replaceAll("[^A-Za-z0-9]", "_")}/rebalance_events")
+    val dir = Paths.get(sources.Formats.fmtDir(sf, "rebalance_events"))
     import scala.jdk.CollectionConverters._
     val parts = Files.list(dir).iterator().asScala
       .count(_.getFileName.toString.endsWith(".parquet"))

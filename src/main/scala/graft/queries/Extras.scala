@@ -426,6 +426,63 @@ object Extras {
            |FROM act a JOIN base b ON a.cohort_day = b.cohort_day
            |ORDER BY a.cohort_day, a.week_offset""".stripMargin))
 
+  /** Gap-fill with last-observation-carried-forward — the time-series
+    * completion verb every EHR/metrics pipeline runs (a lab value
+    * holds until re-measured; a daily metric series must be dense
+    * before modeling): build each key's daily spine between its first
+    * and last observation, left-join the observed days, and forward-
+    * fill the gaps with `last(_, ignoreNulls)` over an unbounded-
+    * preceding row frame. The first spine day is an observation by
+    * construction, so the filled column is never null. At 100 TB this
+    * is one shuffle on the entity key (the window partition); the
+    * spine explode is narrow and bounded by span days per key. The
+    * probe set (user_id < 20) bounds the output, not the technique. */
+  val qGapFill = Q("q_gap_fill",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "events")
+        .filter($"user_id" < 20)
+        .select($"user_id", to_date($"ts").as("day"), $"value")
+      val daily = e.groupBy($"user_id", $"day")
+        .agg(round(avg($"value"), 6).as("day_avg"))
+      val spine = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          $"day_avg".isNotNull.as("is_observed"),
+          last($"day_avg", ignoreNulls = true).over(w)
+            .as("filled_value"))
+        .orderBy($"user_id", $"day")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+           |  FROM events WHERE user_id < 20
+           |), daily AS (
+           |  SELECT user_id, day, round(avg(value), 6) AS day_avg
+           |  FROM e GROUP BY 1, 2
+           |), bounds AS (
+           |  SELECT user_id, min(day) AS d0, max(day) AS d1
+           |  FROM daily GROUP BY 1
+           |), spine AS (
+           |  SELECT user_id,
+           |         CAST(unnest(generate_series(d0, d1,
+           |           INTERVAL 1 DAY)) AS DATE) AS day
+           |  FROM bounds
+           |)
+           |SELECT s.user_id, s.day,
+           |       d.day_avg IS NOT NULL AS is_observed,
+           |       last_value(d.day_avg IGNORE NULLS) OVER (
+           |         PARTITION BY s.user_id ORDER BY s.day
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |         AS filled_value
+           |FROM spine s
+           |LEFT JOIN daily d USING (user_id, day)
+           |ORDER BY s.user_id, s.day""".stripMargin))
+
   /** Recursive-CTE surface (`WITH RECURSIVE`, new in Spark 4) — the
     * SQL-text twin of the iterative pointer-jumping cluster assignment
     * (LLMOps.clusterLabels): min-label reachability over the near-dup
@@ -482,5 +539,5 @@ object Extras {
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qScd2History, qSqlSurface, qFunnel,
-    qRetentionCohort, qProfileHistogram, qSqlRecursive)
+    qRetentionCohort, qProfileHistogram, qSqlRecursive, qGapFill)
 }

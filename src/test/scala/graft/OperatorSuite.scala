@@ -402,6 +402,42 @@ class OperatorSuite extends AnyFunSuite {
     assert(auto.map(_.getLong(1)).sum === corpus)
   }
 
+  test("sequence packing holds its invariants across budgets") {
+    val corpus = Tables.read(spark, sf, "documents").count()
+    Seq(64L, 512L).foreach { b =>
+      val bins = LLMOps.packSequences(spark, sf, budget = b,
+        ranges = Some(4)).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      bins.foreach { case (bin, nDocs, sumTok) =>
+        assert(sumTok <= b || nDocs == 1L,
+          s"bin $bin overfilled (budget=$b)")
+      }
+      assert(bins.map(_._2).sum === corpus, s"conservation (budget=$b)")
+    }
+  }
+
+  test("gap fill: filled series is dense, never null, LOCF-consistent") {
+    val rows = graft.queries.Extras.qGapFill.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getBoolean(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(!_._3), "fixture must contain gaps to fill")
+    rows.groupBy(_._1).foreach { case (u, series) =>
+      val s = series.sortBy(_._2.toEpochDay)
+      // dense daily spine between first and last observation
+      assert(s.last._2.toEpochDay - s.head._2.toEpochDay ===
+        s.length - 1L, s"user $u spine has holes")
+      assert(s.head._3, s"user $u first spine day must be observed")
+      // every gap day carries the previous day's filled value
+      s.sliding(2).foreach {
+        case Array(prev, cur) if !cur._3 =>
+          assert(cur._4 === prev._4,
+            s"user $u ${cur._2}: gap not carried forward")
+        case _ => ()
+      }
+    }
+  }
+
   test("cluster labels are identical under reliable checkpoint") {
     val base = LLMOps.qDedupCluster.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -270,6 +270,12 @@ object Formats {
       loadOnce(spark, sfDir, "binary") {
         val docs = Tables.read(spark, sfDir, "documents")
           .filter($"doc_id" < 50).select($"doc_id", $"text").collect()
+        // overwrite semantics like every sibling side-store write:
+        // clear survivors from earlier JVMs, or a narrowed doc bound
+        // would leave stale .bin files matching the glob (a parity
+        // failure only a manual target/ wipe could clear)
+        val old = new java.io.File(dir)
+        if (old.exists()) rmTree(old)
         val p = java.nio.file.Paths.get(dir)
         java.nio.file.Files.createDirectories(p)
         docs.foreach { r =>
@@ -309,18 +315,22 @@ object Formats {
     * are engine-specific → no DuckDB oracle (driver records rows>0);
     * BucketingSuite asserts the CMS guarantee vs exact counts
     * (overestimate-only, within eps·N). */
-  private val cmsMerge = udf((sks: Seq[Array[Byte]]) => {
-    val it = sks.iterator
-    val acc = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(it.next()))
-    it.foreach { b =>
-      acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(b)))
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    acc.writeTo(out)
-    out.toByteArray
-  })
+  private val cmsMerge = udf((sks: Seq[Array[Byte]]) =>
+    // empty rollup (zero-row events) → no sketch, not a crash; the
+    // probe list is empty too, so the null never reaches cmsProbe
+    if (sks.isEmpty) null
+    else {
+      val it = sks.iterator
+      val acc = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(it.next()))
+      it.foreach { b =>
+        acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(b)))
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      acc.writeTo(out)
+      out.toByteArray
+    })
 
   private val cmsProbe = udf((sk: Array[Byte], key: String) =>
     org.apache.spark.util.sketch.CountMinSketch
@@ -330,16 +340,20 @@ object Formats {
   val qAggCmsFreq = Q("q_agg_cms_freq",
     (spark, sfDir) => {
       import spark.implicits._
+      // the probe KEY LIST rides the same rollup pass as the sketches
+      // (collect_set per day, union-distinct at merge time) — a second
+      // events scan to enumerate keys would contradict the whole point
+      // of querying from rollups
       val daily = Tables.read(spark, sfDir, "events")
         .groupBy(to_date($"ts").as("day"))
         .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)")
-          .as("sk"))
-      val merged = daily
-        .agg(collect_list($"sk").as("sks"), count(lit(1)).as("n_days"))
-        .select(cmsMerge($"sks").as("sk"), $"n_days")
-      val probes = Tables.read(spark, sfDir, "events")
-        .select($"event_type").distinct()
-      probes.crossJoin(broadcast(merged))
+          .as("sk"),
+          collect_set($"event_type").as("keys"))
+      daily
+        .agg(collect_list($"sk").as("sks"), count(lit(1)).as("n_days"),
+          array_distinct(flatten(collect_list($"keys"))).as("keys"))
+        .select(cmsMerge($"sks").as("sk"), $"n_days",
+          explode($"keys").as("event_type"))
         .select($"event_type",
           cmsProbe($"sk", $"event_type").as("est_count"),
           $"n_days")

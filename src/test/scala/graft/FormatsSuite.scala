@@ -83,8 +83,11 @@ class FormatsSuite extends AnyFunSuite {
     sources.Formats.qOutputRebalance.fn(spark, sf).collect()
     val dir = Paths.get(sources.Formats.fmtDir(sf, "rebalance_events"))
     import scala.jdk.CollectionConverters._
-    val parts = Files.list(dir).iterator().asScala
-      .count(_.getFileName.toString.endsWith(".parquet"))
+    val listing = Files.list(dir) // stream holds a dir handle — close it
+    val parts =
+      try listing.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      finally listing.close()
     assert(parts >= 1 && parts <= 4,
       s"rebalanced write produced $parts part files; expected a " +
         "handful, not one per task")

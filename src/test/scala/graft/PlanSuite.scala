@@ -307,6 +307,21 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("decontamination semi-joins against a broadcast probe set") {
+    // the eval-shingle side is the one bounded-by-construction
+    // broadcast in the dedup family — the corpus side must never
+    // shuffle for the membership test
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "probe membership must plan as a broadcast semi join")
+  }
+
+  test("gap fill evaluates LOCF in ONE window over the entity key") {
+    val p = plan("q_gap_fill")
+    assert("Window \\[".r.findAllIn(p).length === 1,
+      "forward fill must not add extra Window passes")
+  }
+
   test("per-source cap plans through two-phase TopKPerKey, no sort below") {
     val p = plan("q_sample_per_source")
     assert(p.contains("TopKPerKey ["))

@@ -590,6 +590,89 @@ object LLMOps {
            |  >= 0.35
            |ORDER BY v1, v2""".stripMargin))
 
+  // --------------------------------------------- embedding quantization
+  /** Int8 embedding quantization — the storage/bandwidth side of the
+    * ANN story: absmax scaling (scale = max|v|/127, q = round(v/scale)
+    * clamped to ±127) shrinks a float32 vector 4×, which at 100 TB is
+    * the difference between an index that fits executor memory and one
+    * that doesn't; search then runs int8·int8 with one dequantized
+    * rescale. Pure row-local HOF arithmetic — zero shuffle before the
+    * output sort, embarrassingly parallel like chunking. Output per
+    * vector: the scale, the exact integer checksum of the quantized
+    * codes (any engine disagreeing on a single rounding tie fails
+    * parity bit-for-bit), and the relative L2 reconstruction error
+    * (~1e-2 for 64-dim — OperatorSuite bounds it). Quantization
+    * rounds via floor(x+0.5) and folds sequentially on both engines,
+    * so every double op is bit-identical. */
+  val qQuantizeEmbed = Q("q_quantize_embed",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val amax = array_max(transform($"embedding",
+        x => abs(x))).cast("double")
+      // floor(x + 0.5), NOT round(): Spark's round re-reads the double
+      // through its shortest decimal representation (BigDecimal
+      // HALF_UP), DuckDB rounds the raw binary value — they disagree
+      // on values like 36.499999999999996; floor(+0.5) is the same
+      // IEEE op on both engines, bit-for-bit
+      def quant(v: Column, scale: Column): Column =
+        least(lit(127.0), greatest(lit(-127.0),
+          floor(v.cast("double") / scale + 0.5)))
+      // the working column is NOT named like the output alias: in a
+      // select list that defines `round(scale).as("scale")`, sibling
+      // lambda expressions referencing $"scale" bind to the ROUNDED
+      // output, not the input (measured: recon_err silently computed
+      // against the 9-dp scale, a 1e-8 drift the oracle caught) —
+      // shadowing an input column's name inside one projection is a
+      // correctness hazard, so the raw value keeps its own name
+      emb(spark, sfDir)
+        .select($"vec_id", $"embedding", amax.as("amax"))
+        .filter($"amax" > 0)
+        .withColumn("scale_raw", $"amax" / 127.0)
+        .select($"vec_id",
+          round($"scale_raw", 9).as("scale"),
+          aggregate(transform($"embedding",
+              v => quant(v, $"scale_raw")), lit(0.0), _ + _)
+            .cast("long").as("q_sum"),
+          round(
+            sqrt(aggregate(transform($"embedding", v => {
+              val d = v.cast("double") -
+                quant(v, $"scale_raw") * $"scale_raw"
+              d * d
+            }), lit(0.0), _ + _)) /
+              sqrt(aggregate(transform($"embedding",
+                v => v.cast("double") * v.cast("double")),
+                lit(0.0), _ + _)), 6)
+            .as("recon_err"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    CAST(list_max(list_transform(embedding,
+           |      x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS amax
+           |  FROM embeddings
+           |), s AS (
+           |  SELECT vec_id, embedding, amax / 127.0 AS scale
+           |  FROM b WHERE amax > 0
+           |)
+           |SELECT vec_id, round(scale, 9) AS scale,
+           |  CAST(list_sum(list_transform(embedding, v ->
+           |    least(127.0, greatest(-127.0,
+           |      floor(CAST(v AS DOUBLE) / scale + 0.5))))) AS BIGINT)
+           |    AS q_sum,
+           |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(embedding, v ->
+           |        (CAST(v AS DOUBLE) - least(127.0, greatest(-127.0,
+           |           floor(CAST(v AS DOUBLE) / scale + 0.5))) * scale) *
+           |        (CAST(v AS DOUBLE) - least(127.0, greatest(-127.0,
+           |           floor(CAST(v AS DOUBLE) / scale + 0.5))) * scale))),
+           |      (a, x) -> a + x)) /
+           |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(embedding, v ->
+           |        CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+           |      (a, x) -> a + x)), 6)
+           |    AS recon_err
+           |FROM s ORDER BY vec_id""".stripMargin))
+
   // ---------------------------------------------------------------- X3
   /** Brute-force cosine top-k: 10 query vectors broadcast against the
     * full table (the exact baseline every ANN variant is measured
@@ -1528,7 +1611,8 @@ object LLMOps {
             |FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash,
-    qDedupNgramJaccard, qDedupCluster, qDedupEmbed, qSimCosineTopk,
+    qDedupNgramJaccard, qDedupCluster, qDedupEmbed, qQuantizeEmbed,
+    qSimCosineTopk,
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qSplitGroup,

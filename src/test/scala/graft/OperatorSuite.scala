@@ -402,6 +402,20 @@ class OperatorSuite extends AnyFunSuite {
     assert(auto.map(_.getLong(1)).sum === corpus)
   }
 
+  test("int8 quantization: checksum in range, reconstruction error small") {
+    val rows = LLMOps.qQuantizeEmbed.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, qSum, err) =>
+      assert(scale > 0, s"vec $id non-positive scale")
+      // 64 dims, each code in [-127, 127]
+      assert(math.abs(qSum) <= 127L * 64, s"vec $id checksum range")
+      // absmax int8 on 64 dims: relative L2 error well under 2%
+      assert(err >= 0 && err < 0.02, s"vec $id recon_err $err")
+    }
+  }
+
   test("sequence packing holds its invariants across budgets") {
     val corpus = Tables.read(spark, sf, "documents").count()
     Seq(64L, 512L).foreach { b =>

@@ -639,9 +639,10 @@ object LLMOps {
                 quant(v, $"scale_raw") * $"scale_raw"
               d * d
             }), lit(0.0), _ + _)) /
-              sqrt(aggregate(transform($"embedding",
-                v => v.cast("double") * v.cast("double")),
-                lit(0.0), _ + _)), 6)
+              // the shared native norm kernel — bitwise-identical to
+              // the sequential HOF fold (Vectors.scala contract), so
+              // the list_reduce oracle still matches exactly
+              sqrt(Vectors.normSq($"embedding")), 6)
             .as("recon_err"))
         .orderBy($"vec_id")
     },

@@ -402,6 +402,28 @@ class OperatorSuite extends AnyFunSuite {
     assert(auto.map(_.getLong(1)).sum === corpus)
   }
 
+  test("batch queries run concurrently on one session without divergence") {
+    // the multi-tenant deployment shape: several analysts' queries in
+    // flight on one session. Streams document a single-session
+    // assumption (Streams.scala); the BATCH surface must be safe, so
+    // four pure queries race and must reproduce their serial results.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val names =
+      Seq("q_agg_stats", "q_join_star", "q_text_tf", "q_scalar_math")
+    val serial = names
+      .map(n => n -> SparkEntry.queries(n)(spark, sf).collect().toSeq)
+      .toMap
+    val raced = Await.result(
+      Future.sequence(names.map(n =>
+        Future(n -> SparkEntry.queries(n)(spark, sf).collect().toSeq))),
+      2.minutes)
+    raced.foreach { case (n, rows) =>
+      assert(rows === serial(n), s"$n diverged under concurrency")
+    }
+  }
+
   test("int8 quantization: checksum in range, reconstruction error small") {
     val rows = LLMOps.qQuantizeEmbed.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),

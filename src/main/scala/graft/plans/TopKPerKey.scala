@@ -43,11 +43,17 @@ import scala.collection.mutable
   *
   * Memory bound (cf. round-5 advisory): each pass holds O(distinct
   * keys in its partition · k) rows in an in-heap HashMap with no spill
-  * path. That is the right trade for the dimension-like key domains
-  * this operator targets (≲ a few million keys·k rows per executor at
-  * production heap sizes). For key domains approaching the row count —
-  * where top-k-per-key degenerates toward identity anyway — use the
-  * Window `row_number` form instead: it sorts, but the sort spills. */
+  * path. The PARTIAL pass additionally caps its key map at
+  * `graft.topk.maxPartialKeys` (default 4M): once the cap is reached,
+  * rows of unseen keys stream through UNPRUNED instead of growing the
+  * map — always correct (partial pruning is an optimization; the final
+  * pass prunes whatever reaches it), so an adversarial key domain
+  * costs shuffle volume, never an executor OOM. The FINAL pass's
+  * domain is partition-scoped after the hash exchange (keys spread
+  * evenly across reducers); for key domains approaching the row
+  * count — where top-k-per-key degenerates toward identity anyway —
+  * use the Window `row_number` form instead: it sorts, but the sort
+  * spills. */
 case class TopKPerKey(partitionExprs: Seq[Expression],
     order: Seq[SortOrder], k: Int, child: LogicalPlan)
   extends UnaryNode {
@@ -94,6 +100,13 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
     val pExprs = partitionExprs
     val ord = order
     val kk = k
+    // partial-pass key-map cap (see class doc): beyond it, unseen-key
+    // rows stream through unpruned — bounded memory, exact result
+    val cap =
+      if (partial)
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.topk.maxPartialKeys", "4194304").toInt
+      else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(pExprs, childOutput)
       val rowOrd = RowOrdering.create(ord, childOutput)
@@ -103,15 +116,28 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
         (a: InternalRow, b: InternalRow) => rowOrd.compare(a, b)
       val heaps = mutable.HashMap
         .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](heapOrd))
+      def insert(heap: mutable.PriorityQueue[InternalRow],
+          row: InternalRow): Unit = {
         if (heap.size < kk) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
+        ()
       }
-      heaps.valuesIterator.flatMap(_.toSeq.iterator)
+      val passThrough = iter.flatMap { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(heap) => insert(heap, row); Iterator.empty
+          case None if heaps.size < cap =>
+            val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+            heaps.put(key.copy(), heap)
+            insert(heap, row)
+            Iterator.empty
+          case None => Iterator.single(row) // over cap: final pass prunes
+        }
+      }
+      // lazy ++: the heaps drain only after the child is exhausted
+      passThrough ++ heaps.valuesIterator.flatMap(_.toSeq.iterator)
     }
   }
 

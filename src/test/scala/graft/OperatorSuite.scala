@@ -665,6 +665,21 @@ class OperatorSuite extends AnyFunSuite {
     assert(kept.count() === o.count())
   }
 
+  test("TopKPerKey partial key cap degrades to pass-through, still exact") {
+    // cap=1: the map-side pass can track ONE key per partition and must
+    // stream every other key's rows through unpruned — the final pass
+    // still produces the exact top-k, only shuffle volume grows
+    val base = SparkEntry.queries("q_topk_per_key")(spark, sf)
+      .collect().toSeq
+    spark.conf.set("graft.topk.maxPartialKeys", "1")
+    try {
+      val capped = SparkEntry.queries("q_topk_per_key")(spark, sf)
+        .collect().toSeq
+      assert(capped === base,
+        "capped partial pass must not change the result")
+    } finally spark.conf.unset("graft.topk.maxPartialKeys")
+  }
+
   test("TopKPerKey equals the Window row_number form exactly") {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.read(spark, sf, "orders")

@@ -43,17 +43,17 @@ import scala.collection.mutable
   *
   * Memory bound (cf. round-5 advisory): each pass holds O(distinct
   * keys in its partition · k) rows in an in-heap HashMap with no spill
-  * path. The PARTIAL pass additionally caps its key map at
-  * `graft.topk.maxPartialKeys` (default 4M): once the cap is reached,
-  * rows of unseen keys stream through UNPRUNED instead of growing the
-  * map — always correct (partial pruning is an optimization; the final
-  * pass prunes whatever reaches it), so an adversarial key domain
-  * costs shuffle volume, never an executor OOM. The FINAL pass's
-  * domain is partition-scoped after the hash exchange (keys spread
-  * evenly across reducers); for key domains approaching the row
-  * count — where top-k-per-key degenerates toward identity anyway —
-  * use the Window `row_number` form instead: it sorts, but the sort
-  * spills. */
+  * path. The PARTIAL pass caps its key map at
+  * `graft.topk.maxPartialKeys` keys PER TASK (default 1M — size it to
+  * heap / (task slots · k · row size)): once the cap is reached, rows
+  * of unseen keys stream through UNPRUNED instead of growing the map —
+  * always correct (partial pruning is an optimization; the final pass
+  * prunes whatever reaches it), trading shuffle volume for map-side
+  * memory safety. The cap does NOT bound the FINAL pass, whose map is
+  * O(keys landing on that reducer · k) — raise the reducer count to
+  * shrink it, and for key domains approaching the row count (where
+  * top-k-per-key degenerates toward identity anyway) use the Window
+  * `row_number` form instead: it sorts, but the sort spills. */
 case class TopKPerKey(partitionExprs: Seq[Expression],
     order: Seq[SortOrder], k: Int, child: LogicalPlan)
   extends UnaryNode {
@@ -100,13 +100,22 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
     val pExprs = partitionExprs
     val ord = order
     val kk = k
-    // partial-pass key-map cap (see class doc): beyond it, unseen-key
-    // rows stream through unpruned — bounded memory, exact result
+    // partial-pass PER-TASK key-map cap (see class doc): beyond it,
+    // unseen-key rows stream through unpruned — bounded map-side
+    // memory, exact result. Validated here so a bad setting fails
+    // loudly at the operator, naming the key — and can never silently
+    // disable pruning (<= 0) or crash as a bare NumberFormatException.
     val cap =
-      if (partial)
-        org.apache.spark.sql.internal.SQLConf.get
-          .getConfString("graft.topk.maxPartialKeys", "4194304").toInt
-      else Int.MaxValue
+      if (partial) {
+        val key = "graft.topk.maxPartialKeys"
+        val raw = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(key, "1048576")
+        val parsed = scala.util.Try(raw.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"$key must be a positive integer, got '$raw'"))
+        require(parsed > 0L, s"$key must be positive, got $parsed")
+        parsed.min(Int.MaxValue.toLong).toInt
+      } else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(pExprs, childOutput)
       val rowOrd = RowOrdering.create(ord, childOutput)

@@ -126,8 +126,10 @@ class PlanSuite extends AnyFunSuite {
     assert(fin >= 0 && part >= 0,
       "both the final and the map-side partial operator must plan")
     assert(part > fin, "partial must sit BELOW the final pass")
-    // the key exchange separates them: at most map-partitions·keys·k
-    // rows cross the network, not the full child output
+    // the key exchange separates them: while the partial key map stays
+    // under graft.topk.maxPartialKeys, at most map-partitions·keys·k
+    // rows cross the network (beyond the cap, unseen-key rows pass
+    // through unpruned — memory safety traded for shuffle volume)
     val between = p.substring(fin, part)
     assert(between.contains("Exchange") || between.contains("ShuffleQueryStage"),
       "the shuffle must run between partial and final, pruned input only")

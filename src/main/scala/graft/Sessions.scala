@@ -16,6 +16,16 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** [[cpus]] as a validated Int for ARITHMETIC consumers (repartition
+    * counts, file-count gates). The master URL consumes the raw string
+    * (so `local[*]` still works), but arithmetic on an unvalidated env
+    * value would throw NumberFormatException inside a query (ADVICE r7
+    * item 4) — a non-numeric setting falls back to the host's core
+    * count, the same value `local[*]` resolves to. */
+  def cpuCount: Int = scala.util.Try(cpus.trim.toInt).toOption
+    .filter(_ > 0)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
+
   def local(appName: String): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)

@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * T3 session window, same semantics — useful for backfills). */
 object Extras {
 
+  /** Monotone suffix for qSqlRecursive's per-invocation temp view. */
+  private val recursiveRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Salted skew join: the fact side's join key is salted with a
     * deterministic bucket and the (small) build side is exploded across
     * all salt values, so one hot key spreads over `SALTS` reducers.
@@ -503,24 +507,37 @@ object Extras {
   val qSqlRecursive = Q("q_sql_recursive",
     (spark, sfDir) => {
       import spark.implicits._
+      // per-invocation view name: a fixed global name would let two
+      // in-flight invocations (or runs against different sfDirs) on one
+      // session replace the view between a sibling's registration and
+      // its spark.sql analysis, silently binding the recursion to the
+      // wrong pair table (ADVICE r7 item 5). spark.sql ANALYZES eagerly,
+      // so the view can be dropped as soon as the call returns — the
+      // resolved plan no longer references the catalog name.
+      val view = s"np_pairs_${recursiveRun.incrementAndGet()}"
       graft.queries.LLMOps.ngramPairs(spark, sfDir)
         .select($"d1", $"d2")
-        .createOrReplaceTempView("np_pairs")
-      spark.sql(
-        """WITH RECURSIVE reach(id, r, depth) AS (
-          |  SELECT id, id AS r, 0 AS depth
-          |  FROM (SELECT d1 AS id FROM np_pairs
-          |        UNION SELECT d2 FROM np_pairs) n
-          |  UNION ALL
-          |  SELECT e.dst AS id, reach.r, reach.depth + 1
-          |  FROM reach
-          |  JOIN (SELECT d1 AS src, d2 AS dst FROM np_pairs
-          |        UNION ALL SELECT d2, d1 FROM np_pairs) e
-          |    ON e.src = reach.id
-          |  WHERE reach.depth < 4
-          |)
-          |SELECT id AS doc_id, min(r) AS cluster_id
-          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+        .createOrReplaceTempView(view)
+      try {
+        spark.sql(
+          s"""WITH RECURSIVE reach(id, r, depth) AS (
+             |  SELECT id, id AS r, 0 AS depth
+             |  FROM (SELECT d1 AS id FROM $view
+             |        UNION SELECT d2 FROM $view) n
+             |  UNION ALL
+             |  SELECT e.dst AS id, reach.r, reach.depth + 1
+             |  FROM reach
+             |  JOIN (SELECT d1 AS src, d2 AS dst FROM $view
+             |        UNION ALL SELECT d2, d1 FROM $view) e
+             |    ON e.src = reach.id
+             |  WHERE reach.depth < 4
+             |)
+             |SELECT id AS doc_id, min(r) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(view)
+        ()
+      }
     },
     Some(s"""WITH RECURSIVE ${LLMOps.pairsCte}, reach(id, r, depth) AS (
             |  SELECT id, id AS r, 0 AS depth

@@ -103,7 +103,7 @@ object LLMOps {
         // the fixture is one small parquet file → one input partition;
         // spread the cached shingles so every downstream join/agg
         // reads them with full parallelism
-        .repartition(Sessions.cpus.toInt)
+        .repartition(Sessions.cpuCount)
     }
 
   /** Exact-Jaccard verification of candidate pairs: count common
@@ -1456,7 +1456,12 @@ object LLMOps {
     * repeat runs. At 100 TB: packing is embarrassingly parallel per
     * range, one pass, O(1) state; the id-range shuffle is the only
     * exchange, plus one tiny (min,max,count) pre-agg to size ranges. */
-  private[graft] def packSequences(spark: SparkSession, sfDir: String,
+  /** Doc-level packing assignment (doc_id, n_tokens, bin_id) —
+    * [[packSequences]] aggregates this to bins; OperatorSuite reads it
+    * directly to assert the TRUE greedy invariant (a bin closes only
+    * because the next doc would overflow it — checkable only with the
+    * first doc of the following bin in hand, ADVICE r7 item 3). */
+  private[graft] def packSequencesDocs(spark: SparkSession, sfDir: String,
       budget: Long = 256L, ranges: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, sfDir)
@@ -1469,8 +1474,6 @@ object LLMOps {
     if (stat.isNullAt(0)) {
       // empty corpus: keep the output schema, zero rows
       return toks.select($"doc_id", $"n_tokens", lit(0L).as("bin_id"))
-        .groupBy($"bin_id")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
     }
     val (lo, hi, nDocs) = (stat.getLong(0), stat.getLong(1), stat.getLong(2))
     val nRanges = ranges.getOrElse(
@@ -1511,6 +1514,12 @@ object LLMOps {
         }
       }
     packed.toDF("doc_id", "n_tokens", "bin_id")
+  }
+
+  private[graft] def packSequences(spark: SparkSession, sfDir: String,
+      budget: Long = 256L, ranges: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    packSequencesDocs(spark, sfDir, budget, ranges)
       .groupBy($"bin_id")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("sum_tokens"))

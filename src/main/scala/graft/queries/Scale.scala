@@ -263,8 +263,8 @@ object Scale {
       // single-file remedy the shingle table uses, LLMOps.scala)
       val raw = Tables.read(spark, sfDir, "events")
       val spread =
-        if (raw.inputFiles.length >= graft.Sessions.cpus.toInt) raw
-        else raw.repartition(graft.Sessions.cpus.toInt)
+        if (raw.inputFiles.length >= graft.Sessions.cpuCount) raw
+        else raw.repartition(graft.Sessions.cpuCount)
       val e = spread
         .select(when(pmod($"event_id", lit(1000L)) < 500L, 0L)
           .otherwise(pmod($"event_id", lit(1000L))).as("k"), $"value")

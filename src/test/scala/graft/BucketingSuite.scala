@@ -163,6 +163,36 @@ class BucketingSuite extends AnyFunSuite {
         "copies, not a shared entry)")
   }
 
+  test("concurrent first touch of a memo key runs the build exactly once") {
+    // ADVICE r7 item 1: with batch queries racing on one session, a
+    // side-effecting load (Derby fill, side-store rewrite) must never
+    // run twice against its shared directory. Race 8 threads on a fresh
+    // key and count executions of the load body.
+    import java.util.concurrent.atomic.AtomicInteger
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val s2 = spark.newSession()
+    val loads = new AtomicInteger(0)
+    val builds = new AtomicInteger(0)
+    val fs = (1 to 8).map { _ =>
+      Future {
+        Memo.once(s2, "race_once") {
+          loads.incrementAndGet()
+          Thread.sleep(50) // widen the window a naive impl would race in
+        }
+        Memo.cached(s2, "race_cached") {
+          builds.incrementAndGet()
+          Thread.sleep(50)
+          Tables.read(s2, sf, "nation").select($"n_nationkey")
+        }.count()
+      }
+    }
+    Await.result(Future.sequence(fs), 2.minutes)
+    assert(loads.get() === 1, "Memo.once ran the load more than once")
+    assert(builds.get() === 1, "Memo.cached ran the build more than once")
+  }
+
   test("unioned daily HLL sketches estimate exact distinct users within 5%") {
     val approx = Formats.qAggHllUnion.fn(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

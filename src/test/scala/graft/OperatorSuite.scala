@@ -384,18 +384,38 @@ class OperatorSuite extends AnyFunSuite {
   test("sequence packing invariants hold at multiple range counts") {
     val corpus = Tables.read(spark, sf, "documents").count()
     Seq(4, 8).foreach { r =>
-      val bins = LLMOps.packSequences(spark, sf, ranges = Some(r))
+      val docs = LLMOps.packSequencesDocs(spark, sf, ranges = Some(r))
         .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val byBin = docs.groupBy(_._3)
+      val bins = byBin.map { case (bin, ds) =>
+        (bin, ds.length.toLong, ds.map(_._2).sum) }.toSeq.sortBy(_._1)
       bins.foreach { case (bin, nDocs, sumTok) =>
         assert(sumTok <= 256L || nDocs == 1L,
           s"bin $bin overfilled (ranges=$r)")
       }
       assert(bins.map(_._2).sum === corpus, s"conservation (ranges=$r)")
-      // only the final bin of each id range may sit under half-full
-      assert(bins.count(_._3 < 128L) <= r, s"fill bound (ranges=$r)")
+      // the TRUE greedy invariant (ADVICE r7 item 3): a bin closes only
+      // because the NEXT doc would not fit, so within a range every
+      // non-final bin's fill plus the first doc of the following bin
+      // exceeds the budget. (The old `under-half-full count <= ranges`
+      // bound was fixture-dependent: one incoming doc larger than the
+      // remaining space can close a non-final bin at any fill level.)
+      val fills = bins.map(b => b._1 -> b._3).toMap
+      val firstDocTok = byBin.map { case (bin, ds) =>
+        bin -> ds.minBy(_._1)._2 }
+      bins.map(_._1).sorted.sliding(2).foreach {
+        case Seq(a, b) if (a >> 32) == (b >> 32) =>
+          assert(fills(a) + firstDocTok(b) > 256L,
+            s"bin $a closed early (ranges=$r)")
+        case _ => ()
+      }
+      // the aggregated query output is exactly this assignment's rollup
+      val agg = LLMOps.packSequences(spark, sf, ranges = Some(r))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      assert(agg.toSeq === bins, s"aggregate mismatch (ranges=$r)")
       val again = LLMOps.packSequences(spark, sf, ranges = Some(r))
         .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
-      assert(bins.toSeq === again.toSeq, s"determinism (ranges=$r)")
+      assert(agg.toSeq === again.toSeq, s"determinism (ranges=$r)")
     }
     // the derived default (no explicit count) must also pack every doc
     val auto = LLMOps.packSequences(spark, sf).collect()
@@ -491,6 +511,14 @@ class OperatorSuite extends AnyFunSuite {
       assert(files > 0, "no reliable checkpoint files were written")
     } finally {
       spark.conf.unset("graft.checkpoint.dir")
+      // retire the memo entry whose backing checkpoint files are about
+      // to be deleted: if its MEMORY_AND_DISK blocks were ever evicted,
+      // a recompute would chase the dead files, and the stale entry
+      // would pin memory until context end (ADVICE r7 item 2)
+      graft.Memo.drop(spark, s"ngram_cluster_labels:$sf:$dir")
+      // repoint the context checkpoint dir at a live location so no
+      // later checkpoint() call inherits the deleted path
+      spark.sparkContext.setCheckpointDir("target/checkpoint")
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq
         .sortBy(-_.getNameCount)

@@ -42,18 +42,26 @@ import scala.collection.mutable
   * of per-partition top-k's), so the split is exact.
   *
   * Memory bound (cf. round-5 advisory): each pass holds O(distinct
-  * keys in its partition · k) rows in an in-heap HashMap with no spill
-  * path. The PARTIAL pass caps its key map at
+  * keys in its partition · k) rows in an in-heap HashMap, capped per
+  * task. The PARTIAL pass caps its key map at
   * `graft.topk.maxPartialKeys` keys PER TASK (default 1M — size it to
   * heap / (task slots · k · row size)): once the cap is reached, rows
   * of unseen keys stream through UNPRUNED instead of growing the map —
   * always correct (partial pruning is an optimization; the final pass
   * prunes whatever reaches it), trading shuffle volume for map-side
-  * memory safety. The cap does NOT bound the FINAL pass, whose map is
-  * O(keys landing on that reducer · k) — raise the reducer count to
-  * shrink it, and for key domains approaching the row count (where
-  * top-k-per-key degenerates toward identity anyway) use the Window
-  * `row_number` form instead: it sorts, but the sort spills. */
+  * memory safety. The FINAL pass caps at `graft.topk.maxFinalKeys`
+  * (default 1M) with an EXACT degrade path — pass-through is not an
+  * option post-exchange, so over-cap rows SPILL to a local temp file
+  * and are drained in follow-up chunks of up to `cap` fresh keys each
+  * (a key's rows land wholly in the one chunk that owns it, so the
+  * per-key heap still sees every row — exactness is chunk-invariant,
+  * suite-proven against the Window form with the cap forced below the
+  * key count). Memory stays O(cap · k) rows per reducer; disk is
+  * bounded by the over-cap share of that reducer's input, mirroring
+  * how the Window form's sort would have spilled the same rows. At
+  * near-identity key domains (keys ≈ rows, where top-k-per-key
+  * degenerates anyway) the Window `row_number` form remains the better
+  * plan: one sort instead of ~keys/cap spill chunks. */
 case class TopKPerKey(partitionExprs: Seq[Expression],
     order: Seq[SortOrder], k: Int, child: LogicalPlan)
   extends UnaryNode {
@@ -95,27 +103,29 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
     (if (partial) UnspecifiedDistribution
      else ClusteredDistribution(partitionExprs)) :: Nil
 
+  /** PER-TASK key-map cap (see class doc), validated so a bad setting
+    * fails loudly at the operator, naming the key — and can never
+    * silently disable pruning (<= 0) or crash as a bare
+    * NumberFormatException. */
+  private def readCap(key: String): Int = {
+    val raw = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(key, "1048576")
+    val parsed = scala.util.Try(raw.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$key must be a positive integer, got '$raw'"))
+    require(parsed > 0L, s"$key must be positive, got $parsed")
+    parsed.min(Int.MaxValue.toLong).toInt
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val pExprs = partitionExprs
     val ord = order
     val kk = k
-    // partial-pass PER-TASK key-map cap (see class doc): beyond it,
-    // unseen-key rows stream through unpruned — bounded map-side
-    // memory, exact result. Validated here so a bad setting fails
-    // loudly at the operator, naming the key — and can never silently
-    // disable pruning (<= 0) or crash as a bare NumberFormatException.
-    val cap =
-      if (partial) {
-        val key = "graft.topk.maxPartialKeys"
-        val raw = org.apache.spark.sql.internal.SQLConf.get
-          .getConfString(key, "1048576")
-        val parsed = scala.util.Try(raw.toLong).getOrElse(
-          throw new IllegalArgumentException(
-            s"$key must be a positive integer, got '$raw'"))
-        require(parsed > 0L, s"$key must be positive, got $parsed")
-        parsed.min(Int.MaxValue.toLong).toInt
-      } else Int.MaxValue
+    val cap = readCap(
+      if (partial) "graft.topk.maxPartialKeys"
+      else "graft.topk.maxFinalKeys")
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(pExprs, childOutput)
       val rowOrd = RowOrdering.create(ord, childOutput)
@@ -123,8 +133,6 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
       // evicted when a better one arrives
       val heapOrd: Ordering[InternalRow] =
         (a: InternalRow, b: InternalRow) => rowOrd.compare(a, b)
-      val heaps = mutable.HashMap
-        .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       def insert(heap: mutable.PriorityQueue[InternalRow],
           row: InternalRow): Unit = {
         if (heap.size < kk) heap.enqueue(row.copy())
@@ -133,20 +141,101 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
         }
         ()
       }
-      val passThrough = iter.flatMap { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(heap) => insert(heap, row); Iterator.empty
-          case None if heaps.size < cap =>
-            val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
-            heaps.put(key.copy(), heap)
-            insert(heap, row)
-            Iterator.empty
-          case None => Iterator.single(row) // over cap: final pass prunes
+      if (isPartial) {
+        // map-side: over-cap keys stream through unpruned (the final
+        // pass prunes whatever reaches it) — no buffering, no spill
+        val heaps = mutable.HashMap
+          .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        val passThrough = iter.flatMap { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) => insert(heap, row); Iterator.empty
+            case None if heaps.size < cap =>
+              val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+              heaps.put(key.copy(), heap)
+              insert(heap, row)
+              Iterator.empty
+            case None => Iterator.single(row) // final pass prunes
+          }
         }
+        // lazy ++: the heaps drain only after the child is exhausted
+        passThrough ++ heaps.valuesIterator.flatMap(_.toSeq.iterator)
+      } else {
+        // reduce-side: over-cap keys' rows SPILL to a local temp file
+        // and are drained in follow-up chunks (class doc). A key's
+        // rows land wholly in the one chunk whose map admitted it —
+        // later chunks only ever see keys no earlier map held — so
+        // each per-key heap observes every row of its key: exact.
+        val nFields = childOutput.length
+        val toUnsafe = UnsafeProjection.create(
+          childOutput.map(_.dataType).toArray)
+        val writeBuffer = new Array[Byte](4096)
+        val spillFiles = mutable.ArrayBuffer.empty[java.io.File]
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            spillFiles.foreach { f => f.delete(); () }
+          })
+        def readSpill(file: java.io.File): Iterator[InternalRow] =
+          new Iterator[InternalRow] {
+            private val in = new java.io.DataInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.FileInputStream(file), 1 << 16))
+            private var nextLen = advance()
+            private def advance(): Int =
+              try in.readInt()
+              catch { case _: java.io.EOFException =>
+                in.close(); file.delete(); -1
+              }
+            override def hasNext: Boolean = nextLen >= 0
+            override def next(): InternalRow = {
+              val bytes = new Array[Byte](nextLen)
+              in.readFully(bytes)
+              val row = new UnsafeRow(nFields)
+              row.pointTo(bytes, nextLen)
+              nextLen = advance()
+              row
+            }
+          }
+        def chunk(source: Iterator[InternalRow]): Iterator[InternalRow] = {
+          val heaps = mutable.HashMap
+            .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+          var file: java.io.File = null
+          var out: java.io.DataOutputStream = null
+          source.foreach { row =>
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(heap) => insert(heap, row)
+              case None if heaps.size < cap =>
+                val heap =
+                  mutable.PriorityQueue.empty[InternalRow](heapOrd)
+                heaps.put(key.copy(), heap)
+                insert(heap, row)
+              case None =>
+                if (out == null) {
+                  file = java.io.File.createTempFile(
+                    "graft-topk-spill-", ".bin")
+                  spillFiles += file
+                  out = new java.io.DataOutputStream(
+                    new java.io.BufferedOutputStream(
+                      new java.io.FileOutputStream(file), 1 << 16))
+                }
+                val u = toUnsafe(row)
+                out.writeInt(u.getSizeInBytes)
+                u.writeToStream(out, writeBuffer)
+            }
+          }
+          val emitted = heaps.valuesIterator.flatMap(_.toSeq.iterator)
+          if (out == null) emitted
+          else {
+            out.close()
+            val f = file
+            // lazy ++: the next chunk opens its spill only after this
+            // chunk's heaps drain
+            emitted ++ chunk(readSpill(f))
+          }
+        }
+        chunk(iter)
       }
-      // lazy ++: the heaps drain only after the child is exhausted
-      passThrough ++ heaps.valuesIterator.flatMap(_.toSeq.iterator)
     }
   }
 

@@ -708,6 +708,46 @@ class OperatorSuite extends AnyFunSuite {
     } finally spark.conf.unset("graft.topk.maxPartialKeys")
   }
 
+  test("TopKPerKey final key cap spills chunks, stays exact vs Window") {
+    import org.apache.spark.sql.expressions.Window
+    // high-cardinality key (o_custkey: ~hundreds of keys per reducer
+    // after the hash exchange) so a cap of 2 forces MANY spill chunks
+    // per task — the exact-degrade path of VERDICT r7 item 3
+    val o = Tables.read(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val expected = o.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).select($"o_custkey", $"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(): Set[(Long, Long)] = graft.plans.TopKPerKey.of(o,
+        Seq("o_custkey"), "o_totalprice", desc = true,
+        tiebreak = "o_orderkey", k = 2)
+      .select($"o_custkey", $"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq("1", "2").foreach { cap =>
+      spark.conf.set("graft.topk.maxFinalKeys", cap)
+      // stress both caps at once: partial passes through, final spills
+      spark.conf.set("graft.topk.maxPartialKeys", cap)
+      try assert(run() === expected,
+        s"final-pass cap $cap changed the result")
+      finally {
+        spark.conf.unset("graft.topk.maxFinalKeys")
+        spark.conf.unset("graft.topk.maxPartialKeys")
+      }
+    }
+    // a bad setting fails loudly, naming the conf key
+    spark.conf.set("graft.topk.maxFinalKeys", "4g")
+    try {
+      val e = intercept[Exception] { run() }
+      def names(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage)
+          .exists(_.contains("graft.topk.maxFinalKeys")) ||
+          names(t.getCause))
+      assert(names(e), s"error must name the conf key: $e")
+    } finally spark.conf.unset("graft.topk.maxFinalKeys")
+  }
+
   test("TopKPerKey equals the Window row_number form exactly") {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.read(spark, sf, "orders")

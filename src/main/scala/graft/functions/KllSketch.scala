@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType,
+  DoubleType}
+
+/** Mergeable QUANTILE sketch aggregates over the Apache DataSketches
+  * KLL implementation (bundled with Spark 4) — the third member of the
+  * sketch-rollup triad next to the built-in `hll_sketch_agg`/
+  * `hll_union_agg` (distinct, E44) and `count_min_sketch` (frequency,
+  * E51). Spark ships no KLL aggregate of its own (`approx_percentile`'s
+  * buffer is internal and not re-aggregable from persisted state), so
+  * this is the SURVEY §4.2 ladder's rung (b): a native
+  * `TypedImperativeAggregate`, the exact machinery Spark's own sketch
+  * aggregates use — the buffer is the live heap sketch, updated per row
+  * with NO per-row (de)serialization, partial-aggregated map-side, and
+  * serialized only when a buffer crosses the shuffle.
+  *
+  * [[KllSketchAgg]] builds a sketch from raw doubles (the per-day
+  * rollup pass); [[KllMergeAgg]] merges PERSISTED sketch bytes (the
+  * query-time re-aggregation over any date range — never rescanning raw
+  * events); [[KllQuantileExpr]] extracts a quantile from final sketch
+  * bytes (bounded post-aggregate rows, CodegenFallback is fine there).
+  * Sketch bytes are engine-specific → rows-only oracle, with the
+  * KLL rank-error bound (k=200 → ~1.65% normalized rank error at 99%
+  * confidence) asserted against exact `percentile` in BucketingSuite.
+  */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65535, s"KLL k must be in [8, 65535], got $k")
+
+  override def prettyName: String = "kll_sketch_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KllSketchAgg = copy(child = newChild)
+}
+
+/** Union of serialized KLL sketches (see [[KllSketchAgg]]) — the
+  * re-aggregation side: input rows are sketch BYTES from a persisted
+  * rollup, merged into one heap sketch per group. Mergeability is
+  * unconditional for KLL (unlike CMS there is no eps/seed contract:
+  * sketches of different k merge to the smaller k's accuracy). */
+case class KllMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  override def prettyName: String = "kll_merge_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  // an empty merge target: k=200 is KLL's default parameter; merging
+  // in a serialized sketch of any other k is still well-defined
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(200)
+
+  override def update(buffer: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.merge(KllDoublesSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    }
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KllMergeAgg = copy(child = newChild)
+}
+
+/** Quantile extraction from serialized KLL sketch bytes. Runs on the
+  * bounded post-aggregate rows (one per group), so CodegenFallback
+  * costs nothing measurable — the hot path is the aggregates above.
+  * Empty sketch (all-null input group) → null, not a throw. */
+case class KllQuantileExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def prettyName: String = "kll_quantile"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, DoubleType)
+
+  override def nullSafeEval(sk: Any, rank: Any): Any = {
+    val s = KllDoublesSketch.heapify(
+      Memory.wrap(sk.asInstanceOf[Array[Byte]]))
+    if (s.isEmpty) null else s.getQuantile(rank.asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): KllQuantileExpr = copy(newLeft, newRight)
+}

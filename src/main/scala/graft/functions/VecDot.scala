@@ -93,6 +93,27 @@ object GraftExtensions {
       new FunctionIdentifier("char_fold"),
       new ExpressionInfo(classOf[CharFoldExpr].getName, "char_fold"),
       (children: Seq[Expression]) => CharFoldExpr(children.head)))
+    // mergeable KLL quantile-sketch family (KllSketch.scala): build
+    // from doubles, re-aggregate persisted sketch bytes, extract
+    ext.injectFunction((
+      new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => KllSketchAgg(v, 200)
+        case Seq(v, k) => KllSketchAgg(v,
+          k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "kll_sketch_agg(value[, k])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (children: Seq[Expression]) => KllMergeAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
+      (children: Seq[Expression]) =>
+        KllQuantileExpr(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     // whole-operator extension (SURVEY §4.2 rung c): plans the
     // TopKPerKey logical node as a bounded-heap physical operator

@@ -367,6 +367,40 @@ object Formats {
     },
     None)
 
+  /** Mergeable QUANTILE-sketch re-aggregation (KLL) — closes the
+    * sketch-rollup triad ([[qAggHllUnion]] distinct, [[qAggCmsFreq]]
+    * frequency): per-day KLL sketches of `value` are built in one
+    * partial-aggregable pass (the shape a daily rollup table persists
+    * — [[qAggApprox]]'s `approx_percentile` is one-shot and NOT
+    * re-aggregable from saved state), then merged at query time to
+    * answer p50/p95-over-any-date-range without rescanning raw events —
+    * THE production latency-percentile architecture at 100 TB.
+    * `kll_sketch_agg`/`kll_merge_agg` are native
+    * TypedImperativeAggregates (graft.functions.KllSketch — live heap
+    * sketch as the buffer, zero per-row serialization, map-side
+    * partials), registered by GraftExtensions like vec_dot. Sketch
+    * bytes are engine-specific → no DuckDB oracle (driver records
+    * rows>0); BucketingSuite asserts the KLL rank-error bound vs exact
+    * percentile. */
+  val qAggQuantileMerge = Q("q_agg_quantile_merge",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(call_function("kll_sketch_agg", $"value").as("sk"))
+      daily.groupBy($"event_type")
+        .agg(call_function("kll_merge_agg", $"sk").as("msk"),
+          count(lit(1)).as("n_days"))
+        .select($"event_type",
+          round(call_function("kll_quantile", $"msk", lit(0.5)), 6)
+            .as("p50"),
+          round(call_function("kll_quantile", $"msk", lit(0.95)), 6)
+            .as("p95"),
+          $"n_days")
+        .orderBy($"event_type")
+    },
+    None)
+
   /** REBALANCE-hinted output — the 100 TB small-files answer on the
     * WRITE side: a plain `df.write` emits one file per task (32 here;
     * tens of thousands on a real cluster — the classic small-files
@@ -484,6 +518,6 @@ object Formats {
 
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
-    qAggApprox, qAggHllUnion, qAggCmsFreq, qSourcePartitioned,
-    qSourceDpp, qOutputRebalance)
+    qAggApprox, qAggHllUnion, qAggCmsFreq, qAggQuantileMerge,
+    qSourcePartitioned, qSourceDpp, qOutputRebalance)
 }

@@ -163,6 +163,34 @@ class BucketingSuite extends AnyFunSuite {
         "copies, not a shared entry)")
   }
 
+  test("merged daily KLL sketches honor the rank-error bound vs exact") {
+    // k=200 → normalized rank error ~1.65% at 99% confidence; assert
+    // the estimated quantile's TRUE rank lies within ±3.5% of target —
+    // the property KLL actually guarantees (value-space error is
+    // unbounded for skewed data, rank-space error is not)
+    val est = Formats.qAggQuantileMerge.fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val byType = Tables.read(spark, sf, "events")
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(est.keySet === byType.keySet)
+    def trueRank(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    byType.foreach { case (k, sorted) =>
+      val (p50, p95) = est(k)
+      assert(math.abs(trueRank(sorted, p50) - 0.5) < 0.035,
+        s"$k p50=$p50 rank ${trueRank(sorted, p50)}")
+      assert(math.abs(trueRank(sorted, p95) - 0.95) < 0.035,
+        s"$k p95=$p95 rank ${trueRank(sorted, p95)}")
+    }
+    // re-aggregation really merged multiple per-day sketches
+    val days = Formats.qAggQuantileMerge.fn(spark, sf)
+      .collect().map(_.getLong(3))
+    assert(days.forall(_ > 1), "each type must span multiple days")
+  }
+
   test("concurrent first touch of a memo key runs the build exactly once") {
     // ADVICE r7 item 1: with batch queries racing on one session, a
     // side-effecting load (Derby fill, side-store rewrite) must never

@@ -557,26 +557,83 @@ object LLMOps {
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------- embedding near-dup
+  /** Portable pseudo-random 64-dim hyperplane `p` (LCG over the
+    * dimension index) — shared by the LSH ANN bucketing and the
+    * embed hot-cell guard, and replicated verbatim in the LSH oracle. */
+  private[graft] def plane(p: Int): Column = array((0 until 64).map { i =>
+    lit((((p * 64 + i).toLong * 2654435761L) % 2147483648L)
+      / 2147483648.0 - 0.5)
+  }: _*)
+
+  /** The 8 hyperplane sign bits of `v` as a long in [0, 256). dotHof
+    * (not the native vec_dot): the plane is a DOUBLE literal array —
+    * the HOF fold casts both sides, exactly as the LSH bucketing and
+    * its oracle replicate. */
+  private[graft] def hyperBits(v: Column): Column =
+    (0 until 8).map(p =>
+      when(Vectors.dotHof(v, plane(p)) >= 0, lit(1L << p))
+        .otherwise(0L)).reduce(_ + _)
+
+  /** Embedding near-dup candidate pairs, IVF-cell-bucketed with a
+    * HOT-CELL guard: the within-cell self-join is O(cell²), so one
+    * Zipf-hot label (real embedding clusters are skewed) degrades
+    * quadratically — the same failure class the shingle max-df guard
+    * kills (VERDICT r7 item 4). Cells larger than
+    * `graft.embed.maxCellSize` (default 1000) are split by
+    * ceil(log2(cell/cap)) hyperplane sign bits (capped at 8 — the LSH
+    * machinery above), and pairs are generated within (label,
+    * sub-bucket): pair work per cell drops ~2^bits-fold. The trade is
+    * recall ACROSS sub-buckets of a hot cell only — the standard LSH
+    * contract, and exactly zero on any corpus whose cells respect the
+    * cap (every sub-key is 0 there, so results are bit-identical to
+    * the unguarded join; the fixture is such a corpus, which is why
+    * the DuckDB oracle stays the plain label join). The hot list is
+    * ≤ rows/cap labels — broadcast-sized by construction. */
+  private[graft] def embedNearDupPairs(e0: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val capKey = "graft.embed.maxCellSize"
+    val cap = {
+      val raw = spark.conf.get(capKey, "1000")
+      val parsed = scala.util.Try(raw.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"$capKey must be a positive integer, got '$raw'"))
+      require(parsed > 0L, s"$capKey must be positive, got $parsed")
+      parsed
+    }
+    // precompute each vector's norm once (|V| folds) instead of per
+    // pair (2·|pairs| folds) — identical arithmetic, 3× fewer folds
+    val e = e0.withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+    val hot = e.groupBy($"label").agg(count(lit(1)).as("cn"))
+      .filter($"cn" > cap)
+    // `when` keeps the 8 sign-bit dot products inside the hot branch —
+    // cold-cell rows (the common case) never pay them
+    val sub = e.join(broadcast(hot), Seq("label"), "left")
+      .withColumn("sub",
+        when($"cn".isNull, lit(0L))
+          .otherwise(pmod(hyperBits($"embedding"),
+            pow(lit(2.0), least(lit(8.0),
+              ceil(log2($"cn".cast("double") / cap.toDouble))))
+              .cast("long"))))
+      .drop("cn")
+    sub.as("a")
+      .join(sub.as("b"), $"a.label" === $"b.label" &&
+        $"a.sub" === $"b.sub" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        $"a.label".as("label"),
+        round(Vectors.dot($"a.embedding", $"b.embedding") /
+          ($"a.nrm" * $"b.nrm"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= threshold)
+      .orderBy($"v1", $"v2")
+  }
+
   /** Embedding-cosine near-dup, bucketed: pairs are generated only
-    * within an IVF cell (the label bucket), never across the whole
-    * table — the bucket join IS the scale story. */
+    * within an IVF cell (the label bucket) — guarded against hot cells
+    * by [[embedNearDupPairs]] — never across the whole table; the
+    * bucket join IS the scale story. */
   val qDedupEmbed = Q("q_dedup_embed",
-    (spark, sfDir) => {
-      import spark.implicits._
-      // precompute each vector's norm once (|V| folds) instead of per
-      // pair (2·|pairs| folds) — identical arithmetic, 3× fewer folds
-      val e = emb(spark, sfDir)
-        .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
-      e.as("a")
-        .join(e.as("b"), $"a.label" === $"b.label" &&
-          $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
-          $"a.label".as("label"),
-          round(Vectors.dot($"a.embedding", $"b.embedding") /
-            ($"a.nrm" * $"b.nrm"), 6).as("cos_sim"))
-        .filter($"cos_sim" >= 0.35)
-        .orderBy($"v1", $"v2")
-    },
+    (spark, sfDir) => embedNearDupPairs(emb(spark, sfDir), 0.35),
     Some("""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
            |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
            |    (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) *
@@ -915,10 +972,7 @@ object LLMOps {
   val qSimAnnLsh = Q("q_sim_ann_lsh",
     (spark, sfDir) => {
       import spark.implicits._
-      def plane(p: Int): Column = array((0 until 64).map { i =>
-        lit((((p * 64 + i).toLong * 2654435761L) % 2147483648L)
-          / 2147483648.0 - 0.5)
-      }: _*)
+      // plane(p) is the shared hyperplane helper (embed-guard section)
       val bucket = (0 until 8).map(p =>
         when(Vectors.dotHof($"embedding", plane(p)) >= 0, lit(1L << p))
           .otherwise(0L)).reduce(_ + _)

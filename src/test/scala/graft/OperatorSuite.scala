@@ -708,6 +708,44 @@ class OperatorSuite extends AnyFunSuite {
     } finally spark.conf.unset("graft.topk.maxPartialKeys")
   }
 
+  test("embed hot-cell guard: inert when balanced, exact split when hot") {
+    // balanced fixture: every cell under the cap → the guard must be
+    // bit-inert (this is also why the DuckDB oracle stays valid)
+    val base = LLMOps.qDedupEmbed.fn(spark, sf).collect().toSeq
+    spark.conf.set("graft.embed.maxCellSize", "1000000")
+    try assert(LLMOps.qDedupEmbed.fn(spark, sf).collect().toSeq === base,
+      "guard must be inert on a balanced corpus")
+    finally spark.conf.unset("graft.embed.maxCellSize")
+
+    // adversarial: ONE label holds the whole table (the Zipf-hot cell)
+    val hotDf = Tables.read(spark, sf, "embeddings")
+      .select($"vec_id", lit(0L).as("label"), $"embedding")
+    val n = hotDf.count()
+    val unguarded = LLMOps.embedNearDupPairs(hotDf, -1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.size.toLong === n * (n - 1) / 2,
+      "threshold -1 must keep every within-cell pair")
+    spark.conf.set("graft.embed.maxCellSize", "64")
+    try {
+      val guarded = LLMOps.embedNearDupPairs(hotDf, -1.0).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // expected: EXACTLY the within-sub-bucket pairs under the same
+      // ceil(log2(n/cap)) sign-bit split, computed independently here
+      val bits = math.min(8,
+        math.ceil(math.log(n.toDouble / 64) / math.log(2)).toInt)
+      val subs = hotDf.select($"vec_id",
+          pmod(LLMOps.hyperBits($"embedding"),
+            lit(1L << bits)).as("sub"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = unguarded.filter { case (a, b) =>
+        subs(a) == subs(b) }
+      assert(guarded === expected,
+        "guarded pairs must be exactly the within-sub-bucket pairs")
+      assert(guarded.size < unguarded.size,
+        "the hot cell must actually have been split")
+    } finally spark.conf.unset("graft.embed.maxCellSize")
+  }
+
   test("TopKPerKey final key cap spills chunks, stays exact vs Window") {
     import org.apache.spark.sql.expressions.Window
     // high-cardinality key (o_custkey: ~hundreds of keys per reducer

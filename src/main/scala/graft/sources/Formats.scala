@@ -463,6 +463,64 @@ object Formats {
            |FROM events WHERE event_type IN ('click', 'error')
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Dynamic partition OVERWRITE — the WRITE-side half of the
+    * partitioned-layout story (E17/E46 prove the read side): the
+    * incremental refresh every daily corpus/EHR pipeline runs is
+    * "re-run one day and replace ONLY that day's partition". Static
+    * overwrite would truncate the whole table first; with
+    * `partitionOverwriteMode=dynamic` the commit protocol replaces
+    * exactly the partitions the job emitted and leaves every other
+    * directory untouched (FormatsSuite asserts the untouched files
+    * survive BY NAME, and that the target day's files were replaced).
+    * The query backfills all days, then re-writes the corpus' FIRST
+    * day with corrected (doubled) values under dynamic mode; the
+    * oracle computes the merged expectation from the source table, so
+    * a lost partition, a truncated table, or a double-applied refresh
+    * all fail parity. Doubling a double is exact (exponent bump), so
+    * the decimal-cast sums stay bit-comparable. */
+  val qSourcePartitionOverwrite = Q("q_source_partition_overwrite",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "po_events")
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          to_date($"ts").as("day"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+      val d0 = ev.agg(min($"day")).first().getDate(0)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, "dynamic")
+        ev.filter($"day" === lit(d0))
+          .withColumn("value", $"value" * 2)
+          .write.mode("overwrite").partitionBy("day").parquet(dir)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val slimDay = StructType(slim.fields :+
+        StructField("day", DateType))
+      spark.read.schema(slimDay).parquet(dir)
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"day")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |         user_id, value
+           |  FROM events
+           |), d0 AS (SELECT min(day) AS d FROM ev)
+           |SELECT day, count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(
+           |         CASE WHEN day = (SELECT d FROM d0)
+           |              THEN value * 2 ELSE value END
+           |         AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+           |FROM ev GROUP BY day ORDER BY day""".stripMargin))
+
   /** S1b-DPP: dynamic partition pruning — THE scan-reduction mechanism
     * for a 100 TB star join (SURVEY.md §4.2). The fact is the
     * partitioned-by-event_type layout (E17's organization, written once
@@ -519,5 +577,6 @@ object Formats {
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qAggApprox, qAggHllUnion, qAggCmsFreq, qAggQuantileMerge,
-    qSourcePartitioned, qSourceDpp, qOutputRebalance)
+    qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
+    qOutputRebalance)
 }

@@ -240,6 +240,51 @@ object Streams {
            |FROM events GROUP BY event_type
            |ORDER BY event_type""".stripMargin))
 
+  /** T5c: CHAINED stateful operators in ONE streaming query —
+    * `dropDuplicatesWithinWatermark` feeding a tumbling-window count,
+    * the composition a real ingest topology runs (dedupe the at-least-
+    * once feed, then aggregate it) and the one shape T1–T6 prove only
+    * in isolation. Spark 3.5+ supports multiple stateful operators per
+    * query when they share the event-time watermark. The dedup key
+    * INCLUDES the event's day: which physical row survives dedup is
+    * processing-order-dependent, so a bare (user, type) key would let
+    * the survivor's timestamp — and thus its window — vary run to run;
+    * keyed by (user, type, day), every candidate survivor lands in the
+    * SAME day window and the downstream count ("distinct active
+    * (user, type) pairs per day") is deterministic. Append mode emits
+    * only windows finalized below the final watermark; the oracle
+    * reproduces exactly that subset. On the finite single-file fixture
+    * the stream converges in one batch, so no key recurs after state
+    * eviction — the same argument as T5b. */
+  val qStreamDedupAgg = Q("q_stream_dedup_agg",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val s = Tables.readStream(spark, sfDir, "events")
+        .select($"user_id", $"event_type", $"ts",
+          to_date($"ts").as("day"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .groupBy(window($"ts", "1 day"))
+        .agg(count(lit(1)).as("n_active"))
+        .select($"window.start".as("window_start"), $"n_active")
+      runToTable(spark, s, "t_dedup_agg", "append")
+        .orderBy($"window_start")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+           |         date_trunc('day', CAST(ts AS TIMESTAMP))
+           |           AS window_start
+           |  FROM events
+           |), active AS (
+           |  SELECT DISTINCT user_id, event_type, window_start FROM ev
+           |)
+           |SELECT window_start, count(*) AS n_active
+           |FROM active
+           |GROUP BY 1
+           |HAVING window_start + INTERVAL 1 DAY <=
+           |  (SELECT max(ts) - INTERVAL 1 HOUR FROM ev)
+           |ORDER BY window_start""".stripMargin))
+
   /** T6: arbitrary stateful processing (mapGroupsWithState): per-user
     * running event count + ever-seen-error flag — the streaming version
     * of the cohort's severity state. */
@@ -478,6 +523,7 @@ object Streams {
            |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
-    qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamState,
-    qStreamTws, qStreamJoin, qStreamJoinOuter, qStreamJoinFull)
+    qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
+    qStreamState, qStreamTws, qStreamJoin, qStreamJoinOuter,
+    qStreamJoinFull)
 }

@@ -70,11 +70,22 @@ object Bench {
     // cache-cold host (the driver environment) actually observes, so
     // BASELINE.md records both and round artifacts can be judged
     // against whichever condition they ran under (VERDICT r5 item 8)
-    val results: Seq[(String, String, Double, Double)] =
+    // per query, BOTH run times and the Memo build/load delta of each
+    // run land in bench_full.json ("run1"/"run2"/"builds"): min-of-2
+    // assumes the second run is memo-warm, and a nonzero second-run
+    // build delta falsifies that assumption for exactly the query it
+    // happens in — the attribution VERDICT r7 item 1 asks for.
+    case class R(name: String, ok: Boolean, r1: Double, r2: Double,
+        b1: Long, b2: Long) {
+      def sec: Double = math.min(r1, r2)
+      def valStr: String = if (ok) sec.toString else "\"err\""
+    }
+    val results: Seq[R] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
         val runs = (1 to 2).map { _ =>
+          val builds0 = Memo.buildCount
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -83,49 +94,57 @@ object Bench {
               anyErr = true
               false
             }
-          (ok, (System.nanoTime() - t0) / 1e9)
+          (ok, (System.nanoTime() - t0) / 1e9,
+            Memo.buildCount - builds0)
         }
         val ok = runs.forall(_._1)
-        val sec = runs.map(_._2).min
-        (name, if (ok) sec.toString else "\"err\"", if (ok) sec else 0.0,
-          if (ok) runs.head._2 else 0.0)
+        R(name, ok,
+          if (ok) runs(0)._2 else 0.0, if (ok) runs(1)._2 else 0.0,
+          runs(0)._3, runs(1)._3)
       }
     def r2(s: Double): String = BigDecimal(s).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString
-    val total = results.map(_._3).sum
-    val coldTotal = results.map(_._4).sum
+    val total = results.map(r => if (r.ok) r.sec else 0.0).sum
+    val coldTotal = results.map(r => if (r.ok) r.r1 else 0.0).sum
     // full-fidelity line for target/bench_full.json (no size limit)
     val full = {
-      val qs = results.map { case (k, v, s, _) =>
-        "\"" + k + "\":" + (if (v == "\"err\"") v else s.toString)
+      def m(f: R => String): String = results.map { r =>
+        "\"" + r.name + "\":" + f(r)
       }.mkString("{", ",", "}")
-      val cs = results.map { case (k, v, _, c) =>
-        "\"" + k + "\":" + (if (v == "\"err\"") v else c.toString)
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"cold":$cs,"sf":"$sfDir"}"""
+      val qs = m(r => r.valStr)
+      val r1s = m(r => if (r.ok) r.r1.toString else "\"err\"")
+      val r2s = m(r => if (r.ok) r.r2.toString else "\"err\"")
+      val bs = m(r => s"[${r.b1},${r.b2}]")
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"run1":$r1s,"run2":$r2s,"builds":$bs,"sf":"$sfDir"}"""
     }
+    // second-run memo builds across the whole sweep: 0 proves min-of-2
+    // really timed memo-warm steady state (the driver artifact carries
+    // this scalar, so a rebuild-driven drift is falsifiable from the
+    // artifact alone — VERDICT r7 item 1); per-query detail in
+    // bench_full.json's "builds"
+    val rebuilds = results.map(_.b2).sum
     // stdout line under the 1800-char budget: errs first (always), then
     // slowest-first until full; remainder reconciled via others_sec
     val compact = {
       val budget = 1800
       val overhead = // fixed part of the line, with placeholder lengths
-        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
-      val ordered = results.sortBy { case (_, v, s, _) =>
-        (if (v == "\"err\"") 0 else 1, -s) // errs first, then slowest
+        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
+      val ordered = results.sortBy { r =>
+        (if (r.ok) 1 else 0, -r.sec) // errs first, then slowest
       }
       var used = overhead
-      val picked = ordered.takeWhile { case (k, v, s, _) =>
-        val entry = k.length + 4 +
-          (if (v == "\"err\"") 5 else r2(s).length)
+      val picked = ordered.takeWhile { r =>
+        val entry = r.name.length + 4 +
+          (if (!r.ok) 5 else r2(r.sec).length)
         if (used + entry <= budget) { used += entry; true } else false
       }
-      val pickedNames = picked.map(_._1).toSet
+      val pickedNames = picked.map(_.name).toSet
       val othersSec = r2(results.collect {
-        case (k, _, s, _) if !pickedNames.contains(k) => s }.sum)
-      val qs = picked.sortBy(_._1).map { case (k, v, s, _) =>
-        "\"" + k + "\":" + (if (v == "\"err\"") v else r2(s))
+        case r if r.ok && !pickedNames.contains(r.name) => r.sec }.sum)
+      val qs = picked.sortBy(_.name).map { r =>
+        "\"" + r.name + "\":" + (if (!r.ok) "\"err\"" else r2(r.sec))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
     }
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")

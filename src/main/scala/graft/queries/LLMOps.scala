@@ -607,16 +607,24 @@ object LLMOps {
     val e = e0.withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
     val hot = e.groupBy($"label").agg(count(lit(1)).as("cn"))
       .filter($"cn" > cap)
-    // `when` keeps the 8 sign-bit dot products inside the hot branch —
-    // cold-cell rows (the common case) never pay them
-    val sub = e.join(broadcast(hot), Seq("label"), "left")
-      .withColumn("sub",
-        when($"cn".isNull, lit(0L))
-          .otherwise(pmod(hyperBits($"embedding"),
-            pow(lit(2.0), least(lit(8.0),
-              ceil(log2($"cn".cast("double") / cap.toDouble))))
-              .cast("long"))))
-      .drop("cn")
+    // one cheap map-side-partial agg probes for hot cells FIRST: when
+    // none exist (the common, well-clustered case) the pair join below
+    // keeps the exact pre-guard plan — constant sub folds away — so a
+    // balanced corpus pays one existence probe, never a changed join
+    // (measured +70% on q_dedup_embed when the probe was an
+    // unconditional broadcast left join). `when` keeps the 8 sign-bit
+    // dot products inside the hot branch — cold-cell rows of a PARTLY
+    // hot corpus never pay them either.
+    val sub =
+      if (hot.isEmpty) e.withColumn("sub", lit(0L))
+      else e.join(broadcast(hot), Seq("label"), "left")
+        .withColumn("sub",
+          when($"cn".isNull, lit(0L))
+            .otherwise(pmod(hyperBits($"embedding"),
+              pow(lit(2.0), least(lit(8.0),
+                ceil(log2($"cn".cast("double") / cap.toDouble))))
+                .cast("long"))))
+        .drop("cn")
     sub.as("a")
       .join(sub.as("b"), $"a.label" === $"b.label" &&
         $"a.sub" === $"b.sub" && $"a.vec_id" < $"b.vec_id")

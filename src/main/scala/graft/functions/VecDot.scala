@@ -114,6 +114,38 @@ object GraftExtensions {
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
       (children: Seq[Expression]) =>
         KllQuantileExpr(children(0), children(1))))
+    // Spark's own runtime-filter Bloom machinery, exposed as callable
+    // functions (the optimizer only plants these itself inside
+    // InjectRuntimeFilter): bloom_agg builds a
+    // org.apache.spark.util.sketch.BloomFilter over xxhash64 longs as
+    // a TypedImperativeAggregate (map-side partial, mergeable buffers),
+    // bloom_might_contain probes it — the incremental-dedup tier
+    // (q_dedup_incremental) needs them user-invocable because the
+    // automatic rule only fires on equi-join shapes, not on an
+    // anti-join-vs-snapshot pipeline.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(v)
+        case Seq(v, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(v, n)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(xxhash64_value[, estimated_items])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     // whole-operator extension (SURVEY §4.2 rung c): plans the
     // TopKPerKey logical node as a bounded-heap physical operator

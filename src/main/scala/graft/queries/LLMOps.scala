@@ -177,6 +177,77 @@ object LLMOps {
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
            |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin))
 
+  private val incrRun = new java.util.concurrent.atomic.AtomicLong()
+
+  // ------------------------------------------- incremental dedup
+  /** Incremental exact dedup against yesterday's snapshot — the daily
+    * ingest verb: a new batch arrives and only documents never seen
+    * before may enter the corpus. The fixture scenario derives both
+    * sides from the documents table (yesterday = the table itself;
+    * today = re-keyed rows where every third doc is an exact re-crawl
+    * of yesterday's text and the rest are genuinely new), so the
+    * expected output is oracle-checkable while the dataflow is the
+    * production one.
+    *
+    * Two-tier shape (100 TB): the naive plan shuffles EVERY arriving
+    * digest into an anti-join against the full historical digest set —
+    * at a 100 TB corpus that is billions of build-side rows re-shuffled
+    * per daily batch. Tier 1 aggregates the snapshot digests into one
+    * Bloom filter (`bloom_agg`, Spark's own runtime-filter sketch
+    * exposed as a user aggregate — map-side partial, mergeable buffers,
+    * MB-scale result) and probes it as a scalar subquery: arrivals the
+    * filter rejects are DEFINITELY unseen (no false negatives) and
+    * bypass the shuffle entirely. Tier 2 exact-anti-joins only the
+    * maybe-seen remainder — true re-crawls plus the fpp fraction — so
+    * the shuffled volume is the duplicate rate, not the batch size.
+    * The union of the tiers is exact regardless of the Bloom error
+    * rate; PlanSuite locks the probe + anti-join shape. */
+  val qDedupIncremental = Q("q_dedup_incremental",
+    (spark, sfDir) => {
+      // per-invocation view name, dropped after eager analysis — the
+      // qSqlRecursive concurrency treatment (ADVICE r7 item 5)
+      val view = s"incr_docs_${incrRun.incrementAndGet()}"
+      docs(spark, sfDir).createOrReplaceTempView(view)
+      try {
+        spark.sql(
+          s"""WITH seen AS (
+             |  SELECT sha2(text, 256) AS h FROM $view
+             |), today AS (
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |         CASE WHEN doc_id % 3 = 0 THEN text
+             |              ELSE concat(text, ' fresh ',
+             |                CAST(doc_id % 5 AS STRING)) END AS text
+             |  FROM $view
+             |), th AS (
+             |  SELECT doc_id, sha2(text, 256) AS h FROM today
+             |), blm AS (
+             |  SELECT bloom_agg(xxhash64(h), 1000000L) AS f FROM seen
+             |)
+             |SELECT doc_id FROM th
+             |WHERE NOT bloom_might_contain((SELECT f FROM blm),
+             |                              xxhash64(h))
+             |UNION ALL
+             |SELECT th.doc_id FROM th
+             |LEFT ANTI JOIN seen ON seen.h = th.h
+             |WHERE bloom_might_contain((SELECT f FROM blm), xxhash64(h))
+             |ORDER BY doc_id""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(view)
+        ()
+      }
+    },
+    Some("""WITH today AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |         CASE WHEN doc_id % 3 = 0 THEN text
+           |              ELSE text || ' fresh ' ||
+           |                CAST(doc_id % 5 AS VARCHAR) END AS text
+           |  FROM documents
+           |)
+           |SELECT t.doc_id FROM today t
+           |WHERE NOT EXISTS (SELECT 1 FROM documents p
+           |                  WHERE p.text = t.text)
+           |ORDER BY doc_id""".stripMargin))
+
   /** (doc_id, band, mv): the 8 per-band MinHash minima, computed in ONE
     * aggregation pass over the shingles (an explode-by-band form would
     * shuffle 8× the rows) and melted wide→long with a generator (no
@@ -1135,6 +1206,57 @@ object LLMOps {
            |    least(n_words * 1.0 / 100.0, 1.0) * 0.5, 6) AS quality
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- repetition quality
+  /** Repetition-based quality signals — the filter family (after
+    * Rae et al.'s Gopher rules) that catches boilerplate and
+    * degenerate generations which length/stopword scores miss:
+    * duplicate-bigram fraction (how much of the text is re-used
+    * phrasing) and top-bigram fraction (how dominant the single most
+    * frequent bigram is). Both are computed ROW-LOCALLY with array
+    * HOFs — distinct-count via `array_distinct`, the max bigram
+    * multiplicity via a transform-over-distinct count — so quality
+    * scoring 100 TB is a zero-shuffle scan pass exactly like chunking:
+    * no explode, no groupBy, nothing leaves the row until the output
+    * sort. The O(distinct·total) per-row count is bounded by document
+    * length (~10⁴ ops at 100-word docs), the classic row-local-vs-
+    * shuffle trade — at book length you'd switch to the explode +
+    * two-level aggregation form. */
+  val qQualityRepetition = Q("q_quality_repetition",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", split(trim($"text"), " ").as("ws"))
+        .filter(size($"ws") >= 2)
+        .select($"doc_id", transform(sequence(lit(1), size($"ws") - 1),
+          i => concat_ws(" ", element_at($"ws", i),
+            element_at($"ws", i + 1))).as("bg"))
+        .select($"doc_id",
+          size($"bg").as("n_bigrams"),
+          round(lit(1.0) -
+            size(array_distinct($"bg")) / size($"bg").cast("double"), 6)
+            .as("dup_bigram_frac"),
+          round(array_max(transform(array_distinct($"bg"),
+            b => size(filter($"bg", x => x === b))))
+            / size($"bg").cast("double"), 6).as("top_bigram_frac"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+           |  FROM documents
+           |), b AS (
+           |  SELECT doc_id,
+           |         list_transform(generate_series(1, len(ws) - 1),
+           |           i -> ws[i] || ' ' || ws[i + 1]) AS bg
+           |  FROM t WHERE len(ws) >= 2
+           |)
+           |SELECT doc_id, len(bg) AS n_bigrams,
+           |  round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6)
+           |    AS dup_bigram_frac,
+           |  round(list_max(list_transform(list_distinct(bg),
+           |    b2 -> len(list_filter(bg, x -> x = b2)))) * 1.0
+           |    / len(bg), 6) AS top_bigram_frac
+           |FROM b ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------------ token counts
   /** Token counting: whitespace tokens, regex word-runs, and a BPE-ish
     * chars/4 estimate. */
@@ -1423,6 +1545,90 @@ object LLMOps {
             |    AS scrubbed_hash
             |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // patterns restricted to the RE2 ∩ Java common subset (no
+  // lookaround, no backrefs) so both engines compile them identically
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiIp = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val piiSsn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val piiPhone = "\\b555-\\d{4}\\b"
+
+  // ------------------------------------------------- PII redaction
+  /** Multi-class PII redaction — the structured sibling of the term
+    * blocklist (E55): email addresses, IPv4 addresses, SSN-shaped ids
+    * and phone-shaped numbers each replaced with a class token, the
+    * standard pre-training privacy pass. The fixture vocabulary has no
+    * digits or '@', so raw documents would make every pattern vacuous
+    * (the E55 lesson) — instead each row APPENDS deterministic PII
+    * built from its doc_id identically on both engines, so parity
+    * proves every class actually fires exactly once per row AND lands
+    * the replacement at the same positions (the portable-hash check on
+    * the scrubbed text). Replacement order matters and is part of the
+    * contract: email first (its local part contains digits a later
+    * numeric class must not see), then IP, SSN, phone.
+    *
+    * Scale shape: four chained row-local regexes + counts — zero
+    * shuffle before the output sort, a pure scan pass like chunking
+    * and blocklist scrubbing; 100 TB redaction is embarrassingly
+    * parallel. */
+  val qScrubPii = Q("q_scrub_pii",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val pii = docs(spark, sfDir).select($"doc_id", concat(
+        $"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com ip "),
+        ($"doc_id" % 256).cast("string"), lit("."),
+        ($"doc_id" * 7 % 256).cast("string"), lit(".0.1 ssn "),
+        lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(($"doc_id" % 100).cast("string"), 2, "0"), lit("-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" tel 555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("t"))
+      pii.select($"doc_id",
+        regexp_count($"t", lit(piiEmail)).as("n_email"),
+        regexp_count($"t", lit(piiIp)).as("n_ip"),
+        regexp_count($"t", lit(piiSsn)).as("n_ssn"),
+        regexp_count($"t", lit(piiPhone)).as("n_phone"),
+        charFold(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace($"t", piiEmail, "[EMAIL]"),
+                piiIp, "[IP]"),
+              piiSsn, "[SSN]"),
+            piiPhone, "[PHONE]")).as("scrubbed_hash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH pii AS (
+            |  SELECT doc_id, text || ' contact user' ||
+            |    CAST(doc_id AS VARCHAR) || '@example.com ip ' ||
+            |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+            |    CAST(doc_id * 7 % 256 AS VARCHAR) || '.0.1 ssn ' ||
+            |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+            |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+            |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            |    ' tel 555-' ||
+            |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+            |  FROM documents
+            |)
+            |SELECT doc_id,
+            |  CAST(len(regexp_extract_all(t, '$piiEmail')) AS INT)
+            |    AS n_email,
+            |  CAST(len(regexp_extract_all(t, '$piiIp')) AS INT)
+            |    AS n_ip,
+            |  CAST(len(regexp_extract_all(t, '$piiSsn')) AS INT)
+            |    AS n_ssn,
+            |  CAST(len(regexp_extract_all(t, '$piiPhone')) AS INT)
+            |    AS n_phone,
+            |  ${charFoldSql(
+                 s"regexp_replace(regexp_replace(regexp_replace(" +
+                 s"regexp_replace(t, '$piiEmail', '[EMAIL]', 'g'), " +
+                 s"'$piiIp', '[IP]', 'g'), " +
+                 s"'$piiSsn', '[SSN]', 'g'), " +
+                 s"'$piiPhone', '[PHONE]', 'g')")}
+            |    AS scrubbed_hash
+            |FROM pii ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------- eval decontamination
   /** Benchmark/eval-set decontamination — the standard corpus step of
     * finding training documents that overlap an evaluation set before
@@ -1682,13 +1888,16 @@ object LLMOps {
             |  round(quality, 6) AS quality
             |FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash,
+  val all: Seq[Q] = Seq(qDedupExact, qDedupIncremental, qDedupMinhash,
+    qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupEmbed, qQuantizeEmbed,
     qSimCosineTopk,
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
-    qLangId, qQualityScore, qTokenCount, qFingerprint, qSplitGroup,
+    qLangId, qQualityScore, qQualityRepetition, qTokenCount,
+    qFingerprint, qSplitGroup,
     qSampleStratified, qSamplePerSource, qChunkDocs, qScrubBlocklist,
+    qScrubPii,
     qDecontaminate, qPackSequences, qUdfNorm, qUdafCentroid,
     qPipelineCorpus)
 }

@@ -309,6 +309,38 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup probes the snapshot Bloom before the anti-join") {
+    // tier 1 must be a bloom probe (definitely-new arrivals bypass the
+    // shuffle), tier 2 the exact anti-join on the digest — and the
+    // snapshot digest set must be AGGREGATED into the filter (scalar
+    // subquery), never collected or cross-joined row-wise
+    // (the plan prints the Catalyst prettyNames, not the registered
+    // bloom_* aliases — same strings the q_join_bloom lock matches)
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("might_contain"),
+      "arrivals must be pre-filtered by the snapshot Bloom filter")
+    assert(p.contains("bloom_filter_agg"),
+      "the snapshot digests must aggregate into the Bloom filter")
+    assert(p.contains("LeftAnti"),
+      "maybe-seen arrivals must resolve through an exact anti-join")
+  }
+
+  test("repetition quality + PII scrub stay row-local scan passes") {
+    // the Gopher-style repetition signals and the redaction pass are
+    // per-row HOF/regex projections: any exchange before the output
+    // sort means a shuffle snuck into what must be a pure scan
+    for (q <- Seq("q_quality_repetition", "q_scrub_pii")) {
+      val p = plan(q)
+      val beforeSort = p.indexOf("Exchange rangepartitioning") match {
+        case -1 => p
+        case i => p.substring(i + 1)
+      }
+      assert(!beforeSort.substring(beforeSort.indexOf("\n") + 1)
+          .contains("Exchange hashpartitioning"),
+        s"$q must not shuffle before the output sort")
+    }
+  }
+
   test("decontamination semi-joins against a broadcast probe set") {
     // the eval-shingle side is the one bounded-by-construction
     // broadcast in the dedup family — the corpus side must never

@@ -1298,6 +1298,39 @@ object LLMOps {
             |    (a, h) -> (a * 131 + h) % $P) AS fingerprint
             |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- generator surface
+  /** Positional + null-preserving generator semantics — the X8 corners
+    * `explode` (q_text_tf) does not exercise: `posexplode_outer` emits
+    * the element INDEX alongside each element and keeps a (null, null)
+    * row for a null array instead of dropping the parent row — the
+    * contract that matters when flattening optional repeated fields
+    * (a doc with no attachments must survive into the output). Every
+    * 7th doc's array is nulled to make the outer semantics observable;
+    * the oracle mirrors with a LEFT LATERAL unnest over an index
+    * series. Generators are narrow (zero shuffle before the sort). */
+  val qGenPosexplode = Q("q_gen_posexplode",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, lit(null))
+            .otherwise(slice(split(trim($"text"), " "), 1, 3)).as("a"))
+        .select($"doc_id", posexplode_outer($"a"))
+        .withColumnRenamed("col", "word")
+        .orderBy($"doc_id", $"pos")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 7 = 0 THEN NULL
+           |              ELSE string_split(trim(text), ' ')[1:3]
+           |         END AS a
+           |  FROM documents
+           |)
+           |SELECT doc_id, CAST(i - 1 AS INT) AS pos, a[i] AS word
+           |FROM t LEFT JOIN LATERAL (
+           |  SELECT unnest(generate_series(1, len(a))) AS i) u ON TRUE
+           |ORDER BY doc_id, pos""".stripMargin))
+
   // ------------------------------------------------- train/test split
   /** Leakage-safe train/test split: the fold is a deterministic hash of
     * the GROUP key (`source`), not the row, so every document from one
@@ -1895,7 +1928,7 @@ object LLMOps {
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
     qLangId, qQualityScore, qQualityRepetition, qTokenCount,
-    qFingerprint, qSplitGroup,
+    qFingerprint, qGenPosexplode, qSplitGroup,
     qSampleStratified, qSamplePerSource, qChunkDocs, qScrubBlocklist,
     qScrubPii,
     qDecontaminate, qPackSequences, qUdfNorm, qUdafCentroid,

@@ -574,9 +574,82 @@ object Formats {
            |WHERE d.category = 'engage'
            |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
 
+  /** Z-ORDER (Morton) clustered layout — the MULTI-dimensional member
+    * of the layout family: partitioning prunes one dim (E17/E46/E62),
+    * bucketing co-locates one join key (E34); interleaving the bits of
+    * TWO dims into one z-cell key lets a range/point predicate on
+    * EITHER dim — or both — prune directories. Dims here: a user hash
+    * bucket (2 bits) and a day-of-month band (2 bits), interleaved
+    * u₀d₀u₁d₁ into 16 cells; a (user-band × day-band) query rectangle
+    * maps to exactly the z-cells whose de-interleaved coordinates fall
+    * in the rectangle — 4/16 directories for a quarter×quarter
+    * rectangle, 8/16 for EITHER single-dim band (the √-pruning law a
+    * 1-D layout cannot give: day-partitioned data reads everything for
+    * a user-only filter). At 100 TB the same interleave (more bits,
+    * same arithmetic) is how lakehouse OPTIMIZE ZORDER organizes files;
+    * cells are directories here because directory listing is the
+    * pruning mechanism Spark exposes without a table format.
+    * FormatsSuite asserts the directory counts for all three query
+    * shapes; the oracle recomputes the interleave arithmetic from raw
+    * events, so a bit-order disagreement between engines fails parity
+    * per cell. The rectangle filter is zcell-only by construction —
+    * 2-bit dims make (cell ↔ coordinate-pair) a bijection, no residual
+    * row filter needed. */
+  val qLayoutZorder = Q("q_layout_zorder",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "zorder_events")
+      loadOnce(spark, sfDir, "zorder") {
+        val u2 = $"user_id" % 4
+        val d2 = shiftrightunsigned(dayofmonth($"ts") - 1, 3)
+        Tables.read(spark, sfDir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value",
+            (u2.bitwiseAND(1))
+              .bitwiseOR(shiftleft(d2.bitwiseAND(1), 1))
+              .bitwiseOR(shiftleft(
+                shiftrightunsigned(u2, 1).bitwiseAND(1), 2))
+              .bitwiseOR(shiftleft(
+                shiftrightunsigned(d2, 1).bitwiseAND(1), 3))
+              .as("zcell"))
+          .write.mode("overwrite").partitionBy("zcell").parquet(dir)
+      }
+      // the query rectangle (u2 ∈ [1,2], d2 ∈ [1,2]) enumerated into
+      // z-cells by the same interleave on the driver — the z-order
+      // read-side contract: rectangle → cell list → directory pruning
+      def z(u: Long, d: Long): Long =
+        (u & 1) | ((d & 1) << 1) | (((u >> 1) & 1) << 2) |
+          (((d >> 1) & 1) << 3)
+      val cells = for { u <- 1L to 2L; d <- 1L to 2L } yield z(u, d)
+      val slimZ = StructType(slim.fields :+
+        StructField("zcell", LongType))
+      spark.read.schema(slimZ).parquet(dir)
+        .filter($"zcell".isin(cells: _*))
+        .groupBy($"zcell")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"zcell")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, value,
+           |         user_id % 4 AS u2,
+           |         (date_part('day', CAST(ts AS TIMESTAMP)) - 1) >> 3
+           |           AS d2
+           |  FROM events
+           |)
+           |SELECT ((u2 & 1) | ((d2 & 1) << 1) | (((u2 >> 1) & 1) << 2)
+           |         | (((d2 >> 1) & 1) << 3)) AS zcell,
+           |       count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM ev WHERE u2 BETWEEN 1 AND 2 AND d2 BETWEEN 1 AND 2
+           |GROUP BY 1 ORDER BY zcell""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qAggApprox, qAggHllUnion, qAggCmsFreq, qAggQuantileMerge,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
-    qOutputRebalance)
+    qOutputRebalance, qLayoutZorder)
 }

@@ -243,6 +243,47 @@ class PlanSuite extends AnyFunSuite {
       s"DPP must read exactly the 2 'engage' partitions, read=$read")
   }
 
+  test("z-order layout prunes cells on the rectangle and on either dim") {
+    // the multi-dim layout claim (E67): a rectangle on BOTH dims reads
+    // 4/16 cell directories, and a band on EITHER single dim still
+    // reads only 8/16 — the √-pruning a 1-D partition layout cannot
+    // give (day-partitioned data reads everything for a user filter)
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions.col
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    def partsRead(q: DataFrame): Option[Long] = {
+      q.collect()
+      scans(q.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.exists(
+          _.toString.contains("zorder_events")))
+        .flatMap(_.metrics.get("numPartitions").map(_.value))
+    }
+    def z(u: Long, d: Long): Long =
+      (u & 1) | ((d & 1) << 1) | (((u >> 1) & 1) << 2) |
+        (((d >> 1) & 1) << 3)
+    // the registered query IS the rectangle (u2 ∈ [1,2] × d2 ∈ [1,2])
+    val rect = partsRead(SparkEntry.queries("q_layout_zorder")(spark, sf))
+    assert(rect.contains(4L),
+      s"rectangle must read exactly its 4 z-cells, read=$rect")
+    val base = spark.read.parquet(
+      graft.sources.Formats.fmtDir(sf, "zorder_events"))
+    val dayBand = for { u <- 0L to 3L; d <- 1L to 2L } yield z(u, d)
+    val userBand = for { u <- 1L to 2L; d <- 0L to 3L } yield z(u, d)
+    val dayRead = partsRead(base.filter(col("zcell").isin(dayBand: _*)))
+    val userRead = partsRead(base.filter(col("zcell").isin(userBand: _*)))
+    assert(dayRead.contains(8L),
+      s"day-only band must read 8/16 cells, read=$dayRead")
+    assert(userRead.contains(8L),
+      s"user-only band must read 8/16 cells, read=$userRead")
+  }
+
   test("AQE splits the skewed join partition once thresholds are crossed") {
     // q_join_skew_aqe's correctness row runs under production-default
     // thresholds (256 MB — never crossed by the fixture); this lock

@@ -114,6 +114,42 @@ object GraftExtensions {
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
       (children: Seq[Expression]) =>
         KllQuantileExpr(children(0), children(1))))
+    // theta-sketch set algebra (ThetaSketch.scala): build from longs,
+    // re-aggregate persisted sketch bytes, estimate union /
+    // intersection / difference cardinality
+    ext.injectFunction((
+      new FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName,
+        "theta_sketch_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => ThetaSketchAgg(v, 4096)
+        case Seq(v, k) => ThetaSketchAgg(v,
+          k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "theta_sketch_agg(value[, nominal_entries])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_merge_agg"),
+      new ExpressionInfo(classOf[ThetaMergeAgg].getName,
+        "theta_merge_agg"),
+      (children: Seq[Expression]) => ThetaMergeAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimateExpr].getName,
+        "theta_estimate"),
+      (children: Seq[Expression]) => ThetaEstimateExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_intersect_estimate"),
+      new ExpressionInfo(classOf[ThetaSetOpExpr].getName,
+        "theta_intersect_estimate"),
+      (children: Seq[Expression]) =>
+        ThetaSetOpExpr(children(0), children(1), intersect = true)))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_anotb_estimate"),
+      new ExpressionInfo(classOf[ThetaSetOpExpr].getName,
+        "theta_anotb_estimate"),
+      (children: Seq[Expression]) =>
+        ThetaSetOpExpr(children(0), children(1), intersect = false)))
     // Spark's own runtime-filter Bloom machinery, exposed as callable
     // functions (the optimizer only plants these itself inside
     // InjectRuntimeFilter): bloom_agg builds a

@@ -1402,6 +1402,70 @@ object LLMOps {
             |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // ------------------------------------------- mixture resampling
+  /** Corpus mixture resampling — the data-MIXING verb that sits above
+    * the stratified sample and the per-source cap: given per-source
+    * target WEIGHTS (here derived from the source index, w ∈ {1,2,3}),
+    * each source's keep-rate is scaled so the kept corpus approaches
+    * the target proportions, capped at 1.0 (a source cannot be
+    * up-sampled by dropping — sources already under their target keep
+    * everything). rate_i = min(1, (w_i/Σw)·N / n_i); the keep decision
+    * is the sampling family's shared portable hash against that rate,
+    * so the mixed corpus is reproducible bit-for-bit on any engine,
+    * cluster, or retry — no rand(), nothing partition-dependent.
+    *
+    * Scale shape: rates come from one map-side-partial groupBy over
+    * sources joined back as a BROADCAST (the source-count table is
+    * tiny by definition — domains, not documents), so mixing 100 TB is
+    * a scan + broadcast-probe pass; the only full-data aggregation is
+    * the per-source count the mixture math needs anyway. Float
+    * determinism: rates are built from exact integer counts with one
+    * fixed operation order on both engines, and the hash/2³¹ compare
+    * divides by a power of two (exact in IEEE), so the kept set can
+    * never straddle an engine-rounding boundary. */
+  val qSampleMixture = Q("q_sample_mixture",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val d = docs(spark, sfDir)
+      val w = regexp_extract($"source", "[0-9]+", 0).cast("long") % 3 + 1
+      val counts = d.groupBy($"source")
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("w", w)
+      val totals = counts.agg(sum($"n_src").as("n_tot"),
+        sum($"w").as("sum_w"))
+      val rated = counts.crossJoin(broadcast(totals))
+        .withColumn("rate",
+          least(lit(1.0), $"w".cast("double") / $"sum_w" * $"n_tot"
+            / $"n_src"))
+      d.join(broadcast(rated), Seq("source"))
+        .filter(knuthSpread($"doc_id").cast("double") / 2147483648.0 <
+          $"rate")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), first($"n_src").as("n_src"),
+          round(first($"rate"), 6).as("rate"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH counts AS (
+            |  SELECT source, count(*) AS n_src,
+            |         CAST(regexp_extract(source, '[0-9]+')
+            |           AS BIGINT) % 3 + 1 AS w
+            |  FROM documents GROUP BY source
+            |), totals AS (
+            |  SELECT sum(n_src) AS n_tot, sum(w) AS sum_w FROM counts
+            |), rated AS (
+            |  SELECT source, n_src,
+            |         least(1.0, w * 1.0 / sum_w * n_tot / n_src)
+            |           AS rate
+            |  FROM counts CROSS JOIN totals
+            |)
+            |SELECT d.source, count(*) AS n_kept,
+            |       CAST(min(r.n_src) AS BIGINT) AS n_src,
+            |       round(min(r.rate), 6) AS rate
+            |FROM documents d JOIN rated r ON d.source = r.source
+            |WHERE ${knuthSpreadSql("d.doc_id")} * 1.0 / 2147483648 <
+            |      r.rate
+            |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   // --------------------------------------------- per-source doc cap
   /** Deterministic per-source cap — the third corpus-rebalancing verb
     * beside the grouped split and the stratified sample: keep at most
@@ -1929,7 +1993,8 @@ object LLMOps {
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
     qLangId, qQualityScore, qQualityRepetition, qTokenCount,
     qFingerprint, qGenPosexplode, qSplitGroup,
-    qSampleStratified, qSamplePerSource, qChunkDocs, qScrubBlocklist,
+    qSampleStratified, qSampleMixture, qSamplePerSource, qChunkDocs,
+    qScrubBlocklist,
     qScrubPii,
     qDecontaminate, qPackSequences, qUdfNorm, qUdafCentroid,
     qPipelineCorpus)

@@ -401,6 +401,55 @@ object Formats {
     },
     None)
 
+  /** Theta-sketch SET-ALGEBRA re-aggregation — the fourth sketch verb
+    * (ThetaSketch.scala): per-day theta sketches of the user set are
+    * merged into two month-half windows IN ONE PASS (the CASE-routed
+    * conditional merge — `theta_merge_agg` skips nulls), then the
+    * final row asks the questions HLL state cannot answer: how many
+    * users in each half, how many in BOTH (intersection), how many
+    * only in the first (difference) — corpus/cohort overlap without
+    * ever joining raw rows. Unlike the KLL/HLL/CMS rows this one
+    * carries a FULL oracle: theta sketches are exact until retained
+    * entries exceed nominal k (4096), and fixture cardinalities stay
+    * under that at every sf, so the estimates ARE the exact counts
+    * DuckDB computes with distinct-set joins; at 100 TB the identical
+    * query degrades gracefully to ±1.6% estimation (BucketingSuite
+    * forces estimation mode and asserts the error bound). */
+  val qAggThetaOverlap = Q("q_agg_theta_overlap",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(call_function("theta_sketch_agg", $"user_id").as("sk"))
+      daily
+        .agg(
+          call_function("theta_merge_agg",
+            when(dayofmonth($"day") <= 15, $"sk")).as("ua"),
+          call_function("theta_merge_agg",
+            when(dayofmonth($"day") > 15, $"sk")).as("ub"))
+        .select(
+          round(call_function("theta_estimate", $"ua"))
+            .cast("long").as("n_a"),
+          round(call_function("theta_estimate", $"ub"))
+            .cast("long").as("n_b"),
+          round(call_function("theta_intersect_estimate", $"ua", $"ub"))
+            .cast("long").as("n_overlap"),
+          round(call_function("theta_anotb_estimate", $"ua", $"ub"))
+            .cast("long").as("n_only_a"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id,
+           |         date_part('day', CAST(ts AS TIMESTAMP)) AS dom
+           |  FROM events
+           |), a AS (SELECT DISTINCT user_id FROM ev WHERE dom <= 15),
+           |   b AS (SELECT DISTINCT user_id FROM ev WHERE dom > 15)
+           |SELECT (SELECT count(*) FROM a) AS n_a,
+           |       (SELECT count(*) FROM b) AS n_b,
+           |       (SELECT count(*) FROM a JOIN b USING (user_id))
+           |         AS n_overlap,
+           |       (SELECT count(*) FROM a ANTI JOIN b USING (user_id))
+           |         AS n_only_a""".stripMargin))
+
   /** REBALANCE-hinted output — the 100 TB small-files answer on the
     * WRITE side: a plain `df.write` emits one file per task (32 here;
     * tens of thousands on a real cluster — the classic small-files
@@ -650,6 +699,7 @@ object Formats {
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qAggApprox, qAggHllUnion, qAggCmsFreq, qAggQuantileMerge,
+    qAggThetaOverlap,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
     qOutputRebalance, qLayoutZorder)
 }

@@ -191,6 +191,33 @@ class BucketingSuite extends AnyFunSuite {
     assert(days.forall(_ > 1), "each type must span multiple days")
   }
 
+  test("theta overlap is exact at fixture scale and bounded in estimation mode") {
+    // regime 1 (the oracle's premise): fixture cardinalities stay
+    // under nominal k=4096, so every estimate must equal the exact
+    // set-algebra count — not approximately, exactly
+    val r = Formats.qAggThetaOverlap.fn(spark, sf).collect().head
+    val ev = Tables.read(spark, sf, "events")
+      .select(dayofmonth(to_date($"ts")).as("dom"), $"user_id")
+    val a = ev.filter($"dom" <= 15).select($"user_id").distinct()
+    val b = ev.filter($"dom" > 15).select($"user_id").distinct()
+    assert(r.getLong(0) === a.count())
+    assert(r.getLong(1) === b.count())
+    assert(r.getLong(2) === a.intersect(b).count())
+    assert(r.getLong(3) === a.except(b).count())
+    // regime 2 (the 100 TB premise): force estimation mode with a
+    // small nominal k over a larger id domain; theta RSE = 1/√k →
+    // k=256 gives 6.25% at 1σ; assert within 4σ AND that sampling
+    // really engaged (an exact-mode pass would vacuously succeed)
+    val big = spark.range(20000).select($"id")
+    val sk = big.agg(
+      call_function("theta_sketch_agg", $"id", lit(256)).as("sk"))
+    val est = sk.select(
+      call_function("theta_estimate", $"sk")).collect().head.getDouble(0)
+    assert(est !== 20000.0, "k=256 over 20k ids must be estimating")
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25,
+      s"estimate $est outside the 4-sigma theta error bound")
+  }
+
   test("concurrent first touch of a memo key runs the build exactly once") {
     // ADVICE r7 item 1: with batch queries racing on one session, a
     // side-effecting load (Derby fill, side-store rewrite) must never

@@ -455,8 +455,63 @@ object Aggregates {
            |FROM orders GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  // ---------------------------------------------------- winsorization
+  /** Percentile-clamped outlier handling (winsorization) — the
+    * standard robust-statistics pass before averaging heavy-tailed
+    * metrics (or normalizing training features): per event type, clamp
+    * values into [p05, p95] computed by EXACT interpolated percentile
+    * (the E9-proven `percentile` ↔ `quantile_cont` pair), then
+    * aggregate the clamped series. Two passes by construction — the
+    * clamp bounds need the full distribution — but the first pass
+    * reduces to a 5-row bounds table broadcast back into a scan-side
+    * probe, so winsorizing 100 TB is one aggregation plus one
+    * broadcast-joined scan, never a re-shuffle of the fact. Clamped
+    * sums go through decimal(18,6) like every money-sum in the suite:
+    * order-independent, so the hash compare cannot be broken by
+    * partition-order float addition. */
+  val qWinsorize = Q("q_winsorize",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+      val bounds = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.05D)").as("lo"),
+          expr("percentile(value, 0.95D)").as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .select($"event_type",
+          least(greatest($"value", $"lo"), $"hi").as("w"),
+          $"lo", $"hi")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(first($"lo"), 6).as("lo"),
+          round(first($"hi"), 6).as("hi"),
+          round(sum($"w".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_winsorized"),
+          round(min($"w"), 6).as("min_w"),
+          round(max($"w"), 6).as("max_w"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |         quantile_cont(value, 0.05) AS lo,
+           |         quantile_cont(value, 0.95) AS hi
+           |  FROM events GROUP BY event_type
+           |)
+           |SELECT e.event_type, count(*) AS n,
+           |       round(min(b.lo), 6) AS lo,
+           |       round(min(b.hi), 6) AS hi,
+           |       CAST(round(sum(CAST(
+           |         least(greatest(e.value, b.lo), b.hi)
+           |         AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_winsorized,
+           |       round(min(least(greatest(e.value, b.lo), b.hi)), 6)
+           |         AS min_w,
+           |       round(max(least(greatest(e.value, b.lo), b.hi)), 6)
+           |         AS max_w
+           |FROM events e JOIN b ON e.event_type = b.event_type
+           |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
-    qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit)
+    qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
+    qWinsorize)
 }

@@ -224,6 +224,67 @@ object Extras {
     * Two window passes over one user_id partitioning — a single
     * shuffle; this is the standard dimension-history builder a
     * warehouse refresh runs incrementally. */
+  // --------------------------------------------------- CDC snapshot diff
+  /** Change-data-capture diff of two table snapshots — the verb that
+    * turns full-refresh feeds into incremental ones (and the read-side
+    * complement of MERGE/E15: MERGE applies a change set, this DERIVES
+    * one): classify every key as insert / update / delete by
+    * full-outer-joining version N and N+1 on the key and comparing
+    * payloads; unchanged keys drop out. The fixture derives v2 from
+    * the documents table deterministically (every 7th doc deleted,
+    * every remaining 10th updated, every 11th re-keyed as an insert)
+    * so both engines diff identical snapshots. Output is the change
+    * manifest summary with a per-action id checksum — a single
+    * misclassified row shifts two checksums and fails parity.
+    *
+    * Scale shape: one key-partitioned shuffle of each snapshot into
+    * the full-outer SMJ — the floor for a whole-table diff; on
+    * bucketed/co-partitioned snapshot layouts (E34) the exchanges
+    * vanish entirely. Payload comparison at 100 TB would compare
+    * digests (as q_dedup_exact shuffles digests, never texts). */
+  val qCdcDiff = Q("q_cdc_diff",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val v1 = Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", $"text")
+      val v2 = v1.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text", when($"doc_id" % 10 === 0,
+          concat($"text", lit(" v2"))).otherwise($"text"))
+        .unionByName(v1.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      v1.as("a").join(v2.as("b"), $"a.doc_id" === $"b.doc_id",
+          "full_outer")
+        .select(coalesce($"a.doc_id", $"b.doc_id").as("doc_id"),
+          when($"a.doc_id".isNull, "insert")
+            .when($"b.doc_id".isNull, "delete")
+            .when($"a.text" =!= $"b.text", "update").as("action"))
+        .filter($"action".isNotNull)
+        .groupBy($"action")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_checksum"))
+        .orderBy($"action")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, text FROM documents),
+           |v2 AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+           |              ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents
+           |  WHERE doc_id % 11 = 0
+           |), d AS (
+           |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           |         CASE WHEN a.doc_id IS NULL THEN 'insert'
+           |              WHEN b.doc_id IS NULL THEN 'delete'
+           |              WHEN a.text <> b.text THEN 'update' END
+           |           AS action
+           |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+           |)
+           |SELECT action, count(*) AS n,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM d WHERE action IS NOT NULL
+           |GROUP BY action ORDER BY action""".stripMargin))
+
   val qScd2History = Q("q_scd2_history",
     (spark, sfDir) => {
       import spark.implicits._
@@ -555,6 +616,7 @@ object Extras {
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
-    qJoinLateral, qMergeUpsert, qScd2History, qSqlSurface, qFunnel,
+    qJoinLateral, qMergeUpsert, qCdcDiff, qScd2History, qSqlSurface,
+    qFunnel,
     qRetentionCohort, qProfileHistogram, qSqlRecursive, qGapFill)
 }

@@ -627,6 +627,60 @@ object LLMOps {
             |SELECT id AS doc_id, min(r) AS cluster_id
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- canonical selection
+  /** Canonical-document selection — the policy step AFTER clustering:
+    * a near-dup cluster must keep exactly one representative, and
+    * "which one" is a contract (here: longest text, doc_id as the
+    * total-order tiebreak — the common keep-the-richest-copy rule; a
+    * real pipeline swaps in its quality score). One row_number over
+    * the cluster key on the memoized labels joined to doc stats —
+    * a single cluster-key shuffle; the heavy lift (pair mining +
+    * label propagation) is shared state with q_dedup_cluster /
+    * q_sql_recursive, built once. The oracle extends the recursive
+    * connected-components SQL with the same ranked selection. */
+  val qDedupCanonical = Q("q_dedup_canonical",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val labels = clusterLabels(spark, sfDir)
+        .select($"id".as("doc_id"), $"label".as("cluster_id"))
+      val ranked = Window.partitionBy($"cluster_id")
+        .orderBy($"n_chars".desc, $"doc_id")
+      labels
+        .join(docs(spark, sfDir).select($"doc_id", $"n_chars"),
+          Seq("doc_id"))
+        .withColumn("rn", row_number().over(ranked))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")))
+        .filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("keep_id"),
+          $"n_chars".as("keep_chars"), $"n_members")
+        .orderBy($"cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $pairsCte, edges AS (
+            |  SELECT d1 AS src, d2 AS dst FROM pairs
+            |  UNION
+            |  SELECT d2 AS src, d1 AS dst FROM pairs
+            |), reach AS (
+            |  SELECT src AS id, src AS r FROM edges
+            |  UNION
+            |  SELECT e.dst AS id, r.r
+            |  FROM reach r JOIN edges e ON e.src = r.id
+            |), clusters AS (
+            |  SELECT id AS doc_id, min(r) AS cluster_id
+            |  FROM reach GROUP BY id
+            |), m AS (
+            |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+            |         row_number() OVER (PARTITION BY c.cluster_id
+            |           ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+            |         count(*) OVER (PARTITION BY c.cluster_id)
+            |           AS n_members
+            |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+            |)
+            |SELECT cluster_id, doc_id AS keep_id,
+            |       n_chars AS keep_chars,
+            |       CAST(n_members AS BIGINT) AS n_members
+            |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin))
+
   // ------------------------------------------------- embedding near-dup
   /** Portable pseudo-random 64-dim hyperplane `p` (LCG over the
     * dimension index) — shared by the LSH ANN bucketing and the
@@ -1567,6 +1621,89 @@ object LLMOps {
            |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
            |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
+  // --------------------------------------------------- BM25 scoring
+  /** BM25 relevance scoring — the retrieval scorer above raw TF-IDF
+    * (E37): per-term saturation (k1 = 1.2) and length normalization
+    * (b = 0.75) so a term's 20th occurrence adds almost nothing and
+    * long documents stop winning by volume — the ranking function
+    * behind corpus mining / seed-document expansion. The three query
+    * terms' tf values are row-local HOF counts (no explode, no
+    * per-term shuffle); the corpus stats the formula needs (N, avgdl,
+    * per-term df) reduce to ONE row broadcast-crossed back, so scoring
+    * 100 TB is a scan + one tiny aggregate. The output order sorts on
+    * the ROUNDED score (then doc_id) so rank-boundary ties cannot
+    * straddle an engine ulp; ln/÷ arithmetic is written in the same
+    * operation order on both engines. */
+  val qTextBm25 = Q("q_text_bm25",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val terms = Seq("spark", "query", "vector")
+      val base = docs(spark, sfDir)
+        .select($"doc_id", split(trim($"text"), " ").as("ws"))
+        .select(Seq($"doc_id", size($"ws").cast("double").as("dl")) ++
+          terms.map(t => size(filter($"ws", w => w === t))
+            .cast("double").as(s"tf_$t")): _*)
+      val stats = base.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg($"dl").as("avgdl") +:
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0))
+            .cast("double").as(s"df_$t")): _*)
+      val score = terms.map { t =>
+        val tf = col(s"tf_$t")
+        val df = col(s"df_$t")
+        log(lit(1.0) + ($"n_docs" - df + 0.5) / (df + 0.5)) *
+          (tf * 2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+      }.reduce(_ + _)
+      base.crossJoin(broadcast(stats))
+        .select(Seq($"doc_id") ++
+          terms.map(t => col(s"tf_$t").cast("long").as(s"tf_$t")) :+
+          round(score, 6).as("bm25"): _*)
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+           |  FROM documents
+           |), t AS (
+           |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+           |    CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE)
+           |      AS tf_spark,
+           |    CAST(len(list_filter(ws, x -> x = 'query')) AS DOUBLE)
+           |      AS tf_query,
+           |    CAST(len(list_filter(ws, x -> x = 'vector')) AS DOUBLE)
+           |      AS tf_vector
+           |  FROM b
+           |), s AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |    avg(dl) AS avgdl,
+           |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)
+           |      AS DOUBLE) AS df_spark,
+           |    CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END)
+           |      AS DOUBLE) AS df_query,
+           |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)
+           |      AS DOUBLE) AS df_vector
+           |  FROM t
+           |)
+           |SELECT doc_id,
+           |  CAST(tf_spark AS BIGINT) AS tf_spark,
+           |  CAST(tf_query AS BIGINT) AS tf_query,
+           |  CAST(tf_vector AS BIGINT) AS tf_vector,
+           |  round(
+           |    ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+           |      * (tf_spark * 2.2)
+           |      / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           |    + ln(1.0 + (n_docs - df_query + 0.5) / (df_query + 0.5))
+           |      * (tf_query * 2.2)
+           |      / (tf_query + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           |    + ln(1.0 + (n_docs - df_vector + 0.5)
+           |        / (df_vector + 0.5))
+           |      * (tf_vector * 2.2)
+           |      / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           |    6) AS bm25
+           |FROM t CROSS JOIN s
+           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))
+
   // --------------------------------------------------- doc chunking
   /** Sliding-window document chunking (context-window preprocessing:
     * 40-token windows, stride 30, 10-token overlap): each doc explodes
@@ -1987,10 +2124,12 @@ object LLMOps {
 
   val all: Seq[Q] = Seq(qDedupExact, qDedupIncremental, qDedupMinhash,
     qDedupSimhash,
-    qDedupNgramJaccard, qDedupCluster, qDedupEmbed, qQuantizeEmbed,
+    qDedupNgramJaccard, qDedupCluster, qDedupCanonical, qDedupEmbed,
+    qQuantizeEmbed,
     qSimCosineTopk,
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
+    qTextBm25,
     qLangId, qQualityScore, qQualityRepetition, qTokenCount,
     qFingerprint, qGenPosexplode, qSplitGroup,
     qSampleStratified, qSampleMixture, qSamplePerSource, qChunkDocs,

@@ -356,6 +356,56 @@ object Extras {
            |GROUP BY n.n_name
            |ORDER BY nation""".stripMargin))
 
+  private val correlatedRun = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Correlated subqueries — the SQL surface users actually write
+    * (per-row "look up the latest/any matching detail"): a correlated
+    * SCALAR subquery (latest lineitem ship date per order) and a
+    * correlated EXISTS (any returned line). The point at scale is what
+    * Catalyst must do with them: DECORRELATE both into joins — the
+    * scalar into an aggregate-below-left-outer-join, the EXISTS into
+    * an existence join — so the detail table is scanned ONCE and
+    * shuffled on the join key, never probed per driver row (the
+    * nested-loop reading would be O(orders·lineitem) at 100 TB).
+    * PlanSuite locks the ExistenceJoin in the plan; the global
+    * no-cartesian/no-BNLJ sweeps prove no loop fallback. Views are
+    * per-invocation unique (the qSqlRecursive concurrency rule). */
+  val qSqlCorrelated = Q("q_sql_correlated",
+    (spark, sfDir) => {
+      val tag = correlatedRun.incrementAndGet()
+      val ord = s"corr_ord_$tag"
+      val li = s"corr_li_$tag"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(ord)
+      Tables.read(spark, sfDir, "lineitem").createOrReplaceTempView(li)
+      try {
+        spark.sql(
+          s"""SELECT o.o_orderkey,
+             |  (SELECT max(l.l_shipdate) FROM $li l
+             |   WHERE l.l_orderkey = o.o_orderkey) AS last_ship,
+             |  CASE WHEN EXISTS (SELECT 1 FROM $li l
+             |         WHERE l.l_orderkey = o.o_orderkey
+             |           AND l.l_returnflag = 'R')
+             |       THEN 1 ELSE 0 END AS has_return
+             |FROM $ord o
+             |WHERE o.o_totalprice > 400000
+             |ORDER BY o.o_orderkey""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(ord)
+        spark.catalog.dropTempView(li)
+        ()
+      }
+    },
+    Some("""SELECT o.o_orderkey,
+           |  (SELECT max(l.l_shipdate) FROM lineitem l
+           |   WHERE l.l_orderkey = o.o_orderkey) AS last_ship,
+           |  CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+           |         WHERE l.l_orderkey = o.o_orderkey
+           |           AND l.l_returnflag = 'R')
+           |       THEN 1 ELSE 0 END AS has_return
+           |FROM orders o
+           |WHERE o.o_totalprice > 400000
+           |ORDER BY o.o_orderkey""".stripMargin))
+
   /** Fixed-width binned histogram — the distribution half of the
     * profiling story (qProfileColumns covers moments/extremes). One
     * map-side-combinable groupBy over the fact table produces the
@@ -617,6 +667,6 @@ object Extras {
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qCdcDiff, qScd2History, qSqlSurface,
-    qFunnel,
+    qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qSqlRecursive, qGapFill)
 }

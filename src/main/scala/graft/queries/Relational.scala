@@ -171,6 +171,47 @@ object Relational {
     * >350k-value orders. Equi-keyed, so Catalyst plans a shuffled SMJ
     * (full outer can't broadcast) — shuffle on the join key is the
     * plan you want at scale. */
+  // ------------------------------------------------ null-safe join
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * semantics corner plain equi joins silently drop: a NULL join key
+    * never matches under `=`, so rows with an unknown key vanish from
+    * both sides; null-safe equality treats NULL as a real key value
+    * (NULL matches NULL, exactly once per pairing). The fixture nulls
+    * one event type and joins even-id against odd-id aggregates, so
+    * the NULL bucket must appear in the result — an engine that
+    * degrades `<=>` to `=` loses that row and fails parity. Spark
+    * still plans this as a HASH-keyed join (null-safe equality is a
+    * supported hash key via coalesce-tagging), not a nested loop —
+    * the global PlanSuite sweeps lock that. Null ordering is pinned
+    * explicitly (NULLS FIRST) because the engines' defaults differ. */
+  val qJoinNullSafe = Q("q_join_null_safe",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"event_id",
+          expr("nullif(event_type, 'error')").as("k"))
+      val a = ev.filter($"event_id" % 2 === 0)
+        .groupBy($"k").agg(count(lit(1)).as("n_even"))
+      val b = ev.filter($"event_id" % 2 === 1)
+        .groupBy($"k").agg(count(lit(1)).as("n_odd"))
+      a.as("a").join(b.as("b"), $"a.k" <=> $"b.k")
+        .select($"a.k".as("k"), $"n_even", $"n_odd")
+        .orderBy($"k".asc_nulls_first)
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, nullif(event_type, 'error') AS k
+           |  FROM events
+           |), a AS (
+           |  SELECT k, count(*) AS n_even FROM e
+           |  WHERE event_id % 2 = 0 GROUP BY k
+           |), b AS (
+           |  SELECT k, count(*) AS n_odd FROM e
+           |  WHERE event_id % 2 = 1 GROUP BY k
+           |)
+           |SELECT a.k, n_even, n_odd
+           |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+           |ORDER BY a.k NULLS FIRST""".stripMargin))
+
   val qJoinFullOuter = Q("q_join_full_outer",
     (spark, sfDir) => {
       import spark.implicits._
@@ -484,7 +525,8 @@ object Relational {
            |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
 
   val all: Seq[Q] = Seq(qScanFilterIn, qFilterLike, qJoinInnerEqui,
-    qJoinBroadcastDim, qJoinLeftOuter, qJoinFullOuter, qJoinSemi,
+    qJoinBroadcastDim, qJoinLeftOuter, qJoinFullOuter, qJoinNullSafe,
+    qJoinSemi,
     qJoinAnti, qJoinRange, qJoinAsof, qJoinStar, qDistinct, qSortOutput,
     qTopk, qSetUnionAll, qSetIntersect, qSetExcept, qSetUnionByName,
     qSetExceptAll, qSetIntersectAll, qOutputConcat)

@@ -385,6 +385,17 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("correlated subqueries decorrelate to joins, never per-row probes") {
+    // the scalar subquery must become an aggregate under an outer
+    // join and the EXISTS an existence join — one scan of the detail
+    // table; a per-row probe would read O(orders·lineitem) at scale
+    val p = plan("q_sql_correlated")
+    assert(p.contains("ExistenceJoin"),
+      "EXISTS must plan as an existence join")
+    assert(p.contains("LeftOuter"),
+      "the scalar subquery must plan as an aggregate under a left outer join")
+  }
+
   test("decontamination semi-joins against a broadcast probe set") {
     // the eval-shingle side is the one bounded-by-construction
     // broadcast in the dedup family — the corpus side must never

@@ -356,6 +356,52 @@ object Extras {
            |GROUP BY n.n_name
            |ORDER BY nation""".stripMargin))
 
+  // ---------------------------------------------- frequent values
+  /** Frequent-values profile — the third standard profiling piece
+    * beside moments/extremes (E19) and the histogram (E41): the top-3
+    * most frequent values per profiled column, computed by unpivoting
+    * the columns into (col, value) rows, one map-side-combinable
+    * frequency aggregation, and the custom TopKPerKey operator for
+    * the per-column cut — its THIRD consumer, and the natural one: at
+    * 100 TB a column's value domain (user buckets, bands) can be
+    * huge, and the bounded two-phase heaps cut it to 3·columns rows
+    * without ever sorting a frequency partition (the Window form is
+    * the oracle, as with E49). */
+  val qProfileTopValues = Q("q_profile_topvalues",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+      val long = ev.select(lit("event_type").as("col"),
+          $"event_type".as("v"))
+        .unionByName(ev.select(lit("user_bucket").as("col"),
+          concat(lit("u"), pmod($"user_id", lit(20))).as("v")))
+        .unionByName(ev.select(lit("value_band").as("col"),
+          concat(lit("b"), floor($"value" / 25).cast("long")).as("v")))
+      val freq = long.groupBy($"col", $"v").agg(count(lit(1)).as("n"))
+      graft.plans.TopKPerKey.of(freq, partitionCols = Seq("col"),
+          orderCol = "n", desc = true, tiebreak = "v", k = 3)
+        .orderBy($"col", $"n".desc, $"v")
+    },
+    Some("""WITH lng AS (
+           |  SELECT 'event_type' AS col, event_type AS v FROM events
+           |  UNION ALL
+           |  SELECT 'user_bucket',
+           |         'u' || CAST(user_id % 20 AS VARCHAR) FROM events
+           |  UNION ALL
+           |  SELECT 'value_band',
+           |         'b' || CAST(CAST(floor(value / 25) AS BIGINT)
+           |           AS VARCHAR)
+           |  FROM events
+           |), freq AS (
+           |  SELECT col, v, count(*) AS n FROM lng GROUP BY col, v
+           |), ranked AS (
+           |  SELECT col, v, n, row_number() OVER (PARTITION BY col
+           |    ORDER BY n DESC, v) AS rn
+           |  FROM freq
+           |)
+           |SELECT col, v, n FROM ranked WHERE rn <= 3
+           |ORDER BY col, n DESC, v""".stripMargin))
+
   private val correlatedRun = new java.util.concurrent.atomic.AtomicLong()
 
   /** Correlated subqueries — the SQL surface users actually write
@@ -668,5 +714,6 @@ object Extras {
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qCdcDiff, qScd2History, qSqlSurface,
     qSqlCorrelated, qFunnel,
-    qRetentionCohort, qProfileHistogram, qSqlRecursive, qGapFill)
+    qRetentionCohort, qProfileHistogram, qProfileTopValues,
+    qSqlRecursive, qGapFill)
 }

@@ -422,6 +422,14 @@ class PlanSuite extends AnyFunSuite {
       "no sort may run below the bounded-heap operator")
   }
 
+  test("frequent-values profile plans through two-phase TopKPerKey") {
+    val p = plan("q_profile_topvalues")
+    assert(p.contains("TopKPerKey [") && p.contains("TopKPerKeyPartial ["),
+      "the per-column cut must run through the bounded-heap operator")
+    assert(!p.contains("Window"),
+      "the profile must not fall back to the Window form")
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     val df = SparkEntry.queries("q_dedup_embed")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("vec_dot"))

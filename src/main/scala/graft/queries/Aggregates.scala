@@ -509,9 +509,46 @@ object Aggregates {
            |FROM events e JOIN b ON e.event_type = b.event_type
            |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
 
+  // ------------------------------------------------------ resampling
+  /** Time-bucket resampling with the BATCH `window()` function — the
+    * batch half of the tumbling-window story (T1 proves it streaming):
+    * downsample the event series to fixed 6-hour buckets per type, the
+    * metrics/telemetry reduction every dashboard pipeline runs. The
+    * bucket is emitted as epoch seconds (`w.start` cast to long) so
+    * the oracle can replicate the epoch-aligned bucketing with integer
+    * arithmetic instead of engine-specific timestamp-bucket functions
+    * (whose alignment origins differ). One map-side-combinable
+    * aggregation — resampling 100 TB is a single shuffle on
+    * (bucket, type), and the decimal-cast sum keeps the compare
+    * order-independent. */
+  val qResample = Q("q_resample",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .select($"w.start".cast("long").as("bucket_secs"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"bucket_secs", $"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+           |           AS BIGINT) AS secs,
+           |         event_type, value
+           |  FROM events
+           |)
+           |SELECT secs - (secs % 21600) AS bucket_secs,
+           |       event_type, count(*) AS n,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM ev GROUP BY 1, 2
+           |ORDER BY bucket_secs, event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
-    qWinsorize)
+    qWinsorize, qResample)
 }

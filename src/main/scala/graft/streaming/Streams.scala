@@ -12,6 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 /** Per-user running state for q_stream_state (T6). */
 case class UserAgg(user_id: Long, n_events: Long, ever_error: Boolean)
 
+/** Open-session buffer for q_stream_timeout (timestamps in µs). */
+case class SessionBuf(start_us: Long, last_us: Long, n: Long)
+
+/** A closed session emitted by q_stream_timeout. */
+case class SessionOut(user_id: Long, start_us: Long, n_events: Long)
+
 /** T6b: the same per-user running aggregate as a Spark 4
   * `StatefulProcessor` for `transformWithState` — the successor API to
   * mapGroupsWithState (typed state handles, TTL support, timers), backed
@@ -353,6 +359,113 @@ object Streams {
            |       max(event_type = 'error') AS ever_error
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** T6c: event-time TIMEOUT state — the corner T6/T6b leave
+    * unexercised: state that must EXPIRE and flush itself when the
+    * watermark passes it, with no further input for its key (the
+    * session-closing shape every streaming sessionizer needs;
+    * `session_window` T3 proves the built-in form, this is the
+    * arbitrary-state form with custom per-session payload).
+    * Per user: sort the batch's events in-function (the iterator
+    * carries no order guarantee), split on >1800 s gaps, emit every
+    * intra-batch CLOSED session immediately (append mode), hold the
+    * open tail session in state with
+    * `setTimeoutTimestamp(last_event + gap)`; the no-data micro-batch
+    * after the file batch fires `hasTimedOut` for every session whose
+    * timeout fell behind the final watermark (max ts − 1 h) and
+    * flushes it. Sessions still open at end-of-stream are correctly
+    * ABSENT — the oracle replicates exactly that emission subset with
+    * the sessionize SQL plus the watermark cutoff, at the engine's
+    * millisecond timeout granularity (µs floor-divided by 1000, as
+    * `setTimeoutTimestamp` truncates). Determinism rests on the
+    * fixture's single-file single-data-batch execution, the same
+    * contract the dedup/outer-join streams document.
+    *
+    * Scale notes: per-key per-batch events are buffered for the sort —
+    * bounded by key×batch volume, the standard flatMapGroupsWithState
+    * contract; state itself is one open session per user. */
+  val qStreamTimeout = Q("q_stream_timeout",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val gapUs = 1800000000L
+      // the tuple carries the raw ts column UNUSED: the event-time-
+      // timeout validation requires the watermarked attribute to be
+      // present in the flatMap child's output, and projecting it away
+      // (keeping only unix_micros(ts)) strips the delay metadata
+      val fn: (Long, Iterator[(Long, Long, Long, java.sql.Timestamp)],
+          GroupState[SessionBuf]) => Iterator[SessionOut] =
+        (uid, rows, state) => {
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, b.start_us, b.n))
+          } else {
+            val evs = rows.map(r => (r._2, r._3)).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var buf = state.getOption.orNull
+            evs.foreach { case (us, _) =>
+              if (buf == null) buf = SessionBuf(us, us, 1)
+              else if (us - buf.last_us > gapUs) {
+                out += SessionOut(uid, buf.start_us, buf.n)
+                buf = SessionBuf(us, us, 1)
+              } else buf = SessionBuf(buf.start_us, us, buf.n + 1)
+            }
+            state.update(buf)
+            state.setTimeoutTimestamp(buf.last_us / 1000 + 1800000L)
+            out.iterator
+          }
+        }
+      val s = Tables.readStream(spark, sfDir, "events")
+        .withWatermark("ts", "1 hour")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"ts")
+        .as[(Long, Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(fn)
+        .toDF()
+      runToTable(spark, s, "t_timeout", "append")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_closed"),
+          sum($"n_events").as("n_events"),
+          min($"start_us").as("first_start_us"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |         event_id
+           |  FROM events
+           |), mx AS (SELECT max(us) AS max_us FROM ev),
+           |marked AS (
+           |  SELECT user_id, us, event_id,
+           |    CASE WHEN lag(us) OVER w IS NULL OR
+           |      us - lag(us) OVER w > 1800000000
+           |    THEN 1 ELSE 0 END AS new_s
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+           |), sess AS (
+           |  SELECT user_id, us,
+           |    sum(new_s) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS sid
+           |  FROM marked
+           |), per AS (
+           |  SELECT user_id, sid, min(us) AS start_us,
+           |         max(us) AS last_us, count(*) AS n,
+           |         max(sid) OVER (PARTITION BY user_id) AS max_sid
+           |  FROM sess GROUP BY user_id, sid
+           |), closed AS (
+           |  SELECT p.* FROM per p, mx
+           |  WHERE p.sid < p.max_sid
+           |     OR (p.last_us // 1000) + 1800000 <
+           |        (mx.max_us // 1000) - 3600000
+           |)
+           |SELECT user_id, count(*) AS n_closed,
+           |       CAST(sum(n) AS BIGINT) AS n_events,
+           |       min(start_us) AS first_start_us
+           |FROM closed GROUP BY user_id
+           |ORDER BY user_id""".stripMargin))
+
   /** T7 (extension): stream-stream interval join — the streaming form
     * of the cohort's entry join (purchase within 14 days after signup,
     * equi key user_id carried). Watermarks on both sides bound the join
@@ -524,6 +637,7 @@ object Streams {
 
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
-    qStreamState, qStreamTws, qStreamJoin, qStreamJoinOuter,
+    qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
+    qStreamJoinOuter,
     qStreamJoinFull)
 }

@@ -207,6 +207,14 @@ object LLMOps {
       // per-invocation view name, dropped after eager analysis — the
       // qSqlRecursive concurrency treatment (ADVICE r7 item 5)
       val view = s"incr_docs_${incrRun.incrementAndGet()}"
+      // sketch sizing is a conf (validated, like the TopKPerKey cap)
+      // so the suite can force it tiny: heavy false positives must
+      // only grow the tier-2 anti-join input, never change the result
+      val est = {
+        val raw = spark.conf.get("graft.bloom.estItems", "1000000")
+        val p = scala.util.Try(raw.trim.toLong).getOrElse(1000000L)
+        if (p >= 16L) p else 1000000L
+      }
       docs(spark, sfDir).createOrReplaceTempView(view)
       try {
         spark.sql(
@@ -221,7 +229,7 @@ object LLMOps {
              |), th AS (
              |  SELECT doc_id, sha2(text, 256) AS h FROM today
              |), blm AS (
-             |  SELECT bloom_agg(xxhash64(h), 1000000L) AS f FROM seen
+             |  SELECT bloom_agg(xxhash64(h), ${est}L) AS f FROM seen
              |)
              |SELECT doc_id FROM th
              |WHERE NOT bloom_might_contain((SELECT f FROM blm),

@@ -623,6 +623,46 @@ object Formats {
            |WHERE d.category = 'engage'
            |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
 
+  /** Schema-evolution read — the append-only table whose schema GREW:
+    * epoch-1 files lack a column later epochs carry, and
+    * `mergeSchema=true` must union the file schemas (per-file footer
+    * reconciliation, a one-time planning cost) and null-fill the
+    * missing column for old rows — the read-side contract that lets a
+    * 100 TB table add columns without rewriting history. The grouped
+    * result keys on the evolved column, so the NULL group IS the
+    * epoch-1 population: losing it (or filling anything but null)
+    * fails parity. Null-group ordering pinned NULLS FIRST (engine
+    * defaults differ, as with E76). */
+  val qSourceSchemaEvolution = Q("q_source_schema_evolution",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "evo_orders")
+      loadOnce(spark, sfDir, "evo") {
+        val o = Tables.read(spark, sfDir, "orders")
+        o.filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey", $"o_totalprice")
+          .write.mode("overwrite").parquet(s"$dir/b1")
+        o.filter($"o_orderkey" % 2 === 1)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .write.mode("overwrite").parquet(s"$dir/b2")
+      }
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/b1", s"$dir/b2")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first)
+    },
+    Some("""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+           |       END AS o_orderstatus,
+           |       count(*) AS n,
+           |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),
+           |         6) AS DOUBLE) AS sum_price
+           |FROM orders
+           |GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST"""
+      .stripMargin))
+
   /** Z-ORDER (Morton) clustered layout — the MULTI-dimensional member
     * of the layout family: partitioning prunes one dim (E17/E46/E62),
     * bucketing co-locates one join key (E34); interleaving the bits of
@@ -701,5 +741,6 @@ object Formats {
     qAggApprox, qAggHllUnion, qAggCmsFreq, qAggQuantileMerge,
     qAggThetaOverlap,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
+    qSourceSchemaEvolution,
     qOutputRebalance, qLayoutZorder)
 }

@@ -746,6 +746,22 @@ class OperatorSuite extends AnyFunSuite {
     } finally spark.conf.unset("graft.embed.maxCellSize")
   }
 
+  test("incremental dedup stays exact under forced Bloom false positives") {
+    // the two-tier contract: the Bloom filter only ROUTES arrivals
+    // (definitely-new bypass vs maybe-seen anti-join) — false
+    // positives grow tier 2's input, never the result. Force a
+    // 16-entry sketch over the full digest set so most arrivals are
+    // false positives and assert bit-identical output to the
+    // well-sized run (which the DuckDB oracle already pins).
+    val base = LLMOps.qDedupIncremental.fn(spark, sf).collect().toSeq
+    spark.conf.set("graft.bloom.estItems", "16")
+    try {
+      val fp = LLMOps.qDedupIncremental.fn(spark, sf).collect().toSeq
+      assert(fp === base,
+        "Bloom false positives must not change the admitted set")
+    } finally spark.conf.unset("graft.bloom.estItems")
+  }
+
   test("TopKPerKey final key cap spills chunks, stays exact vs Window") {
     import org.apache.spark.sql.expressions.Window
     // high-cardinality key (o_custkey: ~hundreds of keys per reducer

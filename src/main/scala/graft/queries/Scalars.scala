@@ -263,7 +263,55 @@ object Scalars {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
       .stripMargin))
 
+  // ------------------------------------------------- edit distance
+  /** Edit-distance fuzzy matching — the record-linkage scalar (typo
+    * detection, near-identical field matching) the equality/regex
+    * families cannot express: Levenshtein distance between each
+    * document's 30-char prefix and its successor's within the same
+    * source, plus the length-normalized ratio matchers actually
+    * threshold on. `lead()` over the source partition pairs rows with
+    * ZERO joins (one source-key shuffle); the distance itself is
+    * row-local O(len²) DP — bounded by the fixed prefix, the standard
+    * way to keep edit distance affordable at corpus scale (never run
+    * unbounded DP on full documents; candidate-pair it with LSH first,
+    * which is exactly what the dedup family does). Both engines
+    * implement classic unit-cost Levenshtein, so values match
+    * exactly. */
+  val qScalarEditDist = Q("q_scalar_editdist",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", $"source",
+          substring($"text", 1, 30).as("p"))
+        .withColumn("nextp", lead($"p", 1).over(w))
+        .filter($"nextp".isNotNull)
+        .select($"doc_id",
+          levenshtein($"p", $"nextp").as("edit_dist"),
+          round(levenshtein($"p", $"nextp") * lit(1.0) /
+            greatest(length($"p"), length($"nextp")), 6)
+            .as("edit_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, source, substr(text, 1, 30) AS p
+           |  FROM documents
+           |), l AS (
+           |  SELECT doc_id, p,
+           |         lead(p) OVER (PARTITION BY source ORDER BY doc_id)
+           |           AS nextp
+           |  FROM p
+           |)
+           |SELECT doc_id,
+           |       CAST(levenshtein(p, nextp) AS INT) AS edit_dist,
+           |       round(levenshtein(p, nextp) * 1.0 /
+           |         greatest(length(p), length(nextp)), 6)
+           |         AS edit_ratio
+           |FROM l WHERE nextp IS NOT NULL
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
     qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
-    qScalarTry, qSqlParams)
+    qScalarTry, qSqlParams, qScalarEditDist)
 }

@@ -426,12 +426,19 @@ class OperatorSuite extends AnyFunSuite {
     // the multi-tenant deployment shape: several analysts' queries in
     // flight on one session. Streams document a single-session
     // assumption (Streams.scala); the BATCH surface must be safe, so
-    // four pure queries race and must reproduce their serial results.
+    // four pure queries PLUS two side-store queries (Derby/bucketed/
+    // partitioned layouts behind Memo.once — the racing first-touch
+    // class the single-eval Memo fix exists for) race and must
+    // reproduce their serial results. (q_source_partition_overwrite
+    // stays out by design: two overwrites of one directory are
+    // unsafe to race on ANY engine — that query documents a
+    // sequential-writer contract.)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
     val names =
-      Seq("q_agg_stats", "q_join_star", "q_text_tf", "q_scalar_math")
+      Seq("q_agg_stats", "q_join_star", "q_text_tf", "q_scalar_math",
+        "q_source_dpp", "q_source_bucketed_join")
     val serial = names
       .map(n => n -> SparkEntry.queries(n)(spark, sf).collect().toSeq)
       .toMap

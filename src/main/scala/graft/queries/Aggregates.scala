@@ -482,8 +482,10 @@ object Aggregates {
           $"lo", $"hi")
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
-          round(first($"lo"), 6).as("lo"),
-          round(first($"hi"), 6).as("hi"),
+          // min, not first: constant per group, min has no
+          // order-sensitivity caveat
+          round(min($"lo"), 6).as("lo"),
+          round(min($"hi"), 6).as("hi"),
           round(sum($"w".cast("decimal(18,6)")), 6)
             .cast("double").as("sum_winsorized"),
           round(min($"w"), 6).as("min_w"),

@@ -141,17 +141,28 @@ object Extras {
     * SQL user hits. DuckDB runs the same LATERAL syntax. */
   val qJoinLateral = Q("q_join_lateral",
     (spark, sfDir) => {
-      Tables.read(spark, sfDir, "nation")
-        .createOrReplaceTempView("v_nation")
-      Tables.read(spark, sfDir, "customer")
-        .createOrReplaceTempView("v_customer")
-      spark.sql(
-        """SELECT n.n_name, t.c_custkey, t.c_acctbal
-          |FROM v_nation n,
-          |LATERAL (SELECT c_custkey, c_acctbal FROM v_customer c
-          |         WHERE c.c_nationkey = n.n_nationkey
-          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
-          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+      // per-invocation view names, dropped after eager analysis (the
+      // qSqlRecursive concurrency rule — a fixed name would let a
+      // sibling invocation rebind the view mid-analysis)
+      val tag = viewRun.incrementAndGet()
+      val vn = s"lat_nation_$tag"
+      val vc = s"lat_customer_$tag"
+      Tables.read(spark, sfDir, "nation").createOrReplaceTempView(vn)
+      Tables.read(spark, sfDir, "customer").createOrReplaceTempView(vc)
+      try {
+        spark.sql(
+          s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+             |FROM $vn n,
+             |LATERAL (SELECT c_custkey, c_acctbal FROM $vc c
+             |         WHERE c.c_nationkey = n.n_nationkey
+             |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+             |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey"""
+            .stripMargin)
+      } finally {
+        spark.catalog.dropTempView(vn)
+        spark.catalog.dropTempView(vc)
+        ()
+      }
     },
     Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
            |FROM nation n,
@@ -330,20 +341,28 @@ object Extras {
     * registration is pure metadata, no materialization). */
   val qSqlSurface = Q("q_sql_surface",
     (spark, sfDir) => {
+      // per-invocation view names (qSqlRecursive concurrency rule)
+      val tag = viewRun.incrementAndGet()
+      def v(t: String): String = s"sql_${t}_$tag"
       Seq("orders", "customer", "nation").foreach(t =>
-        Tables.read(spark, sfDir, t)
-          .createOrReplaceTempView(s"v_$t"))
-      spark.sql(
-        """SELECT n.n_name AS nation,
-          |       count(*) AS n_orders,
-          |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))),
-          |         6) AS DOUBLE) AS revenue
-          |FROM v_orders o
-          |JOIN v_customer c ON o.o_custkey = c.c_custkey
-          |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
-          |WHERE o.o_orderstatus = 'F'
-          |GROUP BY n.n_name
-          |ORDER BY nation""".stripMargin)
+        Tables.read(spark, sfDir, t).createOrReplaceTempView(v(t)))
+      try {
+        spark.sql(
+          s"""SELECT n.n_name AS nation,
+             |       count(*) AS n_orders,
+             |       CAST(round(sum(CAST(o.o_totalprice
+             |         AS DECIMAL(18,6))), 6) AS DOUBLE) AS revenue
+             |FROM ${v("orders")} o
+             |JOIN ${v("customer")} c ON o.o_custkey = c.c_custkey
+             |JOIN ${v("nation")} n ON c.c_nationkey = n.n_nationkey
+             |WHERE o.o_orderstatus = 'F'
+             |GROUP BY n.n_name
+             |ORDER BY nation""".stripMargin)
+      } finally {
+        Seq("orders", "customer", "nation").foreach(t =>
+          spark.catalog.dropTempView(v(t)))
+        ()
+      }
     },
     Some("""SELECT n.n_name AS nation,
            |       count(*) AS n_orders,
@@ -401,6 +420,10 @@ object Extras {
            |)
            |SELECT col, v, n FROM ranked WHERE rn <= 3
            |ORDER BY col, n DESC, v""".stripMargin))
+
+  // shared per-invocation view-name counter for every SQL-text query
+  // in this module (qSqlRecursive keeps its own, predating this one)
+  private val viewRun = new java.util.concurrent.atomic.AtomicLong()
 
   private val correlatedRun = new java.util.concurrent.atomic.AtomicLong()
 

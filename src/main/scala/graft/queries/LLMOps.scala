@@ -1503,8 +1503,10 @@ object LLMOps {
         .filter(knuthSpread($"doc_id").cast("double") / 2147483648.0 <
           $"rate")
         .groupBy($"source")
-        .agg(count(lit(1)).as("n_kept"), first($"n_src").as("n_src"),
-          round(first($"rate"), 6).as("rate"))
+        // min, not first: both are constant per source, but min is
+        // order-insensitive by construction (no determinism caveat)
+        .agg(count(lit(1)).as("n_kept"), min($"n_src").as("n_src"),
+          round(min($"rate"), 6).as("rate"))
         .orderBy($"source")
     },
     Some(s"""WITH counts AS (

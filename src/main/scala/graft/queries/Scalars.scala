@@ -245,16 +245,23 @@ object Scalars {
     * splicing for value parameters. */
   val qSqlParams = Q("q_sql_params",
     (spark, sfDir) => {
+      // per-invocation view name (the qSqlRecursive concurrency rule)
+      val view = s"params_orders_${paramsRun.incrementAndGet()}"
       Tables.read(spark, sfDir, "orders")
-        .createOrReplaceTempView("params_orders")
-      spark.sql(
-        """SELECT o_orderpriority, count(*) AS n,
-          |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
-          |    AS DOUBLE) AS sum_price
-          |FROM params_orders WHERE o_totalprice > :floor
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
-          .stripMargin,
-        Map("floor" -> 200000.0))
+        .createOrReplaceTempView(view)
+      try {
+        spark.sql(
+          s"""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
+             |    AS DOUBLE) AS sum_price
+             |FROM $view WHERE o_totalprice > :floor
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+            .stripMargin,
+          Map("floor" -> 200000.0))
+      } finally {
+        spark.catalog.dropTempView(view)
+        ()
+      }
     },
     Some("""SELECT o_orderpriority, count(*) AS n,
            |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
@@ -262,6 +269,8 @@ object Scalars {
            |FROM orders WHERE o_totalprice > 200000.0
            |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
       .stripMargin))
+
+  private val paramsRun = new java.util.concurrent.atomic.AtomicLong()
 
   // ------------------------------------------------- edit distance
   /** Edit-distance fuzzy matching — the record-linkage scalar (typo

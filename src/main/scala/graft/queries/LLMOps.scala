@@ -2132,6 +2132,101 @@ object LLMOps {
             |  round(quality, 6) AS quality
             |FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------- ingest pipeline
+  /** Composed INGEST pipeline — the arrival-side sibling of
+    * q_pipeline_corpus (which composes the curation side): one
+    * declarative plan chains admit → scrub → quality-gate → cap for a
+    * daily batch. Stages: (1) arrivals (the E64 fixture derivation:
+    * re-keyed docs, every third an exact re-crawl), (2) exact digest
+    * anti-join vs yesterday's corpus (the tier-2 admit; the Bloom
+    * routing tier is E64's own row — composition is the point here),
+    * (3) blocklist scrub, (4) repetition + length quality gate on the
+    * SCRUBBED text (gates must see what training would see), (5) a
+    * deterministic ≤5-docs-per-source cap through the custom
+    * TopKPerKey operator (its fourth consumer), ordered by the shared
+    * sampling hash. Row-level output: every admit/gate/cap decision is
+    * hash-checked per doc. The whole pipeline is ONE Catalyst plan —
+    * digest shuffle, scan-side scrub/gate projections, bounded-heap
+    * cap — with no materialization barrier anywhere. */
+  val qPipelineIngest = Q("q_pipeline_ingest",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val d = docs(spark, sfDir)
+      val today = d.select(($"doc_id" + 1000000L).as("doc_id"),
+        $"source",
+        when($"doc_id" % 3 === 0, $"text")
+          .otherwise(concat($"text", lit(" fresh "),
+            ($"doc_id" % 5).cast("string"))).as("text"))
+      val seen = d.select(sha2($"text", 256).as("h"))
+      val admitted = today.withColumn("h", sha2($"text", 256))
+        .join(seen, Seq("h"), "left_anti")
+      val gated = admitted
+        .withColumn("ws", split(trim(
+          regexp_replace($"text", "(customer|key)", "#")), " "))
+        .filter(size($"ws") >= 20)
+        // zip_with over two slices, NOT the index-transform form the
+        // standalone repetition query uses: filtering on the derived
+        // dup_frac makes predicate pushdown INLINE the whole
+        // scrub+split chain into the gate predicate, and the
+        // index-transform references `ws` inside the lambda body —
+        // once per ELEMENT — turning the inlined gate into O(n²)
+        // string work per row (measured ~40× on this query; pushdown
+        // has no duplication guard for lambda-nested references).
+        // zip_with references the array once per ROW in each slice,
+        // so the same inlining stays O(n). The oracle keeps the
+        // index form — the bigram VALUES are identical.
+        .withColumn("bg", zip_with(
+          slice($"ws", lit(1), size($"ws") - 1),
+          slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .withColumn("dup_frac", lit(1.0) -
+          size(array_distinct($"bg")) /
+            (size($"ws") - 1).cast("double"))
+        .filter($"dup_frac" <= 0.04)
+        .withColumn("ord", knuthSpread($"doc_id"))
+        .select($"doc_id", $"source", size($"ws").as("n_tokens"),
+          $"dup_frac", $"ord")
+      graft.plans.TopKPerKey.of(gated, partitionCols = Seq("source"),
+          orderCol = "ord", desc = false, tiebreak = "doc_id", k = 5)
+        .select($"doc_id", $"source", $"n_tokens",
+          round($"dup_frac", 6).as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH today AS (
+            |  SELECT doc_id + 1000000 AS doc_id, source,
+            |         CASE WHEN doc_id % 3 = 0 THEN text
+            |              ELSE text || ' fresh ' ||
+            |                CAST(doc_id % 5 AS VARCHAR) END AS text
+            |  FROM documents
+            |), admitted AS (
+            |  SELECT t.* FROM today t
+            |  WHERE NOT EXISTS (SELECT 1 FROM documents p
+            |                    WHERE p.text = t.text)
+            |), gated AS (
+            |  SELECT doc_id, source, len(ws) AS n_tokens,
+            |         1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+            |           AS dup_frac
+            |  FROM (
+            |    SELECT doc_id, source, ws,
+            |           list_transform(generate_series(1, len(ws) - 1),
+            |             i -> ws[i] || ' ' || ws[i + 1]) AS bg
+            |    FROM (
+            |      SELECT doc_id, source,
+            |        string_split(trim(regexp_replace(text,
+            |          '(customer|key)', '#', 'g')), ' ') AS ws
+            |      FROM admitted)
+            |    WHERE len(ws) >= 20)
+            |  WHERE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+            |        <= 0.04
+            |), capped AS (
+            |  SELECT *, row_number() OVER (PARTITION BY source
+            |    ORDER BY ${knuthSpreadSql("doc_id")}, doc_id) AS rn
+            |  FROM gated
+            |)
+            |SELECT doc_id, source, n_tokens,
+            |       round(dup_frac, 6) AS dup_frac
+            |FROM capped WHERE rn <= 5 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupIncremental, qDedupMinhash,
     qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupCanonical, qDedupEmbed,
@@ -2146,5 +2241,5 @@ object LLMOps {
     qScrubBlocklist,
     qScrubPii,
     qDecontaminate, qPackSequences, qUdfNorm, qUdafCentroid,
-    qPipelineCorpus)
+    qPipelineCorpus, qPipelineIngest)
 }

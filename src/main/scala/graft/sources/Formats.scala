@@ -208,6 +208,59 @@ object Formats {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** Cost-based join reordering under catalog statistics — the last
+    * unexercised optimizer mechanism beside the runtime family
+    * (DPP/AQE-skew/Bloom): `ANALYZE TABLE COMPUTE STATISTICS` gives
+    * the catalog row counts + sizes, and with `spark.sql.cbo.enabled`
+    * + `joinReorder.enabled` Catalyst's CostBasedJoinReorder rewrites
+    * a badly-written join order at PLAN time — the query is
+    * deliberately written worst-first (fact ⋈ fact, tiny filtered dim
+    * last), the shape a 100 TB ad-hoc query gets wrong most often.
+    * Following the E47 pattern, the correctness row runs at default
+    * confs (order changes cost, never the result — which is exactly
+    * why reordering is legal) and PlanSuite scopes the CBO confs on
+    * and asserts the innermost join becomes orders ⋈ filtered-customer
+    * with the lineitem fact pushed outermost, while the default-conf
+    * plan keeps the syntactic fact-first order. The ANALYZE runs once
+    * per session with the table build (stats live in the session
+    * catalog). */
+  val qJoinCboReorder = Q("q_join_cbo_reorder",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val names = Seq("lineitem", "orders", "customer")
+        .map(t => t -> s"cbo_${t}_$sfx").toMap
+      loadOnce(spark, sfDir, "cbo") {
+        names.foreach { case (src, tbl) =>
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          val dir = new java.io.File(s"target/spark-warehouse/$tbl")
+          if (dir.exists()) rmTree(dir)
+          Tables.read(spark, sfDir, src).write.mode("overwrite")
+            .saveAsTable(tbl)
+          spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+        }
+      }
+      spark.table(names("lineitem"))
+        .join(spark.table(names("orders")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(spark.table(names("customer"))
+          .filter($"c_mktsegment" === "BUILDING"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_qty
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** 100 TB variants (SURVEY.md §2.4 note): HyperLogLog++ distinct and
     * quantile sketches — sketch implementations are engine-specific, so
     * no DuckDB oracle (driver records rows>0); accuracy is asserted
@@ -738,6 +791,7 @@ object Formats {
 
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
+    qJoinCboReorder,
     qAggApprox, qAggHllUnion, qAggCmsFreq, qAggQuantileMerge,
     qAggThetaOverlap,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,

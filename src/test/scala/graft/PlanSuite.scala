@@ -246,6 +246,38 @@ class PlanSuite extends AnyFunSuite {
       s"DPP must read exactly the 2 'engage' partitions, read=$read")
   }
 
+  test("catalog statistics let CBO reorder the fact-first join dim-first") {
+    // the query is written worst-first (lineitem ⋈ orders, tiny
+    // filtered customer last); with ANALYZE stats + CBO join reorder
+    // the INNERMOST join must become orders ⋈ customer (its output
+    // carries c_custkey but no lineitem column), pushing the big fact
+    // to the outer join — while the default-conf plan keeps the
+    // syntactic fact-first order. Reordering never changes the result,
+    // which is why the correctness row runs at defaults (E47 pattern).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def innerJoinOutput(cbo: Boolean): Seq[String] = {
+      val keys = Seq("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        keys.foreach(spark.conf.set(_, cbo.toString))
+        val df = SparkEntry.queries("q_join_cbo_reorder")(spark, sf)
+        val joins = df.queryExecution.optimizedPlan
+          .collect { case j: Join => j }
+        joins.last.output.map(_.name) // pre-order collect: last = innermost
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    val syntactic = innerJoinOutput(cbo = false)
+    assert(syntactic.contains("l_orderkey") &&
+      !syntactic.contains("c_custkey"),
+      s"default plan must keep the written fact-first order: $syntactic")
+    val reordered = innerJoinOutput(cbo = true)
+    assert(reordered.contains("c_custkey") &&
+      !reordered.exists(_.startsWith("l_")),
+      s"CBO must join the filtered dim first: $reordered")
+  }
+
   test("z-order layout prunes cells on the rectangle and on either dim") {
     // the multi-dim layout claim (E67): a rectangle on BOTH dims reads
     // 4/16 cell directories, and a band on EITHER single dim still

@@ -149,6 +149,38 @@ object Scalars {
            |       len(list_filter(embedding, x -> x > 0)) AS n_positive
            |FROM embeddings ORDER BY vec_id""".stripMargin))
 
+  /** F8b: MAP higher-order functions — the map half of the nested-type
+    * surface (qArrayHof covers arrays): per user, build a
+    * type→count map from grouped entries (`map_from_entries` over a
+    * SORTED collect — the deterministic-collect contract, E11),
+    * transform its values (`transform_values`), drop small entries
+    * (`map_filter`), and explode the survivors back to rows. DuckDB
+    * has no map lambdas, so the oracle replicates the SEMANTICS
+    * relationally (group → arithmetic → HAVING) and the row-level
+    * hash proves the map round-trip (build→transform→filter→explode)
+    * lost or altered nothing. Map ops are row-local; the only shuffle
+    * is the grouped build. */
+  val qMapHof = Q("q_map_hof",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n")) // distinct keys by construction
+        .groupBy($"user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct($"event_type", $"n")))).as("counts"))
+        .select($"user_id", explode(
+          map_filter(
+            transform_values($"counts", (_, v) => v * 2L),
+            (_, v) => v >= 12L)))
+        .orderBy($"user_id", $"key")
+    },
+    Some("""SELECT user_id, event_type AS key,
+           |       CAST(count(*) * 2 AS BIGINT) AS value
+           |FROM events GROUP BY user_id, event_type
+           |HAVING count(*) * 2 >= 12
+           |ORDER BY user_id, key""".stripMargin))
+
   /** F2b: regex scalar family — extract / replace-all / match (the
     * reference's loyalty-code and local-code pattern munging,
     * i2b2-style `concept_cd` prefixes). Patterns stay in the
@@ -322,5 +354,5 @@ object Scalars {
 
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
     qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
-    qScalarTry, qSqlParams, qScalarEditDist)
+    qScalarTry, qSqlParams, qScalarEditDist, qMapHof)
 }

@@ -548,9 +548,57 @@ object Aggregates {
            |FROM ev GROUP BY 1, 2
            |ORDER BY bucket_secs, event_type""".stripMargin))
 
+  // ------------------------------------------------ batch sessions
+  /** Batch `session_window` — the built-in gap-merged session
+    * aggregation in BATCH mode (T3 proves it streaming; q_sessionize
+    * proves the manual lag/cumsum construction): per user, events
+    * within 30 minutes of each other merge into one session row.
+    * Bounds are emitted as epoch MICROSECONDS (`start` = first event,
+    * `end` = last event + gap, exactly the session_window contract)
+    * so the oracle can rebuild them with integer arithmetic from the
+    * sessionize SQL — a session boundary off by one event fails the
+    * hash on start, end, AND count. Same single user-key shuffle as
+    * the manual form; the merge itself is a sort within the
+    * partition. */
+  val qAggSessionWindow = Q("q_agg_session_window",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy(session_window($"ts", "30 minutes").as("w"),
+          $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id",
+          unix_micros($"w.start").as("start_us"),
+          unix_micros($"w.end").as("end_us"), $"n")
+        .orderBy($"user_id", $"start_us")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |         event_id
+           |  FROM events
+           |), marked AS (
+           |  SELECT user_id, us, event_id,
+           |    CASE WHEN lag(us) OVER w IS NULL OR
+           |      us - lag(us) OVER w >= 1800000000
+           |    THEN 1 ELSE 0 END AS new_s
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+           |), sess AS (
+           |  SELECT user_id, us,
+           |    sum(new_s) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS sid
+           |  FROM marked
+           |)
+           |SELECT user_id, min(us) AS start_us,
+           |       max(us) + 1800000000 AS end_us, count(*) AS n
+           |FROM sess GROUP BY user_id, sid
+           |ORDER BY user_id, start_us""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
-    qWinsorize, qResample)
+    qWinsorize, qResample, qAggSessionWindow)
 }

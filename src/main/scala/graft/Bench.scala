@@ -21,6 +21,58 @@ package graft
   * `[success]` trailer and `[info]` run-output prefix.
   */
 object Bench {
+
+  /** Host-speed calibration probe (VERDICT r8 item 1): a fixed-size,
+    * single-threaded, allocation-free sort+hash loop whose wall-time
+    * depends only on how fast/contended THIS host is — pure JVM
+    * compute, no Spark, no I/O. Run at sweep start/middle/end and
+    * emitted as `calib_ms:[start,mid,end]` on the artifact line, it
+    * lets a reader normalize the sweep against BASELINE.md's recorded
+    * idle-host band without re-running anything: two consecutive
+    * round artifacts measured 1.3–2.1× the recorded baseline and only
+    * a judge-side re-run could tell driver-host contention from a
+    * real regression. Deterministic (fixed xorshift seed, result
+    * folded into a live check) so JIT cannot dead-code it. */
+  def calibMs(): Long = {
+    val n = 1 << 19
+    val arr = new Array[Long](n)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; arr(i) = x; i += 1
+    }
+    val t0 = System.nanoTime()
+    var rounds = 0
+    var acc = 0L
+    while (rounds < 6) {
+      java.util.Arrays.sort(arr)
+      var j = 0
+      while (j < n) {
+        acc ^= java.lang.Long.rotateLeft(
+          arr(j) * 0x9E3779B97F4A7C15L, 17)
+        arr(j) = acc
+        j += 1
+      }
+      rounds += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1000000L
+    // keep acc observably live so the loop cannot be eliminated
+    if (acc == 0x5DEECE66DL) System.err.println("[bench] calib sentinel")
+    ms
+  }
+
+  /** Family classification for the per-family subtotals the artifact
+    * line carries (VERDICT r8 item 1): contention inflates families
+    * unevenly (streaming's state-store floor degrades super-linearly,
+    * scan-bound families barely move), so subtotals localize a drift
+    * to a family without the full per-query map. */
+  def family(name: String): String =
+    if (name.startsWith("q_stream_") || name.startsWith("q_sink_")) "stream"
+    else if (name.startsWith("q_dedup_")) "dedup"
+    else if (name.startsWith("q_fource_")) "fource"
+    else if (name.startsWith("q_source_")) "source"
+    else "other"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
@@ -80,10 +132,16 @@ object Bench {
       def sec: Double = math.min(r1, r2)
       def valStr: String = if (ok) sec.toString else "\"err\""
     }
+    // calibration probes bracket the sweep (and sample its midpoint)
+    // so the artifact is self-normalizing — see calibMs's doc
+    val calibStart = calibMs()
+    var calibMid = -1L
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val midIdx = qlist.size / 2
     val results: Seq[R] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
-        .map { case (name, fn) =>
+      qlist.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx == midIdx) calibMid = calibMs()
         val runs = (1 to 2).map { _ =>
           val builds0 = Memo.buildCount
           val t0 = System.nanoTime()
@@ -102,10 +160,19 @@ object Bench {
           if (ok) runs(0)._2 else 0.0, if (ok) runs(1)._2 else 0.0,
           runs(0)._3, runs(1)._3)
       }
+    val calibEnd = calibMs()
     def r2(s: Double): String = BigDecimal(s).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(r => if (r.ok) r.sec else 0.0).sum
     val coldTotal = results.map(r => if (r.ok) r.r1 else 0.0).sum
+    val calibJson = s"[$calibStart,$calibMid,$calibEnd]"
+    // per-family min-of-2 subtotals, fixed key order for stable lines
+    val famJson = Seq("stream", "dedup", "fource", "source", "other")
+      .map { f =>
+        val s = results.collect {
+          case r if r.ok && family(r.name) == f => r.sec }.sum
+        "\"" + f + "\":" + r2(s)
+      }.mkString("{", ",", "}")
     // full-fidelity line for target/bench_full.json (no size limit)
     val full = {
       def m(f: R => String): String = results.map { r =>
@@ -115,7 +182,7 @@ object Bench {
       val r1s = m(r => if (r.ok) r.r1.toString else "\"err\"")
       val r2s = m(r => if (r.ok) r.r2.toString else "\"err\"")
       val bs = m(r => s"[${r.b1},${r.b2}]")
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"run1":$r1s,"run2":$r2s,"builds":$bs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"calib_ms":$calibJson,"families":$famJson,"queries":$qs,"run1":$r1s,"run2":$r2s,"builds":$bs,"sf":"$sfDir"}"""
     }
     // second-run memo builds across the whole sweep: 0 proves min-of-2
     // really timed memo-warm steady state (the driver artifact carries
@@ -128,7 +195,7 @@ object Bench {
     val compact = {
       val budget = 1800
       val overhead = // fixed part of the line, with placeholder lengths
-        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
+        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"families":$famJson,"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
       val ordered = results.sortBy { r =>
         (if (r.ok) 1 else 0, -r.sec) // errs first, then slowest
       }
@@ -144,7 +211,7 @@ object Bench {
       val qs = picked.sortBy(_.name).map { r =>
         "\"" + r.name + "\":" + (if (!r.ok) "\"err\"" else r2(r.sec))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"families":$famJson,"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
     }
     try {
       val p = java.nio.file.Paths.get("target", "bench_full.json")

@@ -41,6 +41,14 @@ object Memo {
     @volatile private var done = false
     lazy val value: A = { val v = body(); done = true; v }
     def peek: Option[A] = if (done) Some(value) else None
+    /** Like [[peek]], but waits out an IN-FLIGHT build first: the
+      * `lazy val` initializer runs while holding this object's monitor
+      * (Scala 2.13 bitmap+synchronized scheme), so acquiring it here
+      * blocks until a concurrent first-touch finishes — without ever
+      * TRIGGERING a build (a never-started cell still returns None).
+      * Lets [[drop]] unpersist what a racing build actually pinned
+      * instead of leaking its blocks (ADVICE r8 item 2). */
+    def settled: Option[A] = synchronized(peek)
   }
 
   private val entries = TrieMap.empty[(SparkSession, String), Cell[DataFrame]]
@@ -93,10 +101,14 @@ object Memo {
     * if) the build ran — lets a suite that invalidated an entry's
     * backing store (e.g. deleted its reliable-checkpoint files) retire
     * the entry instead of leaving a cache whose recompute path is
-    * broken (ADVICE r7 item 2). */
+    * broken (ADVICE r7 item 2). A build in flight at drop time is
+    * waited out (`Cell.settled`) so its persisted blocks are released,
+    * not leaked (ADVICE r8 item 2); the residual race — a cached()
+    * call landing between remove and unpersist re-builds the entry
+    * fresh — matches drop's eviction semantics and is benign. */
   private[graft] def drop(spark: SparkSession, key: String): Unit = {
     entries.remove((spark, key))
-      .foreach(_.peek.foreach(_.unpersist(blocking = false)))
+      .foreach(_.settled.foreach(_.unpersist(blocking = false)))
     actions.remove((spark, key))
     ()
   }

@@ -87,23 +87,30 @@ case class KllSketchAgg(
   * re-aggregation side: input rows are sketch BYTES from a persisted
   * rollup, merged into one heap sketch per group. Mergeability is
   * unconditional for KLL (unlike CMS there is no eps/seed contract:
-  * sketches of different k merge to the smaller k's accuracy). */
+  * sketches of different k merge to the smaller k's accuracy) — BUT
+  * that same rule means the merge BUFFER's own `k` caps the result's
+  * accuracy: re-aggregating sketches built with k > buffer-k degrades
+  * them to the buffer's k. So `kll_merge_agg(sk[, k])` takes the same
+  * optional k as `kll_sketch_agg` (default 200, KLL's default
+  * parameter); pass the build-side k to preserve full accuracy
+  * through re-aggregation (ADVICE r8 item 4). */
 case class KllMergeAgg(
     child: Expression,
+    k: Int = 200,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch]
   with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65535, s"KLL k must be in [8, 65535], got $k")
 
   override def prettyName: String = "kll_merge_agg"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
-  // an empty merge target: k=200 is KLL's default parameter; merging
-  // in a serialized sketch of any other k is still well-defined
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(200)
+    KllDoublesSketch.newHeapInstance(k)
 
   override def update(buffer: KllDoublesSketch,
       input: InternalRow): KllDoublesSketch = {

@@ -108,7 +108,13 @@ object GraftExtensions {
     ext.injectFunction((
       new FunctionIdentifier("kll_merge_agg"),
       new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
-      (children: Seq[Expression]) => KllMergeAgg(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(sk) => KllMergeAgg(sk)
+        case Seq(sk, k) => KllMergeAgg(sk,
+          k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "kll_merge_agg(sketch[, k])")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),

@@ -212,7 +212,9 @@ case class TopKPerKeyExec(partitionExprs: Seq[Expression],
                 insert(heap, row)
               case None =>
                 if (out == null) {
-                  file = java.io.File.createTempFile(
+                  // spill to Spark's executor scratch disks, not
+                  // java.io.tmpdir (shim doc)
+                  file = GraftSqlShim.createSpillFile(
                     "graft-topk-spill-", ".bin")
                   spillFiles += file
                   out = new java.io.DataOutputStream(

@@ -207,13 +207,19 @@ object LLMOps {
       // per-invocation view name, dropped after eager analysis — the
       // qSqlRecursive concurrency treatment (ADVICE r7 item 5)
       val view = s"incr_docs_${incrRun.incrementAndGet()}"
-      // sketch sizing is a conf (validated, like the TopKPerKey cap)
-      // so the suite can force it tiny: heavy false positives must
-      // only grow the tier-2 anti-join input, never change the result
+      // sketch sizing is a conf (validated fail-loudly, like the
+      // TopKPerKey caps — a typo'd setting must not be silently
+      // ignored, ADVICE r8 item 3) so the suite can force it tiny:
+      // heavy false positives must only grow the tier-2 anti-join
+      // input, never change the result
       val est = {
         val raw = spark.conf.get("graft.bloom.estItems", "1000000")
-        val p = scala.util.Try(raw.trim.toLong).getOrElse(1000000L)
-        if (p >= 16L) p else 1000000L
+        val p = scala.util.Try(raw.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft.bloom.estItems must be a long, got '$raw'"))
+        if (p < 16L) throw new IllegalArgumentException(
+          s"graft.bloom.estItems must be >= 16, got $p")
+        p
       }
       docs(spark, sfDir).createOrReplaceTempView(view)
       try {

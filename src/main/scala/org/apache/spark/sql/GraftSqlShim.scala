@@ -10,4 +10,19 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Executor-scratch temp file for operator spills. `java.io.tmpdir`
+    * is the wrong place for executor spill bytes — on clusters where
+    * /tmp is a small tmpfs it silently converts a disk-backed bound
+    * into RAM pressure (ADVICE r8 item 1) — so route through Spark's
+    * own local-dir resolution (`spark.local.dir` / YARN dirs), the
+    * same disks DiskBlockManager puts native shuffle spills on. Falls
+    * back to tmpdir only when no SparkEnv is live (bare unit tests). */
+  def createSpillFile(prefix: String, suffix: String): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    val dir =
+      if (env == null) null
+      else new java.io.File(org.apache.spark.util.Utils.getLocalDir(env.conf))
+    java.io.File.createTempFile(prefix, suffix, dir)
+  }
 }

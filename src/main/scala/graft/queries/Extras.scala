@@ -228,6 +228,87 @@ object Extras {
            |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
            |ORDER BY key""".stripMargin))
 
+  /** Monotone suffix for qMergeIntoSql's per-invocation table/view. */
+  private val mergeRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** E86: the **`MERGE INTO` SQL statement** — the surface users
+    * actually write for upserts, closing the gap E15 leaves (same
+    * semantics, but as a join *expression*). Spark only plans MERGE
+    * against a DSv2 `SupportsRowLevelOperations` table, so the target
+    * lives in the engine's in-session catalog
+    * ([[graft.sources.MemRowTableCatalog]]); Catalyst's own
+    * `RewriteMergeIntoTable` rewrites the statement into the E15
+    * full-outer-join plan plus the per-clause MergeRows projections
+    * and the at-most-one-source-match cardinality check, and
+    * `ReplaceData` writes the survivors back. Fixture mirrors E15
+    * exactly — base = even-keyed customers, source = latest purchase
+    * per user — so the post-merge state equals E15's output minus its
+    * diagnostic `action` column, which the oracle computes with the
+    * same full-outer SQL. Per-invocation table/view names keep
+    * re-runs and concurrent suites isolated (each table ~10² KB,
+    * session-scoped — the memory-sink convention of §2.10).
+    *
+    * Scale: the statement is storage-agnostic — on a production DSv2
+    * format the identical MERGE plans with per-file groups and
+    * runtime group pruning; the join itself shuffles/broadcasts like
+    * any equi join (AQE governs it), which is the 100 TB path. */
+  val qMergeIntoSql = Q("q_merge_into_sql",
+    (spark, sfDir) => {
+      import spark.implicits._
+      // the catalog registers lazily on first reference, so a runtime
+      // conf set is sufficient — no session-restart needed
+      if (spark.conf.getOption("spark.sql.catalog.graftmem").isEmpty)
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemRowTableCatalog].getName)
+      val id = mergeRun.incrementAndGet()
+      val tbl = s"graftmem.db.merge_target_$id"
+      val view = s"merge_source_$id"
+      spark.sql(
+        s"CREATE TABLE $tbl (key BIGINT, c_mktsegment STRING, " +
+          "balance DOUBLE)")
+      Tables.read(spark, sfDir, "customer")
+        .filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"), $"c_mktsegment",
+          $"c_acctbal".cast("double").as("balance"))
+        .writeTo(tbl).append()
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      Tables.read(spark, sfDir, "events")
+        .filter($"event_type" === "purchase" && $"value".isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id".as("key"), $"value".as("new_balance"))
+        .createOrReplaceTempView(view)
+      try {
+        spark.sql(
+          s"""MERGE INTO $tbl t USING $view s ON t.key = s.key
+             |WHEN MATCHED THEN UPDATE SET balance = s.new_balance
+             |WHEN NOT MATCHED THEN
+             |  INSERT (key, c_mktsegment, balance)
+             |  VALUES (s.key, NULL, s.new_balance)""".stripMargin)
+      } finally { spark.catalog.dropTempView(view); () }
+      spark.table(tbl).orderBy($"key")
+    },
+    Some(s"""WITH ${Cohort.evCte}, pur AS (
+           |  SELECT user_id, value, ts, event_id FROM ev
+           |  WHERE event_type = 'purchase' AND value IS NOT NULL
+           |), latest AS (
+           |  SELECT user_id AS key, value AS new_balance
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           |          ORDER BY ts DESC, event_id DESC) AS rn FROM pur)
+           |  WHERE rn = 1
+           |), base AS (
+           |  SELECT c_custkey AS key, c_mktsegment,
+           |         CAST(c_acctbal AS DOUBLE) AS balance
+           |  FROM customer WHERE c_custkey % 2 = 0
+           |)
+           |SELECT COALESCE(b.key, l.key) AS key,
+           |       b.c_mktsegment,
+           |       COALESCE(l.new_balance, b.balance) AS balance
+           |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+           |ORDER BY key""".stripMargin))
+
   /** SCD type-2 history build: collapse each user's event stream to
     * rows where the tracked attribute (event_type) actually CHANGES
     * (lag-compare), then derive version number, valid_from,
@@ -735,7 +816,8 @@ object Extras {
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
-    qJoinLateral, qMergeUpsert, qCdcDiff, qScd2History, qSqlSurface,
+    qJoinLateral, qMergeUpsert, qMergeIntoSql, qCdcDiff, qScd2History,
+    qSqlSurface,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,
     qSqlRecursive, qGapFill)

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column,
+  Identifier, MetadataColumn, SupportsMetadataColumns, SupportsNamespaces,
+  SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table,
+  TableCapability, TableCatalog}
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo,
+  SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.collection.concurrent.TrieMap
+
+/** Minimal in-memory DataSource-V2 `TableCatalog` whose tables support
+  * SQL **`MERGE INTO`** (E86 / VERDICT r8 item 4) — the statement-level
+  * upsert surface that E15 (`q_merge_upsert`, Extras.scala) proves only
+  * as a full-outer-join *expression*. Spark plans `MERGE INTO` solely
+  * against DSv2 tables implementing [[SupportsRowLevelOperations]]; no
+  * built-in runtime catalog does, so a user of the engine needs this
+  * shim to run the statement users of warehouse MERGE actually write.
+  *
+  * Design: the GROUP-BASED row-level path (not delta-based). Our
+  * operation advertises `Command.MERGE` plus an ordinary whole-table
+  * scan and a replace-on-commit write; Catalyst's own
+  * `RewriteMergeIntoTable` rule then rewrites the statement into the
+  * exact plan E15 hand-builds — target ⟗ source on the key, per-clause
+  * projections, cardinality check — and `ReplaceData` writes back the
+  * surviving rows. The MERGE *machinery* is therefore Spark's, fully
+  * codegen'd and shuffle-planned like any join; only the storage here
+  * is a harness device. At 100 TB the same statement runs unchanged
+  * against any production DSv2 format (Iceberg/Delta implement this
+  * same contract with per-file groups + runtime file pruning); this
+  * catalog is the in-session stand-in, exactly like the memory sink
+  * stands in for kafka in §2.10.
+  *
+  * Storage: rows are kept as serialized `UnsafeRow` bytes and shipped
+  * to executors INSIDE the `InputPartition`s (no driver callback at
+  * read time, works across JVMs); the scan prunes columns
+  * ([[SupportsPushDownRequiredColumns]]) so `SELECT key` over a wide
+  * table deserializes narrow rows only. Writes collect per-task bytes
+  * into commit messages; `commit` installs them atomically
+  * (append / truncate-replace / merge-replace). State is per catalog
+  * INSTANCE — Spark caches one instance per session, so sessions are
+  * isolated like temp views. */
+class MemRowTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = "memrow"
+  private val tables = TrieMap.empty[String, MemRowTable]
+
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catName = name
+  override def name(): String = catName
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val prefix = if (ns.isEmpty) "" else ns.mkString(".") + "."
+    tables.keys.filter(_.startsWith(prefix))
+      .map(k => Identifier.of(ns, k.stripPrefix(prefix))).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "MemRowTableCatalog does not support partitioned tables")
+    val t = new MemRowTable(key(ident), schema)
+    if (tables.putIfAbsent(key(ident), t).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    t
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(key(ident)).isDefined
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    tables.remove(key(from)) match {
+      case Some(t) => tables.put(key(to), t); ()
+      case None => throw new NoSuchTableException(from)
+    }
+
+  // -- SupportsNamespaces: every namespace "exists" (tables are keyed
+  // by their full dotted name; there is no namespace-level state) --
+  override def listNamespaces(): Array[Array[String]] =
+    tables.keys.map(_.split('.').dropRight(1)).filter(_.nonEmpty)
+      .toSet.toArray
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    Array.empty
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] =
+    new util.HashMap[String, String]()
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(ns: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE")
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (cascade) throw new NoSuchNamespaceException(ns)
+    false
+  }
+}
+
+/** One in-memory table: serialized UnsafeRow bytes behind the DSv2
+  * facets MERGE needs (read, write, metadata columns, row-level ops).
+  *
+  * Why the `_split` METADATA column exists: Spark's group-based
+  * row-level write applies its row projection — which strips the
+  * MergeRows instruction column off the plan output — only on the
+  * metadata-carrying task (`ReplaceDataExec.writingTask` selects
+  * `DataAndMetadataWritingSparkTask` iff the operation requires
+  * metadata attributes; the plain task hands the writer the RAW plan
+  * rows, instruction column included). Declaring the scan-split
+  * ordinal as a metadata column — the moral equivalent of a file
+  * source's `_metadata.file_path`, it identifies the "group" a row
+  * came from — keeps us on the projected path, which is the contract
+  * production formats (Iceberg `_file`/`_pos`) use too. */
+final class MemRowTable(tableName: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** Current committed contents; replaced atomically on commit. */
+  @volatile private[sources] var data: Array[Array[Byte]] = Array.empty
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def columns(): Array[V2Column] =
+    tableSchema.fields.map(f =>
+      V2Column.create(f.name, f.dataType, f.nullable))
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_split"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String = "scan split ordinal (group id)"
+    })
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemRowScanBuilder(this, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MemRowWriteBuilder(this, info.schema(), replace = false)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        // the whole table is ONE group: the op's scan reads everything
+        // and its write replaces everything — the simplest sound
+        // group-based contract (production formats scope groups to the
+        // files the runtime filter touched)
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          new MemRowScanBuilder(MemRowTable.this, tableSchema)
+        override def newWriteBuilder(
+            info: LogicalWriteInfo): WriteBuilder =
+          new MemRowWriteBuilder(MemRowTable.this, info.schema(),
+            replace = true)
+        // requiring the group-id metadata column routes the write
+        // through Spark's projecting task — see the class doc
+        override def requiredMetadataAttributes(): Array[NamedReference] =
+          Array(Expressions.column("_split"))
+      }
+    }
+}
+
+/** Column-pruning scan over the table's serialized rows. */
+final class MemRowScanBuilder(table: MemRowTable, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String = s"MemRowScan(${table.name()})"
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      // ship row bytes inside the partitions; split for parallelism
+      val rows = table.data
+      val nSplits = math.min(4, math.max(1, rows.length))
+      val per = math.max(1, (rows.length + nSplits - 1) / nSplits)
+      rows.grouped(per).zipWithIndex.map { case (chunk, i) =>
+        MemRowsPartition(chunk, full.length, i): InputPartition
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val fullS = full
+      val reqS = required
+      new PartitionReaderFactory {
+        override def createReader(
+            p: InputPartition): PartitionReader[InternalRow] = {
+          val mp = p.asInstanceOf[MemRowsPartition]
+          // prune by projecting the required columns out of the full
+          // row — the scan's ReadSchema is honestly narrow; the
+          // `_split` metadata column materializes as this split's
+          // ordinal (it is not stored in the row bytes)
+          val proj = UnsafeProjection.create(reqS.fields.map { f =>
+            if (f.name == "_split")
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                mp.split, org.apache.spark.sql.types.IntegerType)
+            else {
+              val i = fullS.fieldIndex(f.name)
+              BoundReference(i, f.dataType, f.nullable)
+            }
+          }.toSeq)
+          new PartitionReader[InternalRow] {
+            private var i = -1
+            private val row = new UnsafeRow(mp.numFields)
+            override def next(): Boolean = { i += 1; i < mp.rows.length }
+            override def get(): InternalRow = {
+              val bytes = mp.rows(i)
+              row.pointTo(bytes, bytes.length)
+              proj(row)
+            }
+            override def close(): Unit = ()
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Serialized rows of one scan split (self-contained — no driver
+  * callback from executors). `split` is the ordinal surfaced as the
+  * `_split` metadata column. */
+case class MemRowsPartition(rows: Array[Array[Byte]], numFields: Int,
+    split: Int) extends InputPartition
+
+/** Append / truncate-replace / rowlevel-replace writes. Tasks serialize
+  * rows into their commit message; commit installs on the driver. */
+final class MemRowWriteBuilder(table: MemRowTable, writeSchema: StructType,
+    replace: Boolean) extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = replace
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory = {
+        val schema = writeSchema
+        new DataWriterFactory {
+          override def createWriter(partitionId: Int,
+              taskId: Long): DataWriter[InternalRow] =
+            new DataWriter[InternalRow] {
+              private val buf =
+                scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+              private val proj = UnsafeProjection.create(schema)
+              override def write(r: InternalRow): Unit = {
+                val u = proj(r)
+                buf += util.Arrays.copyOfRange(u.getBytes, 0,
+                  u.getSizeInBytes)
+              }
+              override def commit(): WriterCommitMessage =
+                MemRowsCommit(buf.toArray)
+              override def abort(): Unit = ()
+              override def close(): Unit = ()
+            }
+        }
+      }
+      override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+        val incoming = msgs.iterator
+          .map(_.asInstanceOf[MemRowsCommit].rows)
+          .foldLeft(Array.empty[Array[Byte]])(_ ++ _)
+        table.synchronized {
+          table.data =
+            if (truncateFirst) incoming else table.data ++ incoming
+        }
+      }
+      override def abort(msgs: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+case class MemRowsCommit(rows: Array[Array[Byte]])
+    extends WriterCommitMessage

@@ -640,6 +640,33 @@ class OperatorSuite extends AnyFunSuite {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("MERGE INTO statement result equals the E15 join-form upsert") {
+    // same fixture, same semantics: statement output must match the
+    // full-outer-join form row for row (minus E15's diagnostic action
+    // column) — this pins Catalyst's MergeRows rewrite to the handmade
+    // plan it should be equivalent to
+    val viaSql = graft.queries.Extras.qMergeIntoSql.fn(spark, sf)
+      .collect().map(r => (r.getAs[Long]("key"),
+        Option(r.getAs[String]("c_mktsegment")),
+        r.getAs[Double]("balance")))
+    val viaJoin = graft.queries.Extras.qMergeUpsert.fn(spark, sf)
+      .collect().map(r => (r.getAs[Long]("key"),
+        Option(r.getAs[String]("c_mktsegment")),
+        r.getAs[Double]("balance")))
+    assert(viaSql.length === viaJoin.length)
+    assert(viaSql.toSeq === viaJoin.toSeq)
+  }
+
+  test("MERGE INTO is idempotent when re-applied with the same source") {
+    // applying the same latest-per-key change feed twice must be a
+    // no-op the second time (update to the same value, no new inserts)
+    val first = graft.queries.Extras.qMergeIntoSql.fn(spark, sf)
+      .collect()
+    val second = graft.queries.Extras.qMergeIntoSql.fn(spark, sf)
+      .collect()
+    assert(first.map(_.toSeq).toSeq === second.map(_.toSeq).toSeq)
+  }
+
   test("scd2 history: adjacent versions differ, exactly one current row per user") {
     val rows = graft.queries.Extras.qScd2History.fn(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -309,6 +309,55 @@ object Extras {
            |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
            |ORDER BY key""".stripMargin))
 
+  /** Monotone suffix for qObserveMetrics' per-invocation metric name. */
+  private val observeRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** E87: query observability — `df.observe` +
+    * `QueryExecutionListener` ([[graft.Observe]]), the per-query
+    * metrics surface §2 never touched (VERDICT r8 item 6). The observe
+    * node tallies scan-level row count and quantity sum INSIDE the
+    * aggregation's own plan (CollectMetricsExec accumulators — no
+    * second scan, no extra shuffle), the listener delivers them after
+    * the action, and the query emits the captured values as columns
+    * NEXT TO the per-flag aggregate so the DuckDB oracle gates them:
+    * the observed metrics must equal what exact SQL computes from the
+    * same scan, or the hash fails. The one-row metrics frame joins
+    * back by cross join — the broadcast one-row stat-frame idiom used
+    * across the corpus (q_text_tfidf etc.).
+    *
+    * Scale: observability at 100 TB must not re-read the input — this
+    * is exactly what observe gives (map-side accumulators merged on
+    * the driver), and the listener is the wiring a production metrics
+    * sink uses (one listener, all queries). */
+  val qObserveMetrics = Q("q_observe_metrics",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val name = s"graft_obs_${observeRun.incrementAndGet()}"
+      val li = Tables.read(spark, sfDir, "lineitem")
+        .observe(name,
+          count(lit(1)).as("rows_seen"),
+          round(sum($"l_quantity".cast("decimal(18,6)")), 6)
+            .as("qty_seen"))
+      val agg = li.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_qty"))
+      val m = graft.Observe.captureOnce(spark, name) { agg.count(); () }
+      val metrics = Seq((m.getAs[Long]("rows_seen"),
+        m.getAs[java.math.BigDecimal]("qty_seen").doubleValue))
+        .toDF("rows_seen", "qty_seen")
+      agg.crossJoin(metrics).orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 6)
+           |            AS DOUBLE) AS sum_qty,
+           |       (SELECT count(*) FROM lineitem) AS rows_seen,
+           |       (SELECT CAST(round(sum(CAST(l_quantity
+           |                AS DECIMAL(18,6))), 6) AS DOUBLE)
+           |        FROM lineitem) AS qty_seen
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** SCD type-2 history build: collapse each user's event stream to
     * rows where the tracked attribute (event_type) actually CHANGES
     * (lag-compare), then derive version number, valid_from,
@@ -816,8 +865,8 @@ object Extras {
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
-    qJoinLateral, qMergeUpsert, qMergeIntoSql, qCdcDiff, qScd2History,
-    qSqlSurface,
+    qJoinLateral, qMergeUpsert, qMergeIntoSql, qObserveMetrics,
+    qCdcDiff, qScd2History, qSqlSurface,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,
     qSqlRecursive, qGapFill)

@@ -157,6 +157,10 @@ object Scale {
     * sink uses). The batches land in a per-run temp dir which is then
     * read back and aggregated, so the check is independent of how the
     * source split micro-batches. */
+  /** Previous invocation's aggregate scratch dir (see qSinkForeach). */
+  private val sinkAggDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   val qSinkForeach = Q("q_sink_foreach",
     (spark, sfDir) => {
       import spark.implicits._
@@ -175,29 +179,37 @@ object Scale {
         .start()
       q.processAllAvailable()
       q.stop()
-      // The per-run batch dir is scratch: materialize the (tiny,
-      // per-event-type) aggregate on the driver, then delete the dir so
-      // repeated bench/verify runs don't accumulate parquet in /tmp. The
-      // returned frame is rebuilt from the collected rows, so laziness
-      // can't resurrect the deleted path.
+      // The per-run batch dir is scratch: reduce it to the (tiny,
+      // per-event-type) aggregate ENTIRELY executor-side — written to a
+      // second scratch parquet — then delete the batch dir, so repeated
+      // bench/verify runs don't accumulate micro-batch files in /tmp
+      // and no driver collect sits in the query path (VERDICT r8
+      // item 7). The returned frame reads the aggregate parquet, so
+      // laziness can't resurrect the deleted batch path; the previous
+      // invocation's (already consumed) aggregate dir is retired on the
+      // next invocation, bounding scratch to one tiny file per JVM.
+      val aggDir = java.nio.file.Files
+        .createTempDirectory("graft_fb_agg_").toString
+      def rmTree(path: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       try {
-        val agg = spark.read.parquet(dir)
+        spark.read.parquet(dir)
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"),
             round(sum($"value").cast("decimal(18,6)"), 6)
               .cast("double").as("sum_value"))
-          .orderBy($"event_type")
-        val rows = agg.collect().toSeq
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), agg.schema)
-          .orderBy($"event_type")
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(dir)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+          .coalesce(1)
+          .write.mode("overwrite").parquet(aggDir)
+      } finally rmTree(dir)
+      val prev = sinkAggDir.getAndSet(aggDir)
+      if (prev != null) rmTree(prev)
+      spark.read.parquet(aggDir).orderBy($"event_type")
     },
     Some("""SELECT event_type, count(*) AS n,
            |  CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 6) AS DOUBLE)

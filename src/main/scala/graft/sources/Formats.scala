@@ -262,21 +262,52 @@ object Formats {
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** 100 TB variants (SURVEY.md §2.4 note): HyperLogLog++ distinct and
-    * quantile sketches — sketch implementations are engine-specific, so
-    * no DuckDB oracle (driver records rows>0); accuracy is asserted
-    * against the exact values in ScalaTest instead. */
+    * quantile sketches. Sketch ESTIMATES are engine-specific, so they
+    * cannot be hash-compared with DuckDB — but the sketch CONTRACT can
+    * (VERDICT r8 item 5): the public query emits the exact values both
+    * engines compute identically plus `*_within_bound` booleans the
+    * engine derives from its own estimate-vs-exact comparison, while
+    * the oracle emits literal TRUE. An estimate outside its advertised
+    * bound flips a boolean and FAILS the driver's hash gate — the
+    * bounded-pass state, driver-gated, not suite-only. The raw
+    * estimate frame stays separately callable for the numeric suite
+    * assertions (BucketingSuite). Bounds used: HLL++ rsd 0.02 → 6%+1
+    * (3σ); approx_percentile accuracy 1000 → rank error 0.1%, gated
+    * against the exact [p49, p51] window (10× margin, deterministic —
+    * both sketches are hash-based, no RNG). */
+  private[graft] def approxEst(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        approx_count_distinct($"o_custkey", 0.02).as("approx_customers"),
+        round(approx_percentile($"o_totalprice", lit(0.5), lit(1000)), 6)
+          .as("approx_median_price"))
+  }
+
   val qAggApprox = Q("q_agg_approx",
     (spark, sfDir) => {
       import spark.implicits._
-      Tables.read(spark, sfDir, "orders")
+      val exact = Tables.read(spark, sfDir, "orders")
         .groupBy($"o_orderpriority")
-        .agg(
-          approx_count_distinct($"o_custkey", 0.02).as("approx_customers"),
-          round(approx_percentile($"o_totalprice", lit(0.5), lit(1000)), 6)
-            .as("approx_median_price"))
+        .agg(countDistinct($"o_custkey").as("exact_customers"),
+          expr("percentile(o_totalprice, 0.49D)").as("med_lo"),
+          expr("percentile(o_totalprice, 0.51D)").as("med_hi"))
+      approxEst(spark, sfDir)
+        .join(exact, Seq("o_orderpriority"))
+        .select($"o_orderpriority", $"exact_customers",
+          (abs($"approx_customers" - $"exact_customers") <=
+            $"exact_customers" * 0.06 + 1).as("cd_within_bound"),
+          ($"approx_median_price" >= $"med_lo" &&
+            $"approx_median_price" <= $"med_hi").as("med_within_bound"))
         .orderBy($"o_orderpriority")
     },
-    None)
+    Some("""SELECT o_orderpriority,
+           |       count(DISTINCT o_custkey) AS exact_customers,
+           |       TRUE AS cd_within_bound,
+           |       TRUE AS med_within_bound
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Mergeable-sketch RE-aggregation — the 100 TB distinct-count
     * architecture: per-day HLL sketches (Apache DataSketches, bundled
@@ -285,22 +316,48 @@ object Formats {
     * answer distinct-users-per-type over any date range without
     * rescanning raw events. [[qAggApprox]] sketches directly; this
     * query proves the sketch-of-sketches property that makes
-    * pre-aggregation composable. Sketch bytes are engine-specific, so
-    * no DuckDB oracle (driver records rows>0); OperatorSuite bounds the
-    * estimate against exact countDistinct instead. */
+    * pre-aggregation composable. Sketch estimates are engine-specific,
+    * so the public query is the bounded-gate form ([[approxEst]] doc):
+    * exact distinct users + n_days hash-match DuckDB, and the
+    * `within_bound` boolean (|est − exact| ≤ 5%·exact + 1; lgK=12 →
+    * rsd 1.6%, 3σ) is TRUE on the oracle side — an out-of-bound
+    * estimate fails the driver gate. [[hllUnionEst]] keeps the raw
+    * estimate for BucketingSuite's numeric assertion. */
+  private[graft] def hllUnionEst(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val daily = Tables.read(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    daily.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk"))
+          .as("approx_users"),
+        count(lit(1)).as("n_days"))
+  }
+
   val qAggHllUnion = Q("q_agg_hll_union",
     (spark, sfDir) => {
       import spark.implicits._
-      val daily = Tables.read(spark, sfDir, "events")
-        .groupBy($"event_type", to_date($"ts").as("day"))
-        .agg(hll_sketch_agg($"user_id").as("sk"))
-      daily.groupBy($"event_type")
-        .agg(hll_sketch_estimate(hll_union_agg($"sk"))
-            .as("approx_users"),
-          count(lit(1)).as("n_days"))
+      val exact = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      hllUnionEst(spark, sfDir)
+        .join(exact, Seq("event_type"))
+        .select($"event_type", $"exact_users", $"n_days",
+          (abs($"approx_users" - $"exact_users") <=
+            $"exact_users" * 0.05 + 1).as("within_bound"))
         .orderBy($"event_type")
     },
-    None)
+    Some("""WITH ev AS (
+           |  SELECT event_type, user_id,
+           |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+           |  FROM events
+           |)
+           |SELECT event_type,
+           |       count(DISTINCT user_id) AS exact_users,
+           |       count(DISTINCT day) AS n_days,
+           |       TRUE AS within_bound
+           |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Binary-file ingestion source — how a multimodal corpus (images,
     * audio, video) actually enters Spark at 100 TB: each media object
@@ -390,35 +447,63 @@ object Formats {
       .readFrom(new java.io.ByteArrayInputStream(sk))
       .estimateCount(key))
 
+  private[graft] def cmsFreqEst(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // the probe KEY LIST rides the same rollup pass as the sketches
+    // (collect_set per day, union-distinct at merge time) — a second
+    // events scan to enumerate keys would contradict the whole point
+    // of querying from rollups
+    val daily = Tables.read(spark, sfDir, "events")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)")
+        .as("sk"),
+        collect_set($"event_type").as("keys"))
+    // merge STRICTLY before the explode select: ExtractGenerator
+    // hoists a generator's sibling expressions above the Generate
+    // node, so a cmsMerge in the same select as explode() would
+    // re-merge all D day sketches once per emitted key (measured
+    // +84% on this query) — its own projection pins the merge below
+    // the generator, evaluated once
+    daily
+      .agg(collect_list($"sk").as("sks"), count(lit(1)).as("n_days"),
+        array_distinct(flatten(collect_list($"keys"))).as("keys"))
+      .select(cmsMerge($"sks").as("sk"), $"n_days", $"keys")
+      .select($"sk", $"n_days", explode($"keys").as("event_type"))
+      .select($"event_type",
+        cmsProbe($"sk", $"event_type").as("est_count"),
+        $"n_days")
+  }
+
+  /** Bounded-gate form ([[approxEst]] doc): exact per-type counts +
+    * global n_days hash-match DuckDB; `within_bound` asserts the CMS
+    * contract — never underestimate, overestimate by at most eps·N
+    * (eps=0.001, N = stream length) — and is TRUE on the oracle side.
+    * With fixed seed 42 the sketch is deterministic, and at ~8 distinct
+    * keys vs width ⌈e/eps⌉≈2719 collisions are essentially absent. */
   val qAggCmsFreq = Q("q_agg_cms_freq",
     (spark, sfDir) => {
       import spark.implicits._
-      // the probe KEY LIST rides the same rollup pass as the sketches
-      // (collect_set per day, union-distinct at merge time) — a second
-      // events scan to enumerate keys would contradict the whole point
-      // of querying from rollups
-      val daily = Tables.read(spark, sfDir, "events")
-        .groupBy(to_date($"ts").as("day"))
-        .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)")
-          .as("sk"),
-          collect_set($"event_type").as("keys"))
-      // merge STRICTLY before the explode select: ExtractGenerator
-      // hoists a generator's sibling expressions above the Generate
-      // node, so a cmsMerge in the same select as explode() would
-      // re-merge all D day sketches once per emitted key (measured
-      // +84% on this query) — its own projection pins the merge below
-      // the generator, evaluated once
-      daily
-        .agg(collect_list($"sk").as("sks"), count(lit(1)).as("n_days"),
-          array_distinct(flatten(collect_list($"keys"))).as("keys"))
-        .select(cmsMerge($"sks").as("sk"), $"n_days", $"keys")
-        .select($"sk", $"n_days", explode($"keys").as("event_type"))
-        .select($"event_type",
-          cmsProbe($"sk", $"event_type").as("est_count"),
-          $"n_days")
+      val exact = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("exact_count"))
+      val n = org.apache.spark.sql.expressions.Window
+        .partitionBy() // N = full stream length; post-agg rows only
+      cmsFreqEst(spark, sfDir)
+        .join(exact, Seq("event_type"))
+        .select($"event_type", $"exact_count", $"n_days",
+          ($"est_count" >= $"exact_count" &&
+            ($"est_count" - $"exact_count") <=
+              ceil(sum($"exact_count").over(n) * 0.001))
+            .as("within_bound"))
         .orderBy($"event_type")
     },
-    None)
+    Some("""SELECT event_type, count(*) AS exact_count,
+           |       (SELECT count(DISTINCT
+           |          date_trunc('day', CAST(ts AS TIMESTAMP)))
+           |        FROM events) AS n_days,
+           |       TRUE AS within_bound
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Mergeable QUANTILE-sketch re-aggregation (KLL) — closes the
     * sketch-rollup triad ([[qAggHllUnion]] distinct, [[qAggCmsFreq]]
@@ -432,27 +517,67 @@ object Formats {
     * TypedImperativeAggregates (graft.functions.KllSketch — live heap
     * sketch as the buffer, zero per-row serialization, map-side
     * partials), registered by GraftExtensions like vec_dot. Sketch
-    * bytes are engine-specific → no DuckDB oracle (driver records
-    * rows>0); BucketingSuite asserts the KLL rank-error bound vs exact
-    * percentile. */
+    * estimates are engine-specific → the public query is the
+    * bounded-gate form ([[approxEst]] doc): exact p50/p95 (Spark
+    * `percentile` vs DuckDB `quantile_cont`, the E9 precedent) and
+    * n_days hash-match; the `*_within_bound` booleans assert the KLL
+    * rank contract — the estimate must land inside the exact
+    * [target−3.5%, target+3.5%] RANK window (k=200 → ~1.65%
+    * normalized rank error at 99%, so ±3.5% is a >2σ margin; value
+    * space is unbounded for skewed data, rank space is not).
+    * BucketingSuite keeps the numeric rank assertion on
+    * [[quantileMergeEst]]. */
+  private[graft] def quantileMergeEst(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val daily = Tables.read(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(call_function("kll_sketch_agg", $"value").as("sk"))
+    daily.groupBy($"event_type")
+      .agg(call_function("kll_merge_agg", $"sk").as("msk"),
+        count(lit(1)).as("n_days"))
+      .select($"event_type",
+        round(call_function("kll_quantile", $"msk", lit(0.5)), 6)
+          .as("p50"),
+        round(call_function("kll_quantile", $"msk", lit(0.95)), 6)
+          .as("p95"),
+        $"n_days")
+  }
+
   val qAggQuantileMerge = Q("q_agg_quantile_merge",
     (spark, sfDir) => {
       import spark.implicits._
-      val daily = Tables.read(spark, sfDir, "events")
-        .groupBy($"event_type", to_date($"ts").as("day"))
-        .agg(call_function("kll_sketch_agg", $"value").as("sk"))
-      daily.groupBy($"event_type")
-        .agg(call_function("kll_merge_agg", $"sk").as("msk"),
-          count(lit(1)).as("n_days"))
-        .select($"event_type",
-          round(call_function("kll_quantile", $"msk", lit(0.5)), 6)
-            .as("p50"),
-          round(call_function("kll_quantile", $"msk", lit(0.95)), 6)
-            .as("p95"),
-          $"n_days")
+      val exact = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type")
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("exact_p50"),
+          round(expr("percentile(value, 0.95D)"), 6).as("exact_p95"),
+          expr("percentile(value, 0.465D)").as("p50_lo"),
+          expr("percentile(value, 0.535D)").as("p50_hi"),
+          expr("percentile(value, 0.915D)").as("p95_lo"),
+          expr("percentile(value, 0.985D)").as("p95_hi"))
+      quantileMergeEst(spark, sfDir)
+        .join(exact, Seq("event_type"))
+        .select($"event_type", $"exact_p50", $"exact_p95", $"n_days",
+          ($"p50" >= $"p50_lo" && $"p50" <= $"p50_hi")
+            .as("p50_within_bound"),
+          ($"p95" >= $"p95_lo" && $"p95" <= $"p95_hi")
+            .as("p95_within_bound"))
         .orderBy($"event_type")
     },
-    None)
+    Some("""WITH ev AS (
+           |  SELECT event_type, value,
+           |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+           |  FROM events
+           |)
+           |SELECT event_type,
+           |       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           |       round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           |       count(DISTINCT day) AS n_days,
+           |       TRUE AS p50_within_bound,
+           |       TRUE AS p95_within_bound
+           |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Theta-sketch SET-ALGEBRA re-aggregation — the fourth sketch verb
     * (ThetaSketch.scala): per-day theta sketches of the user set are

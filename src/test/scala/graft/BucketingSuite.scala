@@ -101,7 +101,7 @@ class BucketingSuite extends AnyFunSuite {
   }
 
   test("approx aggregates land within tolerance of exact values") {
-    val approx = Formats.qAggApprox.fn(spark, sf)
+    val approx = Formats.approxEst(spark, sf)
       .collect().map(r => r.getString(0) ->
         (r.getAs[Long]("approx_customers"),
           r.getAs[Double]("approx_median_price"))).toMap
@@ -120,8 +120,29 @@ class BucketingSuite extends AnyFunSuite {
     }
   }
 
+  test("bounded-gate sketch queries report every within_bound as true") {
+    // the driver-facing form of the four sketch rows (VERDICT r8
+    // item 5): each emits engine-derived `*_within_bound` booleans the
+    // DuckDB oracle expects to be TRUE — this locks the gate's own
+    // mechanics (an out-of-bound estimate, e.g. under a future sketch
+    // parameter change, fails here before it fails the driver)
+    Seq(Formats.qAggApprox, Formats.qAggHllUnion, Formats.qAggCmsFreq,
+      Formats.qAggQuantileMerge).foreach { q =>
+      val df = q.fn(spark, sf)
+      val boolCols = df.schema.fields
+        .filter(_.dataType ==
+          org.apache.spark.sql.types.BooleanType).map(_.name)
+      assert(boolCols.nonEmpty, s"${q.name} lost its bound columns")
+      df.collect().foreach { r =>
+        boolCols.foreach { c =>
+          assert(r.getAs[Boolean](c), s"${q.name}.$c false for row $r")
+        }
+      }
+    }
+  }
+
   test("merged daily CMS sketches honor the overestimate-only eps*N bound") {
-    val est = Formats.qAggCmsFreq.fn(spark, sf)
+    val est = Formats.cmsFreqEst(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.read(spark, sf, "events")
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
@@ -168,7 +189,7 @@ class BucketingSuite extends AnyFunSuite {
     // the estimated quantile's TRUE rank lies within ±3.5% of target —
     // the property KLL actually guarantees (value-space error is
     // unbounded for skewed data, rank-space error is not)
-    val est = Formats.qAggQuantileMerge.fn(spark, sf)
+    val est = Formats.quantileMergeEst(spark, sf)
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2))).toMap
     val byType = Tables.read(spark, sf, "events")
@@ -186,7 +207,7 @@ class BucketingSuite extends AnyFunSuite {
         s"$k p95=$p95 rank ${trueRank(sorted, p95)}")
     }
     // re-aggregation really merged multiple per-day sketches
-    val days = Formats.qAggQuantileMerge.fn(spark, sf)
+    val days = Formats.quantileMergeEst(spark, sf)
       .collect().map(_.getLong(3))
     assert(days.forall(_ > 1), "each type must span multiple days")
   }
@@ -249,7 +270,7 @@ class BucketingSuite extends AnyFunSuite {
   }
 
   test("unioned daily HLL sketches estimate exact distinct users within 5%") {
-    val approx = Formats.qAggHllUnion.fn(spark, sf)
+    val approx = Formats.hllUnionEst(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.read(spark, sf, "events")
       .groupBy($"event_type")

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator (VERDICT r8 item 3): replicate the
+  * driver fixture N× into parallel key universes so the marquee scale
+  * queries can be EXECUTED (not just plan-argued) at sf1+ and their
+  * sf0.1→sf1 scaling ratios recorded in BASELINE.md.
+  *
+  * Per copy `i`, every intra-fact key is shifted by `i·STRIDE`
+  * (consistent across tables, so events⋈customer and lineitem⋈orders
+  * joins keep their per-universe selectivity); foreign keys into the
+  * UNSCALED dimension tables (nation/region/part/supplier) are left
+  * untouched, matching how a real corpus grows against fixed
+  * dimensions. Document text gets every 5th word replaced with a
+  * copy-specific token — enough shingle damage (w=3 ⇒ ~60% shingles
+  * changed, Jaccard ≈ 0.25) that copies do NOT near-dup-cluster with
+  * their originals, so the dedup workload's candidate-pair density
+  * scales like a naturally larger corpus instead of exploding.
+  * Embedding vectors are cyclically rotated by `i` dims — norms and
+  * intra-copy distances are preserved, cross-copy cosine decorrelates.
+  * Timestamps are unchanged: N× more events in the same window, the
+  * realistic densification.
+  *
+  * Usage: `runMain graft.ScaleUp <srcSfDir> <outDir> <factor>`. */
+object ScaleUp {
+
+  private val STRIDE = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, fStr) = args
+    val factor = fStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = Sessions.local("graft-scaleup")
+    import spark.implicits._
+
+    def copies(table: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.read(spark, src, table)
+      val scaled = (0 until factor).map(i => tx(base, i))
+        .reduce(_ unionAll _)
+      scaled.write.mode("overwrite")
+        .parquet(s"$out/$table.parquet")
+      ()
+    }
+    def shift(df: DataFrame, i: Int, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c) + lit(i * STRIDE)))
+
+    copies("customer")((d, i) => shift(d, i, "c_custkey"))
+    copies("orders")((d, i) => shift(d, i, "o_orderkey", "o_custkey"))
+    copies("lineitem")((d, i) => shift(d, i, "l_orderkey"))
+    // ts is written back as raw epoch-nanos int64 — Tables.read's
+    // declared events schema expects the nanos column, not TimestampType
+    copies("events")((d, i) => shift(d, i, "event_id", "user_id")
+      .withColumn("ts", expr("unix_micros(ts) * 1000L")))
+    copies("documents") { (d, i) =>
+      val s = shift(d, i, "doc_id")
+      if (i == 0) s
+      else s.withColumn("text",
+        // replace every 5th word with a copy-specific token — see
+        // class doc for the shingle-damage argument
+        array_join(
+          zip_with(
+            split(col("text"), " "),
+            sequence(lit(0), size(split(col("text"), " ")) - 1),
+            (w, p) => when(p % 5 === 0,
+              concat(lit(s"u${i}x"), p.cast("string"))).otherwise(w)),
+          " "))
+        .withColumn("n_chars", length(col("text")))
+    }
+    copies("embeddings") { (d, i) =>
+      val s = shift(d, i, "vec_id")
+      if (i == 0) s
+      else {
+        val dim = Tables.read(spark, src, "embeddings")
+          .select(size(col("embedding"))).head().getInt(0)
+        val r = i % dim
+        if (r == 0) s
+        else s.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r)))
+      }
+    }
+    // dimension tables pass through unscaled (broadcast side stays
+    // realistic as facts grow)
+    Seq("nation", "region", "part", "supplier").foreach { t =>
+      Tables.read(spark, src, t).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+    spark.stop()
+  }
+}

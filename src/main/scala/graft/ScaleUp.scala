@@ -13,11 +13,19 @@ import org.apache.spark.sql.functions._
   * joins keep their per-universe selectivity); foreign keys into the
   * UNSCALED dimension tables (nation/region/part/supplier) are left
   * untouched, matching how a real corpus grows against fixed
-  * dimensions. Document text gets every 5th word replaced with a
-  * copy-specific token — enough shingle damage (w=3 ⇒ ~60% shingles
-  * changed, Jaccard ≈ 0.25) that copies do NOT near-dup-cluster with
-  * their originals, so the dedup workload's candidate-pair density
-  * scales like a naturally larger corpus instead of exploding.
+  * dimensions. Document text gets its VOCABULARY renamed per copy
+  * (every word suffixed with a copy tag): within a copy every
+  * pairwise Jaccard / exact-dup relation is preserved bit-for-bit
+  * (two docs sharing bigram "a b" both map it to "a#i b#i"), while
+  * cross-copy shingle overlap is exactly ZERO — so near-dup
+  * candidate density scales LINEARLY in the factor, like a naturally
+  * larger corpus. (The first cut of this generator replaced only
+  * every 5th word, which still left ~60% of bigrams shared between
+  * every doc and its 9 copies: shingle document frequency grew ~10×
+  * and the inverted-index candidate join — Σ df² by construction —
+  * grew ~100× at factor 10. That measured as a 475 s cold
+  * q_dedup_cluster at sf1, a property of the synthetic corpus, not
+  * of the operators; see BASELINE.md round-9 addendum.)
   * Embedding vectors are cyclically rotated by `i` dims — norms and
   * intra-copy distances are preserved, cross-copy cosine decorrelates.
   * Timestamps are unchanged: N× more events in the same window, the
@@ -58,14 +66,11 @@ object ScaleUp {
       val s = shift(d, i, "doc_id")
       if (i == 0) s
       else s.withColumn("text",
-        // replace every 5th word with a copy-specific token — see
-        // class doc for the shingle-damage argument
+        // per-copy vocabulary rename — see class doc: preserves every
+        // within-copy similarity relation, zeroes cross-copy overlap
         array_join(
-          zip_with(
-            split(col("text"), " "),
-            sequence(lit(0), size(split(col("text"), " ")) - 1),
-            (w, p) => when(p % 5 === 0,
-              concat(lit(s"u${i}x"), p.cast("string"))).otherwise(w)),
+          transform(split(col("text"), " "),
+            w => when(w === "", w).otherwise(concat(w, lit(s"#$i")))),
           " "))
         .withColumn("n_chars", length(col("text")))
     }

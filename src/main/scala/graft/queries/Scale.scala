@@ -161,6 +161,16 @@ object Scale {
   private val sinkAggDir =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** Recursive scratch-dir delete (shared by the sink queries). */
+  private def rmTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   val qSinkForeach = Q("q_sink_foreach",
     (spark, sfDir) => {
       import spark.implicits._
@@ -190,14 +200,6 @@ object Scale {
       // next invocation, bounding scratch to one tiny file per JVM.
       val aggDir = java.nio.file.Files
         .createTempDirectory("graft_fb_agg_").toString
-      def rmTree(path: String): Unit = {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(path)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
       try {
         spark.read.parquet(dir)
           .groupBy($"event_type")
@@ -215,6 +217,134 @@ object Scale {
            |  CAST(round(CAST(sum(value) AS DECIMAL(18,6)), 6) AS DOUBLE)
            |    AS sum_value
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  /** Monotone suffix for qStreamUpsert's per-invocation table/views. */
+  private val upsertRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Micro-batch count of the LAST qStreamUpsert invocation — read by
+    * the suite to prove the stream really split into multiple batches
+    * (a single-batch run would not exercise the out-of-order guard). */
+  private[graft] val upsertBatches =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** E88: streaming CDC apply — `readStream` → `foreachBatch` →
+    * conditional **`MERGE INTO`** the engine's DSv2 table (E86's
+    * catalog), the pattern every production change feed uses to
+    * maintain a warehouse table from a stream. The feed (latest-value
+    * purchase events) is split into 4 hash-distributed files read one
+    * per micro-batch, so batches arrive OUT of event-time order; the
+    * merge therefore guards with the CDC event-time rule — apply a
+    * source row only if it is newer (`ts`, then `event_id`) than what
+    * the target already absorbed — which makes the converged state
+    * equal to the global latest-per-key REGARDLESS of how the source
+    * split batches. Each batch first reduces to latest-per-key
+    * map-side (`max(struct(us, eid, value))` — one partial-agg
+    * shuffle, and it also satisfies MERGE's at-most-one-match
+    * cardinality rule), then merges. Converged table ≡ the E15/E86
+    * fixture state plus the applied event-time bookkeeping columns,
+    * which the oracle recomputes exactly — so a batch boundary leaking
+    * through the guard fails the hash.
+    *
+    * Scale: this is the Delta/Iceberg streaming-upsert loop verbatim —
+    * per-batch work is one keyed partial agg + one MERGE join (AQE
+    * governs broadcast vs shuffle), state lives in the TABLE not the
+    * state store, and the event-time guard is what makes replay /
+    * at-least-once delivery idempotent at 100 TB. */
+  val qStreamUpsert = Q("q_stream_upsert",
+    (spark, sfDir) => {
+      import spark.implicits._
+      if (spark.conf.getOption("spark.sql.catalog.graftmem").isEmpty)
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemRowTableCatalog].getName)
+      val id = upsertRun.incrementAndGet()
+      val tbl = s"graftmem.db.upsert_target_$id"
+      spark.sql(s"CREATE TABLE $tbl (key BIGINT, c_mktsegment STRING, " +
+        "balance DOUBLE, applied_us BIGINT, applied_eid BIGINT)")
+      Tables.read(spark, sfDir, "customer")
+        .filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"), $"c_mktsegment",
+          $"c_acctbal".cast("double").as("balance"),
+          lit(null).cast("long").as("applied_us"),
+          lit(null).cast("long").as("applied_eid"))
+        .writeTo(tbl).append()
+      // stand-in for the kafka topic: purchase feed in 4 files hashed
+      // on event_id, so each micro-batch spans the whole time range
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft_upsert_feed_").toString
+      Tables.read(spark, sfDir, "events")
+        .filter($"event_type" === "purchase" && $"value".isNotNull)
+        .select($"user_id", $"value",
+          unix_micros($"ts").as("us"), $"event_id".as("eid"))
+        .repartition(4, $"eid")
+        .write.mode("overwrite").parquet(feedDir)
+      upsertBatches.set(0)
+      try {
+        val src = spark.readStream
+          .schema("user_id BIGINT, value DOUBLE, us BIGINT, eid BIGINT")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feedDir)
+        val q = src.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], batchId: Long) =>
+            upsertBatches.incrementAndGet()
+            // foreachBatch runs in the stream's CLONED session — the
+            // view must register there, and the catalog store being
+            // name-keyed (see MemRowTableCatalog) is what lets this
+            // MERGE see the outer session's table
+            val bs = batch.sparkSession
+            val view = s"upsert_src_${id}_$batchId"
+            batch.groupBy(col("user_id"))
+              .agg(max(struct(col("us"), col("eid"), col("value")))
+                .as("m"))
+              .select(col("user_id").as("key"), col("m.us").as("us"),
+                col("m.eid").as("eid"), col("m.value").as("value"))
+              .createOrReplaceTempView(view)
+            try {
+              bs.sql(
+                s"""MERGE INTO $tbl t USING $view s ON t.key = s.key
+                   |WHEN MATCHED AND (t.applied_us IS NULL
+                   |    OR s.us > t.applied_us
+                   |    OR (s.us = t.applied_us
+                   |        AND s.eid > t.applied_eid)) THEN
+                   |  UPDATE SET balance = s.value,
+                   |    applied_us = s.us, applied_eid = s.eid
+                   |WHEN NOT MATCHED THEN
+                   |  INSERT (key, c_mktsegment, balance,
+                   |          applied_us, applied_eid)
+                   |  VALUES (s.key, NULL, s.value, s.us, s.eid)"""
+                  .stripMargin)
+              ()
+            } finally { bs.catalog.dropTempView(view); () }
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally rmTree(feedDir)
+      spark.table(tbl).orderBy($"key")
+    },
+    Some(s"""WITH ${Cohort.evCte}, pur AS (
+           |  SELECT user_id, value, ts, event_id FROM ev
+           |  WHERE event_type = 'purchase' AND value IS NOT NULL
+           |), latest AS (
+           |  SELECT user_id AS key, value,
+           |         epoch_us(ts) AS applied_us,
+           |         event_id AS applied_eid
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           |          ORDER BY ts DESC, event_id DESC) AS rn FROM pur)
+           |  WHERE rn = 1
+           |), base AS (
+           |  SELECT c_custkey AS key, c_mktsegment,
+           |         CAST(c_acctbal AS DOUBLE) AS balance
+           |  FROM customer WHERE c_custkey % 2 = 0
+           |)
+           |SELECT COALESCE(b.key, l.key) AS key,
+           |       b.c_mktsegment,
+           |       COALESCE(l.value, b.balance) AS balance,
+           |       l.applied_us, l.applied_eid
+           |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+           |ORDER BY key""".stripMargin))
 
   /** O2b/§4.2(c): top-k PER KEY through the custom whole-operator
     * machinery — graft.plans.TopKPerKey (logical node → injected
@@ -347,5 +477,6 @@ object Scale {
            |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
   val all: Seq[Q] = Seq(qJoinRangeBinned, qWindowRangeFrame, qAggRollup,
-    qStreamStatic, qSinkForeach, qTopkPerKey, qJoinSkewAqe, qJoinBloom)
+    qStreamStatic, qSinkForeach, qStreamUpsert, qTopkPerKey,
+    qJoinSkewAqe, qJoinBloom)
 }

@@ -53,13 +53,20 @@ import scala.collection.concurrent.TrieMap
   * ([[SupportsPushDownRequiredColumns]]) so `SELECT key` over a wide
   * table deserializes narrow rows only. Writes collect per-task bytes
   * into commit messages; `commit` installs them atomically
-  * (append / truncate-replace / merge-replace). State is per catalog
-  * INSTANCE — Spark caches one instance per session, so sessions are
-  * isolated like temp views. */
+  * (append / truncate-replace / merge-replace). State is JVM-global
+  * per catalog NAME (companion-object store): a catalog is a shared
+  * service — the production analogue keeps table state in an external
+  * store every session sees — and instance-scoped state (the first
+  * cut) broke the streaming case specifically, because `foreachBatch`
+  * runs in a CLONED session whose catalog manager re-instantiates the
+  * plugin, so a MERGE inside the batch could not see tables created
+  * outside the stream. Callers keep per-invocation table names (the
+  * `mergeRun`/`upsertRun` counters), so concurrent suites stay
+  * isolated by name exactly as before. */
 class MemRowTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = "memrow"
-  private val tables = TrieMap.empty[String, MemRowTable]
+  private def tables = MemRowTableCatalog.store(catName)
 
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
@@ -121,6 +128,16 @@ class MemRowTableCatalog extends TableCatalog with SupportsNamespaces {
     if (cascade) throw new NoSuchNamespaceException(ns)
     false
   }
+}
+
+/** JVM-global table store, keyed by catalog name — see the class doc
+  * for why state must outlive a single plugin instance (streaming's
+  * cloned sessions re-instantiate catalogs). */
+object MemRowTableCatalog {
+  private val stores =
+    TrieMap.empty[String, TrieMap[String, MemRowTable]]
+  private[sources] def store(name: String): TrieMap[String, MemRowTable] =
+    stores.getOrElseUpdate(name, TrieMap.empty)
 }
 
 /** One in-memory table: serialized UnsafeRow bytes behind the DSv2

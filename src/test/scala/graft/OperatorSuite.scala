@@ -667,6 +667,32 @@ class OperatorSuite extends AnyFunSuite {
     assert(first.map(_.toSeq).toSeq === second.map(_.toSeq).toSeq)
   }
 
+  test("streaming upsert: multi-batch, converges to the batch merge state") {
+    // the stream MUST split into several micro-batches (one file per
+    // trigger) or the out-of-order event-time guard is never exercised
+    val result = graft.queries.Scale.qStreamUpsert.fn(spark, sf)
+      .collect()
+    assert(graft.queries.Scale.upsertBatches.get() >= 2,
+      "feed must split into multiple micro-batches")
+    // converged state (key, segment, balance) ≡ the one-shot batch
+    // MERGE over the same fixture — batch boundaries must not leak
+    val viaBatchMerge = graft.queries.Extras.qMergeIntoSql.fn(spark, sf)
+      .collect().map(r => (r.getAs[Long]("key"),
+        Option(r.getAs[String]("c_mktsegment")),
+        r.getAs[Double]("balance")))
+    assert(result.map(r => (r.getAs[Long]("key"),
+      Option(r.getAs[String]("c_mktsegment")),
+      r.getAs[Double]("balance"))).toSeq === viaBatchMerge.toSeq)
+  }
+
+  test("streaming upsert is deterministic across re-runs") {
+    // same feed, fresh table each run: identical converged state
+    // (including the applied event-time bookkeeping columns)
+    val a = graft.queries.Scale.qStreamUpsert.fn(spark, sf).collect()
+    val b = graft.queries.Scale.qStreamUpsert.fn(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("scd2 history: adjacent versions differ, exactly one current row per user") {
     val rows = graft.queries.Extras.qScd2History.fn(spark, sf).collect()
     assert(rows.nonEmpty)

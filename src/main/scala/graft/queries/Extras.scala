@@ -232,6 +232,13 @@ object Extras {
   private val mergeRun =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Previous invocation's (already consumed) target table — retired
+    * on the next invocation, bounding the now-JVM-global catalog store
+    * (see MemRowTableCatalog) to one live table per query per JVM,
+    * the sinkAggDir convention. */
+  private val mergePrevTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** E86: the **`MERGE INTO` SQL statement** — the surface users
     * actually write for upserts, closing the gap E15 leaves (same
     * semantics, but as a join *expression*). Spark only plans MERGE
@@ -264,6 +271,8 @@ object Extras {
       val id = mergeRun.incrementAndGet()
       val tbl = s"graftmem.db.merge_target_$id"
       val view = s"merge_source_$id"
+      val prev = mergePrevTable.getAndSet(tbl)
+      if (prev != null) spark.sql(s"DROP TABLE IF EXISTS $prev")
       spark.sql(
         s"CREATE TABLE $tbl (key BIGINT, c_mktsegment STRING, " +
           "balance DOUBLE)")

@@ -222,6 +222,12 @@ object Scale {
   private val upsertRun =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Previous invocation's (already consumed) target table — retired
+    * on the next invocation (the sinkAggDir convention), bounding the
+    * JVM-global catalog store to one live table per query. */
+  private val upsertPrevTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Micro-batch count of the LAST qStreamUpsert invocation — read by
     * the suite to prove the stream really split into multiple batches
     * (a single-batch run would not exercise the out-of-order guard). */
@@ -259,6 +265,8 @@ object Scale {
           classOf[graft.sources.MemRowTableCatalog].getName)
       val id = upsertRun.incrementAndGet()
       val tbl = s"graftmem.db.upsert_target_$id"
+      val prev = upsertPrevTable.getAndSet(tbl)
+      if (prev != null) spark.sql(s"DROP TABLE IF EXISTS $prev")
       spark.sql(s"CREATE TABLE $tbl (key BIGINT, c_mktsegment STRING, " +
         "balance DOUBLE, applied_us BIGINT, applied_eid BIGINT)")
       Tables.read(spark, sfDir, "customer")
@@ -380,7 +388,17 @@ object Scale {
     * key that E2 (q_join_salted) handles manually. Half of all events
     * collapse onto key 0 (the Zipf-hot key of SURVEY.md §4.2 — keyed
     * off event_id, whose domain is dense at every sf), then join a
-    * uniform per-key dim built from customer. The `merge` hint
+    * uniform per-key dim built from `part` — one of the tables
+    * ScaleUp deliberately does NOT scale, so the per-key dim
+    * multiplicity (20 rows/k) is a constant and the join OUTPUT grows
+    * linearly in the fact. (The first cut derived the dim from
+    * customer, which ScaleUp scales; since the universe stride is
+    * divisible by the modulus, every copy collided onto the same k,
+    * both sides grew with sf, and the join output grew QUADRATICALLY —
+    * measured 15 B output rows / 100 s at sf10, a fixture artifact:
+    * per-output-row throughput was actually improving. A real skewed
+    * fact⋈dim grows the fact against a fixed dim, which `part`
+    * matches by construction.) The `merge` hint
     * pins the sort-merge strategy this join gets at real scale (both
     * sides are fact-sized there; AQE would broadcast the fixture-sized
     * dim and bypass the mechanism being demonstrated). At production
@@ -415,8 +433,8 @@ object Scale {
       // sitting between the dim's exchange and the join (already
       // partitioned on the join key) would hide the shuffle stage from
       // the rule and silently disable the skew split
-      val c = Tables.read(spark, sfDir, "customer")
-        .select(pmod($"c_custkey", lit(1000L)).as("k"), $"c_custkey")
+      val c = Tables.read(spark, sfDir, "part")
+        .select(pmod($"p_partkey", lit(1000L)).as("k"), $"p_partkey")
       e.hint("merge").join(c, Seq("k"))
         .groupBy(($"k" === 0L).as("hot"))
         .agg(count(lit(1)).as("n"),
@@ -432,8 +450,8 @@ object Scale {
            |         value
            |  FROM events
            |), c AS (
-           |  SELECT (c_custkey % 1000 + 1000) % 1000 AS k, c_custkey
-           |  FROM customer
+           |  SELECT (p_partkey % 1000 + 1000) % 1000 AS k, p_partkey
+           |  FROM part
            |)
            |SELECT (k = 0) AS hot, count(*) AS n,
            |       count(DISTINCT k) AS n_keys,

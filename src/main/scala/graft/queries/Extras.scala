@@ -318,6 +318,73 @@ object Extras {
            |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
            |ORDER BY key""".stripMargin))
 
+  /** Monotone suffix + previous-table retirement for qSqlUpdateDelete
+    * (same conventions as qMergeIntoSql). */
+  private val updRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private val updPrevTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** E89: **`UPDATE` / `DELETE` SQL statements** — the other two
+    * row-level statements warehouse users write daily, planned through
+    * the SAME group-based `SupportsRowLevelOperations` contract E86's
+    * MERGE exercises: Catalyst's `RewriteUpdateTable` turns the UPDATE
+    * into a scan + per-row conditional projection + `ReplaceData`, and
+    * `RewriteDeleteFromTable` turns the DELETE into a scan + filter +
+    * `ReplaceData` (no bespoke code in the catalog — the point is that
+    * one row-level contract buys all three statements). The fixture
+    * applies a targeted UPDATE (10 % balance raise for one segment)
+    * then a DELETE (drop low-balance rows); the surviving state is
+    * gated against DuckDB applying the same two statements' algebra
+    * relationally. Decimal-exact arithmetic (`* 1.1` on a
+    * DECIMAL(18,6)) keeps the raise bit-identical across engines.
+    *
+    * Scale: on a production DSv2 format the identical statements plan
+    * with per-file groups + runtime file pruning (only files holding
+    * matching rows are rewritten); the scan+filter+write here is the
+    * same plan shape, and the filters are ordinary pushdown-eligible
+    * predicates. */
+  val qSqlUpdateDelete = Q("q_sql_update_delete",
+    (spark, sfDir) => {
+      import spark.implicits._
+      if (spark.conf.getOption("spark.sql.catalog.graftmem").isEmpty)
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemRowTableCatalog].getName)
+      val id = updRun.incrementAndGet()
+      val tbl = s"graftmem.db.upd_target_$id"
+      val prev = updPrevTable.getAndSet(tbl)
+      if (prev != null) spark.sql(s"DROP TABLE IF EXISTS $prev")
+      spark.sql(s"CREATE TABLE $tbl (key BIGINT, c_mktsegment STRING, " +
+        "balance DECIMAL(18,6))")
+      Tables.read(spark, sfDir, "customer")
+        .filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"), $"c_mktsegment",
+          $"c_acctbal".cast("decimal(18,6)").as("balance"))
+        .writeTo(tbl).append()
+      spark.sql(s"""UPDATE $tbl
+                   |SET balance = CAST(balance * 1.1 AS DECIMAL(18,6))
+                   |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      spark.sql(s"DELETE FROM $tbl WHERE balance < 1000.0")
+      spark.table(tbl)
+        .select($"key", $"c_mktsegment",
+          $"balance".cast("double").as("balance"))
+        .orderBy($"key")
+    },
+    Some("""WITH base AS (
+           |  SELECT c_custkey AS key, c_mktsegment,
+           |         CAST(c_acctbal AS DECIMAL(18,6)) AS balance
+           |  FROM customer WHERE c_custkey % 2 = 0
+           |), updated AS (
+           |  SELECT key, c_mktsegment,
+           |         CASE WHEN c_mktsegment = 'BUILDING'
+           |              THEN CAST(balance * 1.1 AS DECIMAL(18,6))
+           |              ELSE balance END AS balance
+           |  FROM base
+           |)
+           |SELECT key, c_mktsegment, CAST(balance AS DOUBLE) AS balance
+           |FROM updated WHERE NOT (balance < 1000.0)
+           |ORDER BY key""".stripMargin))
+
   /** Monotone suffix for qObserveMetrics' per-invocation metric name. */
   private val observeRun =
     new java.util.concurrent.atomic.AtomicInteger(0)
@@ -874,7 +941,8 @@ object Extras {
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
-    qJoinLateral, qMergeUpsert, qMergeIntoSql, qObserveMetrics,
+    qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
+    qObserveMetrics,
     qCdcDiff, qScd2History, qSqlSurface,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,

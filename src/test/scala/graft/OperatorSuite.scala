@@ -667,6 +667,28 @@ class OperatorSuite extends AnyFunSuite {
     assert(first.map(_.toSeq).toSeq === second.map(_.toSeq).toSeq)
   }
 
+  test("UPDATE/DELETE statements touch exactly the targeted rows") {
+    val out = graft.queries.Extras.qSqlUpdateDelete.fn(spark, sf)
+    // DELETE predicate holds on every survivor
+    assert(out.filter(col("balance") < 1000.0).count() === 0L)
+    // UPDATE touched only the BUILDING segment: non-BUILDING survivors
+    // carry their original balance bit-for-bit
+    val orig = Tables.read(spark, sf, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("decimal(18,6)").cast("double")
+          .as("balance0"))
+    val drifted = out.filter(col("c_mktsegment") =!= "BUILDING")
+      .join(orig, "key")
+      .filter(col("balance") =!= col("balance0")).count()
+    assert(drifted === 0L)
+    // and some BUILDING row actually survived and was raised
+    val raised = out.filter(col("c_mktsegment") === "BUILDING")
+      .join(orig, "key")
+      .filter(col("balance") > col("balance0")).count()
+    assert(raised > 0L)
+  }
+
   test("streaming upsert: multi-batch, converges to the batch merge state") {
     // the stream MUST split into several micro-batches (one file per
     // trigger) or the out-of-order event-time guard is never exercised

@@ -385,6 +385,84 @@ object Extras {
            |FROM updated WHERE NOT (balance < 1000.0)
            |ORDER BY key""".stripMargin))
 
+  /** Monotone suffix + previous-table retirement for qTimeTravel. */
+  private val ttRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private val ttPrevTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** E90: **time travel** — `VERSION AS OF` snapshot reads over the
+    * row-level catalog, the audit surface every table format ships
+    * (Delta/Iceberg snapshot ids): version n = table state after its
+    * n-th commit, kept by [[graft.sources.MemRowTable]] as an
+    * O(1)-alias snapshot per commit. The fixture builds three commits
+    * — append base (v1), UPDATE raise (v2), DELETE low-balance (v3) —
+    * then DIFFS v1 against v3 entirely in SQL (`VERSION AS OF 1` ⟕
+    * `VERSION AS OF 3`), classifying each row kept/raised/deleted.
+    * This is the time-travel use-case: "what did the statement batch
+    * do", answered from snapshots without any change log. The oracle
+    * replays the same algebra relationally from `customer`, so a
+    * snapshot that leaks post-update state into v1 (or loses the
+    * deleted rows from the diff) fails the hash.
+    *
+    * Scale: snapshot = pointer to immutable row arrays here; on a
+    * production format it is a manifest of immutable files — same
+    * contract, same O(1) cost per commit, and the diff is an ordinary
+    * self-join Catalyst plans like any other (shuffle or broadcast by
+    * size). */
+  val qTimeTravel = Q("q_time_travel",
+    (spark, sfDir) => {
+      import spark.implicits._
+      if (spark.conf.getOption("spark.sql.catalog.graftmem").isEmpty)
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemRowTableCatalog].getName)
+      val id = ttRun.incrementAndGet()
+      val tbl = s"graftmem.db.tt_target_$id"
+      val prev = ttPrevTable.getAndSet(tbl)
+      if (prev != null) spark.sql(s"DROP TABLE IF EXISTS $prev")
+      spark.sql(s"CREATE TABLE $tbl (key BIGINT, c_mktsegment STRING, " +
+        "balance DECIMAL(18,6))")
+      Tables.read(spark, sfDir, "customer")
+        .filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"), $"c_mktsegment",
+          $"c_acctbal".cast("decimal(18,6)").as("balance"))
+        .writeTo(tbl).append()                       // v1
+      spark.sql(s"""UPDATE $tbl
+                   |SET balance = CAST(balance * 1.1 AS DECIMAL(18,6))
+                   |WHERE c_mktsegment = 'BUILDING'""".stripMargin) // v2
+      spark.sql(s"DELETE FROM $tbl WHERE balance < 1000.0")         // v3
+      spark.sql(
+        s"""SELECT v1.key,
+           |       CAST(v1.balance AS DOUBLE) AS bal_before,
+           |       CAST(v3.balance AS DOUBLE) AS bal_after,
+           |       CASE WHEN v3.key IS NULL THEN 'deleted'
+           |            WHEN v3.balance <> v1.balance THEN 'raised'
+           |            ELSE 'kept' END AS status
+           |FROM $tbl VERSION AS OF 1 v1
+           |LEFT JOIN $tbl VERSION AS OF 3 v3 ON v1.key = v3.key
+           |ORDER BY v1.key""".stripMargin)
+    },
+    Some("""WITH base AS (
+           |  SELECT c_custkey AS key, c_mktsegment,
+           |         CAST(c_acctbal AS DECIMAL(18,6)) AS balance
+           |  FROM customer WHERE c_custkey % 2 = 0
+           |), v3 AS (
+           |  SELECT * FROM (
+           |    SELECT key,
+           |           CASE WHEN c_mktsegment = 'BUILDING'
+           |                THEN CAST(balance * 1.1 AS DECIMAL(18,6))
+           |                ELSE balance END AS balance
+           |    FROM base
+           |  ) WHERE NOT (balance < 1000.0)
+           |)
+           |SELECT b.key, CAST(b.balance AS DOUBLE) AS bal_before,
+           |       CAST(v3.balance AS DOUBLE) AS bal_after,
+           |       CASE WHEN v3.key IS NULL THEN 'deleted'
+           |            WHEN v3.balance <> b.balance THEN 'raised'
+           |            ELSE 'kept' END AS status
+           |FROM base b LEFT JOIN v3 ON b.key = v3.key
+           |ORDER BY b.key""".stripMargin))
+
   /** Monotone suffix for qObserveMetrics' per-invocation metric name. */
   private val observeRun =
     new java.util.concurrent.atomic.AtomicInteger(0)
@@ -942,7 +1020,7 @@ object Extras {
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
-    qObserveMetrics,
+    qTimeTravel, qObserveMetrics,
     qCdcDiff, qScd2History, qSqlSurface,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,

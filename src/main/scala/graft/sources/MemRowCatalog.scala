@@ -84,6 +84,29 @@ class MemRowTableCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
 
+  /** Time travel (`VERSION AS OF n`): version n is the table state
+    * after its n-th commit (0 = the empty state at creation — the
+    * Delta/Iceberg snapshot-id convention). Returns a READ-ONLY
+    * snapshot table; writes must target the current version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF expects an integer snapshot id, got '$version'")
+    }
+    t.snapshotAt(v)
+  }
+
+  /** Time travel (`TIMESTAMP AS OF t`): latest version whose commit
+    * time is ≤ t (µs since epoch, per the DSv2 contract). Wall-clock
+    * based — deterministic queries should prefer VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    t.snapshotAtTime(timestamp)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -160,6 +183,35 @@ final class MemRowTable(tableName: String, tableSchema: StructType)
 
   /** Current committed contents; replaced atomically on commit. */
   @volatile private[sources] var data: Array[Array[Byte]] = Array.empty
+
+  /** Version history: `history(v)` = (state after commit v, commit µs).
+    * Entry 0 is the empty creation state. Appended under the same
+    * lock `commit` takes, so a snapshot read never sees a torn state.
+    * Row arrays are immutable-by-convention (commit installs fresh
+    * arrays), so snapshots alias them safely without copying. */
+  private[sources] val history =
+    scala.collection.mutable.ArrayBuffer[(Array[Array[Byte]], Long)](
+      (Array.empty, System.currentTimeMillis() * 1000L))
+
+  private def snapshotTable(rows: Array[Array[Byte]], v: Int): Table = {
+    val snap = new MemRowTable(s"$tableName@v$v", tableSchema)
+    snap.data = rows
+    snap
+  }
+
+  private[sources] def snapshotAt(v: Int): Table = synchronized {
+    require(v >= 0 && v < history.length,
+      s"no version $v for table $tableName " +
+        s"(valid: 0..${history.length - 1})")
+    snapshotTable(history(v)._1, v)
+  }
+
+  private[sources] def snapshotAtTime(tsUs: Long): Table = synchronized {
+    val idx = history.lastIndexWhere(_._2 <= tsUs)
+    require(idx >= 0,
+      s"no version of $tableName at or before timestamp $tsUs")
+    snapshotTable(history(idx)._1, idx)
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -321,6 +373,8 @@ final class MemRowWriteBuilder(table: MemRowTable, writeSchema: StructType,
         table.synchronized {
           table.data =
             if (truncateFirst) incoming else table.data ++ incoming
+          table.history += ((table.data,
+            System.currentTimeMillis() * 1000L))
         }
       }
       override def abort(msgs: Array[WriterCommitMessage]): Unit = ()

@@ -689,6 +689,32 @@ class OperatorSuite extends AnyFunSuite {
     assert(raised > 0L)
   }
 
+  test("time travel: v0 empty, snapshots immutable, TIMESTAMP AS OF resolves") {
+    // drive the statement batch, then inspect the version ladder the
+    // query itself doesn't read
+    graft.queries.Extras.qTimeTravel.fn(spark, sf).collect()
+    val tbl = spark.sql("SHOW TABLES IN graftmem.db").collect()
+      .map(_.getAs[String]("tableName")).filter(_.startsWith("tt_target_"))
+      .map(n => (n.stripPrefix("tt_target_").toInt, n)).max._2
+    val fq = s"graftmem.db.$tbl"
+    assert(spark.sql(s"SELECT * FROM $fq VERSION AS OF 0").count() === 0L)
+    val v1 = spark.sql(s"SELECT count(*) FROM $fq VERSION AS OF 1")
+      .head().getLong(0)
+    val v2 = spark.sql(s"SELECT count(*) FROM $fq VERSION AS OF 2")
+      .head().getLong(0)
+    assert(v1 > 0L && v1 === v2, "UPDATE must not change row count")
+    // snapshot of the far future == current state
+    val now = spark.sql(s"SELECT count(*) FROM $fq").head().getLong(0)
+    val ts = spark.sql(
+      s"SELECT count(*) FROM $fq TIMESTAMP AS OF '2100-01-01'")
+      .head().getLong(0)
+    assert(ts === now)
+    // out-of-range version fails loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $fq VERSION AS OF 99").collect()
+    }
+  }
+
   test("streaming upsert: multi-batch, converges to the batch merge state") {
     // the stream MUST split into several micro-batches (one file per
     // trigger) or the out-of-order event-time guard is never exercised

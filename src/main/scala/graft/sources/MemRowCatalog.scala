@@ -184,14 +184,30 @@ final class MemRowTable(tableName: String, tableSchema: StructType)
   /** Current committed contents; replaced atomically on commit. */
   @volatile private[sources] var data: Array[Array[Byte]] = Array.empty
 
-  /** Version history: `history(v)` = (state after commit v, commit µs).
-    * Entry 0 is the empty creation state. Appended under the same
-    * lock `commit` takes, so a snapshot read never sees a torn state.
-    * Row arrays are immutable-by-convention (commit installs fresh
-    * arrays), so snapshots alias them safely without copying. */
+  /** Version history entries: (version id, state after that commit,
+    * commit µs). Entry for version 0 is the empty creation state.
+    * Appended under the same lock `commit` takes, so a snapshot read
+    * never sees a torn state. Row arrays are immutable-by-convention
+    * (commit installs fresh arrays), so snapshots alias them without
+    * copying. Retention: only the most recent [[MemRowTable.Retain]]
+    * versions stay resolvable — older snapshots are retired exactly
+    * like a production format's expired snapshots (Iceberg
+    * `expire_snapshots` / Delta VACUUM), and reading one fails loudly
+    * with the retention bound in the message. Version IDS keep
+    * counting monotonically past retirement (they are snapshot ids,
+    * not indices). */
   private[sources] val history =
-    scala.collection.mutable.ArrayBuffer[(Array[Array[Byte]], Long)](
-      (Array.empty, System.currentTimeMillis() * 1000L))
+    scala.collection.mutable.ArrayBuffer[(Int, Array[Array[Byte]], Long)](
+      (0, Array.empty, System.currentTimeMillis() * 1000L))
+  private var nextVersion = 1
+
+  /** Called by commit under `table.synchronized`. */
+  private[sources] def recordCommit(rows: Array[Array[Byte]]): Unit = {
+    history += ((nextVersion, rows, System.currentTimeMillis() * 1000L))
+    nextVersion += 1
+    if (history.length > MemRowTable.Retain)
+      history.remove(0, history.length - MemRowTable.Retain)
+  }
 
   private def snapshotTable(rows: Array[Array[Byte]], v: Int): Table = {
     val snap = new MemRowTable(s"$tableName@v$v", tableSchema)
@@ -200,17 +216,25 @@ final class MemRowTable(tableName: String, tableSchema: StructType)
   }
 
   private[sources] def snapshotAt(v: Int): Table = synchronized {
-    require(v >= 0 && v < history.length,
-      s"no version $v for table $tableName " +
-        s"(valid: 0..${history.length - 1})")
-    snapshotTable(history(v)._1, v)
+    history.find(_._1 == v) match {
+      case Some((_, rows, _)) => snapshotTable(rows, v)
+      case None =>
+        val valid = s"${history.head._1}..${history.last._1}"
+        throw new IllegalArgumentException(
+          if (v >= 0 && v < nextVersion)
+            s"version $v of $tableName has been retired " +
+              s"(retention ${MemRowTable.Retain}; resolvable: $valid)"
+          else s"no version $v for table $tableName (valid: $valid)")
+    }
   }
 
   private[sources] def snapshotAtTime(tsUs: Long): Table = synchronized {
-    val idx = history.lastIndexWhere(_._2 <= tsUs)
-    require(idx >= 0,
-      s"no version of $tableName at or before timestamp $tsUs")
-    snapshotTable(history(idx)._1, idx)
+    history.findLast(_._3 <= tsUs) match {
+      case Some((v, rows, _)) => snapshotTable(rows, v)
+      case None => throw new IllegalArgumentException(
+        s"no resolvable version of $tableName at or before " +
+          s"timestamp $tsUs (retention ${MemRowTable.Retain})")
+    }
   }
 
   override def name(): String = tableName
@@ -373,13 +397,21 @@ final class MemRowWriteBuilder(table: MemRowTable, writeSchema: StructType,
         table.synchronized {
           table.data =
             if (truncateFirst) incoming else table.data ++ incoming
-          table.history += ((table.data,
-            System.currentTimeMillis() * 1000L))
+          table.recordCommit(table.data)
         }
       }
       override def abort(msgs: Array[WriterCommitMessage]): Unit = ()
     }
   }
+}
+
+object MemRowTable {
+  /** Snapshot retention: how many most-recent versions stay
+    * resolvable by time travel. Bounds snapshot memory for long-lived
+    * sessions with many commits (the in-memory analogue of a format's
+    * snapshot-expiry policy); 64 is far above what any harness query
+    * ladder produces, so within-session diffs never hit it. */
+  val Retain = 64
 }
 
 case class MemRowsCommit(rows: Array[Array[Byte]])

@@ -711,8 +711,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(ts === now)
     // out-of-range version fails loudly
     intercept[Exception] {
-      spark.sql(s"SELECT * FROM $fq VERSION AS OF 99").collect()
+      spark.sql(s"SELECT * FROM $fq VERSION AS OF 9999").collect()
     }
+  }
+
+  test("time travel retention: old snapshots retire, ids stay stable") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.MemRowTableCatalog].getName)
+    val tbl = "graftmem.db.retention_probe"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (v BIGINT)")
+    val n = graft.sources.MemRowTable.Retain + 5
+    (1 to n).foreach { i =>
+      spark.range(i, i + 1).toDF("v").writeTo(tbl).append()
+    }
+    // latest version id keeps counting past retirement
+    val latest = spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF $n")
+      .head().getLong(0)
+    assert(latest === n.toLong)
+    // a retired version fails with the retention bound in the message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("retired") ||
+      Option(e.getCause).exists(_.getMessage.contains("retired")))
+    spark.sql(s"DROP TABLE $tbl")
   }
 
   test("streaming upsert: multi-batch, converges to the batch merge state") {

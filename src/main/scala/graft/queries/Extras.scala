@@ -463,6 +463,156 @@ object Extras {
            |FROM base b LEFT JOIN v3 ON b.key = v3.key
            |ORDER BY b.key""".stripMargin))
 
+  /** Monotone suffix + previous-table retirement for qTableHistory
+    * (same conventions as qMergeIntoSql). */
+  private val histRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private val histPrevTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** E91: **snapshot history metadata table** — the `DESCRIBE
+    * HISTORY` / Iceberg-metadata-table surface that pairs with E90's
+    * time travel: `SELECT ... FROM cat.db.t.history` lists one row per
+    * resolvable snapshot (version, operation, committed_at, num_rows),
+    * served by [[graft.sources.MemRowTableCatalog]] resolving the
+    * `.history` suffix to the parent table's commit log. This is how
+    * an operator answers "which commit do I travel back to" WITHOUT
+    * guessing version ids — the audit entry point for E90. The fixture
+    * replays E90's ladder (create → append → UPDATE → DELETE) and
+    * projects the deterministic columns (version, operation,
+    * num_rows); committed_at is wall-clock by nature, so audits key on
+    * it only for TIMESTAMP AS OF, never for parity. The oracle derives
+    * every expected row count relationally from `customer` — an
+    * append mislabeled as replace, a lost creation row, or a
+    * miscounted post-DELETE state each fail the hash.
+    *
+    * Scale: the listing is O(retained snapshots) driver-side metadata
+    * — in a production format this reads the manifest log, never the
+    * data; the relation itself flows through the ordinary DSv2 scan
+    * like any other table, so downstream joins/filters plan normally. */
+  val qTableHistory = Q("q_table_history",
+    (spark, sfDir) => {
+      import spark.implicits._
+      if (spark.conf.getOption("spark.sql.catalog.graftmem").isEmpty)
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemRowTableCatalog].getName)
+      val id = histRun.incrementAndGet()
+      val tbl = s"graftmem.db.hist_target_$id"
+      val prev = histPrevTable.getAndSet(tbl)
+      if (prev != null) spark.sql(s"DROP TABLE IF EXISTS $prev")
+      spark.sql(s"CREATE TABLE $tbl (key BIGINT, c_mktsegment STRING, " +
+        "balance DECIMAL(18,6))")
+      Tables.read(spark, sfDir, "customer")
+        .filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"), $"c_mktsegment",
+          $"c_acctbal".cast("decimal(18,6)").as("balance"))
+        .writeTo(tbl).append()                       // v1 append
+      spark.sql(s"""UPDATE $tbl
+                   |SET balance = CAST(balance * 1.1 AS DECIMAL(18,6))
+                   |WHERE c_mktsegment = 'BUILDING'""".stripMargin) // v2
+      spark.sql(s"DELETE FROM $tbl WHERE balance < 1000.0")         // v3
+      spark.sql(
+        s"""SELECT version, operation, num_rows
+           |FROM $tbl.history ORDER BY version""".stripMargin)
+    },
+    Some("""WITH base AS (
+           |  SELECT c_custkey AS key, c_mktsegment,
+           |         CAST(c_acctbal AS DECIMAL(18,6)) AS balance
+           |  FROM customer WHERE c_custkey % 2 = 0
+           |), v3 AS (
+           |  SELECT * FROM (
+           |    SELECT key,
+           |           CASE WHEN c_mktsegment = 'BUILDING'
+           |                THEN CAST(balance * 1.1 AS DECIMAL(18,6))
+           |                ELSE balance END AS balance
+           |    FROM base
+           |  ) WHERE NOT (balance < 1000.0)
+           |)
+           |SELECT CAST(version AS INTEGER) AS version, operation,
+           |       CAST(num_rows AS BIGINT) AS num_rows
+           |FROM (
+           |  SELECT 0 AS version, 'create' AS operation, 0 AS num_rows
+           |  UNION ALL
+           |  SELECT 1, 'append', (SELECT count(*) FROM base)
+           |  UNION ALL
+           |  SELECT 2, 'replace', (SELECT count(*) FROM base)
+           |  UNION ALL
+           |  SELECT 3, 'replace', (SELECT count(*) FROM v3)
+           |)
+           |ORDER BY version""".stripMargin))
+
+  /** Monotone suffix + previous-table retirement for qSchemaEvolveDdl
+    * (same conventions as qMergeIntoSql). */
+  private val evoRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private val evoPrevTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** E92: **`ALTER TABLE ADD COLUMNS` schema evolution** — the DDL
+    * half of the evolution story (E80 proves the READ half over
+    * parquet files with `mergeSchema`): the row-level catalog evolves
+    * a live table in place, null-filling existing rows under the
+    * table lock, and every snapshot keeps its commit-time schema so
+    * E90 time travel across the evolution still reads each version
+    * with the shape it had. The fixture appends the even-key epoch to
+    * a 2-column table, `ALTER TABLE ... ADD COLUMNS (c_mktsegment
+    * STRING)`, appends the odd-key epoch WITH segments, and groups by
+    * the evolved column — E80's contract applies identically: the
+    * pre-evolution epoch IS the null group (projected as
+    * `(pre-evolution)` so neither engine's NULL-ordering default
+    * matters), and losing or mis-filling it fails parity. The oracle
+    * replays both epochs relationally from `customer`.
+    *
+    * Scale: on a production format ADD COLUMNS is a metadata-only
+    * commit (no data rewrite — readers null-fill old files at scan
+    * time, exactly E80's mechanism); the in-memory migration here is
+    * the storage stand-in, while the statement surface, null-fill
+    * semantics, and schema-per-snapshot contract are the real thing. */
+  val qSchemaEvolveDdl = Q("q_schema_evolve_ddl",
+    (spark, sfDir) => {
+      import spark.implicits._
+      if (spark.conf.getOption("spark.sql.catalog.graftmem").isEmpty)
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemRowTableCatalog].getName)
+      val id = evoRun.incrementAndGet()
+      val tbl = s"graftmem.db.evo_target_$id"
+      val prev = evoPrevTable.getAndSet(tbl)
+      if (prev != null) spark.sql(s"DROP TABLE IF EXISTS $prev")
+      spark.sql(s"CREATE TABLE $tbl (key BIGINT, balance DECIMAL(18,6))")
+      val cust = Tables.read(spark, sfDir, "customer")
+      cust.filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"),
+          $"c_acctbal".cast("decimal(18,6)").as("balance"))
+        .writeTo(tbl).append()                     // v1: old epoch
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (c_mktsegment STRING)")
+      cust.filter($"c_custkey" % 2 === 1)
+        .select($"c_custkey".as("key"),
+          $"c_acctbal".cast("decimal(18,6)").as("balance"),
+          $"c_mktsegment")
+        .writeTo(tbl).append()                     // v3: new epoch
+      spark.table(tbl)
+        .groupBy(coalesce($"c_mktsegment", lit("(pre-evolution)"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum($"balance").cast("double").as("total_bal"))
+        .orderBy($"segment")
+    },
+    Some("""WITH unioned AS (
+           |  SELECT c_custkey AS key,
+           |         CAST(c_acctbal AS DECIMAL(18,6)) AS balance,
+           |         NULL AS c_mktsegment
+           |  FROM customer WHERE c_custkey % 2 = 0
+           |  UNION ALL
+           |  SELECT c_custkey,
+           |         CAST(c_acctbal AS DECIMAL(18,6)),
+           |         c_mktsegment
+           |  FROM customer WHERE c_custkey % 2 = 1
+           |)
+           |SELECT COALESCE(c_mktsegment, '(pre-evolution)') AS segment,
+           |       count(*) AS n,
+           |       CAST(sum(balance) AS DOUBLE) AS total_bal
+           |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Monotone suffix for qObserveMetrics' per-invocation metric name. */
   private val observeRun =
     new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1020,7 +1170,7 @@ object Extras {
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
-    qTimeTravel, qObserveMetrics,
+    qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
     qCdcDiff, qScd2History, qSqlSurface,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,

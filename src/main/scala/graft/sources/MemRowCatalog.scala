@@ -81,8 +81,26 @@ class MemRowTableCatalog extends TableCatalog with SupportsNamespaces {
       .map(k => Identifier.of(ns, k.stripPrefix(prefix))).toArray
   }
 
+  /** Plain lookup, plus the `.history` METADATA table: when no real
+    * table owns the identifier and its last segment is `history`, the
+    * parent table's snapshot log is served as a read-only relation —
+    * `SELECT * FROM cat.db.t.history` — the Iceberg metadata-table /
+    * `DESCRIBE HISTORY` surface. A real table literally named
+    * `history` always wins (exact key match is tried first). */
   override def loadTable(ident: Identifier): Table =
-    tables.getOrElse(key(ident), throw new NoSuchTableException(ident))
+    tables.get(key(ident)) match {
+      case Some(t) => t
+      case None if ident.name() == "history" && ident.namespace().nonEmpty =>
+        tables.getOrElse(ident.namespace().mkString("."),
+          throw new NoSuchTableException(ident)).historyTable()
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  /** DDL existence is REAL tables only — the virtual `.history`
+    * relation must not block `CREATE TABLE db.t.history` (the default
+    * implementation probes loadTable, which would resolve it). */
+  override def tableExists(ident: Identifier): Boolean =
+    tables.contains(key(ident))
 
   /** Time travel (`VERSION AS OF n`): version n is the table state
     * after its n-th commit (0 = the empty state at creation — the
@@ -118,9 +136,24 @@ class MemRowTableCatalog extends TableCatalog with SupportsNamespaces {
     t
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS` only (the schema-evolution DDL a
+    * growing 100 TB table needs without rewriting history); every
+    * other change fails loudly. */
   override def alterTable(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+      changes: org.apache.spark.sql.connector.catalog.TableChange*)
+      : Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val t = tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"MemRowTableCatalog supports ALTER TABLE ADD COLUMNS only, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+    t.applyAddColumns(adds)
+    t
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(key(ident)).isDefined
@@ -177,49 +210,128 @@ object MemRowTableCatalog {
   * source's `_metadata.file_path`, it identifies the "group" a row
   * came from — keeps us on the projected path, which is the contract
   * production formats (Iceberg `_file`/`_pos`) use too. */
-final class MemRowTable(tableName: String, tableSchema: StructType)
+final class MemRowTable(tableName: String, initialSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   /** Current committed contents; replaced atomically on commit. */
   @volatile private[sources] var data: Array[Array[Byte]] = Array.empty
 
-  /** Version history entries: (version id, state after that commit,
-    * commit µs). Entry for version 0 is the empty creation state.
-    * Appended under the same lock `commit` takes, so a snapshot read
-    * never sees a torn state. Row arrays are immutable-by-convention
-    * (commit installs fresh arrays), so snapshots alias them without
-    * copying. Retention: only the most recent [[MemRowTable.Retain]]
-    * versions stay resolvable — older snapshots are retired exactly
-    * like a production format's expired snapshots (Iceberg
-    * `expire_snapshots` / Delta VACUUM), and reading one fails loudly
-    * with the retention bound in the message. Version IDS keep
-    * counting monotonically past retirement (they are snapshot ids,
-    * not indices). */
+  /** Current schema — mutable because `ALTER TABLE ADD COLUMNS`
+    * evolves it in place (under the table lock, with a simultaneous
+    * row migration, so `data` and `tableSchema` always agree).
+    * Historical snapshots carry their OWN commit-time schema (the
+    * schema-per-snapshot contract production formats keep in
+    * metadata), so time travel across an evolution reads each version
+    * with the shape it had. */
+  @volatile private[sources] var tableSchema: StructType = initialSchema
+
+  /** Version history: one [[MemRowTable.Snap]] per commit (state after
+    * that commit, commit µs, operation label). Entry for version 0 is
+    * the empty creation state. Appended under the same lock `commit`
+    * takes, so a snapshot read never sees a torn state. Row arrays are
+    * immutable-by-convention (commit installs fresh arrays), so
+    * snapshots alias them without copying. Retention: only the most
+    * recent [[MemRowTable.Retain]] versions stay resolvable — older
+    * snapshots are retired exactly like a production format's expired
+    * snapshots (Iceberg `expire_snapshots` / Delta VACUUM), and
+    * reading one fails loudly with the retention bound in the message.
+    * Version IDS keep counting monotonically past retirement (they are
+    * snapshot ids, not indices). */
   private[sources] val history =
-    scala.collection.mutable.ArrayBuffer[(Int, Array[Array[Byte]], Long)](
-      (0, Array.empty, System.currentTimeMillis() * 1000L))
+    scala.collection.mutable.ArrayBuffer[MemRowTable.Snap](
+      MemRowTable.Snap(0, Array.empty,
+        System.currentTimeMillis() * 1000L, "create", initialSchema))
   private var nextVersion = 1
 
   /** Called by commit under `table.synchronized`. */
-  private[sources] def recordCommit(rows: Array[Array[Byte]]): Unit = {
-    history += ((nextVersion, rows, System.currentTimeMillis() * 1000L))
+  private[sources] def recordCommit(rows: Array[Array[Byte]],
+      op: String): Unit = {
+    history += MemRowTable.Snap(nextVersion, rows,
+      System.currentTimeMillis() * 1000L, op, tableSchema)
     nextVersion += 1
     if (history.length > MemRowTable.Retain)
       history.remove(0, history.length - MemRowTable.Retain)
   }
 
-  private def snapshotTable(rows: Array[Array[Byte]], v: Int): Table = {
-    val snap = new MemRowTable(s"$tableName@v$v", tableSchema)
-    snap.data = rows
+  /** `ALTER TABLE ... ADD COLUMNS`: appends nullable columns and
+    * migrates every stored row with a null fill, atomically under the
+    * table lock (so `data` and the schema never disagree). Records an
+    * `add column` snapshot — on a production format this is a
+    * metadata-only commit; here rows are row-oriented bytes, so the
+    * null-fill rewrite is the in-memory stand-in. Time travel to a
+    * pre-evolution version still reads the OLD shape: every snapshot
+    * carries its commit-time schema. */
+  private[sources] def applyAddColumns(
+      adds: Seq[org.apache.spark.sql.connector.catalog.TableChange.AddColumn])
+      : Unit = synchronized {
+    adds.foreach { add =>
+      require(add.fieldNames().length == 1,
+        "ADD COLUMNS supports top-level columns only, got " +
+          add.fieldNames().mkString("."))
+      require(add.isNullable,
+        s"added column ${add.fieldNames()(0)} must be nullable " +
+          "(existing rows are null-filled; no DEFAULT backfill)")
+      val colName = add.fieldNames()(0)
+      require(!tableSchema.fieldNames.contains(colName),
+        s"column $colName already exists in $tableName")
+      val old = tableSchema
+      val proj = UnsafeProjection.create(
+        old.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        }.toSeq :+
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(null, add.dataType()))
+      val reused = new UnsafeRow(old.length)
+      data = data.map { bytes =>
+        reused.pointTo(bytes, bytes.length)
+        val u = proj(reused)
+        util.Arrays.copyOfRange(u.getBytes, 0, u.getSizeInBytes)
+      }
+      tableSchema = old.add(colName, add.dataType(), nullable = true)
+      recordCommit(data, "add column")
+    }
+  }
+
+  /** The `.history` metadata relation: (version, operation,
+    * committed_at, num_rows), one row per RESOLVABLE snapshot — the
+    * `DESCRIBE HISTORY` surface. Served as a detached read-only
+    * MemRowTable built from the log under the same lock commits take,
+    * so a concurrent commit never tears the listing. Deterministic
+    * audits should project (version, operation, num_rows);
+    * committed_at is wall-clock by nature. */
+  private[sources] def historyTable(): Table = synchronized {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("num_rows", LongType, nullable = false)))
+    val proj = UnsafeProjection.create(schema)
+    val rows = history.map { s =>
+      val u = proj(InternalRow(s.version,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.op),
+        s.tsUs, s.rows.length.toLong))
+      util.Arrays.copyOfRange(u.getBytes, 0, u.getSizeInBytes)
+    }.toArray
+    val t = new MemRowTable(s"$tableName.history", schema)
+    t.data = rows
+    t
+  }
+
+  private def snapshotTable(s: MemRowTable.Snap): Table = {
+    val snap = new MemRowTable(s"$tableName@v${s.version}", s.schema)
+    snap.data = s.rows
     snap
   }
 
   private[sources] def snapshotAt(v: Int): Table = synchronized {
-    history.find(_._1 == v) match {
-      case Some((_, rows, _)) => snapshotTable(rows, v)
+    history.find(_.version == v) match {
+      case Some(s) => snapshotTable(s)
       case None =>
-        val valid = s"${history.head._1}..${history.last._1}"
+        val valid =
+          s"${history.head.version}..${history.last.version}"
         throw new IllegalArgumentException(
           if (v >= 0 && v < nextVersion)
             s"version $v of $tableName has been retired " +
@@ -229,8 +341,8 @@ final class MemRowTable(tableName: String, tableSchema: StructType)
   }
 
   private[sources] def snapshotAtTime(tsUs: Long): Table = synchronized {
-    history.findLast(_._3 <= tsUs) match {
-      case Some((v, rows, _)) => snapshotTable(rows, v)
+    history.findLast(_.tsUs <= tsUs) match {
+      case Some(s) => snapshotTable(s)
       case None => throw new IllegalArgumentException(
         s"no resolvable version of $tableName at or before " +
           s"timestamp $tsUs (retention ${MemRowTable.Retain})")
@@ -259,9 +371,13 @@ final class MemRowTable(tableName: String, tableSchema: StructType)
       override def comment(): String = "scan split ordinal (group id)"
     })
 
+  /** Scans capture (rows, schema) as ONE consistent pair under the
+    * table lock — an ALTER between the two reads would otherwise let
+    * a plan deserialize migrated rows with a stale field count. */
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemRowScanBuilder(this, tableSchema)
+      options: CaseInsensitiveStringMap): ScanBuilder = synchronized {
+    new MemRowScanBuilder(data, tableSchema, tableName)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemRowWriteBuilder(this, info.schema(), replace = false)
@@ -277,7 +393,10 @@ final class MemRowTable(tableName: String, tableSchema: StructType)
         // files the runtime filter touched)
         override def newScanBuilder(
             options: CaseInsensitiveStringMap): ScanBuilder =
-          new MemRowScanBuilder(MemRowTable.this, tableSchema)
+          MemRowTable.this.synchronized {
+            new MemRowScanBuilder(MemRowTable.this.data,
+              MemRowTable.this.tableSchema, tableName)
+          }
         override def newWriteBuilder(
             info: LogicalWriteInfo): WriteBuilder =
           new MemRowWriteBuilder(MemRowTable.this, info.schema(),
@@ -290,8 +409,11 @@ final class MemRowTable(tableName: String, tableSchema: StructType)
     }
 }
 
-/** Column-pruning scan over the table's serialized rows. */
-final class MemRowScanBuilder(table: MemRowTable, full: StructType)
+/** Column-pruning scan over one captured (rows, schema) pair — data
+  * is pinned at builder construction (analysis time), so a concurrent
+  * commit or ALTER never changes what this scan reads. */
+final class MemRowScanBuilder(rows: Array[Array[Byte]],
+    full: StructType, tableName: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -302,11 +424,10 @@ final class MemRowScanBuilder(table: MemRowTable, full: StructType)
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def description(): String = s"MemRowScan(${table.name()})"
+    override def description(): String = s"MemRowScan($tableName)"
 
     override def planInputPartitions(): Array[InputPartition] = {
       // ship row bytes inside the partitions; split for parallelism
-      val rows = table.data
       val nSplits = math.min(4, math.max(1, rows.length))
       val per = math.max(1, (rows.length + nSplits - 1) / nSplits)
       rows.grouped(per).zipWithIndex.map { case (chunk, i) =>
@@ -397,7 +518,12 @@ final class MemRowWriteBuilder(table: MemRowTable, writeSchema: StructType,
         table.synchronized {
           table.data =
             if (truncateFirst) incoming else table.data ++ incoming
-          table.recordCommit(table.data)
+          // row-level rewrites (MERGE/UPDATE/DELETE) and explicit
+          // truncations install a full replacement state; everything
+          // else is an append — the two operation labels a
+          // whole-table-group format distinguishes
+          table.recordCommit(table.data,
+            if (truncateFirst) "replace" else "append")
         }
       }
       override def abort(msgs: Array[WriterCommitMessage]): Unit = ()
@@ -412,6 +538,14 @@ object MemRowTable {
     * snapshot-expiry policy); 64 is far above what any harness query
     * ladder produces, so within-session diffs never hit it. */
   val Retain = 64
+
+  /** One snapshot-log entry: table state after commit `version`,
+    * commit wall-clock µs, the operation that produced it (`create` /
+    * `append` / `replace` / `add column`), and the schema the table
+    * had at that commit (time travel across an `ALTER TABLE ADD
+    * COLUMNS` reads each version with its own shape). */
+  final case class Snap(version: Int, rows: Array[Array[Byte]],
+      tsUs: Long, op: String, schema: StructType)
 }
 
 case class MemRowsCommit(rows: Array[Array[Byte]])

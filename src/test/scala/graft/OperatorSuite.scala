@@ -735,6 +735,93 @@ class OperatorSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("retired") ||
       Option(e.getCause).exists(_.getMessage.contains("retired")))
+    // the history listing shows only the resolvable window, ids intact
+    val hist = spark.sql(
+      s"SELECT version, operation, num_rows FROM $tbl.history " +
+        "ORDER BY version").collect()
+    assert(hist.length === graft.sources.MemRowTable.Retain)
+    assert(hist.head.getInt(0) === n - graft.sources.MemRowTable.Retain + 1)
+    assert(hist.last.getInt(0) === n)
+    assert(hist.forall(_.getString(1) === "append"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("history metadata table: labels, counts, and shadowing") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.MemRowTableCatalog].getName)
+    val tbl = "graftmem.db.hist_probe"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (v BIGINT)")
+    spark.range(0, 10).toDF("v").writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE v >= 7")
+    val hist = spark.sql(
+      s"SELECT version, operation, num_rows FROM $tbl.history " +
+        "ORDER BY version").collect()
+    assert(hist.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq === Seq((0, "create", 0L), (1, "append", 10L),
+        (2, "replace", 7L)))
+    // committed_at is monotone non-decreasing across commits
+    val ts = spark.sql(
+      s"SELECT committed_at FROM $tbl.history ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // a REAL table named `history` shadows the metadata relation
+    val shadow = "graftmem.db.hist_probe.history"
+    spark.sql(s"CREATE TABLE $shadow (x BIGINT)")
+    spark.range(0, 3).toDF("x").writeTo(shadow).append()
+    assert(spark.sql(s"SELECT * FROM $shadow").columns.toSeq === Seq("x"))
+    spark.sql(s"DROP TABLE $shadow")
+    // ...and once dropped, the metadata relation is reachable again
+    assert(spark.sql(s"SELECT count(*) FROM $tbl.history")
+      .head().getLong(0) === 3L)
+    // a `.history` suffix on a table that does not exist still fails
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftmem.db.no_such_table.history")
+        .collect()
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("ALTER TABLE ADD COLUMNS: null fill, snapshot schemas, guards") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[graft.sources.MemRowTableCatalog].getName)
+    val tbl = "graftmem.db.evo_probe"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE)")
+    spark.range(0, 5).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")
+      .writeTo(tbl).append()                                      // v1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (tag STRING)")       // v2
+    spark.range(5, 8)
+      .selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v",
+        "concat('t', id) AS tag")
+      .writeTo(tbl).append()                                      // v3
+    // current read: old rows null-filled, new rows tagged, values intact
+    val cur = spark.table(tbl).orderBy("k").collect()
+    assert(cur.length === 8)
+    assert(cur.take(5).forall(_.isNullAt(2)))
+    assert(cur.drop(5).map(_.getString(2)).toSeq === Seq("t5", "t6", "t7"))
+    assert(cur.map(_.getDouble(1)).toSeq ===
+      (0 until 8).map(_ * 1.5).toSeq)
+    // time travel BEFORE the evolution reads the 2-column shape
+    val v1 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+    assert(v1.columns.toSeq === Seq("k", "v"))
+    assert(v1.count() === 5L)
+    // ...and AFTER it, the 3-column shape with the old epoch null
+    val v2 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+    assert(v2.columns.toSeq === Seq("k", "v", "tag"))
+    assert(v2.filter("tag IS NULL").count() === 5L)
+    // the evolution is itself a labeled history entry
+    val ops = spark.sql(
+      s"SELECT operation FROM $tbl.history ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("create", "append", "add column", "append"))
+    // guards: duplicate column, non-AddColumn change
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (tag STRING)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN tag TO label")
+    }
     spark.sql(s"DROP TABLE $tbl")
   }
 

@@ -613,6 +613,167 @@ object Extras {
            |       CAST(sum(balance) AS DOUBLE) AS total_bal
            |FROM unioned GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Monotone suffix + previous-view retirement for qCacheReuse. The
+    * previous invocation's cache entry is retired on the NEXT
+    * invocation (not in-query): the returned DataFrame is lazy, so an
+    * in-query UNCACHE would silently degrade the consumers back to
+    * recomputation before the driver ever executes them. */
+  private val cacheRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private val cachePrevView =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** E93: **`CACHE TABLE` materialized reuse** — the statement surface
+    * for paying an expensive sub-DAG once and serving every downstream
+    * consumer from columnar cache. The fixture caches a per-customer
+    * spend aggregate (one shuffle) EAGERLY, then derives two
+    * differently-shaped consumers from it — a spend-bucket histogram
+    * and a top-10-spenders list — and unions them under a label; both
+    * consumers' plans scan the SAME InMemoryRelation (PlanSuite locks
+    * InMemoryTableScan in both, and locks that the base agg's shuffle
+    * is absent from the consumers' plans). The oracle replays the
+    * whole tree relationally, so a cache that serves stale or partial
+    * state fails the hash.
+    *
+    * Scale: this is the §4.2 Memo story as USER surface — at 100 TB
+    * you cache (or persist DISK_ONLY) the shared frontier exactly like
+    * this, and every downstream branch skips the base shuffle; Spark's
+    * columnar cache is partition-local, so the reuse adds no exchange. */
+  val qCacheReuse = Q("q_cache_reuse",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val id = cacheRun.incrementAndGet()
+      val view = s"cache_spend_$id"
+      val prev = cachePrevView.getAndSet(view)
+      if (prev != null) {
+        spark.sql(s"UNCACHE TABLE IF EXISTS $prev")
+        spark.catalog.dropTempView(prev)
+      }
+      Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,6)")).as("spend"))
+        .createOrReplaceTempView(view)
+      spark.sql(s"CACHE TABLE $view") // eager: materialized here, once
+      val buckets = spark.sql(
+        s"""SELECT 'bucket' AS part,
+           |       CAST(floor(CAST(spend AS DOUBLE) / 100000) AS BIGINT)
+           |         AS k,
+           |       CAST(count(*) AS BIGINT) AS v
+           |FROM $view GROUP BY 2""".stripMargin)
+      val top = spark.sql(
+        s"""SELECT 'top' AS part, o_custkey AS k, n_orders AS v
+           |FROM $view
+           |ORDER BY spend DESC, o_custkey LIMIT 10""".stripMargin)
+      buckets.unionAll(top).orderBy($"part", $"k")
+    },
+    Some("""WITH spend AS (
+           |  SELECT o_custkey, count(*) AS n_orders,
+           |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+           |  FROM orders GROUP BY 1
+           |)
+           |SELECT * FROM (
+           |  SELECT 'bucket' AS part,
+           |         CAST(floor(CAST(spend AS DOUBLE) / 100000)
+           |              AS BIGINT) AS k,
+           |         CAST(count(*) AS BIGINT) AS v
+           |  FROM spend GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'top', o_custkey,
+           |         CAST(n_orders AS BIGINT)
+           |  FROM (SELECT * FROM spend
+           |        ORDER BY spend DESC, o_custkey LIMIT 10)
+           |)
+           |ORDER BY part, k""".stripMargin))
+
+  /** E94: **join strategy hints** — the user-steering surface over the
+    * planner: the SAME orders⋈customer aggregate computed under
+    * `/*+ BROADCAST *`​`/`, `/*+ MERGE *`​`/` and `/*+ SHUFFLE_HASH *`​`/`,
+    * unioned under a strategy label. The oracle computes the plain
+    * aggregate once per label — so the gate IS hint-invariance: a hint
+    * that changes any value (row dropped by a broken hash join, a
+    * double-counted build side) fails the hash. PlanSuite locks the
+    * steering itself: the three hints produce BroadcastHashJoin,
+    * SortMergeJoin and ShuffledHashJoin respectively for the identical
+    * logical join.
+    *
+    * Scale: hints are the escape hatch when statistics lie at 100 TB —
+    * forcing a broadcast a stale size estimate refused, or forcing
+    * shuffle-hash where sort-merge's sort dominates; the surface being
+    * proven result-invariant is what makes them safe to reach for. */
+  val qJoinHints = Q("q_join_hints",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .createOrReplaceTempView("hints_orders")
+      Tables.read(spark, sfDir, "customer")
+        .createOrReplaceTempView("hints_customer")
+      try {
+        def one(label: String, hint: String) =
+          spark.sql(
+            s"""SELECT '$label' AS strategy, c.c_mktsegment,
+               |       count(*) AS n,
+               |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+               |            AS DOUBLE) AS total
+               |FROM (SELECT /*+ $hint(c) */ o.o_totalprice,
+               |             c.c_mktsegment
+               |      FROM hints_orders o
+               |      JOIN hints_customer c
+               |        ON o.o_custkey = c.c_custkey) AS t(o_totalprice,
+               |        c_mktsegment)
+               |JOIN (SELECT 1) dummy ON true
+               |GROUP BY c.c_mktsegment""".stripMargin)
+        // (see note) — simpler: hint inline in one SELECT each
+        val b = spark.sql(
+          s"""SELECT /*+ BROADCAST(c) */ 'broadcast' AS strategy,
+             |       c.c_mktsegment, count(*) AS n,
+             |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+             |            AS DOUBLE) AS total
+             |FROM hints_orders o JOIN hints_customer c
+             |  ON o.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment""".stripMargin)
+        val m = spark.sql(
+          s"""SELECT /*+ MERGE(c) */ 'merge' AS strategy,
+             |       c.c_mktsegment, count(*) AS n,
+             |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+             |            AS DOUBLE) AS total
+             |FROM hints_orders o JOIN hints_customer c
+             |  ON o.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment""".stripMargin)
+        val s = spark.sql(
+          s"""SELECT /*+ SHUFFLE_HASH(c) */ 'shuffle_hash' AS strategy,
+             |       c.c_mktsegment, count(*) AS n,
+             |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+             |            AS DOUBLE) AS total
+             |FROM hints_orders o JOIN hints_customer c
+             |  ON o.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment""".stripMargin)
+        b.unionAll(m).unionAll(s)
+          .orderBy($"strategy", $"c_mktsegment")
+      } finally {
+        spark.catalog.dropTempView("hints_orders")
+        spark.catalog.dropTempView("hints_customer")
+        ()
+      }
+    },
+    Some("""WITH agg AS (
+           |  SELECT c.c_mktsegment, count(*) AS n,
+           |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+           |              AS DOUBLE) AS total
+           |  FROM orders o JOIN customer c
+           |    ON o.o_custkey = c.c_custkey
+           |  GROUP BY 1
+           |)
+           |SELECT * FROM (
+           |  SELECT 'broadcast' AS strategy, c_mktsegment, n, total
+           |  FROM agg
+           |  UNION ALL
+           |  SELECT 'merge', c_mktsegment, n, total FROM agg
+           |  UNION ALL
+           |  SELECT 'shuffle_hash', c_mktsegment, n, total FROM agg
+           |)
+           |ORDER BY strategy, c_mktsegment""".stripMargin))
+
   /** Monotone suffix for qObserveMetrics' per-invocation metric name. */
   private val observeRun =
     new java.util.concurrent.atomic.AtomicInteger(0)

@@ -687,8 +687,8 @@ object Extras {
            |ORDER BY part, k""".stripMargin))
 
   /** E94: **join strategy hints** — the user-steering surface over the
-    * planner: the SAME orders⋈customer aggregate computed under
-    * `/*+ BROADCAST *`​`/`, `/*+ MERGE *`​`/` and `/*+ SHUFFLE_HASH *`​`/`,
+    * planner: the SAME orders⋈customer aggregate computed under the
+    * BROADCAST, MERGE and SHUFFLE_HASH hint comments,
     * unioned under a strategy label. The oracle computes the plain
     * aggregate once per label — so the gate IS hint-invariance: a hint
     * that changes any value (row dropped by a broken hash join, a
@@ -709,21 +709,6 @@ object Extras {
       Tables.read(spark, sfDir, "customer")
         .createOrReplaceTempView("hints_customer")
       try {
-        def one(label: String, hint: String) =
-          spark.sql(
-            s"""SELECT '$label' AS strategy, c.c_mktsegment,
-               |       count(*) AS n,
-               |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
-               |            AS DOUBLE) AS total
-               |FROM (SELECT /*+ $hint(c) */ o.o_totalprice,
-               |             c.c_mktsegment
-               |      FROM hints_orders o
-               |      JOIN hints_customer c
-               |        ON o.o_custkey = c.c_custkey) AS t(o_totalprice,
-               |        c_mktsegment)
-               |JOIN (SELECT 1) dummy ON true
-               |GROUP BY c.c_mktsegment""".stripMargin)
-        // (see note) — simpler: hint inline in one SELECT each
         val b = spark.sql(
           s"""SELECT /*+ BROADCAST(c) */ 'broadcast' AS strategy,
              |       c.c_mktsegment, count(*) AS n,
@@ -1335,5 +1320,5 @@ object Extras {
     qCdcDiff, qScd2History, qSqlSurface,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,
-    qSqlRecursive, qGapFill)
+    qSqlRecursive, qGapFill, qCacheReuse, qJoinHints)
 }

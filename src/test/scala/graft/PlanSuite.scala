@@ -475,4 +475,30 @@ class PlanSuite extends AnyFunSuite {
     assert(gen.contains("WholeStageCodegen"))
     assert(gen.contains("getFloat"))
   }
+
+  test("cache reuse serves both consumers from the InMemoryRelation") {
+    // E93: after CACHE TABLE, the bucket histogram and the top-10 list
+    // must both scan the cached columnar relation — the base aggregate's
+    // shuffle runs once at cache time, not per consumer.
+    val df = SparkEntry.queries("q_cache_reuse")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      "consumers must read the cached relation")
+    assert(!p.contains("HashAggregate(keys=[o_custkey"),
+      "the per-customer base aggregate must not be recomputed downstream")
+  }
+
+  test("join hints steer the planner to three distinct physical joins") {
+    // E94: the same logical orders⋈customer join under BROADCAST /
+    // MERGE / SHUFFLE_HASH hints must produce all three physical
+    // strategies in the unioned plan — proving the steering surface
+    // actually steers (result-invariance is the oracle's job).
+    val p = plan("q_join_hints")
+    assert(p.contains("BroadcastHashJoin"),
+      "BROADCAST hint must plan a BroadcastHashJoin")
+    assert(p.contains("SortMergeJoin"),
+      "MERGE hint must plan a SortMergeJoin")
+    assert(p.contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint must plan a ShuffledHashJoin")
+  }
 }

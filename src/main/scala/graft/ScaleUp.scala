@@ -58,10 +58,12 @@ object ScaleUp {
     copies("customer")((d, i) => shift(d, i, "c_custkey"))
     copies("orders")((d, i) => shift(d, i, "o_orderkey", "o_custkey"))
     copies("lineitem")((d, i) => shift(d, i, "l_orderkey"))
-    // ts is written back as raw epoch-nanos int64 — Tables.read's
-    // declared events schema expects the nanos column, not TimestampType
-    copies("events")((d, i) => shift(d, i, "event_id", "user_id")
-      .withColumn("ts", expr("unix_micros(ts) * 1000L")))
+    // ts passes through as TimestampType and is written as parquet
+    // timestamp[µs] (outputTimestampType below), matching the current
+    // fixture encoding; Tables.read's footer probe takes the native path.
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    copies("events")((d, i) => shift(d, i, "event_id", "user_id"))
     copies("documents") { (d, i) =>
       val s = shift(d, i, "doc_id")
       if (i == 0) s

@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** One place for the engine's session configuration so Verify, Bench and
   * the test suites run identical settings (SURVEY.md §4.2).
   *
-  *  - `nanosAsLong`: the events fixture stores timestamp[ns]; Spark 4.x's
-  *    vectorized reader cannot widen ns→µs, so we read raw nanos as Long
-  *    (see Tables.read) — without this flag every scan of `events` throws.
+  *  - `events.ts` unit handling lives in Tables.read (footer probe; the
+  *    legacy nanosAsLong flag is set per-read only when the file really is
+  *    int64-nanos) — NOT here, so a µs fixture reads natively.
   *  - AQE + skew-join: explicit, because skewed `user_id`/`concept_cd`-style
   *    keys are the expected hot spot at 100 TB (SURVEY.md §4.2).
   *  - shuffle.partitions = cores: local-mode right-sizing; a real cluster
@@ -33,7 +33,6 @@ object Sessions {
       .withExtensions(graft.functions.GraftExtensions.register)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // each fixture table is ONE small parquet file; without a minimum

@@ -12,14 +12,15 @@ import org.apache.spark.sql.types._
   * fixed-schema scan. Declared schemas also make DuckDB-oracle parity
   * byte-stable and are required for Structured Streaming sources.
   *
-  * Note on `events.ts`: the parquet stores nanosecond timestamps, which
-  * Spark 4.x's vectorized reader refuses to read as TimestampType
-  * (SchemaColumnConvertNotSupportedException). We therefore read `ts` as
-  * raw nanos (LongType, via spark.sql.legacy.parquet.nanosAsLong) and
-  * convert to a microsecond TimestampType in [[read]]. The DuckDB oracle
-  * must apply the same µs truncation (`CAST(ts AS TIMESTAMP)` casts
-  * DuckDB's TIMESTAMP_NS to µs TIMESTAMP) so boundary predicates agree —
-  * see FIXTURES.md §1.
+  * Note on `events.ts`: writers differ on the parquet timestamp physical
+  * unit — historical fixtures stored timestamp[ns] (which Spark 4.x's
+  * vectorized reader refuses to widen to µs TimestampType), the current
+  * ones store timestamp[µs] (native). A 100 TB lake written by mixed
+  * writers WILL contain both, so [[read]] probes the footer once per path
+  * and adapts: µs (or ms) reads natively as TimestampType; int64-nanos
+  * reads as raw Long via `spark.sql.legacy.parquet.nanosAsLong` and is
+  * floor-divided to µs (exact truncation, matching DuckDB's
+  * `CAST(ts AS TIMESTAMP)` ns→µs cast) — see FIXTURES.md §1.
   */
 object Tables {
 
@@ -74,16 +75,23 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** On-disk schema: `ts` is declared LongType because the parquet column
-    * is timestamp[ns] (read as raw nanos; converted to TimestampType in
-    * [[read]]). */
+  /** Logical schema: `ts` is a µs TimestampType regardless of the file's
+    * physical unit ([[read]] adapts to the footer). */
   val events = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** On-disk schema for the LEGACY timestamp[ns] encoding: `ts` declared
+    * LongType so the vectorized reader yields raw nanos (requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`); [[read]] converts. */
+  private val eventsNs = StructType(events.fields.map {
+    case f if f.name == "ts" => f.copy(dataType = LongType)
+    case f => f
+  })
 
   val documents = StructType(Seq(
     StructField("doc_id", LongType),
@@ -103,39 +111,72 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
+  /** Per-path memo of "does this events parquet store ts as int64
+    * epoch-nanos?" — ONE footer-inference read per distinct path for the
+    * life of the JVM (a footer read is O(files), not O(rows); on a real
+    * lake the equivalent is one metadata round-trip per table). */
+  private val tsIsRawInt64 =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Probe whether `ts` at `path` needs the legacy raw-int64-nanos read
+    * path. With `nanosAsLong=true`, schema inference maps a timestamp[ns]
+    * column (or a plain int64 `ts`) to LongType, while timestamp[µs]/[ms]
+    * infer as TimestampType — exactly the branch [[read]] must take. The
+    * flag is restored to its prior value after the probe so it never
+    * leaks into unrelated reads. */
+  private def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsIsRawInt64.computeIfAbsent(path, { _ =>
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val inferred = spark.read.parquet(path).schema
+        inferred.find(_.name == "ts").exists(_.dataType == LongType)
+      } finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    })
+
   /** Scan one harness table with its pinned schema. Column pruning and
     * predicate pushdown reach the parquet scan because the schema is
-    * declared up front (no inference pass).
+    * declared up front (no inference pass for the fixed-schema tables).
     *
-    * `events.ts` special case: the file stores timestamp[ns]; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` the vectorized reader
-    * yields raw nanos as LongType, which we floor-divide to µs and wrap in
-    * TimestampType. Division of positive epoch-nanos is exact truncation,
-    * matching DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs cast. */
+    * `events.ts` special case: the physical unit is probed from the
+    * footer ([[eventsTsIsNanos]], memoized per path). timestamp[µs] — the
+    * current fixture encoding — reads natively as TimestampType. A legacy
+    * int64-nanos file reads as raw Long (nanosAsLong) and is floor-divided
+    * to µs; division of positive epoch-nanos is exact truncation, matching
+    * DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs cast. */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // defensive: callers may pass a session built outside Sessions.local
-    // (e.g. the harness smoke check); without this flag every events
-    // scan throws on the timestamp[ns] column
-    if (name == "events")
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events" && eventsTsIsNanos(spark, path)) {
+      // defensive: callers may pass a session built outside Sessions.local
+      // (e.g. the harness smoke check); without this flag the ns scan throws
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+      spark.read.schema(eventsNs).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.schema(schemas(name)).parquet(path)
+    }
   }
 
   /** Structured Streaming file source over the same fixture, same pinned
-    * schema and ts conversion — the batch/stream symmetry that makes the
-    * batch-equivalence self-tests (SURVEY.md §5.2.6) meaningful. */
+    * schema and ts-unit adaptation — the batch/stream symmetry that makes
+    * the batch-equivalence self-tests (SURVEY.md §5.2.6) meaningful. */
   def readStream(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
     // The file-stream source requires a directory or glob (a bare file
     // path fails the basePath-must-be-a-directory check), so glob the
-    // one fixture file.
-    val df = spark.readStream.schema(schemas(name))
-      .parquet(s"$sfDir/*$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // one fixture file. The unit probe runs on the same glob via the
+    // batch reader (footers only).
+    val glob = s"$sfDir/*$name.parquet"
+    if (name == "events" && eventsTsIsNanos(spark, glob)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.readStream.schema(eventsNs).parquet(glob)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.readStream.schema(schemas(name)).parquet(glob)
+    }
   }
 }

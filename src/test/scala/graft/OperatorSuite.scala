@@ -16,11 +16,27 @@ class OperatorSuite extends AnyFunSuite {
 
   // ---------------------------------------------------------- goldens
 
-  test("events.ts reads as microsecond timestamps (ns fixture)") {
+  test("events.ts reads as microsecond timestamps (µs fixture, native)") {
     val row = Tables.read(spark, sf, "events")
       .select(min($"ts"), max($"ts")).head()
     assert(row.getTimestamp(0).getTime >= 1704067200000L) // 2024-01-01
     assert(row.getTimestamp(1).after(row.getTimestamp(0)))
+  }
+
+  test("events.ts legacy int64-nanos files read identically (unit probe)") {
+    // Re-encode the fixture's events as raw epoch-nanos int64 — the
+    // legacy writer encoding Tables.read's footer probe must still adapt
+    // to (a mixed-writer lake contains both; VERDICT r9 item 1).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ns-events").toString
+    Tables.read(spark, sf, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = Tables.read(spark, dir, "events")
+    assert(legacy.schema("ts").dataType === Tables.events("ts").dataType)
+    val cols = Seq(min($"ts"), max($"ts"), count(lit(1)))
+    assert(legacy.select(cols: _*).head() ===
+      Tables.read(spark, sf, "events").select(cols: _*).head())
   }
 
   test("charFold matches the portable reference value") {

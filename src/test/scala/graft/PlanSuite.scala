@@ -477,14 +477,43 @@ class PlanSuite extends AnyFunSuite {
   }
 
   test("cache reuse serves both consumers from the InMemoryRelation") {
-    // E93: after CACHE TABLE, the bucket histogram and the top-10 list
+    // E93: after CACHE TABLE, the bucket histogram AND the top-10 list
     // must both scan the cached columnar relation — the base aggregate's
-    // shuffle runs once at cache time, not per consumer.
+    // shuffle runs once at cache time, not per consumer. Node-walk the
+    // executed plan (descending into AQE stages) rather than substring-
+    // match the rendered string: the string form prints the cached plan
+    // INSIDE the scan node, so a substring check can neither count the
+    // two consumers nor prove the base agg absent downstream (ADVICE r9).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val df = SparkEntry.queries("q_cache_reuse")(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan"),
-      "consumers must read the cached relation")
-    assert(!p.contains("HashAggregate(keys=[o_custkey"),
+    df.collect() // finalize AQE stages before walking the plan
+    // flatten the CONSUMER plan only: descend through AQE wrappers and
+    // completed stages, but NOT into InMemoryTableScanExec.relation —
+    // the cached plan legitimately contains the base aggregate
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => p.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val cacheScans = nodes.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheScans.size >= 2,
+      s"BOTH consumers must scan the cached relation " +
+        s"(found ${cacheScans.size} InMemoryTableScan nodes)")
+    val baseAggDownstream = nodes.collect {
+      case h: HashAggregateExec if h.groupingExpressions
+        .exists(_.toString.contains("o_custkey")) => h
+    }
+    assert(baseAggDownstream.isEmpty,
       "the per-customer base aggregate must not be recomputed downstream")
   }
 

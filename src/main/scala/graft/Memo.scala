@@ -53,7 +53,10 @@ object Memo {
 
   private val entries = TrieMap.empty[(SparkSession, String), Cell[DataFrame]]
   private val actions = TrieMap.empty[(SparkSession, String), Cell[Unit]]
+  private val jvmActions =
+    TrieMap.empty[(org.apache.spark.SparkContext, String), Cell[Unit]]
   private val hooked = TrieMap.empty[SparkSession, Unit]
+  private val hookedJvm = TrieMap.empty[org.apache.spark.SparkContext, Unit]
   // builds actually EXECUTED (not cache hits) — Bench snapshots this
   // around each timed run to attribute memo-rebuild cost per query
   // (VERDICT r7 item 1: run1/run2 spread must be explainable)
@@ -80,6 +83,30 @@ object Memo {
   def once(spark: SparkSession, key: String)(load: => Unit): Unit = {
     hook(spark)
     actions.getOrElseUpdate((spark, key), new Cell(() => {
+      buildsDone.incrementAndGet()
+      load
+    })).value
+  }
+
+  /** Run a side-effecting load once per (SparkContext, key) — the
+    * JVM-GLOBAL variant of [[once]], for side stores whose backing state
+    * is shared by EVERY session of the context: managed warehouse tables
+    * live under the context's one SharedState catalog, scratch
+    * directories under one target/ tree. Keying those per SESSION is not
+    * isolation but a hazard — a sibling session's "rebuild" DROPs and
+    * rewrites the very directory a racing reader of the first session
+    * holds a file listing for (VERDICT r9 item 5's
+    * FAILED_READ_FILE.FILE_NOT_EXIST). One build per context serves all
+    * sessions (they share the catalog, so `spark.table` resolves
+    * everywhere); concurrent first-touchers block on the single Cell.
+    * The in-place DROP+rewrite inside such a load is safe exactly
+    * because it can only run on true first touch, when no reader can
+    * hold a listing yet (stale files from a PREVIOUS JVM have no live
+    * readers either). Entries evict when the owning context ends. */
+  def onceJvm(spark: SparkSession, key: String)(load: => Unit): Unit = {
+    val sc = spark.sparkContext
+    hookJvm(sc)
+    jvmActions.getOrElseUpdate((sc, key), new Cell(() => {
       buildsDone.incrementAndGet()
       load
     })).value
@@ -121,6 +148,18 @@ object Memo {
           entries.filterInPlace { case ((s, _), _) => s ne spark }
           actions.filterInPlace { case ((s, _), _) => s ne spark }
           hooked.remove(spark)
+          ()
+        }
+      })
+    }
+
+  private def hookJvm(sc: org.apache.spark.SparkContext): Unit =
+    if (hookedJvm.putIfAbsent(sc, ()).isEmpty) {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = {
+          jvmActions.filterInPlace { case ((c, _), _) => c ne sc }
+          hookedJvm.remove(sc)
           ()
         }
       })

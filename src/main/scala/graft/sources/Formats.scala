@@ -120,6 +120,20 @@ object Formats {
       (load: => Unit): Unit =
     graft.Memo.once(spark, s"load:$what:$sfDir")(load)
 
+  /** JVM-global variant for the stores whose backing state is shared by
+    * every session of the context — managed warehouse tables (one
+    * SharedState catalog) and `target/` scratch directories. A
+    * per-session key on these is a rebuild-in-place race, not isolation
+    * (VERDICT r9 item 5): a sibling session's DROP+rewrite yanks files
+    * out from under a racing reader's cached listing. One build per
+    * context serves every session. The Derby load stays session-keyed
+    * ([[loadOnce]]): its in-memory database is row-identical on
+    * rebuild and the per-session key is part of BucketingSuite's memo
+    * isolation contract. */
+  private def loadOnceJvm(spark: SparkSession, sfDir: String, what: String)
+      (load: => Unit): Unit =
+    graft.Memo.onceJvm(spark, s"load:$what:$sfDir")(load)
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete()
@@ -179,7 +193,7 @@ object Formats {
       import spark.implicits._
       val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val (ot, lt) = (s"orders_bj_$sfx", s"lineitem_bj_$sfx")
-      loadOnce(spark, sfDir, "bucketed") {
+      loadOnceJvm(spark, sfDir, "bucketed") {
         Seq((ot, "orders", "o_orderkey"),
             (lt, "lineitem", "l_orderkey")).foreach {
           case (tbl, src, key) =>
@@ -230,7 +244,7 @@ object Formats {
       val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val names = Seq("lineitem", "orders", "customer")
         .map(t => t -> s"cbo_${t}_$sfx").toMap
-      loadOnce(spark, sfDir, "cbo") {
+      loadOnceJvm(spark, sfDir, "cbo") {
         names.foreach { case (src, tbl) =>
           spark.sql(s"DROP TABLE IF EXISTS $tbl")
           val dir = new java.io.File(s"target/spark-warehouse/$tbl")
@@ -377,7 +391,7 @@ object Formats {
     (spark, sfDir) => {
       import spark.implicits._
       val dir = fmtDir(sfDir, "bin_docs")
-      loadOnce(spark, sfDir, "binary") {
+      loadOnceJvm(spark, sfDir, "binary") {
         val docs = Tables.read(spark, sfDir, "documents")
           .filter($"doc_id" < 50).select($"doc_id", $"text").collect()
         // overwrite semantics like every sibling side-store write:
@@ -766,7 +780,7 @@ object Formats {
       import spark.implicits._
       val factDir = fmtDir(sfDir, "dpp_events")
       val dimDir = fmtDir(sfDir, "dpp_dim")
-      loadOnce(spark, sfDir, "dpp") {
+      loadOnceJvm(spark, sfDir, "dpp") {
         Tables.read(spark, sfDir, "events")
           .select($"event_id", $"user_id", $"event_type", $"value")
           .write.mode("overwrite").partitionBy("event_type")
@@ -815,7 +829,7 @@ object Formats {
     (spark, sfDir) => {
       import spark.implicits._
       val dir = fmtDir(sfDir, "evo_orders")
-      loadOnce(spark, sfDir, "evo") {
+      loadOnceJvm(spark, sfDir, "evo") {
         val o = Tables.read(spark, sfDir, "orders")
         o.filter($"o_orderkey" % 2 === 0)
           .select($"o_orderkey", $"o_totalprice")
@@ -866,7 +880,7 @@ object Formats {
     (spark, sfDir) => {
       import spark.implicits._
       val dir = fmtDir(sfDir, "zorder_events")
-      loadOnce(spark, sfDir, "zorder") {
+      loadOnceJvm(spark, sfDir, "zorder") {
         val u2 = $"user_id" % 4
         val d2 = shiftrightunsigned(dayofmonth($"ts") - 1, 3)
         Tables.read(spark, sfDir, "events")

@@ -75,12 +75,12 @@ object Cohort {
         to_date($"severe_ts").as("severe_date"))
   }
 
-  /** Shared DuckDB CTE prefix mirroring cohortDf. The `ev` CTE casts the
-    * nanosecond parquet timestamp to DuckDB's µs TIMESTAMP so every
-    * boundary predicate (`>`, `>=` on ts) sees exactly the same truncated
-    * values Spark sees (Tables.read floors ns→µs) — without it, two events
-    * in the same microsecond could flip cohort membership between engines
-    * (ADVICE r1, medium). */
+  /** Shared DuckDB CTE prefix mirroring cohortDf. The `ev` CTE casts
+    * `ts` to DuckDB's µs TIMESTAMP so every boundary predicate (`>`,
+    * `>=` on ts) sees exactly the values Spark sees regardless of the
+    * file's physical unit (Tables.read reads µs natively and floors
+    * legacy ns fixtures to µs — the cast is a no-op on µs files and the
+    * identical truncation on ns ones; ADVICE r1, medium). */
   private[queries] val evCte: String =
     """ev AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,

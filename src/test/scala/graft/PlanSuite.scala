@@ -32,6 +32,22 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("In(l_returnflag"))
   }
 
+  test("event-time filters push down to the parquet scan (µs native)") {
+    // Reading ts natively as TimestampType (footer-probe path) makes
+    // time predicates pushable into the scan — impossible under the
+    // legacy raw-nanos read, where ts was a COMPUTED column
+    // (timestamp_micros(div)) no source filter could reach. At 100 TB
+    // this is the difference between pruning row groups by min/max ts
+    // stats and decoding every event ever written.
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = Tables.read(spark, sf, "events")
+      .filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(ts"),
+      s"ts predicate must reach the parquet scan, got:\n$p")
+  }
+
   test("projection prunes the parquet read schema") {
     val p = plan("q_scan_filter_in")
     // only the 5 selected columns reach ReadSchema — no shipdate etc.

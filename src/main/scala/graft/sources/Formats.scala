@@ -928,6 +928,67 @@ object Formats {
            |FROM ev WHERE u2 BETWEEN 1 AND 2 AND d2 BETWEEN 1 AND 2
            |GROUP BY 1 ORDER BY zcell""".stripMargin))
 
+  /** E95: **mixed-writer timestamp-unit scan** — the lake-drift scenario
+    * this round's headline defect proved real (VERDICT r9 item 1): one
+    * logical events table whose files were written by TWO writer
+    * generations, a legacy store encoding `ts` as raw int64 epoch-nanos
+    * and a modern store encoding parquet `timestamp[µs]`. The side
+    * store re-encodes the even-id half of the fixture as the legacy
+    * unit and keeps the odd half µs; the query reads each store through
+    * [[graft.Tables.read]] — whose per-path footer probe takes the
+    * raw-nanos branch for one and the native branch for the other, the
+    * contract FormatsSuite pins — unions them into the one logical
+    * TimestampType schema, and aggregates per (day, event_type). The
+    * oracle aggregates the ORIGINAL single-unit parquet, so a row lost
+    * to either branch, or any 1000×-style unit corruption (which would
+    * relabel every day bucket), fails the hash.
+    *
+    * Scale: at 100 TB the table-format metadata layer tells you the
+    * file groups; the engine-side requirement is exactly this — probe
+    * once per file group (O(footers), driver-side), normalize units at
+    * the scan edge so every downstream operator sees one logical type,
+    * and never assume the whole lake shares one writer's encoding. */
+  val qSourceMixedTsUnits = Q("q_source_mixed_ts_units",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val nsRoot = fmtDir(sfDir, "mixed_ns")
+      val usRoot = fmtDir(sfDir, "mixed_us")
+      loadOnceJvm(spark, sfDir, "mixedunits") {
+        val ev = Tables.read(spark, sfDir, "events")
+        // legacy writer: raw epoch-nanos int64 (exact: source is µs)
+        ev.filter($"event_id" % 2 === 0)
+          .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+          .write.mode("overwrite").parquet(s"$nsRoot/events.parquet")
+        // modern writer: parquet timestamp[µs]. The conf is scoped
+        // save/restore — a leaked session-wide outputTimestampType
+        // would silently re-encode EVERY later timestamp write in the
+        // session (Verify's own result files included)
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try ev.filter($"event_id" % 2 === 1)
+          .write.mode("overwrite").parquet(s"$usRoot/events.parquet")
+        finally prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      }
+      val legacy = Tables.read(spark, nsRoot, "events")
+      val modern = Tables.read(spark, usRoot, "events")
+      legacy.unionAll(modern)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"day", $"event_type")
+    },
+    Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |       event_type,
+           |       count(*) AS n,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -935,5 +996,5 @@ object Formats {
     qAggThetaOverlap,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
     qSourceSchemaEvolution,
-    qOutputRebalance, qLayoutZorder)
+    qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits)
 }

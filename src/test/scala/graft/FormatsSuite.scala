@@ -144,4 +144,37 @@ class FormatsSuite extends AnyFunSuite {
           s"untouched partition $day was rewritten")
     }
   }
+
+  test("mixed-unit stores exercise BOTH ts probe branches, one result") {
+    // E95: the side stores must be PHYSICALLY different encodings —
+    // otherwise the query proves nothing about the mixed-writer path.
+    // Run the query once (builds the stores), then pin each store's
+    // physical unit via the same inference signal Tables.read probes:
+    // with nanosAsLong set, raw-int64 ts infers LongType, µs infers
+    // TimestampType.
+    import TestSpark.sf
+    import graft.sources.Formats
+    val unioned = Formats.qSourceMixedTsUnits.fn(spark, sf)
+    val nsRoot = Formats.fmtDir(sf, "mixed_ns")
+    val usRoot = Formats.fmtDir(sf, "mixed_us")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "true")
+    val (nsT, usT) =
+      try (spark.read.parquet(s"$nsRoot/events.parquet").schema("ts")
+            .dataType.typeName,
+           spark.read.parquet(s"$usRoot/events.parquet").schema("ts")
+            .dataType.typeName)
+      finally spark.conf.unset(key)
+    assert(nsT === "long", "legacy store must be raw int64 nanos")
+    assert(usT === "timestamp", "modern store must be timestamp[µs]")
+    // and the union over both branches reproduces the single-unit
+    // fixture aggregate exactly (day buckets catch any 1000× drift)
+    val expected = Tables.read(spark, sf, "events")
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast("decimal(18,6)")), 6)
+          .cast("double").as("sum_value"))
+      .orderBy($"day", $"event_type").collect().toSeq
+    assert(unioned.collect().toSeq === expected)
+  }
 }

@@ -23,6 +23,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
+            # tz-aware (e.g. Spark TIMESTAMP_MICROS with isAdjustedToUTC)
+            # and naive (INT96, DuckDB TIMESTAMP) must normalize alike:
+            # both engines run in UTC, so strip the tz label after
+            # converting to UTC
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             s = s.dt.floor("ms")
             out[c] = s.astype("datetime64[ms]").astype(str)
         elif pd.api.types.is_float_dtype(s):

@@ -12,15 +12,18 @@ import org.apache.spark.sql.types._
   * fixed-schema scan. Declared schemas also make DuckDB-oracle parity
   * byte-stable and are required for Structured Streaming sources.
   *
-  * Note on `events.ts`: writers differ on the parquet timestamp physical
-  * unit — historical fixtures stored timestamp[ns] (which Spark 4.x's
-  * vectorized reader refuses to widen to µs TimestampType), the current
-  * ones store timestamp[µs] (native). A 100 TB lake written by mixed
-  * writers WILL contain both, so [[read]] probes the footer once per path
-  * and adapts: µs (or ms) reads natively as TimestampType; int64-nanos
-  * reads as raw Long via `spark.sql.legacy.parquet.nanosAsLong` and is
-  * floor-divided to µs (exact truncation, matching DuckDB's
-  * `CAST(ts AS TIMESTAMP)` ns→µs cast) — see FIXTURES.md §1.
+  * Note on timestamp columns: writers differ on the parquet timestamp
+  * physical unit — historical fixtures stored `events.ts` as
+  * timestamp[ns] (which Spark 4.x's vectorized reader refuses to widen
+  * to µs TimestampType), the current ones store timestamp[µs] (native),
+  * and nothing pins which column the NEXT writer changes. A 100 TB lake
+  * written by mixed writers WILL contain both, so [[read]] probes the
+  * footer once per path and adapts EVERY declared-timestamp column
+  * independently: µs (or ms) reads natively as TimestampType;
+  * int64-nanos reads as raw Long via
+  * `spark.sql.legacy.parquet.nanosAsLong` and is floor-divided to µs
+  * (exact truncation, matching DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs
+  * cast) — see FIXTURES.md §1.
   */
 object Tables {
 
@@ -85,14 +88,6 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** On-disk schema for the LEGACY timestamp[ns] encoding: `ts` declared
-    * LongType so the vectorized reader yields raw nanos (requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`); [[read]] converts. */
-  private val eventsNs = StructType(events.fields.map {
-    case f if f.name == "ts" => f.copy(dataType = LongType)
-    case f => f
-  })
-
   val documents = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -111,53 +106,88 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Per-path memo of "does this events parquet store ts as int64
-    * epoch-nanos?" — ONE footer-inference read per distinct path for the
-    * life of the JVM (a footer read is O(files), not O(rows); on a real
-    * lake the equivalent is one metadata round-trip per table). */
-  private val tsIsRawInt64 =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Per-path memo of which declared-timestamp columns the files store
+    * as raw int64 epoch-nanos — ONE footer-inference read per distinct
+    * path for the life of the JVM (a footer read is O(files), not
+    * O(rows); on a real lake the equivalent is one metadata round-trip
+    * per table). Empty set = every timestamp column reads natively. */
+  private val rawInt64Cols =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
-  /** Probe whether `ts` at `path` needs the legacy raw-int64-nanos read
-    * path. With `nanosAsLong=true`, schema inference maps a timestamp[ns]
-    * column (or a plain int64 `ts`) to LongType, while timestamp[µs]/[ms]
-    * infer as TimestampType — exactly the branch [[read]] must take. The
-    * flag is restored to its prior value after the probe so it never
-    * leaks into unrelated reads. */
-  private def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
-    tsIsRawInt64.computeIfAbsent(path, { _ =>
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prior = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try {
-        val inferred = spark.read.parquet(path).schema
-        inferred.find(_.name == "ts").exists(_.dataType == LongType)
-      } finally prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+  /** Probe which of `declared`'s TimestampType columns need the legacy
+    * raw-int64-nanos read path at `path`. With `nanosAsLong=true`,
+    * schema inference maps a timestamp[ns] column (or a plain int64
+    * column) to LongType, while timestamp[µs]/[ms] infer as
+    * TimestampType — exactly the per-column branch [[read]] must take.
+    * Generalized over ALL timestamp columns of ALL tables (not just
+    * `events.ts`): the round-9 fixture regeneration proved writer-side
+    * unit drift is real, and nothing pins WHICH column the next writer
+    * changes. The flag is restored after the probe so it never leaks
+    * into unrelated reads. */
+  private def nanosColumns(spark: SparkSession, path: String,
+      declared: StructType): Set[String] =
+    rawInt64Cols.computeIfAbsent(path, { _ =>
+      val tsCols = declared.fields
+        .filter(_.dataType == TimestampType).map(_.name).toSet
+      if (tsCols.isEmpty) Set.empty
+      else {
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try {
+          spark.read.parquet(path).schema
+            .filter(f => tsCols(f.name) && f.dataType == LongType)
+            .map(_.name).toSet
+        } finally prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
       }
     })
+
+  /** The on-disk schema for a path whose `nsCols` store raw int64
+    * nanos: those columns declared LongType, everything else as the
+    * logical schema. */
+  private def onDiskSchema(declared: StructType,
+      nsCols: Set[String]): StructType =
+    StructType(declared.fields.map {
+      case f if nsCols(f.name) => f.copy(dataType = LongType)
+      case f => f
+    })
+
+  /** Raw-nanos → µs TimestampType, in place (withColumn keeps the
+    * column's position). Floor division of positive epoch-nanos is
+    * exact truncation, matching DuckDB's `CAST(ts AS TIMESTAMP)`
+    * ns→µs cast. */
+  private def toMicros(df: DataFrame, nsCols: Set[String]): DataFrame =
+    nsCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
 
   /** Scan one harness table with its pinned schema. Column pruning and
     * predicate pushdown reach the parquet scan because the schema is
     * declared up front (no inference pass for the fixed-schema tables).
     *
-    * `events.ts` special case: the physical unit is probed from the
-    * footer ([[eventsTsIsNanos]], memoized per path). timestamp[µs] — the
-    * current fixture encoding — reads natively as TimestampType. A legacy
-    * int64-nanos file reads as raw Long (nanosAsLong) and is floor-divided
-    * to µs; division of positive epoch-nanos is exact truncation, matching
-    * DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs cast. */
+    * Timestamp columns adapt to the files' physical unit
+    * ([[nanosColumns]], one memoized footer probe per path):
+    * timestamp[µs]/[ms] — the current fixture encodings — read natively
+    * as TimestampType, so time predicates push down to the scan; a
+    * legacy int64-nanos column reads as raw Long (nanosAsLong) and is
+    * floor-divided to µs at the scan edge. Downstream operators always
+    * see the one logical schema. */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    if (name == "events" && eventsTsIsNanos(spark, path)) {
-      // defensive: callers may pass a session built outside Sessions.local
-      // (e.g. the harness smoke check); without this flag the ns scan throws
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsNs).parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val declared = schemas(name)
+    val nsCols = nanosColumns(spark, path, declared)
+    if (nsCols.isEmpty) {
+      spark.read.schema(declared).parquet(path)
     } else {
-      spark.read.schema(schemas(name)).parquet(path)
+      // defensive: callers may pass a session built outside
+      // Sessions.local (e.g. the harness smoke check); without this
+      // flag the raw-nanos scan throws
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      toMicros(
+        spark.read.schema(onDiskSchema(declared, nsCols)).parquet(path),
+        nsCols)
     }
   }
 
@@ -171,12 +201,16 @@ object Tables {
     // one fixture file. The unit probe runs on the same glob via the
     // batch reader (footers only).
     val glob = s"$sfDir/*$name.parquet"
-    if (name == "events" && eventsTsIsNanos(spark, glob)) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.readStream.schema(eventsNs).parquet(glob)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val declared = schemas(name)
+    val nsCols = nanosColumns(spark, glob, declared)
+    if (nsCols.isEmpty) {
+      spark.readStream.schema(declared).parquet(glob)
     } else {
-      spark.readStream.schema(schemas(name)).parquet(glob)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      toMicros(
+        spark.readStream.schema(onDiskSchema(declared, nsCols))
+          .parquet(glob),
+        nsCols)
     }
   }
 }

@@ -23,6 +23,26 @@ class OperatorSuite extends AnyFunSuite {
     assert(row.getTimestamp(1).after(row.getTimestamp(0)))
   }
 
+  test("unit probe generalizes: legacy-nanos o_orderdate reads correctly") {
+    // The probe is per-column per-table, not an events.ts special case:
+    // nothing pins WHICH timestamp column the next writer changes, so
+    // re-encode orders.o_orderdate as raw int64-nanos and read through
+    // the same Tables.read path.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ns-orders").toString
+    Tables.read(spark, sf, "orders")
+      .withColumn("o_orderdate",
+        expr("unix_micros(o_orderdate) * 1000L"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val legacy = Tables.read(spark, dir, "orders")
+    assert(legacy.schema("o_orderdate").dataType ===
+      Tables.orders("o_orderdate").dataType)
+    val cols = Seq(min($"o_orderdate"), max($"o_orderdate"),
+      count(lit(1)), sum($"o_totalprice".cast("decimal(18,6)")))
+    assert(legacy.select(cols: _*).head() ===
+      Tables.read(spark, sf, "orders").select(cols: _*).head())
+  }
+
   test("events.ts legacy int64-nanos files read identically (unit probe)") {
     // Re-encode the fixture's events as raw epoch-nanos int64 — the
     // legacy writer encoding Tables.read's footer probe must still adapt

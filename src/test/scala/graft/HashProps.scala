@@ -118,4 +118,32 @@ object HashProps extends Properties("graft") {
         .head().getDouble(0)
       math.abs(c - 1.0) < 1e-9
     }
+
+  property("unit probe: ns and µs event encodings read identically") =
+    // arbitrary epoch-micros (1970..2100); the same events-shaped frame
+    // written as native timestamp[µs] AND as raw int64 epoch-nanos must
+    // read back bit-identically through Tables.read's footer probe —
+    // the writer-drift invariant VERDICT r9 proved load-bearing
+    forAll(Gen.nonEmptyListOf(
+      Gen.choose(0L, 4102444800000000L))) { micros =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-prop-ts")
+      val (usDir, nsDir) =
+        (dir.resolve("us").toString, dir.resolve("ns").toString)
+      val base = micros.zipWithIndex.map { case (m, i) =>
+        (i.toLong, m, i.toLong, "t", 0.0, "{}")
+      }.toDF("event_id", "m", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("m")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      base.write.parquet(s"$usDir/events.parquet")
+      base.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+        .write.parquet(s"$nsDir/events.parquet")
+      val us = Tables.read(spark, usDir, "events")
+        .select(col("ts")).collect().map(_.getTimestamp(0)).sorted
+      val ns = Tables.read(spark, nsDir, "events")
+        .select(col("ts")).collect().map(_.getTimestamp(0)).sorted
+      us.sameElements(ns) &&
+        us.map(_.getTime).toSet ==
+          micros.map(_ / 1000L).toSet // ms-level check vs the source
+    }
 }

@@ -1317,10 +1317,52 @@ object Extras {
             |SELECT id AS doc_id, min(r) AS cluster_id
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
+  /** E96: **SQL `PIVOT` / `UNPIVOT` statement surface** — the
+    * statement-level twins of the DataFrame pivot (R1) and unpivot
+    * (R2) rows, completing the statement-surface family (E86–E94): a
+    * per-priority PIVOT over order statuses (sums routed through
+    * DECIMAL per the §5.2 discipline) immediately UNPIVOTed back to
+    * (priority, status, total) rows in the same statement. The
+    * round-trip makes the gate self-checking: a pivot that drops or
+    * mislabels a cell, or an unpivot that keeps NULL cells (Spark's
+    * default EXCLUDE NULLS must drop combinations absent from the
+    * data), changes the row set; the oracle computes the same
+    * per-(priority, status) aggregate directly, so both legs must
+    * compose to the identity on exactly the populated cells. */
+  val qSqlPivotUnpivot = Q("q_sql_pivot_unpivot",
+    (spark, sfDir) => {
+      // per-invocation view name (qSqlRecursive concurrency rule)
+      val tag = viewRun.incrementAndGet()
+      val v = s"sql_pivot_src_$tag"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""WITH p AS (
+             |  SELECT * FROM (
+             |    SELECT o_orderpriority, o_orderstatus,
+             |           CAST(o_totalprice AS DECIMAL(18,6)) AS price
+             |    FROM $v)
+             |  PIVOT (sum(price)
+             |         FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))
+             |)
+             |SELECT o_orderpriority, status,
+             |       CAST(round(total, 6) AS DOUBLE) AS total
+             |FROM p
+             |UNPIVOT (total FOR status IN (F, O, P))
+             |ORDER BY o_orderpriority, status""".stripMargin)
+      } finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus AS status,
+           |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),
+           |         6) AS DOUBLE) AS total
+           |FROM orders
+           |GROUP BY 1, 2
+           |ORDER BY o_orderpriority, status""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
-    qCdcDiff, qScd2History, qSqlSurface,
+    qCdcDiff, qScd2History, qSqlSurface, qSqlPivotUnpivot,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,
     qSqlRecursive, qGapFill, qCacheReuse, qJoinHints)

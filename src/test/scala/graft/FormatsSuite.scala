@@ -145,6 +145,34 @@ class FormatsSuite extends AnyFunSuite {
     }
   }
 
+  test("declared-schema scans absorb writer column drift (extra/missing)") {
+    // The other two writer-drift modes beside unit changes (E95): a
+    // newer writer ADDS a column the engine doesn't know yet, an older
+    // file MISSES a column the schema declares. A pinned-schema scan
+    // must ignore the former and null-fill the latter — never fail,
+    // never misalign surviving columns.
+    import TestSpark.sf
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift").toString
+    val ev = Tables.read(spark, sf, "events")
+    // "newer writer": extra column appended
+    ev.withColumn("new_writer_col", lit("x"))
+      .write.parquet(s"$dir/extra/events.parquet")
+    val extra = Tables.read(spark, s"$dir/extra", "events")
+    assert(extra.columns.toSeq === ev.columns.toSeq,
+      "extra on-disk column must not leak into the declared schema")
+    assert(extra.select(sum(length($"props"))).head ===
+      ev.select(sum(length($"props"))).head)
+    // "older writer": declared column absent from the file
+    ev.drop("props").write.parquet(s"$dir/missing/events.parquet")
+    val missing = Tables.read(spark, s"$dir/missing", "events")
+    assert(missing.columns.toSeq === ev.columns.toSeq)
+    assert(missing.filter($"props".isNotNull).count() === 0L,
+      "missing column must null-fill")
+    assert(missing.select(count($"event_id")).head ===
+      ev.select(count($"event_id")).head)
+  }
+
   test("mixed-unit stores exercise BOTH ts probe branches, one result") {
     // E95: the side stores must be PHYSICALLY different encodings —
     // otherwise the query proves nothing about the mixed-writer path.

@@ -48,6 +48,20 @@ class PlanSuite extends AnyFunSuite {
       s"ts predicate must reach the parquet scan, got:\n$p")
   }
 
+  test("mixed-unit union stays narrow: two scans, one aggregate") {
+    // E95: the legacy-ns + modern-µs union must plan as two parquet
+    // scans flowing into ONE partial+final aggregate — unit
+    // normalization is a scan-edge projection, not an extra shuffle
+    // (at 100 TB an extra exchange for 'normalization' would dominate).
+    val df = SparkEntry.queries("q_source_mixed_ts_units")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("Scan parquet").length - 1 == 2,
+      s"expected exactly 2 parquet scans in:\n$p")
+    // one shuffle for the groupBy — none extra for the legacy branch
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"unit normalization must not introduce an extra exchange:\n$p")
+  }
+
   test("projection prunes the parquet read schema") {
     val p = plan("q_scan_filter_in")
     // only the 5 selected columns reach ReadSchema — no shipdate etc.

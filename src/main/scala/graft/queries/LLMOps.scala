@@ -1967,20 +1967,25 @@ object LLMOps {
     * tasks (VERDICT r6 item 2). The engine query keeps the fixture
     * default 8 so recorded results stay comparable across rounds.
     *
-    * Running-capacity state is not SQL-expressible, so no DuckDB
-    * oracle: the driver records rows>0 and OperatorSuite asserts the
-    * packing invariants (budget respected, every doc packed exactly
-    * once, fill bound) at two different range counts plus bit-identical
-    * repeat runs. At 100 TB: packing is embarrassingly parallel per
-    * range, one pass, O(1) state; the id-range shuffle is the only
-    * exchange, plus one tiny (min,max,count) pre-agg to size ranges. */
+    * Running-capacity state is not SQL-expressible, so the public
+    * query is the driver-gated bounded form (the E44/E51/E61 pattern,
+    * VERDICT r10 item 1): one row of exact corpus totals the oracle
+    * recomputes (n_docs, sum_tokens — any dropped/duplicated doc or
+    * token breaks the hash) plus engine-checked invariant booleans the
+    * oracle expects TRUE (per-bin budget, conservation, fill bound,
+    * layout invariance); OperatorSuite still asserts the sharper
+    * doc-level greedy invariant on [[packSequencesDocs]] directly. At
+    * 100 TB: packing is embarrassingly parallel per range, one pass,
+    * O(1) state; the id-range shuffle is the only exchange, plus one
+    * tiny (min,max,count) pre-agg to size ranges. */
   /** Doc-level packing assignment (doc_id, n_tokens, bin_id) —
     * [[packSequences]] aggregates this to bins; OperatorSuite reads it
     * directly to assert the TRUE greedy invariant (a bin closes only
     * because the next doc would overflow it — checkable only with the
     * first doc of the following bin in hand, ADVICE r7 item 3). */
   private[graft] def packSequencesDocs(spark: SparkSession, sfDir: String,
-      budget: Long = 256L, ranges: Option[Int] = None): DataFrame = {
+      budget: Long = 256L, ranges: Option[Int] = None,
+      parts: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, sfDir)
       .select($"doc_id",
@@ -2013,8 +2018,12 @@ object LLMOps {
       least(lit(nRanges - 1L), greatest(lit(0L),
         floor(($"doc_id".cast("double") - lit(lo.toDouble)) / widthD)
           .cast("long"))))
+    // `parts` decouples TASK layout from RANGE layout: the bin state
+    // machine below resets whenever rid changes, so packing through 3
+    // tasks or 1024 must emit the identical assignment — the gate query
+    // proves exactly that by hashing two different-layout runs.
     val packed = ranged
-      .repartition(nRanges, $"rid")
+      .repartition(parts.getOrElse(nRanges), $"rid")
       .sortWithinPartitions($"rid", $"doc_id")
       .select($"rid", $"doc_id", $"n_tokens")
       .as[(Long, Long, Long)]
@@ -2045,8 +2054,57 @@ object LLMOps {
   }
 
   val qPackSequences = Q("q_pack_sequences",
-    (spark, sfDir) => packSequences(spark, sfDir, ranges = Some(8)),
-    None)
+    (spark, sfDir) => {
+      import spark.implicits._
+      val budget = 256L
+      val nRanges = 8
+      val assign = packSequencesDocs(spark, sfDir, budget,
+        ranges = Some(nRanges))
+      // per-bin rollup → one row of totals + the budget invariant: a
+      // bin may exceed the budget only as a singleton oversize doc
+      val binStats = assign
+        .groupBy($"bin_id")
+        .agg(count(lit(1)).as("b_docs"), sum($"n_tokens").as("b_tok"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum($"b_docs").as("n_docs"),
+          sum($"b_tok").as("sum_tokens"),
+          min($"b_tok" <= budget || $"b_docs" === 1L).as("budget_ok"))
+      // conservation needs the distinct-doc count (a doc packed twice
+      // inflates n_docs AND n_distinct differently) and an
+      // order-independent assignment hash for the layout check
+      // bit_xor, not sum: order-independent like sum but cannot
+      // overflow a long under ANSI mode
+      val docStats = assign.agg(
+        countDistinct($"doc_id").as("n_distinct"),
+        bit_xor(xxhash64($"doc_id", $"bin_id")).as("h_a"))
+      // the SAME packing forced through 3 hash-partitioned tasks (rids
+      // co-located) must emit a bit-identical assignment — this is the
+      // determinism contract made machine-checked, and the different
+      // partition count keeps Catalyst from reusing run A's exchange
+      val hB = packSequencesDocs(spark, sfDir, budget,
+          ranges = Some(nRanges), parts = Some(3))
+        .agg(bit_xor(xxhash64($"doc_id", $"bin_id")).as("h_b"))
+      val nSrc = docs(spark, sfDir).agg(count(lit(1)).as("n_source"))
+      binStats
+        .crossJoin(broadcast(docStats))
+        .crossJoin(broadcast(hB))
+        .crossJoin(broadcast(nSrc))
+        .select(
+          $"n_docs", $"sum_tokens", $"budget_ok",
+          ($"n_docs" === $"n_distinct" && $"n_docs" === $"n_source")
+            .as("conservation_ok"),
+          // greedy ⇒ consecutive bins in a range overflow pairwise:
+          // n_bins < 2·Σtok/budget + 2·ranges (+1 covers int division)
+          ($"n_bins" <= lit(2L) * $"sum_tokens" / lit(budget) +
+            lit(2L * nRanges + 1L)).as("fill_ok"),
+          ($"h_a" === $"h_b").as("layout_ok"))
+    },
+    Some("""SELECT count(*) AS n_docs,
+           |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+           |    AS sum_tokens,
+           |  TRUE AS budget_ok, TRUE AS conservation_ok,
+           |  TRUE AS fill_ok, TRUE AS layout_ok
+           |FROM documents""".stripMargin))
 
   // ---------------------------------------------------------------- X6
   /** UDF surface: L2 norm via a Scala UDF (oracle: SQL equivalent). */

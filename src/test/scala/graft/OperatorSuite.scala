@@ -351,7 +351,7 @@ class OperatorSuite extends AnyFunSuite {
 
   test("sequence packing: budget respected, every doc packed once, dense fill") {
     val budget = 256L
-    val bins = LLMOps.qPackSequences.fn(spark, sf).collect()
+    val bins = LLMOps.packSequences(spark, sf, ranges = Some(8)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // a bin may exceed the budget only as a single oversized doc
     bins.foreach { case (bin, nDocs, sumTok) =>
@@ -366,9 +366,17 @@ class OperatorSuite extends AnyFunSuite {
     // 8 range partitions may sit under half-full
     assert(bins.count(_._3 < budget / 2) <= 8)
     // determinism: the same plan packs identically on a second run
-    val again = LLMOps.qPackSequences.fn(spark, sf).collect()
+    val again = LLMOps.packSequences(spark, sf, ranges = Some(8)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(bins.toSeq === again.toSeq)
+    // the public gate form (E42's oracle row) reports these invariants
+    // as booleans plus oracle-recomputable totals — all must hold
+    val gate = LLMOps.qPackSequences.fn(spark, sf).collect()
+    assert(gate.length === 1)
+    val g = gate.head
+    assert(g.getLong(0) === corpus, "gate n_docs")
+    assert(g.getLong(1) === bins.map(_._3).sum, "gate sum_tokens")
+    (2 to 5).foreach(i => assert(g.getBoolean(i), s"gate col $i false"))
   }
 
   test("decontamination flags exactly the docs sharing probe shingles at threshold") {

@@ -110,9 +110,20 @@ object Tables {
     * as raw int64 epoch-nanos — ONE footer-inference read per distinct
     * path for the life of the JVM (a footer read is O(files), not
     * O(rows); on a real lake the equivalent is one metadata round-trip
-    * per table). Empty set = every timestamp column reads natively. */
+    * per table). Empty set = every timestamp column reads natively.
+    *
+    * The memo assumes IMMUTABLE paths: files at a probed path are never
+    * re-encoded in place with a different timestamp unit (the fixture
+    * dirs are write-once; object-store layouts version by path). A
+    * caller that does rewrite a directory must call
+    * [[invalidateUnitProbes]] or later reads take the stale branch and
+    * fail loudly at scan time (ADVICE r10 item 2). */
   private val rawInt64Cols =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** Drop every memoized unit probe (test hook / after an in-place
+    * rewrite of a previously read path). */
+  private[graft] def invalidateUnitProbes(): Unit = rawInt64Cols.clear()
 
   /** Probe which of `declared`'s TimestampType columns need the legacy
     * raw-int64-nanos read path at `path`. With `nanosAsLong=true`,
@@ -122,8 +133,13 @@ object Tables {
     * Generalized over ALL timestamp columns of ALL tables (not just
     * `events.ts`): the round-9 fixture regeneration proved writer-side
     * unit drift is real, and nothing pins WHICH column the next writer
-    * changes. The flag is restored after the probe so it never leaks
-    * into unrelated reads. */
+    * changes. The probe runs on an ISOLATED session (`newSession()`
+    * shares the SparkContext and catalog but clones the SQLConf), so no
+    * shared session flag is ever mutated by probing: two concurrent
+    * first-touch probes, or a probe racing a just-built legacy scan,
+    * cannot interleave a set/restore on the caller's conf (ADVICE r10
+    * item 1 — the old restore-in-finally pattern could unset the flag
+    * while a sibling probe was still inferring). */
   private def nanosColumns(spark: SparkSession, path: String,
       declared: StructType): Set[String] =
     rawInt64Cols.computeIfAbsent(path, { _ =>
@@ -131,17 +147,11 @@ object Tables {
         .filter(_.dataType == TimestampType).map(_.name).toSet
       if (tsCols.isEmpty) Set.empty
       else {
-        val key = "spark.sql.legacy.parquet.nanosAsLong"
-        val prior = spark.conf.getOption(key)
-        spark.conf.set(key, "true")
-        try {
-          spark.read.parquet(path).schema
-            .filter(f => tsCols(f.name) && f.dataType == LongType)
-            .map(_.name).toSet
-        } finally prior match {
-          case Some(v) => spark.conf.set(key, v)
-          case None    => spark.conf.unset(key)
-        }
+        val probe = spark.newSession()
+        probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        probe.read.parquet(path).schema
+          .filter(f => tsCols(f.name) && f.dataType == LongType)
+          .map(_.name).toSet
       }
     })
 
@@ -156,9 +166,12 @@ object Tables {
     })
 
   /** Raw-nanos → µs TimestampType, in place (withColumn keeps the
-    * column's position). Floor division of positive epoch-nanos is
-    * exact truncation, matching DuckDB's `CAST(ts AS TIMESTAMP)`
-    * ns→µs cast. */
+    * column's position). `div` truncates toward zero, which is exactly
+    * DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs semantics for BOTH signs —
+    * measured: DuckDB maps −1 ns → 0 µs and −1001 ns → −1 µs, i.e.
+    * truncation, not floor (ADVICE r10 item 4 asked for floor; the
+    * measurement says trunc is the parity-correct choice, pinned by
+    * HashProps' negative-epoch unit-probe property). */
   private def toMicros(df: DataFrame, nsCols: Set[String]): DataFrame =
     nsCols.foldLeft(df)((d, c) =>
       d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))

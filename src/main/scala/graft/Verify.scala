@@ -38,6 +38,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // no cached relation outlives the sweep (VERDICT r10 item 5)
+    graft.queries.Extras.releaseCacheReuse(spark)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

@@ -120,30 +120,39 @@ object HashProps extends Properties("graft") {
     }
 
   property("unit probe: ns and µs event encodings read identically") =
-    // arbitrary epoch-micros (1970..2100); the same events-shaped frame
-    // written as native timestamp[µs] AND as raw int64 epoch-nanos must
-    // read back bit-identically through Tables.read's footer probe —
-    // the writer-drift invariant VERDICT r9 proved load-bearing
-    forAll(Gen.nonEmptyListOf(
-      Gen.choose(0L, 4102444800000000L))) { micros =>
+    // arbitrary epoch-micros — INCLUDING pre-1970 negatives (ADVICE r10
+    // item 4) — plus a per-row sub-µs nanos offset on the ns encoding:
+    // the same events-shaped frame written as native timestamp[µs] AND
+    // as raw int64 epoch-nanos must read back through Tables.read's
+    // footer probe as exactly the µs values DuckDB's CAST produces,
+    // which is truncation toward zero (measured: −1 ns → 0 µs,
+    // −1001 ns → −1 µs) — Java long `/`, Spark `div`, same semantics
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(-2208988800000000L, 4102444800000000L), // 1900..2100
+      Gen.choose(-999L, 999L)))) { rows =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft-prop-ts")
       val (usDir, nsDir) =
         (dir.resolve("us").toString, dir.resolve("ns").toString)
-      val base = micros.zipWithIndex.map { case (m, i) =>
-        (i.toLong, m, i.toLong, "t", 0.0, "{}")
-      }.toDF("event_id", "m", "user_id", "event_type", "value", "props")
+      val base = rows.zipWithIndex.map { case ((m, d), i) =>
+        (i.toLong, m, d, i.toLong, "t", 0.0, "{}")
+      }.toDF("event_id", "m", "d", "user_id", "event_type", "value",
+        "props")
+      base
         .select(col("event_id"), timestamp_micros(col("m")).as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
-      base.write.parquet(s"$usDir/events.parquet")
-      base.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+        .write.parquet(s"$usDir/events.parquet")
+      base
+        .select(col("event_id"),
+          (col("m") * 1000L + col("d")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
         .write.parquet(s"$nsDir/events.parquet")
-      val us = Tables.read(spark, usDir, "events")
-        .select(col("ts")).collect().map(_.getTimestamp(0)).sorted
-      val ns = Tables.read(spark, nsDir, "events")
-        .select(col("ts")).collect().map(_.getTimestamp(0)).sorted
-      us.sameElements(ns) &&
-        us.map(_.getTime).toSet ==
-          micros.map(_ / 1000L).toSet // ms-level check vs the source
+      def readMicros(d: String): Seq[Long] =
+        Tables.read(spark, d, "events")
+          .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+          .toSeq.sorted
+      readMicros(usDir) == rows.map(_._1).sorted &&
+        readMicros(nsDir) ==
+          rows.map { case (m, d) => (m * 1000L + d) / 1000L }.sorted
     }
 }

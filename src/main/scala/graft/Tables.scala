@@ -106,11 +106,14 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** Per-path memo of which declared-timestamp columns the files store
-    * as raw int64 epoch-nanos — ONE footer-inference read per distinct
-    * path for the life of the JVM (a footer read is O(files), not
-    * O(rows); on a real lake the equivalent is one metadata round-trip
-    * per table). Empty set = every timestamp column reads natively.
+  /** Per-path memo of the path's data files grouped by which declared
+    * timestamp columns they store as raw int64 epoch-nanos — ONE
+    * footer sweep per distinct path for the life of the JVM (footer
+    * reads are O(files), driver-side, no Spark job; on a real lake the
+    * equivalent is one table-format metadata round-trip). One group
+    * with an empty column set = the whole path reads natively; several
+    * groups = a mixed-writer directory [[read]] must scan per group
+    * and union (VERDICT r10 item 2 — the day-one 100 TB drift case).
     *
     * The memo assumes IMMUTABLE paths: files at a probed path are never
     * re-encoded in place with a different timestamp unit (the fixture
@@ -118,40 +121,80 @@ object Tables {
     * caller that does rewrite a directory must call
     * [[invalidateUnitProbes]] or later reads take the stale branch and
     * fail loudly at scan time (ADVICE r10 item 2). */
-  private val rawInt64Cols =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val unitGroupsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Set[String], Seq[String])]]()
 
   /** Drop every memoized unit probe (test hook / after an in-place
     * rewrite of a previously read path). */
-  private[graft] def invalidateUnitProbes(): Unit = rawInt64Cols.clear()
+  private[graft] def invalidateUnitProbes(): Unit = unitGroupsMemo.clear()
 
-  /** Probe which of `declared`'s TimestampType columns need the legacy
-    * raw-int64-nanos read path at `path`. With `nanosAsLong=true`,
-    * schema inference maps a timestamp[ns] column (or a plain int64
-    * column) to LongType, while timestamp[µs]/[ms] infer as
-    * TimestampType — exactly the per-column branch [[read]] must take.
-    * Generalized over ALL timestamp columns of ALL tables (not just
-    * `events.ts`): the round-9 fixture regeneration proved writer-side
-    * unit drift is real, and nothing pins WHICH column the next writer
-    * changes. The probe runs on an ISOLATED session (`newSession()`
-    * shares the SparkContext and catalog but clones the SQLConf), so no
-    * shared session flag is ever mutated by probing: two concurrent
-    * first-touch probes, or a probe racing a just-built legacy scan,
-    * cannot interleave a set/restore on the caller's conf (ADVICE r10
-    * item 1 — the old restore-in-finally pattern could unset the flag
-    * while a sibling probe was still inferring). */
-  private def nanosColumns(spark: SparkSession, path: String,
-      declared: StructType): Set[String] =
-    rawInt64Cols.computeIfAbsent(path, { _ =>
+  /** Group the parquet data files under `pathOrGlob` by which of
+    * `declared`'s TimestampType columns need the legacy
+    * raw-int64-nanos read path. The probe reads each file's FOOTER
+    * directly (parquet-hadoop API): INT64 annotated TIMESTAMP(NANOS)
+    * and plain unannotated INT64 are epoch-nanos (the two legacy
+    * writer encodings, FIXTURES.md §1); TIMESTAMP(MICROS/MILLIS) and
+    * INT96 read natively. Footer reads mutate no session state at all
+    * — the ADVICE r10 item 1 race (probe-side set/restore of
+    * `nanosAsLong` interleaving with a sibling probe or an in-flight
+    * legacy scan) is gone by construction, and unlike whole-path
+    * schema inference a per-file probe classifies a MIXED directory
+    * instead of failing on the merged-schema conflict. Generalized
+    * over ALL timestamp columns of ALL tables: the round-9 fixture
+    * regeneration proved writer-side unit drift is real, and nothing
+    * pins WHICH column the next writer changes. */
+  private def unitGroups(spark: SparkSession, pathOrGlob: String,
+      declared: StructType): Seq[(Set[String], Seq[String])] =
+    unitGroupsMemo.computeIfAbsent(pathOrGlob, { _ =>
       val tsCols = declared.fields
         .filter(_.dataType == TimestampType).map(_.name).toSet
-      if (tsCols.isEmpty) Set.empty
+      if (tsCols.isEmpty) Seq((Set.empty[String], Nil))
       else {
-        val probe = spark.newSession()
-        probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        probe.read.parquet(path).schema
-          .filter(f => tsCols(f.name) && f.dataType == LongType)
-          .map(_.name).toSet
+        import org.apache.hadoop.fs.{Path => HPath}
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.LogicalTypeAnnotation.
+          TimestampLogicalTypeAnnotation
+        import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val hconf = spark.sessionState.newHadoopConf()
+        val glob = new HPath(pathOrGlob)
+        val fs = glob.getFileSystem(hconf)
+        val matched = Option(fs.globStatus(glob)).map(_.toSeq)
+          .getOrElse(Nil)
+        val files = matched.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).toSeq
+          else Seq(st)
+        }.filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val classified = files.map { st =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromStatus(st, hconf))
+          val msg =
+            try reader.getFooter.getFileMetaData.getSchema
+            finally reader.close()
+          val ns = tsCols.filter { c =>
+            msg.containsField(c) && {
+              val t = msg.getType(Seq(c): _*)
+              t.isPrimitive &&
+                t.asPrimitiveType().getPrimitiveTypeName ==
+                  PrimitiveTypeName.INT64 &&
+                (t.getLogicalTypeAnnotation match {
+                  case ts: TimestampLogicalTypeAnnotation =>
+                    ts.getUnit == TimeUnit.NANOS
+                  case null => true // plain int64 = raw epoch-nanos
+                  case _    => false
+                })
+            }
+          }
+          (ns, st.getPath.toString)
+        }
+        if (classified.isEmpty) Seq((Set.empty[String], Nil))
+        else classified.groupBy(_._1).toSeq
+          .map { case (ns, g) => (ns, g.map(_._2).sorted) }
+          .sortBy(_._2.headOption.getOrElse(""))
       }
     })
 
@@ -187,20 +230,42 @@ object Tables {
     * legacy int64-nanos column reads as raw Long (nanosAsLong) and is
     * floor-divided to µs at the scan edge. Downstream operators always
     * see the one logical schema. */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val path = s"$sfDir/$name.parquet"
-    val declared = schemas(name)
-    val nsCols = nanosColumns(spark, path, declared)
+  /** One scan with one unit branch: native, or raw-nanos + µs rescale
+    * at the scan edge. `paths` is the whole table path for a
+    * single-unit table, or one unit group's explicit file list for a
+    * mixed directory. */
+  private def scanGroup(spark: SparkSession, declared: StructType,
+      nsCols: Set[String], paths: Seq[String]): DataFrame =
     if (nsCols.isEmpty) {
-      spark.read.schema(declared).parquet(path)
+      spark.read.schema(declared).parquet(paths: _*)
     } else {
       // defensive: callers may pass a session built outside
       // Sessions.local (e.g. the harness smoke check); without this
-      // flag the raw-nanos scan throws
+      // flag an ANNOTATED timestamp[ns] scan throws. Sticky by design:
+      // the flag only affects how ns-annotated columns resolve, which
+      // is exactly the behavior every read in this engine wants.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       toMicros(
-        spark.read.schema(onDiskSchema(declared, nsCols)).parquet(path),
+        spark.read.schema(onDiskSchema(declared, nsCols))
+          .parquet(paths: _*),
         nsCols)
+    }
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val declared = schemas(name)
+    unitGroups(spark, path, declared) match {
+      case Seq((nsCols, _)) => // single-unit path: whole-dir scan
+        scanGroup(spark, declared, nsCols, Seq(path))
+      case groups =>
+        // mixed-writer directory: one scan per unit group over that
+        // group's files, normalized to the logical schema at the scan
+        // edge, then a zero-shuffle positional union — every group
+        // projects the same declared column order (toMicros rescales
+        // in place), so downstream operators see ONE logical table
+        groups.map { case (nsCols, files) =>
+          scanGroup(spark, declared, nsCols, files)
+        }.reduce(_.unionAll(_))
     }
   }
 
@@ -215,15 +280,26 @@ object Tables {
     // batch reader (footers only).
     val glob = s"$sfDir/*$name.parquet"
     val declared = schemas(name)
-    val nsCols = nanosColumns(spark, glob, declared)
-    if (nsCols.isEmpty) {
-      spark.readStream.schema(declared).parquet(glob)
-    } else {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      toMicros(
-        spark.readStream.schema(onDiskSchema(declared, nsCols))
-          .parquet(glob),
-        nsCols)
+    unitGroups(spark, glob, declared) match {
+      case Seq((nsCols, _)) =>
+        if (nsCols.isEmpty) {
+          spark.readStream.schema(declared).parquet(glob)
+        } else {
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          toMicros(
+            spark.readStream.schema(onDiskSchema(declared, nsCols))
+              .parquet(glob),
+            nsCols)
+        }
+      case groups =>
+        // The file-stream source takes a glob, not an explicit file
+        // list, so a single directory mixing units cannot be split
+        // into per-group streams. Fail loudly (the batch path handles
+        // this layout; a streaming lake compacts or versions by path).
+        throw new IllegalStateException(
+          s"readStream($glob): directory mixes timestamp units across " +
+            s"files (${groups.size} unit groups) — not supported for " +
+            "streaming; compact the directory or version by path")
     }
   }
 }

@@ -989,6 +989,70 @@ object Formats {
            |         AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
 
+  /** E97: **same-directory mixed timestamp units** — the sharper form
+    * of E95 (VERDICT r10 item 2): ONE directory whose part files were
+    * written by two writer generations, raw int64 epoch-nanos files
+    * sitting NEXT TO parquet timestamp[µs] files under the same root.
+    * E95's two-root layout let the per-path probe pick one branch per
+    * root; here a whole-path schema inference would hit a merged-schema
+    * conflict (LongType vs TimestampType) and fail. [[graft.Tables
+    * .read]]'s footer probe instead classifies every data file,
+    * partitions the listing into unit groups, scans each group with
+    * its branch, and unions — so the query's per-(day, event_type)
+    * aggregate over the mixed root must equal the oracle's aggregate
+    * over the ORIGINAL single-unit fixture exactly; a file routed
+    * through the wrong branch shifts whole day buckets 1000× and
+    * fails the hash.
+    *
+    * Scale: at 100 TB intra-table drift is the day-one case — the
+    * same partition directory accretes files from fleet-mixed writer
+    * versions; classify-per-file (O(footers), driver-side, memoized)
+    * + per-group scans + a zero-shuffle union is the engine-side
+    * answer, and the table-format metadata layer supplies the same
+    * grouping without the footer sweep. */
+  val qSourceMixedUnitsOneDir = Q("q_source_mixed_units_one_dir",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val root = fmtDir(sfDir, "mixed_onedir")
+      loadOnceJvm(spark, sfDir, "mixedonedir") {
+        val ev = Tables.read(spark, sfDir, "events")
+        val dir = s"$root/events.parquet"
+        // legacy writer first (overwrite clears survivors), raw
+        // epoch-nanos int64 (exact: source is µs)
+        ev.filter($"event_id" % 2 === 0)
+          .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+          .write.mode("overwrite").parquet(dir)
+        // modern writer APPENDS µs part files into the SAME directory
+        // (job-unique part names cannot collide); scoped save/restore
+        // as in E95 so no session-wide write conf leaks
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try ev.filter($"event_id" % 2 === 1)
+          .write.mode("append").parquet(dir)
+        finally prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        // the fixture just rewrote the directory: a stale unit-group
+        // memo from an earlier JVM-lifetime read of this path (only
+        // possible if a suite raced the store build) must not survive
+        Tables.invalidateUnitProbes()
+      }
+      Tables.read(spark, root, "events")
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"day", $"event_type")
+    },
+    Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |       event_type,
+           |       count(*) AS n,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -996,5 +1060,6 @@ object Formats {
     qAggThetaOverlap,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
     qSourceSchemaEvolution,
-    qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits)
+    qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
+    qSourceMixedUnitsOneDir)
 }

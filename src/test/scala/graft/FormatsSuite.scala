@@ -205,4 +205,39 @@ class FormatsSuite extends AnyFunSuite {
       .orderBy($"day", $"event_type").collect().toSeq
     assert(unioned.collect().toSeq === expected)
   }
+
+  test("ONE directory mixing ns and µs part files split-reads per group") {
+    // E97: run the query once (builds the mixed root), then pin the
+    // layout really is mixed INSIDE one directory and that Tables.read
+    // adapts per file group rather than failing or taking one branch.
+    import TestSpark.sf
+    import graft.sources.Formats
+    Formats.qSourceMixedUnitsOneDir.fn(spark, sf).collect()
+    val dir = s"${Formats.fmtDir(sf, "mixed_onedir")}/events.parquet"
+    // physical pin: the directory holds BOTH encodings (per-file footer
+    // schemas differ on ts), which whole-path inference cannot merge
+    val units = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        spark.read.parquet(f.getPath).schema("ts").dataType.typeName
+      }.toSet
+    assert(units === Set("long", "timestamp"),
+      s"mixed root must hold both encodings, found $units")
+    // row-level pin: every (event_id, epoch-µs) survives the split
+    // read bit-identically vs the single-unit source
+    val got = Tables.read(spark,
+        Formats.fmtDir(sf, "mixed_onedir"), "events")
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = Tables.read(spark, sf, "events")
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want)
+    // streaming over a mixed directory must fail loudly, not corrupt
+    val e = intercept[IllegalStateException] {
+      Tables.readStream(spark, Formats.fmtDir(sf, "mixed_onedir"),
+        "events")
+    }
+    assert(e.getMessage.contains("mixes timestamp units"))
+  }
 }

@@ -62,6 +62,18 @@ class PlanSuite extends AnyFunSuite {
       s"unit normalization must not introduce an extra exchange:\n$p")
   }
 
+  test("one-dir mixed-unit split-read stays narrow: two scans, one agg") {
+    // E97: the per-file-group split of ONE directory must plan exactly
+    // like E95's two-root case — a scan per unit group into one
+    // partial+final aggregate, no extra exchange for normalization
+    val df = SparkEntry.queries("q_source_mixed_units_one_dir")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("Scan parquet").length - 1 == 2,
+      s"expected exactly 2 parquet scans in:\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"the group split must not introduce an extra exchange:\n$p")
+  }
+
   test("projection prunes the parquet read schema") {
     val p = plan("q_scan_filter_in")
     // only the 5 selected columns reach ReadSchema — no shipdate etc.

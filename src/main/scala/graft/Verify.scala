@@ -8,11 +8,20 @@ import java.nio.file.{Files, Paths}
   * no longer produce a plausible-looking CORRECTNESS artifact. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args.toSeq match {
+      case Seq(sf, out)          => (sf, out, Set.empty[String])
+      case Seq(sf, out, rest @ _*) => (sf, out, rest.toSet)
+    }
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional extra args name specific queries (dev iteration only —
+    // the driver always passes exactly (sfDir, outDir) and gets the
+    // full sweep).
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

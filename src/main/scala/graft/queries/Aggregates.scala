@@ -596,9 +596,53 @@ object Aggregates {
            |FROM sess GROUP BY user_id, sid
            |ORDER BY user_id, start_us""".stripMargin))
 
+  /** E98: linear-regression aggregate family — regr_slope / intercept /
+    * r2 / count / avgx / avgy per group, the one-pass OLS fit every
+    * monitoring or drift-detection stage runs per segment (price-vs-
+    * quantity per return flag here; the reference's shape is lab value
+    * vs days-since-admission per cohort). All six are single-pass
+    * co-moment aggregates (sums of x, y, x², xy) — partial-aggregable,
+    * map-side combine, ONE shuffle on the group key, same plan class
+    * as A3/E10; at 100 TB this is the cheapest possible fit (no
+    * iteration, no matrix solve). Slope/intercept magnitudes here are
+    * O(10²–10⁴), so round(…, 4) keeps parity against DuckDB's
+    * independently-ordered accumulation while still pinning ~9
+    * significant digits; r2 ∈ [0,1] rounds at 6. regr_count casts to
+    * BIGINT on both sides (engines disagree on its return type). */
+  val qAggRegression = Q("q_agg_regression",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val x = $"l_quantity"
+      val y = $"l_extendedprice"
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          regr_count(y, x).cast("long").as("n_pairs"),
+          round(regr_slope(y, x), 4).as("slope"),
+          round(regr_intercept(y, x), 4).as("intercept"),
+          round(regr_r2(y, x), 6).as("r2"),
+          round(regr_avgx(y, x), 6).as("avg_x"),
+          round(regr_avgy(y, x), 4).as("avg_y"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+           |         AS n_pairs,
+           |       round(regr_slope(l_extendedprice, l_quantity), 4)
+           |         AS slope,
+           |       round(regr_intercept(l_extendedprice, l_quantity), 4)
+           |         AS intercept,
+           |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           |       round(regr_avgx(l_extendedprice, l_quantity), 6)
+           |         AS avg_x,
+           |       round(regr_avgy(l_extendedprice, l_quantity), 4)
+           |         AS avg_y
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
-    qWinsorize, qResample, qAggSessionWindow)
+    qWinsorize, qResample, qAggSessionWindow, qAggRegression)
 }

@@ -1053,6 +1053,167 @@ object Formats {
            |         AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
 
+  /** List a directory's parquet data files driver-side: (count, total
+    * bytes). One FS listing, O(files), no Spark job — the same class
+    * of metadata operation as [[graft.Tables]]' footer probe; a table
+    * format serves it from its manifest without touching storage. */
+  private[graft] def listDataFiles(spark: SparkSession,
+      dir: String): (Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (files.length, files.map(_.getLen).sum)
+  }
+
+  /** E99: **small-file compaction** — the OPTIMIZE bin-packing rewrite
+    * every lakehouse runs as table maintenance. Streaming ingest and
+    * frequent small appends leave a table as thousands of KB-sized
+    * files; at 100 TB that debris is the #1 read-amplification killer
+    * (per-file open/footer/seek costs dominate, the scheduler drowns
+    * in splits, and listing itself becomes O(minutes)). The compactor
+    * here is the real algorithm at fixture scale: ONE driver-side
+    * listing sizes the input ([[listDataFiles]], O(files) — a table
+    * format reads the same sizes from its manifest), the output file
+    * count is `ceil(total_bytes / target)`, and a hash `repartition`
+    * to exactly that count rewrites the data so each task emits one
+    * ~target-sized file. The rewrite is ONE narrow-scan + ONE
+    * round-robin exchange — no aggregation, no sort (z-order/E67 is
+    * the sorted variant); at scale it runs per partition directory so
+    * compaction units are independent and incremental.
+    *
+    * The result aggregates the COMPACTED store per event_type with
+    * the standard roundtrip oracle, so any row lost or duplicated by
+    * the rewrite fails the hash; two audit booleans — recomputed
+    * driver-side from fresh listings, constant-TRUE in the oracle —
+    * gate the physical outcome (fewer files than the debris store;
+    * every output file ≤ 2× target, the bin-packing bound with
+    * compression slack). FormatsSuite pins the exact counts. */
+  val qLayoutCompact = Q("q_layout_compact",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val smallDir = fmtDir(sfDir, "compact_small")
+      val outDir = fmtDir(sfDir, "compact_out")
+      val targetBytes = 4L << 20 // 4 MiB target files (fixture-scaled)
+      loadOnceJvm(spark, sfDir, "compact") {
+        // ingest debris: 64 tiny files, one per hash partition (the
+        // one-file-per-micro-batch pattern a streaming sink leaves)
+        Tables.read(spark, sfDir, "events")
+          .repartition(64, $"event_id")
+          .write.mode("overwrite").parquet(smallDir)
+        val (_, totalBytes) = listDataFiles(spark, smallDir)
+        val nOut = math.max(1L,
+          (totalBytes + targetBytes - 1) / targetBytes).toInt
+        spark.read.schema(Tables.events).parquet(smallDir)
+          .repartition(nOut)
+          .write.mode("overwrite").parquet(outDir)
+      }
+      val (nIn, _) = listDataFiles(spark, smallDir)
+      val (nOut, _) = listDataFiles(spark, outDir)
+      val sizesOk = {
+        import org.apache.hadoop.fs.{Path => HPath}
+        val p = new HPath(outDir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .forall(_.getLen <= 2 * targetBytes)
+      }
+      spark.read.schema(Tables.events).parquet(outDir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .withColumn("compacted_fewer_files", lit(nOut < nIn))
+        .withColumn("files_within_target", lit(sizesOk))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |       count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value,
+           |       TRUE AS compacted_fewer_files,
+           |       TRUE AS files_within_target
+           |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
+  /** E100: **file-level min/max data skipping** — the pruning layer
+    * BETWEEN partition pruning (E17/E46: directory granularity) and
+    * parquet row-group stats (inside one file): skip whole FILES from
+    * the listing before the scan starts, the way every table format's
+    * manifest stats (or an external stats index) serve point/range
+    * queries on a 100 TB table without touching 99% of its files.
+    * Three steps, each the real shape: (1) the layout clusters on the
+    * predicate column (`repartitionByRange(16, ts)` — range-clustered
+    * files have tight disjoint [min,max] envelopes; an unclustered
+    * layout makes every file's envelope span everything and skipping
+    * degenerates to a full scan — clustering IS what makes stats
+    * selective); (2) the index build is ONE distributed pass grouping
+    * the hidden `_metadata.file_path` column into per-file min/max —
+    * O(files) rows collected driver-side, exactly a manifest stats
+    * table (at 100 TB it's built incrementally per write, not by
+    * re-scan); (3) the read intersects the predicate interval with
+    * each envelope, reads ONLY surviving files as an explicit file
+    * list, and re-applies the predicate as a residual filter — so
+    * correctness NEVER depends on index freshness (a stale index can
+    * only over-read or, if files were rewritten, fail loudly; it
+    * cannot silently wrong-answer the rows it does read — same
+    * contract as [[graft.Tables]]' immutable-path probe memo).
+    *
+    * The audit boolean (driver-computed, constant-TRUE in the oracle)
+    * gates that pruning actually dropped files; the aggregate itself
+    * is oracle-checked against the raw fixture, so the surviving-file
+    * union + residual filter must reproduce the full-scan answer
+    * exactly. FormatsSuite pins the skip ratio for the 3-day window
+    * (≤ 4 of 16 files survive). */
+  val qSourceSkippingIndex = Q("q_source_skipping_index",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "skip_events")
+      loadOnceJvm(spark, sfDir, "skipidx") {
+        Tables.read(spark, sfDir, "events")
+          .repartitionByRange(16, $"ts")
+          .write.mode("overwrite").parquet(dir)
+      }
+      val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-01-13 00:00:00")
+      // manifest stats: per-file ts envelope, one distributed pass
+      val stats = spark.read.schema(Tables.events).parquet(dir)
+        .select(col("_metadata.file_path").as("f"), $"ts")
+        .groupBy($"f")
+        .agg(min($"ts").as("lo"), max($"ts").as("hi"))
+        .collect() // O(files) — the stats table a manifest serves
+      val keep = stats.toSeq
+        .filter { r =>
+          val fLo = r.getAs[java.sql.Timestamp]("lo")
+          val fHi = r.getAs[java.sql.Timestamp]("hi")
+          !(fHi.before(lo) || !fLo.before(hi)) // envelope ∩ [lo,hi) ≠ ∅
+        }
+        .map(_.getAs[String]("f")).sorted
+      val pruned = keep.nonEmpty && keep.size < stats.length
+      spark.read.schema(Tables.events).parquet(keep: _*)
+        .filter($"ts" >= lit(lo) && $"ts" < lit(hi)) // residual filter
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .withColumn("files_skipped", lit(pruned))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value,
+           |       TRUE AS files_skipped
+           |FROM (SELECT event_type, value,
+           |        CAST(ts AS TIMESTAMP) AS t FROM events) ev
+           |WHERE t >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND t < TIMESTAMP '2024-01-13 00:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1061,5 +1222,5 @@ object Formats {
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
     qSourceSchemaEvolution,
     qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
-    qSourceMixedUnitsOneDir)
+    qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex)
 }

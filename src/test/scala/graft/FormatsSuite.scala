@@ -240,4 +240,57 @@ class FormatsSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("mixes timestamp units"))
   }
+
+  test("compaction rewrites the 64-file debris store into sized bins") {
+    // E99: run the query once (builds both stores), then pin the
+    // physical outcome the audit booleans summarize: the debris store
+    // really is 64 files, the compacted store is ceil(bytes/target)
+    // files (1 at fixture scale), rows conserved exactly.
+    import TestSpark.sf
+    import graft.sources.Formats
+    Formats.qLayoutCompact.fn(spark, sf).collect()
+    val (nIn, inBytes) =
+      Formats.listDataFiles(spark, Formats.fmtDir(sf, "compact_small"))
+    val (nOut, _) =
+      Formats.listDataFiles(spark, Formats.fmtDir(sf, "compact_out"))
+    assert(nIn === 64, "debris store must be 64 small files")
+    val target = 4L << 20
+    val expectOut = math.max(1L, (inBytes + target - 1) / target).toInt
+    assert(nOut === expectOut,
+      s"compacted store must be ceil($inBytes/$target)=$expectOut files")
+    val rowsIn = spark.read.schema(Tables.events)
+      .parquet(Formats.fmtDir(sf, "compact_small")).count()
+    val rowsOut = spark.read.schema(Tables.events)
+      .parquet(Formats.fmtDir(sf, "compact_out")).count()
+    assert(rowsIn === rowsOut, "compaction must conserve rows")
+  }
+
+  test("min/max skipping index prunes the range-clustered file list") {
+    // E100: run the query once (builds the 16-file range layout), then
+    // pin the skip ratio: the 3-day window of a 30-day span over 16
+    // range-clustered files must keep at most 4 files (≥75% skipped).
+    // Computed with the SAME envelope intersection the query uses, so
+    // a layout regression (range clustering silently degrading to
+    // overlap-everything) fails here rather than hiding behind the
+    // residual filter.
+    import TestSpark.sf
+    import graft.sources.Formats
+    Formats.qSourceSkippingIndex.fn(spark, sf).collect()
+    val dir = Formats.fmtDir(sf, "skip_events")
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-13 00:00:00")
+    val stats = spark.read.schema(Tables.events).parquet(dir)
+      .select(col("_metadata.file_path").as("f"), $"ts")
+      .groupBy($"f")
+      .agg(min($"ts").as("lo"), max($"ts").as("hi"))
+      .collect()
+    assert(stats.length === 16, "range layout must be 16 files")
+    val kept = stats.count { r =>
+      val fLo = r.getAs[java.sql.Timestamp]("lo")
+      val fHi = r.getAs[java.sql.Timestamp]("hi")
+      !(fHi.before(lo) || !fLo.before(hi))
+    }
+    assert(kept >= 1 && kept <= 4,
+      s"3/30-day window over 16 range files must keep ≤4, kept $kept")
+  }
 }

@@ -293,6 +293,76 @@ object Relational {
            |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
            |WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
 
+  /** E102: as-of join WITH TOLERANCE — for every purchase, the same
+    * user's most recent view at-or-before it, but only if within 2
+    * hours; otherwise the match columns are NULL (an unbounded as-of
+    * would attribute a purchase to a week-old view — the tolerance is
+    * what makes attribution/sensor-alignment semantics correct).
+    *
+    * Implementation is the TAGGED-UNION window, not a range join: tag
+    * views 0 / purchases 1, ONE window per user ordered (ts, kind,
+    * event_id) — views sort before purchases on ts ties, so "at-or-
+    * before" is exact — and `last(view_ts) IGNORE NULLS` carries the
+    * running most-recent view to each purchase row. ONE shuffle on
+    * user_id, state O(1) per row; the range-join formulation (J6/E3)
+    * would expand every purchase × candidate-view pair first. This is
+    * THE scalable as-of at 100 TB: linear scan per key, no candidate
+    * blowup, skew bounded by the hottest single user. The tolerance
+    * is a post-filter on the carried gap — applied AFTER the as-of
+    * match, so a >2h previous view yields NULL, not the next-older
+    * in-window view (standard as-of-tolerance semantics: nearest
+    * match or nothing). DuckDB oracle mirrors the identical window
+    * (its native ASOF JOIN has no tolerance or tiebreak contract). */
+  val qJoinAsofTolerance = Q("q_join_asof_tolerance",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tolUs = 2L * 3600L * 1000000L
+      val tagged = Tables.read(spark, sfDir, "events")
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"user_id", $"ts", $"event_id",
+          when($"event_type" === "view", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"kind", $"event_id")
+      tagged
+        .withColumn("prev_view_id",
+          last(when($"kind" === 0, $"event_id"), ignoreNulls = true)
+            .over(w))
+        .withColumn("prev_view_us",
+          last(when($"kind" === 0, unix_micros($"ts")),
+            ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .withColumn("gap_us", unix_micros($"ts") - $"prev_view_us")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          unix_micros($"ts").as("purchase_us"),
+          when($"gap_us" <= tolUs, $"prev_view_id").as("view_id"),
+          when($"gap_us" <= tolUs, $"gap_us").as("gap_us"))
+        .orderBy($"purchase_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END
+           |           AS kind
+           |  FROM events WHERE event_type IN ('view', 'purchase')
+           |), carried AS (
+           |  SELECT user_id, ts, event_id, kind,
+           |    last_value(CASE WHEN kind = 0 THEN event_id END
+           |      IGNORE NULLS) OVER w AS prev_view_id,
+           |    last_value(CASE WHEN kind = 0 THEN epoch_us(ts) END
+           |      IGNORE NULLS) OVER w AS prev_view_us
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY ts, kind, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |)
+           |SELECT event_id AS purchase_id, user_id,
+           |       epoch_us(ts) AS purchase_us,
+           |       CASE WHEN epoch_us(ts) - prev_view_us <= 7200000000
+           |         THEN prev_view_id END AS view_id,
+           |       CASE WHEN epoch_us(ts) - prev_view_us <= 7200000000
+           |         THEN epoch_us(ts) - prev_view_us END AS gap_us
+           |FROM carried WHERE kind = 1
+           |ORDER BY purchase_id""".stripMargin))
+
   /** J9: multi-way star join — fact ⋈ two dim chains, exactly the
     * fact⋈patient_dim⋈visit_dim⋈code-map shape. Dims broadcast; Catalyst
     * ReorderJoin + AQE pick the final order. */
@@ -527,7 +597,8 @@ object Relational {
   val all: Seq[Q] = Seq(qScanFilterIn, qFilterLike, qJoinInnerEqui,
     qJoinBroadcastDim, qJoinLeftOuter, qJoinFullOuter, qJoinNullSafe,
     qJoinSemi,
-    qJoinAnti, qJoinRange, qJoinAsof, qJoinStar, qDistinct, qSortOutput,
+    qJoinAnti, qJoinRange, qJoinAsof, qJoinAsofTolerance, qJoinStar,
+    qDistinct, qSortOutput,
     qTopk, qSetUnionAll, qSetIntersect, qSetExcept, qSetUnionByName,
     qSetExceptAll, qSetIntersectAll, qOutputConcat)
 }

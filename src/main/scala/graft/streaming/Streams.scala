@@ -108,6 +108,27 @@ object StreamRun {
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }
+
+  /** Like [[toTable]] but under `Trigger.AvailableNow`: the query
+    * drains exactly the backlog present at start in bounded
+    * micro-batches (the source's admission options cap each batch) and
+    * TERMINATES ITSELF — `awaitTermination`, not
+    * `processAllAvailable`, is the completion contract. */
+  def toTableAvailableNow(spark: SparkSession, df: DataFrame,
+      base: String, mode: String): DataFrame = {
+    val name = s"${base}_${runId.incrementAndGet()}"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, stateParts(spark).toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+    spark.table(name)
+  }
 }
 
 object Streams {
@@ -641,9 +662,50 @@ object Streams {
            | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 14 DAY
            |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin))
 
+  /** E101: **Trigger.AvailableNow incremental catch-up** — the batch
+    * half of the lambda-free architecture: ONE streaming query
+    * definition serves both the 24/7 low-latency deployment and the
+    * scheduled catch-up job. AvailableNow processes exactly the
+    * backlog present at start, in BOUNDED micro-batches (admission
+    * control: `maxFilesPerTrigger` here caps each batch at 2 of the 8
+    * backlog files, so state/memory never sees the whole 100 TB
+    * backlog at once — the difference from a one-shot `Trigger.Once`,
+    * which would), checkpoints between batches, then terminates on its
+    * own. At scale this is how a nightly job drains a day of ingest
+    * with streaming-exactly-once semantics and the same code as the
+    * live stream. The aggregate is keyed (event_type), state is tiny
+    * and partitioned; the finite fixture makes the converged result
+    * equal the batch answer, which is the oracle. */
+  val qStreamAvailableNow = Q("q_stream_available_now",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = "target/stream/" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/avnow"
+      graft.Memo.onceJvm(spark, s"load:avnow:$sfDir") {
+        // 8-file backlog (one per hash partition) = 4 micro-batches
+        Tables.read(spark, sfDir, "events")
+          .repartition(8, $"event_id")
+          .write.mode("overwrite").parquet(dir)
+      }
+      val src = spark.readStream.schema(Tables.events)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(dir)
+      val agg = src.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+      StreamRun.toTableAvailableNow(spark, agg, "t_avnow", "complete")
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
     qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
     qStreamJoinOuter,
-    qStreamJoinFull)
+    qStreamJoinFull, qStreamAvailableNow)
 }

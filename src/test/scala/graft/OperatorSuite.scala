@@ -1172,4 +1172,35 @@ class OperatorSuite extends AnyFunSuite {
     assert(got === want,
       "restarted aggregation must equal the batch answer over ALL data")
   }
+
+  test("AvailableNow drains the backlog in bounded batches, then stops") {
+    // E101: the catch-up trigger's two contracts — admission control
+    // (maxFilesPerTrigger caps each micro-batch, so an 8-file backlog
+    // at 2 files/trigger takes ≥4 data batches: the 100 TB backlog
+    // never enters one batch) and self-termination (the query ends on
+    // its own once the start-time backlog is drained; awaitTermination
+    // returns). Result must equal the batch aggregate exactly.
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_avnow_").toString
+    val ev = Tables.read(spark, sf, "events")
+      .select($"event_id", $"event_type")
+    ev.repartition(8, $"event_id").write.mode("overwrite")
+      .parquet(srcDir)
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("avnow_t")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // self-terminates — the AvailableNow contract
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4,
+      s"8 files at 2/trigger must take >=4 data batches, took $dataBatches")
+    val got = spark.table("avnow_t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ev.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want, "drained result must equal the batch answer")
+  }
 }

@@ -1393,11 +1393,63 @@ object Extras {
            |GROUP BY 1, 2
            |ORDER BY o_orderpriority, status""".stripMargin))
 
+  /** E105: **GROUP BY ALL + lateral column aliases** — the two modern
+    * SQL ergonomics every ad-hoc analyst query leans on: `GROUP BY
+    * ALL` infers the grouping set as exactly the non-aggregate select
+    * items (no positional-list drift when a column is added), and a
+    * lateral column alias CHAIN (`… AS avg_price`, then `avg_price *
+    * 100 AS avg_cents` in the SAME select) reuses same-select aliases
+    * instead of repeating expressions. Spark 4 does not yet allow a
+    * lateral alias inside a GROUP BY ALL aggregate list
+    * (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_GROUP_BY), so the
+    * two features compose as they do in practice: the aggregate
+    * subquery groups by ALL, the outer select chains aliases. Both
+    * are pure analyzer surface — the alias chain expands before
+    * planning and collapses into the aggregate's projection, so the
+    * plan stays ONE two-phase hash aggregate (nothing new at scale).
+    * The oracle recomputes the explicit form, so a wrong inferred
+    * grouping set (e.g. a derived column mistakenly grouped) changes
+    * the row count and fails. */
+  val qSqlGroupByAll = Q("q_sql_group_by_all",
+    (spark, sfDir) => {
+      val tag = viewRun.incrementAndGet()
+      val v = s"sql_gba_src_$tag"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT o_orderstatus, o_orderpriority, n, sum_price,
+             |       round(sum_price / n, 6) AS avg_price,
+             |       round(avg_price * 100, 4) AS avg_cents
+             |FROM (
+             |  SELECT o_orderstatus, o_orderpriority,
+             |         count(*) AS n,
+             |         CAST(round(sum(CAST(o_totalprice
+             |           AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_price
+             |  FROM $v
+             |  GROUP BY ALL
+             |)
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+      } finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""WITH g AS (
+           |  SELECT o_orderstatus, o_orderpriority,
+           |         count(*) AS n,
+           |         CAST(round(sum(CAST(o_totalprice
+           |           AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_price
+           |  FROM orders
+           |  GROUP BY o_orderstatus, o_orderpriority
+           |)
+           |SELECT o_orderstatus, o_orderpriority, n, sum_price,
+           |       round(sum_price / n, 6) AS avg_price,
+           |       round(round(sum_price / n, 6) * 100, 4) AS avg_cents
+           |FROM g
+           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
     qCdcDiff, qScd2History, qSqlSurface, qSqlPivotUnpivot,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,
-    qSqlRecursive, qGapFill, qCacheReuse, qJoinHints)
+    qSqlRecursive, qGapFill, qCacheReuse, qJoinHints, qSqlGroupByAll)
 }

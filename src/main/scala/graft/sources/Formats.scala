@@ -1214,6 +1214,172 @@ object Formats {
            |  AND t < TIMESTAMP '2024-01-13 00:00:00'
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** E104: **federated tri-source join** — ONE Catalyst plan joining
+    * three physically different sources: a parquet fact (lineitem), a
+    * CSV extract (orders — the flat-file drop a partner system
+    * delivers), and a JDBC dimension (customer in Derby — the
+    * operational RDBMS the reference itself lives in). This is the
+    * composition story the per-format roundtrip rows (S4/S5/E18/E33…)
+    * individually cannot show: the engine's operators are
+    * source-agnostic, so a 100 TB lake table joins an RDBMS dimension
+    * and a partner CSV drop in one declarative plan — Catalyst prunes
+    * columns INTO each source (parquet ReadSchema, CSV required-column
+    * parse, JDBC generated SELECT list), the dimension broadcasts, and
+    * the CSV side never materializes outside the plan. The oracle runs
+    * the same join over the original parquet tables, so any row lost
+    * or mangled by EITHER export leg (CSV formatting, JDBC types)
+    * fails the hash. */
+  val qJoinFederated = Q("q_join_federated",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val csvDir = fmtDir(sfDir, "fed_orders_csv")
+      val db = "graft_fed_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      loadOnceJvm(spark, sfDir, "fedcsv") {
+        Tables.read(spark, sfDir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+          .write.mode("overwrite").option("header", "true").csv(csvDir)
+      }
+      loadOnce(spark, sfDir, "fedjdbc") {
+        Jdbc.writeTable(
+          Tables.read(spark, sfDir, "customer")
+            .select($"c_custkey", $"c_mktsegment"),
+          url, "customer_fed", SaveMode.Overwrite,
+          Map("createTableColumnTypes" -> "c_mktsegment VARCHAR(16)"))
+      }
+      val o = spark.read
+        .schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType))))
+        .option("header", "true").csv(csvDir)
+      val c = Jdbc.readPartitionedAuto(spark, url, "customer_fed",
+        "c_custkey", 8)
+      Tables.read(spark, sfDir, "lineitem")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_price"))
+        .orderBy($"c_mktsegment", $"o_orderstatus")
+    },
+    Some("""SELECT c_mktsegment, o_orderstatus,
+           |       count(*) AS n,
+           |       CAST(round(sum(CAST(l_extendedprice
+           |         AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_price
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment, o_orderstatus
+           |ORDER BY c_mktsegment, o_orderstatus""".stripMargin))
+
+  /** Audit flags computed inside [[qIncrementalMv]]'s memoized build
+    * (per sfDir): did the incremental refresh leave every unaffected
+    * MV partition's files byte-identical (same file names — dynamic
+    * overwrite writes fresh UUID-named parts into every partition it
+    * touches, so name-set equality IS the untouched proof). */
+  private val mvAudit =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** E106: **incremental materialized-view maintenance** — the ETL
+    * pattern that makes a 100 TB aggregate table affordable: never
+    * recompute the world, recompute exactly the partitions new data
+    * touched. The base table is day-partitioned (E17's layout) and
+    * append-only (the only write ingestion performs); the MV is the
+    * per-(day, event_type) aggregate, also day-partitioned. Epoch 1
+    * builds both from the first 20 days (minus a planted late-arrival
+    * slice). Epoch 2 appends the rest INCLUDING late arrivals for
+    * days 18–20 — so the affected-day set straddles already-built MV
+    * partitions, the case that breaks naive append-only rollups. The
+    * refresh then: (a) derives affected days from the new batch alone
+    * (at scale: the ingest manifest), (b) recomputes ONLY those days
+    * with a partition-PRUNED scan of the base (the filter is on the
+    * partition column, so unaffected day directories are never
+    * opened), and (c) lands them with dynamic partition overwrite
+    * (E62's mechanism) so untouched MV partitions are not rewritten.
+    * Cost ∝ affected partitions, not table size. Full-day recompute —
+    * not delta-merge — is deliberate: it keeps non-mergeable
+    * aggregates (distinct counts, percentiles) correct with the same
+    * machinery. The oracle recomputes the MV from the raw fixture, so
+    * a lost late row, a double-applied append, or an over/under-
+    * scoped overwrite fails the hash; the audit boolean (file-name
+    * sets of unaffected partitions unchanged across the refresh,
+    * constant-TRUE in the oracle) pins that the refresh really was
+    * incremental, not a disguised full rebuild. */
+  val qIncrementalMv = Q("q_incremental_mv",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val baseDir = fmtDir(sfDir, "mv_base")
+      val mvDir = fmtDir(sfDir, "mv_agg")
+      def mvAgg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"day", $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,6)")).as("sum_value_dec"))
+      def filesByDay(dir: String): Map[String, Set[String]] = {
+        val d = new java.io.File(dir)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("day="))
+          .map { p =>
+            p.getName -> Option(p.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && !f.getName.startsWith("_")
+                && !f.getName.startsWith("."))
+              .map(_.getName).toSet
+          }.toMap
+      }
+      loadOnceJvm(spark, sfDir, "incmv") {
+        val ev = Tables.read(spark, sfDir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value",
+            to_date($"ts").as("day"))
+        val late = dayofmonth($"day").between(18, 20) &&
+          $"event_id" % 7 === 0
+        val batch1 = ev.filter(dayofmonth($"day") <= 20 && !late)
+        val batch2 = ev.filter(dayofmonth($"day") >= 21 || late)
+        batch1.write.mode("overwrite").partitionBy("day")
+          .parquet(baseDir)
+        mvAgg(batch1).write.mode("overwrite").partitionBy("day")
+          .parquet(mvDir)
+        val before = filesByDay(mvDir)
+        // ingestion: append-only, never rewrites
+        batch2.write.mode("append").partitionBy("day").parquet(baseDir)
+        // affected days from the NEW batch alone (= ingest manifest)
+        val affected = batch2.select($"day").distinct().collect()
+          .map(_.getDate(0)).toSeq
+        // partition-pruned recompute of exactly the affected days
+        val refreshed = mvAgg(
+          spark.read.parquet(baseDir)
+            .filter($"day".isin(affected: _*)))
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        try {
+          spark.conf.set(key, "dynamic")
+          refreshed.write.mode("overwrite").partitionBy("day")
+            .parquet(mvDir)
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        val after = filesByDay(mvDir)
+        val affectedDirs = affected.map(d => s"day=$d").toSet
+        mvAudit.put(s"$sfDir", before.filter {
+          case (d, _) => !affectedDirs(d)
+        }.forall { case (d, fs) => after.get(d).contains(fs) })
+      }
+      spark.read.parquet(mvDir)
+        .select($"day", $"event_type", $"n",
+          round($"sum_value_dec", 6).cast("double").as("sum_value"))
+        .withColumn("untouched_preserved",
+          lit(Option(mvAudit.get(s"$sfDir")).exists(_.booleanValue)))
+        .orderBy($"day", $"event_type")
+    },
+    Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |       event_type, count(*) AS n,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value,
+           |       TRUE AS untouched_preserved
+           |FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1222,5 +1388,6 @@ object Formats {
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
     qSourceSchemaEvolution,
     qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
-    qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex)
+    qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
+    qJoinFederated, qIncrementalMv)
 }

@@ -703,9 +703,63 @@ object Streams {
            |FROM events GROUP BY event_type ORDER BY event_type"""
       .stripMargin))
 
+  /** E103: **exactly-once streaming file sink** — the production sink
+    * the memory-sink harness queries deliberately avoid: a parquet
+    * file sink whose `_spark_metadata` transaction log is the
+    * exactly-once mechanism. Each committed micro-batch atomically
+    * logs the files it wrote; a reader of the sink directory goes
+    * THROUGH the log, so files from a failed/uncommitted batch are
+    * invisible — at 100 TB this is what makes a crashed writer
+    * restartable without dedup jobs downstream (the log + checkpoint
+    * replay exactly the uncommitted batch, orphan files are ignored).
+    * The query drains the fixture through the sink under AvailableNow,
+    * then aggregates by READING BACK through the log; the oracle
+    * aggregates the original fixture, so a lost batch, a doubled
+    * batch, or a reader that picked up uncommitted files all fail the
+    * hash. Dirs are wiped before the (memoized) run: checkpoint
+    * offsets name source files by path, and a regenerated fixture at
+    * the same path must never be silently skipped as already-read
+    * (FIXTURES.md §1's drift caution, applied to sink state). */
+  val qStreamFileSink = Q("q_stream_file_sink",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = "target/stream/" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/filesink"
+      val outDir = s"$base/out"
+      graft.Memo.onceJvm(spark, s"load:filesink:$sfDir") {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(base))
+        val s = Tables.readStream(spark, sfDir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        val q = s.writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(outDir) // reads THROUGH _spark_metadata
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |       count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
     qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
     qStreamJoinOuter,
-    qStreamJoinFull, qStreamAvailableNow)
+    qStreamJoinFull, qStreamAvailableNow, qStreamFileSink)
 }

@@ -1380,6 +1380,137 @@ object Formats {
            |FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
       .stripMargin))
 
+  /** E107: **exact distinct counts via mergeable bitmap rollups** —
+    * the EXACT member of the composable pre-aggregation family
+    * (E44 HLL / E51 CMS / E61 KLL / E69 theta are the approximate
+    * members): `bitmap_bucket_number` partitions the id space into
+    * fixed 32k-bit buckets, `bitmap_construct_agg(bitmap_bit_position
+    * (id))` builds one ≤4 KB bitmap per (group, day, bucket) — the
+    * STORED rollup a pipeline materializes per ingest day —
+    * and query time is `bitmap_or_agg` (set union = bitwise OR,
+    * associative/commutative/idempotent ⇒ mergeable across any
+    * day split, immune to double-merge) + `bitmap_count` + a sum over
+    * buckets. Distinct-count queries over N days then read O(groups ×
+    * buckets-touched × days) KB-sized rows instead of re-scanning N
+    * days of raw facts, with NO approximation — the trade vs HLL is
+    * size (bitmaps ∝ id-range/8 bytes vs HLL's fixed 1–2 KB) bought
+    * back by bucket sparsity: only buckets an id actually hit exist.
+    * Also the plan-shape win: countDistinct's expand+double-shuffle
+    * never runs — both levels are plain partial-aggregable hash aggs.
+    * The oracle recomputes count(DISTINCT) from raw events, so a
+    * dropped bucket, a wrong bit position, or a double-ORed day (which
+    * idempotence makes harmless — the test is that it STAYS harmless)
+    * fails the count. */
+  val qAggBitmapDistinct = Q("q_agg_bitmap_distinct",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "bitmap_rollup")
+      loadOnceJvm(spark, sfDir, "bitmap") {
+        Tables.read(spark, sfDir, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"),
+            expr("bitmap_bucket_number(user_id)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+            .as("bm"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      spark.read.parquet(dir)
+        .groupBy($"event_type", $"bucket")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("cnt"))
+        .groupBy($"event_type")
+        .agg(sum($"cnt").cast("long").as("n_users"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
+  /** The E108 wire schema — the string a schema registry would serve.
+    * All fields REQUIRED: the wire contract for this record type. */
+  private val avroWireSchemaJson =
+    """{"type":"record","name":"ev","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
+
+  /** E108: **Avro wire-format codec** — binary single-record Avro on a
+    * per-row basis, the message-bus serialization path (what a Kafka
+    * `value` column is): distinct from the Avro FILE round-trip (E33),
+    * which exercises the container-file source/sink — here the codec
+    * handles a 100 TB stream of framed binary records where no file
+    * container exists. The first-choice implementation is the
+    * connector module's `to_avro`/`from_avro` Catalyst expressions,
+    * but THIS distribution bundles only the Avro file format into
+    * spark-sql (the `CatalystDataToAvro`/`AvroDataToCatalyst`
+    * expression classes are not on the classpath — calling the
+    * functions throws AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE), so the
+    * codec runs in typed `mapPartitions` over the public Avro runtime
+    * — the documented-legitimate tier for per-partition imperative
+    * resource reuse, and the SAME pattern the expression would codegen:
+    * parse the registry schema ONCE per partition, reuse ONE
+    * ByteArrayOutputStream + BinaryEncoder/Decoder across all rows
+    * (per-row factory allocation is the classic Avro throughput
+    * mistake). Encode → decode composes to the identity; the aggregate
+    * runs on decoded columns and the oracle aggregates the original
+    * parquet, so any field mangled by either leg (zig-zag long/double
+    * encodings, UTF-8 charset) fails the hash. Column-pruning caveat
+    * pinned by design: one binary blob must decode whole — exactly why
+    * the lake stores columnar parquet and the wire format stays at the
+    * ingest edge. */
+  val qCodecAvroWire = Q("q_codec_avro_wire",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val schemaJson = avroWireSchemaJson
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[(Long, Long, String, Double)]
+      val wire = ev.mapPartitions { it =>
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter,
+          GenericRecord}
+        import org.apache.avro.io.EncoderFactory
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val writer = new GenericDatumWriter[GenericRecord](schema)
+        val out = new java.io.ByteArrayOutputStream(64)
+        var enc: org.apache.avro.io.BinaryEncoder = null
+        val rec = new GenericData.Record(schema)
+        it.map { case (id, uid, et, v) =>
+          out.reset()
+          enc = EncoderFactory.get().binaryEncoder(out, enc)
+          rec.put("event_id", id)
+          rec.put("user_id", uid)
+          rec.put("event_type", et)
+          rec.put("value", v)
+          writer.write(rec, enc)
+          enc.flush()
+          out.toByteArray
+        }
+      }
+      wire.mapPartitions { it =>
+        import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+        import org.apache.avro.io.DecoderFactory
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        var dec: org.apache.avro.io.BinaryDecoder = null
+        var rec: GenericRecord = null
+        it.map { bytes =>
+          dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+          rec = reader.read(rec, dec)
+          (rec.get("event_id").asInstanceOf[Long],
+            rec.get("user_id").asInstanceOf[Long],
+            rec.get("event_type").toString,
+            rec.get("value").asInstanceOf[Double])
+        }
+      }.toDF("event_id", "user_id", "event_type", "value")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some(roundtripOracle))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1389,5 +1520,5 @@ object Formats {
     qSourceSchemaEvolution,
     qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
-    qJoinFederated, qIncrementalMv)
+    qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire)
 }

@@ -581,4 +581,54 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"),
       "SHUFFLE_HASH hint must plan a ShuffledHashJoin")
   }
+
+  test("federated join: three source types in one plan, dim broadcast") {
+    // E104: the plan must show all three physical sources — parquet
+    // fact scan, CSV scan, JDBC relation scan — composed under ONE
+    // plan with the JDBC dimension BROADCAST (a shuffled dim pull
+    // through one RDBMS connection would serialize the join at
+    // scale), and the CSV leg pruned to exactly its three used
+    // columns (required-column parse, not parse-everything).
+    val p = plan("q_join_federated")
+    assert(p.contains("Scan parquet"), s"parquet fact leg missing:\n$p")
+    assert(p.contains("Scan csv"), s"CSV leg missing:\n$p")
+    assert(p.toLowerCase.contains("jdbc"), s"JDBC leg missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the JDBC dimension must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // CSV read schema carries only the three selected columns
+    val csvScan = p.linesIterator
+      .find(_.contains("Scan csv")).getOrElse("")
+    assert(!csvScan.contains("o_totalprice"),
+      s"CSV scan must not read unused columns:\n$csvScan")
+  }
+
+  test("skipping-index read scans only the surviving file list") {
+    // E100: after envelope pruning the scan's file source must hold
+    // ≤4 of the 16 range-clustered files — the whole point of the
+    // stats index; the residual ts filter must still push down so
+    // row-group stats prune WITHIN the surviving files too.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q_source_skipping_index")(spark, sf)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case _                        => p.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val scan = flatten(df.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.nonEmpty, "expected a FileSourceScanExec leaf")
+    val nFiles = scan.get.relation.location.inputFiles.length
+    assert(nFiles >= 1 && nFiles <= 4,
+      s"pruned scan must read <=4 of 16 files, reads $nFiles")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("ts"),
+      s"residual ts predicate must still reach the scan:\n$p")
+  }
 }

@@ -1445,11 +1445,161 @@ object Extras {
            |FROM g
            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
 
+  /** E109: **ordered-set aggregates** — `percentile_cont` /
+    * `percentile_disc WITHIN GROUP (ORDER BY …)`, the ANSI syntax
+    * every SQL analyst writes for medians/quantiles (the DataFrame
+    * twin is E9 `q_agg_percentile`). Same execution shape as E9: the
+    * per-group sort the ordered-set semantics require runs inside ONE
+    * hash-agg shuffle on the group key (not a global sort); the
+    * scaladoc-of-record for the 100 TB path remains the mergeable KLL
+    * sketch (E61) — exact within-group percentiles at scale pay a
+    * per-group sort, and these five groups are the right granularity
+    * for that trade. Interpolation parity (cont = linear, disc =
+    * first value at-or-above the fraction) is pinned by the hash
+    * against DuckDB's identically-specified functions. */
+  val qSqlOrderedSet = Q("q_sql_ordered_set",
+    (spark, sfDir) => {
+      val tag = viewRun.incrementAndGet()
+      val v = s"sql_os_src_$tag"
+      Tables.read(spark, sfDir, "lineitem").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT l_returnflag,
+             |  round(percentile_cont(0.5)
+             |    WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
+             |  round(percentile_disc(0.25)
+             |    WITHIN GROUP (ORDER BY l_quantity), 6) AS q1_qty_disc,
+             |  round(percentile_cont(0.9)
+             |    WITHIN GROUP (ORDER BY l_extendedprice), 4)
+             |    AS p90_price
+             |FROM $v GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+      } finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""SELECT l_returnflag,
+           |  round(percentile_cont(0.5)
+           |    WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
+           |  round(percentile_disc(0.25)
+           |    WITHIN GROUP (ORDER BY l_quantity), 6) AS q1_qty_disc,
+           |  round(percentile_cont(0.9)
+           |    WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
+  /** E110: **LIMIT/OFFSET pagination** — the result-page surface. The
+    * ORDER BY carries a TIEBREAK (o_orderkey) so the page is a total
+    * order: without it, page boundaries under ties are
+    * engine/partition-dependent — the classic silently-flaky
+    * pagination bug. Spark plans the limit+offset as
+    * TakeOrderedAndProject (top-(limit+offset) per partition, merged
+    * on the driver, offset dropped there — never a global sort). The
+    * scaladoc caveat IS the scale story: OFFSET N scans N+page rows,
+    * so deep pagination degenerates linearly — a production cursor
+    * paginates by KEYSET (WHERE (price, key) < last-seen ORDER BY …
+    * LIMIT page), which stays O(page) per call; this row pins the
+    * surface and the shallow-page plan. */
+  val qSqlPagination = Q("q_sql_pagination",
+    (spark, sfDir) => {
+      val tag = viewRun.incrementAndGet()
+      val v = s"sql_page_src_$tag"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM $v
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 20 OFFSET 40""".stripMargin)
+      } finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 20 OFFSET 40""".stripMargin))
+
+  /** E111: **referential-integrity / constraint audit** — the
+    * dbt-test / expectations suite shape: one query emitting a
+    * (check, violations) row per declared constraint — FK orphans
+    * (child keys with no parent), PK uniqueness, NOT-NULL — so a
+    * pipeline gates promotion on `max(violations) = 0`. Each check is
+    * the cheapest plan for its class: orphans are LEFT ANTI joins
+    * (the fixture dims broadcast; at 100 TB fact⋈fact orphan checks
+    * shuffle on the key like any join), duplicate PKs one hash agg,
+    * null rate a zero-shuffle scan conditional-count. The fixture is
+    * CLEAN by construction, and an audit proven only on clean data
+    * proves nothing — so the query PLANTS exact violation counts (3
+    * forged orphan lineitems, 1 duplicated order pk, 2 null
+    * quantities) via a literal union both engines apply identically:
+    * the expected output is nonzero and machine-checkable, and a
+    * check that silently always-returns-0 fails the hash. */
+  val qAuditConstraints = Q("q_audit_constraints",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val l0 = Tables.read(spark, sfDir, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+      val planted = Seq(
+        (-1L, Option(1.0)), (-2L, Option(1.0)), (-3L, Option(1.0)),
+        (1L, Option.empty[Double]), (2L, Option.empty[Double]))
+        .toDF("l_orderkey", "l_quantity")
+      val l = l0.unionByName(planted)
+      val o0 = Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val o = o0.unionByName(
+        o0.orderBy($"o_orderkey").limit(1)) // 1 duplicated pk
+      val c = Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey")
+      val orphanL = l.join(o, $"l_orderkey" === $"o_orderkey",
+          "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_orphan_order").as("check"), $"violations")
+      val orphanO = o.join(c, $"o_custkey" === $"c_custkey",
+          "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("order_orphan_customer").as("check"), $"violations")
+      val dupPk = o.groupBy($"o_orderkey").count()
+        .filter($"count" > 1)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("order_pk_duplicate").as("check"), $"violations")
+      val nullQty = l.agg(
+          count(when($"l_quantity".isNull, 1)).as("violations"))
+        .select(lit("lineitem_qty_null").as("check"), $"violations")
+      orphanL.unionByName(orphanO).unionByName(dupPk)
+        .unionByName(nullQty)
+        .orderBy($"check")
+    },
+    Some("""WITH l AS (
+           |  SELECT l_orderkey, l_quantity FROM lineitem
+           |  UNION ALL SELECT * FROM (VALUES (-1, 1.0), (-2, 1.0),
+           |    (-3, 1.0), (1, NULL), (2, NULL)) v(k, q)
+           |), o AS (
+           |  SELECT o_orderkey, o_custkey FROM orders
+           |  UNION ALL
+           |  SELECT * FROM (SELECT o_orderkey, o_custkey FROM orders
+           |                 ORDER BY o_orderkey LIMIT 1) dup
+           |)
+           |SELECT 'lineitem_orphan_order' AS "check",
+           |       (SELECT count(*) FROM l
+           |        WHERE NOT EXISTS (SELECT 1 FROM o
+           |          WHERE o_orderkey = l_orderkey)) AS violations
+           |UNION ALL
+           |SELECT 'order_orphan_customer',
+           |       (SELECT count(*) FROM o
+           |        WHERE NOT EXISTS (SELECT 1 FROM customer
+           |          WHERE c_custkey = o_custkey))
+           |UNION ALL
+           |SELECT 'order_pk_duplicate',
+           |       (SELECT count(*) FROM (SELECT o_orderkey FROM o
+           |          GROUP BY o_orderkey HAVING count(*) > 1) d)
+           |UNION ALL
+           |SELECT 'lineitem_qty_null',
+           |       (SELECT count(*) FROM l WHERE l_quantity IS NULL)
+           |ORDER BY "check"""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
     qCdcDiff, qScd2History, qSqlSurface, qSqlPivotUnpivot,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,
-    qSqlRecursive, qGapFill, qCacheReuse, qJoinHints, qSqlGroupByAll)
+    qSqlRecursive, qGapFill, qCacheReuse, qJoinHints, qSqlGroupByAll,
+    qSqlOrderedSet, qSqlPagination, qAuditConstraints)
 }

@@ -1274,6 +1274,52 @@ object LLMOps {
            |    least(n_words * 1.0 / 100.0, 1.0) * 0.5, 6) AS quality
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** E112: **unigram-LM quality scoring** — the perplexity-proxy
+    * filter (the CCNet/KenLM idea at unigram order): score each
+    * document by the mean log-probability of its tokens under a
+    * language model fit on THE CORPUS ITSELF, so rare-word-dominated
+    * junk (mojibake, id dumps, wrong-language shards) scores far more
+    * negative than ordinary prose. Two passes, both cheap at 100 TB:
+    * pass 1 fits the LM — explode to tokens, ONE hash agg to term
+    * frequencies, a 1-row total broadcast-crossed to turn counts into
+    * log-probs (the vocabulary is domain-bounded: ~10⁶ rows no matter
+    * how many PB of text, so the LM table BROADCASTS — same shape as
+    * TF-IDF's document-frequency side E37); pass 2 scores — tokens
+    * broadcast-join the LM, one hash agg back to doc grain. No
+    * fact-sized shuffle anywhere except the token agg itself. At
+    * higher n-gram orders the vocab bound breaks (bigrams+ explode
+    * combinatorially) — that is where the CMS sketch (E51) replaces
+    * the exact TF table; pinned here as the documented scale path. */
+  val qQualityLm = Q("q_quality_lm",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val toks = docs(spark, sfDir)
+        .select($"doc_id",
+          explode(split(trim($"text"), " ")).as("w"))
+        .filter(length($"w") > 0)
+      val tf = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+      val total = tf.agg(sum($"c").as("n_total"))
+      val lm = tf.crossJoin(broadcast(total))
+        .select($"w", log($"c" / $"n_total").as("lp"))
+      toks.join(broadcast(lm), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg($"lp"), 6).as("lm_score"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+           |  FROM documents
+           |), t2 AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+           |tf AS (SELECT w, count(*) AS c FROM t2 GROUP BY w),
+           |tot AS (SELECT sum(c) AS n_total FROM tf),
+           |lm AS (SELECT w, ln(c / (SELECT n_total FROM tot)) AS lp
+           |       FROM tf)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       round(avg(lp), 6) AS lm_score
+           |FROM t2 JOIN lm USING (w)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------- repetition quality
   /** Repetition-based quality signals — the filter family (after
     * Rae et al.'s Gopher rules) that catches boilerplate and
@@ -2299,7 +2345,7 @@ object LLMOps {
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
     qTextBm25,
-    qLangId, qQualityScore, qQualityRepetition, qTokenCount,
+    qLangId, qQualityScore, qQualityRepetition, qQualityLm, qTokenCount,
     qFingerprint, qGenPosexplode, qSplitGroup,
     qSampleStratified, qSampleMixture, qSamplePerSource, qChunkDocs,
     qScrubBlocklist,

@@ -640,9 +640,78 @@ object Aggregates {
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 
+  /** E114: **CUSUM change-point detection** — the monitoring operator
+    * that finds WHERE a per-series daily metric shifted: cumulative
+    * sum of deviations from the series mean drifts away from zero and
+    * peaks (in absolute value) at the most likely change-point — the
+    * standard offline CUSUM estimator. Three stages, all narrow after
+    * the first: (1) the fact table collapses to per-(series, day)
+    * DECIMAL sums — the ONLY fact-sized shuffle, and exact integer
+    * arithmetic so both engines see bit-identical daily values;
+    * (2) per-series mean = total/count computed from the exact decimal
+    * total cast to double ONCE (not a windowed float avg, whose
+    * accumulation order is engine-dependent), broadcast back —
+    * series count is domain-bounded; (3) one ordered window per
+    * series accumulates the running deviation and one ranking window
+    * takes the argmax of |cusum| ROUNDED to 6 places with the day as
+    * tiebreak — so an engine pair disagreeing in the 1e-12 tail of a
+    * windowed float sum cannot flip the reported change-point. At
+    * 100 TB the per-day grain is ~10⁴ rows per series regardless of
+    * fact volume: everything after stage 1 is dimension-sized. */
+  val qChangePoint = Q("q_change_point",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum($"value".cast("decimal(18,6)")).as("x_dec"))
+      val means = daily.groupBy($"event_type")
+        .agg(sum($"x_dec").as("tot_dec"), count(lit(1)).as("n_days"))
+        .select($"event_type",
+          ($"tot_dec".cast("double") / $"n_days").as("mean_x"),
+          $"n_days")
+      val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = daily.join(broadcast(means), "event_type")
+        .withColumn("dev", $"x_dec".cast("double") - $"mean_x")
+        .withColumn("cusum", sum($"dev").over(wOrd))
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"event_type")
+            .orderBy(abs(round($"cusum", 6)).desc, $"day")))
+      ranked.filter($"r" === 1)
+        .select($"event_type", $"day".as("cp_day"),
+          round(abs($"cusum"), 4).as("max_abs_cusum"), $"n_days")
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |         sum(CAST(value AS DECIMAL(18,6))) AS x_dec
+           |  FROM events GROUP BY 1, 2
+           |), means AS (
+           |  SELECT event_type,
+           |         CAST(sum(x_dec) AS DOUBLE) / count(*) AS mean_x,
+           |         count(*) AS n_days
+           |  FROM daily GROUP BY event_type
+           |), cus AS (
+           |  SELECT d.event_type, d.day, m.n_days,
+           |    sum(CAST(d.x_dec AS DOUBLE) - m.mean_x) OVER (
+           |      PARTITION BY d.event_type ORDER BY d.day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cusum
+           |  FROM daily d JOIN means m USING (event_type)
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY event_type
+           |    ORDER BY abs(round(cusum, 6)) DESC, day) AS r
+           |  FROM cus
+           |)
+           |SELECT event_type, day AS cp_day,
+           |       round(abs(cusum), 4) AS max_abs_cusum, n_days
+           |FROM ranked WHERE r = 1 ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
-    qWinsorize, qResample, qAggSessionWindow, qAggRegression)
+    qWinsorize, qResample, qAggSessionWindow, qAggRegression,
+    qChangePoint)
 }

@@ -1516,6 +1516,66 @@ object LLMOps {
             |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** E113: **weighted sampling WITHOUT replacement** — the third verb
+    * of the sampling family (E36 stratified rates, E70 mixture rates,
+    * E49 per-source caps): select a FIXED-SIZE sample of k=100 docs
+    * where a doc's inclusion odds scale with its source weight,
+    * without replacement (each doc at most once) and bit-reproducible
+    * on any engine/cluster/retry. The scheme is Efraimidis–Spirakis
+    * restricted to integer weights so it needs NO floating point at
+    * all: each doc draws w independent uniform integers from the
+    * sampling family's shared portable hash ([[knuthSpread]], distinct
+    * salts) and keeps the MAX as its sort key — "replicate w times,
+    * draw once each, keep the best", so a weight-3 doc holds the max
+    * of 3 draws and wins proportionally more top-k slots. rank by
+    * (key DESC, doc_id) is a TOTAL order over exact integers — the
+    * float-tie ambiguity of the ln(u)/w formulation (1-ulp `log`
+    * disagreements between engines flipping a rank) is impossible by
+    * construction. Plan shape: zero-shuffle key computation, then ONE
+    * TakeOrderedAndProject (top-k per partition, merged on the
+    * driver) — sampling 100 TB never sorts globally and never
+    * shuffles the corpus. */
+  val qSampleWeighted = Q("q_sample_weighted",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = regexp_extract($"source", "[0-9]+", 0)
+        .cast("long") % 3 + 1
+      def draw(j: Int) =
+        knuthSpread($"doc_id" + lit(j * 1000003L))
+      val keyed = docs(spark, sfDir)
+        .withColumn("w", w)
+        .withColumn("skey", greatest(
+          draw(1),
+          when($"w" >= 2, draw(2)).otherwise(lit(-1L)),
+          when($"w" >= 3, draw(3)).otherwise(lit(-1L))))
+      keyed.orderBy($"skey".desc, $"doc_id").limit(100)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), min($"w").as("w"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH wd AS (
+            |  SELECT source, doc_id,
+            |         CAST(regexp_extract(source, '[0-9]+') AS BIGINT)
+            |           % 3 + 1 AS w
+            |  FROM documents
+            |), keyed AS (
+            |  SELECT source, doc_id, w,
+            |    greatest(
+            |      ${knuthSpreadSql("(doc_id + 1000003)")},
+            |      CASE WHEN w >= 2
+            |        THEN ${knuthSpreadSql("(doc_id + 2000006)")}
+            |        ELSE -1 END,
+            |      CASE WHEN w >= 3
+            |        THEN ${knuthSpreadSql("(doc_id + 3000009)")}
+            |        ELSE -1 END) AS skey
+            |  FROM wd
+            |)
+            |SELECT source, count(*) AS n_kept,
+            |       CAST(min(w) AS BIGINT) AS w
+            |FROM (SELECT * FROM keyed
+            |      ORDER BY skey DESC, doc_id LIMIT 100) t
+            |GROUP BY source ORDER BY source""".stripMargin))
+
   // ------------------------------------------- mixture resampling
   /** Corpus mixture resampling — the data-MIXING verb that sits above
     * the stratified sample and the per-source cap: given per-source
@@ -2347,7 +2407,8 @@ object LLMOps {
     qTextBm25,
     qLangId, qQualityScore, qQualityRepetition, qQualityLm, qTokenCount,
     qFingerprint, qGenPosexplode, qSplitGroup,
-    qSampleStratified, qSampleMixture, qSamplePerSource, qChunkDocs,
+    qSampleStratified, qSampleMixture, qSamplePerSource, qSampleWeighted,
+    qChunkDocs,
     qScrubBlocklist,
     qScrubPii,
     qDecontaminate, qPackSequences, qUdfNorm, qUdafCentroid,

@@ -1594,6 +1594,111 @@ object Extras {
            |       (SELECT count(*) FROM l WHERE l_quantity IS NULL)
            |ORDER BY "check"""".stripMargin))
 
+  /** E115: **bounded-lookback debounce dedup** — the batch twin of the
+    * streaming `dropDuplicatesWithinWatermark` row (E43): drop an
+    * event when the SAME key (user, type) fired within the preceding
+    * hour — sensor chatter, double-submits, retry storms. The
+    * contract pinned here is DEBOUNCE (predecessor-within-gap drops
+    * the row, whether or not that predecessor itself survived), which
+    * is ONE `lag` over one keyed window — a single shuffle on the
+    * dedup key, state O(1) per row; the keep-first-per-burst variant
+    * is the session_window aggregate (E85) and the unbounded variant
+    * plain dropDuplicates (A6) — three well-defined semantics, three
+    * operators, never one ambiguous one. The oracle mirrors the
+    * identical lag window, and the output aggregates BOTH kept and
+    * dropped counts so a silently-inverted filter cannot hash-match. */
+  val qDedupDebounce = Q("q_dedup_debounce",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      Tables.read(spark, sfDir, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("is_dup", $"prev_us".isNotNull &&
+          unix_micros($"ts") - $"prev_us" < lit(3600L * 1000000L))
+        .groupBy($"event_type")
+        .agg(count(when(!$"is_dup", 1)).as("n_kept"),
+          count(when($"is_dup", 1)).as("n_dropped"),
+          round(sum(when(!$"is_dup", $"value").cast("decimal(18,6)")),
+            6).cast("double").as("sum_kept_value"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, event_id, value,
+           |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events
+           |), lagged AS (
+           |  SELECT event_type, value,
+           |    lag(us) OVER (PARTITION BY user_id, event_type
+           |                  ORDER BY us, event_id) AS prev_us, us
+           |  FROM ev
+           |), flagged AS (
+           |  SELECT event_type, value,
+           |    (prev_us IS NOT NULL AND us - prev_us < 3600000000)
+           |      AS is_dup
+           |  FROM lagged
+           |)
+           |SELECT event_type,
+           |       count(CASE WHEN NOT is_dup THEN 1 END) AS n_kept,
+           |       count(CASE WHEN is_dup THEN 1 END) AS n_dropped,
+           |       CAST(round(sum(CASE WHEN NOT is_dup
+           |           THEN CAST(value AS DECIMAL(18,6)) END), 6)
+           |         AS DOUBLE) AS sum_kept_value
+           |FROM flagged GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
+  /** E116: **distribution-drift scoring (chi-square distance)** — the
+    * second monitoring operator beside CUSUM (E114, which localizes a
+    * LEVEL shift in one metric): score how far each day's event-type
+    * MIX diverges from the corpus-wide mix, the canary for pipeline
+    * breakage that leaves volumes normal but reshuffles composition
+    * (a source going dark, a bot spike). chi²_d = Σ_t (share_dt −
+    * p_t)²/p_t over the day's type shares vs the global shares. All
+    * inputs are exact integer counts; the float expression is fixed
+    * and shallow (one division each, one 5-term sum) so engines agree
+    * to ~1e-15 and the 6-dp round pins parity. Shape: ONE fact-sized
+    * shuffle to (day, type) counts; day totals and global shares are
+    * dimension-sized aggregates broadcast back — drift-scoring 100 TB
+    * is the same one-pass rollup the daily report already runs. */
+  val qDriftChi2 = Q("q_drift_chi2",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dt = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n_dt"))
+      val dTot = dt.groupBy($"day").agg(sum($"n_dt").as("n_d"))
+      val tTot = dt.groupBy($"event_type").agg(sum($"n_dt").as("n_t"))
+      val nTot = dt.agg(sum($"n_dt").as("n"))
+      val pT = tTot.crossJoin(broadcast(nTot))
+        .select($"event_type",
+          ($"n_t".cast("double") / $"n").as("p_t"))
+      dt.join(broadcast(dTot), "day")
+        .join(broadcast(pT), "event_type")
+        .withColumn("share", $"n_dt".cast("double") / $"n_d")
+        .withColumn("term",
+          ($"share" - $"p_t") * ($"share" - $"p_t") / $"p_t")
+        .groupBy($"day")
+        .agg(round(sum($"term"), 6).as("chi2"),
+          sum($"n_dt").cast("long").as("n_events"))
+        .orderBy($"day")
+    },
+    Some("""WITH dt AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |         event_type, count(*) AS n_dt
+           |  FROM events GROUP BY 1, 2
+           |), dtot AS (SELECT day, sum(n_dt) AS n_d FROM dt GROUP BY day),
+           |ttot AS (SELECT event_type, sum(n_dt) AS n_t
+           |         FROM dt GROUP BY event_type),
+           |ntot AS (SELECT sum(n_dt) AS n FROM dt),
+           |pt AS (SELECT event_type, CAST(n_t AS DOUBLE) / (SELECT n
+           |         FROM ntot) AS p_t FROM ttot)
+           |SELECT day,
+           |  round(sum(pow(CAST(n_dt AS DOUBLE) / n_d - p_t, 2) / p_t),
+           |    6) AS chi2,
+           |  CAST(sum(n_dt) AS BIGINT) AS n_events
+           |FROM dt JOIN dtot USING (day) JOIN pt USING (event_type)
+           |GROUP BY day ORDER BY day""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -1601,5 +1706,6 @@ object Extras {
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,
     qSqlRecursive, qGapFill, qCacheReuse, qJoinHints, qSqlGroupByAll,
-    qSqlOrderedSet, qSqlPagination, qAuditConstraints)
+    qSqlOrderedSet, qSqlPagination, qAuditConstraints,
+    qDedupDebounce, qDriftChi2)
 }

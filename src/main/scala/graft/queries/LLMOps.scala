@@ -641,6 +641,96 @@ object LLMOps {
             |SELECT id AS doc_id, min(r) AS cluster_id
             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
 
+  /** E117: **PageRank over the near-dup graph** — the second iterative
+    * graph member beside connected components (E5): centrality on the
+    * ≥0.5-Jaccard pair graph ranks each cluster's best-connected
+    * documents (hub boilerplate scores high — a dedup-policy signal
+    * the canonical-selection rule E73 can consume). The contract is
+    * FIXED-ITERATION (3 rounds of pr ← 0.15/n + 0.85·Σ pr(in)/deg(in)
+    * from uniform init): a convergence-threshold loop would make the
+    * output depend on float-tail behavior; a fixed count makes both
+    * engines execute literally the same arithmetic DAG, so the oracle
+    * unrolls the identical three rounds as chained CTEs (every
+    * literal CAST to DOUBLE — DuckDB's bare 0.15 is DECIMAL and
+    * decimal/bigint division would diverge from Spark's double math).
+    * Execution is pregel-shape: each round is ONE join of edges
+    * against the current rank vector + ONE shuffle back to node
+    * grain, with `localCheckpoint` truncating lineage per round
+    * (the E5 discipline — an uncheckpointed loop re-executes every
+    * prior round on each action and overflows the planner at real
+    * depth). Node count n is a driver scalar (dimension-sized, like
+    * E5's convergence check). Symmetric edges mean outdeg ≥ 1 — no
+    * dangling-mass term needed; rounds are fact-sized joins only in
+    * edge count, never doc². */
+  val qPagerank = Q("q_pagerank",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val p = ngramPairs(spark, sfDir).select($"d1", $"d2")
+      val edges = p.select($"d1".as("src"), $"d2".as("dst"))
+        .unionAll(p.select($"d2".as("src"), $"d1".as("dst")))
+        .localCheckpoint()
+      val nodes = edges.select($"src".as("id")).distinct()
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val n = nodes.count()
+      def round3(prIn: DataFrame): DataFrame = {
+        val contrib = edges.as("e")
+          .join(prIn.as("p"), $"e.src" === $"p.id")
+          .join(deg.as("g"), $"e.src" === $"g.src")
+          .select($"e.dst".as("id"), ($"p.pr" / $"g.deg").as("c"))
+          .groupBy($"id").agg(sum($"c").as("inb"))
+        nodes.as("nd")
+          .join(contrib.as("cb"), $"nd.id" === $"cb.id", "left")
+          .select($"nd.id".as("id"),
+            (lit(0.15 / n) +
+              lit(0.85) * coalesce($"cb.inb", lit(0.0))).as("pr"))
+          .localCheckpoint()
+      }
+      val pr3 = (1 to 3).foldLeft(
+        nodes.withColumn("pr", lit(1.0 / n)))((d, _) => round3(d))
+      pr3.select($"id".as("doc_id"),
+          round($"pr" * n, 6).as("pr_scaled"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $pairsCte, edges AS (
+            |  SELECT d1 AS src, d2 AS dst FROM pairs
+            |  UNION ALL SELECT d2, d1 FROM pairs
+            |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+            |dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            |nn AS (SELECT count(*) AS n FROM nodes),
+            |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+            |        AS pr FROM nodes),
+            |it1 AS (
+            |  SELECT nodes.id,
+            |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+            |    CAST(0.85 AS DOUBLE) * coalesce(s.inb, 0) AS pr
+            |  FROM nodes LEFT JOIN (
+            |    SELECT e.dst AS id, sum(p.pr / d.deg) AS inb
+            |    FROM edges e JOIN pr0 p ON p.id = e.src
+            |    JOIN dg d ON d.src = e.src GROUP BY e.dst) s
+            |  USING (id)
+            |), it2 AS (
+            |  SELECT nodes.id,
+            |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+            |    CAST(0.85 AS DOUBLE) * coalesce(s.inb, 0) AS pr
+            |  FROM nodes LEFT JOIN (
+            |    SELECT e.dst AS id, sum(p.pr / d.deg) AS inb
+            |    FROM edges e JOIN it1 p ON p.id = e.src
+            |    JOIN dg d ON d.src = e.src GROUP BY e.dst) s
+            |  USING (id)
+            |), it3 AS (
+            |  SELECT nodes.id,
+            |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+            |    CAST(0.85 AS DOUBLE) * coalesce(s.inb, 0) AS pr
+            |  FROM nodes LEFT JOIN (
+            |    SELECT e.dst AS id, sum(p.pr / d.deg) AS inb
+            |    FROM edges e JOIN it2 p ON p.id = e.src
+            |    JOIN dg d ON d.src = e.src GROUP BY e.dst) s
+            |  USING (id)
+            |)
+            |SELECT id AS doc_id,
+            |       round(pr * (SELECT n FROM nn), 6) AS pr_scaled
+            |FROM it3 ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------- canonical selection
   /** Canonical-document selection — the policy step AFTER clustering:
     * a near-dup cluster must keep exactly one representative, and
@@ -2400,6 +2490,7 @@ object LLMOps {
   val all: Seq[Q] = Seq(qDedupExact, qDedupIncremental, qDedupMinhash,
     qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupCanonical, qDedupEmbed,
+    qPagerank,
     qQuantizeEmbed,
     qSimCosineTopk,
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,

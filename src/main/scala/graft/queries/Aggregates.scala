@@ -708,10 +708,85 @@ object Aggregates {
            |       round(abs(cusum), 4) AS max_abs_cusum, n_days
            |FROM ranked WHERE r = 1 ORDER BY event_type""".stripMargin))
 
+  /** E118: **Spearman rank correlation** — the robust complement to
+    * E10's Pearson family: monotone association that ignores outliers
+    * and nonlinear-but-monotone scales (exactly what a quality-score
+    * vs. engagement audit wants when one axis is heavy-tailed).
+    * Neither engine ships a Spearman aggregate, so it is composed
+    * from primitives BOTH engines define identically — and, unlike a
+    * float-accumulating `corr`, every intermediate here is EXACT
+    * integer arithmetic:
+    *
+    *   - tie-corrected average rank, doubled so it stays integral:
+    *     2·avgrank = 2·rank_min + (ties−1) = rank_min + rank_max
+    *     (one `rank()` window + one `count()` over the value
+    *     partition — no joins);
+    *   - Pearson on the doubled ranks via the five raw sums
+    *     (n, Σu, Σv, Σuv, Σu², Σv²) in DECIMAL(38,0) — the ×2 scale
+    *     cancels in the ratio, and integer sums are
+    *     accumulation-order-independent, so AQE re-partitioning can
+    *     never flip a bit;
+    *   - ONE double division + sqrt at the output edge, rounded 6dp.
+    *
+    * Shape: two rank windows (one shuffle each on the group key — at
+    * 100 TB these are sort-based and spill-safe) then one hash agg.
+    * The denominator sums fit DECIMAL(38,0) up to ~10⁹ rows per
+    * group; beyond that the documented path is the KLL sketch (E61)
+    * feeding approximate ranks. */
+  val qAggSpearman = Q("q_agg_spearman",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = Tables.read(spark, sfDir, "lineitem")
+        .select($"l_returnflag".as("g"), $"l_quantity".as("x"),
+          $"l_extendedprice".as("y"))
+      val u = (lit(2) * rank().over(Window.partitionBy($"g").orderBy($"x"))
+        + count(lit(1)).over(Window.partitionBy($"g", $"x")) - 1)
+        .cast("decimal(38,0)")
+      val v = (lit(2) * rank().over(Window.partitionBy($"g").orderBy($"y"))
+        + count(lit(1)).over(Window.partitionBy($"g", $"y")) - 1)
+        .cast("decimal(38,0)")
+      base.withColumn("u", u).withColumn("v", v)
+        .groupBy($"g")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum($"u").as("su"), sum($"v").as("sv"),
+          sum($"u" * $"v").as("suv"),
+          sum($"u" * $"u").as("su2"), sum($"v" * $"v").as("sv2"))
+        .select($"g".as("l_returnflag"), $"n".cast("long").as("n"),
+          round(($"n" * $"suv" - $"su" * $"sv").cast("double") /
+            sqrt(($"n" * $"su2" - $"su" * $"su").cast("double") *
+              ($"n" * $"sv2" - $"sv" * $"sv").cast("double")), 6)
+            .as("rho_spearman"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT l_returnflag AS g,
+           |    CAST(2 * rank() OVER (PARTITION BY l_returnflag
+           |           ORDER BY l_quantity)
+           |       + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+           |       - 1 AS HUGEINT) AS u,
+           |    CAST(2 * rank() OVER (PARTITION BY l_returnflag
+           |           ORDER BY l_extendedprice)
+           |       + count(*) OVER (PARTITION BY l_returnflag,
+           |           l_extendedprice)
+           |       - 1 AS HUGEINT) AS v
+           |  FROM lineitem
+           |), sums AS (
+           |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+           |         sum(u) AS su, sum(v) AS sv, sum(u * v) AS suv,
+           |         sum(u * u) AS su2, sum(v * v) AS sv2
+           |  FROM ranked GROUP BY g
+           |)
+           |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           |  round(CAST(n * suv - su * sv AS DOUBLE) /
+           |    sqrt(CAST(n * su2 - su * su AS DOUBLE) *
+           |         CAST(n * sv2 - sv * sv AS DOUBLE)), 6)
+           |    AS rho_spearman
+           |FROM sums ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
-    qChangePoint)
+    qChangePoint, qAggSpearman)
 }

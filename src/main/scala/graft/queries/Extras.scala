@@ -1699,6 +1699,169 @@ object Extras {
            |FROM dt JOIN dtot USING (day) JOIN pt USING (event_type)
            |GROUP BY day ORDER BY day""".stripMargin))
 
+  /** E119: **gaps-and-islands streak detection** — consecutive-day
+    * activity runs per user (the DAU-streak / habit metric, and the
+    * generic "contiguous run" primitive behind uptime spans and
+    * coverage gaps). The classic O(n) trick: within each user, a day's
+    * island anchor is `day − row_number()` — constant across a
+    * consecutive run, strictly decreasing across a gap — so ONE ranking
+    * window + TWO hash aggs replace any self-join formulation (the
+    * naive day-vs-day+1 join is quadratic under skew and unindexable
+    * at 100 TB). Shape: distinct (user, day) collapses the fact table
+    * first (facts-per-user-day can be millions at scale; the distinct
+    * is the only fact-sized shuffle), then everything is
+    * user-day-sized. Tie-safety: distinct days make row_number
+    * deterministic without a tiebreak. */
+  val qStreaks = Q("q_streaks",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val days = Tables.read(spark, sfDir, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      days
+        .withColumn("anchor", date_sub($"day", row_number().over(w)))
+        .groupBy($"user_id", $"anchor")
+        .agg(count(lit(1)).as("len"))
+        .groupBy($"user_id")
+        .agg(max($"len").as("max_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum($"len").cast("long").as("active_days"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH days AS (
+           |  SELECT DISTINCT user_id,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           |  FROM events
+           |), isl AS (
+           |  SELECT user_id,
+           |    day - CAST(row_number() OVER (PARTITION BY user_id
+           |                ORDER BY day) AS INTEGER) AS anchor
+           |  FROM days
+           |), streaks AS (
+           |  SELECT user_id, anchor, count(*) AS len
+           |  FROM isl GROUP BY user_id, anchor
+           |)
+           |SELECT user_id, max(len) AS max_streak,
+           |       count(*) AS n_streaks,
+           |       CAST(sum(len) AS BIGINT) AS active_days
+           |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** E120: **interval coalescing** — merge each customer's overlapping
+    * [orderdate, orderdate+7d) service windows into disjoint covered
+    * spans (the entitlement/coverage flattening every billing and
+    * SCD-maintenance pipeline needs; also the island primitive E119
+    * generalized from points to intervals). Algorithm: per key, sort
+    * by start and mark a new span whenever start > max(end) over all
+    * PRECEDING rows — one running-max window + one running-sum window
+    * to assign span ids, then two hash aggs; never a self-join (the
+    * interval-vs-interval join is quadratic on dense keys). All
+    * arithmetic on exact epoch-day INTEGERS (dates → days since
+    * 1970-01-01), so the running max is bit-exact and
+    * tie-order-independent: among duplicate (start,end) rows exactly
+    * one opens the span regardless of their relative order. Shape: one
+    * shuffle on the key; windows are sort-based and spill-safe at
+    * 100 TB. */
+  val qIntervalMerge = Q("q_interval_merge",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val iv = Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey",
+          datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+            .as("s"))
+        .withColumn("e", $"s" + 7)
+      val before = Window.partitionBy($"o_custkey").orderBy($"s", $"e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val upto = Window.partitionBy($"o_custkey").orderBy($"s", $"e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv.withColumn("prev_e", max($"e").over(before))
+        .withColumn("opens",
+          ($"prev_e".isNull || $"s" > $"prev_e").cast("int"))
+        .withColumn("span", sum($"opens").over(upto))
+        .groupBy($"o_custkey", $"span")
+        .agg(min($"s").as("ms"), max($"e").as("me"),
+          count(lit(1)).as("n_in"))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_spans"),
+          sum($"n_in").cast("long").as("n_intervals"),
+          sum($"me" - $"ms").cast("long").as("covered_days"))
+        .orderBy($"o_custkey")
+    },
+    Some("""WITH iv AS (
+           |  SELECT o_custkey,
+           |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |      AS INTEGER) AS s,
+           |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |      AS INTEGER) + 7 AS e
+           |  FROM orders
+           |), marked AS (
+           |  SELECT o_custkey, s, e,
+           |    max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS prev_e
+           |  FROM iv
+           |), opened AS (
+           |  SELECT o_custkey, s, e,
+           |    CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END
+           |      AS opens
+           |  FROM marked
+           |), spans AS (
+           |  SELECT o_custkey, s, e,
+           |    sum(opens) OVER (PARTITION BY o_custkey ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS span
+           |  FROM opened
+           |), merged AS (
+           |  SELECT o_custkey, span, min(s) AS ms, max(e) AS me,
+           |         count(*) AS n_in
+           |  FROM spans GROUP BY o_custkey, span
+           |)
+           |SELECT o_custkey, count(*) AS n_spans,
+           |       CAST(sum(n_in) AS BIGINT) AS n_intervals,
+           |       CAST(sum(me - ms) AS BIGINT) AS covered_days
+           |FROM merged GROUP BY o_custkey ORDER BY o_custkey"""
+      .stripMargin))
+
+  /** E121: **Markov transition matrix** — the first-order sequence
+    * model over each user's event stream: P(next type | current type),
+    * the baseline behind next-action prediction, bot detection
+    * (improbable transition chains), and journey visualization. ONE
+    * `lead` window per user (total order pinned by (ts, event_id) so
+    * simultaneous events cannot flip pairs), one hash agg to the
+    * (from, to) grain — after which the matrix is |types|² ≈ 25 rows
+    * regardless of corpus size, so the row-normalizing window runs on
+    * a dimension-sized frame. The probability division is ONE double
+    * op on exact integer counts, rounded 6dp. Shape: one fact-sized
+    * shuffle (the per-user window), one dimension-sized everything
+    * else — the transition matrix of a 100 TB clickstream costs one
+    * sort. */
+  val qMarkovTransitions = Q("q_markov_transitions",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.read(spark, sfDir, "events")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round($"n".cast("double") /
+          sum($"n").over(Window.partitionBy($"from_type")), 6))
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""WITH seq AS (
+           |  SELECT event_type AS from_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS to_type
+           |  FROM events
+           |), counts AS (
+           |  SELECT from_type, to_type, count(*) AS n
+           |  FROM seq WHERE to_type IS NOT NULL
+           |  GROUP BY from_type, to_type
+           |)
+           |SELECT from_type, to_type, n,
+           |  round(CAST(n AS DOUBLE) /
+           |    sum(n) OVER (PARTITION BY from_type), 6) AS p
+           |FROM counts ORDER BY from_type, to_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -1707,5 +1870,6 @@ object Extras {
     qRetentionCohort, qProfileHistogram, qProfileTopValues,
     qSqlRecursive, qGapFill, qCacheReuse, qJoinHints, qSqlGroupByAll,
     qSqlOrderedSet, qSqlPagination, qAuditConstraints,
-    qDedupDebounce, qDriftChi2)
+    qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
+    qMarkovTransitions)
 }

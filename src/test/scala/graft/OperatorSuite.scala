@@ -1203,4 +1203,83 @@ class OperatorSuite extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === want, "drained result must equal the batch answer")
   }
+
+  test("Spearman: exact integer-rank form matches the float-rank corr") {
+    // E118's claim is that the DECIMAL(38,0) five-sum formulation is
+    // Pearson-on-average-ranks, exactly. Recompute rho the naive way
+    // (float average ranks + built-in corr) and require agreement to
+    // well inside the 6dp output rounding; also pin the range bound.
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.read(spark, sf, "lineitem")
+      .select($"l_returnflag".as("g"), $"l_quantity".as("x"),
+        $"l_extendedprice".as("y"))
+    def avgRank(c: String) =
+      rank().over(Window.partitionBy($"g").orderBy(col(c)))
+        .cast("double") +
+        (count(lit(1)).over(Window.partitionBy($"g", col(c)))
+          .cast("double") - 1) / 2
+    val naive = base
+      .withColumn("ru", avgRank("x")).withColumn("rv", avgRank("y"))
+      .groupBy($"g").agg(corr($"ru", $"rv").as("rho"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Aggregates.qAggSpearman.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(exact.keySet === naive.keySet)
+    exact.foreach { case (g, rho) =>
+      assert(math.abs(rho) <= 1.0 + 1e-12)
+      assert(math.abs(rho - naive(g)) < 1e-6,
+        s"group $g: exact $rho vs naive ${naive(g)}")
+    }
+  }
+
+  test("streaks: active days conserved, max streak bounded") {
+    // E119 conservation: Σ active_days over users == |distinct
+    // (user, day)| — the island regrouping may never drop or double a
+    // day; and per user max_streak ≤ active_days with ≥1 streak.
+    val res = graft.queries.Extras.qStreaks.fn(spark, sf).collect()
+    val distinctDays = Tables.read(spark, sf, "events")
+      .select($"user_id", to_date($"ts")).distinct().count()
+    assert(res.map(_.getLong(3)).sum === distinctDays)
+    res.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3), "max_streak <= active_days")
+      assert(r.getLong(2) >= 1L, "every present user has >=1 streak")
+    }
+  }
+
+  test("interval merge: span bounds and length conservation hold") {
+    // E120: per key, merged spans can neither cover more than the sum
+    // of the inputs (7d each) nor less than one interval; span count
+    // never exceeds input count; input intervals are conserved.
+    val res = graft.queries.Extras.qIntervalMerge.fn(spark, sf).collect()
+    val perCust = Tables.read(spark, sf, "orders")
+      .groupBy($"o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.length === perCust.size)
+    res.foreach { r =>
+      val (cust, nSpans, nIn, covered) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nIn === perCust(cust), "every input interval accounted for")
+      assert(nSpans <= nIn)
+      assert(covered >= 7L && covered <= 7L * nIn,
+        s"cust $cust covered=$covered outside [7, ${7 * nIn}]")
+    }
+  }
+
+  test("markov transitions: row-stochastic and pair-conserving") {
+    // E121: Σ n over the matrix == (events − users-with-events) — each
+    // user contributes exactly count-1 consecutive pairs; each row of
+    // the matrix sums to probability 1 (within 6dp rounding of ≤5
+    // cells).
+    val res = graft.queries.Extras.qMarkovTransitions.fn(spark, sf)
+      .collect()
+    val ev = Tables.read(spark, sf, "events")
+    val expectedPairs = ev.count() -
+      ev.select($"user_id").distinct().count()
+    assert(res.map(_.getLong(2)).sum === expectedPairs)
+    res.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val pSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 5e-6,
+        s"row $from sums to $pSum, not 1")
+    }
+  }
 }

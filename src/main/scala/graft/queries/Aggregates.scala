@@ -783,10 +783,60 @@ object Aggregates {
            |    AS rho_spearman
            |FROM sums ORDER BY l_returnflag""".stripMargin))
 
+  /** E124: **exact ROC-AUC** — the evaluation aggregate for any scored
+    * binary outcome (does `value` predict a purchase?): AUC equals the
+    * Mann-Whitney U statistic, so it is computable EXACTLY from ranks —
+    * no curve discretization, no trapezoids. Same integer discipline as
+    * Spearman (E118): doubled tie-averaged ranks u = 2·rank_min +
+    * ties − 1 keep every intermediate integral, and
+    * AUC = (Σu⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) does ONE double division at
+    * the edge, rounded 6dp — accumulation-order-independent, so AQE
+    * cannot flip a bit. The rank window is GLOBAL (one sort) — correct
+    * here and honest about scale: at 100 TB the documented path is
+    * per-key AUC (add partitionBy) or KLL-sketch (E61) approximate
+    * ranks; a single global exact AUC over 10¹² rows is a sort-merge
+    * any engine must pay for. */
+  val qAuc = Q("q_auc",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val scored = Tables.read(spark, sfDir, "events")
+        .select($"value".as("s"),
+          ($"event_type" === "purchase").cast("int").as("y"))
+      val u = (lit(2) * rank().over(Window.orderBy($"s"))
+        + count(lit(1)).over(Window.partitionBy($"s")) - 1).cast("long")
+      scored.withColumn("u", u)
+        .agg(sum($"y").cast("long").as("n_pos"),
+          sum(lit(1) - $"y").cast("long").as("n_neg"),
+          sum(when($"y" === 1, $"u")).cast("long").as("su_pos"))
+        .select($"n_pos", $"n_neg",
+          round(($"su_pos" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+            ($"n_pos" * $"n_neg" * 2L).cast("double"), 6).as("auc"))
+    },
+    Some("""WITH scored AS (
+           |  SELECT value AS s,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           |  FROM events
+           |), ranked AS (
+           |  SELECT y,
+           |    CAST(2 * rank() OVER (ORDER BY s)
+           |       + count(*) OVER (PARTITION BY s) - 1 AS BIGINT) AS u
+           |  FROM scored
+           |), sums AS (
+           |  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+           |         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+           |         CAST(sum(CASE WHEN y = 1 THEN u END) AS BIGINT)
+           |           AS su_pos
+           |  FROM ranked
+           |)
+           |SELECT n_pos, n_neg,
+           |  round(CAST(su_pos - n_pos * (n_pos + 1) AS DOUBLE) /
+           |        CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+           |FROM sums""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
-    qChangePoint, qAggSpearman)
+    qChangePoint, qAggSpearman, qAuc)
 }

@@ -1862,6 +1862,113 @@ object Extras {
            |    sum(n) OVER (PARTITION BY from_type), 6) AS p
            |FROM counts ORDER BY from_type, to_type""".stripMargin))
 
+  /** E122: **market-basket pair mining** — co-occurrence counts with
+    * support and lift (the pairwise core of frequent-itemset mining;
+    * also the co-citation / co-click primitive): which part BRANDS are
+    * ordered together more than their popularity predicts. The key
+    * scale decision is the pairing grain: pairing raw items is
+    * |basket|²·|corpus| with an unbounded key space, so the fact side
+    * first collapses to distinct (order, brand) — brand is a BOUNDED
+    * attribute (broadcast dim join), making pairs-per-basket ≤ C(25,2)
+    * and the output dimension-sized no matter the corpus. Then ONE
+    * self-equi-join on the basket key (shuffle on orderkey; never a
+    * cross), the `<` on brand emitting each unordered pair once, a
+    * hash agg, and lift = n_ab·N/(n_a·n_b) computed in one double
+    * expression on exact counts at the edge. Support floor ≥20 keeps
+    * the answer the analyst's shortlist, not the long tail. */
+  val qBasketPairs = Q("q_basket_pairs",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ob = Tables.read(spark, sfDir, "lineitem")
+        .join(broadcast(Tables.read(spark, sfDir, "part")
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"p_brand").distinct()
+      val nOrders = ob.select($"l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val nBrand = ob.groupBy($"p_brand").agg(count(lit(1)).as("n_b"))
+      ob.as("a")
+        .join(ob.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.p_brand") < col("b.p_brand"))
+        .groupBy(col("a.p_brand").as("brand_a"),
+          col("b.p_brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 20)
+        .join(broadcast(nBrand.withColumnRenamed("p_brand", "brand_a")
+          .withColumnRenamed("n_b", "n_a")), "brand_a")
+        .join(broadcast(nBrand.withColumnRenamed("p_brand", "brand_b")),
+          "brand_b")
+        .crossJoin(broadcast(nOrders))
+        .select($"brand_a", $"brand_b", $"n_ab",
+          round($"n_ab".cast("double") * $"n_orders" /
+            ($"n_a" * $"n_b"), 6).as("lift"))
+        .orderBy($"brand_a", $"brand_b")
+    },
+    Some("""WITH ob AS (
+           |  SELECT DISTINCT l_orderkey, p_brand
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |), norders AS (
+           |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob
+           |), nbrand AS (
+           |  SELECT p_brand, count(*) AS n_b FROM ob GROUP BY p_brand
+           |), pairs AS (
+           |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           |         count(*) AS n_ab
+           |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+           |    AND a.p_brand < b.p_brand
+           |  GROUP BY 1, 2 HAVING count(*) >= 20
+           |)
+           |SELECT brand_a, brand_b, n_ab,
+           |  round(CAST(n_ab AS DOUBLE) * (SELECT n_orders FROM norders)
+           |    / (na.n_b * nb.n_b), 6) AS lift
+           |FROM pairs
+           |  JOIN nbrand na ON na.p_brand = brand_a
+           |  JOIN nbrand nb ON nb.p_brand = brand_b
+           |ORDER BY brand_a, brand_b""".stripMargin))
+
+  /** E123: **2D skyline (Pareto frontier)** — the parts no other part
+    * beats on BOTH axes (cheaper price AND bigger size): the
+    * multi-objective shortlist behind supplier selection and any
+    * cost-vs-capability tradeoff. The naive dominance formulation is an
+    * O(n²) inequality self-join (a nested-loop at any scale); the 2D
+    * case is LINEAR instead: collapse to the per-price best size (one
+    * hash agg — equal prices can only dominate through their max), sort
+    * the now-DISTINCT prices, and keep a price iff its best size beats
+    * the running max over all strictly-cheaper prices. After the
+    * pre-agg the window runs over |distinct prices| rows — the same
+    * mergeable local-skyline-then-merge shape that distributes: each
+    * partition's skyline is a superset of its contribution to the
+    * global one. Tie-safe by construction: the window orders DISTINCT
+    * exact doubles. */
+  val qSkyline = Q("q_skyline",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val best = Tables.read(spark, sfDir, "part")
+        .groupBy($"p_retailprice")
+        .agg(max($"p_size").as("best_size"), count(lit(1)).as("n_parts"))
+      val w = Window.orderBy($"p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      best.withColumn("prev_best", max($"best_size").over(w))
+        .filter($"prev_best".isNull || $"best_size" > $"prev_best")
+        .select($"p_retailprice", $"best_size", $"n_parts")
+        .orderBy($"p_retailprice")
+    },
+    Some("""WITH best AS (
+           |  SELECT p_retailprice, max(p_size) AS best_size,
+           |         count(*) AS n_parts
+           |  FROM part GROUP BY p_retailprice
+           |), marked AS (
+           |  SELECT p_retailprice, best_size, n_parts,
+           |    max(best_size) OVER (ORDER BY p_retailprice
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS prev_best
+           |  FROM best
+           |)
+           |SELECT p_retailprice, best_size, n_parts
+           |FROM marked
+           |WHERE prev_best IS NULL OR best_size > prev_best
+           |ORDER BY p_retailprice""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -1871,5 +1978,5 @@ object Extras {
     qSqlRecursive, qGapFill, qCacheReuse, qJoinHints, qSqlGroupByAll,
     qSqlOrderedSet, qSqlPagination, qAuditConstraints,
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
-    qMarkovTransitions)
+    qMarkovTransitions, qBasketPairs, qSkyline)
 }

@@ -1265,6 +1265,64 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("basket pairs: support floor, canonical order, count bounds") {
+    // E122: each pair appears once (brand_a < brand_b), clears the
+    // support floor, and can never exceed the smaller brand's basket
+    // count (n_ab ≤ min(n_a, n_b) — pigeonhole on baskets).
+    val ob = Tables.read(spark, sf, "lineitem")
+      .join(Tables.read(spark, sf, "part"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+    val nBrand = ob.groupBy($"p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val res = graft.queries.Extras.qBasketPairs.fn(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (a, b, nAb) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(nAb >= 20L, "support floor violated")
+      assert(nAb <= math.min(nBrand(a), nBrand(b)),
+        s"pair ($a,$b): n_ab=$nAb exceeds a brand's basket count")
+    }
+  }
+
+  test("skyline equals brute-force Pareto frontier") {
+    // E123: the linear running-max form must return exactly the
+    // undominated (price, max-size-at-price) points — checked against
+    // O(n²) dominance on the collected fixture.
+    val parts = Tables.read(spark, sf, "part")
+      .select($"p_retailprice", $"p_size").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val byPrice = parts.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.map(_._2).max, xs.length.toLong)
+    }.toSeq
+    val brute = byPrice.filter { case (p, s, _) =>
+      !byPrice.exists { case (p2, s2, _) =>
+        (p2 < p && s2 >= s) || (p2 == p && s2 > s)
+      }
+    }.sortBy(_._1)
+    val got = graft.queries.Extras.qSkyline.fn(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === brute)
+  }
+
+  test("AUC equals brute-force pairwise Mann-Whitney") {
+    // E124: rank formula vs the definition — over all (pos, neg)
+    // pairs, score 1 for pos>neg, ½ for ties, normalized.
+    val rows = Tables.read(spark, sf, "events")
+      .select($"value", ($"event_type" === "purchase")).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val brute = wins / (pos.length.toDouble * neg.length)
+    val r = Aggregates.qAuc.fn(spark, sf).head()
+    assert(r.getLong(0) === pos.length.toLong)
+    assert(r.getLong(1) === neg.length.toLong)
+    assert(math.abs(r.getDouble(2) - brute) < 1e-6)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

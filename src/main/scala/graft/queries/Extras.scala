@@ -1969,6 +1969,145 @@ object Extras {
            |WHERE prev_best IS NULL OR best_size > prev_best
            |ORDER BY p_retailprice""".stripMargin))
 
+  /** E125: **linear gap interpolation** — the numeric twin of LOCF
+    * gap-fill (E59): missing days in a per-series daily metric get the
+    * straight line between their known neighbors (LOCF answers "what
+    * was the last reading", interpolation answers "what was the level
+    * trend" — dashboards and feature pipelines want both, so they are
+    * separate operators with separate contracts; endpoints beyond the
+    * first/last known point take the nearest known value). Execution:
+    * ONE fact-sized shuffle collapses events to (series, day) with an
+    * exact DECIMAL mean; the spine and everything after is
+    * dimension-sized (≤ |series|·|days| rows regardless of fact
+    * volume). Neighbor lookup is two frame-bounded windows with
+    * IGNORE NULLS (`last` over preceding, `first` over following) —
+    * no self-join, no explode-to-pairs. The interpolation expression
+    * is shallow double math on exact day distances, rounded 6dp at
+    * the edge. */
+  val qInterpolate = Q("q_interpolate",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg((sum($"value".cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("v"))
+      val spine = daily.groupBy($"event_type")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"event_type", explode(sequence($"d0", $"d1")).as("day"))
+      val ord = Window.partitionBy($"event_type").orderBy($"day")
+      val known = when($"v".isNotNull,
+        struct($"day".as("d"), $"v".as("x")))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("pv", last(known, ignoreNulls = true)
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nv", first(known, ignoreNulls = true)
+          .over(ord.rowsBetween(1, Window.unboundedFollowing)))
+        .select($"event_type", $"day",
+          round(when($"v".isNotNull, $"v")
+            .when($"pv".isNull, $"nv.x")
+            .when($"nv".isNull, $"pv.x")
+            .otherwise($"pv.x" + ($"nv.x" - $"pv.x") *
+              datediff($"day", $"pv.d").cast("double") /
+              datediff($"nv.d", $"pv.d").cast("double")), 6)
+            .as("v_filled"),
+          $"v".isNull.as("interpolated"))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           |           / count(*) AS v
+           |  FROM events GROUP BY 1, 2
+           |), bounds AS (
+           |  SELECT event_type, min(day) AS d0, max(day) AS d1
+           |  FROM daily GROUP BY 1
+           |), spine AS (
+           |  SELECT event_type,
+           |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+           |      AS DATE) AS day
+           |  FROM bounds
+           |), j AS (
+           |  SELECT s.event_type, s.day, d.v
+           |  FROM spine s LEFT JOIN daily d USING (event_type, day)
+           |), neigh AS (
+           |  SELECT event_type, day, v,
+           |    last_value(CASE WHEN v IS NOT NULL THEN day END
+           |      IGNORE NULLS) OVER (PARTITION BY event_type
+           |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND 1 PRECEDING) AS pd,
+           |    last_value(CASE WHEN v IS NOT NULL THEN v END
+           |      IGNORE NULLS) OVER (PARTITION BY event_type
+           |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND 1 PRECEDING) AS px,
+           |    first_value(CASE WHEN v IS NOT NULL THEN day END
+           |      IGNORE NULLS) OVER (PARTITION BY event_type
+           |      ORDER BY day ROWS BETWEEN 1 FOLLOWING
+           |      AND UNBOUNDED FOLLOWING) AS nd,
+           |    first_value(CASE WHEN v IS NOT NULL THEN v END
+           |      IGNORE NULLS) OVER (PARTITION BY event_type
+           |      ORDER BY day ROWS BETWEEN 1 FOLLOWING
+           |      AND UNBOUNDED FOLLOWING) AS nx
+           |  FROM j
+           |)
+           |SELECT event_type, day,
+           |  round(CASE WHEN v IS NOT NULL THEN v
+           |             WHEN px IS NULL THEN nx
+           |             WHEN nx IS NULL THEN px
+           |             ELSE px + (nx - px) *
+           |               CAST(day - pd AS DOUBLE) /
+           |               CAST(nd - pd AS DOUBLE) END, 6) AS v_filled,
+           |  (v IS NULL) AS interpolated
+           |FROM neigh ORDER BY event_type, day""".stripMargin))
+
+  /** E126: **Benford leading-digit audit** — the forensic data-quality
+    * screen: natural multi-scale amounts follow P(d) = log10(1+1/d);
+    * fabricated or truncated feeds don't (the classic fraud /
+    * broken-ETL canary, a fourth monitoring operator beside E114/E116/
+    * E41). The digit extraction dodges every float trap: amounts →
+    * exact integer cents (one multiply + round — 2-decimal data is
+    * ulp-safe), then INTEGER→string, whose first character both
+    * engines produce identically (never double→string, whose
+    * formatting is engine-specific). One hash agg to 9 rows; shares
+    * and the log10 reference are shallow double math on a
+    * dimension-sized frame, rounded 6dp. */
+  val qBenford = Q("q_benford",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val digits = Tables.read(spark, sfDir, "orders")
+        .select(substring(round($"o_totalprice" * 100, 0)
+          .cast("long").cast("string"), 1, 1).cast("int")
+          .as("leading_digit"))
+        .groupBy($"leading_digit").agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy()
+      digits
+        .withColumn("share",
+          $"n".cast("double") / sum($"n").over(tot))
+        .withColumn("benford",
+          log10(lit(1.0) + lit(1.0) / $"leading_digit"))
+        .select($"leading_digit", $"n", round($"share", 6).as("share"),
+          round($"benford", 6).as("benford"),
+          round(abs($"share" - $"benford"), 6).as("abs_dev"))
+        .orderBy($"leading_digit")
+    },
+    Some("""WITH digits AS (
+           |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+           |           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+           |           AS leading_digit
+           |  FROM orders
+           |), counted AS (
+           |  SELECT leading_digit, count(*) AS n
+           |  FROM digits GROUP BY leading_digit
+           |)
+           |SELECT leading_digit, n,
+           |  round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share,
+           |  round(log10(CAST(1 AS DOUBLE)
+           |    + CAST(1 AS DOUBLE) / leading_digit), 6) AS benford,
+           |  round(abs(CAST(n AS DOUBLE) / sum(n) OVER ()
+           |    - log10(CAST(1 AS DOUBLE)
+           |      + CAST(1 AS DOUBLE) / leading_digit)), 6) AS abs_dev
+           |FROM counted ORDER BY leading_digit""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -1978,5 +2117,6 @@ object Extras {
     qSqlRecursive, qGapFill, qCacheReuse, qJoinHints, qSqlGroupByAll,
     qSqlOrderedSet, qSqlPagination, qAuditConstraints,
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
-    qMarkovTransitions, qBasketPairs, qSkyline)
+    qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
+    qBenford)
 }

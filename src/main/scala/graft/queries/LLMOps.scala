@@ -1298,6 +1298,49 @@ object LLMOps {
            |SELECT lang, term, cnt, rank FROM ranked
            |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin))
 
+  /** E127: **bigram frequency table** — the order-2 companion to the
+    * unigram TF table (X5/E37/E112 stop at order 1): corpus-wide
+    * adjacent-pair counts, the raw material for collocation mining,
+    * boilerplate detection (high-frequency bigrams are template
+    * phrases), and the bigram LM the E112 scaladoc points to. Pairing
+    * is ONE `lead` over the (doc, position) window — adjacency comes
+    * from the tokenizer's own positions, never a self-join on pos+1
+    * (same data, one shuffle instead of two map-sized join sides).
+    * After the pair agg the frame is vocabulary²-sized but Zipf-thin
+    * in practice; the top-100 is a TakeOrderedAndProject (bounded
+    * per-partition heaps, no global sort) with the (n, w1, w2) total
+    * order making the cut deterministic. At 100 TB the shape is
+    * unchanged — tokenize, one window, one agg, one top-k. */
+  val qNgramFreq = Q("q_ngram_freq",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val toks = docs(spark, sfDir)
+        .select($"doc_id",
+          posexplode(split(trim($"text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      toks.withColumn("w2", lead($"tok", 1).over(w))
+        .filter($"w2".isNotNull && $"tok" =!= "" && $"w2" =!= "")
+        .groupBy($"tok".as("w1"), $"w2")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w1", $"w2")
+        .limit(100)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(ws) AS tok,
+           |         unnest(range(1, len(ws) + 1)) AS pos
+           |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws
+           |        FROM documents) u
+           |), paired AS (
+           |  SELECT tok AS w1,
+           |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           |  FROM toks
+           |)
+           |SELECT w1, w2, count(*) AS n
+           |FROM paired
+           |WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''
+           |GROUP BY w1, w2
+           |ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin))
+
   // ------------------------------------------------------- language ID
   /** Language ID heuristic: stopword-ratio scoring (the n-gram-profile
     * family reduced to its dataflow: tokenize → score → classify). */
@@ -2494,7 +2537,8 @@ object LLMOps {
     qQuantizeEmbed,
     qSimCosineTopk,
     qSimAnnIvf, qSimAnnLsh, qMultimodalJoin, qMultimodalMeta,
-    qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qTextTfidf,
+    qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qNgramFreq,
+    qTextTfidf,
     qTextBm25,
     qLangId, qQualityScore, qQualityRepetition, qQualityLm, qTokenCount,
     qFingerprint, qGenPosexplode, qSplitGroup,

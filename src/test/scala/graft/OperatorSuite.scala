@@ -1323,6 +1323,65 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - brute) < 1e-6)
   }
 
+  test("interpolation: knowns untouched, fills bounded by neighbors") {
+    // E125: every non-interpolated row must carry the exact daily
+    // mean; every interpolated value lies within [min, max] of its
+    // two bracketing knowns (linear interpolation never overshoots);
+    // the spine is gap-free per series.
+    val res = graft.queries.Extras.qInterpolate.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDouble(2), r.getBoolean(3)))
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2.toEpochDay)
+      // gap-free spine
+      assert(sorted.last._2.toEpochDay - sorted.head._2.toEpochDay
+        === sorted.length - 1L)
+      // each interpolated value between its neighbor knowns
+      val knownIdx = sorted.zipWithIndex.filterNot(_._1._4).map(_._2)
+      sorted.zipWithIndex.filter(_._1._4).foreach { case (row, i) =>
+        val prev = knownIdx.filter(_ < i).lastOption.map(sorted(_)._3)
+        val next = knownIdx.find(_ > i).map(sorted(_)._3)
+        val bounds = (prev.toSeq ++ next.toSeq)
+        assert(bounds.nonEmpty)
+        assert(row._3 >= bounds.min - 1e-6 &&
+          row._3 <= bounds.max + 1e-6,
+          s"fill ${row._3} outside neighbor range $bounds")
+      }
+    }
+  }
+
+  test("benford: digits partition the table, shares sum to one") {
+    val res = graft.queries.Extras.qBenford.fn(spark, sf).collect()
+    val total = Tables.read(spark, sf, "orders").count()
+    assert(res.map(_.getLong(1)).sum === total)
+    assert(res.forall(r =>
+      r.getInt(0) >= 1 && r.getInt(0) <= 9))
+    assert(math.abs(res.map(_.getDouble(2)).sum - 1.0) < 1e-5)
+    // the Benford reference itself sums to 1 by construction
+    assert(math.abs(res.map(_.getDouble(3)).sum - 1.0) < 1e-5 ||
+      res.length < 9) // unless some digit never occurs
+  }
+
+  test("bigram top-k agrees with the self-join formulation") {
+    // E127: the lead-window pairing must equal the classic
+    // (doc, pos)⋈(doc, pos+1) self-join pairing, golden-checked on
+    // the fixture's top-100.
+    val toks = Tables.read(spark, sf, "documents")
+      .select($"doc_id",
+        posexplode(split(trim($"text"), " ")).as(Seq("pos", "tok")))
+      .filter($"tok" =!= "")
+    val viaJoin = toks.as("a")
+      .join(toks.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.tok").as("w1"), col("b.tok").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w1", $"w2").limit(100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = LLMOps.qNgramFreq.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === viaJoin.toSeq)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

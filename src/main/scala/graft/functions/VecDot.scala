@@ -93,6 +93,12 @@ object GraftExtensions {
       new FunctionIdentifier("char_fold"),
       new ExpressionInfo(classOf[CharFoldExpr].getName, "char_fold"),
       (children: Seq[Expression]) => CharFoldExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName,
+        "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinklerExpr(children(0), children(1))))
     // mergeable KLL quantile-sketch family (KllSketch.scala): build
     // from doubles, re-aggregate persisted sketch bytes, extract
     ext.injectFunction((

@@ -833,10 +833,57 @@ object Aggregates {
            |        CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
            |FROM sums""".stripMargin))
 
+  /** E129: **rolling-window distinct (trailing 7-day active users)** —
+    * the metric COUNT DISTINCT cannot window: distinct is not
+    * partial-aggregable across frames, so `count(distinct) OVER
+    * (RANGE 6 PRECEDING)` either doesn't exist (Spark) or degenerates
+    * to per-frame rescans. The linear reformulation: each distinct
+    * (user, day) CONTRIBUTES to the 7 windows it falls in — explode
+    * a bounded k=7 day sequence (a fixed fan-out, not a range
+    * self-join whose cost is data-dependent), then ONE count-distinct
+    * per window day. Cost is exactly 7× the user-day table — known in
+    * advance, skew-free, and the user-day table is already the
+    * collapsed grain (the fact-sized distinct is the only big
+    * shuffle). The trailing edge clips to the observed span via a
+    * 1-row bounds broadcast. At 100 TB the same shape holds for any
+    * k ≤ a few dozen; beyond that the HLL rollup family (E44) is the
+    * pinned path (mergeable sketches ARE window-summable). */
+  val qRollingDistinct = Q("q_rolling_distinct",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ud = Tables.read(spark, sfDir, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val span = ud.agg(min($"day").as("d0"), max($"day").as("d1"))
+      ud.select($"user_id",
+          explode(sequence($"day", date_add($"day", 6))).as("wday"))
+        .crossJoin(broadcast(span))
+        .filter($"wday".between($"d0", $"d1"))
+        .groupBy($"wday".as("day"))
+        .agg(countDistinct($"user_id").as("n_active_7d"))
+        .orderBy($"day")
+    },
+    Some("""WITH ud AS (
+           |  SELECT DISTINCT user_id,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           |  FROM events
+           |), span AS (
+           |  SELECT min(day) AS d0, max(day) AS d1 FROM ud
+           |), contrib AS (
+           |  SELECT user_id,
+           |    CAST(unnest(generate_series(day, day + 6,
+           |      INTERVAL 1 DAY)) AS DATE) AS wday
+           |  FROM ud
+           |)
+           |SELECT wday AS day,
+           |       count(DISTINCT user_id) AS n_active_7d
+           |FROM contrib, span
+           |WHERE wday BETWEEN d0 AND d1
+           |GROUP BY wday ORDER BY wday""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
-    qChangePoint, qAggSpearman, qAuc)
+    qChangePoint, qAggSpearman, qAuc, qRollingDistinct)
 }

@@ -2108,6 +2108,93 @@ object Extras {
            |      + CAST(1 AS DOUBLE) / leading_digit)), 6) AS abs_dev
            |FROM counted ORDER BY leading_digit""".stripMargin))
 
+  /** E130: **sequence-pattern matching (MATCH_RECOGNIZE-lite)** — the
+    * funnel (E38) asks "did steps happen in order"; this asks "how
+    * many times does a PATTERN occur", with regex expressiveness
+    * (`v[vc]*p`: a view leading through views/clicks to a purchase).
+    * Each user's stream becomes a compact symbol string — one char
+    * per event, deterministically ordered by (ts, event_id) via an
+    * array_sort-then-join (never bare collect_list, whose order is
+    * partition-dependent) — and the pattern count is ONE regex scan
+    * per user. For this pattern class (no ambiguous alternation)
+    * Java's leftmost-greedy and RE2's leftmost-longest matching
+    * agree, so both engines count identical non-overlapping matches.
+    * Shape: one shuffle to user grain; symbol strings are bounded by
+    * per-user activity (the qAggCollect caveat applies — cap or
+    * window pathological users upstream at PB scale). */
+  val qSeqPattern = Q("q_seq_pattern",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val sym = substring($"event_type", 1, 1)
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"ts", $"event_id",
+            sym.as("sym")))), x => x.getField("sym")), "")
+          .as("seq"))
+        .select($"user_id", length($"seq").as("seq_len"),
+          size(regexp_extract_all($"seq", lit("v[vc]*p"), lit(0)))
+            .as("n_funnels"))
+        .withColumn("has_funnel", $"n_funnels" > 0)
+        .orderBy($"user_id")
+    },
+    Some("""WITH seqs AS (
+           |  SELECT user_id,
+           |    string_agg(substr(event_type, 1, 1), ''
+           |      ORDER BY ts, event_id) AS seq
+           |  FROM events GROUP BY user_id
+           |)
+           |SELECT user_id,
+           |  CAST(length(seq) AS INTEGER) AS seq_len,
+           |  CAST(len(regexp_extract_all(seq, 'v[vc]*p'))
+           |    AS INTEGER) AS n_funnels,
+           |  len(regexp_extract_all(seq, 'v[vc]*p')) > 0 AS has_funnel
+           |FROM seqs ORDER BY user_id""".stripMargin))
+
+  /** E131: **penny-exact proration** — allocate each order's total
+    * across its 7 service days such that per-order allocations sum
+    * EXACTLY to the order total (the financial-engineering contract
+    * float division cannot give: 100.00/7 as doubles re-summed is
+    * 99.9999…): amounts → integer cents, day i of 7 gets
+    * cents DIV 7 + (1 if i < cents MOD 7) — the first `mod` days
+    * carry the remainder penny. Every quantity stays integral until
+    * the display edge (cents/100 at 2dp). Shape: a fixed ×7 explode
+    * (bounded fan-out, same discipline as E129) then one hash agg to
+    * day grain; conservation is testable per order and total. */
+  val qProrate = Q("q_prorate",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey", to_date($"o_orderdate").as("d0"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+        .select($"o_orderkey", $"d0", $"cents",
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(date_add($"d0", $"i").as("day"),
+          (expr("cents div 7") +
+            when($"i" < $"cents" % 7, 1L).otherwise(0L)).as("alloc"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_slices"),
+          sum($"alloc").cast("long").as("cents_alloc"))
+        .withColumn("usd_alloc",
+          round($"cents_alloc".cast("double") / 100, 2))
+        .orderBy($"day")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders
+           |), sliced AS (
+           |  SELECT d0 + i AS day,
+           |    cents // 7 + CASE WHEN i < cents % 7 THEN 1 ELSE 0 END
+           |      AS alloc
+           |  FROM base, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(i)
+           |)
+           |SELECT day, count(*) AS n_slices,
+           |       CAST(sum(alloc) AS BIGINT) AS cents_alloc,
+           |       round(CAST(sum(alloc) AS DOUBLE) / 100, 2)
+           |         AS usd_alloc
+           |FROM sliced GROUP BY day ORDER BY day""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2118,5 +2205,5 @@ object Extras {
     qSqlOrderedSet, qSqlPagination, qAuditConstraints,
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
-    qBenford)
+    qBenford, qSeqPattern, qProrate)
 }

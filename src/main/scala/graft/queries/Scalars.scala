@@ -352,7 +352,55 @@ object Scalars {
            |FROM l WHERE nextp IS NOT NULL
            |ORDER BY doc_id""".stripMargin))
 
+  /** E128: **Jaro-Winkler fuzzy similarity** — the name-matching
+    * complement to Levenshtein (E81: edit OPERATIONS; Jaro-Winkler:
+    * positional agreement with a prefix bonus, the record-linkage
+    * standard since the Census literature). Spark has no built-in, so
+    * this is the (b) rung of SURVEY §4.2 done fully: a native Catalyst
+    * `Expression` (functions/JaroWinkler.scala) whose `doGenCode`
+    * emits a static call — the scorer stays inside whole-stage
+    * codegen, where a Scala UDF would fence off the generated loop at
+    * every pair. Semantics are pinned to DuckDB's
+    * `jaro_winkler_similarity` (empirically verified: empty → 0.0,
+    * boost only when jaro > 0.7, prefix cap 4, scale 0.1) so the
+    * oracle is the real function, not a reimplementation. Same
+    * bounded-prefix discipline as E81: fixed 30-char inputs keep the
+    * O(l²) inner loop constant per row; at corpus scale the pair
+    * generator is LSH (X2), never all-pairs. */
+  val qScalarJaroWinkler = Q("q_scalar_jarowinkler",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val jw = call_function("jaro_winkler", $"p", $"nextp")
+      Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", $"source",
+          substring($"text", 1, 30).as("p"))
+        .withColumn("nextp", lead($"p", 1).over(w))
+        .filter($"nextp".isNotNull)
+        .select($"doc_id",
+          round(jw, 6).as("jw_sim"),
+          (round(jw, 6) > 0.85).as("is_match"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, source, substr(text, 1, 30) AS p
+           |  FROM documents
+           |), l AS (
+           |  SELECT doc_id, p,
+           |         lead(p) OVER (PARTITION BY source ORDER BY doc_id)
+           |           AS nextp
+           |  FROM p
+           |)
+           |SELECT doc_id,
+           |       round(jaro_winkler_similarity(p, nextp), 6) AS jw_sim,
+           |       round(jaro_winkler_similarity(p, nextp), 6) > 0.85
+           |         AS is_match
+           |FROM l WHERE nextp IS NOT NULL
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
     qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
-    qScalarTry, qSqlParams, qScalarEditDist, qMapHof)
+    qScalarTry, qSqlParams, qScalarEditDist, qMapHof,
+    qScalarJaroWinkler)
 }

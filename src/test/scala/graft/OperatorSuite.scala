@@ -1382,6 +1382,73 @@ class OperatorSuite extends AnyFunSuite {
     assert(got.toSeq === viaJoin.toSeq)
   }
 
+  test("jaro_winkler: goldens, empty/null semantics, boost threshold") {
+    // E128: values pinned to DuckDB's jaro_winkler_similarity
+    // (verified against the real engine when the expression was
+    // built): classic Census pairs, the 0.7 boost gate (2/3 stays
+    // unboosted, 7/9 boosts to 0.8222…), and DuckDB's empty→0.0
+    // (both-empty included) — plus expression null propagation.
+    def jw(a: String, b: String): Double =
+      spark.sql(s"SELECT jaro_winkler('$a', '$b')").head().getDouble(0)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-10)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("abc", "xyz") === 0.0)
+    assert(jw("", "") === 0.0, "DuckDB pins both-empty to 0.0")
+    assert(jw("a", "") === 0.0)
+    assert(math.abs(jw("ax", "ay") - 2.0 / 3) < 1e-12,
+      "jaro == 2/3 <= 0.7 must NOT get the Winkler boost")
+    assert(math.abs(jw("abx", "aby") - (7.0 / 9 + 0.1 * 2 * 2.0 / 9))
+      < 1e-12, "jaro 7/9 > 0.7 must boost with prefix 2")
+    assert(spark.sql("SELECT jaro_winkler(NULL, 'x')").head().isNullAt(0))
+  }
+
+  test("rolling distinct equals brute-force trailing-7d count") {
+    // E129: the explode-k contribution trick vs the definition,
+    // day by day on the collected fixture.
+    val ud = Tables.read(spark, sf, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct.sorted(
+      Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val brute = days.map { d =>
+      d -> ud.filter { case (_, a) =>
+        !a.isAfter(d) && !a.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = Aggregates.qRollingDistinct.fn(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    // windows are emitted for every day in the span, incl. zero-event
+    // days had there been any; fixture has events daily so keysets match
+    assert(got === brute)
+  }
+
+  test("sequence pattern count equals driver-side regex on the stream") {
+    // E130: symbol-string construction (deterministic order) + regex
+    // count vs a plain Scala recomputation per user.
+    val evs = Tables.read(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getString(3).substring(0, 1)))
+    val brute = evs.groupBy(_._1).map { case (u, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3)).map(_._4).mkString
+      u -> (s.length, "v[vc]*p".r.findAllIn(s).length)
+    }
+    val got = graft.queries.Extras.qSeqPattern.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got === brute)
+  }
+
+  test("proration conserves every cent and emits 7 slices per order") {
+    val res = graft.queries.Extras.qProrate.fn(spark, sf).collect()
+    val orders = Tables.read(spark, sf, "orders")
+      .select(round($"o_totalprice" * 100, 0).cast("long")).collect()
+      .map(_.getLong(0))
+    assert(res.map(_.getLong(1)).sum === orders.length * 7L)
+    assert(res.map(_.getLong(2)).sum === orders.sum,
+      "allocated cents must equal total order cents exactly")
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

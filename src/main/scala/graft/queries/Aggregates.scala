@@ -880,10 +880,79 @@ object Aggregates {
            |WHERE wday BETWEEN d0 AND d1
            |GROUP BY wday ORDER BY wday""".stripMargin))
 
+  /** E132: **EWMA smoothing (truncated, renormalized)** — the
+    * time-series operator dashboards and anomaly baselines run over
+    * every daily metric. The contract is pinned as the K=20-term
+    * truncated EWMA with α=0.3, weights renormalized over the lags
+    * actually available (so the series start is unbiased instead of
+    * anchored on x₀): s_t = Σₖ wₖ·x_{t−k} / Σₖ wₖ, wₖ = α(1−α)ᵏ.
+    * Why truncated: the exact recursive EWMA is a sequential scan
+    * (unexpressible as a frame aggregate without either recursion or
+    * a (1−α)⁻ʲ rescaling whose magnitudes explode past double
+    * precision on long series); at (1−α)²⁰ ≈ 0.08% the tail is far
+    * below the 6dp output rounding, and the truncated form is a
+    * FIXED 20-term dot product — shallow, frame-bounded, and
+    * engine-order-independent in practice because all terms share a
+    * magnitude. Parity discipline: the weight literals are computed
+    * ONCE in Scala and embedded into the oracle SQL via
+    * `CAST('<shortest-roundtrip-repr>' AS DOUBLE)` (a bare decimal
+    * literal in DuckDB is DECIMAL — the E117 trap), and both engines
+    * sum the terms in the same left-to-right order. Shape: one
+    * fact-sized shuffle to (series, day), then K lag windows over the
+    * dimension-sized daily frame — one sort, K column reads. */
+  val qEwma = Q("q_ewma",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val (alpha, k) = (0.3, 20)
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg((sum($"value".cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val terms = (0 until k).map { i =>
+        val wt = alpha * math.pow(1 - alpha, i)
+        (coalesce(lag($"x", i).over(w) * wt, lit(0.0)),
+          when(lag($"x", i).over(w).isNotNull, lit(wt))
+            .otherwise(lit(0.0)))
+      }
+      daily
+        .withColumn("ewma", round(
+          terms.map(_._1).reduce(_ + _) /
+            terms.map(_._2).reduce(_ + _), 6))
+        .select($"event_type", $"day", round($"x", 6).as("x"), $"ewma")
+        .orderBy($"event_type", $"day")
+    },
+    Some {
+      val (alpha, k) = (0.3, 20)
+      def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+      val num = (0 until k).map { i =>
+        val wt = alpha * math.pow(1 - alpha, i)
+        s"coalesce(lag(x, $i) OVER win * ${d(wt)}, ${d(0.0)})"
+      }.mkString("(", " + ", ")")
+      val den = (0 until k).map { i =>
+        val wt = alpha * math.pow(1 - alpha, i)
+        s"CASE WHEN lag(x, $i) OVER win IS NOT NULL THEN ${d(wt)} ELSE ${d(0.0)} END"
+      }.mkString("(", " + ", ")")
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |           / count(*) AS x
+         |  FROM events GROUP BY 1, 2
+         |), smoothed AS (
+         |  SELECT event_type, day, x,
+         |         round($num / $den, 6) AS ewma
+         |  FROM daily
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY day)
+         |)
+         |SELECT event_type, day, round(x, 6) AS x, ewma
+         |FROM smoothed ORDER BY event_type, day""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
-    qChangePoint, qAggSpearman, qAuc, qRollingDistinct)
+    qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma)
 }

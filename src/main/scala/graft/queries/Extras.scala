@@ -2195,6 +2195,80 @@ object Extras {
            |         AS usd_alloc
            |FROM sliced GROUP BY day ORDER BY day""".stripMargin))
 
+  /** E133: **chi-square independence test (cross-tab)** — the classic
+    * Pearson test on a contingency table: is market segment
+    * independent of order priority? (E116 scores per-day drift
+    * against a global mix; this tests association between two
+    * CATEGORICAL dimensions — the A/B-analysis and feature-selection
+    * primitive.) The full grid is materialized by crossing the two
+    * marginal frames (dimension-sized: 5×5) and left-joining observed
+    * counts, because zero OBSERVED cells still contribute their
+    * expected count to the statistic — skipping them understates χ²,
+    * the classic sparse-table bug. One fact-sized broadcast join +
+    * hash agg produces the counts; everything after is on ≤25 rows.
+    * χ², dof, and Cramér's V are shallow double math on exact
+    * integers, 6dp at the edge. */
+  val qCrosstabChi2 = Q("q_crosstab_chi2",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ct = Tables.read(spark, sfDir, "orders")
+        .join(broadcast(Tables.read(spark, sfDir, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val rowT = ct.groupBy($"c_mktsegment").agg(sum($"n").as("rt"))
+      val colT = ct.groupBy($"o_orderpriority").agg(sum($"n").as("ot"))
+      val tot = ct.agg(sum($"n").as("tot"),
+        countDistinct($"c_mktsegment").as("r"),
+        countDistinct($"o_orderpriority").as("c"))
+      rowT.crossJoin(broadcast(colT))
+        .join(ct, Seq("c_mktsegment", "o_orderpriority"), "left")
+        .na.fill(0, Seq("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", $"rt".cast("double") * $"ot" / $"tot")
+        .withColumn("term", ($"n" - $"e") * ($"n" - $"e") / $"e")
+        .agg(round(sum($"term"), 6).as("chi2"),
+          (first($"r") - 1).cast("long").as("dof_r"),
+          (first($"c") - 1).cast("long").as("dof_c"),
+          first($"tot").cast("long").as("n_obs"))
+        .select(($"dof_r" * $"dof_c").as("dof"), $"n_obs", $"chi2",
+          round(sqrt($"chi2" / ($"n_obs" *
+            least($"dof_r", $"dof_c"))), 6).as("cramers_v"))
+    },
+    Some("""WITH ct AS (
+           |  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY 1, 2
+           |), rowt AS (
+           |  SELECT c_mktsegment, sum(n) AS rt FROM ct GROUP BY 1
+           |), colt AS (
+           |  SELECT o_orderpriority, sum(n) AS ot FROM ct GROUP BY 1
+           |), tot AS (
+           |  SELECT sum(n) AS tot,
+           |         count(DISTINCT c_mktsegment) AS r,
+           |         count(DISTINCT o_orderpriority) AS c
+           |  FROM ct
+           |), grid AS (
+           |  SELECT rowt.c_mktsegment, colt.o_orderpriority, rowt.rt,
+           |         colt.ot, coalesce(ct.n, 0) AS n
+           |  FROM rowt CROSS JOIN colt
+           |    LEFT JOIN ct USING (c_mktsegment, o_orderpriority)
+           |), terms AS (
+           |  SELECT n, CAST(rt AS DOUBLE) * ot / (SELECT tot FROM tot)
+           |           AS e
+           |  FROM grid
+           |)
+           |SELECT CAST((SELECT (r - 1) * (c - 1) FROM tot) AS BIGINT)
+           |         AS dof,
+           |       CAST((SELECT tot FROM tot) AS BIGINT) AS n_obs,
+           |       round(sum((n - e) * (n - e) / e), 6) AS chi2,
+           |       round(sqrt(sum((n - e) * (n - e) / e) /
+           |         ((SELECT tot FROM tot) *
+           |          (SELECT least(r - 1, c - 1) FROM tot))), 6)
+           |         AS cramers_v
+           |FROM terms""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2205,5 +2279,5 @@ object Extras {
     qSqlOrderedSet, qSqlPagination, qAuditConstraints,
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
-    qBenford, qSeqPattern, qProrate)
+    qBenford, qSeqPattern, qProrate, qCrosstabChi2)
 }

@@ -2178,6 +2178,76 @@ object LLMOps {
             |WHERE round(n_overlap * 1.0 / n_shingles, 6) >= 0.8
             |ORDER BY doc_id""".stripMargin))
 
+  /** E134: **asymmetric containment scoring** — decontamination's
+    * (E48) sharper sibling: E48 flags corpus docs whose OWN shingles
+    * are mostly probe material; containment |A∩B|/|A| instead asks,
+    * per EVAL doc A, how much of it appears inside some single corpus
+    * doc B — the quote/inclusion detector (a 50-word eval question
+    * pasted into a 10k-word crawl page scores ~1.0 here but near 0 on
+    * Jaccard or E48's per-corpus-doc ratio). Execution is the
+    * inverted-index discipline of the dedup family: distinct bigram
+    * shingles, a max-df drop-list (df > 100) broadcast-anti-joined
+    * off BOTH sides — the join's fan-out is then bounded by df·|probe|
+    * instead of df² (the stop-shingle blowup), and the cap is applied
+    * identically in the oracle so parity is exact by construction —
+    * then ONE shuffle join on the shingle, a hash agg to (eval,
+    * candidate) pairs, and a per-eval top-1 window with (n_match
+    * DESC, c_doc) total order. Denominator contract: the CAPPED probe
+    * shingle count (both engines, pinned). */
+  val qContainScore = Q("q_contain_score",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val sh = shingles(spark, sfDir)
+      val probe = sh.filter($"doc_id" < 20)
+        .select($"doc_id".as("e_doc"), $"s")
+      val corpus0 = sh.filter($"doc_id" >= 20)
+        .select($"doc_id".as("c_doc"), $"s")
+      val hot = corpus0.groupBy($"s").agg(count(lit(1)).as("df"))
+        .filter($"df" > 100).select($"s")
+      val probeC = probe.join(broadcast(hot), Seq("s"), "left_anti")
+      val corpus = corpus0.join(broadcast(hot), Seq("s"), "left_anti")
+      val nE = probeC.groupBy($"e_doc").agg(count(lit(1)).as("n_e"))
+      val w = Window.partitionBy($"e_doc")
+        .orderBy($"n_match".desc, $"c_doc")
+      probeC.join(corpus, "s")
+        .groupBy($"e_doc", $"c_doc")
+        .agg(count(lit(1)).as("n_match"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .join(broadcast(nE), "e_doc")
+        .select($"e_doc", $"c_doc", $"n_e", $"n_match",
+          round($"n_match" / $"n_e".cast("double"), 6)
+            .as("containment"))
+        .orderBy($"e_doc")
+    },
+    Some(s"""WITH $shCte, probe AS (
+            |  SELECT doc_id AS e_doc, s FROM sh WHERE doc_id < 20
+            |), corpus0 AS (
+            |  SELECT doc_id AS c_doc, s FROM sh WHERE doc_id >= 20
+            |), hot AS (
+            |  SELECT s FROM corpus0 GROUP BY s HAVING count(*) > 100
+            |), probec AS (
+            |  SELECT * FROM probe
+            |  WHERE s NOT IN (SELECT s FROM hot)
+            |), corpus AS (
+            |  SELECT * FROM corpus0
+            |  WHERE s NOT IN (SELECT s FROM hot)
+            |), ne AS (
+            |  SELECT e_doc, count(*) AS n_e FROM probec GROUP BY 1
+            |), m AS (
+            |  SELECT e_doc, c_doc, count(*) AS n_match
+            |  FROM probec JOIN corpus USING (s) GROUP BY 1, 2
+            |), ranked AS (
+            |  SELECT e_doc, c_doc, n_match,
+            |    row_number() OVER (PARTITION BY e_doc
+            |      ORDER BY n_match DESC, c_doc) AS rk
+            |  FROM m
+            |)
+            |SELECT e_doc, c_doc, n_e, n_match,
+            |       round(n_match * 1.0 / n_e, 6) AS containment
+            |FROM ranked JOIN ne USING (e_doc)
+            |WHERE rk = 1 ORDER BY e_doc""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -2546,6 +2616,7 @@ object LLMOps {
     qChunkDocs,
     qScrubBlocklist,
     qScrubPii,
-    qDecontaminate, qPackSequences, qUdfNorm, qUdafCentroid,
+    qDecontaminate, qContainScore, qPackSequences, qUdfNorm,
+    qUdafCentroid,
     qPipelineCorpus, qPipelineIngest)
 }

@@ -1449,6 +1449,77 @@ class OperatorSuite extends AnyFunSuite {
       "allocated cents must equal total order cents exactly")
   }
 
+  test("ewma: convex-combination bounds, seeds on the first value") {
+    // E132: a renormalized weighted mean of trailing values can never
+    // leave their [min, max]; the first row of each series has only
+    // the k=0 term, so ewma == x there.
+    val rows = Aggregates.qEwma.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      val sorted = xs.sortBy(_._2.toEpochDay)
+      assert(math.abs(sorted.head._4 - sorted.head._3) < 1e-6,
+        "series start must equal its own value")
+      sorted.zipWithIndex.foreach { case ((_, _, _, e), i) =>
+        val window = sorted.slice(math.max(0, i - 19), i + 1).map(_._3)
+        assert(e >= window.min - 1e-6 && e <= window.max + 1e-6,
+          s"ewma $e escapes trailing window [${window.min}, ${window.max}]")
+      }
+    }
+  }
+
+  test("crosstab chi-square matches driver-side recomputation") {
+    // E133: brute-force the statistic from the collected contingency
+    // table, including zero-observed cells of the full marginal grid.
+    val ct = Tables.read(spark, sf, "orders")
+      .join(Tables.read(spark, sf, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority").count()
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val segs = ct.keys.map(_._1).toSeq.distinct
+    val pris = ct.keys.map(_._2).toSeq.distinct
+    val n = ct.values.sum.toDouble
+    val chi2 = (for (s <- segs; p <- pris) yield {
+      val o = ct.getOrElse((s, p), 0L).toDouble
+      val e = ct.filter(_._1._1 == s).values.sum *
+        ct.filter(_._1._2 == p).values.sum / n
+      (o - e) * (o - e) / e
+    }).sum
+    val r = graft.queries.Extras.qCrosstabChi2.fn(spark, sf).head()
+    assert(r.getLong(0) === (segs.length - 1L) * (pris.length - 1L))
+    assert(r.getLong(1) === n.toLong)
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-4)
+  }
+
+  test("containment score matches driver-side set arithmetic") {
+    // E134: per eval doc, best containment against every corpus doc
+    // computed straight from the texts (distinct bigrams, df cap).
+    val texts = Tables.read(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ")
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet)
+      .toMap
+    val corpusIds = texts.keys.filter(_ >= 20).toSeq
+    val dfCount = corpusIds.flatMap(texts(_)).groupBy(identity)
+      .map { case (s, xs) => s -> xs.size }
+    val hot = dfCount.filter(_._2 > 100).keySet
+    val brute = texts.keys.filter(_ < 20).toSeq.sorted.flatMap { e =>
+      val pe = texts(e) -- hot
+      val scored = corpusIds.map(c => (c, (pe & (texts(c) -- hot)).size))
+        .filter(_._2 > 0)
+      if (scored.isEmpty) None
+      else {
+        val (c, m) = scored.minBy { case (cid, mm) => (-mm, cid) }
+        Some((e, c, pe.size.toLong, m.toLong))
+      }
+    }
+    val got = LLMOps.qContainScore.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === brute)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

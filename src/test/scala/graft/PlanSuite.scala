@@ -134,7 +134,8 @@ class PlanSuite extends AnyFunSuite {
       "q_observe_metrics", // 1-row captured-metrics cross into the agg
       "q_pack_sequences", // 1-row invariant-gate crosses (E42 oracle)
       "q_basket_pairs", // 1-row basket-universe-count cross into lift
-      "q_rolling_distinct") // 1-row span-bounds cross clips the edge
+      "q_rolling_distinct", // 1-row span-bounds cross clips the edge
+      "q_crosstab_chi2") // 5x5 marginal-grid + 1-row totals crosses
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

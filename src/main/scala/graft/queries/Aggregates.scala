@@ -949,10 +949,144 @@ object Aggregates {
          |FROM smoothed ORDER BY event_type, day""".stripMargin
     })
 
+  /** E135: **feature scaling (z-score + min-max)** — the ML
+    * preprocessing pass every tabular feature pipeline runs before
+    * training. Parity discipline: the group statistics come from
+    * EXACT decimal sums (Σx in DECIMAL(18,6), Σx² via the decimal
+    * product in DECIMAL(38,12) — both order-independent), and the
+    * variance is assembled as (n·Σx² − (Σx)²)/(n(n−1)) in decimal
+    * with ONE double sqrt at the edge — never `stddev_samp`, whose
+    * float accumulation order differs per engine/partitioning. The
+    * 5-row stats frame broadcasts back onto the fact scan (zero extra
+    * fact shuffles: one agg pass + one broadcast-joined scan pass),
+    * which is exactly the 100 TB shape — statistics are
+    * dimension-sized, scaling is embarrassingly row-local. */
+  val qFeatureScale = Q("q_feature_scale",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dec = $"value".cast("decimal(18,6)")
+      val stats = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum(dec).as("s"),
+          sum(dec * dec).as("s2"),
+          min($"value").as("lo"), max($"value").as("hi"))
+        .select($"event_type",
+          ($"s".cast("double") / $"n").as("mu"),
+          sqrt(($"n" * $"s2" - $"s" * $"s").cast("double") /
+            ($"n" * ($"n" - 1))).as("sigma"),
+          $"lo", $"hi")
+      Tables.read(spark, sfDir, "events")
+        .join(broadcast(stats), "event_type")
+        .select($"event_id", $"event_type",
+          round(($"value" - $"mu") / $"sigma", 6).as("z"),
+          round(($"value" - $"lo") / ($"hi" - $"lo"), 6).as("mm"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH stats AS (
+           |  SELECT event_type, count(*) AS n,
+           |         sum(CAST(value AS DECIMAL(18,6))) AS s,
+           |         sum(CAST(value AS DECIMAL(18,6)) *
+           |             CAST(value AS DECIMAL(18,6))) AS s2,
+           |         min(value) AS lo, max(value) AS hi
+           |  FROM events GROUP BY event_type
+           |), params AS (
+           |  SELECT event_type,
+           |    CAST(s AS DOUBLE) / n AS mu,
+           |    sqrt(CAST(n * s2 - s * s AS DOUBLE) / (n * (n - 1)))
+           |      AS sigma,
+           |    lo, hi
+           |  FROM stats
+           |)
+           |SELECT event_id, event_type,
+           |       round((value - mu) / sigma, 6) AS z,
+           |       round((value - lo) / (hi - lo), 6) AS mm
+           |FROM events JOIN params USING (event_type)
+           |ORDER BY event_id""".stripMargin))
+
+  /** E136: **log-space means (geometric + harmonic)** — the two
+    * Pythagorean means beyond AVG: the geometric mean is the right
+    * average for multiplicative quantities (growth rates, the
+    * perplexity↔mean-log-prob bridge E112 rides), the harmonic mean
+    * for rates (it IS the F1 shape). GM via exp(avg(ln x)) — the only
+    * numerically sane form (Π x overflows instantly); HM via
+    * n/Σ(1/x). Float sums of same-magnitude terms, 6dp rounding; both
+    * are plain partial-aggregable one-shuffle aggregates. Domain
+    * guard: positive-only input pinned by filter, since ln/reciprocal
+    * poison on zero. */
+  val qAggLogMeans = Q("q_agg_log_means",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "lineitem")
+        .filter($"l_quantity" > 0)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"l_quantity"), 6).as("am"),
+          round(exp(avg(log($"l_quantity"))), 6).as("gm"),
+          round(count(lit(1)) / sum(lit(1.0) / $"l_quantity"), 6)
+            .as("hm"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |       round(avg(l_quantity), 6) AS am,
+           |       round(exp(avg(ln(l_quantity))), 6) AS gm,
+           |       round(count(*) / sum(CAST(1 AS DOUBLE) / l_quantity),
+           |         6) AS hm
+           |FROM lineitem WHERE l_quantity > 0
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** E137: **weighted median** — the robust center when rows carry
+    * unequal mass (price per unit weighted by units; latency weighted
+    * by request count): smallest value whose cumulative weight
+    * reaches half the total. Exact-integer execution: weights cast to
+    * LONG, ONE cumulative-sum window under a TOTAL order (value, then
+    * the row's primary key — ties cannot flip the pick), partition
+    * total from the same sort via an unbounded frame, and the pick is
+    * min(value WHERE 2·cum ≥ tot) — the lower weighted median,
+    * pinned. One sort shuffle per group key; at 100 TB the documented
+    * approximate path is the KLL family (E61), which supports
+    * weighted updates. */
+  val qAggWeightedMedian = Q("q_agg_weighted_median",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ord = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      val base = Tables.read(spark, sfDir, "lineitem")
+        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+          $"l_linenumber", $"l_quantity".cast("long").as("wt"))
+        .withColumn("cum", sum($"wt").over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum($"wt").over(
+          Window.partitionBy($"l_returnflag")))
+      base.groupBy($"l_returnflag")
+        .agg(min(when($"cum" * 2 >= $"tot", $"l_extendedprice"))
+          .as("w_median"),
+          max($"tot").as("total_weight"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT l_returnflag, l_extendedprice,
+           |    CAST(l_quantity AS BIGINT) AS wt,
+           |    sum(CAST(l_quantity AS BIGINT)) OVER (
+           |      PARTITION BY l_returnflag
+           |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cum,
+           |    sum(CAST(l_quantity AS BIGINT)) OVER (
+           |      PARTITION BY l_returnflag) AS tot
+           |  FROM lineitem
+           |)
+           |SELECT l_returnflag,
+           |       min(CASE WHEN cum * 2 >= tot
+           |                THEN l_extendedprice END) AS w_median,
+           |       CAST(max(tot) AS BIGINT) AS total_weight
+           |FROM ranked GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
-    qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma)
+    qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma,
+    qFeatureScale, qAggLogMeans, qAggWeightedMedian)
 }

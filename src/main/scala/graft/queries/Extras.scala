@@ -2269,6 +2269,78 @@ object Extras {
            |         AS cramers_v
            |FROM terms""".stripMargin))
 
+  /** E138: **conversion attribution (first/last touch)** — for every
+    * purchase, which marketing touch (view/click) inside the trailing
+    * 7-day lookback gets the credit: the sessionization-adjacent
+    * operator every growth team runs, and a time-bounded as-of join
+    * expressed as a WINDOW, not a join — one RANGE frame over
+    * epoch-µs per user replaces the events⋈events interval join
+    * (quadratic on hot users). Tie discipline: the frame's candidate
+    * touches are reduced with min/max over a SORTABLE ENCODING —
+    * zero-padded (epoch-µs, event_id) prefixed strings — because
+    * `last()` over a RANGE frame among equal order keys is
+    * engine-dependent, while max of a total-order encoding is not
+    * (the same trick both engines share bit-for-bit; channel is
+    * recovered by substring). Purchases with an empty lookback
+    * attribute to 'direct'. Output is channel × model counts —
+    * dimension-sized after one fact window + one hash agg. */
+  val qAttribution = Q("q_attribution",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val us = unix_micros($"ts")
+      val key = concat(lpad(us.cast("string"), 20, "0"),
+        lpad($"event_id".cast("string"), 10, "0"), $"event_type")
+      val touch = when($"event_type".isin("view", "click"), key)
+      val w = Window.partitionBy($"user_id").orderBy(us)
+        .rangeBetween(-7L * 86400L * 1000000L, -1L)
+      Tables.read(spark, sfDir, "events")
+        .withColumn("lt", max(touch).over(w))
+        .withColumn("ft", min(touch).over(w))
+        .filter($"event_type" === "purchase")
+        .select(explode(array(
+          struct(lit("first_touch").as("model"),
+            coalesce(substring($"ft", 31, 10), lit("direct"))
+              .as("channel")),
+          struct(lit("last_touch").as("model"),
+            coalesce(substring($"lt", 31, 10), lit("direct"))
+              .as("channel")))).as("a"))
+        .select($"a.model", $"a.channel")
+        .groupBy($"model", $"channel")
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy($"model", $"channel")
+    },
+    Some("""WITH keyed AS (
+           |  SELECT user_id, event_type,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |    lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR),
+           |      20, '0') ||
+           |    lpad(CAST(event_id AS VARCHAR), 10, '0') ||
+           |    event_type AS key
+           |  FROM events
+           |), attributed AS (
+           |  SELECT event_type,
+           |    max(CASE WHEN event_type IN ('view', 'click')
+           |             THEN key END) OVER (PARTITION BY user_id
+           |      ORDER BY us RANGE BETWEEN 604800000000 PRECEDING
+           |      AND 1 PRECEDING) AS lt,
+           |    min(CASE WHEN event_type IN ('view', 'click')
+           |             THEN key END) OVER (PARTITION BY user_id
+           |      ORDER BY us RANGE BETWEEN 604800000000 PRECEDING
+           |      AND 1 PRECEDING) AS ft
+           |  FROM keyed
+           |), models AS (
+           |  SELECT 'first_touch' AS model,
+           |         coalesce(substring(ft, 31, 10), 'direct') AS channel
+           |  FROM attributed WHERE event_type = 'purchase'
+           |  UNION ALL
+           |  SELECT 'last_touch' AS model,
+           |         coalesce(substring(lt, 31, 10), 'direct') AS channel
+           |  FROM attributed WHERE event_type = 'purchase'
+           |)
+           |SELECT model, channel, count(*) AS n_conversions
+           |FROM models GROUP BY model, channel
+           |ORDER BY model, channel""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2279,5 +2351,5 @@ object Extras {
     qSqlOrderedSet, qSqlPagination, qAuditConstraints,
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
-    qBenford, qSeqPattern, qProrate, qCrosstabChi2)
+    qBenford, qSeqPattern, qProrate, qCrosstabChi2, qAttribution)
 }

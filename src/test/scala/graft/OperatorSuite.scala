@@ -1520,6 +1520,61 @@ class OperatorSuite extends AnyFunSuite {
     assert(got.toSeq === brute)
   }
 
+  test("feature scaling: z standardizes, min-max lands in [0,1]") {
+    // E135: per group the z-scores must have mean ~0 and sample std
+    // ~1 (that's what standardization means), and min-max must span
+    // exactly [0, 1].
+    val rows = Aggregates.qFeatureScale.fn(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val zs = xs.map(_._2)
+      val mean = zs.sum / zs.length
+      val varS = zs.map(z => (z - mean) * (z - mean)).sum / (zs.length - 1)
+      assert(math.abs(mean) < 1e-3, s"$g: z mean $mean")
+      assert(math.abs(varS - 1.0) < 1e-2, s"$g: z var $varS")
+      val mms = xs.map(_._3)
+      assert(math.abs(mms.min) < 1e-6 && math.abs(mms.max - 1) < 1e-6)
+    }
+  }
+
+  test("pythagorean mean inequality: am >= gm >= hm per group") {
+    Aggregates.qAggLogMeans.fn(spark, sf).collect().foreach { r =>
+      val (am, gm, hm) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(am >= gm - 1e-9 && gm >= hm - 1e-9,
+        s"${r.getString(0)}: am=$am gm=$gm hm=$hm violates AM>=GM>=HM")
+    }
+  }
+
+  test("weighted median equals brute-force cumulative pick") {
+    val rows = Tables.read(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice",
+        $"l_quantity".cast("long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val brute = rows.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.sortBy(_._2).toSeq
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      g -> sorted.collectFirst {
+        case (_, p, w) if { cum += w; cum * 2 >= tot } => p
+      }.get
+    }
+    val got = Aggregates.qAggWeightedMedian.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === brute)
+  }
+
+  test("attribution: each model conserves the purchase count") {
+    val res = graft.queries.Extras.qAttribution.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val purchases = Tables.read(spark, sf, "events")
+      .filter($"event_type" === "purchase").count()
+    Seq("first_touch", "last_touch").foreach { m =>
+      assert(res.filter(_._1 == m).map(_._3).sum === purchases,
+        s"$m does not attribute every purchase exactly once")
+    }
+    assert(res.map(_._2).toSet.subsetOf(Set("view", "click", "direct")))
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -2341,6 +2341,96 @@ object Extras {
            |FROM models GROUP BY model, channel
            |ORDER BY model, channel""".stripMargin))
 
+  /** E139: **sorted-neighborhood entity blocking** — the
+    * record-linkage pipeline stage that makes fuzzy matching scale:
+    * never score all pairs (quadratic); SORT within a blocking key
+    * (nation) on the match attribute and score only ADJACENT
+    * candidates — one window sort + one lead, so candidate count is
+    * exactly n−1 per block no matter the corpus. The scorer is the
+    * native jaro_winkler expression (E128) running inside whole-stage
+    * codegen; mean similarity routes through round-then-DECIMAL so
+    * the per-block average is accumulation-order-independent. The
+    * classic production form slides a window of w neighbors — w=2
+    * (adjacent) keeps the oracle a single lead while pinning the
+    * architecture; E134's inverted index and X2's LSH are the
+    * content-keyed alternatives when no sortable attribute exists. */
+  val qErBlocking = Q("q_er_blocking",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_name", $"c_custkey")
+      val sim = call_function("jaro_winkler", $"c_name", $"nname")
+      Tables.read(spark, sfDir, "customer")
+        .select($"c_nationkey", $"c_name", $"c_custkey")
+        .withColumn("nname", lead($"c_name", 1).over(w))
+        .filter($"nname".isNotNull)
+        .select($"c_nationkey", round(sim, 6).as("sim"))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when($"sim" >= 0.95, 1)).as("n_matches"),
+          (sum($"sim".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).cast("double").as("mean_sim"))
+        .select($"c_nationkey", $"n_pairs", $"n_matches",
+          round($"mean_sim", 6).as("mean_sim"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""WITH paired AS (
+           |  SELECT c_nationkey,
+           |    round(jaro_winkler_similarity(c_name,
+           |      lead(c_name) OVER (PARTITION BY c_nationkey
+           |        ORDER BY c_name, c_custkey)), 6) AS sim
+           |  FROM customer
+           |), scored AS (
+           |  SELECT c_nationkey, sim FROM paired WHERE sim IS NOT NULL
+           |)
+           |SELECT c_nationkey, count(*) AS n_pairs,
+           |       count(CASE WHEN sim >= 0.95 THEN 1 END) AS n_matches,
+           |       round(CAST(sum(CAST(sim AS DECIMAL(18,6)))
+           |           AS DOUBLE) / count(*), 6) AS mean_sim
+           |FROM scored GROUP BY c_nationkey
+           |ORDER BY c_nationkey""".stripMargin))
+
+  /** E140: **inter-arrival time distribution (exponential buckets)** —
+    * the latency/cadence histogram behind burst detection and retry
+    * analysis: per-user gaps between consecutive events, bucketed by
+    * order of magnitude. The bucketing dodges float logs entirely:
+    * bucket = length(bin(gap_seconds)) — the binary-string length IS
+    * ⌊log₂⌋+1 computed in pure integer/string ops, so engines can
+    * never disagree at a power-of-two boundary the way libm log2
+    * might (gap 0 and 1 share bucket 1 — pinned). One lag window per
+    * user (the fact-sized sort), then a hash agg to ≤64 bucket rows.
+    * The filter on the lag's null first-row is explicit on both
+    * sides. */
+  val qInterarrivalHist = Q("q_interarrival_hist",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val us = unix_micros($"ts")
+      Tables.read(spark, sfDir, "events")
+        .withColumn("gap_us", us - lag(us, 1).over(w))
+        .filter($"gap_us".isNotNull)
+        // integer div, not float-divide-then-cast: a double quotient
+        // can round UP across the integer boundary before truncation
+        .withColumn("gap_s", expr("gap_us div 1000000"))
+        .withColumn("bucket", length(bin($"gap_s")))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"gap_s").as("min_gap_s"), max($"gap_s").as("max_gap_s"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH gaps AS (
+           |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) -
+           |          lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           |            PARTITION BY user_id ORDER BY ts, event_id))
+           |         // 1000000 AS gap_s
+           |  FROM events
+           |)
+           |SELECT CAST(length(bin(gap_s)) AS INTEGER) AS bucket,
+           |       count(*) AS n,
+           |       min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+           |FROM gaps WHERE gap_s IS NOT NULL
+           |GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2351,5 +2441,6 @@ object Extras {
     qSqlOrderedSet, qSqlPagination, qAuditConstraints,
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
-    qBenford, qSeqPattern, qProrate, qCrosstabChi2, qAttribution)
+    qBenford, qSeqPattern, qProrate, qCrosstabChi2, qAttribution,
+    qErBlocking, qInterarrivalHist)
 }

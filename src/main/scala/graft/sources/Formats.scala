@@ -1511,6 +1511,63 @@ object Formats {
     },
     Some(roundtripOracle))
 
+  /** E141: **malformed-record ingestion (PERMISSIVE mode)** — real
+    * 100 TB CSV lakes contain garbage lines, and the ingestion
+    * contract is quarantine-not-crash: read with a declared schema in
+    * PERMISSIVE mode, capture unparseable lines in the corrupt-record
+    * column, and report (clean aggregate, quarantine count) in one
+    * pass. The fixture plants EXACTLY four malformed lines (bad long,
+    * bad double, non-numeric both fields, arity overflow) as an extra
+    * part file beside a clean CSV dump of orders, so the oracle can
+    * state the expected counts from the parquet source: any planted
+    * line leaking into the clean aggregate breaks the DECIMAL sum
+    * hash, any clean line mis-flagged breaks n_good. Two pinned
+    * subtleties: (1) Spark's corrupt-column restriction does not bite
+    * — it only forbids queries whose referenced columns are SOLELY
+    * the corrupt-record column; (2) CSV column pruning
+    * (spark.sql.csv.parser.columnPruning, default on) means a line is
+    * only "malformed" with respect to the columns the query actually
+    * reads — a garbage o_orderkey parses clean if only o_totalprice
+    * is referenced (measured: n_bad 4→2). The quarantine aggregate
+    * therefore references EVERY data column, which is also the
+    * stronger audit. */
+  val qSourceCsvMalformed = Q("q_source_csv_malformed",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "csv_malformed")
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .write.mode("overwrite").csv(dir)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "part-99999-planted.csv"),
+        "notakey,1.5\n2,notaprice\nbad,bad\n1,2.0,3,4\n")
+      val sch = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("_corrupt", StringType)))
+      spark.read.schema(sch)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir)
+        // no cache needed: Spark only forbids queries whose referenced
+        // columns are SOLELY the corrupt-record column; this aggregate
+        // reads the data columns too, so the single-pass form is legal
+        .agg(
+          count(when($"_corrupt".isNull, 1)).as("n_good"),
+          count(when($"_corrupt".isNotNull, 1)).as("n_bad"),
+          sum(when($"_corrupt".isNull, $"o_orderkey")).cast("long")
+            .as("sum_good_keys"),
+          round(sum(when($"_corrupt".isNull,
+            $"o_totalprice".cast("decimal(18,6)"))), 6)
+            .cast("double").as("sum_good_price"))
+    },
+    Some("""SELECT count(*) AS n_good,
+           |       CAST(4 AS BIGINT) AS n_bad,
+           |       CAST(sum(o_orderkey) AS BIGINT) AS sum_good_keys,
+           |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),
+           |         6) AS DOUBLE) AS sum_good_price
+           |FROM orders""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1520,5 +1577,6 @@ object Formats {
     qSourceSchemaEvolution,
     qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
-    qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire)
+    qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
+    qSourceCsvMalformed)
 }

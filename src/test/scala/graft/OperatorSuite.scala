@@ -1575,6 +1575,47 @@ class OperatorSuite extends AnyFunSuite {
     assert(res.map(_._2).toSet.subsetOf(Set("view", "click", "direct")))
   }
 
+  test("er blocking: pair count per block, similarity bounds") {
+    // E139: sorted-neighborhood emits exactly n-1 adjacent pairs per
+    // block; similarity is a probability-like score in [0, 1].
+    val perNation = Tables.read(spark, sf, "customer")
+      .groupBy($"c_nationkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val res = graft.queries.Extras.qErBlocking.fn(spark, sf).collect()
+    res.foreach { r =>
+      val (nk, pairs, matches, mean) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(pairs === perNation(nk) - 1)
+      assert(matches >= 0 && matches <= pairs)
+      assert(mean >= 0.0 && mean <= 1.0)
+    }
+    assert(res.length === perNation.count(_._2 >= 2))
+  }
+
+  test("interarrival histogram: gap conservation and bucket ranges") {
+    // E140: every consecutive pair lands in exactly one bucket, and
+    // each bucket's observed [min, max] stays inside its power-of-two
+    // range ([2^(b-1), 2^b); bucket 1 covers {0, 1}).
+    val res = graft.queries.Extras.qInterarrivalHist.fn(spark, sf)
+      .collect()
+    val ev = Tables.read(spark, sf, "events")
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(res.map(_.getLong(1)).sum === expected)
+    res.foreach { r =>
+      val (b, lo, hi) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      val floor = if (b == 1) 0L else 1L << (b - 1)
+      assert(lo >= floor && hi < (1L << b),
+        s"bucket $b holds [$lo, $hi] outside [$floor, ${1L << b})")
+    }
+  }
+
+  test("malformed csv: quarantine counts exactly the planted lines") {
+    val r = graft.sources.Formats.qSourceCsvMalformed.fn(spark, sf)
+      .head()
+    assert(r.getLong(0) === Tables.read(spark, sf, "orders").count())
+    assert(r.getLong(1) === 4L, "all four planted lines quarantined")
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -1082,11 +1082,66 @@ object Aggregates {
            |FROM ranked GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 
+  /** E143: **concentration metrics (Gini + top-share)** — how
+    * unequally is spend distributed over customers: the Gini
+    * coefficient from the sorted-rank identity
+    * G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) plus the top-1% revenue share —
+    * the whale-dependence metrics every marketplace and the corpus-
+    * curation "how much of the data is one source" audit share. All
+    * inputs exact: per-customer totals are DECIMAL sums, ranks are
+    * one ranking window (ties carry equal x, so swapping tied ranks
+    * cannot change Σi·xᵢ — ordering is total anyway via the customer
+    * key), i·xᵢ is long×decimal, and the two ratios are the only
+    * doubles, at the edge. The top-1% cutoff is ⌈n/100⌉ by (spend
+    * DESC, custkey) — a deterministic count, not a percentile
+    * estimate. Shape: one fact shuffle to customer grain, one sort of
+    * the customer frame, two scalar aggregates. */
+  val qGini = Q("q_gini",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val spend = Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("x"))
+      val asc = Window.orderBy($"x", $"o_custkey")
+      val desc = Window.orderBy($"x".desc, $"o_custkey")
+      spend
+        .withColumn("i", row_number().over(asc))
+        .withColumn("r", row_number().over(desc))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"i" * $"x").as("six"),
+          sum(when($"r" <= ceil($"nn" / 100.0), $"x")).as("top_x"))
+        .select($"n",
+          round((lit(2) * $"six" - ($"n" + 1) * $"sx").cast("double") /
+            ($"n" * $"sx").cast("double"), 6).as("gini"),
+          round($"top_x".cast("double") / $"sx", 6)
+            .as("top1pct_share"))
+    },
+    Some("""WITH spend AS (
+           |  SELECT o_custkey,
+           |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+           |  FROM orders GROUP BY o_custkey
+           |), ranked AS (
+           |  SELECT x,
+           |    row_number() OVER (ORDER BY x, o_custkey) AS i,
+           |    row_number() OVER (ORDER BY x DESC, o_custkey) AS r,
+           |    count(*) OVER () AS nn
+           |  FROM spend
+           |)
+           |SELECT count(*) AS n,
+           |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x)
+           |      AS DOUBLE) /
+           |    CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini,
+           |  round(CAST(sum(CASE WHEN r <= ceil(nn / 100.0)
+           |      THEN x END) AS DOUBLE) /
+           |    CAST(sum(x) AS DOUBLE), 6) AS top1pct_share
+           |FROM ranked""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
     qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma,
-    qFeatureScale, qAggLogMeans, qAggWeightedMedian)
+    qFeatureScale, qAggLogMeans, qAggWeightedMedian, qGini)
 }

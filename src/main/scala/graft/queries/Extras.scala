@@ -2431,6 +2431,59 @@ object Extras {
            |FROM gaps WHERE gap_s IS NOT NULL
            |GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** E142: **maximum drawdown** — the risk metric over a level
+    * series: per event-type, the deepest drop of the daily metric
+    * from its running peak (trading's max-drawdown, but equally the
+    * "how far did throughput fall from its best" SLO view). All in
+    * EXACT arithmetic: daily levels are DECIMAL sums, the running
+    * peak is a cumulative-max window over decimals (order-safe), the
+    * drawdown subtraction stays decimal, and the argmax day is picked
+    * by a (drawdown DESC, day) total order — so the reported worst
+    * day cannot flip under re-partitioning. One fact-sized shuffle to
+    * (series, day); windows run on the dimension-sized daily frame.
+    * Percent-of-peak is the only double, at the edge, 6dp. */
+  val qDrawdown = Q("q_drawdown",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ord = Window.partitionBy($"event_type").orderBy($"day")
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(sum($"value".cast("decimal(18,6)")).as("rev"))
+      daily
+        .withColumn("peak", max($"rev").over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("dd", $"peak" - $"rev")
+        .withColumn("rk", row_number().over(Window
+          .partitionBy($"event_type").orderBy($"dd".desc, $"day")))
+        .filter($"rk" === 1)
+        .select($"event_type", $"day".as("worst_day"),
+          $"dd".cast("double").as("max_drawdown"),
+          round($"dd".cast("double") / $"peak", 6).as("dd_pct_of_peak"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |         sum(CAST(value AS DECIMAL(18,6))) AS rev
+           |  FROM events GROUP BY 1, 2
+           |), peaked AS (
+           |  SELECT event_type, day, rev,
+           |    max(rev) OVER (PARTITION BY event_type ORDER BY day
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS peak
+           |  FROM daily
+           |), dded AS (
+           |  SELECT event_type, day, peak - rev AS dd, peak,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY peak - rev DESC, day) AS rk
+           |  FROM peaked
+           |)
+           |SELECT event_type, day AS worst_day,
+           |       CAST(dd AS DOUBLE) AS max_drawdown,
+           |       round(CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE), 6)
+           |         AS dd_pct_of_peak
+           |FROM dded WHERE rk = 1 ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2442,5 +2495,5 @@ object Extras {
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
     qBenford, qSeqPattern, qProrate, qCrosstabChi2, qAttribution,
-    qErBlocking, qInterarrivalHist)
+    qErBlocking, qInterarrivalHist, qDrawdown)
 }

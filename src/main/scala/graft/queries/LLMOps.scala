@@ -2248,6 +2248,73 @@ object LLMOps {
             |FROM ranked JOIN ne USING (e_doc)
             |WHERE rk = 1 ORDER BY e_doc""".stripMargin))
 
+  /** E144: **k-means assignment step (one Lloyd iteration)** — the
+    * clustering primitive under IVF cell construction (the E-family
+    * ANN rows consume exactly this): assign every embedding to its
+    * nearest of k=8 fixed centroids (the embeddings with vec_id 0..7
+    * — deterministic seeding, the k-means‖ oversampling being the
+    * production variant) and report per-cluster size and inertia.
+    * Distance parity rides the established vec_dot machinery:
+    * d² = ‖e‖² + ‖c‖² − 2·e·c from double-accumulated dots (the same
+    * list_sum/CAST-DOUBLE oracle form the cosine family pins), the
+    * argmin decided on round(d², 6) with a centroid-id tiebreak so a
+    * sub-rounding float disagreement cannot flip an assignment, and
+    * inertia summed as round-then-DECIMAL (order-independent). Shape:
+    * the centroid frame (k rows) broadcasts across the embedding scan
+    * — a k-fan-out cross (allowlisted BNLJ, the cosine-family
+    * pattern), one row_number window per point, one hash agg. At
+    * 100 TB: identical plan, centroids always broadcast; the FULL
+    * Lloyd loop is this query iterated with localCheckpoint (the E5/
+    * E117 discipline). */
+  val qKmeansStep = Q("q_kmeans_step",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = emb(spark, sfDir)
+        .withColumn("n2", Vectors.normSq($"embedding"))
+      val c = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("cv"),
+          $"n2".as("cn2"))
+      val d2 = round($"n2" + $"cn2" -
+        lit(2.0) * Vectors.dot($"embedding", $"cv"), 6)
+      val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+      e.crossJoin(broadcast(c))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_assigned"),
+          sum($"d2".cast("decimal(18,6)")).cast("double")
+            .as("inertia"))
+        .orderBy($"cid")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    list_sum(list_transform(list_zip(embedding, embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |      AS n2
+           |  FROM embeddings
+           |), c AS (
+           |  SELECT vec_id AS cid, embedding AS cv, n2 AS cn2
+           |  FROM e WHERE vec_id < 8
+           |), scored AS (
+           |  SELECT e.vec_id, c.cid,
+           |    round(e.n2 + c.cn2 - 2.0 *
+           |      list_sum(list_transform(list_zip(e.embedding, c.cv),
+           |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+           |      6) AS d2
+           |  FROM e CROSS JOIN c
+           |), assigned AS (
+           |  SELECT vec_id, cid, d2,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY d2, cid) AS rk
+           |  FROM scored
+           |)
+           |SELECT cid, count(*) AS n_assigned,
+           |       CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE)
+           |         AS inertia
+           |FROM assigned WHERE rk = 1
+           |GROUP BY cid ORDER BY cid""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -2616,7 +2683,7 @@ object LLMOps {
     qChunkDocs,
     qScrubBlocklist,
     qScrubPii,
-    qDecontaminate, qContainScore, qPackSequences, qUdfNorm,
+    qDecontaminate, qContainScore, qKmeansStep, qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest)
 }

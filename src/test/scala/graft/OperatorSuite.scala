@@ -1616,6 +1616,68 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getLong(1) === 4L, "all four planted lines quarantined")
   }
 
+  test("drawdown equals brute-force peak-minus-level scan") {
+    // E142: per series, max over days of (running peak − level).
+    val daily = Tables.read(spark, sf, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum($"value".cast("decimal(18,6)")).cast("double").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDouble(2)))
+    val brute = daily.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.sortBy(_._2.toEpochDay)
+      var peak = Double.MinValue
+      var best = 0.0
+      sorted.foreach { case (_, _, v) =>
+        peak = math.max(peak, v); best = math.max(best, peak - v)
+      }
+      g -> best
+    }
+    val got = graft.queries.Extras.qDrawdown.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (g, dd) =>
+      assert(math.abs(dd - brute(g)) < 1e-6, s"$g: $dd vs ${brute(g)}")
+    }
+  }
+
+  test("gini matches brute-force sorted-rank identity and bounds") {
+    val spend = Tables.read(spark, sf, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,6)")).cast("double")
+        .as("x"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val sorted = spend.sortBy(x => (x._2, x._1)).map(_._2)
+    val n = sorted.length
+    val sx = sorted.sum
+    val six = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val brute = (2 * six - (n + 1) * sx) / (n * sx)
+    val r = Aggregates.qGini.fn(spark, sf).head()
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(1) - brute) < 1e-6)
+    assert(r.getDouble(1) >= 0 && r.getDouble(1) < 1)
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1)
+  }
+
+  test("kmeans step assigns every vector to its true nearest centroid") {
+    // E144: brute-force the assignment in the driver and compare the
+    // per-cluster sizes; total assignment must conserve the table.
+    val vecs = Tables.read(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = vecs.filter(_._1 < 8).sortBy(_._1).map(_._2)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val brute = vecs.map { case (_, v) =>
+      cents.zipWithIndex.minBy { case (c, i) => (d2(v, c), i) }._2.toLong
+    }.groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val got = LLMOps.qKmeansStep.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === brute)
+    assert(got.values.sum === vecs.length.toLong)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -135,7 +135,8 @@ class PlanSuite extends AnyFunSuite {
       "q_pack_sequences", // 1-row invariant-gate crosses (E42 oracle)
       "q_basket_pairs", // 1-row basket-universe-count cross into lift
       "q_rolling_distinct", // 1-row span-bounds cross clips the edge
-      "q_crosstab_chi2") // 5x5 marginal-grid + 1-row totals crosses
+      "q_crosstab_chi2", // 5x5 marginal-grid + 1-row totals crosses
+      "q_kmeans_step") // k=8 centroid broadcast cross, cosine-family shape
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

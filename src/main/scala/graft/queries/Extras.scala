@@ -2484,6 +2484,144 @@ object Extras {
            |         AS dd_pct_of_peak
            |FROM dded WHERE rk = 1 ORDER BY event_type""".stripMargin))
 
+  /** E146: **RFM segmentation** — the classic marketing triple:
+    * recency (days since last order), frequency (order count),
+    * monetary (total spend), each cut into quartiles, customers
+    * labeled `rfm` ∈ 111..444 with 1 the best. Determinism: every
+    * `ntile` runs under a TOTAL order (metric, then custkey) — bare
+    * metric ordering would let tied customers swap quartiles at a
+    * boundary between runs (both engines use the ANSI equal-buckets/
+    * remainder-to-front ntile, so with a total order the cut is
+    * identical); recency anchors on max(o_orderdate) over the table
+    * (a window over the customer frame), never wall-clock. Monetary
+    * sums are DECIMAL. Shape: one fact shuffle to customer grain,
+    * three windows over the customer frame, one dimension-sized
+    * segment rollup. */
+  val qRfm = Q("q_rfm",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cust = Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_custkey")
+        .agg(max(to_date($"o_orderdate")).as("last_day"),
+          count(lit(1)).as("f"),
+          sum($"o_totalprice".cast("decimal(18,6)")).as("m"))
+        .withColumn("anchor",
+          max($"last_day").over(Window.partitionBy()))
+        .withColumn("r_days", datediff($"anchor", $"last_day"))
+      val seg = cust
+        .withColumn("rq", ntile(4).over(
+          Window.orderBy($"r_days", $"o_custkey")))
+        .withColumn("fq", ntile(4).over(
+          Window.orderBy($"f".desc, $"o_custkey")))
+        .withColumn("mq", ntile(4).over(
+          Window.orderBy($"m".desc, $"o_custkey")))
+      seg.groupBy(concat($"rq", $"fq", $"mq").as("rfm"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum($"m").cast("double") /
+            count(lit(1)), 2).as("avg_monetary"))
+        .orderBy($"rfm")
+    },
+    Some("""WITH cust AS (
+           |  SELECT o_custkey,
+           |         max(CAST(o_orderdate AS DATE)) AS last_day,
+           |         count(*) AS f,
+           |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS m
+           |  FROM orders GROUP BY o_custkey
+           |), anchored AS (
+           |  SELECT *, max(last_day) OVER () AS anchor FROM cust
+           |), seg AS (
+           |  SELECT o_custkey, m,
+           |    ntile(4) OVER (ORDER BY anchor - last_day, o_custkey)
+           |      AS rq,
+           |    ntile(4) OVER (ORDER BY f DESC, o_custkey) AS fq,
+           |    ntile(4) OVER (ORDER BY m DESC, o_custkey) AS mq
+           |  FROM anchored
+           |)
+           |SELECT CAST(rq AS VARCHAR) || CAST(fq AS VARCHAR) ||
+           |         CAST(mq AS VARCHAR) AS rfm,
+           |       count(*) AS n_customers,
+           |       round(CAST(sum(m) AS DOUBLE) / count(*), 2)
+           |         AS avg_monetary
+           |FROM seg GROUP BY 1 ORDER BY rfm""".stripMargin))
+
+  /** E147: **two-proportion z-test (A/B arms)** — the experiment
+    * readout beside the chi-square association test (E133): do two
+    * customer segments convert (place a >400k order) at different
+    * rates? z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂ —
+    * every input an exact count from one hash agg (conversion is an
+    * EXISTS per customer via bool_or, not a row count — double-
+    * counting repeat converters is the classic A/B bug), the z
+    * expression shallow double math at the edge, and the
+    * significance flag decided on the ROUNDED statistic so a 1-ulp
+    * tail cannot flip it. Dimension-sized after the one fact
+    * shuffle. */
+  val qAbTest = Q("q_ab_test",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val conv = Tables.read(spark, sfDir, "orders")
+        .join(broadcast(Tables.read(spark, sfDir, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+        .groupBy($"c_mktsegment", $"o_custkey")
+        .agg(max(($"o_totalprice" > 400000).cast("int")).as("converted"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum($"converted").cast("long").as("x"))
+      val a = conv.filter($"c_mktsegment" === "BUILDING")
+        .select($"n".as("n1"), $"x".as("x1"))
+      val b = conv.filter($"c_mktsegment" === "AUTOMOBILE")
+        .select($"n".as("n2"), $"x".as("x2"))
+      a.crossJoin(broadcast(b))
+        .withColumn("p1", $"x1".cast("double") / $"n1")
+        .withColumn("p2", $"x2".cast("double") / $"n2")
+        .withColumn("pp",
+          ($"x1" + $"x2").cast("double") / ($"n1" + $"n2"))
+        .withColumn("z", round(($"p1" - $"p2") /
+          sqrt($"pp" * (lit(1.0) - $"pp") *
+            (lit(1.0) / $"n1" + lit(1.0) / $"n2")), 6))
+        .select($"n1", $"x1", $"n2", $"x2",
+          round($"p1", 6).as("p1"), round($"p2", 6).as("p2"), $"z",
+          (abs($"z") > 1.959964).as("significant_95"))
+    },
+    Some("""WITH conv AS (
+           |  SELECT c_mktsegment, o_custkey,
+           |    max(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+           |      AS converted
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+           |  GROUP BY 1, 2
+           |), arms AS (
+           |  SELECT c_mktsegment, count(*) AS n,
+           |         CAST(sum(converted) AS BIGINT) AS x
+           |  FROM conv GROUP BY 1
+           |), wide AS (
+           |  SELECT
+           |    (SELECT n FROM arms WHERE c_mktsegment = 'BUILDING')
+           |      AS n1,
+           |    (SELECT x FROM arms WHERE c_mktsegment = 'BUILDING')
+           |      AS x1,
+           |    (SELECT n FROM arms WHERE c_mktsegment = 'AUTOMOBILE')
+           |      AS n2,
+           |    (SELECT x FROM arms WHERE c_mktsegment = 'AUTOMOBILE')
+           |      AS x2
+           |), scored AS (
+           |  SELECT n1, x1, n2, x2,
+           |    CAST(x1 AS DOUBLE) / n1 AS p1,
+           |    CAST(x2 AS DOUBLE) / n2 AS p2,
+           |    CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+           |  FROM wide
+           |)
+           |SELECT n1, x1, n2, x2,
+           |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+           |  round((p1 - p2) / sqrt(pp * (CAST(1 AS DOUBLE) - pp) *
+           |    (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 6)
+           |    AS z,
+           |  abs(round((p1 - p2) / sqrt(pp * (CAST(1 AS DOUBLE) - pp) *
+           |    (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 6))
+           |    > CAST('1.959964' AS DOUBLE) AS significant_95
+           |FROM scored""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2495,5 +2633,5 @@ object Extras {
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
     qBenford, qSeqPattern, qProrate, qCrosstabChi2, qAttribution,
-    qErBlocking, qInterarrivalHist, qDrawdown)
+    qErBlocking, qInterarrivalHist, qDrawdown, qRfm, qAbTest)
 }

@@ -1568,6 +1568,38 @@ object Formats {
            |         6) AS DOUBLE) AS sum_good_price
            |FROM orders""".stripMargin))
 
+  /** E145: **nested-struct schema pruning** — 100 TB event lakes are
+    * nested (meta/payload envelopes), and the scan cost question is
+    * whether reading `meta.event_type` decodes ONLY that parquet leaf
+    * or the whole struct: Spark's nested-schema-pruning rewrites the
+    * read schema to the referenced leaves (PlanSuite locks
+    * `ReadSchema` to exclude the payload branch — the difference
+    * between scanning kilobytes of dictionary-coded types and
+    * terabytes of payload). The fixture nests events into
+    * meta(user_id, event_type) / payload(value, props) once per
+    * (sfDir), and the oracle aggregates the FLAT parquet — so the
+    * nesting round-trip is also correctness-gated, not just
+    * plan-gated. */
+  val qSourceNestedPrune = Q("q_source_nested_prune",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "nested")
+      Tables.read(spark, sfDir, "events")
+        .select($"event_id",
+          struct($"user_id", $"event_type").as("meta"),
+          struct($"value", $"props").as("payload"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy($"meta.event_type".as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"meta.user_id").as("n_users"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users
+           |FROM events GROUP BY event_type
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1578,5 +1610,5 @@ object Formats {
     qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
-    qSourceCsvMalformed)
+    qSourceCsvMalformed, qSourceNestedPrune)
 }

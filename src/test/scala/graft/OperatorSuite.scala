@@ -1678,6 +1678,39 @@ class OperatorSuite extends AnyFunSuite {
     assert(got.values.sum === vecs.length.toLong)
   }
 
+  test("rfm: quartiles balanced, all customers segmented once") {
+    // E146: ntile(4) under a total order gives bucket sizes within 1
+    // of n/4 on each axis, and the segment rollup conserves the
+    // customer population.
+    val res = graft.queries.Extras.qRfm.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = Tables.read(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(res.map(_._2).sum === n)
+    assert(res.forall { case (label, _) =>
+      label.length == 3 && label.forall(c => c >= '1' && c <= '4')
+    })
+    // per-axis quartile balance, reconstructed from the segment counts
+    (0 until 3).foreach { axis =>
+      val byQ = res.groupBy(_._1.charAt(axis))
+        .view.mapValues(_.map(_._2).sum)
+      byQ.values.foreach(c =>
+        assert(math.abs(c - n / 4.0) <= 1.0, s"axis $axis skewed: $byQ"))
+    }
+  }
+
+  test("two-proportion z-test matches the driver-side formula") {
+    val r = graft.queries.Extras.qAbTest.fn(spark, sf).head()
+    val (n1, x1, n2, x2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val z = (p1 - p2) /
+      math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(r.getDouble(6) - z) < 1e-6)
+    assert(r.getBoolean(7) === (math.abs(r.getDouble(6)) > 1.959964))
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -136,7 +136,8 @@ class PlanSuite extends AnyFunSuite {
       "q_basket_pairs", // 1-row basket-universe-count cross into lift
       "q_rolling_distinct", // 1-row span-bounds cross clips the edge
       "q_crosstab_chi2", // 5x5 marginal-grid + 1-row totals crosses
-      "q_kmeans_step") // k=8 centroid broadcast cross, cosine-family shape
+      "q_kmeans_step", // k=8 centroid broadcast cross, cosine-family shape
+      "q_ab_test") // 1-row arm-vs-arm cross into the z statistic
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),
@@ -151,6 +152,21 @@ class PlanSuite extends AnyFunSuite {
     val p = plan("q_fource_demographics")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("nested-struct scan prunes to the referenced leaves only") {
+    // E145: reading meta.event_type/meta.user_id must rewrite the
+    // parquet ReadSchema to those leaves — the payload branch (value,
+    // props) may not appear anywhere in the scan schema. At 100 TB
+    // this is the difference between decoding the envelope and
+    // decoding the payload.
+    val p = plan("q_source_nested_prune")
+    val read = p.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(read.nonEmpty, s"no ReadSchema in:\n$p")
+    assert(read.contains("meta"), s"meta leaves must be read:\n$read")
+    assert(!read.contains("payload"),
+      s"payload branch must be pruned from the scan:\n$read")
   }
 
   test("aggregates run two-phase (partial then final)") {

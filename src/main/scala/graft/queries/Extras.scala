@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2622,6 +2623,151 @@ object Extras {
            |    > CAST('1.959964' AS DOUBLE) AS significant_95
            |FROM scored""".stripMargin))
 
+  /** E148: **grid-bucketed nearest-warehouse (geo join)** — the
+    * spatial flavor of the dedup family's bucket-then-refine
+    * discipline: assigning every customer its nearest supplier by
+    * haversine is quadratic done naively, so candidates come from a
+    * 10°×10° grid — each supplier is exploded into its 3×3 cell
+    * neighborhood (a FIXED ×9 fan-out, the E129 bounded-explode
+    * discipline) and the join is EQUI on the cell id. The pinned
+    * contract is bounded-radius nearest (match within the
+    * neighborhood or no service — exactly how production geo indexes
+    * behave); coordinates derive deterministically from keys (no geo
+    * columns in the fixture — integer arithmetic, then one /100.0,
+    * bit-identical on both engines). Haversine is the same shallow
+    * libm expression on both sides with the asin argument clamped;
+    * the argmin decides on round(km, 6) with a supplier tiebreak.
+    * Output rolls up to warehouse grain. */
+  val qGeoNearest = Q("q_geo_nearest",
+    (spark, sfDir) => {
+      import spark.implicits._
+      def lat(k: Column) = (k * 37 % 17000) / 100.0 - 85.0
+      def lon(k: Column) = (k * 91 % 36000) / 100.0 - 180.0
+      val cust = Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey", lat($"c_custkey").as("clat"),
+          lon($"c_custkey").as("clon"))
+        .withColumn("cx", floor(($"clat" + 90) / 10).cast("int"))
+        .withColumn("cy", floor(($"clon" + 180) / 10).cast("int"))
+      val sup = Tables.read(spark, sfDir, "supplier")
+        .select($"s_suppkey", lat($"s_suppkey").as("slat"),
+          lon($"s_suppkey").as("slon"))
+        .withColumn("sx0", floor(($"slat" + 90) / 10).cast("int"))
+        .withColumn("sy0", floor(($"slon" + 180) / 10).cast("int"))
+        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+        .select($"s_suppkey", $"slat", $"slon",
+          ($"sx0" + $"dx").as("cx"), ($"sy0" + $"dy").as("cy"))
+      val km = lit(2.0) * lit(6371.0) * asin(sqrt(least(lit(1.0),
+        pow(sin(radians($"slat" - $"clat") / 2), 2) +
+          cos(radians($"clat")) * cos(radians($"slat")) *
+          pow(sin(radians($"slon" - $"clon") / 2), 2))))
+      val w = Window.partitionBy($"c_custkey")
+        .orderBy($"dist_km", $"s_suppkey")
+      cust.join(sup, Seq("cx", "cy"))
+        .withColumn("dist_km", round(km, 6))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_customers"),
+          (sum($"dist_km".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("raw_avg"))
+        .select($"s_suppkey", $"n_customers",
+          round($"raw_avg", 3).as("avg_dist_km"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""WITH cust AS (
+           |  SELECT c_custkey,
+           |    (c_custkey * 37 % 17000) / CAST(100 AS DOUBLE)
+           |      - CAST(85 AS DOUBLE) AS clat,
+           |    (c_custkey * 91 % 36000) / CAST(100 AS DOUBLE)
+           |      - CAST(180 AS DOUBLE) AS clon
+           |  FROM customer
+           |), custc AS (
+           |  SELECT *,
+           |    CAST(floor((clat + 90) / 10) AS INTEGER) AS cx,
+           |    CAST(floor((clon + 180) / 10) AS INTEGER) AS cy
+           |  FROM cust
+           |), sup AS (
+           |  SELECT s_suppkey,
+           |    (s_suppkey * 37 % 17000) / CAST(100 AS DOUBLE)
+           |      - CAST(85 AS DOUBLE) AS slat,
+           |    (s_suppkey * 91 % 36000) / CAST(100 AS DOUBLE)
+           |      - CAST(180 AS DOUBLE) AS slon
+           |  FROM supplier
+           |), supc AS (
+           |  SELECT s_suppkey, slat, slon,
+           |    CAST(floor((slat + 90) / 10) AS INTEGER) + dx.dx AS cx,
+           |    CAST(floor((slon + 180) / 10) AS INTEGER) + dy.dy AS cy
+           |  FROM sup, unnest([-1, 0, 1]) AS dx(dx),
+           |       unnest([-1, 0, 1]) AS dy(dy)
+           |), scored AS (
+           |  SELECT c_custkey, s_suppkey,
+           |    round(2.0 * 6371.0 * asin(sqrt(least(
+           |      CAST(1 AS DOUBLE),
+           |      pow(sin(radians(slat - clat) / 2), 2) +
+           |        cos(radians(clat)) * cos(radians(slat)) *
+           |        pow(sin(radians(slon - clon) / 2), 2)))), 6)
+           |      AS dist_km
+           |  FROM custc JOIN supc USING (cx, cy)
+           |), best AS (
+           |  SELECT c_custkey, s_suppkey, dist_km,
+           |    row_number() OVER (PARTITION BY c_custkey
+           |      ORDER BY dist_km, s_suppkey) AS rk
+           |  FROM scored
+           |)
+           |SELECT s_suppkey, count(*) AS n_customers,
+           |  round(CAST(sum(CAST(dist_km AS DECIMAL(18,6)))
+           |      AS DOUBLE) / count(*), 3) AS avg_dist_km
+           |FROM best WHERE rk = 1
+           |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin))
+
+  /** E149: **portable table checksum** — the replication/migration
+    * drift detector: one fingerprint per table that any engine can
+    * recompute (the dbt "audit helper" / cross-warehouse reconcile
+    * shape). Each row folds its KEY COLUMNS through the portable
+    * char_fold hash (the repo-wide polynomial both engines implement
+    * identically — native codegen'd expression here, `list_reduce`
+    * in the oracle) and the table fingerprint is the SUM of row
+    * hashes: commutative, so it is partition-order-independent and
+    * partial-aggregable (each executor sums locally, one long per
+    * partition crosses the wire — checksumming 100 TB costs one scan
+    * and shuffles 8 bytes per partition). Numeric columns are cast
+    * through exact integer/string forms — never float formatting. */
+  val qTableChecksum = Q("q_table_checksum",
+    (spark, sfDir) => {
+      import spark.implicits._
+      def fp(df: org.apache.spark.sql.DataFrame, table: String,
+          keyExpr: Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(call_function("char_fold", keyExpr)).cast("long")
+            .as("checksum"))
+          .select(lit(table).as("table_name"), $"n_rows", $"checksum")
+      val o = fp(Tables.read(spark, sfDir, "orders"), "orders",
+        concat_ws("|", $"o_orderkey".cast("string"),
+          $"o_custkey".cast("string"), $"o_orderstatus"))
+      val l = fp(Tables.read(spark, sfDir, "lineitem"), "lineitem",
+        concat_ws("|", $"l_orderkey".cast("string"),
+          $"l_linenumber".cast("string"), $"l_returnflag"))
+      o.unionAll(l).orderBy($"table_name")
+    },
+    Some(s"""WITH o AS (
+            |  SELECT 'orders' AS table_name, count(*) AS n_rows,
+            |    CAST(sum(${graft.functions.PortableHash.charFoldSql(
+              "CAST(o_orderkey AS VARCHAR) || '|' || " +
+                "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus")})
+            |      AS BIGINT) AS checksum
+            |  FROM orders
+            |), l AS (
+            |  SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+            |    CAST(sum(${graft.functions.PortableHash.charFoldSql(
+              "CAST(l_orderkey AS VARCHAR) || '|' || " +
+                "CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag")})
+            |      AS BIGINT) AS checksum
+            |  FROM lineitem
+            |)
+            |SELECT * FROM o UNION ALL SELECT * FROM l
+            |ORDER BY table_name""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2633,5 +2779,6 @@ object Extras {
     qDedupDebounce, qDriftChi2, qStreaks, qIntervalMerge,
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
     qBenford, qSeqPattern, qProrate, qCrosstabChi2, qAttribution,
-    qErBlocking, qInterarrivalHist, qDrawdown, qRfm, qAbTest)
+    qErBlocking, qInterarrivalHist, qDrawdown, qRfm, qAbTest,
+    qGeoNearest, qTableChecksum)
 }

@@ -41,6 +41,39 @@ class UserAggProcessor
   }
 }
 
+/** E150: per-key KLL quantile sketch maintained incrementally in
+  * `transformWithState` ValueState — the streaming member of the
+  * mergeable-sketch family (E61 is the batch rollup): the state is the
+  * serialized sketch itself (bounded ~KB per key regardless of stream
+  * length — the whole point of sketch state vs buffering values), each
+  * micro-batch folds its rows in and emits (key, n_seen, bytes); the
+  * final batch-side step picks each key's last emission and extracts
+  * quantiles with the same `kll_quantile` expression batch uses. */
+class KllStateProcessor
+    extends StatefulProcessor[String, (String, Double),
+      (String, Long, Array[Byte])] {
+  @transient private var state: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Array[Byte]]("kll",
+      Encoders.BINARY, TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Double)],
+      timerValues: TimerValues): Iterator[(String, Long, Array[Byte])] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val sk =
+      if (state.exists())
+        KllDoublesSketch.heapify(Memory.wrap(state.get()))
+      else KllDoublesSketch.newHeapInstance(200)
+    rows.foreach(r => sk.update(r._2))
+    val bytes = sk.toByteArray
+    state.update(bytes)
+    Iterator.single((key, sk.getN, bytes))
+  }
+}
+
 /** Structured Streaming operators (SURVEY.md §2.10, T1–T6). The
   * reference is pure batch re-run per refresh; Structured Streaming's
   * incremental-view model is the streaming equivalent of that refresh
@@ -757,9 +790,78 @@ object Streams {
            |FROM events GROUP BY event_type ORDER BY event_type"""
       .stripMargin))
 
+  /** E150: **streaming quantile sketch** — per-type p50/p95 maintained
+    * incrementally: the KLL sketch (E61's batch family) lives IN the
+    * stream state, so state stays ~KB per key at any stream length
+    * (buffering raw values for exact streaming quantiles is unbounded
+    * state — the disallowed design). Runs under the RocksDB provider
+    * like the T6b twin; the final emission per key (max n_seen) feeds
+    * the same `kll_quantile` extraction batch uses, and the oracle is
+    * the E61-style driver-gated bounded pass: the engine checks its
+    * estimates against exact percentile BANDS (±3.5 rank points — the
+    * k=200 guarantee with margin) and ships booleans the oracle
+    * expects TRUE, alongside exact values it recomputes. */
+  val qStreamQuantile = Q("q_stream_quantile",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val s = Tables.readStream(spark, sfDir, "events")
+          .select($"event_type", $"value").as[(String, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new KllStateProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("event_type", "n_seen", "sk")
+        val emitted = runToTable(spark, s, "t_kll", "update")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"n_seen".desc)
+        val finals = emitted
+          .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"event_type", $"n_seen",
+            call_function("kll_quantile", $"sk", lit(0.5)).as("p50"),
+            call_function("kll_quantile", $"sk", lit(0.95)).as("p95"))
+        val exact = Tables.read(spark, sfDir, "events")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_exact"),
+            round(expr("percentile(value, 0.5D)"), 6).as("exact_p50"),
+            round(expr("percentile(value, 0.95D)"), 6).as("exact_p95"),
+            expr("percentile(value, 0.465D)").as("p50_lo"),
+            expr("percentile(value, 0.535D)").as("p50_hi"),
+            expr("percentile(value, 0.915D)").as("p95_lo"),
+            expr("percentile(value, 0.985D)").as("p95_hi"))
+        finals.join(exact, Seq("event_type"))
+          .select($"event_type", $"n_seen", $"n_exact",
+            $"exact_p50", $"exact_p95",
+            ($"n_seen" === $"n_exact").as("n_matches"),
+            ($"p50" >= $"p50_lo" && $"p50" <= $"p50_hi")
+              .as("p50_within_bound"),
+            ($"p95" >= $"p95_lo" && $"p95" <= $"p95_hi")
+              .as("p95_within_bound"))
+          .orderBy($"event_type")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    },
+    Some("""SELECT event_type,
+           |       count(*) AS n_seen, count(*) AS n_exact,
+           |       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           |       round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           |       TRUE AS n_matches,
+           |       TRUE AS p50_within_bound,
+           |       TRUE AS p95_within_bound
+           |FROM events GROUP BY event_type
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
     qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
     qStreamJoinOuter,
-    qStreamJoinFull, qStreamAvailableNow, qStreamFileSink)
+    qStreamJoinFull, qStreamAvailableNow, qStreamFileSink,
+    qStreamQuantile)
 }

@@ -1711,6 +1711,72 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getBoolean(7) === (math.abs(r.getDouble(6)) > 1.959964))
   }
 
+  test("geo nearest matches brute force within the cell neighborhood") {
+    // E148: for every matched customer, the chosen warehouse is the
+    // true haversine argmin among suppliers in the 3x3 neighborhood.
+    def lat(k: Long) = (k * 37 % 17000) / 100.0 - 85.0
+    def lon(k: Long) = (k * 91 % 36000) / 100.0 - 180.0
+    def cell(la: Double, lo: Double) =
+      (math.floor((la + 90) / 10).toInt, math.floor((lo + 180) / 10).toInt)
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double) = {
+      def r(d: Double) = math.toRadians(d)
+      2 * 6371.0 * math.asin(math.sqrt(math.min(1.0,
+        math.pow(math.sin(r(la2 - la1) / 2), 2) +
+          math.cos(r(la1)) * math.cos(r(la2)) *
+          math.pow(math.sin(r(lo2 - lo1) / 2), 2))))
+    }
+    val sups = Tables.read(spark, sf, "supplier")
+      .select($"s_suppkey").collect().map(_.getLong(0))
+    val custs = Tables.read(spark, sf, "customer")
+      .select($"c_custkey").collect().map(_.getLong(0))
+    val brute = custs.flatMap { c =>
+      val (cx, cy) = cell(lat(c), lon(c))
+      val cands = sups.filter { s =>
+        val (sx, sy) = cell(lat(s), lon(s))
+        math.abs(sx - cx) <= 1 && math.abs(sy - cy) <= 1
+      }
+      if (cands.isEmpty) None
+      else Some(cands.minBy(s => (BigDecimal(hav(lat(c), lon(c),
+        lat(s), lon(s))).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP), s)))
+    }.groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    val got = graft.queries.Extras.qGeoNearest.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === brute)
+  }
+
+  test("table checksum matches the portable fold and detects drift") {
+    // E149: the fingerprint equals a driver-side recomputation via the
+    // same portable hash, and any single-row mutation changes it.
+    import graft.functions.CharFoldHelper
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = Tables.read(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus").collect()
+      .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}")
+    val brute = rows.map(s =>
+      CharFoldHelper.fold(UTF8String.fromString(s))).sum
+    val got = graft.queries.Extras.qTableChecksum.fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("orders") === ((rows.length.toLong, brute)))
+    // drift: replacing one row's status flips the sum
+    val drifted = brute -
+      CharFoldHelper.fold(UTF8String.fromString(rows.head)) +
+      CharFoldHelper.fold(UTF8String.fromString(rows.head + "X"))
+    assert(drifted !== brute)
+  }
+
+  test("streaming KLL quantiles stay inside their exact bands") {
+    val res = graft.streaming.Streams.qStreamQuantile.fn(spark, sf)
+      .collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getBoolean(5), s"${r.getString(0)}: n mismatch")
+      assert(r.getBoolean(6), s"${r.getString(0)}: p50 out of band")
+      assert(r.getBoolean(7), s"${r.getString(0)}: p95 out of band")
+    }
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

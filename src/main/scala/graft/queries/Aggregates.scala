@@ -1137,11 +1137,98 @@ object Aggregates {
            |    CAST(sum(x) AS DOUBLE), 6) AS top1pct_share
            |FROM ranked""".stripMargin))
 
+  /** E151: **calibration curve (reliability diagram)** — the second
+    * ML-eval aggregate beside AUC (E124 ranks; this asks whether the
+    * score MEANS what it says): decile the scores, and per decile
+    * report mean score vs observed positive rate — divergence is
+    * miscalibration. Determinism: the decile cut is `ntile(10)` under
+    * a TOTAL order (score, event_id) — the E146 discipline, since
+    * tied scores may not wander between deciles across runs; mean
+    * score routes through DECIMAL; the positive rate is one double
+    * division on exact counts. One global sort (same honesty note as
+    * E124: per-key calibration adds partitionBy; sketch ranks at
+    * extreme scale), one 10-row rollup. */
+  val qCalibration = Q("q_calibration",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .select($"value".as("s"), $"event_id",
+          ($"event_type" === "purchase").cast("long").as("y"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy($"s", $"event_id")))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"),
+          (sum($"s".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("raw_mean"),
+          sum($"y").as("n_pos"))
+        .select($"decile", $"n", round($"raw_mean", 6).as("mean_score"),
+          round($"n_pos".cast("double") / $"n", 6).as("pos_rate"))
+        .orderBy($"decile")
+    },
+    Some("""WITH scored AS (
+           |  SELECT value AS s, event_id,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           |      AS y,
+           |    CAST(ntile(10) OVER (ORDER BY value, event_id)
+           |      AS INTEGER) AS decile
+           |  FROM events
+           |)
+           |SELECT decile, count(*) AS n,
+           |  round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+           |    / count(*), 6) AS mean_score,
+           |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+           |FROM scored GROUP BY decile ORDER BY decile""".stripMargin))
+
+  /** E153: **tail risk (VaR + expected shortfall)** — the pair every
+    * risk report carries: the p95 cut (VaR) and the MEAN of the tail
+    * beyond it (CVaR/expected shortfall — coherent where VaR is not).
+    * The cut comes from the exact interpolated percentile both
+    * engines define identically; the tail mean routes through DECIMAL
+    * so accumulation order cannot move it; the tail membership test
+    * compares raw doubles against the unrounded cut — safe because an
+    * interpolated quantile either equals a data value exactly (tie or
+    * integral index: identical on both engines) or lies strictly
+    * between two data values, where a 1-ulp disagreement cannot
+    * change membership. Per-group percentile + one broadcast-back
+    * filter pass; at 100 TB the cut comes from KLL (E61) and the same
+    * second pass stands. */
+  val qCvar = Q("q_cvar",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cut = Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.95D)").as("var95"))
+      Tables.read(spark, sfDir, "lineitem")
+        .join(broadcast(cut), "l_returnflag")
+        .filter($"l_extendedprice" >= $"var95")
+        .groupBy($"l_returnflag")
+        .agg(round(first($"var95"), 6).as("var95"),
+          count(lit(1)).as("n_tail"),
+          round(sum($"l_extendedprice".cast("decimal(18,6)"))
+            .cast("double") / count(lit(1)), 6).as("cvar95"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH cut AS (
+           |  SELECT l_returnflag,
+           |         quantile_cont(l_extendedprice, 0.95) AS var95
+           |  FROM lineitem GROUP BY l_returnflag
+           |)
+           |SELECT l_returnflag,
+           |       round(any_value(var95), 6) AS var95,
+           |       count(*) AS n_tail,
+           |       round(CAST(sum(CAST(l_extendedprice
+           |           AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           |         AS cvar95
+           |FROM lineitem JOIN cut USING (l_returnflag)
+           |WHERE l_extendedprice >= var95
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
     qAggPercentile, qWindowFirstLast, qAggCorr, qAggCollect, qAggBoolBit,
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
     qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma,
-    qFeatureScale, qAggLogMeans, qAggWeightedMedian, qGini)
+    qFeatureScale, qAggLogMeans, qAggWeightedMedian, qGini,
+    qCalibration, qCvar)
 }

@@ -2768,6 +2768,114 @@ object Extras {
             |SELECT * FROM o UNION ALL SELECT * FROM l
             |ORDER BY table_name""".stripMargin))
 
+  /** E152: **hierarchy shares (ratio-to-parent)** — the drill-down
+    * report shape: revenue per nation with its share of the parent
+    * region AND of the grand total (Oracle's RATIO_TO_REPORT,
+    * expressed portably as windowed sums). Execution: one fact
+    * shuffle (orders joined through two broadcast dims), then BOTH
+    * share levels come from windows over the ~25-row nation frame —
+    * the parent totals are never re-aggregated in a second fact pass
+    * (the naive report runs three scans; this runs one). All sums
+    * DECIMAL; the two divisions cast to double at the edge, 6dp. */
+  val qRatioToParent = Q("q_ratio_to_parent",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val nat = Tables.read(spark, sfDir, "orders")
+        .join(broadcast(Tables.read(spark, sfDir, "customer")
+          .select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.read(spark, sfDir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.read(spark, sfDir, "region")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("rev"))
+      nat
+        .withColumn("region_rev",
+          sum($"rev").over(Window.partitionBy($"r_name")))
+        .withColumn("total_rev", sum($"rev").over(Window.partitionBy()))
+        .select($"r_name", $"n_name",
+          round($"rev".cast("double"), 2).as("revenue"),
+          round($"rev".cast("double") / $"region_rev".cast("double"), 6)
+            .as("share_of_region"),
+          round($"rev".cast("double") / $"total_rev".cast("double"), 6)
+            .as("share_of_total"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""WITH nat AS (
+           |  SELECT r_name, n_name,
+           |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           |  FROM orders
+           |    JOIN customer ON o_custkey = c_custkey
+           |    JOIN nation ON c_nationkey = n_nationkey
+           |    JOIN region ON n_regionkey = r_regionkey
+           |  GROUP BY r_name, n_name
+           |)
+           |SELECT r_name, n_name,
+           |  round(CAST(rev AS DOUBLE), 2) AS revenue,
+           |  round(CAST(rev AS DOUBLE) /
+           |    CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+           |    AS share_of_region,
+           |  round(CAST(rev AS DOUBLE) /
+           |    CAST(sum(rev) OVER () AS DOUBLE), 6) AS share_of_total
+           |FROM nat ORDER BY r_name, n_name""".stripMargin))
+
+  /** E154: **state-machine conformance audit** — event streams have a
+    * grammar (a signup is a user's FIRST event; a purchase needs a
+    * preceding view/click), and broken instrumentation shows up as
+    * grammar violations long before it shows up in volumes (the
+    * monitoring family's sequence-aware member, beside E114/E116/
+    * E126). Both rules are ONE ordered pass per user: row_number for
+    * the is-first rule, a cumulative bounded-frame max over the
+    * touch flag for the needs-prior-touch rule — never a self-join
+    * per rule (the naive audit joins events⋈events per constraint).
+    * The output also counts fully-clean users, so an
+    * accidentally-inverted rule cannot silently hash-match. */
+  val qStateMachine = Q("q_state_machine",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = Tables.read(spark, sfDir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prior_touch", max(
+          $"event_type".isin("view", "click").cast("int"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("v_signup",
+          ($"event_type" === "signup" && $"rn" > 1).cast("long"))
+        .withColumn("v_purchase", ($"event_type" === "purchase" &&
+          coalesce($"prior_touch", lit(0)) === 0).cast("long"))
+      flagged
+        .groupBy($"user_id")
+        .agg(sum($"v_signup").as("vs"), sum($"v_purchase").as("vp"))
+        .agg(count(lit(1)).as("n_users"),
+          sum($"vs").cast("long").as("n_signup_not_first"),
+          sum($"vp").cast("long").as("n_purchase_no_prior_touch"),
+          count(when($"vs" + $"vp" === 0, 1)).as("n_clean_users"))
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id,
+           |    CASE WHEN event_type = 'signup' AND
+           |      row_number() OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id) > 1 THEN 1 ELSE 0 END
+           |      AS v_signup,
+           |    CASE WHEN event_type = 'purchase' AND coalesce(
+           |      max(CASE WHEN event_type IN ('view', 'click')
+           |          THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) = 0 THEN 1 ELSE 0 END AS v_purchase
+           |  FROM events
+           |), per_user AS (
+           |  SELECT user_id, sum(v_signup) AS vs, sum(v_purchase) AS vp
+           |  FROM flagged GROUP BY user_id
+           |)
+           |SELECT count(*) AS n_users,
+           |       CAST(sum(vs) AS BIGINT) AS n_signup_not_first,
+           |       CAST(sum(vp) AS BIGINT) AS n_purchase_no_prior_touch,
+           |       count(CASE WHEN vs + vp = 0 THEN 1 END)
+           |         AS n_clean_users
+           |FROM per_user""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2780,5 +2888,5 @@ object Extras {
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
     qBenford, qSeqPattern, qProrate, qCrosstabChi2, qAttribution,
     qErBlocking, qInterarrivalHist, qDrawdown, qRfm, qAbTest,
-    qGeoNearest, qTableChecksum)
+    qGeoNearest, qTableChecksum, qRatioToParent, qStateMachine)
 }

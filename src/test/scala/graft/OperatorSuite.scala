@@ -1777,6 +1777,72 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("calibration: deciles balanced, counts conserved, scores rise") {
+    val res = Aggregates.qCalibration.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    val ev = Tables.read(spark, sf, "events")
+    assert(res.map(_._2).sum === ev.count())
+    val nPos = ev.filter($"event_type" === "purchase").count()
+    assert(res.map(r => math.round(r._4 * r._2)).sum === nPos)
+    assert(res.length === 10)
+    val sizes = res.map(_._2)
+    assert(sizes.max - sizes.min <= 1, "ntile balance")
+    assert(res.map(_._3).sliding(2).forall(p => p(0) <= p(1) + 1e-9),
+      "mean score must be non-decreasing across deciles")
+  }
+
+  test("ratio-to-parent shares sum to one at both levels") {
+    val res = graft.queries.Extras.qRatioToParent.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3),
+        r.getDouble(4)))
+    res.groupBy(_._1).foreach { case (region, xs) =>
+      val s = xs.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$region shares sum to $s")
+    }
+    assert(math.abs(res.map(_._3).sum - 1.0) < 1e-4)
+  }
+
+  test("cvar: tail mean dominates the cut, tail size near 5 percent") {
+    val byFlag = Tables.read(spark, sf, "lineitem")
+      .groupBy($"l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Aggregates.qCvar.fn(spark, sf).collect().foreach { r =>
+      val (flag, v, nTail, es) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+      assert(es >= v, s"$flag: expected shortfall $es below VaR $v")
+      val n = byFlag(flag)
+      assert(nTail >= (0.04 * n).toLong && nTail <= (0.07 * n).toLong,
+        s"$flag: tail $nTail of $n outside the 5% neighborhood")
+    }
+  }
+
+  test("state machine audit matches brute-force grammar check") {
+    val evs = Tables.read(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    var vs = 0L; var vp = 0L; var clean = 0L
+    val byUser = evs.groupBy(_._1)
+    byUser.foreach { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._3))
+      var touched = false
+      var uvs = 0L; var uvp = 0L
+      sorted.zipWithIndex.foreach { case ((_, _, _, et), i) =>
+        if (et == "signup" && i > 0) uvs += 1
+        if (et == "purchase" && !touched) uvp += 1
+        if (et == "view" || et == "click") touched = true
+      }
+      vs += uvs; vp += uvp
+      if (uvs + uvp == 0) clean += 1
+    }
+    val r = graft.queries.Extras.qStateMachine.fn(spark, sf).head()
+    assert(r.getLong(0) === byUser.size.toLong)
+    assert(r.getLong(1) === vs)
+    assert(r.getLong(2) === vp)
+    assert(r.getLong(3) === clean)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -2876,6 +2876,240 @@ object Extras {
            |         AS n_clean_users
            |FROM per_user""".stripMargin))
 
+  /** E155: **mutual information (with entropies)** — the
+    * information-theoretic member of the association family (E133's
+    * χ² tests INDEPENDENCE; MI measures the DEPENDENCE in nats, the
+    * feature-relevance ranking criterion): I(X;Y) = Σ p(xy)·ln(p(xy)·
+    * N/(n_x·n_y)) over the observed cells (empty cells contribute 0
+    * by the p·ln p convention — unlike χ², skipping them is CORRECT
+    * here), plus H(X), H(Y) and the normalized I/√(H_x·H_y). Every
+    * input is an exact count from one fact-sized broadcast join +
+    * hash agg; the log terms are shallow doubles over ≤25 rows,
+    * summed once, 6dp at the edge. */
+  val qMutualInfo = Q("q_mutual_info",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ct = Tables.read(spark, sfDir, "orders")
+        .join(broadcast(Tables.read(spark, sfDir, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"o_orderpriority")
+        .agg(count(lit(1)).as("nxy"))
+      val nx = ct.groupBy($"c_mktsegment").agg(sum($"nxy").as("nx"))
+      val ny = ct.groupBy($"o_orderpriority").agg(sum($"nxy").as("ny"))
+      val tot = ct.agg(sum($"nxy").as("n"))
+      val joined = ct.join(broadcast(nx), "c_mktsegment")
+        .join(broadcast(ny), "o_orderpriority")
+        .crossJoin(broadcast(tot))
+      val p = $"nxy".cast("double") / $"n"
+      val mi = joined.agg(
+        round(sum(p * log($"nxy".cast("double") * $"n" /
+          ($"nx" * $"ny"))), 6).as("mi_nats"))
+      def entropy(m: org.apache.spark.sql.DataFrame, c: String,
+          out: String) =
+        m.crossJoin(broadcast(tot))
+          .agg(round(-sum((col(c).cast("double") / $"n") *
+            log(col(c).cast("double") / $"n")), 6).as(out))
+      mi.crossJoin(broadcast(entropy(nx, "nx", "h_x")))
+        .crossJoin(broadcast(entropy(ny, "ny", "h_y")))
+        .select($"mi_nats", $"h_x", $"h_y",
+          round($"mi_nats" / sqrt($"h_x" * $"h_y"), 6)
+            .as("mi_normalized"))
+    },
+    Some("""WITH ct AS (
+           |  SELECT c_mktsegment, o_orderpriority, count(*) AS nxy
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY 1, 2
+           |), nx AS (
+           |  SELECT c_mktsegment, sum(nxy) AS nx FROM ct GROUP BY 1
+           |), ny AS (
+           |  SELECT o_orderpriority, sum(nxy) AS ny FROM ct GROUP BY 1
+           |), tot AS (SELECT sum(nxy) AS n FROM ct),
+           |mi AS (
+           |  SELECT round(sum((CAST(nxy AS DOUBLE) / n) *
+           |    ln(CAST(nxy AS DOUBLE) * n / (nx * ny))), 6) AS mi_nats
+           |  FROM ct JOIN nx USING (c_mktsegment)
+           |    JOIN ny USING (o_orderpriority), tot
+           |), hx AS (
+           |  SELECT round(-sum((CAST(nx AS DOUBLE) / (SELECT n FROM
+           |    tot)) * ln(CAST(nx AS DOUBLE) / (SELECT n FROM tot))),
+           |    6) AS h_x
+           |  FROM nx
+           |), hy AS (
+           |  SELECT round(-sum((CAST(ny AS DOUBLE) / (SELECT n FROM
+           |    tot)) * ln(CAST(ny AS DOUBLE) / (SELECT n FROM tot))),
+           |    6) AS h_y
+           |  FROM ny
+           |)
+           |SELECT mi_nats, h_x, h_y,
+           |       round(mi_nats / sqrt(h_x * h_y), 6) AS mi_normalized
+           |FROM mi, hx, hy""".stripMargin))
+
+  /** E156: **Markov backtest (temporal-split evaluation)** — close
+    * the loop on the transition matrix (E121): train it on the first
+    * half of the time range, predict each later event's successor as
+    * the argmax row of the trained matrix, and score accuracy
+    * against what actually happened — the leakage-safe BACKTEST shape
+    * (E25 splits by group; this splits by TIME, the only valid split
+    * for sequence models). The cutoff is (min+max)/2 of event-time in
+    * exact integer µs from a 1-row broadcast (never wall-clock); the
+    * argmax per row is a (count DESC, to_type) total order so tied
+    * transitions cannot flip the prediction; test pairs are the
+    * consecutive pairs whose FIRST element is past the cutoff.
+    * Unseen-in-train from-types predict null and score as misses —
+    * kept, because silently dropping them inflates accuracy. One lead
+    * window + two dimension-sized aggregates. */
+  val qMarkovBacktest = Q("q_markov_backtest",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.read(spark, sfDir, "events")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .select($"event_type".as("from_type"), $"to_type", $"us")
+      val cut = pairs.agg(
+        expr("(min(us) + max(us)) div 2").as("cut_us"))
+      val withCut = pairs.crossJoin(broadcast(cut))
+      val model = withCut.filter($"us" < $"cut_us")
+        .groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy($"from_type").orderBy($"n".desc, $"to_type")))
+        .filter($"rk" === 1)
+        .select($"from_type", $"to_type".as("predicted"))
+      withCut.filter($"us" >= $"cut_us")
+        .join(broadcast(model), Seq("from_type"), "left")
+        .groupBy($"from_type")
+        .agg(count(lit(1)).as("n_test"),
+          count(when($"to_type" === $"predicted", 1)).as("n_correct"),
+          first($"predicted", ignoreNulls = false).as("predicted"))
+        .select($"from_type", $"predicted", $"n_test", $"n_correct",
+          round($"n_correct".cast("double") / $"n_test", 6)
+            .as("accuracy"))
+        .orderBy($"from_type")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT event_type AS from_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS to_type,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events
+           |), pp AS (SELECT * FROM pairs WHERE to_type IS NOT NULL),
+           |cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us FROM pp),
+           |model AS (
+           |  SELECT from_type, to_type AS predicted
+           |  FROM (
+           |    SELECT from_type, to_type, count(*) AS n,
+           |      row_number() OVER (PARTITION BY from_type
+           |        ORDER BY count(*) DESC, to_type) AS rk
+           |    FROM pp, cut WHERE us < cut_us
+           |    GROUP BY from_type, to_type
+           |  ) WHERE rk = 1
+           |)
+           |SELECT from_type, any_value(predicted) AS predicted,
+           |       count(*) AS n_test,
+           |       count(CASE WHEN to_type = predicted THEN 1 END)
+           |         AS n_correct,
+           |       round(count(CASE WHEN to_type = predicted THEN 1
+           |         END) * 1.0 / count(*), 6) AS accuracy
+           |FROM (SELECT pp.* FROM pp, cut WHERE us >= cut_us) t
+           |  LEFT JOIN model USING (from_type)
+           |GROUP BY from_type ORDER BY from_type""".stripMargin))
+
+  /** E157: **cumulative distinct (users-ever-seen curve)** — the
+    * growth chart COUNT(DISTINCT) cannot window (same impossibility
+    * as E129's rolling form, different fix): a user contributes to
+    * the cumulative curve exactly once, at their FIRST day — so
+    * collapse to first-seen days (one fact-sized agg to user grain),
+    * count arrivals per day, and one cumulative-sum window over the
+    * dimension-sized day frame yields the entire curve. Exact
+    * integers throughout; this is also the textbook example of
+    * turning an O(days × users) rescan into one pass. */
+  val qCumulativeDistinct = Q("q_cumulative_distinct",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id")
+        .agg(min(to_date($"ts")).as("first_day"))
+        .groupBy($"first_day".as("day"))
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum($"n_new").over(
+          Window.orderBy($"day")
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .orderBy($"day")
+    },
+    Some("""WITH first_seen AS (
+           |  SELECT user_id,
+           |         min(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+           |           AS first_day
+           |  FROM events GROUP BY user_id
+           |), daily AS (
+           |  SELECT first_day AS day, count(*) AS n_new
+           |  FROM first_seen GROUP BY 1
+           |)
+           |SELECT day, n_new,
+           |  CAST(sum(n_new) OVER (ORDER BY day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS cum_users
+           |FROM daily ORDER BY day""".stripMargin))
+
+  /** E158: **time-to-convert distribution** — the funnel's (E38)
+    * latency dimension: for each user who both viewed and purchased,
+    * seconds from FIRST view to FIRST purchase (negative = purchased
+    * before ever viewing — kept and counted separately rather than
+    * silently clamped), summarized as exact interpolated quartiles
+    * over converted users. Conditional MINs collapse the fact table
+    * to user grain in one agg (never two passes + a self-join); the
+    * deltas are exact integer seconds; percentile parity is the E9/
+    * E153 contract. */
+  val qTimeToConvert = Q("q_time_to_convert",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val per = Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", unix_micros($"ts")))
+          .as("v_us"),
+          min(when($"event_type" === "purchase", unix_micros($"ts")))
+            .as("p_us"))
+      per.agg(
+        count(lit(1)).as("n_users"),
+        count(when($"v_us".isNotNull && $"p_us".isNotNull, 1))
+          .as("n_converted"),
+        count(when($"p_us" < $"v_us", 1)).as("n_inverted"),
+        round(expr("percentile(CASE WHEN v_us IS NOT NULL AND p_us IS" +
+          " NOT NULL THEN (p_us - v_us) div 1000000 END, 0.25D)"), 6)
+          .as("p25_s"),
+        round(expr("percentile(CASE WHEN v_us IS NOT NULL AND p_us IS" +
+          " NOT NULL THEN (p_us - v_us) div 1000000 END, 0.5D)"), 6)
+          .as("p50_s"),
+        round(expr("percentile(CASE WHEN v_us IS NOT NULL AND p_us IS" +
+          " NOT NULL THEN (p_us - v_us) div 1000000 END, 0.75D)"), 6)
+          .as("p75_s"))
+    },
+    Some("""WITH per AS (
+           |  SELECT user_id,
+           |    min(CASE WHEN event_type = 'view'
+           |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v_us,
+           |    min(CASE WHEN event_type = 'purchase'
+           |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p_us
+           |  FROM events GROUP BY user_id
+           |)
+           |SELECT count(*) AS n_users,
+           |  count(CASE WHEN v_us IS NOT NULL AND p_us IS NOT NULL
+           |        THEN 1 END) AS n_converted,
+           |  count(CASE WHEN p_us < v_us THEN 1 END) AS n_inverted,
+           |  round(quantile_cont(CASE WHEN v_us IS NOT NULL AND p_us
+           |    IS NOT NULL THEN (p_us - v_us) // 1000000 END, 0.25),
+           |    6) AS p25_s,
+           |  round(quantile_cont(CASE WHEN v_us IS NOT NULL AND p_us
+           |    IS NOT NULL THEN (p_us - v_us) // 1000000 END, 0.5),
+           |    6) AS p50_s,
+           |  round(quantile_cont(CASE WHEN v_us IS NOT NULL AND p_us
+           |    IS NOT NULL THEN (p_us - v_us) // 1000000 END, 0.75),
+           |    6) AS p75_s
+           |FROM per""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -2888,5 +3122,7 @@ object Extras {
     qMarkovTransitions, qBasketPairs, qSkyline, qInterpolate,
     qBenford, qSeqPattern, qProrate, qCrosstabChi2, qAttribution,
     qErBlocking, qInterarrivalHist, qDrawdown, qRfm, qAbTest,
-    qGeoNearest, qTableChecksum, qRatioToParent, qStateMachine)
+    qGeoNearest, qTableChecksum, qRatioToParent, qStateMachine,
+    qMutualInfo, qMarkovBacktest, qCumulativeDistinct,
+    qTimeToConvert)
 }

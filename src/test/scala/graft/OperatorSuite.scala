@@ -1843,6 +1843,54 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getLong(3) === clean)
   }
 
+  test("mutual information: non-negative and bounded by entropies") {
+    val r = graft.queries.Extras.qMutualInfo.fn(spark, sf).head()
+    val (mi, hx, hy, nmi) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-6, s"MI $mi negative")
+    assert(mi <= math.min(hx, hy) + 1e-6,
+      s"MI $mi exceeds min entropy ${math.min(hx, hy)}")
+    assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-6)
+  }
+
+  test("markov backtest: accuracy bounded, test pairs conserved") {
+    val res = graft.queries.Extras.qMarkovBacktest.fn(spark, sf)
+      .collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (nTest, nCorrect, acc) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nCorrect <= nTest)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // a majority-class-per-state predictor must beat uniform guessing
+    // in aggregate on this 5-symbol alphabet
+    val overall = res.map(_.getLong(3)).sum.toDouble /
+      res.map(_.getLong(2)).sum
+    assert(overall > 1.0 / 5 * 0.5,
+      s"backtest accuracy $overall implausibly below chance")
+  }
+
+  test("cumulative distinct: curve ends at the true user count") {
+    val res = graft.queries.Extras.qCumulativeDistinct.fn(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val users = Tables.read(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(res.map(_._1).sum === users)
+    assert(res.last._2 === users)
+    assert(res.map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) < p(1)), "curve strictly increases")
+  }
+
+  test("time-to-convert: quartiles ordered, counts consistent") {
+    val r = graft.queries.Extras.qTimeToConvert.fn(spark, sf).head()
+    assert(r.getLong(1) <= r.getLong(0), "converted <= users")
+    assert(r.getLong(2) <= r.getLong(1), "inverted <= converted")
+    val (p25, p50, p75) =
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(p25 <= p50 && p50 <= p75, s"quartiles disordered $p25 $p50 $p75")
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -137,7 +137,9 @@ class PlanSuite extends AnyFunSuite {
       "q_rolling_distinct", // 1-row span-bounds cross clips the edge
       "q_crosstab_chi2", // 5x5 marginal-grid + 1-row totals crosses
       "q_kmeans_step", // k=8 centroid broadcast cross, cosine-family shape
-      "q_ab_test") // 1-row arm-vs-arm cross into the z statistic
+      "q_ab_test", // 1-row arm-vs-arm cross into the z statistic
+      "q_mutual_info", // 1-row total crosses into the MI/entropy terms
+      "q_markov_backtest") // 1-row time-cutoff cross splits train/test
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -195,6 +195,7 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.EditDistPrefilter)
     // whole-operator extension (SURVEY §4.2 rung c): plans the
     // TopKPerKey logical node as a bounded-heap physical operator
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

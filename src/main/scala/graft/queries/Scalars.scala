@@ -399,8 +399,38 @@ object Scalars {
            |FROM l WHERE nextp IS NOT NULL
            |ORDER BY doc_id""".stripMargin))
 
+  /** E159: **optimizer-injected similarity prefilter** — the
+    * demonstration row for [[graft.plans.EditDistPrefilter]]: a
+    * plain fuzzy-search filter `levenshtein(name, probe) <= 2`
+    * written the naive way; the injected optimizer rule adds the
+    * implied `abs(length(a) − length(b)) <= 2` conjunct (edit
+    * distance is bounded below by length difference), so rows whose
+    * lengths already disagree never reach the O(n·m) DP. The rule is
+    * semantics-preserving, so the oracle runs the ORIGINAL predicate
+    * — any rewrite bug breaks the hash; PlanSuite locks the injected
+    * conjunct's presence and the rule's fixpoint idempotence. At
+    * 100 TB this is the difference between DP on every row and DP on
+    * the length-compatible sliver — for free, for every query in the
+    * session. */
+  val qRuleEditdistPrefilter = Q("q_rule_editdist_prefilter",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val probe = "Customer#000000042"
+      Tables.read(spark, sfDir, "customer")
+        .filter(levenshtein($"c_name", lit(probe)) <= 2)
+        .select($"c_custkey", $"c_name",
+          levenshtein($"c_name", lit(probe)).as("dist"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+           |       CAST(levenshtein(c_name, 'Customer#000000042')
+           |         AS INT) AS dist
+           |FROM customer
+           |WHERE levenshtein(c_name, 'Customer#000000042') <= 2
+           |ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
     qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
     qScalarTry, qSqlParams, qScalarEditDist, qMapHof,
-    qScalarJaroWinkler)
+    qScalarJaroWinkler, qRuleEditdistPrefilter)
 }

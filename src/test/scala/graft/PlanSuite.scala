@@ -171,6 +171,21 @@ class PlanSuite extends AnyFunSuite {
       s"payload branch must be pruned from the scan:\n$read")
   }
 
+  test("edit-distance prefilter rule injects the length bound, once") {
+    // E159: the optimized plan must carry the implied
+    // abs(length(a) - length(b)) conjunct the rule injects, and the
+    // rule must be a fixpoint (idempotent) since it runs inside the
+    // operator-optimization fixed-point batch.
+    val df = SparkEntry.queries("q_rule_editdist_prefilter")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val p = opt.toString
+    assert(p.contains("abs(") && p.contains("length("),
+      s"injected length prefilter missing from optimized plan:\n$p")
+    val again = graft.plans.EditDistPrefilter(opt)
+    assert(again.fastEquals(opt) || again.toString == opt.toString,
+      "rule must be idempotent on an already-rewritten plan")
+  }
+
   test("aggregates run two-phase (partial then final)") {
     val p = plan("q_agg_stats")
     assert("HashAggregate".r.findAllIn(p).length >= 2)

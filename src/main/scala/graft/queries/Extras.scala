@@ -3110,6 +3110,146 @@ object Extras {
            |    6) AS p75_s
            |FROM per""".stripMargin))
 
+  /** E160: **period-over-period report** — the BI staple: weekly
+    * revenue with absolute and percent week-over-week change. Both
+    * engines truncate to ISO Monday weeks (`date_trunc('week')`
+    * agrees — pinned here because week conventions are the classic
+    * cross-engine report mismatch); revenue is a DECIMAL sum, the
+    * delta stays decimal, and only the percent is a double at the
+    * edge (null on the first week rather than a fake 0). One fact
+    * shuffle to week grain; the lag runs on the ~50-row weekly
+    * frame. */
+  val qPeriodOverPeriod = Q("q_period_over_period",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.orderBy($"week")
+      Tables.read(spark, sfDir, "orders")
+        .groupBy(to_date(date_trunc("week", $"o_orderdate"))
+          .as("week"))
+        .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("rev"))
+        .withColumn("prev", lag($"rev", 1).over(w))
+        .select($"week",
+          round($"rev".cast("double"), 2).as("revenue"),
+          round(($"rev" - $"prev").cast("double"), 2).as("wow_abs"),
+          round(($"rev" - $"prev").cast("double") /
+            $"prev".cast("double"), 6).as("wow_pct"))
+        .orderBy($"week")
+    },
+    Some("""WITH weekly AS (
+           |  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+           |           AS DATE) AS week,
+           |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           |  FROM orders GROUP BY 1
+           |), lagged AS (
+           |  SELECT week, rev, lag(rev) OVER (ORDER BY week) AS prev
+           |  FROM weekly
+           |)
+           |SELECT week,
+           |  round(CAST(rev AS DOUBLE), 2) AS revenue,
+           |  round(CAST(rev - prev AS DOUBLE), 2) AS wow_abs,
+           |  round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE),
+           |    6) AS wow_pct
+           |FROM lagged ORDER BY week""".stripMargin))
+
+  /** E161: **time-bounded conversion (windowed funnel)** — E38's
+    * funnel asks "did the steps ever happen in order"; production
+    * funnels ask "did the purchase follow a view WITHIN the hour" —
+    * and the time bound is what makes the metric comparable across
+    * cohorts. Same RANGE-window-as-as-of-join discipline as E138
+    * (one frame per user over epoch-µs; never an events⋈events
+    * interval join): a purchase converts iff a view exists in its
+    * trailing hour, and the daily rollup reports purchases,
+    * conversions and the rate. Exact integer frame bounds; one fact
+    * window + one dimension-sized agg. */
+  val qFunnelWindowed = Q("q_funnel_windowed",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val us = unix_micros($"ts")
+      val w = Window.partitionBy($"user_id").orderBy(us)
+        .rangeBetween(-3600L * 1000000L, -1L)
+      Tables.read(spark, sfDir, "events")
+        .withColumn("viewed_1h", max(($"event_type" === "view")
+          .cast("int")).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(when($"viewed_1h" === 1, 1)).as("n_converted"))
+        .withColumn("conv_rate", round(
+          $"n_converted".cast("double") / $"n_purchases", 6))
+        .orderBy($"day")
+    },
+    Some("""WITH flagged AS (
+           |  SELECT event_type,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id
+           |        ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+           |        RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+           |      AS viewed_1h
+           |  FROM events
+           |)
+           |SELECT day, count(*) AS n_purchases,
+           |  count(CASE WHEN viewed_1h = 1 THEN 1 END) AS n_converted,
+           |  round(count(CASE WHEN viewed_1h = 1 THEN 1 END) * 1.0 /
+           |    count(*), 6) AS conv_rate
+           |FROM flagged WHERE event_type = 'purchase'
+           |GROUP BY day ORDER BY day""".stripMargin))
+
+  /** E162: **cumulative gains / lift table** — the third ML-eval
+    * member (E124 ranks globally, E151 checks calibration; this
+    * answers the CAMPAIGN question: "if I action the top k% by
+    * score, what share of the positives do I capture?"). Scores cut
+    * into DESCENDING deciles under a total order (best decile = 1),
+    * then per decile: positives, cumulative capture share, and lift
+    * = decile positive rate / base rate — every input an exact
+    * count, cumulative sums over the 10-row frame, doubles at the
+    * edge. The gains curve of a useful score starts above 0.1/decile
+    * and its lift decays toward 1 — both machine-checked. */
+  val qGainsLift = Q("q_gains_lift",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val deciled = Tables.read(spark, sfDir, "events")
+        .select($"value".as("s"), $"event_id",
+          ($"event_type" === "purchase").cast("long").as("y"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy($"s".desc, $"event_id")))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+      val w = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy()
+      deciled
+        .withColumn("cum_pos", sum($"n_pos").over(w))
+        .withColumn("tot_pos", sum($"n_pos").over(tot))
+        .withColumn("tot_n", sum($"n").over(tot))
+        .select($"decile", $"n", $"n_pos".cast("long").as("n_pos"),
+          round($"cum_pos".cast("double") / $"tot_pos", 6)
+            .as("cum_capture"),
+          round(($"n_pos".cast("double") / $"n") /
+            ($"tot_pos".cast("double") / $"tot_n"), 6).as("lift"))
+        .orderBy($"decile")
+    },
+    Some("""WITH deciled AS (
+           |  SELECT CAST(ntile(10) OVER (ORDER BY value DESC,
+           |      event_id) AS INTEGER) AS decile,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           |      AS y
+           |  FROM events
+           |), agg AS (
+           |  SELECT decile, count(*) AS n,
+           |         CAST(sum(y) AS BIGINT) AS n_pos
+           |  FROM deciled GROUP BY decile
+           |)
+           |SELECT decile, n, n_pos,
+           |  round(CAST(sum(n_pos) OVER (ORDER BY decile
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS DOUBLE) / CAST(sum(n_pos) OVER () AS DOUBLE), 6)
+           |    AS cum_capture,
+           |  round((CAST(n_pos AS DOUBLE) / n) /
+           |    (CAST(sum(n_pos) OVER () AS DOUBLE) /
+           |     CAST(sum(n) OVER () AS DOUBLE)), 6) AS lift
+           |FROM agg ORDER BY decile""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3124,5 +3264,5 @@ object Extras {
     qErBlocking, qInterarrivalHist, qDrawdown, qRfm, qAbTest,
     qGeoNearest, qTableChecksum, qRatioToParent, qStateMachine,
     qMutualInfo, qMarkovBacktest, qCumulativeDistinct,
-    qTimeToConvert)
+    qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift)
 }

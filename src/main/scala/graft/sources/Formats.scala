@@ -1600,6 +1600,38 @@ object Formats {
            |FROM events GROUP BY event_type
            |ORDER BY event_type""".stripMargin))
 
+  /** E166: **range-partitioned sorted layout** — the 1-D ordering
+    * twin of z-order (E67 interleaves two dimensions; a time-series
+    * lake wants plain event-time order): `repartitionByRange(ts)` +
+    * `sortWithinPartitions(ts, event_id)` writes files that are
+    * globally range-disjoint and internally sorted, so every file's
+    * parquet min/max ts stats are TIGHT and a time predicate prunes
+    * to the one file range covering it (the layout E100's skipping
+    * index assumes). Determinism caveat pinned (the E42 lesson):
+    * repartitionByRange picks its boundaries by reservoir SAMPLING —
+    * the file SPLIT can differ between runs; the CONTENT cannot, and
+    * the readback aggregate (plus the oracle over the source
+    * parquet) gates exactly that. PlanSuite locks the
+    * RangePartitioning exchange in the write plan. */
+  val qLayoutRangeSorted = Q("q_layout_range_sorted",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "range_sorted")
+      Tables.read(spark, sfDir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+        .repartitionByRange(8, $"ts")
+        .sortWithinPartitions($"ts", $"event_id")
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some(roundtripOracle))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1610,5 +1642,5 @@ object Formats {
     qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
-    qSourceCsvMalformed, qSourceNestedPrune)
+    qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted)
 }

@@ -858,10 +858,59 @@ object Streams {
            |FROM events GROUP BY event_type
            |ORDER BY event_type""".stripMargin))
 
+  /** E167: **streaming observability (StreamingQueryListener)** — the
+    * stream twin of E87's `df.observe`: production streams are
+    * monitored through the listener bus (rows per batch, watermark
+    * advance, state size), not by querying the sink. The operator
+    * runs a windowed aggregate to completion while a registered
+    * listener accumulates `numInputRows` across progress events, then
+    * reports the listener's total — which must equal the table count
+    * exactly (any dropped or double-counted micro-batch breaks the
+    * hash). Listener events are ASYNC on the bus, so the query
+    * latches on the TERMINATED event with a bounded wait rather than
+    * assuming delivery order — the bug this surface exists to
+    * document. Per-batch counts are runtime-dependent and correctly
+    * NOT in the output contract. */
+  val qStreamListener = Q("q_stream_listener",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val total = new java.util.concurrent.atomic.AtomicLong(0)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          total.addAndGet(e.progress.numInputRows)
+          if (e.progress.numInputRows > 0) batches.incrementAndGet()
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          done.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val s = Tables.readStream(spark, sfDir, "events")
+          .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        runToTable(spark, s, "t_listener", "complete")
+        // progress/termination events ride the async listener bus;
+        // latch on termination instead of assuming they landed
+        done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      } finally spark.streams.removeListener(listener)
+      val df = Seq((total.get(), batches.get() > 0))
+        .toDF("total_input_rows", "saw_data_batch")
+      df
+    },
+    Some("""SELECT count(*) AS total_input_rows,
+           |       TRUE AS saw_data_batch
+           |FROM events""".stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
     qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
     qStreamJoinOuter,
     qStreamJoinFull, qStreamAvailableNow, qStreamFileSink,
-    qStreamQuantile)
+    qStreamQuantile, qStreamListener)
 }

@@ -1983,6 +1983,26 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getLong(1) >= 0 && r.getLong(1) <= 10)
   }
 
+  test("head+tail truncation matches driver-side policy application") {
+    val texts = Tables.read(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ")).toMap
+    val got = LLMOps.qTruncateDocs.fn(spark, sf).collect()
+    got.foreach { r =>
+      val (id, nIn, out, nOut, trunc) = (r.getLong(0), r.getInt(1),
+        r.getString(2), r.getInt(3), r.getBoolean(4))
+      val ws = texts(id)
+      assert(nIn === ws.length)
+      val expected =
+        if (ws.length <= 60) ws.mkString(" ")
+        else ws.take(40).mkString(" ") + " ... " +
+          ws.takeRight(20).mkString(" ")
+      assert(out === expected, s"doc $id policy mismatch")
+      assert(nOut === math.min(ws.length, 60))
+      assert(trunc === (ws.length > 60))
+    }
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -188,6 +188,20 @@ class PlanSuite extends AnyFunSuite {
       "rule must be idempotent on an already-rewritten plan")
   }
 
+  test("range-sorted layout plans a RangePartitioning exchange") {
+    // E166: the writer side must shuffle by range on ts (globally
+    // disjoint files) with an in-partition sort — the layout that
+    // makes every file's min/max ts stats tight.
+    import org.apache.spark.sql.functions.col
+    val p = Tables.read(spark, sf, "events")
+      .repartitionByRange(8, col("ts"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected a RangePartitioning exchange in:\n$p")
+    assert(p.contains("Sort ["), "expected the in-partition sort")
+  }
+
   test("aggregates run two-phase (partial then final)") {
     val p = plan("q_agg_stats")
     assert("HashAggregate".r.findAllIn(p).length >= 2)

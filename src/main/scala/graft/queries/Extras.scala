@@ -3441,6 +3441,98 @@ object Extras {
          |FROM shares""".stripMargin
     })
 
+  /** E169: **nearest as-of join (either direction)** — the third
+    * as-of flavor (J7 is backward-only; E102 backward-with-tolerance;
+    * this picks the CLOSER of the preceding and following match, ties
+    * to the past — the sensor-alignment contract where the nearest
+    * reading wins regardless of side). Same tagged-union discipline
+    * as the family: probes and quotes union into ONE per-key ordered
+    * frame (quotes sort before probes at equal timestamps, so an
+    * exactly-simultaneous quote counts as 'preceding'), `last` over
+    * the preceding frame and `first` over the following frame with
+    * IGNORE NULLS find both candidates in one window sort — never a
+    * per-side interval join. Gaps are exact integer µs; the chooser
+    * and its tie rule are a CASE both engines evaluate identically.
+    * Output rolls up per chosen side. */
+  val qJoinAsofNearest = Q("q_join_asof_nearest",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+      val probes = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("uid"), unix_micros($"ts").as("us"),
+          lit(1).as("is_probe"), $"event_id".as("rid"))
+      val quotes = ev.filter($"event_type" === "view")
+        .select($"user_id".as("uid"), unix_micros($"ts").as("us"),
+          lit(0).as("is_probe"), $"event_id".as("rid"))
+      val ord = Window.partitionBy($"uid")
+        .orderBy($"us", $"is_probe", $"rid")
+      val qUs = when($"is_probe" === 0, $"us")
+      probes.unionByName(quotes)
+        .withColumn("prev_us", last(qUs, ignoreNulls = true)
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("next_us", first(qUs, ignoreNulls = true)
+          .over(ord.rowsBetween(1, Window.unboundedFollowing)))
+        .filter($"is_probe" === 1)
+        .withColumn("side",
+          when($"prev_us".isNull && $"next_us".isNull, lit(null))
+            .when($"next_us".isNull, "prev")
+            .when($"prev_us".isNull, "next")
+            .when($"us" - $"prev_us" <= $"next_us" - $"us", "prev")
+            .otherwise("next"))
+        .filter($"side".isNotNull)
+        .withColumn("gap_us", when($"side" === "prev",
+          $"us" - $"prev_us").otherwise($"next_us" - $"us"))
+        .groupBy($"side")
+        .agg(count(lit(1)).as("n_probes"),
+          (sum(expr("gap_us div 1000000").cast("decimal(18,0)"))
+            .cast("double") / count(lit(1))).as("raw_avg"),
+          max(expr("gap_us div 1000000")).as("max_gap_s"))
+        .select($"side", $"n_probes",
+          round($"raw_avg", 2).as("avg_gap_s"), $"max_gap_s")
+        .orderBy($"side")
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id AS uid,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |    1 AS is_probe, event_id AS rid
+           |  FROM events WHERE event_type = 'purchase'
+           |  UNION ALL
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 0,
+           |    event_id
+           |  FROM events WHERE event_type = 'view'
+           |), framed AS (
+           |  SELECT uid, us, is_probe,
+           |    last_value(CASE WHEN is_probe = 0 THEN us END
+           |      IGNORE NULLS) OVER (PARTITION BY uid
+           |      ORDER BY us, is_probe, rid
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS prev_us,
+           |    first_value(CASE WHEN is_probe = 0 THEN us END
+           |      IGNORE NULLS) OVER (PARTITION BY uid
+           |      ORDER BY us, is_probe, rid
+           |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           |      AS next_us
+           |  FROM u
+           |), chosen AS (
+           |  SELECT
+           |    CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+           |         WHEN next_us IS NULL THEN 'prev'
+           |         WHEN prev_us IS NULL THEN 'next'
+           |         WHEN us - prev_us <= next_us - us THEN 'prev'
+           |         ELSE 'next' END AS side,
+           |    CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+           |         WHEN next_us IS NULL OR (prev_us IS NOT NULL AND
+           |           us - prev_us <= next_us - us)
+           |         THEN us - prev_us ELSE next_us - us END AS gap_us
+           |  FROM framed WHERE is_probe = 1
+           |)
+           |SELECT side, count(*) AS n_probes,
+           |  round(CAST(sum(CAST(gap_us // 1000000 AS DECIMAL(18,0)))
+           |    AS DOUBLE) / count(*), 2) AS avg_gap_s,
+           |  max(gap_us // 1000000) AS max_gap_s
+           |FROM chosen WHERE side IS NOT NULL
+           |GROUP BY side ORDER BY side""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3456,5 +3548,5 @@ object Extras {
     qGeoNearest, qTableChecksum, qRatioToParent, qStateMachine,
     qMutualInfo, qMarkovBacktest, qCumulativeDistinct,
     qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift,
-    qLedgerCarry, qSeasonality, qPsi)
+    qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest)
 }

@@ -2356,6 +2356,84 @@ object LLMOps {
            |  len(ws) > 60 AS truncated
            |FROM toks ORDER BY doc_id""".stripMargin))
 
+  /** E170: **embedding dimension statistics** — the embedding-space
+    * health monitor: per-dimension mean/std/min/max across the
+    * corpus, the screen that catches collapsed dimensions (std≈0),
+    * un-normalized batches (drifting means) and dead ReLU-style axes
+    * before they poison ANN recall. One posexplode (64-way bounded
+    * fan-out) then ONE hash agg to 64 rows — floats cast to exact
+    * doubles first (float→decimal conversion is engine-formatted;
+    * float→double is exact by construction), std assembled from raw
+    * sums with one sqrt, everything 6dp at the edge. At 100 TB the
+    * same two-op plan stands: the fan-out is the dimension count,
+    * not the corpus. */
+  val qEmbedDimStats = Q("q_embed_dim_stats",
+    (spark, sfDir) => {
+      import spark.implicits._
+      emb(spark, sfDir)
+        .select(posexplode($"embedding").as(Seq("dim", "xf")))
+        .select($"dim", $"xf".cast("double").as("x"))
+        .groupBy($"dim")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"x") / count(lit(1)), 6).as("mean"),
+          round(sqrt((count(lit(1)) * sum($"x" * $"x") -
+            sum($"x") * sum($"x")) /
+            (count(lit(1)) * (count(lit(1)) - 1))), 6).as("std"),
+          round(min($"x"), 6).as("min_x"),
+          round(max($"x"), 6).as("max_x"))
+        .orderBy($"dim")
+    },
+    Some("""WITH flat AS (
+           |  SELECT unnest(range(0, len(embedding))) AS dim,
+           |         CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM embeddings
+           |)
+           |SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+           |  round(sum(x) / count(*), 6) AS mean,
+           |  round(sqrt((count(*) * sum(x * x) - sum(x) * sum(x)) /
+           |    (count(*) * (count(*) - 1))), 6) AS std,
+           |  round(min(x), 6) AS min_x,
+           |  round(max(x), 6) AS max_x
+           |FROM flat GROUP BY dim ORDER BY dim""".stripMargin))
+
+  /** E171: **class-balance report (inverse-frequency weights)** — the
+    * one-pass preamble of every classifier training run: per-label
+    * counts, shares, the imbalance ratio vs the majority class, and
+    * the sklearn-convention balanced weight N/(k·n_c) — computed from
+    * exact integer counts with the two divisions at the edge. The
+    * 1-row (N, k) totals frame broadcasts back over the ≤k-row label
+    * frame; nothing here ever rescans the corpus. */
+  val qClassWeights = Q("q_class_weights",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val counts = emb(spark, sfDir)
+        .groupBy($"label").agg(count(lit(1)).as("n_c"))
+      val tot = counts.agg(sum($"n_c").as("n"),
+        count(lit(1)).as("k"), max($"n_c").as("n_max"))
+      counts.crossJoin(broadcast(tot))
+        .select($"label", $"n_c".cast("long").as("n_c"),
+          round($"n_c".cast("double") / $"n", 6).as("share"),
+          round($"n_max".cast("double") / $"n_c", 6)
+            .as("imbalance_vs_max"),
+          round($"n".cast("double") / ($"k" * $"n_c"), 6)
+            .as("balanced_weight"))
+        .orderBy($"label")
+    },
+    Some("""WITH counts AS (
+           |  SELECT label, count(*) AS n_c FROM embeddings
+           |  GROUP BY label
+           |), tot AS (
+           |  SELECT CAST(sum(n_c) AS BIGINT) AS n, count(*) AS k,
+           |         max(n_c) AS n_max
+           |  FROM counts
+           |)
+           |SELECT label, CAST(n_c AS BIGINT) AS n_c,
+           |  round(CAST(n_c AS DOUBLE) / n, 6) AS share,
+           |  round(CAST(n_max AS DOUBLE) / n_c, 6) AS imbalance_vs_max,
+           |  round(CAST(n AS DOUBLE) / (k * n_c), 6)
+           |    AS balanced_weight
+           |FROM counts, tot ORDER BY label""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -2725,6 +2803,7 @@ object LLMOps {
     qScrubBlocklist,
     qScrubPii,
     qDecontaminate, qContainScore, qKmeansStep, qTruncateDocs,
+    qEmbedDimStats, qClassWeights,
     qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest)

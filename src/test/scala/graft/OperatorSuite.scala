@@ -2003,6 +2003,60 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("nearest as-of matches brute-force two-sided search") {
+    // E169: per purchase, the nearer of (last view <=, first view >)
+    // with ties to the past — recomputed in the driver.
+    val evs = Tables.read(spark, sf, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id",
+        $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val views = evs.filter(_._4 == "view").groupBy(_._1)
+    var nPrev = 0L; var nNext = 0L
+    evs.filter(_._4 == "purchase").foreach { case (u, us, _, _) =>
+      val vs = views.getOrElse(u, Array.empty).map(_._2)
+      val prev = vs.filter(_ <= us).sorted.lastOption
+      val next = vs.filter(_ > us).sorted.headOption
+      (prev, next) match {
+        case (None, None) =>
+        case (Some(_), None) => nPrev += 1
+        case (None, Some(_)) => nNext += 1
+        case (Some(p), Some(n)) =>
+          if (us - p <= n - us) nPrev += 1 else nNext += 1
+      }
+    }
+    val got = graft.queries.Extras.qJoinAsofNearest.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("prev", 0L) === nPrev)
+    assert(got.getOrElse("next", 0L) === nNext)
+  }
+
+  test("embedding dim stats: full grid, live dimensions") {
+    val res = LLMOps.qEmbedDimStats.fn(spark, sf).collect()
+    val n = Tables.read(spark, sf, "embeddings").count()
+    assert(res.length === 64)
+    res.foreach { r =>
+      assert(r.getLong(1) === n)
+      assert(r.getDouble(3) > 0, s"dim ${r.getInt(0)} collapsed")
+      assert(r.getDouble(4) <= r.getDouble(2) + 1e-9 ||
+        r.getDouble(4) <= r.getDouble(5),
+        "min <= mean <= max ordering")
+    }
+  }
+
+  test("class weights: shares sum to one, weights rebalance exactly") {
+    val res = LLMOps.qClassWeights.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(4)))
+    val n = res.map(_._2).sum
+    val k = res.length
+    assert(n === Tables.read(spark, sf, "embeddings").count())
+    assert(math.abs(res.map(_._3).sum - 1.0) < 1e-4)
+    // weight * n_c summed over classes == N / k * k == N (balanced)
+    val rebalanced = res.map(r => r._4 * r._2).sum
+    assert(math.abs(rebalanced - n.toDouble) < n * 1e-4)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -1223,6 +1223,43 @@ object Aggregates {
            |WHERE l_extendedprice >= var95
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** E173: **statistical mode (deterministic tiebreak)** — the one
+    * Pythagorean-family gap left (E9 medians, E136 means): the most
+    * frequent value per group. Neither engine's built-in `mode` pins
+    * tie behavior (Spark's and DuckDB's docs both leave equal-count
+    * ties implementation-defined — a latent cross-engine flake), so
+    * the operator is the explicit two-agg form: count per (group,
+    * value), then a (count DESC, value ASC) total-order pick — ties
+    * go to the SMALLEST value, by contract, on both engines. Two
+    * hash aggs + a dimension-sized window; at 100 TB the heavy-hitter
+    * sketch (E51 CMS) is the approximate path. */
+  val qAggMode = Q("q_agg_mode",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"cnt".desc, $"l_quantity")
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"),
+          $"cnt".as("n_at_mode"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH counts AS (
+           |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+           |  FROM lineitem GROUP BY 1, 2
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+           |    ORDER BY cnt DESC, l_quantity) AS rk
+           |  FROM counts
+           |)
+           |SELECT l_returnflag, l_quantity AS mode_qty,
+           |       cnt AS n_at_mode
+           |FROM ranked WHERE rk = 1
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
@@ -1230,5 +1267,5 @@ object Aggregates {
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
     qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma,
     qFeatureScale, qAggLogMeans, qAggWeightedMedian, qGini,
-    qCalibration, qCvar)
+    qCalibration, qCvar, qAggMode)
 }

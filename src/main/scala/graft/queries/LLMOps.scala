@@ -2434,6 +2434,64 @@ object LLMOps {
            |    AS balanced_weight
            |FROM counts, tot ORDER BY label""".stripMargin))
 
+  /** E172: **normalization dedup** — exact dedup (X1) after text
+    * CANONICALIZATION (lowercase, strip non-alphanumerics, collapse
+    * whitespace): the stage that catches trivially-perturbed
+    * duplicates raw hashing misses (double spaces, case flips,
+    * punctuation drift — the most common near-dup class in crawled
+    * corpora, far cheaper than MinHash when the perturbation is
+    * mechanical). Because the fixture is already clean, the query
+    * PLANTS a perturbed variant of every doc (doubled spaces +
+    * uppercased text, ids offset by 10⁶) via a deterministic union
+    * both engines construct identically — so the expected answer is
+    * sharp: every variant MUST merge with its original (groups = docs,
+    * merged pairs = docs), and a normalization that misses a rule
+    * breaks the hash. One normalize pass + one hash-groupBy; the
+    * group key is sha2 over the canonical form, exactly X1's shuffle
+    * discipline. */
+  val qDedupNormalized = Q("q_dedup_normalized",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = docs(spark, sfDir).select($"doc_id", $"text")
+      val variants = base.select(($"doc_id" + 1000000L).as("doc_id"),
+        upper(regexp_replace($"text", " ", "  ")).as("text"))
+      val norm = lower(trim(regexp_replace(
+        regexp_replace($"text", "[^A-Za-z0-9 ]", ""), " +", " ")))
+      base.unionByName(variants)
+        .withColumn("canon_hash", sha2(norm, 256))
+        .groupBy($"canon_hash")
+        .agg(count(lit(1)).as("n_in_group"),
+          min($"doc_id").as("keeper_id"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_groups"),
+          sum($"n_in_group").cast("long").as("n_docs_in"),
+          count(when($"n_in_group" >= 2, 1)).as("n_merged_groups"),
+          sum(when($"n_in_group" >= 2, $"n_in_group" - 1))
+            .cast("long").as("n_dropped"))
+    },
+    Some("""WITH unioned AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         upper(replace(text, ' ', '  '))
+           |  FROM documents
+           |), canon AS (
+           |  SELECT sha256(lower(trim(regexp_replace(
+           |    regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'),
+           |    ' +', ' ', 'g')))) AS canon_hash
+           |  FROM unioned
+           |), groups AS (
+           |  SELECT canon_hash, count(*) AS n_in_group
+           |  FROM canon GROUP BY canon_hash
+           |)
+           |SELECT count(*) AS n_groups,
+           |  CAST(sum(n_in_group) AS BIGINT) AS n_docs_in,
+           |  count(CASE WHEN n_in_group >= 2 THEN 1 END)
+           |    AS n_merged_groups,
+           |  CAST(sum(CASE WHEN n_in_group >= 2 THEN n_in_group - 1
+           |    END) AS BIGINT) AS n_dropped
+           |FROM groups""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -2803,7 +2861,7 @@ object LLMOps {
     qScrubBlocklist,
     qScrubPii,
     qDecontaminate, qContainScore, qKmeansStep, qTruncateDocs,
-    qEmbedDimStats, qClassWeights,
+    qEmbedDimStats, qClassWeights, qDedupNormalized,
     qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest)

@@ -2057,6 +2057,33 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(rebalanced - n.toDouble) < n * 1e-4)
   }
 
+  test("normalization dedup merges every planted variant") {
+    // E172: with one perturbed variant planted per doc, the sharp
+    // expectation is groups == docs and one drop per variant.
+    val r = LLMOps.qDedupNormalized.fn(spark, sf).head()
+    val n = Tables.read(spark, sf, "documents").count()
+    assert(r.getLong(0) === n, "every variant merges with its original")
+    assert(r.getLong(1) === 2 * n)
+    assert(r.getLong(2) === n)
+    assert(r.getLong(3) === n)
+  }
+
+  test("mode: pick equals brute-force max count with min-value ties") {
+    val rows = Tables.read(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val brute = rows.groupBy(_._1).map { case (g, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.size)
+      g -> counts.toSeq.minBy { case (v, c) => (-c, v) }
+    }
+    val got = Aggregates.qAggMode.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    brute.foreach { case (g, (v, c)) =>
+      assert(got(g) === ((v, c.toLong)), s"group $g mode mismatch")
+    }
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -3533,6 +3533,148 @@ object Extras {
            |FROM chosen WHERE side IS NOT NULL
            |GROUP BY side ORDER BY side""".stripMargin))
 
+  /** E174: **sweep-line peak concurrency** — how many service windows
+    * are open AT ONCE (capacity planning's core question): the
+    * interval-overlap count that the naive interval×interval self-join
+    * answers quadratically, the sweep line answers in ONE pass — each
+    * [start, end) window becomes a +1 event at start and a −1 at end,
+    * and the cumulative sum of deltas ordered by day IS the
+    * concurrency curve; its per-month max is the report. Exact
+    * integers throughout; boundary semantics pinned (half-open: a
+    * window ending the day another starts does not overlap it — the
+    * −1 sorts with the same key and cumulative order over equal days
+    * is settled by summing BOTH deltas before reading, i.e. group by
+    * day first, which this does). One fact-sized agg to day deltas,
+    * then dimension-sized windows. */
+  val qSweepConcurrency = Q("q_sweep_concurrency",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+        .select(to_date($"o_orderdate").as("d0"))
+      val deltas = o.select($"d0".as("day"), lit(1L).as("delta"))
+        .unionByName(o.select(date_add($"d0", 7).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy($"day").agg(sum($"delta").as("net"))
+      val curve = deltas.withColumn("open", sum($"net").over(
+        Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      curve
+        .groupBy(to_date(date_trunc("month", $"day")).as("month"))
+        .agg(max($"open").as("peak_concurrent"),
+          min($"open").as("min_open"))
+        .orderBy($"month")
+    },
+    Some("""WITH o AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS d0 FROM orders
+           |), deltas AS (
+           |  SELECT day, sum(delta) AS net FROM (
+           |    SELECT d0 AS day, 1 AS delta FROM o
+           |    UNION ALL
+           |    SELECT d0 + 7, -1 FROM o
+           |  ) GROUP BY day
+           |), curve AS (
+           |  SELECT day, CAST(sum(net) OVER (ORDER BY day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS open
+           |  FROM deltas
+           |)
+           |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+           |       max(open) AS peak_concurrent,
+           |       min(open) AS min_open
+           |FROM curve GROUP BY 1 ORDER BY month""".stripMargin))
+
+  /** E175: **rolling z-score anomaly flags** — the production anomaly
+    * baseline: each day's event count scored against its own trailing
+    * 28-day mean and sample std, flagged when |z| exceeds 3 (decided
+    * on the ROUNDED score, so a 1-ulp tail cannot flip a flag — the
+    * E147 discipline). Exactness: the rolling mean AND the rolling
+    * std both come from exact integer window sums (Σx, Σx² over
+    * counts), assembled into variance with one double sqrt — a
+    * rolling stddev built from float partials drifts with frame
+    * re-segmentation; this cannot. Warm-up days (<28 prior) report
+    * null z rather than a fake score. One fact agg to days, then
+    * dimension-sized frame windows. */
+  val qRollingAnomaly = Q("q_rolling_anomaly",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy($"day").rowsBetween(-28, -1)
+      daily
+        .withColumn("n", count($"x").over(w))
+        .withColumn("s", sum($"x").over(w))
+        .withColumn("s2", sum($"x" * $"x").over(w))
+        // guards INSIDE the when: ANSI Spark raises DIVIDE_BY_ZERO
+        // even for doubles, so warm-up rows must never divide
+        .withColumn("mu",
+          when($"n" >= 28, $"s".cast("double") / $"n"))
+        .withColumn("sd", when($"n" >= 28,
+          sqrt(($"n" * $"s2" - $"s" * $"s").cast("double") /
+            ($"n" * ($"n" - 1)))))
+        .select($"day", $"x".cast("long").as("n_events"),
+          round(when($"n" >= 28 && $"sd" > 0,
+            ($"x" - $"mu") / $"sd"), 4).as("z"),
+          when($"n" >= 28 && $"sd" > 0,
+            abs(round(($"x" - $"mu") / $"sd", 4)) > 3.0)
+            .as("is_anomaly"))
+        .orderBy($"day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |         count(*) AS x
+           |  FROM events GROUP BY 1
+           |), rolled AS (
+           |  SELECT day, x,
+           |    count(x) OVER tw AS n,
+           |    sum(x) OVER tw AS s,
+           |    sum(x * x) OVER tw AS s2
+           |  FROM daily
+           |  WINDOW tw AS (ORDER BY day
+           |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+           |)
+           |, scored AS (
+           |  SELECT day, x, n,
+           |    CASE WHEN n >= 28 THEN
+           |      sqrt(CAST(n * s2 - s * s AS DOUBLE) / (n * (n - 1)))
+           |      END AS sd,
+           |    CASE WHEN n >= 28 THEN CAST(s AS DOUBLE) / n END AS mu
+           |  FROM rolled
+           |)
+           |SELECT day, CAST(x AS BIGINT) AS n_events,
+           |  round(CASE WHEN n >= 28 AND sd > 0
+           |    THEN (x - mu) / sd END, 4) AS z,
+           |  CASE WHEN n >= 28 AND sd > 0 THEN
+           |    abs(round((x - mu) / sd, 4)) > CAST('3.0' AS DOUBLE)
+           |    END AS is_anomaly
+           |FROM scored ORDER BY day""".stripMargin))
+
+  /** E176: **daily percentile ribbon** — the p10/p50/p90 band every
+    * latency/value dashboard draws: per-day exact interpolated
+    * percentiles of the event value (the E9/E153 parity contract),
+    * with the day's count carried so a ribbon point is never read
+    * without its support. Per-day groups are small, so exact
+    * percentiles are the right tool at any corpus size — days
+    * partition the data; it is the ALL-TIME percentile that needs
+    * the KLL path (E61), not the ribbon. One shuffle to day grain. */
+  val qPercentileRibbon = Q("q_percentile_ribbon",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.1D)"), 6).as("p10"),
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"))
+        .orderBy($"day")
+    },
+    Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |       count(*) AS n,
+           |       round(quantile_cont(value, 0.1), 6) AS p10,
+           |       round(quantile_cont(value, 0.5), 6) AS p50,
+           |       round(quantile_cont(value, 0.9), 6) AS p90
+           |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3548,5 +3690,6 @@ object Extras {
     qGeoNearest, qTableChecksum, qRatioToParent, qStateMachine,
     qMutualInfo, qMarkovBacktest, qCumulativeDistinct,
     qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift,
-    qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest)
+    qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest,
+    qSweepConcurrency, qRollingAnomaly, qPercentileRibbon)
 }

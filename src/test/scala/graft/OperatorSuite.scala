@@ -2084,6 +2084,62 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("sweep-line concurrency equals brute-force interval counting") {
+    // E174: per month, the peak of |{orders with day in [d0, d0+7)}|
+    // over the month's days, recomputed directly.
+    val starts = Tables.read(spark, sf, "orders")
+      .select(to_date($"o_orderdate")).collect()
+      .map(_.getDate(0).toLocalDate)
+    val allDays = starts.flatMap(d =>
+      (0L to 7L).map(d.plusDays)).distinct.sorted(
+      Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val brute = allDays.map { d =>
+      d -> starts.count(s => !s.isAfter(d) && d.isBefore(s.plusDays(7)))
+    }.groupBy(x => (x._1.getYear, x._1.getMonthValue))
+      .map { case (m, xs) => m -> xs.map(_._2).max.toLong }
+    val got = graft.queries.Extras.qSweepConcurrency.fn(spark, sf)
+      .collect().map { r =>
+        val m = r.getDate(0).toLocalDate
+        (m.getYear, m.getMonthValue) -> r.getLong(1)
+      }.toMap
+    // compare months where the brute support fully covers the month
+    got.foreach { case (m, peak) =>
+      brute.get(m).foreach(b =>
+        assert(peak === b, s"month $m peak $peak vs brute $b"))
+    }
+  }
+
+  test("rolling anomaly: warm-up null, scored days match formula") {
+    val res = graft.queries.Extras.qRollingAnomaly.fn(spark, sf)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1.toEpochDay)
+    assert(res.take(28).forall(_._3.isEmpty),
+      "first 28 days must not be scored")
+    val counts = res.map(_._2.toDouble)
+    res.zipWithIndex.filter(_._1._3.isDefined).foreach {
+      case ((_, x, Some(z)), i) =>
+        val win = counts.slice(i - 28, i)
+        val mu = win.sum / 28
+        val sd = math.sqrt(win.map(v => (v - mu) * (v - mu)).sum / 27)
+        assert(math.abs(z - (x - mu) / sd) < 1e-3,
+          s"day $i z=$z vs formula ${(x - mu) / sd}")
+      case _ =>
+    }
+  }
+
+  test("percentile ribbon is ordered and conserves daily counts") {
+    val res = graft.queries.Extras.qPercentileRibbon.fn(spark, sf)
+      .collect()
+    assert(res.map(_.getLong(1)).sum ===
+      Tables.read(spark, sf, "events").count())
+    res.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) &&
+        r.getDouble(3) <= r.getDouble(4),
+        s"${r.getDate(0)}: ribbon disordered")
+    }
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

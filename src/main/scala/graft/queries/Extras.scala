@@ -3675,6 +3675,51 @@ object Extras {
            |       round(quantile_cont(value, 0.9), 6) AS p90
            |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
 
+  /** E178: **aging buckets (AR aging report)** — the receivables
+    * staple: open orders bucketed by how long they have been open,
+    * with counts and value at stake per bucket. Age anchors on
+    * max(o_orderdate) over the table (the E146 discipline — never
+    * wall-clock, which would make the result time-dependent and the
+    * oracle unmatchable); buckets are the standard 0-30/31-60/61-90/
+    * 90+, whose labels happen to sort lexicographically (pinned —
+    * that is why the labels carry their lower bound). Exact day
+    * arithmetic, DECIMAL value sums, one fact pass + one 4-row
+    * rollup. */
+  val qAgingBuckets = Q("q_aging_buckets",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val anchored = Tables.read(spark, sfDir, "orders")
+        .filter($"o_orderstatus" === "O")
+        .withColumn("anchor",
+          max(to_date($"o_orderdate")).over(Window.partitionBy()))
+        .withColumn("age", datediff($"anchor", to_date($"o_orderdate")))
+      anchored
+        .withColumn("bucket",
+          when($"age" <= 30, "0-30").when($"age" <= 60, "31-60")
+            .when($"age" <= 90, "61-90").otherwise("90+"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice".cast("decimal(18,6)")), 2)
+            .cast("double").as("value_at_stake"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH open_orders AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice
+           |  FROM orders WHERE o_orderstatus = 'O'
+           |), aged AS (
+           |  SELECT (SELECT max(d) FROM open_orders) - d AS age,
+           |         o_totalprice
+           |  FROM open_orders
+           |)
+           |SELECT CASE WHEN age <= 30 THEN '0-30'
+           |            WHEN age <= 60 THEN '31-60'
+           |            WHEN age <= 90 THEN '61-90'
+           |            ELSE '90+' END AS bucket,
+           |       count(*) AS n_orders,
+           |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),
+           |         2) AS DOUBLE) AS value_at_stake
+           |FROM aged GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3691,5 +3736,6 @@ object Extras {
     qMutualInfo, qMarkovBacktest, qCumulativeDistinct,
     qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift,
     qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest,
-    qSweepConcurrency, qRollingAnomaly, qPercentileRibbon)
+    qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
+    qAgingBuckets)
 }

@@ -2492,6 +2492,41 @@ object LLMOps {
            |    END) AS BIGINT) AS n_dropped
            |FROM groups""".stripMargin))
 
+  /** E177: **degree distribution of the near-dup graph** — the third
+    * graph-analytics member (E5 components, E117 centrality; this is
+    * the STRUCTURE summary): how many docs have 1, 2, 4… near-dup
+    * neighbors, the histogram that distinguishes template boilerplate
+    * (a few huge hubs) from organic duplication (a long thin tail) —
+    * and the first thing to inspect before running any iterative
+    * algorithm, because max degree bounds the skew every per-node
+    * join will see. Shape: symmetrize the memoized pair table, one
+    * hash agg to degrees, one ≤max-degree-row histogram rollup with
+    * the E140 integer log2 bucketing. Zero new fact scans — the pair
+    * table is the dedup family's shared artifact. */
+  val qDegreeDistribution = Q("q_degree_distribution",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val p = ngramPairs(spark, sfDir).select($"d1", $"d2")
+      p.select($"d1".as("id")).unionAll(p.select($"d2".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("deg"))
+        .groupBy(length(bin($"deg")).as("deg_bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"deg").as("min_deg"), max($"deg").as("max_deg"))
+        .orderBy($"deg_bucket")
+    },
+    Some(s"""WITH $pairsCte, sym AS (
+            |  SELECT d1 AS id FROM pairs
+            |  UNION ALL
+            |  SELECT d2 FROM pairs
+            |), degs AS (
+            |  SELECT id, count(*) AS deg FROM sym GROUP BY id
+            |)
+            |SELECT CAST(length(bin(deg)) AS INTEGER) AS deg_bucket,
+            |       count(*) AS n_nodes,
+            |       min(deg) AS min_deg, max(deg) AS max_deg
+            |FROM degs GROUP BY deg_bucket
+            |ORDER BY deg_bucket""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -2862,6 +2897,7 @@ object LLMOps {
     qScrubPii,
     qDecontaminate, qContainScore, qKmeansStep, qTruncateDocs,
     qEmbedDimStats, qClassWeights, qDedupNormalized,
+    qDegreeDistribution,
     qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest)

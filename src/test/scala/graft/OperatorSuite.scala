@@ -2169,6 +2169,38 @@ class OperatorSuite extends AnyFunSuite {
       Set("0-30", "31-60", "61-90", "90+")))
   }
 
+  test("quality policy: ordered quartiles, keep subset, unit scores") {
+    val r = LLMOps.qQualityPolicy.fn(spark, sf).head()
+    assert(r.getLong(1) <= r.getLong(0))
+    val (p25, p50, p75) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(p25 <= p50 && p50 <= p75)
+    assert(p25 >= -1e-9 && p75 <= 1.0 + 1e-9,
+      "min-max normalized composite stays in [0,1]")
+  }
+
+  test("bootstrap CI brackets the plain mean, bounds ordered") {
+    val r = LLMOps.qBootstrapCi.fn(spark, sf).head()
+    assert(r.getLong(0) === 50L)
+    val (lo, mid, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= mid && mid <= hi)
+    val mean = Tables.read(spark, sf, "documents")
+      .agg(avg($"n_chars")).head().getDouble(0)
+    assert(lo <= mean && mean <= hi,
+      s"CI [$lo, $hi] must bracket the plain mean $mean")
+  }
+
+  test("systematic sample picks exactly every 20th ranked doc") {
+    val ids = Tables.read(spark, sf, "documents")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val picked = ids.zipWithIndex.collect {
+      case (id, i) if (i + 1) % 20 == 7 => id
+    }
+    val r = LLMOps.qSampleSystematic.fn(spark, sf).head()
+    assert(r.getLong(0) === picked.length.toLong)
+    assert(r.getLong(1) === picked.sum)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

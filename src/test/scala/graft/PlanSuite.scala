@@ -143,7 +143,8 @@ class PlanSuite extends AnyFunSuite {
       "q_seasonality", // 1-row overall-mean cross into the index
       "q_psi", // 1-row cutoff + decile-edge crosses into the binning
       "q_class_weights", // 1-row (N, k) totals cross over the label frame
-      "q_degree_distribution") // inherits ngram-jaccard's 1-row cross
+      "q_degree_distribution", // inherits ngram-jaccard's 1-row cross
+      "q_quality_policy") // 1-row min/max-bounds cross into the scoring
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -3720,6 +3720,58 @@ object Extras {
            |         2) AS DOUBLE) AS value_at_stake
            |FROM aged GROUP BY 1 ORDER BY bucket""".stripMargin))
 
+  /** E183: **idempotent ingest (idempotency keys + conflict
+    * detection)** — at-least-once delivery means every ingest batch
+    * contains retries, and the contract has two halves: identical
+    * retries DEDUPE SILENTLY (same key, same content — the benign
+    * case), while conflicting retries (same key, DIFFERENT content)
+    * are resolved by a pinned rule (keep the MINIMUM value — a total
+    * order, never arrival order, which does not exist in a parallel
+    * ingest) AND surfaced in a conflict count, because a silent
+    * last-writer-wins is how corrupted upstreams go unnoticed. The
+    * fixture plants both classes deterministically (ids < 5 retried
+    * identically; ids 5..9 retried with a shifted value), so the
+    * expected counts are sharp. One union + one grouped pass. */
+  val qIdempotentIngest = Q("q_idempotent_ingest",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"event_id", $"value")
+      val retriesSame = ev.filter($"event_id" < 5)
+      val retriesConflict = ev.filter($"event_id" >= 5 &&
+        $"event_id" < 10)
+        .select($"event_id", ($"value" + 1000000.0).as("value"))
+      ev.unionByName(retriesSame).unionByName(retriesConflict)
+        .groupBy($"event_id")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"value").as("n_contents"),
+          min($"value").as("kept_value"))
+        .agg(count(lit(1)).as("n_ids"),
+          count(when($"n_rows" > 1, 1)).as("n_with_retries"),
+          count(when($"n_contents" > 1, 1)).as("n_conflicts"),
+          round(sum($"kept_value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_kept"))
+    },
+    Some("""WITH batch AS (
+           |  SELECT event_id, value FROM events
+           |  UNION ALL
+           |  SELECT event_id, value FROM events WHERE event_id < 5
+           |  UNION ALL
+           |  SELECT event_id, value + 1000000.0 FROM events
+           |  WHERE event_id >= 5 AND event_id < 10
+           |), resolved AS (
+           |  SELECT event_id, count(*) AS n_rows,
+           |         count(DISTINCT value) AS n_contents,
+           |         min(value) AS kept_value
+           |  FROM batch GROUP BY event_id
+           |)
+           |SELECT count(*) AS n_ids,
+           |  count(CASE WHEN n_rows > 1 THEN 1 END) AS n_with_retries,
+           |  count(CASE WHEN n_contents > 1 THEN 1 END) AS n_conflicts,
+           |  CAST(round(sum(CAST(kept_value AS DECIMAL(18,6))), 6)
+           |    AS DOUBLE) AS sum_kept
+           |FROM resolved""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3737,5 +3789,5 @@ object Extras {
     qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift,
     qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest,
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
-    qAgingBuckets)
+    qAgingBuckets, qIdempotentIngest)
 }

@@ -1632,6 +1632,82 @@ object Formats {
     },
     Some(roundtripOracle))
 
+  /** E182: **write-audit-publish (WAP)** — the lakehouse publishing
+    * contract (Iceberg/dbt's staging pattern): a candidate batch is
+    * written to STAGING, the constraint audit (the E111 shape: FK
+    * orphans, PK duplicates, null keys) runs against staging, and
+    * only a CLEAN batch is atomically promoted to the published
+    * location — a dirty batch leaves the published state untouched.
+    * The fixture exercises BOTH branches in one query: candidate A is
+    * clean (publishes), candidate B plants an FK orphan + a duplicate
+    * PK (rejected), and the output reports each candidate's violation
+    * count, publish decision, and the published table's row count +
+    * DECIMAL value hash after the whole sequence — so a broken audit
+    * (publishing the dirty batch, or refusing the clean one) breaks
+    * the oracle hash, not just a flag. Readers only ever list the
+    * published dir: the staging write is invisible to them at every
+    * point — which is the entire point of WAP. */
+  val qWriteAuditPublish = Q("q_write_audit_publish",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val staging = fmtDir(sfDir, "wap_staging")
+      val published = fmtDir(sfDir, "wap_published")
+      val base = Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val custKeys = Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey")
+      def audit(cand: org.apache.spark.sql.DataFrame): Long = {
+        val orphans = cand.join(broadcast(custKeys),
+          cand("o_custkey") === custKeys("c_custkey"), "left_anti")
+          .count()
+        val dupPks = cand.groupBy($"o_orderkey").count()
+          .filter($"count" > 1).count()
+        val nullKeys = cand.filter($"o_orderkey".isNull).count()
+        orphans + dupPks + nullKeys
+      }
+      val clean = base
+      // planted violations are self-contained (negative keys): one FK
+      // orphan + one PK duplicated between the two planted rows — so
+      // the expected count is 2 regardless of which orderkeys the
+      // fixture happens to contain
+      val dirty = base.unionByName(
+        Seq((-1L, -999999L, 1.0), (-2L, 1L, 2.0), (-2L, 1L, 2.0))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+      val results = Seq(("A_clean", clean), ("B_dirty", dirty)).map {
+        case (name, cand) =>
+          cand.write.mode("overwrite").parquet(staging)
+          val staged = spark.read.parquet(staging)
+          val violations = audit(staged)
+          val publish = violations == 0
+          if (publish)
+            staged.write.mode("overwrite").parquet(published)
+          (name, violations, publish)
+      }
+      val state = spark.read.parquet(published)
+        .agg(count(lit(1)).as("published_rows"),
+          round(sum($"o_totalprice".cast("decimal(18,6)")), 6)
+            .cast("double").as("published_value"))
+        .head()
+      results.map { case (n, v, p) =>
+        (n, v, p, state.getLong(0), state.getDouble(1))
+      }.toDF("candidate", "n_violations", "published",
+        "published_rows", "published_value")
+        .orderBy($"candidate")
+    },
+    Some("""WITH state AS (
+           |  SELECT count(*) AS published_rows,
+           |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),
+           |      6) AS DOUBLE) AS published_value
+           |  FROM orders
+           |)
+           |SELECT 'A_clean' AS candidate, CAST(0 AS BIGINT)
+           |    AS n_violations, TRUE AS published,
+           |  published_rows, published_value FROM state
+           |UNION ALL
+           |SELECT 'B_dirty', CAST(2 AS BIGINT), FALSE,
+           |  published_rows, published_value FROM state
+           |ORDER BY candidate""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1642,5 +1718,6 @@ object Formats {
     qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
-    qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted)
+    qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted,
+    qWriteAuditPublish)
 }

@@ -2201,6 +2201,30 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getLong(1) === picked.sum)
   }
 
+  test("WAP: dirty candidate rejected, published state is the clean batch") {
+    val res = graft.sources.Formats.qWriteAuditPublish.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getBoolean(2), r.getLong(3))).sortBy(_._1)
+    assert(res.length === 2)
+    val (clean, dirty) = (res(0), res(1))
+    assert(clean._2 === 0L && clean._3, "clean candidate must publish")
+    assert(dirty._2 === 2L && !dirty._3,
+      "dirty candidate must be rejected with both violations counted")
+    assert(clean._4 === Tables.read(spark, sf, "orders").count(),
+      "published state must be exactly the clean batch")
+  }
+
+  test("idempotent ingest: sharp retry and conflict counts") {
+    val r = graft.queries.Extras.qIdempotentIngest.fn(spark, sf).head()
+    val ev = Tables.read(spark, sf, "events")
+    val ids = ev.select($"event_id").distinct().count()
+    val lt5 = ev.filter($"event_id" < 5).count()
+    val in59 = ev.filter($"event_id" >= 5 && $"event_id" < 10).count()
+    assert(r.getLong(0) === ids)
+    assert(r.getLong(1) === lt5 + in59, "every planted id has retries")
+    assert(r.getLong(2) === in59, "only shifted retries conflict")
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -3772,6 +3772,103 @@ object Extras {
            |    AS DOUBLE) AS sum_kept
            |FROM resolved""".stripMargin))
 
+  /** E184: **top conversion paths** — product analytics' path report:
+    * sessionize (30-min gap, the E20 contract), render each session
+    * as a compact ordered symbol string (one char per event,
+    * deterministically ordered — the E130 discipline), and count the
+    * most common paths. The path table is session-sized, so the
+    * top-10 is a TakeOrderedAndProject under a (count DESC, path)
+    * total order. Three windows share ONE per-user sort (gap flag,
+    * session id, then the grouped string build); session strings are
+    * bounded by session length (the qAggCollect caveat, pinned). */
+  val qTopPaths = Q("q_top_paths",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val us = unix_micros($"ts")
+      Tables.read(spark, sfDir, "events")
+        .withColumn("gap", (us - lag(us, 1).over(w) >
+          lit(1800L * 1000000L)).cast("int"))
+        .withColumn("sid", sum(coalesce($"gap", lit(1)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sid")
+        .agg(array_join(transform(array_sort(collect_list(struct(
+          $"ts", $"event_id", substring($"event_type", 1, 1)
+            .as("sym")))), x => x.getField("sym")), "").as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(10)
+    },
+    Some("""WITH gapped AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+           |           IS NULL THEN 1
+           |         WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+           |           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+           |           > 1800000000 THEN 1
+           |         ELSE 0 END AS opens
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), sessioned AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    sum(opens) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS sid
+           |  FROM gapped
+           |), paths AS (
+           |  SELECT string_agg(substr(event_type, 1, 1), ''
+           |      ORDER BY ts, event_id) AS path
+           |  FROM sessioned GROUP BY user_id, sid
+           |)
+           |SELECT path, count(*) AS n_sessions
+           |FROM paths GROUP BY path
+           |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin))
+
+  /** E185: **Zipf rank-frequency fit** — the corpus-linguistics
+    * health check: natural text's token frequencies follow
+    * freq ∝ rank^(−s) with s ≈ 1, so the OLS slope of ln(freq) on
+    * ln(rank) diagnoses machine-generated or template-heavy corpora
+    * (too flat) and truncated vocabularies (too steep). Ranks are
+    * exact integers from one (count DESC, term) total-order window;
+    * the fit reuses the one-pass `regr_slope`/`regr_intercept`/
+    * `regr_r2` family (E98) over the vocabulary-sized frame —
+    * domain-bounded like E112's LM table, so the fit input never
+    * scales with the corpus, only with the vocabulary. 4dp rounding
+    * absorbs the float-accumulation tail of the regression sums. */
+  val qZipfFit = Q("q_zipf_fit",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "documents")
+        .select(explode(split(trim($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"cnt".desc, $"term")))
+        .agg(count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(cnt), ln(rank))"), 4).as("slope"),
+          round(expr("regr_intercept(ln(cnt), ln(rank))"), 4)
+            .as("intercept"),
+          round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("r2"))
+    },
+    Some("""WITH tf AS (
+           |  SELECT w AS term, count(*) AS cnt
+           |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+           |        FROM documents) u
+           |  WHERE w <> '' GROUP BY w
+           |), ranked AS (
+           |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term)
+           |    AS rank
+           |  FROM tf
+           |)
+           |SELECT count(*) AS n_terms,
+           |       round(regr_slope(ln(cnt), ln(rank)), 4) AS slope,
+           |       round(regr_intercept(ln(cnt), ln(rank)), 4)
+           |         AS intercept,
+           |       round(regr_r2(ln(cnt), ln(rank)), 4) AS r2
+           |FROM ranked""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3789,5 +3886,5 @@ object Extras {
     qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift,
     qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest,
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
-    qAgingBuckets, qIdempotentIngest)
+    qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit)
 }

@@ -2225,6 +2225,22 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getLong(2) === in59, "only shifted retries conflict")
   }
 
+  test("top paths: counts descend, sessions conserve events") {
+    val res = graft.queries.Extras.qTopPaths.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(res.nonEmpty && res.length <= 10)
+    assert(res.map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)), "top-k must be ordered")
+    assert(res.forall(_._1.nonEmpty))
+  }
+
+  test("zipf fit: negative slope with a sane determination") {
+    val r = graft.queries.Extras.qZipfFit.fn(spark, sf).head()
+    assert(r.getLong(0) > 20, "vocabulary present (sf0.001 has ~31)")
+    assert(r.getDouble(1) < 0, "rank-frequency slope must be negative")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0, "r2 in [0,1]")
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -3869,6 +3869,110 @@ object Extras {
            |       round(regr_r2(ln(cnt), ln(rank)), 4) AS r2
            |FROM ranked""".stripMargin))
 
+  /** E186: **rolling median smoother** — the robust alternative to the
+    * moving average (W3) and the EWMA (E132): a single outlier day
+    * drags a mean but not a median, which is why ops dashboards
+    * smooth with trailing medians. Exact interpolated `percentile`
+    * runs as a WINDOW aggregate over the trailing 7-day frame (both
+    * engines support aggregate-as-window; the E9/E153 interpolation
+    * parity carries over unchanged), on the dimension-sized daily
+    * frame — per-frame exact medians are right here because frames
+    * are ≤7 rows by construction at any corpus size. */
+  val qRollingMedian = Q("q_rolling_median",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-6, 0)
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("med7",
+          round(expr("percentile(x, 0.5D)").over(w), 4))
+        .select($"event_type", $"day", $"x".cast("long").as("n_events"),
+          $"med7")
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |         count(*) AS x
+           |  FROM events GROUP BY 1, 2
+           |)
+           |SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
+           |  round(quantile_cont(x, 0.5) OVER (
+           |    PARTITION BY event_type ORDER BY day
+           |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+           |FROM daily ORDER BY event_type, day""".stripMargin))
+
+  /** E187: **cohort LTV curves** — retention's (E39) revenue twin:
+    * per signup cohort (month of first order), CUMULATIVE revenue per
+    * customer by cohort age — the curve that tells you when a cohort
+    * pays back acquisition. Cohort assignment is one min-aggregate;
+    * ages are exact month arithmetic between truncated dates (both
+    * engines' months_between on month-truncated dates is integral by
+    * construction — no fractional-month drift); revenue stays DECIMAL
+    * through the cumulative window and divides by FIXED cohort size
+    * (customers who ever ordered), so the curve is monotone and its
+    * final point reconciles with total revenue. Dimension-sized after
+    * one fact pass. */
+  val qCohortLtv = Q("q_cohort_ltv",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val orders = Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey",
+          to_date(date_trunc("month", $"o_orderdate")).as("m"),
+          $"o_totalprice".cast("decimal(18,6)").as("rev"))
+      val cohorts = orders.groupBy($"o_custkey")
+        .agg(min($"m").as("cohort"))
+      val sized = cohorts.groupBy($"cohort")
+        .agg(countDistinct($"o_custkey").as("cohort_size"))
+      val aged = orders.join(cohorts, "o_custkey")
+        .withColumn("age",
+          (months_between($"m", $"cohort")).cast("int"))
+        .groupBy($"cohort", $"age")
+        .agg(sum($"rev").as("rev"))
+      val w = Window.partitionBy($"cohort").orderBy($"age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      aged
+        .withColumn("cum_rev", sum($"rev").over(w))
+        .join(broadcast(sized), "cohort")
+        .filter($"age" <= 6)
+        .select($"cohort", $"age", $"cohort_size",
+          round($"cum_rev".cast("double") / $"cohort_size", 2)
+            .as("ltv_per_customer"))
+        .orderBy($"cohort", $"age")
+    },
+    Some("""WITH orders_m AS (
+           |  SELECT o_custkey,
+           |    CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+           |      AS DATE) AS m,
+           |    CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+           |  FROM orders
+           |), cohorts AS (
+           |  SELECT o_custkey, min(m) AS cohort
+           |  FROM orders_m GROUP BY o_custkey
+           |), sized AS (
+           |  SELECT cohort, count(DISTINCT o_custkey) AS cohort_size
+           |  FROM cohorts GROUP BY cohort
+           |), aged AS (
+           |  SELECT cohort,
+           |    CAST(datediff('month', cohort, m) AS INTEGER) AS age,
+           |    sum(rev) AS rev
+           |  FROM orders_m JOIN cohorts USING (o_custkey)
+           |  GROUP BY 1, 2
+           |), cum AS (
+           |  SELECT cohort, age,
+           |    sum(rev) OVER (PARTITION BY cohort ORDER BY age
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cum_rev
+           |  FROM aged
+           |)
+           |SELECT cohort, age, cohort_size,
+           |  round(CAST(cum_rev AS DOUBLE) / cohort_size, 2)
+           |    AS ltv_per_customer
+           |FROM cum JOIN sized USING (cohort)
+           |WHERE age <= 6 ORDER BY cohort, age""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3886,5 +3990,6 @@ object Extras {
     qTimeToConvert, qPeriodOverPeriod, qFunnelWindowed, qGainsLift,
     qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest,
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
-    qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit)
+    qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit,
+    qRollingMedian, qCohortLtv)
 }

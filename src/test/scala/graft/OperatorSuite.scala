@@ -2241,6 +2241,36 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0, "r2 in [0,1]")
   }
 
+  test("rolling median lies within its trailing window's range") {
+    val res = graft.queries.Extras.qRollingMedian.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2), r.getDouble(3)))
+    res.groupBy(_._1).foreach { case (_, xs) =>
+      val sorted = xs.sortBy(_._2.toEpochDay)
+      sorted.zipWithIndex.foreach { case ((_, _, _, med), i) =>
+        val win = sorted.slice(math.max(0, i - 6), i + 1)
+          .map(_._3.toDouble)
+        assert(med >= win.min - 1e-9 && med <= win.max + 1e-9,
+          s"median $med escapes window [${win.min}, ${win.max}]")
+      }
+    }
+  }
+
+  test("cohort LTV: curves monotone, cohort sizes partition customers") {
+    val res = graft.queries.Extras.qCohortLtv.fn(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    res.groupBy(_._1).foreach { case (c, xs) =>
+      val curve = xs.sortBy(_._2).map(_._4)
+      assert(curve.sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1) + 1e-9),
+        s"cohort $c LTV not monotone: ${curve.toSeq}")
+    }
+    val sizes = res.groupBy(_._1).map(_._2.head._3).sum
+    assert(sizes === Tables.read(spark, sf, "orders")
+      .select($"o_custkey").distinct().count())
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -205,6 +205,35 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("Sort ["), "expected the in-partition sort")
   }
 
+  test("heaviest round-11 operators keep their intended join shapes") {
+    // E122: the basket self-join must be an EQUI join on the basket
+    // key (the brand `<` rides as a post-join condition) — a planner
+    // regression to a nested loop over the inequality would be the
+    // 100 TB killer this design exists to avoid.
+    val basket = plan("q_basket_pairs")
+    assert(basket.contains("SortMergeJoin") ||
+      basket.contains("ShuffledHashJoin") ||
+      basket.contains("BroadcastHashJoin"),
+      s"basket pairs must join on the basket key:\n$basket")
+    // E134: the containment join is equi on the shingle; the max-df
+    // drop-list applies as a broadcast ANTI join on both sides.
+    val contain = plan("q_contain_score")
+    assert(contain.contains("LeftAnti"),
+      "containment must carry the drop-list anti joins")
+    assert(!contain.contains("CartesianProduct"))
+    // E153: the VaR cut broadcasts back over the fact scan — never a
+    // fact-by-fact join for a 3-row frame.
+    val cvar = plan("q_cvar")
+    assert(cvar.contains("BroadcastHashJoin"),
+      s"the percentile cut must broadcast:\n$cvar")
+    // E148: geo candidates come from the cell-id EQUI join.
+    val geo = plan("q_geo_nearest")
+    assert(geo.contains("SortMergeJoin") ||
+      geo.contains("ShuffledHashJoin") ||
+      geo.contains("BroadcastHashJoin"),
+      s"geo candidates must equi-join on the cell id:\n$geo")
+  }
+
   test("aggregates run two-phase (partial then final)") {
     val p = plan("q_agg_stats")
     assert("HashAggregate".r.findAllIn(p).length >= 2)

@@ -2732,7 +2732,10 @@ object Extras {
     * partial-aggregable (each executor sums locally, one long per
     * partition crosses the wire — checksumming 100 TB costs one scan
     * and shuffles 8 bytes per partition). Numeric columns are cast
-    * through exact integer/string forms — never float formatting. */
+    * through exact integer/string forms — never float formatting.
+    * Headroom: row hashes are < 1000003, so the LONG sum stands to
+    * ~9×10¹² rows per table; beyond that, route the sum through
+    * DECIMAL(38,0) — same commutativity, wider accumulator. */
   val qTableChecksum = Q("q_table_checksum",
     (spark, sfDir) => {
       import spark.implicits._

@@ -3976,6 +3976,91 @@ object Extras {
            |FROM cum JOIN sized USING (cohort)
            |WHERE age <= 6 ORDER BY cohort, age""".stripMargin))
 
+  /** E188: **join-key skew profile** — the diagnostic you run BEFORE
+    * choosing between a plain join, salting (E2) and AQE skew split
+    * (E47): per-key frequency statistics of the prospective join key
+    * (max, p99, the top key's share of all rows, and a flag when the
+    * hottest key exceeds 10× the p50) — the numbers that decide the
+    * strategy, produced for the cost of ONE key-grain aggregate.
+    * Everything after the first agg is key-cardinality-sized; the
+    * percentile runs on the key-frequency frame, not the facts. The
+    * flag is decided on exact integers. */
+  val qSkewProfile = Q("q_skew_profile",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val freq = Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("f"))
+      freq.agg(
+        count(lit(1)).as("n_keys"),
+        sum($"f").cast("long").as("n_rows"),
+        max($"f").as("max_f"),
+        round(expr("percentile(f, 0.5D)"), 2).as("p50_f"),
+        round(expr("percentile(f, 0.99D)"), 2).as("p99_f"))
+        .withColumn("top_key_share",
+          round($"max_f".cast("double") / $"n_rows", 6))
+        .withColumn("skew_flag",
+          $"max_f" * 2 > $"n_rows" / $"n_keys" * 20)
+    },
+    Some("""WITH freq AS (
+           |  SELECT user_id, count(*) AS f FROM events
+           |  GROUP BY user_id
+           |)
+           |SELECT count(*) AS n_keys,
+           |  CAST(sum(f) AS BIGINT) AS n_rows,
+           |  max(f) AS max_f,
+           |  round(quantile_cont(f, 0.5), 2) AS p50_f,
+           |  round(quantile_cont(f, 0.99), 2) AS p99_f,
+           |  round(CAST(max(f) AS DOUBLE) / sum(f), 6)
+           |    AS top_key_share,
+           |  max(f) * 2 > sum(f) / count(*) * 20 AS skew_flag
+           |FROM freq""".stripMargin))
+
+  /** E189: **freshness report** — operational data quality's first
+    * page: per table, the newest record's age against the lake-wide
+    * anchor (the max event time across all audited tables — never
+    * wall-clock, the E146/E178 discipline, so the report is
+    * reproducible and oracle-checkable). Staleness beyond a pinned
+    * SLA (7 days) flags. Each table contributes one MIN/MAX
+    * aggregate — the whole report costs one scan per table and
+    * shuffles nothing but 1-row frames. */
+  val qFreshness = Q("q_freshness",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .agg(max(to_date($"ts")).as("newest"))
+        .select(lit("events").as("table_name"), $"newest")
+      val ord = Tables.read(spark, sfDir, "orders")
+        .agg(max(to_date($"o_orderdate")).as("newest"))
+        .select(lit("orders").as("table_name"), $"newest")
+      val lin = Tables.read(spark, sfDir, "lineitem")
+        .agg(max(to_date($"l_shipdate")).as("newest"))
+        .select(lit("lineitem").as("table_name"), $"newest")
+      val all3 = ev.unionByName(ord).unionByName(lin)
+      all3
+        .withColumn("anchor",
+          max($"newest").over(Window.partitionBy()))
+        .select($"table_name", $"newest",
+          datediff($"anchor", $"newest").as("staleness_days"),
+          (datediff($"anchor", $"newest") > 7).as("stale_flag"))
+        .orderBy($"table_name")
+    },
+    Some("""WITH newest AS (
+           |  SELECT 'events' AS table_name,
+           |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS newest
+           |  FROM events
+           |  UNION ALL
+           |  SELECT 'orders', max(CAST(o_orderdate AS DATE))
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'lineitem', max(CAST(l_shipdate AS DATE))
+           |  FROM lineitem
+           |)
+           |SELECT table_name, newest,
+           |  CAST(max(newest) OVER () - newest AS INTEGER)
+           |    AS staleness_days,
+           |  (max(newest) OVER () - newest) > 7 AS stale_flag
+           |FROM newest ORDER BY table_name""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -3994,5 +4079,5 @@ object Extras {
     qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest,
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
     qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit,
-    qRollingMedian, qCohortLtv)
+    qRollingMedian, qCohortLtv, qSkewProfile, qFreshness)
 }

@@ -2271,6 +2271,27 @@ class OperatorSuite extends AnyFunSuite {
       .select($"o_custkey").distinct().count())
   }
 
+  test("skew profile: exact totals and ordered statistics") {
+    val r = graft.queries.Extras.qSkewProfile.fn(spark, sf).head()
+    val ev = Tables.read(spark, sf, "events")
+    assert(r.getLong(1) === ev.count())
+    assert(r.getLong(0) === ev.select($"user_id").distinct().count())
+    assert(r.getDouble(3) <= r.getDouble(4),
+      "p50 <= p99 on key frequencies")
+    assert(r.getLong(2) >= r.getDouble(4).toLong, "max >= p99")
+  }
+
+  test("freshness: anchor table reports zero staleness") {
+    val res = graft.queries.Extras.qFreshness.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getBoolean(3)))
+    assert(res.length === 3)
+    assert(res.exists(_._2 == 0), "the anchor table is fresh")
+    res.foreach { case (_, lag, flag) =>
+      assert(lag >= 0)
+      assert(flag === (lag > 7))
+    }
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

@@ -155,4 +155,28 @@ object HashProps extends Properties("graft") {
         readMicros(nsDir) ==
           rows.map { case (m, d) => (m * 1000L + d) / 1000L }.sorted
     }
+
+  property("jaro_winkler: range, symmetry, identity, codegen==eval") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(asciiWord, asciiWord))) { pairs =>
+      import graft.functions.JaroWinklerHelper
+      import org.apache.spark.unsafe.types.UTF8String
+      def u(s: String) = UTF8String.fromString(s)
+      // via the interpreted helper (what doGenCode calls statically)
+      val helperAB = pairs.map { case (a, b) =>
+        JaroWinklerHelper.similarity(u(a), u(b)) }
+      val helperBA = pairs.map { case (a, b) =>
+        JaroWinklerHelper.similarity(u(b), u(a)) }
+      // via the registered expression through a real Spark job
+      val viaExpr = pairs.toDF("a", "b")
+        .select(call_function("jaro_winkler", col("a"), col("b")))
+        .collect().map(_.getDouble(0))
+      val range = helperAB.forall(x => x >= 0.0 && x <= 1.0)
+      val symmetric = helperAB.zip(helperBA)
+        .forall { case (x, y) => x == y }
+      val identity = pairs.forall { case (a, b) =>
+        a != b || JaroWinklerHelper.similarity(u(a), u(b)) == 1.0 }
+      val enginesAgree = helperAB.zip(viaExpr)
+        .forall { case (x, y) => x == y }
+      range && symmetric && identity && enginesAgree
+    }
 }

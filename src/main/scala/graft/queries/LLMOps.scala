@@ -2681,6 +2681,90 @@ object LLMOps {
            |         AS DOUBLE) AS chars_sum
            |FROM ranked WHERE rn % 20 = 7""".stripMargin))
 
+  /** E190: **per-source duplication telemetry** — the curation QA
+    * report over exact dedup (X1): which SOURCES are dirty — per
+    * source, document count, distinct content count, the dup rate,
+    * and how many of the source's contents also appear in OTHER
+    * sources (cross-source duplication — syndication/mirror
+    * detection, a different failure mode than internal repetition).
+    * One hash pass to (content, source) grain; the cross-source flag
+    * is a count-distinct over the content's source set — everything
+    * after the first agg is content-cardinality-sized. */
+  val qDedupRateBySource = Q("q_dedup_rate_by_source",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val contents = docs(spark, sfDir)
+        .select($"source", sha2($"text", 256).as("h"))
+        .groupBy($"source", $"h").agg(count(lit(1)).as("n"))
+        .withColumn("n_sources",
+          count(lit(1)).over(Window.partitionBy($"h")))
+      contents.groupBy($"source")
+        .agg(sum($"n").cast("long").as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          round(lit(1.0) - count(lit(1)).cast("double") /
+            sum($"n"), 6).as("dup_rate"),
+          count(when($"n_sources" > 1, 1)).as("n_cross_source"))
+        .orderBy($"source")
+    },
+    Some("""WITH contents AS (
+           |  SELECT source, sha256(text) AS h, count(*) AS n
+           |  FROM documents GROUP BY source, sha256(text)
+           |), flagged AS (
+           |  SELECT source, n,
+           |    count(*) OVER (PARTITION BY h) AS n_sources
+           |  FROM contents
+           |)
+           |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+           |  count(*) AS n_unique,
+           |  round(CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE) /
+           |    sum(n), 6) AS dup_rate,
+           |  count(CASE WHEN n_sources > 1 THEN 1 END)
+           |    AS n_cross_source
+           |FROM flagged GROUP BY source ORDER BY source"""
+      .stripMargin))
+
+  /** E191: **corpus length profile** — the token-count distribution
+    * every training-data readme leads with: per log2 length bucket
+    * (the E140 integer-exact trick — never libm log on the bucket
+    * boundary), document counts and token mass, plus each bucket's
+    * share of the corpus token budget — the numbers that decide
+    * chunking (E45) and packing (E42) parameters. One tokenize pass,
+    * one hash agg to ≤32 buckets. */
+  val qLengthProfile = Q("q_length_profile",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      docs(spark, sfDir)
+        .select(size(split(trim($"text"), " ")).cast("long")
+          .as("n_tok"))
+        .withColumn("bucket", length(bin($"n_tok")))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("n_tokens"),
+          min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"))
+        .withColumn("token_share", round($"n_tokens".cast("double") /
+          sum($"n_tokens").over(tot), 6))
+        .orderBy($"bucket")
+    },
+    Some("""WITH lens AS (
+           |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+           |    AS n_tok
+           |  FROM documents
+           |), bucketed AS (
+           |  SELECT CAST(length(bin(n_tok)) AS INTEGER) AS bucket,
+           |         n_tok
+           |  FROM lens
+           |), agg AS (
+           |  SELECT bucket, count(*) AS n_docs,
+           |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |         min(n_tok) AS min_tok, max(n_tok) AS max_tok
+           |  FROM bucketed GROUP BY bucket
+           |)
+           |SELECT bucket, n_docs, n_tokens, min_tok, max_tok,
+           |  round(CAST(n_tokens AS DOUBLE) /
+           |    sum(n_tokens) OVER (), 6) AS token_share
+           |FROM agg ORDER BY bucket""".stripMargin))
+
   // ------------------------------------------------ sequence packing
   /** Greedy sequence packing: documents fill fixed token-budget bins —
     * the training-batch construction step that turns a corpus into
@@ -3052,7 +3136,7 @@ object LLMOps {
     qDecontaminate, qContainScore, qKmeansStep, qTruncateDocs,
     qEmbedDimStats, qClassWeights, qDedupNormalized,
     qDegreeDistribution, qQualityPolicy, qBootstrapCi,
-    qSampleSystematic,
+    qSampleSystematic, qDedupRateBySource, qLengthProfile,
     qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest)

@@ -2292,6 +2292,28 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("dedup telemetry: docs conserved, rates in range") {
+    val res = LLMOps.qDedupRateBySource.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(res.map(_._2).sum ===
+      Tables.read(spark, sf, "documents").count())
+    res.foreach { case (src, docs, uniq, rate, cross) =>
+      assert(uniq <= docs, s"$src unique exceeds docs")
+      assert(rate >= 0 && rate < 1)
+      assert(cross <= uniq, s"$src cross-source exceeds unique")
+    }
+  }
+
+  test("length profile: tokens conserved, shares sum to one") {
+    val res = LLMOps.qLengthProfile.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5)))
+    val docs = Tables.read(spark, sf, "documents")
+    assert(res.map(_._2).sum === docs.count())
+    assert(math.abs(res.map(_._4).sum - 1.0) < 1e-4)
+  }
+
   test("markov transitions: row-stochastic and pair-conserving") {
     // E121: Σ n over the matrix == (events − users-with-events) — each
     // user contributes exactly count-1 consecutive pairs; each row of

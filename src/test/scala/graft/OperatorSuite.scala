@@ -2331,4 +2331,32 @@ class OperatorSuite extends AnyFunSuite {
         s"row $from sums to $pSum, not 1")
     }
   }
+
+  test("graph triangles: incidence sum is 3x the triangle total") {
+    // E192: every triangle contributes exactly one incidence to each
+    // of its three vertices, so Σ n_triangles ≡ 0 (mod 3) and every
+    // per-vertex count is positive (zero-triangle parts don't appear).
+    val res = graft.queries.Graphs.qGraphTriangles.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.nonEmpty, "sf0.001 graph has triangles (measured 3258)")
+    assert(res.map(_._2).sum % 3 === 0)
+    assert(res.forall(_._2 > 0))
+  }
+
+  test("graph bfs: seed at hop 0, layers adjacent, hops bounded") {
+    // E193: exactly one node at hop 0 (the min part id), all hops in
+    // [0,3], and hop counts never skip a level — a node at hop k>0
+    // implies some node at hop k-1 (level-synchronous frontier).
+    val res = graft.queries.Graphs.qGraphBfs.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hops = res.map(_._2)
+    assert(hops.count(_ == 0L) === 1)
+    // the seed (min s1 over canonical s1<s2 edges) IS the smallest
+    // node id in the edge set, so nothing reached can undercut it
+    assert(res.filter(_._2 == 0L).map(_._1).head === res.map(_._1).min)
+    assert(hops.forall(h => h >= 0 && h <= 3))
+    (1L to hops.max).foreach { k =>
+      assert(hops.contains(k - 1), s"hop ${k - 1} missing below $k")
+    }
+  }
 }

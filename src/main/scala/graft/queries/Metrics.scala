@@ -1,0 +1,509 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison and concentration statistics (SURVEY.md
+  * §2.12 E194–E197, round 12) — the monitoring layer's "are these two
+  * populations the same, and how unequal is this one" toolbox, next to
+  * the score-drift (PSI, E165) and eval (AUC E124, calibration E134)
+  * families from round 11.
+  *
+  * Numeric discipline is the round-11 integer-exact house style
+  * (Spearman E118): every accumulation stays integral (counts, cent
+  * amounts) in DECIMAL(38,0)/HUGEINT so no engine's partial-agg order
+  * can flip a bit, and exactly ONE double division happens at the
+  * output edge, rounded 6dp.
+  */
+object Metrics {
+
+  /** E194: **two-sample Kolmogorov–Smirnov statistic** — the standard
+    * "did this metric's distribution shift" test, here comparing
+    * purchase vs click event values. D = max |F1−F2| over the pooled
+    * support, computed EXACTLY: per distinct value the two cumulative
+    * counts c1, c2 accumulate under one global ordered window (the
+    * honest single sort any exact CDF comparison needs — the KLL
+    * sketch E61 is the recorded approximate path at 100 TB), and the
+    * argmax compares the INTEGER cross-product |c1·n2 − c2·n1| so ties
+    * and the max location are engine-independent; the one double
+    * division D = max/(n1·n2) happens on the final row. `at_value`
+    * reports the smallest value attaining D (deterministic tie pick). */
+  val qKsTest = Q("q_ks_test",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .filter($"event_type".isin("purchase", "click"))
+        .select($"value".as("v"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("g1"))
+      val perV = ev.groupBy($"v")
+        .agg(sum($"g1").as("a1"), sum(lit(1L) - $"g1").as("a2"))
+      val cumW = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      perV
+        .select($"v",
+          sum($"a1").over(cumW).cast("decimal(38,0)").as("c1"),
+          sum($"a2").over(cumW).cast("decimal(38,0)").as("c2"))
+        .withColumn("n1", max($"c1").over(tot))
+        .withColumn("n2", max($"c2").over(tot))
+        .withColumn("diff", abs($"c1" * $"n2" - $"c2" * $"n1"))
+        .withColumn("mx", max($"diff").over(tot))
+        .filter($"diff" === $"mx")
+        .agg(max($"n1").cast("long").as("n1"),
+          max($"n2").cast("long").as("n2"),
+          round(max($"mx").cast("double") /
+            (max($"n1").cast("double") * max($"n2").cast("double")), 6)
+            .as("ks_d"),
+          min($"v").as("at_value"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT value AS v,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |), perv AS (
+           |  SELECT v, sum(g1) AS a1, sum(1 - g1) AS a2
+           |  FROM ev GROUP BY v
+           |), cum AS (
+           |  SELECT v,
+           |    CAST(sum(a1) OVER (ORDER BY v) AS HUGEINT) AS c1,
+           |    CAST(sum(a2) OVER (ORDER BY v) AS HUGEINT) AS c2
+           |  FROM perv
+           |), sc AS (
+           |  SELECT v, c1, c2, max(c1) OVER () AS n1,
+           |         max(c2) OVER () AS n2
+           |  FROM cum
+           |), d AS (
+           |  SELECT v, n1, n2, abs(c1 * n2 - c2 * n1) AS diff,
+           |         max(abs(c1 * n2 - c2 * n1)) OVER () AS mx
+           |  FROM sc
+           |)
+           |SELECT CAST(max(n1) AS BIGINT) AS n1,
+           |  CAST(max(n2) AS BIGINT) AS n2,
+           |  round(CAST(max(mx) AS DOUBLE) /
+           |    (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)), 6)
+           |    AS ks_d,
+           |  min(v) AS at_value
+           |FROM d WHERE diff = mx""".stripMargin))
+
+  /** E195: **autocorrelation function** — sample ACF of the daily event
+    * count at calendar lags 1..7 days, the seasonality detector that
+    * complements the weekday profile (E164). Integer-exact via the
+    * n-scaled deviations trick: with S = Σy and n days, the products
+    * (n·y_t − S)(n·y_{t+k} − S) and the denominator Σ(n·y_t − S)² are
+    * all integral (both sides carry them as DECIMAL(38,0)/HUGEINT), so
+    * r_k = num_k/den needs one double division per lag. Lag pairing is
+    * by CALENDAR day (t, t+k both present) — explicit about gap
+    * semantics rather than silently re-indexing. The lag fan-out is an
+    * explode of sequence(1,7) on the ≤n-row daily aggregate, then an
+    * equi-join back on the shifted day — no cross join, and the daily
+    * rollup itself is one hash agg however large the raw table is. */
+  val qAcf = Q("q_acf",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("s", sum($"y").over(tot))
+        .withColumn("dev",
+          ($"n" * $"y" - $"s").cast("decimal(38,0)"))
+        .localCheckpoint()
+      val den = daily
+        .agg(sum($"dev" * $"dev").as("den"), max($"n").as("n"))
+      val lagged = daily.select($"d", $"dev",
+          explode(sequence(lit(1), lit(7))).as("lag_days"))
+        .join(daily.select($"d".as("d2"), $"dev".as("dev2")),
+          expr("date_add(d, lag_days) = d2"))
+      lagged.groupBy($"lag_days")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"dev" * $"dev2").as("num"))
+        .crossJoin(broadcast(den))
+        .select($"lag_days", $"n_pairs",
+          round($"num".cast("double") / $"den".cast("double"), 6)
+            .as("r"))
+        .orderBy($"lag_days")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |         count(*) AS y
+           |  FROM events GROUP BY 1
+           |), scaled AS (
+           |  SELECT d,
+           |    CAST(count(*) OVER () * y - sum(y) OVER () AS HUGEINT)
+           |      AS dev
+           |  FROM daily
+           |), den AS (
+           |  SELECT sum(dev * dev) AS den FROM scaled
+           |), lags AS (
+           |  SELECT CAST(k AS INTEGER) AS lag_days
+           |  FROM range(1, 8) t(k)
+           |), paired AS (
+           |  SELECT l.lag_days, a.dev AS dev, b.dev AS dev2
+           |  FROM scaled a
+           |  JOIN lags l ON true
+           |  JOIN scaled b ON b.d = a.d + to_days(l.lag_days)
+           |)
+           |SELECT lag_days, count(*) AS n_pairs,
+           |  round(CAST(sum(dev * dev2) AS DOUBLE) /
+           |    (SELECT CAST(den AS DOUBLE) FROM den), 6) AS r
+           |FROM paired GROUP BY lag_days ORDER BY lag_days"""
+      .stripMargin))
+
+  /** E196: **Herfindahl–Hirschman concentration index** — per market
+    * segment, how concentrated customer spend is across nations: HHI =
+    * Σᵢ shareᵢ², the antitrust/market-structure complement to Gini
+    * (E133) and top-share. Exactness: nation spend sums accumulate as
+    * DECIMAL(18,2) (order-independent), convert to integral CENTS in
+    * DECIMAL(38,0)/HUGEINT, and HHI = Σc²/(Σc)² does its two double
+    * casts and one division on the final ≤25-row-per-segment frame.
+    * Two hash aggs and a segment-window — no shuffle wider than the
+    * (segment, nation) grain. */
+  val qHhi = Q("q_hhi",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val seg = Window.partitionBy($"c_mktsegment")
+      Tables.read(spark, sfDir, "customer")
+        .join(Tables.read(spark, sfDir, "orders"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment", $"c_nationkey")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("s"))
+        .withColumn("c", ($"s" * 100).cast("decimal(38,0)"))
+        .select($"c_mktsegment", $"c",
+          sum($"c").over(seg).as("t"),
+          count(lit(1)).over(seg).as("n_nations"))
+        .groupBy($"c_mktsegment")
+        .agg(max($"n_nations").as("n_nations"),
+          round(sum($"c" * $"c").cast("double") /
+            (max($"t").cast("double") * max($"t").cast("double")), 6)
+            .as("hhi"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH spend AS (
+           |  SELECT c_mktsegment, c_nationkey,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+           |      AS HUGEINT) AS c
+           |  FROM customer JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY 1, 2
+           |), framed AS (
+           |  SELECT c_mktsegment, c,
+           |    sum(c) OVER (PARTITION BY c_mktsegment) AS t,
+           |    count(*) OVER (PARTITION BY c_mktsegment) AS n_nations
+           |  FROM spend
+           |)
+           |SELECT c_mktsegment,
+           |  CAST(max(n_nations) AS BIGINT) AS n_nations,
+           |  round(CAST(sum(c * c) AS DOUBLE) /
+           |    (CAST(max(t) AS DOUBLE) * CAST(max(t) AS DOUBLE)), 6)
+           |    AS hhi
+           |FROM framed GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+      .stripMargin))
+
+  /** E197: **Lorenz curve** — cumulative spend share by customer spend
+    * decile, the curve whose area IS the Gini (E133) and the standard
+    * "top decile holds X% of revenue" readout. All customers enter
+    * (zero-spend customers via left join + coalesce — excluding them
+    * silently flattens the curve); deciles come from ntile(10) over the
+    * total order (spend, custkey) so ties split deterministically and
+    * both engines bucket identically. Spend stays DECIMAL(18,2) end to
+    * end; the two share divisions are double at the edge. One join,
+    * one sort for ntile (rank against a KLL sketch is the recorded
+    * 100 TB variant), one 10-row rollup. */
+  val qLorenzCurve = Q("q_lorenz_curve",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val spend = Tables.read(spark, sfDir, "customer")
+        .join(Tables.read(spark, sfDir, "orders"),
+          $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(coalesce(sum($"o_totalprice".cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)")).as("s"))
+      val cumW = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      spend
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy($"s", $"c_custkey")))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"), sum($"s").as("ds"))
+        .select($"decile", $"n_customers",
+          round(sum($"n_customers").over(cumW).cast("double") /
+            sum($"n_customers").over(tot).cast("double"), 6)
+            .as("cum_pop_share"),
+          round(sum($"ds").over(cumW).cast("double") /
+            sum($"ds").over(tot).cast("double"), 6)
+            .as("cum_spend_share"))
+        .orderBy($"decile")
+    },
+    Some("""WITH spend AS (
+           |  SELECT c_custkey,
+           |    coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))),
+           |      CAST(0 AS DECIMAL(18,2))) AS s
+           |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY 1
+           |), bucketed AS (
+           |  SELECT s, ntile(10) OVER (ORDER BY s, c_custkey) AS decile
+           |  FROM spend
+           |), agg AS (
+           |  SELECT decile, count(*) AS n_customers, sum(s) AS ds
+           |  FROM bucketed GROUP BY decile
+           |)
+           |SELECT decile, n_customers,
+           |  round(CAST(sum(n_customers) OVER (ORDER BY decile)
+           |      AS DOUBLE) /
+           |    CAST(sum(n_customers) OVER () AS DOUBLE), 6)
+           |    AS cum_pop_share,
+           |  round(CAST(sum(ds) OVER (ORDER BY decile) AS DOUBLE) /
+           |    CAST(sum(ds) OVER () AS DOUBLE), 6) AS cum_spend_share
+           |FROM agg ORDER BY decile""".stripMargin))
+
+  /** E198: **Kendall tau-b** — rank concordance between two daily
+    * series (event count vs purchase-value mass), the robust
+    * complement to Spearman (E118) when the series are short and tied:
+    * tau-b counts concordant/discordant PAIRS and corrects both tie
+    * margins. The day grain bounds the pair join by calendar size, not
+    * data size (30 days → 435 pairs at every sf — pair enumeration
+    * over an agg whose cardinality is FIXED is the legitimate use; raw
+    * rows never pair). The daily revenue sum accumulates as
+    * DECIMAL(18,6) so pair comparisons are exact; C, D and both tie
+    * counts are integers; the one sqrt+division is the last
+    * expression. The d1<d2 pair join is a deliberate tiny broadcast
+    * nested loop (PlanSuite allowlists it with the other ≤k-row
+    * crosses). */
+  val qKendallTau = Q("q_kendall_tau",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("x"),
+          sum(when($"event_type" === "purchase",
+            $"value".cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).as("y"))
+        .localCheckpoint()
+      val pairs = daily.as("a")
+        .join(broadcast(daily.as("b")), $"a.d" < $"b.d")
+        .select(($"a.x" > $"b.x" && $"a.y" > $"b.y" ||
+            $"a.x" < $"b.x" && $"a.y" < $"b.y").cast("long").as("conc"),
+          ($"a.x" > $"b.x" && $"a.y" < $"b.y" ||
+            $"a.x" < $"b.x" && $"a.y" > $"b.y").cast("long").as("disc"),
+          ($"a.x" === $"b.x").cast("long").as("tie_x"),
+          ($"a.y" === $"b.y").cast("long").as("tie_y"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum($"conc").as("concordant"), sum($"disc").as("discordant"),
+          sum($"tie_x").as("tx"), sum($"tie_y").as("ty"))
+        .select($"n_pairs", $"concordant", $"discordant",
+          round(($"concordant" - $"discordant").cast("double") /
+            sqrt((($"n_pairs" - $"tx") *
+              ($"n_pairs" - $"ty")).cast("double")), 6).as("tau_b"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    count(*) AS x,
+           |    sum(CASE WHEN event_type = 'purchase'
+           |      THEN CAST(value AS DECIMAL(18,6))
+           |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+           |  FROM events GROUP BY 1
+           |), pairs AS (
+           |  SELECT
+           |    CASE WHEN (a.x > b.x AND a.y > b.y)
+           |           OR (a.x < b.x AND a.y < b.y) THEN 1 ELSE 0 END
+           |      AS conc,
+           |    CASE WHEN (a.x > b.x AND a.y < b.y)
+           |           OR (a.x < b.x AND a.y > b.y) THEN 1 ELSE 0 END
+           |      AS disc,
+           |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
+           |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
+           |  FROM daily a JOIN daily b ON a.d < b.d
+           |)
+           |SELECT count(*) AS n_pairs,
+           |  CAST(sum(conc) AS BIGINT) AS concordant,
+           |  CAST(sum(disc) AS BIGINT) AS discordant,
+           |  round(CAST(sum(conc) - sum(disc) AS DOUBLE) /
+           |    sqrt(CAST((count(*) - sum(tie_x)) *
+           |      (count(*) - sum(tie_y)) AS DOUBLE)), 6) AS tau_b
+           |FROM pairs""".stripMargin))
+
+  /** E199: **Cramér's V** — effect size for the lang × source
+    * association on documents: V = sqrt(χ²/(N·(min(r,c)−1))), turning
+    * the raw χ² (E148's shape) into a comparable 0..1 strength. Cell
+    * counts, marginals and N are exact integers; each cell's
+    * (o−e)²/e term is double (e is rational) and the ≤100-term sum
+    * rounds at 6dp — the E148-proven tolerance for grid-sized double
+    * sums. Marginals come from windows over the cell grid, so the
+    * whole query is one hash agg + two windows over ≤100 rows. */
+  val qCramersV = Q("q_cramers_v",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cells = Tables.read(spark, sfDir, "documents")
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("o"))
+      val tot = Window.partitionBy()
+      cells
+        .withColumn("rt", sum($"o").over(Window.partitionBy($"lang")))
+        .withColumn("ct", sum($"o").over(Window.partitionBy($"source")))
+        .withColumn("n", sum($"o").over(tot))
+        .withColumn("r",
+          size(collect_set($"lang").over(tot)).cast("long"))
+        .withColumn("c",
+          size(collect_set($"source").over(tot)).cast("long"))
+        .withColumn("e",
+          ($"rt" * $"ct").cast("double") / $"n".cast("double"))
+        .withColumn("term",
+          ($"o".cast("double") - $"e") * ($"o".cast("double") - $"e")
+            / $"e")
+        .agg(max($"n").as("n"), max($"r").as("n_rows"),
+          max($"c").as("n_cols"),
+          round(sum($"term"), 6).as("chi2"),
+          round(sqrt(sum($"term") / (max($"n").cast("double") *
+            (least(max($"r"), max($"c")) - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT lang, source, count(*) AS o
+           |  FROM documents GROUP BY 1, 2
+           |), framed AS (
+           |  SELECT o,
+           |    sum(o) OVER (PARTITION BY lang) AS rt,
+           |    sum(o) OVER (PARTITION BY source) AS ct,
+           |    sum(o) OVER () AS n,
+           |    (SELECT count(DISTINCT lang) FROM cells) AS r,
+           |    (SELECT count(DISTINCT source) FROM cells) AS c
+           |  FROM cells
+           |), terms AS (
+           |  SELECT n, r, c,
+           |    (CAST(o AS DOUBLE) -
+           |      CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+           |    * (CAST(o AS DOUBLE) -
+           |      CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+           |    / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+           |  FROM framed
+           |)
+           |SELECT CAST(max(n) AS BIGINT) AS n,
+           |  CAST(max(r) AS BIGINT) AS n_rows,
+           |  CAST(max(c) AS BIGINT) AS n_cols,
+           |  round(sum(term), 6) AS chi2,
+           |  round(sqrt(sum(term) / (CAST(max(n) AS DOUBLE) *
+           |    CAST(least(max(r), max(c)) - 1 AS DOUBLE))), 6)
+           |    AS cramers_v
+           |FROM terms""".stripMargin))
+
+  /** E200: **Cohen's kappa** — chance-corrected agreement between two
+    * binary "raters" over events: the high-value rule (value > 50) vs
+    * the conversion-type rule (purchase/signup). Fully integer until
+    * the last expression: with agreement count A = a+d and marginal
+    * products M = ry·cy + rn·cn, κ = (N·A − M)/(N² − M) — a single
+    * exact integer numerator and denominator (DECIMAL(38,0)/HUGEINT;
+    * N² at 10¹² rows is 10²⁴, past int64 — the overflow that
+    * motivates the house decimal discipline) and ONE double division.
+    * One hash agg over the 2×2 confusion counts; no shuffle beyond
+    * it. */
+  val qCohensKappa = Q("q_cohens_kappa",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val flags = Tables.read(spark, sfDir, "events")
+        .select(($"value" > 50.0).cast("long").as("r1"),
+          $"event_type".isin("purchase", "signup").cast("long")
+            .as("r2"))
+      flags
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(($"r1" === $"r2").cast("long")).cast("decimal(38,0)")
+            .as("agree"),
+          sum($"r1").cast("decimal(38,0)").as("ry"),
+          sum($"r2").cast("decimal(38,0)").as("cy"))
+        .select($"n".cast("long").as("n"),
+          $"agree".cast("long").as("n_agree"),
+          round(($"n" * $"agree" -
+            ($"ry" * $"cy" + ($"n" - $"ry") * ($"n" - $"cy")))
+            .cast("double") /
+            ($"n" * $"n" -
+              ($"ry" * $"cy" + ($"n" - $"ry") * ($"n" - $"cy")))
+            .cast("double"), 6).as("kappa"))
+    },
+    Some("""WITH flags AS (
+           |  SELECT CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS r1,
+           |    CASE WHEN event_type IN ('purchase', 'signup')
+           |      THEN 1 ELSE 0 END AS r2
+           |  FROM events
+           |), agg AS (
+           |  SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)
+           |      AS HUGEINT) AS agree,
+           |    CAST(sum(r1) AS HUGEINT) AS ry,
+           |    CAST(sum(r2) AS HUGEINT) AS cy
+           |  FROM flags
+           |)
+           |SELECT CAST(n AS BIGINT) AS n,
+           |  CAST(agree AS BIGINT) AS n_agree,
+           |  round(CAST(n * agree -
+           |      (ry * cy + (n - ry) * (n - cy)) AS DOUBLE) /
+           |    CAST(n * n -
+           |      (ry * cy + (n - ry) * (n - cy)) AS DOUBLE), 6)
+           |    AS kappa
+           |FROM agg""".stripMargin))
+
+  /** E201: **threshold-sweep precision/recall/F1** — the operating-
+    * curve table behind every "pick a cutoff" decision, evaluating the
+    * score rule (value ≥ t predicts purchase) at nine fixed
+    * thresholds. The sweep is an explode of the threshold literals
+    * over the scored rows — one pass, one (threshold) hash agg, no
+    * join — and each metric is exact integers until its own single
+    * division: F1 uses the 2tp/(2tp+fp+fn) identity so it never
+    * touches the (rounded) precision/recall intermediates. At AUC-scale
+    * data the explode multiplies the scan by 9; the recorded
+    * alternative for wide sweeps is the E124 rank identity. */
+  val qF1Threshold = Q("q_f1_threshold",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val scored = Tables.read(spark, sfDir, "events")
+        .select($"value".as("s"),
+          ($"event_type" === "purchase").cast("long").as("y"))
+        .withColumn("threshold",
+          explode(array((1 to 9).map(t => lit(t * 10.0)): _*)))
+      scored
+        .groupBy($"threshold")
+        .agg(sum(when($"s" >= $"threshold" && $"y" === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when($"s" >= $"threshold" && $"y" === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when($"s" < $"threshold" && $"y" === 1, 1L)
+            .otherwise(0L)).as("fn"))
+        .select($"threshold", $"tp", $"fp", $"fn",
+          round($"tp".cast("double") /
+            ($"tp" + $"fp").cast("double"), 6).as("precision"),
+          round($"tp".cast("double") /
+            ($"tp" + $"fn").cast("double"), 6).as("recall"),
+          round((lit(2L) * $"tp").cast("double") /
+            (lit(2L) * $"tp" + $"fp" + $"fn").cast("double"), 6)
+            .as("f1"))
+        .orderBy($"threshold")
+    },
+    Some("""WITH sweep AS (
+           |  SELECT CAST(t.k * 10 AS DOUBLE) AS threshold,
+           |    e.value AS s,
+           |    CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END
+           |      AS y
+           |  FROM events e, range(1, 10) t(k)
+           |), agg AS (
+           |  SELECT threshold,
+           |    sum(CASE WHEN s >= threshold AND y = 1 THEN 1
+           |      ELSE 0 END) AS tp,
+           |    sum(CASE WHEN s >= threshold AND y = 0 THEN 1
+           |      ELSE 0 END) AS fp,
+           |    sum(CASE WHEN s < threshold AND y = 1 THEN 1
+           |      ELSE 0 END) AS fn
+           |  FROM sweep GROUP BY threshold
+           |)
+           |SELECT threshold, CAST(tp AS BIGINT) AS tp,
+           |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           |    AS precision,
+           |  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+           |    AS recall,
+           |  round(CAST(2 * tp AS DOUBLE) /
+           |    CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+           |FROM agg ORDER BY threshold""".stripMargin))
+
+  val all: Seq[Q] = Seq(qKsTest, qAcf, qHhi, qLorenzCurve,
+    qKendallTau, qCramersV, qCohensKappa, qF1Threshold)
+}

@@ -2359,4 +2359,58 @@ class OperatorSuite extends AnyFunSuite {
       assert(hops.contains(k - 1), s"hop ${k - 1} missing below $k")
     }
   }
+
+  test("distribution metrics: KS, tau-b, kappa, ACF stay in range") {
+    // E194/E195/E198/E200: each statistic is bounded by construction;
+    // a value outside its range means the integer-exact plumbing
+    // (cross-multiplied CDFs, tie-corrected pairs, marginal products)
+    // broke somewhere the oracle's 6dp rounding might forgive.
+    val ks = graft.queries.Metrics.qKsTest.fn(spark, sf).head()
+    assert(ks.getDouble(2) >= 0 && ks.getDouble(2) <= 1)
+    assert(ks.getLong(0) > 0 && ks.getLong(1) > 0)
+    val tau = graft.queries.Metrics.qKendallTau.fn(spark, sf).head()
+    assert(math.abs(tau.getDouble(3)) <= 1)
+    assert(tau.getLong(1) + tau.getLong(2) <= tau.getLong(0))
+    val kap = graft.queries.Metrics.qCohensKappa.fn(spark, sf).head()
+    assert(kap.getDouble(2) >= -1 && kap.getDouble(2) <= 1)
+    val acf = graft.queries.Metrics.qAcf.fn(spark, sf).collect()
+    assert(acf.length === 7)
+    acf.foreach(r => assert(math.abs(r.getDouble(2)) <= 1 + 1e-9))
+  }
+
+  test("concentration metrics: HHI and Lorenz curve are coherent") {
+    // E196: HHI ∈ [1/n, 1]; E197: both cumulative shares are
+    // monotone non-decreasing, end at 1, and the spend share never
+    // exceeds the population share (Lorenz curve sits below the
+    // diagonal for a non-negative variable sorted ascending).
+    graft.queries.Metrics.qHhi.fn(spark, sf).collect().foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getDouble(2))
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9)
+    }
+    val lorenz = graft.queries.Metrics.qLorenzCurve.fn(spark, sf)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(lorenz.last._1 - 1.0) < 1e-9)
+    assert(math.abs(lorenz.last._2 - 1.0) < 1e-9)
+    lorenz.sliding(2).foreach { case Array(a, b) =>
+      assert(b._1 >= a._1 && b._2 >= a._2 - 1e-9)
+    }
+    lorenz.foreach { case (pop, spend) =>
+      assert(spend <= pop + 1e-6, s"Lorenz above diagonal: $spend > $pop")
+    }
+  }
+
+  test("f1 threshold sweep: counts conserve and metrics bound") {
+    // E201: tp+fn is the positive count at EVERY threshold; tp is
+    // non-increasing in the threshold; f1 ∈ [0,1].
+    val res = graft.queries.Metrics.qF1Threshold.fn(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6)))
+    val pos = res.map(r => r._2 + r._4).distinct
+    assert(pos.size === 1, s"tp+fn varies across thresholds: $pos")
+    res.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, "tp must not increase with threshold")
+    }
+    res.foreach(r => assert(r._5 >= 0 && r._5 <= 1))
+  }
 }

@@ -144,7 +144,9 @@ class PlanSuite extends AnyFunSuite {
       "q_psi", // 1-row cutoff + decile-edge crosses into the binning
       "q_class_weights", // 1-row (N, k) totals cross over the label frame
       "q_degree_distribution", // inherits ngram-jaccard's 1-row cross
-      "q_quality_policy") // 1-row min/max-bounds cross into the scoring
+      "q_quality_policy", // 1-row min/max-bounds cross into the scoring
+      "q_acf", // 1-row ACF-denominator cross into the per-lag ratios
+      "q_kendall_tau") // ≤31-row daily-frame d1<d2 pair broadcast
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

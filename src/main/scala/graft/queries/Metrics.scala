@@ -723,7 +723,232 @@ object Metrics {
            |  round(sum(term), 6) AS jsd_bits
            |FROM hterms""".stripMargin))
 
+  /** E206: **KMV (k-minimum-values) distinct estimator** — the
+    * bottom-k sketch: hash every key to a uniform 60-bit value, keep
+    * the k smallest, estimate |D| ≈ (k−1)·2⁶⁰/h₍ₖ₎. Complements HLL
+    * (E44): KMV is the sketch whose *sample itself* is reusable (it IS
+    * a uniform sample of the distinct set, mergeable by keep-k-min).
+    * Portability is the whole trick here: the hash is the first 15 hex
+    * digits of md5 — Spark `conv(...,16,10)`, DuckDB
+    * `CAST('0x'||... AS BIGINT)` — so the oracle reproduces the
+    * sketch BIT-FOR-BIT, no driver-gated tolerance needed; the audit
+    * columns (exact distinct, relative error) make the estimate's
+    * quality part of the hash-checked contract. The k-th minimum is a
+    * TakeOrderedAndProject (sort-free top-k), not a global sort. */
+  val qAggKmvDistinct = Q("q_agg_kmv_distinct",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val k = 256
+      val keys = Tables.read(spark, sfDir, "lineitem")
+        .select($"l_partkey").distinct()
+        .withColumn("h",
+          conv(substring(md5($"l_partkey".cast("string")
+            .cast("binary")), 1, 15), 16, 10).cast("long"))
+      val exact = keys.agg(count(lit(1)).as("n_exact"))
+      val kth = keys.orderBy($"h").limit(k)
+        .agg(max($"h").as("hk"), count(lit(1)).as("n_kept"))
+      // under-full sketch (|D| < k) knows the exact count — the
+      // standard KMV small-cardinality branch
+      val est = when($"n_kept" < k, $"n_kept".cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          $"hk".cast("double"))
+      kth.crossJoin(broadcast(exact))
+        .select($"n_exact", $"n_kept",
+          round(est, 2).as("kmv_estimate"),
+          round(abs(est - $"n_exact".cast("double")) /
+            $"n_exact".cast("double"), 6).as("rel_error"))
+    },
+    Some("""WITH keys AS (
+           |  SELECT DISTINCT l_partkey FROM lineitem
+           |), hashed AS (
+           |  SELECT CAST(concat('0x',
+           |      substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+           |    AS BIGINT) AS h
+           |  FROM keys
+           |), kth AS (
+           |  SELECT max(h) AS hk, count(*) AS n_kept
+           |  FROM (SELECT h FROM hashed ORDER BY h LIMIT 256)
+           |), exact AS (SELECT count(*) AS n_exact FROM keys),
+           |est AS (
+           |  SELECT n_exact, n_kept,
+           |    CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+           |      ELSE 255.0 * power(2, 60) / CAST(hk AS DOUBLE) END
+           |      AS e
+           |  FROM kth, exact
+           |)
+           |SELECT n_exact, n_kept, round(e, 2) AS kmv_estimate,
+           |  round(abs(e - CAST(n_exact AS DOUBLE)) /
+           |    CAST(n_exact AS DOUBLE), 6) AS rel_error
+           |FROM est""".stripMargin))
+
+  /** E207: **array set algebra** — per document, the token set against
+    * a fixed stopword list via array_distinct / array_intersect /
+    * array_except / array_union, the row-local HOF family (F8's
+    * lambda HOFs covered transform/filter/aggregate; this row covers
+    * the SET operators). Everything is per-row — zero shuffles beyond
+    * the output sort — and the output stays scalar counts plus a
+    * deterministic alphabetical sample so the comparator never
+    * depends on engine-internal array ordering. */
+  val qArraySetops = Q("q_array_setops",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val stops = array(Seq("the", "a", "and", "row", "value", "table")
+        .map(lit): _*)
+      Tables.read(spark, sfDir, "documents")
+        .select($"doc_id",
+          array_distinct(split(trim($"text"), " ")).as("toks"))
+        .select($"doc_id",
+          size($"toks").as("n_distinct"),
+          size(array_intersect($"toks", stops)).as("n_stop"),
+          size(array_except($"toks", stops)).as("n_content"),
+          size(array_union($"toks", stops)).as("n_union"),
+          array_join(slice(array_sort(
+            array_intersect($"toks", stops)), 1, 3), ",")
+            .as("stop_sample"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_distinct(string_split(trim(text), ' ')) AS toks,
+           |    ['the', 'a', 'and', 'row', 'value', 'table'] AS stops
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  CAST(len(toks) AS INTEGER) AS n_distinct,
+           |  CAST(len(list_intersect(toks, stops)) AS INTEGER)
+           |    AS n_stop,
+           |  CAST(len(list_filter(toks, t -> NOT list_contains(stops, t)))
+           |    AS INTEGER) AS n_content,
+           |  CAST(len(list_distinct(list_concat(toks, stops)))
+           |    AS INTEGER) AS n_union,
+           |  coalesce(array_to_string(
+           |    list_sort(list_intersect(toks, stops))[1:3], ','), '')
+           |    AS stop_sample
+           |FROM toks ORDER BY doc_id""".stripMargin))
+
+  /** E208: **Wald–Wolfowitz runs test** — is the daily event count
+    * pattern above/below its mean RANDOM in time, the change/cycle
+    * detector that complements CUSUM-style monitoring (state-machine
+    * audit, E150-family). Dichotomizing against the MEAN (not the
+    * median) keeps the cut integer-exact: day t is "above" iff
+    * n·yₜ > S, so the flags, the run count (lag-change sum + 1 over
+    * the date order) and both group sizes are exact integers; the z
+    * statistic's μ and σ evaluate from those integers in ONE double
+    * expression shape shared with the oracle. */
+  val qRunsTest = Q("q_runs_test",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val seq = Window.orderBy($"d")
+      val flagged = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("s", sum($"y").over(tot))
+        .filter($"n" * $"y" =!= $"s")
+        .withColumn("above", ($"n" * $"y" > $"s").cast("long"))
+        .withColumn("chg",
+          when(lag($"above", 1).over(seq).isNull, 1L)
+            .when(lag($"above", 1).over(seq) =!= $"above", 1L)
+            .otherwise(0L))
+      flagged
+        .agg(sum($"above").as("n1"),
+          sum(lit(1L) - $"above").as("n2"),
+          sum($"chg").as("n_runs"))
+        .select($"n1", $"n2", $"n_runs",
+          round(($"n_runs".cast("double") -
+            (lit(2.0) * $"n1" * $"n2" / ($"n1" + $"n2") + 1.0)) /
+            sqrt(lit(2.0) * $"n1" * $"n2" *
+              (lit(2.0) * $"n1" * $"n2" - $"n1" - $"n2") /
+              (($"n1" + $"n2") * ($"n1" + $"n2") *
+                ($"n1" + $"n2" - 1)).cast("double")), 6).as("z"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    count(*) AS y
+           |  FROM events GROUP BY 1
+           |), framed AS (
+           |  SELECT d, y, count(*) OVER () AS n, sum(y) OVER () AS s
+           |  FROM daily
+           |), flagged AS (
+           |  SELECT d,
+           |    CASE WHEN n * y > s THEN 1 ELSE 0 END AS above
+           |  FROM framed WHERE n * y <> s
+           |), runs AS (
+           |  SELECT above,
+           |    CASE WHEN lag(above) OVER (ORDER BY d) IS NULL THEN 1
+           |      WHEN lag(above) OVER (ORDER BY d) <> above THEN 1
+           |      ELSE 0 END AS chg
+           |  FROM flagged
+           |), agg AS (
+           |  SELECT CAST(sum(above) AS BIGINT) AS n1,
+           |    CAST(sum(1 - above) AS BIGINT) AS n2,
+           |    CAST(sum(chg) AS BIGINT) AS n_runs
+           |  FROM runs
+           |)
+           |SELECT n1, n2, n_runs,
+           |  round((CAST(n_runs AS DOUBLE) -
+           |    (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+           |    sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+           |      CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+           |        AS DOUBLE)), 6) AS z
+           |FROM agg""".stripMargin))
+
+  /** E209: **Q–Q quantile mapping** — the decile-by-decile value
+    * comparison of two score distributions (purchase vs click), the
+    * table a quantile-mapping calibration or drift investigation
+    * reads. Quantiles are TYPE-1 (value at row ⌈q·n⌉ of the sorted
+    * group) pinned by explicit row_number arithmetic on BOTH engines —
+    * never a built-in `quantile`/`percentile` whose interpolation
+    * conventions differ. The decile grid explodes from literals onto
+    * the per-group row counts; everything joins on exact integer
+    * positions. */
+  val qQqMap = Q("q_qq_map",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ranked = Tables.read(spark, sfDir, "events")
+        .filter($"event_type".isin("purchase", "click"))
+        .select($"event_type", $"value".as("v"), $"event_id")
+        .withColumn("rn", row_number().over(Window
+          .partitionBy($"event_type").orderBy($"v", $"event_id")))
+        .withColumn("n", count(lit(1)).over(Window
+          .partitionBy($"event_type")))
+      val grid = ranked
+        .withColumn("q",
+          explode(array((1 to 9).map(i => lit(i / 10.0)): _*)))
+        .filter($"rn" === ceil($"q" * $"n").cast("long"))
+      grid.groupBy($"q")
+        .agg(max(when($"event_type" === "purchase", $"v"))
+            .as("purchase_value"),
+          max(when($"event_type" === "click", $"v")).as("click_value"))
+        .select($"q", $"purchase_value", $"click_value",
+          round($"purchase_value" - $"click_value", 6).as("gap"))
+        .orderBy($"q")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT event_type, value AS v,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY value, event_id) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |), grid AS (
+           |  SELECT event_type, v, CAST(k AS DOUBLE) / 10.0 AS q
+           |  FROM ranked, range(1, 10) t(k)
+           |  WHERE rn = CAST(ceil(CAST(k AS DOUBLE) / 10.0 * n)
+           |    AS BIGINT)
+           |)
+           |SELECT q,
+           |  max(CASE WHEN event_type = 'purchase' THEN v END)
+           |    AS purchase_value,
+           |  max(CASE WHEN event_type = 'click' THEN v END)
+           |    AS click_value,
+           |  round(max(CASE WHEN event_type = 'purchase' THEN v END)
+           |    - max(CASE WHEN event_type = 'click' THEN v END), 6)
+           |    AS gap
+           |FROM grid GROUP BY q ORDER BY q""".stripMargin))
+
   val all: Seq[Q] = Seq(qKsTest, qAcf, qHhi, qLorenzCurve,
     qKendallTau, qCramersV, qCohensKappa, qF1Threshold,
-    qTwap, qOhlcBars, qBusinessDays, qJsDivergence)
+    qTwap, qOhlcBars, qBusinessDays, qJsDivergence,
+    qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap)
 }

@@ -2454,4 +2454,41 @@ class OperatorSuite extends AnyFunSuite {
         s"bdays $b not within a work-week of $base (span $s)")
     }
   }
+
+  test("KMV estimate lands near exact; set algebra partitions tokens") {
+    // E206: k=256 bottom-k has σ ≈ 1/√(k−2) ≈ 6.3%; 25% is a ~4σ
+    // gate that still fails on any hash/kth-min plumbing bug. E207:
+    // intersect/except PARTITION the distinct tokens, and union adds
+    // exactly the stopwords not already present.
+    // sf0.001 has 200 distinct parts < k=256, so the under-full
+    // branch must return the EXACT count with zero error
+    val kmv = graft.queries.Metrics.qAggKmvDistinct.fn(spark, sf)
+      .head()
+    assert(kmv.getLong(1) === kmv.getLong(0))
+    assert(kmv.getDouble(2) === kmv.getLong(0).toDouble)
+    assert(kmv.getDouble(3) === 0.0)
+    graft.queries.Metrics.qArraySetops.fn(spark, sf).collect()
+      .foreach { r =>
+        val (nd, ns, nc, nu) =
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        assert(ns + nc === nd, "stop+content must partition distinct")
+        assert(nu === nd + 6 - ns, "union must add missing stopwords")
+      }
+  }
+
+  test("runs test sizes coherent; QQ map deciles monotone") {
+    // E208: every kept day is in exactly one group and runs can't
+    // exceed days; E209: type-1 quantiles are monotone in q for both
+    // distributions.
+    val rt = graft.queries.Metrics.qRunsTest.fn(spark, sf).head()
+    val (n1, n2, runs) = (rt.getLong(0), rt.getLong(1), rt.getLong(2))
+    assert(n1 + n2 <= 31)
+    assert(runs >= 1 && runs <= n1 + n2)
+    val qq = graft.queries.Metrics.qQqMap.fn(spark, sf).collect()
+    assert(qq.length === 9)
+    qq.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(1) >= a.getDouble(1))
+      assert(b.getDouble(2) >= a.getDouble(2))
+    }
+  }
 }

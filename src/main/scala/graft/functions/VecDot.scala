@@ -126,6 +126,34 @@ object GraftExtensions {
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
       (children: Seq[Expression]) =>
         KllQuantileExpr(children(0), children(1))))
+    // mergeable KMV bottom-k distinct family (KmvSketch.scala): build
+    // from pre-hashed 60-bit longs, re-aggregate persisted sketch
+    // bytes (k travels in the sketch), extract estimate / fill
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch_agg"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName,
+        "kmv_sketch_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v) => KmvSketchAgg(v, 256)
+        case Seq(v, k) => KmvSketchAgg(v,
+          k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "kmv_sketch_agg(hash60[, k])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_merge_agg"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName,
+        "kmv_merge_agg"),
+      (children: Seq[Expression]) => KmvMergeAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimateExpr].getName,
+        "kmv_estimate"),
+      (children: Seq[Expression]) => KmvEstimateExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_kept"),
+      new ExpressionInfo(classOf[KmvKeptExpr].getName, "kmv_kept"),
+      (children: Seq[Expression]) => KmvKeptExpr(children.head)))
     // theta-sketch set algebra (ThetaSketch.scala): build from longs,
     // re-aggregate persisted sketch bytes, estimate union /
     // intersection / difference cardinality

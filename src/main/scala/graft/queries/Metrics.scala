@@ -947,8 +947,96 @@ object Metrics {
            |    AS gap
            |FROM grid GROUP BY q ORDER BY q""".stripMargin))
 
+  /** E210: **mergeable KMV rollup** — the composable-pre-agg
+    * architecture (E44/E51/E61: roll up once per grain, merge at query
+    * time, never rescan) on the custom [[graft.functions.KmvSketchAgg]]
+    * `TypedImperativeAggregate`: per-source KMV sketches of document
+    * content hashes, then ONE `kmv_merge_agg` re-aggregation for the
+    * global distinct estimate — and because a KMV's state is the
+    * deterministic k smallest distinct hashes, the DuckDB oracle
+    * reproduces every estimate EXACTLY with row_number arithmetic (no
+    * driver-gated tolerance, unlike the other three sketches). At
+    * sf0.01 every source is under-full (exact branch) while the merged
+    * ALL row exercises the real estimator; the sketch property that
+    * makes the merge exact — the global k smallest hashes are each
+    * inside their own source's k smallest — is the same property that
+    * makes per-day/per-tenant rollups safely re-aggregable at 100 TB. */
+  val qAggKmvMerge = Q("q_agg_kmv_merge",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val per = Tables.read(spark, sfDir, "documents")
+        .select($"source",
+          conv(substring(md5($"text".cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          call_function("kmv_sketch_agg", $"h", lit(128)).as("sk"))
+        .localCheckpoint()
+      val srcRows = per.select($"source", $"n_docs",
+        call_function("kmv_kept", $"sk").as("n_kept"),
+        round(call_function("kmv_estimate", $"sk"), 2)
+          .as("kmv_estimate"))
+      val allRow = per
+        .agg(sum($"n_docs").as("n_docs"),
+          call_function("kmv_merge_agg", $"sk").as("sk"))
+        .select(lit("ALL").as("source"), $"n_docs",
+          call_function("kmv_kept", $"sk").as("n_kept"),
+          round(call_function("kmv_estimate", $"sk"), 2)
+            .as("kmv_estimate"))
+      srcRows.unionByName(allRow).orderBy($"source")
+    },
+    Some("""WITH hashed AS (
+           |  SELECT source,
+           |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+           |      AS h
+           |  FROM documents
+           |), counts AS (
+           |  SELECT source, count(*) AS n_docs
+           |  FROM documents GROUP BY source
+           |), dist AS (
+           |  SELECT source, h FROM hashed GROUP BY source, h
+           |), ranked AS (
+           |  SELECT source, h,
+           |    row_number() OVER (PARTITION BY source ORDER BY h)
+           |      AS rn,
+           |    count(*) OVER (PARTITION BY source) AS nd
+           |  FROM dist
+           |), sel AS (
+           |  SELECT source, max(CASE WHEN rn = 128 THEN h END) AS h128,
+           |    max(nd) AS nd
+           |  FROM ranked GROUP BY source
+           |), src AS (
+           |  SELECT c.source, c.n_docs,
+           |    CAST(least(s.nd, 128) AS INTEGER) AS n_kept,
+           |    round(CASE WHEN s.nd < 128 THEN CAST(s.nd AS DOUBLE)
+           |      ELSE 127.0 * power(2, 60) / CAST(s.h128 AS DOUBLE)
+           |      END, 2) AS kmv_estimate
+           |  FROM counts c JOIN sel s ON c.source = s.source
+           |), gdist AS (SELECT h FROM hashed GROUP BY h),
+           |granked AS (
+           |  SELECT h, row_number() OVER (ORDER BY h) AS rn,
+           |    count(*) OVER () AS nd
+           |  FROM gdist
+           |), gsel AS (
+           |  SELECT max(CASE WHEN rn = 128 THEN h END) AS h128,
+           |    max(nd) AS nd
+           |  FROM granked
+           |), allrow AS (
+           |  SELECT 'ALL' AS source,
+           |    (SELECT CAST(sum(n_docs) AS BIGINT) FROM counts)
+           |      AS n_docs,
+           |    CAST(least(nd, 128) AS INTEGER) AS n_kept,
+           |    round(CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+           |      ELSE 127.0 * power(2, 60) / CAST(h128 AS DOUBLE)
+           |      END, 2) AS kmv_estimate
+           |  FROM gsel
+           |)
+           |SELECT * FROM src
+           |UNION ALL SELECT * FROM allrow
+           |ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(qKsTest, qAcf, qHhi, qLorenzCurve,
     qKendallTau, qCramersV, qCohensKappa, qF1Threshold,
     qTwap, qOhlcBars, qBusinessDays, qJsDivergence,
-    qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap)
+    qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge)
 }

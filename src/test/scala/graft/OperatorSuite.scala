@@ -2491,4 +2491,33 @@ class OperatorSuite extends AnyFunSuite {
       assert(b.getDouble(2) >= a.getDouble(2))
     }
   }
+
+  test("KMV buffer: split-merge equals single-pass, k degrades to min") {
+    // E210: the property that makes per-grain rollups re-aggregable —
+    // merge(sketch(A), sketch(B)) must be BYTE-identical to
+    // sketch(A ∪ B) — plus the KLL-style min-k degradation contract.
+    import graft.functions.KmvBuffer
+    val vals = (1 to 1000).map(i => (i * 2654435761L) ^ (i << 17))
+    val whole = new KmvBuffer(64)
+    vals.foreach(whole.add)
+    val (l, r) = vals.splitAt(400)
+    val left = new KmvBuffer(64); l.foreach(left.add)
+    val right = new KmvBuffer(64); r.foreach(right.add)
+    left.mergeIn(right)
+    assert(left.serialize().toSeq === whole.serialize().toSeq)
+    // duplicate-heavy input still dedups: k smallest DISTINCT values
+    val dup = new KmvBuffer(64)
+    (1 to 10).foreach(_ => vals.take(30).foreach(dup.add))
+    assert(dup.set.size === 30)
+    assert(KmvBuffer.estimate(dup.serialize()) === 30.0)
+    // min-k degradation on merge
+    val small = new KmvBuffer(32); vals.foreach(small.add)
+    val big = new KmvBuffer(64); vals.take(10).foreach(big.add)
+    big.mergeIn(small)
+    assert(big.k === 32 && big.set.size === 32)
+    // serialization roundtrip
+    val rt = KmvBuffer.deserialize(whole.serialize())
+    assert(rt.k === whole.k && rt.serialize().toSeq ===
+      whole.serialize().toSeq)
+  }
 }

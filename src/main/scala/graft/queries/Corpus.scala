@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-analytics operators added in round 12 (SURVEY.md §2.12
+  * E212–E215) — the collocation / novelty / consistent-sampling /
+  * embedding-geometry layer on top of the LLMOps text family
+  * (tokenize E X5, TF-IDF E37, BM25 E74, quality E65/E131, dedup
+  * E X1–X2/E172).
+  */
+object Corpus {
+
+  private def toks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", split(trim($"text"), " ").as("toks"))
+  }
+
+  /** E212: **pointwise mutual information collocations** — which token
+    * pairs co-occur in the same document more than independence
+    * predicts: PMI = log2(c_xy·N / (c_x·c_y)), the classic
+    * collocation/phrase-mining signal. Counts stay exact integers
+    * (per-doc DISTINCT tokens, self-joined on doc_id with t1<t2 so
+    * each unordered pair counts once); document frequencies join back
+    * over the ≤vocab-sized frame, and the corpus size N crosses in as
+    * the usual 1-row broadcast. The support-≥5 filter is the same
+    * sparsity guard as the graph module's min-support edges (E192) —
+    * the dense pair explosion dies at the first aggregation. Log
+    * terms are double, rounded 6dp at the edge. */
+  val qPmiCooccur = Q("q_pmi_cooccur",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dt = toks(spark, sfDir)
+        .select($"doc_id", explode(array_distinct($"toks")).as("tok"))
+      val pairs = dt.as("a")
+        .join(dt.as("b"),
+          $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
+        .groupBy($"a.tok".as("t1"), $"b.tok".as("t2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 5)
+      val df = dt.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val n = Tables.read(spark, sfDir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(broadcast(df.select($"tok".as("t1"), $"c".as("c1"))),
+          Seq("t1"))
+        .join(broadcast(df.select($"tok".as("t2"), $"c".as("c2"))),
+          Seq("t2"))
+        .crossJoin(broadcast(n))
+        .select($"t1", $"t2", $"c_xy",
+          round(log2($"c_xy".cast("double") * $"n_docs".cast("double") /
+            ($"c1".cast("double") * $"c2".cast("double"))), 6)
+            .as("pmi"))
+        .orderBy($"t1", $"t2")
+    },
+    Some("""WITH dt AS (
+           |  SELECT doc_id,
+           |    unnest(list_distinct(string_split(trim(text), ' ')))
+           |      AS tok
+           |  FROM documents
+           |), pairs AS (
+           |  SELECT a.tok AS t1, b.tok AS t2, count(*) AS c_xy
+           |  FROM dt a JOIN dt b
+           |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+           |  GROUP BY 1, 2 HAVING count(*) >= 5
+           |), df AS (
+           |  SELECT tok, count(*) AS c FROM dt GROUP BY tok
+           |), n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT p.t1, p.t2, p.c_xy,
+           |  round(log2(CAST(p.c_xy AS DOUBLE) *
+           |    CAST(n.n_docs AS DOUBLE) /
+           |    (CAST(d1.c AS DOUBLE) * CAST(d2.c AS DOUBLE))), 6)
+           |    AS pmi
+           |FROM pairs p
+           |JOIN df d1 ON p.t1 = d1.tok
+           |JOIN df d2 ON p.t2 = d2.tok
+           |CROSS JOIN n
+           |ORDER BY t1, t2""".stripMargin))
+
+  /** E213: **bigram novelty curve** — per document, what fraction of
+    * its distinct bigrams appear here FIRST (no earlier doc_id has
+    * them): the marginal-novelty signal dedup pipelines read to decide
+    * when a source is mined out, and the document-level complement of
+    * the corpus dup-rate telemetry (E190). Bigrams form row-locally
+    * (lead over token position — the same zip both engines compute),
+    * first occurrence is one min-window over the bigram key, and the
+    * per-doc rollup is one hash agg. The only wide shuffle is on the
+    * bigram key — at 100 TB that is the same shuffle exact dedup
+    * already pays, and the recorded scale path is the E64 Bloom tier
+    * in front of it. */
+  val qNgramNovelty = Q("q_ngram_novelty",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val seq = Window.partitionBy($"doc_id").orderBy($"pos")
+      val bigrams = toks(spark, sfDir)
+        .select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
+        .withColumn("nxt", lead($"tok", 1).over(seq))
+        .filter($"nxt".isNotNull)
+        .select($"doc_id",
+          concat($"tok", lit(" "), $"nxt").as("bigram"))
+        .distinct()
+      bigrams
+        .withColumn("first_doc",
+          min($"doc_id").over(Window.partitionBy($"bigram")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(($"first_doc" === $"doc_id").cast("long"))
+            .as("n_novel"))
+        .select($"doc_id", $"n_bigrams", $"n_novel",
+          round($"n_novel".cast("double") /
+            $"n_bigrams".cast("double"), 6).as("novelty_rate"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(string_split(trim(text), ' ')) AS tok,
+           |    unnest(range(len(string_split(trim(text), ' '))))
+           |      AS pos
+           |  FROM documents
+           |), bigrams AS (
+           |  SELECT DISTINCT doc_id,
+           |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+           |      ORDER BY pos) AS bigram
+           |  FROM toks
+           |  QUALIFY bigram IS NOT NULL
+           |), flagged AS (
+           |  SELECT doc_id,
+           |    min(doc_id) OVER (PARTITION BY bigram) AS first_doc
+           |  FROM bigrams
+           |)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_novel,
+           |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1
+           |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           |    AS novelty_rate
+           |FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+      .stripMargin))
+
+  /** E214: **bottom-k consistent sample** — the k documents with the
+    * smallest portable content hashes (E206's md5-prefix encoding):
+    * a uniform sample that is CONSISTENT under corpus growth (a doc
+    * stays sampled until k better hashes exist — the property that
+    * makes eval subsets and A/B carve-outs stable across snapshots,
+    * which rand()-based sampling cannot give) and coordinated across
+    * tables (same hash → same verdict everywhere). It is also exactly
+    * the KMV sketch's state (E210) wearing its sample hat. Top-k by
+    * hash plans as TakeOrderedAndProject — no global sort. */
+  val qSampleBottomk = Q("q_sample_bottomk",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", $"source",
+          conv(substring(md5($"text".cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .orderBy($"h", $"doc_id").limit(100)
+        .orderBy($"doc_id")
+        .select($"doc_id", $"source", $"h")
+    },
+    Some("""SELECT doc_id, source, h FROM (
+           |  SELECT doc_id, source,
+           |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+           |      AS h
+           |  FROM documents
+           |  ORDER BY h, doc_id LIMIT 100
+           |) ORDER BY doc_id""".stripMargin))
+
+  /** E215: **embedding label-separation audit** — the mean pairwise
+    * cosine within and across labels (the 3×3 upper-triangular label
+    * matrix): the first-look geometry check before trusting labels
+    * for classifier training or ANN ground truth. Cosines come from
+    * the native codegen'd `vec_dot` (X6's ladder rung b) with norms
+    * precomputed once per vector; each pair's cosine is rounded 6dp
+    * and then accumulated as DECIMAL(18,6) so the 10⁴-term means are
+    * order-exact on both engines (the kmeans float-parity recipe).
+    * The all-pairs join is honest about its bounds: embeddings is a
+    * fixed 500-row reference table (pairs = 125k at every sf); the
+    * recorded 100 TB path for pairwise structure is the bucketed ANN
+    * family (X3/E-ANN), not all-pairs. */
+  val qEmbedSeparation = Q("q_embed_separation",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val vecs = Tables.read(spark, sfDir, "embeddings")
+        .select($"vec_id", $"label", $"embedding",
+          sqrt(call_function("vec_dot", $"embedding", $"embedding"))
+            .as("nrm"))
+      val pairs = vecs.as("a")
+        .join(broadcast(vecs.as("b")), $"a.vec_id" < $"b.vec_id")
+        .select(least($"a.label", $"b.label").as("label_a"),
+          greatest($"a.label", $"b.label").as("label_b"),
+          round(call_function("vec_dot", $"a.embedding", $"b.embedding")
+            / ($"a.nrm" * $"b.nrm"), 6).cast("decimal(18,6)").as("cos"))
+      pairs.groupBy($"label_a", $"label_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum($"cos").cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_cos"))
+        .orderBy($"label_a", $"label_b")
+    },
+    Some("""WITH vecs AS (
+           |  SELECT vec_id, label, embedding,
+           |    sqrt(list_sum(list_transform(
+           |      list_zip(embedding, embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |      AS nrm
+           |  FROM embeddings
+           |), pairs AS (
+           |  SELECT least(a.label, b.label) AS label_a,
+           |    greatest(a.label, b.label) AS label_b,
+           |    CAST(round(list_sum(list_transform(
+           |        list_zip(a.embedding, b.embedding),
+           |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |      / (a.nrm * b.nrm), 6) AS DECIMAL(18,6)) AS cos
+           |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+           |)
+           |SELECT label_a, label_b, count(*) AS n_pairs,
+           |  round(CAST(sum(cos) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE), 6) AS mean_cos
+           |FROM pairs GROUP BY label_a, label_b
+           |ORDER BY label_a, label_b""".stripMargin))
+
+  val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
+    qEmbedSeparation)
+}

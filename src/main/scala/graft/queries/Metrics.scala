@@ -1035,8 +1035,79 @@ object Metrics {
            |UNION ALL SELECT * FROM allrow
            |ORDER BY source""".stripMargin))
 
+  /** E211: **MAD robust outliers** — daily event counts scored by the
+    * median-absolute-deviation z (0.6745·(y−med)/MAD, the robust twin
+    * of the rolling mean±kσ detector E175 that a single spike cannot
+    * poison, because both location and scale are medians). Both
+    * medians are TYPE-1 (value at row ⌈n/2⌉ of the explicit
+    * row_number order with the date as tiebreaker — the E209
+    * convention, never an engine `median()` whose even-n interpolation
+    * differs), so every intermediate is an exact integer and the z
+    * division is the one double at the edge. */
+  val qAnomalyMad = Q("q_anomaly_mad",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy($"y", $"d")))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("med", max(when($"rn" ===
+          (($"n" + 1) / 2).cast("long"), $"y")).over(tot))
+        .withColumn("dev", abs($"y" - $"med"))
+        .withColumn("rn2",
+          row_number().over(Window.orderBy($"dev", $"d")))
+        .withColumn("mad", max(when($"rn2" ===
+          (($"n" + 1) / 2).cast("long"), $"dev")).over(tot))
+      // z stays UNROUNDED: both engines build it from identical
+      // integers with the same op shape, so the doubles are
+      // bit-identical — while round() itself is the one place the
+      // engines can disagree (Spark BigDecimal HALF_UP vs DuckDB's
+      // scaled-multiply) when a value lands on a 6dp midpoint, which
+      // this query's 0.6745·k/mad values measurably do (r12 dev run:
+      // 0.2529375 rounded 38 vs 37).
+      daily.select($"d", $"y", $"med", $"mad",
+          (lit(0.6745) * ($"y" - $"med").cast("double") /
+            $"mad".cast("double")).as("robust_z"))
+        .withColumn("is_outlier", abs($"robust_z") > 3.5)
+        .orderBy($"d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    count(*) AS y
+           |  FROM events GROUP BY 1
+           |), ranked AS (
+           |  SELECT d, y,
+           |    row_number() OVER (ORDER BY y, d) AS rn,
+           |    count(*) OVER () AS n
+           |  FROM daily
+           |), withmed AS (
+           |  SELECT d, y, n,
+           |    max(CASE WHEN rn = (n + 1) // 2 THEN y END) OVER ()
+           |      AS med
+           |  FROM ranked
+           |), devranked AS (
+           |  SELECT d, y, med, abs(y - med) AS dev, n,
+           |    row_number() OVER (ORDER BY abs(y - med), d) AS rn2
+           |  FROM withmed
+           |), withmad AS (
+           |  SELECT d, y, med, dev,
+           |    max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) OVER ()
+           |      AS mad
+           |  FROM devranked
+           |)
+           |SELECT d, y, med, mad,
+           |  0.6745 * CAST(y - med AS DOUBLE) /
+           |    CAST(mad AS DOUBLE) AS robust_z,
+           |  abs(0.6745 * CAST(y - med AS DOUBLE) /
+           |    CAST(mad AS DOUBLE)) > 3.5 AS is_outlier
+           |FROM withmad ORDER BY d""".stripMargin))
+
   val all: Seq[Q] = Seq(qKsTest, qAcf, qHhi, qLorenzCurve,
     qKendallTau, qCramersV, qCohensKappa, qF1Threshold,
     qTwap, qOhlcBars, qBusinessDays, qJsDivergence,
-    qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge)
+    qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge,
+    qAnomalyMad)
 }

@@ -2520,4 +2520,36 @@ class OperatorSuite extends AnyFunSuite {
     assert(rt.k === whole.k && rt.serialize().toSeq ===
       whole.serialize().toSeq)
   }
+
+  test("corpus analytics: MAD, PMI, novelty, bottom-k, separation") {
+    // E211: MAD positive, flag agrees with z. E212: canonical pair
+    // order and min support. E213: rates in [0,1] and the first doc
+    // is 100% novel. E214: exactly 100 docs, deterministic. E215:
+    // pair counts cover C(500,2) and cosines stay in [-1,1].
+    graft.queries.Metrics.qAnomalyMad.fn(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getLong(3) > 0, "MAD must be positive")
+        assert(r.getBoolean(5) === (math.abs(r.getDouble(4)) > 3.5))
+      }
+    graft.queries.Corpus.qPmiCooccur.fn(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getString(0) < r.getString(1), "pairs canonical t1<t2")
+        assert(r.getLong(2) >= 5)
+      }
+    val nov = graft.queries.Corpus.qNgramNovelty.fn(spark, sf)
+      .collect()
+    nov.foreach(r =>
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+    val firstDoc = nov.map(r => (r.getLong(0), r.getDouble(3)))
+      .minBy(_._1)
+    assert(firstDoc._2 === 1.0, "earliest doc must be fully novel")
+    val bk = graft.queries.Corpus.qSampleBottomk.fn(spark, sf)
+      .collect()
+    assert(bk.map(_.getLong(0)).distinct.length === 100)
+    val sep = graft.queries.Corpus.qEmbedSeparation.fn(spark, sf)
+      .collect()
+    assert(sep.map(_.getLong(2)).sum === 500L * 499 / 2)
+    sep.foreach(r =>
+      assert(math.abs(r.getDouble(3)) <= 1 + 1e-9))
+  }
 }

@@ -147,7 +147,9 @@ class PlanSuite extends AnyFunSuite {
       "q_quality_policy", // 1-row min/max-bounds cross into the scoring
       "q_acf", // 1-row ACF-denominator cross into the per-lag ratios
       "q_kendall_tau", // ≤31-row daily-frame d1<d2 pair broadcast
-      "q_agg_kmv_distinct") // 1-row exact-count cross into the audit
+      "q_agg_kmv_distinct", // 1-row exact-count cross into the audit
+      "q_pmi_cooccur", // 1-row corpus-size cross into the PMI term
+      "q_embed_separation") // 500-row fixed-frame vec_id<vec_id pairs
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -1105,9 +1105,236 @@ object Metrics {
            |    CAST(mad AS DOUBLE)) > 3.5 AS is_outlier
            |FROM withmad ORDER BY d""".stripMargin))
 
+  /** E216: **Kaplan–Meier survival curve** — the product-limit
+    * estimator for TIME TO REPEAT PURCHASE: per customer, days from
+    * first to second order ("event"); single-order customers are
+    * CENSORED at the horizon (they may still return) — the right-
+    * censoring correction naive repeat-rate curves (E39's retention)
+    * ignore, and the exact shape of the published 4CE survival
+    * figures on the harness's commerce tables. (The event stream
+    * can't drive this one: measured, all 150 fixture users stay
+    * active into the final week, so a churn rule yields zero events.)
+    * Risk sets and event counts are exact integers from one
+    * cumulative window; the running product Π(1−dᵢ/nᵢ) evaluates as
+    * exp(Σ ln(...)) — the E147/E122 log parity both engines have
+    * agreed on all round — with an explicit d=n flag instead of
+    * ln(0) (which DuckDB raises on). */
+  val qSurvivalKm = Q("q_survival_km",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val seqW = Window.orderBy($"lt")
+      val cumW = seqW.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val prevW = seqW.rowsBetween(Window.unboundedPreceding, -1)
+      val users = Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey", to_date($"o_orderdate").as("d"),
+          $"o_orderkey")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"o_custkey")
+            .orderBy($"d", $"o_orderkey")))
+        .withColumn("horizon", max($"d").over(tot))
+        .filter($"rn" <= 2)
+        .groupBy($"o_custkey")
+        .agg(min($"d").as("first_d"),
+          max(when($"rn" === 2, $"d")).as("second_d"),
+          max($"horizon").as("horizon"))
+        .select(
+          when($"second_d".isNotNull, datediff($"second_d", $"first_d"))
+            .otherwise(datediff($"horizon", $"first_d")).as("lt"),
+          $"second_d".isNotNull.cast("long").as("churn"))
+      val steps = users.groupBy($"lt")
+        .agg(sum($"churn").as("d"), count(lit(1)).as("m"))
+        .withColumn("total", sum($"m").over(tot))
+        .withColumn("n_risk",
+          $"total" - coalesce(sum($"m").over(prevW), lit(0L)))
+        .withColumn("dead_end",
+          max(($"d" === $"n_risk").cast("int")).over(cumW))
+        .withColumn("lsum", sum(when($"d" < $"n_risk",
+          log(lit(1.0) - $"d".cast("double") /
+            $"n_risk".cast("double")))).over(cumW))
+      steps.filter($"d" > 0)
+        .select($"lt".as("t_days"), $"n_risk", $"d".as("n_events"),
+          round(when($"dead_end" === 1, lit(0.0))
+            .otherwise(exp($"lsum")), 6).as("survival"))
+        .orderBy($"t_days")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           |      AS rn
+           |  FROM orders
+           |), users AS (
+           |  SELECT o_custkey, min(d) AS first_d,
+           |    max(CASE WHEN rn = 2 THEN d END) AS second_d
+           |  FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+           |), lts AS (
+           |  SELECT CASE WHEN second_d IS NOT NULL
+           |      THEN CAST(second_d - first_d AS INTEGER)
+           |      ELSE CAST((SELECT max(CAST(o_orderdate AS DATE))
+           |        FROM orders) - first_d AS INTEGER) END AS lt,
+           |    CASE WHEN second_d IS NOT NULL THEN 1 ELSE 0 END
+           |      AS churn
+           |  FROM users
+           |), steps AS (
+           |  SELECT lt, CAST(sum(churn) AS BIGINT) AS d,
+           |    count(*) AS m
+           |  FROM lts GROUP BY lt
+           |), risked AS (
+           |  SELECT lt, d, m,
+           |    sum(m) OVER () -
+           |      coalesce(sum(m) OVER (ORDER BY lt
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |        0) AS n_risk
+           |  FROM steps
+           |), cum AS (
+           |  SELECT lt, d, n_risk,
+           |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           |      OVER (ORDER BY lt) AS dead_end,
+           |    sum(CASE WHEN d < n_risk THEN
+           |        ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+           |      END) OVER (ORDER BY lt) AS lsum
+           |  FROM risked
+           |)
+           |SELECT lt AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           |  d AS n_events,
+           |  round(CASE WHEN dead_end = 1 THEN 0.0
+           |    ELSE exp(lsum) END, 6) AS survival
+           |FROM cum WHERE d > 0 ORDER BY t_days""".stripMargin))
+
+  /** E217: **named WINDOW clause** — the SQL-text surface for shared
+    * window definitions (`WINDOW w AS (...)` reused by several
+    * functions), which both engines parse but project docs rarely
+    * test: one definition drives rank, cumulative share and a moving
+    * average per event type. Per-invocation view names follow the
+    * qSqlRecursive concurrency rule. The top-3 filter keeps output
+    * bounded and the (value, event_id) tiebreak keeps it total-
+    * ordered. */
+  val qSqlWindowClause = Q("q_sql_window_clause",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val v = s"wc_events_$tag"
+      Tables.read(spark, sfDir, "events").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT event_type, event_id, value, rk, cum_n, mov_avg
+             |FROM (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER w AS rk,
+             |    count(*) OVER w AS cum_n,
+             |    round(avg(value) OVER wm, 6) AS mov_avg
+             |  FROM $v
+             |  WINDOW w AS (PARTITION BY event_type
+             |      ORDER BY value DESC, event_id),
+             |    wm AS (PARTITION BY event_type
+             |      ORDER BY value DESC, event_id
+             |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |)
+             |WHERE rk <= 3
+             |ORDER BY event_type, rk""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""SELECT event_type, event_id, value, rk, cum_n, mov_avg
+           |FROM (
+           |  SELECT event_type, event_id, value,
+           |    row_number() OVER w AS rk,
+           |    count(*) OVER w AS cum_n,
+           |    round(avg(value) OVER wm, 6) AS mov_avg
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY event_type
+           |      ORDER BY value DESC, event_id),
+           |    wm AS (PARTITION BY event_type
+           |      ORDER BY value DESC, event_id
+           |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           |)
+           |WHERE rk <= 3
+           |ORDER BY event_type, rk""".stripMargin))
+
+  /** E218: **Tukey fences** — the grouped IQR outlier profile (per
+    * market segment over per-customer spend): Q1/Q3 as TYPE-1
+    * quantiles at explicit ⌈q·n⌉ row positions (the E209 convention —
+    * 0.25/0.75 are exact binary so the positions are engine-proof),
+    * fences at 1.5·IQR, and outlier counts on both tails. The grouped
+    * complement to the global MAD detector (E211): spend stays
+    * DECIMAL(18,2) through the quantile pick, and the fence compare
+    * happens in double identically on both engines. */
+  val qTukeyFences = Q("q_tukey_fences",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val grp = Window.partitionBy($"c_mktsegment")
+      val spend = Tables.read(spark, sfDir, "customer")
+        .join(Tables.read(spark, sfDir, "orders"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment", $"c_custkey")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("s"))
+        .withColumn("rn", row_number().over(grp
+          .orderBy($"s", $"c_custkey")))
+        .withColumn("n", count(lit(1)).over(grp))
+        .withColumn("q1", max(when($"rn" ===
+          ceil(lit(0.25) * $"n").cast("long"), $"s")).over(grp))
+        .withColumn("q3", max(when($"rn" ===
+          ceil(lit(0.75) * $"n").cast("long"), $"s")).over(grp))
+      spend
+        .withColumn("lo",
+          $"q1".cast("double") - lit(1.5) *
+            ($"q3" - $"q1").cast("double"))
+        .withColumn("hi",
+          $"q3".cast("double") + lit(1.5) *
+            ($"q3" - $"q1").cast("double"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          max($"q1").as("q1"), max($"q3").as("q3"),
+          sum(($"s".cast("double") < $"lo").cast("long"))
+            .as("n_low_outliers"),
+          sum(($"s".cast("double") > $"hi").cast("long"))
+            .as("n_high_outliers"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH spend AS (
+           |  SELECT c_mktsegment, c_custkey,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+           |  FROM customer JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY 1, 2
+           |), ranked AS (
+           |  SELECT c_mktsegment, s,
+           |    row_number() OVER (PARTITION BY c_mktsegment
+           |      ORDER BY s, c_custkey) AS rn,
+           |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+           |  FROM spend
+           |), quarts AS (
+           |  SELECT c_mktsegment, s,
+           |    max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+           |      THEN s END) OVER (PARTITION BY c_mktsegment) AS q1,
+           |    max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+           |      THEN s END) OVER (PARTITION BY c_mktsegment) AS q3
+           |  FROM ranked
+           |), fenced AS (
+           |  SELECT c_mktsegment, s, q1, q3,
+           |    CAST(q1 AS DOUBLE) - 1.5 * CAST(q3 - q1 AS DOUBLE)
+           |      AS lo,
+           |    CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE)
+           |      AS hi
+           |  FROM quarts
+           |)
+           |SELECT c_mktsegment, count(*) AS n_customers,
+           |  max(q1) AS q1, max(q3) AS q3,
+           |  CAST(sum(CASE WHEN CAST(s AS DOUBLE) < lo THEN 1
+           |    ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           |  CAST(sum(CASE WHEN CAST(s AS DOUBLE) > hi THEN 1
+           |    ELSE 0 END) AS BIGINT) AS n_high_outliers
+           |FROM fenced GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+      .stripMargin))
+
+  private val windowViewRun =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   val all: Seq[Q] = Seq(qKsTest, qAcf, qHhi, qLorenzCurve,
     qKendallTau, qCramersV, qCohensKappa, qF1Threshold,
     qTwap, qOhlcBars, qBusinessDays, qJsDivergence,
     qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge,
-    qAnomalyMad)
+    qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences)
 }

@@ -2552,4 +2552,32 @@ class OperatorSuite extends AnyFunSuite {
     sep.foreach(r =>
       assert(math.abs(r.getDouble(3)) <= 1 + 1e-9))
   }
+
+  test("survival curve monotone; Tukey fences and WINDOW clause sane") {
+    // E216: S(t) is a product of factors in (0,1] so it must be
+    // non-increasing, start below 1, stay in [0,1], and n_risk must
+    // shrink as t grows. E218: Q1 ≤ Q3 and outliers can't cover the
+    // group. E217: exactly 3 rows per event type, ranks 1..3.
+    val km = graft.queries.Metrics.qSurvivalKm.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(km.nonEmpty)
+    km.foreach { case (_, nRisk, s) =>
+      assert(s >= 0 && s <= 1); assert(nRisk > 0)
+    }
+    km.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-12, "survival must be non-increasing")
+      assert(b._2 < a._2, "risk set must shrink with t")
+    }
+    graft.queries.Metrics.qTukeyFences.fn(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getDecimal(2).compareTo(r.getDecimal(3)) <= 0)
+        assert(r.getLong(4) + r.getLong(5) < r.getLong(1))
+      }
+    val wc = graft.queries.Metrics.qSqlWindowClause.fn(spark, sf)
+      .collect()
+    val byType = wc.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
+    }
+  }
 }

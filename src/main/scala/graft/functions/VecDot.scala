@@ -126,6 +126,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
       (children: Seq[Expression]) =>
         KllQuantileExpr(children(0), children(1))))
+    // custom generator (TextBigrams.scala): row-local bigram fan-out,
+    // replacing the posexplode→window-lead route with a Generate node
+    ext.injectFunction((
+      new FunctionIdentifier("text_bigrams"),
+      new ExpressionInfo(classOf[TextBigramsExpr].getName,
+        "text_bigrams"),
+      (children: Seq[Expression]) => TextBigramsExpr(children.head)))
     // mergeable KMV bottom-k distinct family (KmvSketch.scala): build
     // from pre-hashed 60-bit longs, re-aggregate persisted sketch
     // bytes (k travels in the sketch), extract estimate / fill

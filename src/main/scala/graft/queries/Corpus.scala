@@ -221,6 +221,54 @@ object Corpus {
            |FROM pairs GROUP BY label_a, label_b
            |ORDER BY label_a, label_b""".stripMargin))
 
+  /** E221: **generator-expression bigrams** — per-language top-5
+    * bigrams through the custom `text_bigrams` GENERATOR
+    * ([[graft.functions.TextBigramsExpr]]): the pairs form row-locally
+    * inside GenerateExec, so unlike the posexplode→window-lead route
+    * (E155 q_ngram_freq) there is NO per-document window sort before
+    * the counting aggregate — the only Window left is the ≤vocab-sized
+    * per-lang rank AFTER it (PlanSuite pins the custom generator in
+    * the plan). The oracle reproduces the pairs with DuckDB's lead()
+    * — semantics identical, plan deliberately not. */
+  val qGenBigrams = Q("q_gen_bigrams",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val pairs = Tables.read(spark, sfDir, "documents")
+        .select($"lang",
+          call_function("text_bigrams", trim($"text")).as("bigram"))
+      pairs.groupBy($"lang", $"bigram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.partitionBy($"lang")
+          .orderBy($"n".desc, $"bigram")))
+        .filter($"rk" <= 5)
+        .select($"lang", $"rk", $"bigram", $"n")
+        .orderBy($"lang", $"rk")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    unnest(string_split(trim(text), ' ')) AS tok,
+           |    unnest(range(len(string_split(trim(text), ' '))))
+           |      AS pos
+           |  FROM documents
+           |), paired AS (
+           |  SELECT lang,
+           |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+           |      ORDER BY pos) AS bigram
+           |  FROM toks WHERE tok <> ''
+           |  QUALIFY bigram IS NOT NULL
+           |), counted AS (
+           |  SELECT lang, bigram, count(*) AS n
+           |  FROM paired GROUP BY 1, 2
+           |), ranked AS (
+           |  SELECT lang, bigram, n,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY n DESC, bigram) AS rk
+           |  FROM counted
+           |)
+           |SELECT lang, rk, bigram, n
+           |FROM ranked WHERE rk <= 5
+           |ORDER BY lang, rk""".stripMargin))
+
   val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
-    qEmbedSeparation)
+    qEmbedSeparation, qGenBigrams)
 }

@@ -1329,6 +1329,132 @@ object Metrics {
            |FROM fenced GROUP BY c_mktsegment ORDER BY c_mktsegment"""
       .stripMargin))
 
+  /** E219: **NOT IN vs NOT EXISTS null semantics** — the SQL-surface
+    * row for the classic three-valued-logic trap: `x NOT IN (subquery)`
+    * returns UNKNOWN (→ no row) for EVERY x once the subquery yields a
+    * single NULL, while `NOT EXISTS` still computes the intended
+    * complement. The probe set injects one NULL deliberately; the
+    * output counts all four quantifier forms side by side, so the
+    * not_in=0 row IS the documented behavior, hash-locked on both
+    * engines (both implement standard semantics — the point is the
+    * library exposes and pins it, because a migration from an engine
+    * with nonstandard NOT IN handling silently changes results). */
+  val qSqlNotInNull = Q("q_sql_not_in_null",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val vc = s"nin_customer_$tag"
+      val vn = s"nin_nation_$tag"
+      Tables.read(spark, sfDir, "customer").createOrReplaceTempView(vc)
+      Tables.read(spark, sfDir, "nation").createOrReplaceTempView(vn)
+      try {
+        spark.sql(
+          s"""WITH probe AS (
+             |  SELECT CASE WHEN n_nationkey = 3 THEN NULL
+             |    ELSE n_nationkey END AS k
+             |  FROM $vn WHERE n_nationkey < 10
+             |)
+             |SELECT 'in' AS semantics, count(*) AS n_rows
+             |FROM $vc WHERE c_nationkey IN (SELECT k FROM probe)
+             |UNION ALL
+             |SELECT 'not_in', count(*)
+             |FROM $vc WHERE c_nationkey NOT IN (SELECT k FROM probe)
+             |UNION ALL
+             |SELECT 'exists', count(*)
+             |FROM $vc c WHERE EXISTS (SELECT 1 FROM probe p
+             |  WHERE p.k = c.c_nationkey)
+             |UNION ALL
+             |SELECT 'not_exists', count(*)
+             |FROM $vc c WHERE NOT EXISTS (SELECT 1 FROM probe p
+             |  WHERE p.k = c.c_nationkey)
+             |ORDER BY semantics""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(vc)
+        spark.catalog.dropTempView(vn)
+        ()
+      }
+    },
+    Some("""WITH probe AS (
+           |  SELECT CASE WHEN n_nationkey = 3 THEN NULL
+           |    ELSE n_nationkey END AS k
+           |  FROM nation WHERE n_nationkey < 10
+           |)
+           |SELECT 'in' AS semantics, count(*) AS n_rows
+           |FROM customer WHERE c_nationkey IN (SELECT k FROM probe)
+           |UNION ALL
+           |SELECT 'not_in', count(*)
+           |FROM customer WHERE c_nationkey NOT IN (SELECT k FROM probe)
+           |UNION ALL
+           |SELECT 'exists', count(*)
+           |FROM customer c WHERE EXISTS (SELECT 1 FROM probe p
+           |  WHERE p.k = c.c_nationkey)
+           |UNION ALL
+           |SELECT 'not_exists', count(*)
+           |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM probe p
+           |  WHERE p.k = c.c_nationkey)
+           |ORDER BY semantics""".stripMargin))
+
+  /** E220: **additive seasonal decomposition** — daily event counts
+    * split into trend + weekday seasonal + residual, the classical
+    * decomposition behind every "is this drop real or just Tuesday"
+    * question (the component view of E164's seasonal index). Kept
+    * engine-exact by SCALING, not rounding: the centered 7-day trend
+    * stays ×7 integral (t7 = Σ of the full window, rows with all 7
+    * days only), the detrended series 7y−t7 is integral, and the
+    * weekday effect is its integer sum over each ISO weekday (the
+    * E164 weekday()+1 ≡ isodow pin). Every output column is ONE
+    * division (or subtraction) of identical integer-derived doubles
+    * on both engines, so values ship UNROUNDED (the E211 lesson:
+    * round() is the only step the engines can disagree on). */
+  val qSeasonalDecompose = Q("q_seasonal_decompose",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ctr = Window.orderBy($"d").rowsBetween(-3, 3)
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("t7", sum($"y").over(ctr))
+        .withColumn("n7", count(lit(1)).over(ctr))
+        .filter($"n7" === 7)
+        .withColumn("detr", lit(7) * $"y" - $"t7")
+        .withColumn("w", (weekday($"d") + 1).cast("int"))
+      val byW = Window.partitionBy($"w")
+      daily
+        .withColumn("sw", sum($"detr").over(byW))
+        .withColumn("kw", count(lit(1)).over(byW))
+        .select($"d", $"y",
+          ($"t7".cast("double") / 7.0).as("trend"),
+          ($"sw".cast("double") / (lit(7.0) * $"kw")).as("seasonal"),
+          ($"y".cast("double") - $"t7".cast("double") / 7.0 -
+            $"sw".cast("double") / (lit(7.0) * $"kw")).as("residual"))
+        .orderBy($"d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    count(*) AS y
+           |  FROM events GROUP BY 1
+           |), framed AS (
+           |  SELECT d, y,
+           |    sum(y) OVER (ORDER BY d
+           |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+           |    count(*) OVER (ORDER BY d
+           |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+           |  FROM daily
+           |), full7 AS (
+           |  SELECT d, y, t7, 7 * y - t7 AS detr, isodow(d) AS w
+           |  FROM framed WHERE n7 = 7
+           |), grouped AS (
+           |  SELECT d, y, t7,
+           |    sum(detr) OVER (PARTITION BY w) AS sw,
+           |    count(*) OVER (PARTITION BY w) AS kw
+           |  FROM full7
+           |)
+           |SELECT d, y,
+           |  CAST(t7 AS DOUBLE) / 7.0 AS trend,
+           |  CAST(sw AS DOUBLE) / (7.0 * kw) AS seasonal,
+           |  CAST(y AS DOUBLE) - CAST(t7 AS DOUBLE) / 7.0 -
+           |    CAST(sw AS DOUBLE) / (7.0 * kw) AS residual
+           |FROM grouped ORDER BY d""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1336,5 +1462,6 @@ object Metrics {
     qKendallTau, qCramersV, qCohensKappa, qF1Threshold,
     qTwap, qOhlcBars, qBusinessDays, qJsDivergence,
     qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge,
-    qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences)
+    qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences,
+    qSqlNotInNull, qSeasonalDecompose)
 }

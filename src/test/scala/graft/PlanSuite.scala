@@ -723,4 +723,19 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("ts"),
       s"residual ts predicate must still reach the scan:\n$p")
   }
+
+  test("generator bigrams: custom Generate node, no pre-agg window") {
+    // E221's reason to exist: the pairs form inside GenerateExec
+    // (text_bigrams), so the plan must show the custom generator and
+    // exactly ONE Window — the ≤vocab-sized per-lang rank AFTER the
+    // counting aggregate — where the E155 route needs a per-document
+    // lead window BEFORE it (two Windows total there).
+    val p = plan("q_gen_bigrams")
+    assert(p.contains("text_bigrams"), s"custom generator missing:\n$p")
+    // exact node name: WindowGroupLimit (the rank-limit pushdown) is
+    // expected and welcome; a second real Window would mean the pairs
+    // went through a lead() after all
+    val nWindows = "Window \\[".r.findAllIn(p).length
+    assert(nWindows == 1, s"expected only the rank window, got:\n$p")
+  }
 }

@@ -269,6 +269,57 @@ object Corpus {
            |FROM ranked WHERE rk <= 5
            |ORDER BY lang, rk""".stripMargin))
 
+  /** E223: **BPE merge step** — one iteration of byte-pair-encoding
+    * vocabulary training: weight every ADJACENT CHARACTER PAIR by its
+    * word's corpus frequency and rank the merge candidates — the
+    * inner loop of every tokenizer build, expressed as two hash aggs.
+    * The heavy part (token counting over the corpus) is the same
+    * shuffle TF (X5) pays; the char-pair explosion happens on the
+    * DISTINCT VOCABULARY (∝ vocab × word length, independent of
+    * corpus size — the reason real BPE trainers also work off the
+    * word-frequency dict, not the raw text). Counts are exact
+    * integers; ties rank deterministically by pair. Top-10 merge
+    * candidates with their weighted counts. */
+  val qBpeMergeStep = Q("q_bpe_merge_step",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val vocab = toks(spark, sfDir)
+        .select(explode($"toks").as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+      val seqW = Window.partitionBy($"w").orderBy($"pos")
+      vocab
+        .select($"w", $"wc",
+          posexplode(split($"w", "")).as(Seq("pos", "ch")))
+        .withColumn("nxt", lead($"ch", 1).over(seqW))
+        .filter($"nxt".isNotNull)
+        .groupBy(concat($"ch", $"nxt").as("pair"))
+        .agg(sum($"wc").as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(10)
+    },
+    Some("""WITH words AS (
+           |  SELECT unnest(string_split(trim(text), ' ')) AS w
+           |  FROM documents
+           |), vocab AS (
+           |  SELECT w, count(*) AS wc FROM words
+           |  WHERE w <> '' GROUP BY w
+           |), chars AS (
+           |  SELECT w, wc,
+           |    unnest(string_split_regex(w, '')) AS ch,
+           |    unnest(range(len(string_split_regex(w, '')))) AS pos
+           |  FROM vocab
+           |), paired AS (
+           |  SELECT wc,
+           |    ch || lead(ch) OVER (PARTITION BY w ORDER BY pos)
+           |      AS pair
+           |  FROM chars
+           |  QUALIFY pair IS NOT NULL
+           |)
+           |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+           |FROM paired GROUP BY pair
+           |ORDER BY n DESC, pair LIMIT 10""".stripMargin))
+
   val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
-    qEmbedSeparation, qGenBigrams)
+    qEmbedSeparation, qGenBigrams, qBpeMergeStep)
 }

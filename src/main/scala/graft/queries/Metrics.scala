@@ -1455,6 +1455,44 @@ object Metrics {
            |    CAST(sw AS DOUBLE) / (7.0 * kw) AS residual
            |FROM grouped ORDER BY d""".stripMargin))
 
+  /** E224: **multi-aggregate pivot** — the R1 pivot with TWO measures
+    * per pivot value (status → sum of spend AND order count), the
+    * report shape where Spark's `{value}_{alias}` column naming
+    * actually matters: every output column is aliased identically on
+    * both sides (`F_spend`, `F_cnt`, …), because the comparator's
+    * column-name contract is exactly what a silent naming drift would
+    * break. Explicit pivot value list (F/O/P) keeps the plan a single
+    * hash agg — no distinct-values pre-pass — and spend stays
+    * DECIMAL(18,2). */
+  val qPivotMultiAgg = Q("q_pivot_multi_agg",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("spend"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  sum(CASE WHEN o_orderstatus = 'F'
+           |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+           |    AS F_spend,
+           |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+           |    AS F_cnt,
+           |  sum(CASE WHEN o_orderstatus = 'O'
+           |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+           |    AS O_spend,
+           |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+           |    AS O_cnt,
+           |  sum(CASE WHEN o_orderstatus = 'P'
+           |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+           |    AS P_spend,
+           |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+           |    AS P_cnt
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1463,5 +1501,5 @@ object Metrics {
     qTwap, qOhlcBars, qBusinessDays, qJsDivergence,
     qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge,
     qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences,
-    qSqlNotInNull, qSeasonalDecompose)
+    qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg)
 }

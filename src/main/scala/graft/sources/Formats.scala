@@ -1708,6 +1708,53 @@ object Formats {
            |  published_rows, published_value FROM state
            |ORDER BY candidate""".stripMargin))
 
+  /** E222: **multiline (pretty-printed) JSON ingestion** — the config/
+    * API-dump shape: ONE file holding a JSON ARRAY of nested objects,
+    * which line-oriented JSON readers silently mangle (each physical
+    * line is not a record). `multiLine=true` + an explicit nested
+    * schema parses the whole document, and the query flattens the
+    * nested `meta` struct back to columns — hash-checked against the
+    * source-of-truth nation table the fixture was generated from.
+    * The fixture build is a bounded 25-row once-per-JVM write
+    * (setup-not-query, the binaryFile store convention). Scale note:
+    * a multiline JSON file is NOT splittable (one record spanning the
+    * file ⇒ one task per file); the scaladoc records JSONL (S4's
+    * roundtrip) as the 100 TB layout and this reader as the
+    * ingest-edge adapter for third-party dumps. */
+  val qSourceJsonMultiline = Q("q_source_json_multiline",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "json_multiline")
+      loadOnceJvm(spark, sfDir, "json_multiline") {
+        val rows = Tables.read(spark, sfDir, "nation")
+          .orderBy($"n_nationkey").collect()
+        val body = rows.map { r =>
+          s"""  {
+             |    "n_nationkey": ${r.getInt(0)},
+             |    "meta": {
+             |      "name": "${r.getString(1)}",
+             |      "region": ${r.getInt(2)}
+             |    }
+             |  }""".stripMargin
+        }.mkString("[\n", ",\n", "\n]\n")
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.writeString(p.resolve("nations.json"), body)
+      }
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("meta", StructType(Seq(
+          StructField("name", StringType),
+          StructField("region", IntegerType))))))
+      spark.read.option("multiLine", "true").schema(schema)
+        .json(s"$dir/nations.json")
+        .select($"n_nationkey", $"meta.name".as("n_name"),
+          $"meta.region".as("n_regionkey"))
+        .orderBy($"n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+           |FROM nation ORDER BY n_nationkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1719,5 +1766,5 @@ object Formats {
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
     qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted,
-    qWriteAuditPublish)
+    qWriteAuditPublish, qSourceJsonMultiline)
 }

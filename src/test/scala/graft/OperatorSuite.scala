@@ -2580,4 +2580,30 @@ class OperatorSuite extends AnyFunSuite {
       assert(rows.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
     }
   }
+
+  test("multiline JSON, BPE merges, and multi-agg pivot conserve") {
+    // E222: the pretty-printed array file reads back row-identical to
+    // the nation source of truth. E223: merge candidates are exactly
+    // two chars with descending weights. E224: the three cnt columns
+    // partition the orders table.
+    val mj = graft.sources.Formats.qSourceJsonMultiline.fn(spark, sf)
+      .collect()
+    val nat = Tables.read(spark, sf, "nation")
+      .orderBy($"n_nationkey").collect()
+    assert(mj.length === nat.length)
+    assert(mj.map(_.getString(1)).toSeq ===
+      nat.map(_.getString(1)).toSeq)
+    val bpe = graft.queries.Corpus.qBpeMergeStep.fn(spark, sf)
+      .collect()
+    assert(bpe.length === 10)
+    assert(bpe.forall(_.getString(0).length === 2))
+    bpe.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1))
+    }
+    val pv = graft.queries.Metrics.qPivotMultiAgg.fn(spark, sf)
+      .collect()
+    val totalCnt = pv.map(r =>
+      r.getLong(2) + r.getLong(4) + r.getLong(6)).sum
+    assert(totalCnt === Tables.read(spark, sf, "orders").count())
+  }
 }

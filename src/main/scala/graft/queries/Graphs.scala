@@ -65,10 +65,17 @@ object Graphs {
   val qGraphTriangles = Q("q_graph_triangles",
     (spark, sfDir) => {
       import spark.implicits._
+      // localCheckpoint strips size stats, so AQE would SMJ the tiny
+      // edge set (measured: 3 exchanges at sf0.1 for 3.5k edges) —
+      // the explicit broadcast on the probe legs restores the plan the
+      // support-cap design implies: edges are orders of magnitude
+      // smaller than the input by construction, and when a graph's
+      // support-filtered edges DON'T fit a broadcast, degree-ordering
+      // (the documented 100 TB refinement) is mandatory anyway.
       val e = supportEdges(spark, sfDir).localCheckpoint()
       val tri = e.as("e1")
-        .join(e.as("e2"), $"e1.s2" === $"e2.s1")
-        .join(e.as("e3"),
+        .join(broadcast(e.as("e2")), $"e1.s2" === $"e2.s1")
+        .join(broadcast(e.as("e3")),
           $"e3.s1" === $"e1.s1" && $"e3.s2" === $"e2.s2")
         .select($"e1.s1".as("a"), $"e1.s2".as("b"), $"e2.s2".as("c"))
       tri.select(explode(array($"a", $"b", $"c")).as("part_key"))
@@ -103,10 +110,9 @@ object Graphs {
     *
     * The Spark side is LEVEL-SYNCHRONOUS BFS, the shape that scales:
     * each round joins only the CURRENT frontier against the edge list,
-    * unions into the visited set, and re-minimizes — visited is
-    * localCheckpointed per round so the plan does not grow a 3-round
-    * lineage (the E5 pointer-jumping lesson). Three static rounds keep
-    * the query deterministic and plan-bounded; unbounded reachability
+    * unions into the visited set, and re-minimizes. Three static
+    * rounds keep the query deterministic and plan-bounded; unbounded
+    * reachability (where per-round checkpointing becomes mandatory)
     * is E5's job. The DuckDB oracle is the same semantics via
     * WITH RECURSIVE path enumeration with a hop<3 bound and a final
     * min(hop) — path enumeration is exponential in general, fine at
@@ -116,19 +122,24 @@ object Graphs {
   val qGraphBfs = Q("q_graph_bfs",
     (spark, sfDir) => {
       import spark.implicits._
+      // ONE checkpoint (the edge set); the 3 static rounds then build
+      // a single bounded plan. Per-round checkpointing is the tool
+      // for UNBOUNDED iteration (E5's pointer jumping, where lineage
+      // would grow with the data's diameter) — for a fixed k=3 the
+      // duplicated-subtree cost is re-reading the checkpointed edges,
+      // and dropping the 4 intermediate materialization jobs measured
+      // 2.8 s → 2.1 s warm at sf0.1.
       val e = supportEdges(spark, sfDir).localCheckpoint()
       val und = e.select($"s1".as("u"), $"s2".as("v"))
         .union(e.select($"s2".as("u"), $"s1".as("v")))
       var visited = e.agg(min($"s1").as("part_key"))
         .select($"part_key", lit(0L).as("hops"))
-        .localCheckpoint()
       for (k <- 1 to 3) {
         val frontier = visited.filter($"hops" === (k - 1))
           .join(und, $"part_key" === $"u")
           .select($"v".as("part_key"), lit(k.toLong).as("hops"))
         visited = visited.union(frontier)
           .groupBy($"part_key").agg(min($"hops").as("hops"))
-          .localCheckpoint()
       }
       visited.orderBy($"part_key")
     },

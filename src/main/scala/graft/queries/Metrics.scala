@@ -1493,6 +1493,56 @@ object Metrics {
            |FROM orders GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** E226: **modern-SQL sugar surface** — the two conveniences an
+    * analyst's first migrated query hits: an inline `VALUES` table
+    * (the ad-hoc mapping nobody wants to persist — here a
+    * segment→tier map joined straight into the aggregate) and
+    * star-minus projection (`SELECT * EXCEPT(...)` in Spark; the
+    * oracle mirrors it with DuckDB's `* EXCLUDE` spelling — same
+    * feature, different keyword, exactly the migration footgun worth
+    * pinning). The broadcast of the 5-row VALUES relation is
+    * automatic. */
+  val qSqlSugar = Q("q_sql_sugar",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val vc = s"sugar_customer_$tag"
+      Tables.read(spark, sfDir, "customer").createOrReplaceTempView(vc)
+      try {
+        spark.sql(
+          s"""SELECT * EXCEPT (helper)
+             |FROM (
+             |  SELECT t.tier, count(*) AS n_customers,
+             |    CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2)
+             |      AS DECIMAL(18,2)) AS total_bal,
+             |    'drop-me' AS helper
+             |  FROM $vc c
+             |  JOIN (VALUES ('BUILDING', 'b2b'), ('MACHINERY', 'b2b'),
+             |               ('AUTOMOBILE', 'b2c'), ('HOUSEHOLD', 'b2c'),
+             |               ('FURNITURE', 'b2c')) AS t(seg, tier)
+             |    ON c.c_mktsegment = t.seg
+             |  GROUP BY t.tier
+             |)
+             |ORDER BY tier""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(vc)
+        ()
+      }
+    },
+    Some("""SELECT * EXCLUDE (helper)
+           |FROM (
+           |  SELECT t.tier, count(*) AS n_customers,
+           |    CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2)
+           |      AS DECIMAL(18,2)) AS total_bal,
+           |    'drop-me' AS helper
+           |  FROM customer c
+           |  JOIN (VALUES ('BUILDING', 'b2b'), ('MACHINERY', 'b2b'),
+           |               ('AUTOMOBILE', 'b2c'), ('HOUSEHOLD', 'b2c'),
+           |               ('FURNITURE', 'b2c')) AS t(seg, tier)
+           |    ON c.c_mktsegment = t.seg
+           |  GROUP BY t.tier
+           |)
+           |ORDER BY tier""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1501,5 +1551,5 @@ object Metrics {
     qTwap, qOhlcBars, qBusinessDays, qJsDivergence,
     qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge,
     qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences,
-    qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg)
+    qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar)
 }

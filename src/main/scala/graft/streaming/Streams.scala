@@ -907,10 +907,68 @@ object Streams {
            |       TRUE AS saw_data_batch
            |FROM events""".stripMargin))
 
+  /** E225: **streaming KMV distinct sketch** — the custom
+    * [[graft.functions.KmvSketchAgg]] `TypedImperativeAggregate`
+    * running UNDER Structured Streaming: per-source sketches of
+    * document content hashes in a complete-mode aggregation, buffer
+    * bytes carried in the state store across micro-batches (the
+    * serialize/merge path a custom aggregate must get right for
+    * streaming, exercised here on top of E210's batch oracle
+    * machinery). Because a KMV's state is deterministic, the
+    * streaming result is hash-checked against the SAME exact SQL the
+    * batch query uses — a streaming query with a bit-exact oracle,
+    * which none of the library-backed sketches (E44/E51/E61) can
+    * offer. */
+  val qStreamKmv = Q("q_stream_kmv",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val s = Tables.readStream(spark, sfDir, "documents")
+        .select($"source",
+          conv(substring(md5($"text".cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          call_function("kmv_sketch_agg", $"h", lit(128)).as("sk"))
+        .select($"source", $"n_docs",
+          call_function("kmv_kept", $"sk").as("n_kept"),
+          round(call_function("kmv_estimate", $"sk"), 2)
+            .as("kmv_estimate"))
+      runToTable(spark, s, "t_kmv", "complete")
+        .orderBy($"source")
+    },
+    Some("""WITH hashed AS (
+           |  SELECT source,
+           |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+           |      AS h
+           |  FROM documents
+           |), counts AS (
+           |  SELECT source, count(*) AS n_docs
+           |  FROM documents GROUP BY source
+           |), dist AS (
+           |  SELECT source, h FROM hashed GROUP BY source, h
+           |), ranked AS (
+           |  SELECT source, h,
+           |    row_number() OVER (PARTITION BY source ORDER BY h)
+           |      AS rn,
+           |    count(*) OVER (PARTITION BY source) AS nd
+           |  FROM dist
+           |), sel AS (
+           |  SELECT source, max(CASE WHEN rn = 128 THEN h END) AS h128,
+           |    max(nd) AS nd
+           |  FROM ranked GROUP BY source
+           |)
+           |SELECT c.source, c.n_docs,
+           |  CAST(least(s.nd, 128) AS INTEGER) AS n_kept,
+           |  round(CASE WHEN s.nd < 128 THEN CAST(s.nd AS DOUBLE)
+           |    ELSE 127.0 * power(2, 60) / CAST(s.h128 AS DOUBLE)
+           |    END, 2) AS kmv_estimate
+           |FROM counts c JOIN sel s ON c.source = s.source
+           |ORDER BY c.source""".stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
     qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
     qStreamJoinOuter,
     qStreamJoinFull, qStreamAvailableNow, qStreamFileSink,
-    qStreamQuantile, qStreamListener)
+    qStreamQuantile, qStreamListener, qStreamKmv)
 }

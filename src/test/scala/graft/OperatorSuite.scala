@@ -2606,4 +2606,20 @@ class OperatorSuite extends AnyFunSuite {
       r.getLong(2) + r.getLong(4) + r.getLong(6)).sum
     assert(totalCnt === Tables.read(spark, sf, "orders").count())
   }
+
+  test("streaming KMV equals the batch sketch per source, bit-exact") {
+    // E225 ↔ E210 (§5.2.6 streaming↔batch equivalence): the custom
+    // aggregate's serialize/merge path through the state store must
+    // land on the SAME deterministic sketch state the batch path
+    // builds — per-source rows identical including the estimate.
+    val streamRows = Streams.qStreamKmv.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).sortBy(_._1)
+    val batchRows = graft.queries.Metrics.qAggKmvMerge.fn(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+      .filter(_._1 != "ALL").sortBy(_._1)
+    assert(streamRows.toSeq === batchRows.toSeq)
+  }
 }

@@ -3117,6 +3117,120 @@ object LLMOps {
             |       round(dup_frac, 6) AS dup_frac
             |FROM capped WHERE rn <= 5 ORDER BY doc_id""".stripMargin))
 
+  /** E227: **MinHash accuracy audit** — does the sketch actually
+    * estimate what it claims? For every LSH candidate pair, the
+    * 8-band signature agreement fraction (each one-hash band minimum
+    * matches with probability ≈ J) is compared against EXACT bigram
+    * Jaccard, rolled up per exact-Jaccard decile: pair counts, mean
+    * estimate, mean exact, and mean absolute error — the
+    * sketch-quality readout a dedup pipeline consults before trusting
+    * E X2's thresholds. The audit is engine-exact end to end: both
+    * similarities live in integer MICRO-UNITS (estimate = matches ×
+    * 125000; exact = ⌊10⁶·c/(n1+n2−c)⌋ by integer floor division —
+    * never a rounded double), so per-decile sums are order-free and
+    * the only doubles are the three output-edge divisions. Candidate
+    * generation mirrors X2's capped buckets; the shingle/band tables
+    * are the memoized ones the dedup family already shares. */
+  val qMinhashAccuracy = Q("q_minhash_accuracy",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val bands = minhashBands(spark, sfDir)
+      val hot = bands.groupBy($"band", $"mv")
+        .agg(count(lit(1)).as("bn")).filter($"bn" > 50)
+        .select($"band", $"mv")
+      val kept = bands.join(hot, Seq("band", "mv"), "left_anti")
+      val cand = kept.as("a")
+        .join(kept.as("b"), $"a.band" === $"b.band" &&
+          $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      val matches = cand
+        .join(bands.as("x"), $"d1" === $"x.doc_id")
+        .join(bands.as("y"),
+          $"d2" === $"y.doc_id" && $"x.band" === $"y.band")
+        .groupBy($"d1", $"d2")
+        .agg(sum(($"x.mv" === $"y.mv").cast("long")).as("n_match"))
+      val sh = shingles(spark, sfDir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = cand.join(sh.as("p"), $"d1" === $"p.doc_id")
+        .join(sh.as("q"), $"d2" === $"q.doc_id" && $"p.s" === $"q.s")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("c"))
+      val scored = matches
+        .join(common, Seq("d1", "d2"), "left")
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")),
+          Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")),
+          Seq("d2"))
+        .withColumn("c0", coalesce($"c", lit(0L)))
+        .select($"n_match",
+          ($"n_match" * 125000L).as("je_mic"),
+          expr("(1000000 * c0) div (n1 + n2 - c0)").as("jx_mic"))
+      scored
+        .withColumn("decile", ($"jx_mic" / 100000L).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum($"je_mic").cast("double") /
+            (count(lit(1)) * 1000000L).cast("double"), 6)
+            .as("mean_est"),
+          round(sum($"jx_mic").cast("double") /
+            (count(lit(1)) * 1000000L).cast("double"), 6)
+            .as("mean_exact"),
+          round(sum(abs($"je_mic" - $"jx_mic")).cast("double") /
+            (count(lit(1)) * 1000000L).cast("double"), 6).as("mae"))
+        .orderBy($"decile")
+    },
+    Some(s"""WITH $shCte, hs AS (
+            |  SELECT doc_id, s, ${charFoldSql("s")} AS h FROM sh
+            |), bm AS (
+            |  SELECT doc_id, band,
+            |         min(((band*31 + 7) * h + band*97 + 13) % $P) AS mv
+            |  FROM hs, (SELECT unnest(range(0, 8)) AS band) b
+            |  GROUP BY 1, 2
+            |), kept AS (
+            |  SELECT bm.* FROM bm
+            |  JOIN (SELECT band, mv FROM bm GROUP BY 1, 2
+            |        HAVING count(*) BETWEEN 2 AND 50) ok
+            |    USING (band, mv)
+            |), cand AS (
+            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM kept a JOIN kept b
+            |    ON a.band = b.band AND a.mv = b.mv
+            |   AND a.doc_id < b.doc_id
+            |), matches AS (
+            |  SELECT d1, d2,
+            |    sum(CASE WHEN x.mv = y.mv THEN 1 ELSE 0 END)
+            |      AS n_match
+            |  FROM cand
+            |  JOIN bm x ON x.doc_id = d1
+            |  JOIN bm y ON y.doc_id = d2 AND y.band = x.band
+            |  GROUP BY 1, 2
+            |), sizes AS (
+            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            |), common AS (
+            |  SELECT d1, d2, count(*) AS c
+            |  FROM cand
+            |  JOIN sh p ON p.doc_id = d1
+            |  JOIN sh q ON q.doc_id = d2 AND q.s = p.s
+            |  GROUP BY 1, 2
+            |), scored AS (
+            |  SELECT m.n_match * 125000 AS je_mic,
+            |    (1000000 * coalesce(c.c, 0))
+            |      // (s1.n + s2.n - coalesce(c.c, 0)) AS jx_mic
+            |  FROM matches m
+            |  LEFT JOIN common c ON c.d1 = m.d1 AND c.d2 = m.d2
+            |  JOIN sizes s1 ON s1.doc_id = m.d1
+            |  JOIN sizes s2 ON s2.doc_id = m.d2
+            |)
+            |SELECT CAST(jx_mic // 100000 AS BIGINT) AS decile,
+            |  count(*) AS n_pairs,
+            |  round(CAST(sum(je_mic) AS DOUBLE) /
+            |    CAST(count(*) * 1000000 AS DOUBLE), 6) AS mean_est,
+            |  round(CAST(sum(jx_mic) AS DOUBLE) /
+            |    CAST(count(*) * 1000000 AS DOUBLE), 6) AS mean_exact,
+            |  round(CAST(sum(abs(je_mic - jx_mic)) AS DOUBLE) /
+            |    CAST(count(*) * 1000000 AS DOUBLE), 6) AS mae
+            |FROM scored GROUP BY 1 ORDER BY decile""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupIncremental, qDedupMinhash,
     qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupCanonical, qDedupEmbed,
@@ -3139,5 +3253,5 @@ object LLMOps {
     qSampleSystematic, qDedupRateBySource, qLengthProfile,
     qPackSequences, qUdfNorm,
     qUdafCentroid,
-    qPipelineCorpus, qPipelineIngest)
+    qPipelineCorpus, qPipelineIngest, qMinhashAccuracy)
 }

@@ -1543,6 +1543,61 @@ object Metrics {
            |)
            |ORDER BY tier""".stripMargin))
 
+  /** E228: **rolling OLS slope** — the 7-day trailing trend of daily
+    * event counts, the "which way is this metric heading" signal
+    * monitoring overlays on every chart (the windowed sibling of the
+    * global regression aggregates E-regr and the level-based rolling
+    * anomaly E175). Fully integer until the edge: day index x =
+    * days-since-first-day, and all four frame sums (Σx, Σy, Σxy, Σx²)
+    * accumulate over the 7-row window as DECIMAL(38,0)/HUGEINT, so
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one double division,
+    * rounded 6dp, per full window. */
+  val qRollingSlope = Q("q_rolling_slope",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val frame = Window.orderBy($"d").rowsBetween(-6, 0)
+      Tables.read(spark, sfDir, "events")
+        .groupBy(to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x",
+          datediff($"d", min($"d").over(tot)).cast("decimal(38,0)"))
+        .withColumn("yy", $"y".cast("decimal(38,0)"))
+        .withColumn("nw", count(lit(1)).over(frame))
+        .withColumn("sx", sum($"x").over(frame))
+        .withColumn("sy", sum($"yy").over(frame))
+        .withColumn("sxy", sum($"x" * $"yy").over(frame))
+        .withColumn("sx2", sum($"x" * $"x").over(frame))
+        .filter($"nw" === 7)
+        .select($"d", $"y",
+          round((lit(7) * $"sxy" - $"sx" * $"sy").cast("double") /
+            (lit(7) * $"sx2" - $"sx" * $"sx").cast("double"), 6)
+            .as("slope_7d"))
+        .orderBy($"d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    count(*) AS y
+           |  FROM events GROUP BY 1
+           |), indexed AS (
+           |  SELECT d, y,
+           |    CAST(d - min(d) OVER () AS HUGEINT) AS x,
+           |    CAST(y AS HUGEINT) AS yy
+           |  FROM daily
+           |), framed AS (
+           |  SELECT d, y,
+           |    count(*) OVER w AS nw,
+           |    sum(x) OVER w AS sx, sum(yy) OVER w AS sy,
+           |    sum(x * yy) OVER w AS sxy, sum(x * x) OVER w AS sx2
+           |  FROM indexed
+           |  WINDOW w AS (ORDER BY d
+           |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |)
+           |SELECT d, y,
+           |  round(CAST(7 * sxy - sx * sy AS DOUBLE) /
+           |    CAST(7 * sx2 - sx * sx AS DOUBLE), 6) AS slope_7d
+           |FROM framed WHERE nw = 7 ORDER BY d""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1551,5 +1606,6 @@ object Metrics {
     qTwap, qOhlcBars, qBusinessDays, qJsDivergence,
     qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge,
     qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences,
-    qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar)
+    qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar,
+    qRollingSlope)
 }

@@ -2622,4 +2622,25 @@ class OperatorSuite extends AnyFunSuite {
       .filter(_._1 != "ALL").sortBy(_._1)
     assert(streamRows.toSeq === batchRows.toSeq)
   }
+
+  test("minhash accuracy audit bounded; rolling slope full-window only") {
+    // E227: both similarity means and the MAE live in [0,1], deciles
+    // in [0,10], and the audit must actually have candidate pairs at
+    // sf0.001 (the dense fixture). E228: exactly days−6 slopes, all
+    // finite.
+    val audit = LLMOps.qMinhashAccuracy.fn(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 10)
+      assert(r.getLong(1) > 0)
+      Seq(2, 3, 4).foreach(i =>
+        assert(r.getDouble(i) >= 0 && r.getDouble(i) <= 1))
+    }
+    val slopes = graft.queries.Metrics.qRollingSlope.fn(spark, sf)
+      .collect()
+    val nDays = Tables.read(spark, sf, "events")
+      .select(to_date($"ts")).distinct().count()
+    assert(slopes.length === nDays - 6)
+    slopes.foreach(r => assert(!r.getDouble(2).isNaN))
+  }
 }

@@ -179,4 +179,40 @@ object HashProps extends Properties("graft") {
         .forall { case (x, y) => x == y }
       range && symmetric && identity && enginesAgree
     }
+
+  property("business-day closed form equals the brute-force day walk") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(-8000, 20000), Gen.choose(-8000, 20000)))) {
+      spans =>
+        // the E204 arithmetic on days-since-Monday-1990-01-01, in
+        // pure Scala: f(d) = 5·⌊d/7⌋ + min(d mod 7, 5), Euclidean
+        def pmod(a: Long, m: Long) = ((a % m) + m) % m
+        def f(d: Long) = 5L * ((d - pmod(d, 7)) / 7) + math.min(pmod(d, 7), 5)
+        // brute force: count Mon–Fri days in [lo, hi), signed
+        def brute(d0: Long, d1: Long): Long = {
+          val (lo, hi) = (math.min(d0, d1), math.max(d0, d1))
+          val n = (lo until hi).count(d => pmod(d, 7) < 5).toLong
+          if (d1 >= d0) n else -n
+        }
+        spans.forall { case (a, b) =>
+          f(b.toLong) - f(a.toLong) == brute(a.toLong, b.toLong)
+        }
+    }
+
+  property("KMV: under-full is exact, full sketch lands near truth") =
+    forAll(Gen.choose(1, 4000), Gen.choose(1L, Long.MaxValue)) {
+      (n, seed) =>
+        import graft.functions.KmvBuffer
+        // deterministic pseudo-uniform 60-bit hashes from the seed
+        var x = seed | 1L
+        val vals = Array.fill(n) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          x & ((1L << 60) - 1)
+        }.distinct
+        val buf = new KmvBuffer(128)
+        vals.foreach(buf.add)
+        val est = KmvBuffer.estimate(buf.serialize())
+        if (vals.length < 128) est == vals.length.toDouble
+        else math.abs(est - vals.length) / vals.length < 0.8
+    }
 }

@@ -2643,4 +2643,17 @@ class OperatorSuite extends AnyFunSuite {
     assert(slopes.length === nDays - 6)
     slopes.foreach(r => assert(!r.getDouble(2).isNaN))
   }
+
+  test("seasonal decomposition reconstructs y exactly per row") {
+    // E220's defining identity: y = trend + seasonal + residual holds
+    // ROW-WISE by construction (residual is defined as the difference
+    // of the same doubles) — any drift means the components were
+    // computed from different frames.
+    graft.queries.Metrics.qSeasonalDecompose.fn(spark, sf).collect()
+      .foreach { r =>
+        val y = r.getLong(1).toDouble
+        val sum = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+        assert(math.abs(y - sum) < 1e-9, s"identity broke: $y vs $sum")
+      }
+  }
 }

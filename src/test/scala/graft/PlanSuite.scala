@@ -724,6 +724,25 @@ class PlanSuite extends AnyFunSuite {
       s"residual ts predicate must still reach the scan:\n$p")
   }
 
+  test("bottom-k shapes plan as TakeOrderedAndProject, not global sort") {
+    // E214/E206: the k-smallest-hash family must stay a per-partition
+    // top-k + driver merge — a full Sort+Limit would serialize the
+    // scan at 100 TB.
+    assert(plan("q_sample_bottomk").contains("TakeOrderedAndProject"))
+    assert(plan("q_agg_kmv_distinct").contains("TakeOrderedAndProject"))
+  }
+
+  test("triangle wedges broadcast; no sort-merge join on the edge set") {
+    // E192 after the round-12 tuning: localCheckpoint strips stats,
+    // so without the explicit hints AQE SMJ'd the 3.5k-row edge set
+    // through three exchanges (measured) — the wedge legs must stay
+    // BroadcastHashJoin.
+    val p = plan("q_graph_triangles")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"edge wedge join regressed to SMJ:\n$p")
+  }
+
   test("generator bigrams: custom Generate node, no pre-agg window") {
     // E221's reason to exist: the pairs form inside GenerateExec
     // (text_bigrams), so the plan must show the custom generator and

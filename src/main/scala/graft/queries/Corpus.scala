@@ -320,6 +320,66 @@ object Corpus {
            |FROM paired GROUP BY pair
            |ORDER BY n DESC, pair LIMIT 10""".stripMargin))
 
+  /** E229: **temperature-scaled mixture sampling** — the multilingual-
+    * corpus balancing rule: sample source s with probability ∝ cₛ^α
+    * (α = 0.7 here, the standard up-weighting of small sources that
+    * pure proportional sampling starves and uniform sampling
+    * over-trusts). Per-source targets come from one dimension-sized
+    * aggregate (counts → powered weights → normalized share of the
+    * 200-doc budget); the row-level keep decision is the sampling
+    * family's portable Knuth-spread hash against rate·2³¹ — no
+    * rand(), so the sample is deterministic under retries and
+    * reproducible by the oracle. Output: per-source planned target vs
+    * realized draw (the hash-threshold binomial), the telemetry a
+    * mixture build reports. One fact pass + a broadcast of the
+    * 20-row rate table. */
+  val qSampleTemperature = Q("q_sample_temperature",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val rates = Tables.read(spark, sfDir, "documents")
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", pow($"n_docs".cast("double"), 0.7))
+        .withColumn("target",
+          lit(200.0) * $"w" / sum($"w").over(tot))
+        .withColumn("rate",
+          least(lit(1.0), $"target" / $"n_docs".cast("double")))
+      val picked = Tables.read(spark, sfDir, "documents")
+        .join(broadcast(rates), Seq("source"))
+        .filter(graft.queries.LLMOps.knuthSpread($"doc_id")
+          .cast("double") < $"rate" * 2147483648.0)
+        .groupBy($"source").agg(count(lit(1)).as("n_sampled"))
+      rates.join(picked, Seq("source"), "left")
+        .select($"source", $"n_docs", round($"w", 6).as("weight"),
+          round($"target", 6).as("target"),
+          coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+        .orderBy($"source")
+    },
+    Some("""WITH counts AS (
+           |  SELECT source, count(*) AS n_docs
+           |  FROM documents GROUP BY source
+           |), rates AS (
+           |  SELECT source, n_docs,
+           |    pow(CAST(n_docs AS DOUBLE), 0.7) AS w,
+           |    200.0 * pow(CAST(n_docs AS DOUBLE), 0.7) /
+           |      sum(pow(CAST(n_docs AS DOUBLE), 0.7)) OVER ()
+           |      AS target
+           |  FROM counts
+           |), picked AS (
+           |  SELECT d.source, count(*) AS n_sampled
+           |  FROM documents d JOIN rates r ON d.source = r.source
+           |  WHERE CAST(((d.doc_id % 2147483648 + 2147483648)
+           |      % 2147483648) * 2654435761 % 2147483648 AS DOUBLE)
+           |    < least(1.0, r.target / CAST(r.n_docs AS DOUBLE))
+           |      * 2147483648.0
+           |  GROUP BY d.source
+           |)
+           |SELECT r.source, r.n_docs, round(r.w, 6) AS weight,
+           |  round(r.target, 6) AS target,
+           |  coalesce(p.n_sampled, 0) AS n_sampled
+           |FROM rates r LEFT JOIN picked p ON r.source = p.source
+           |ORDER BY r.source""".stripMargin))
+
   val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
-    qEmbedSeparation, qGenBigrams, qBpeMergeStep)
+    qEmbedSeparation, qGenBigrams, qBpeMergeStep, qSampleTemperature)
 }

@@ -2644,6 +2644,23 @@ class OperatorSuite extends AnyFunSuite {
     slopes.foreach(r => assert(!r.getDouble(2).isNaN))
   }
 
+  test("temperature sampling: targets budget, small sources favored") {
+    // E229: Σ targets = the 200-doc budget; the keep RATE
+    // min(1, target/c) is non-increasing in source size (α<1 favors
+    // small sources — the point of temperature scaling); draws never
+    // exceed the source.
+    val rows = graft.queries.Corpus.qSampleTemperature.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(math.abs(rows.map(_._2).sum - 200.0) < 1e-3)
+    rows.foreach { case (n, _, s) => assert(s <= n) }
+    val bySize = rows.sortBy(_._1)
+    bySize.sliding(2).foreach { case Array(a, b) =>
+      val (ra, rb) = (math.min(1.0, a._2 / a._1), math.min(1.0, b._2 / b._1))
+      assert(ra >= rb - 1e-9, s"rate must not grow with size: $a $b")
+    }
+  }
+
   test("seasonal decomposition reconstructs y exactly per row") {
     // E220's defining identity: y = trend + seasonal + residual holds
     // ROW-WISE by construction (residual is defined as the difference

@@ -1598,6 +1598,86 @@ object Metrics {
            |    CAST(7 * sx2 - sx * sx AS DOUBLE), 6) AS slope_7d
            |FROM framed WHERE nw = 7 ORDER BY d""".stripMargin))
 
+  /** E230: **aggregate-modifier surface** — the three SQL-standard
+    * aggregate decorations the CASE-WHEN house style (A4) does not
+    * exercise as SYNTAX: the `FILTER (WHERE ...)` clause, `count_if`,
+    * and DISTINCT-modified aggregates (`sum(DISTINCT ...)` on an
+    * exact DECIMAL so dedup-then-sum is order-free). Both engines
+    * parse all three (probed before writing) — the row pins that a
+    * query written in this idiom migrates verbatim. */
+  val qSqlAggModifiers = Q("q_sql_agg_modifiers",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val v = s"mods_events_$tag"
+      Tables.read(spark, sfDir, "events").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT event_type,
+             |  count_if(value > 100.0) AS n_high,
+             |  count(*) FILTER (WHERE value < 10.0) AS n_low,
+             |  count(DISTINCT user_id) FILTER (WHERE value > 100.0)
+             |    AS n_high_users,
+             |  CAST(sum(DISTINCT CAST(value AS DECIMAL(18,6)))
+             |    AS DECIMAL(38,6)) AS sum_distinct_values
+             |FROM $v
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""SELECT event_type,
+           |  count_if(value > 100.0) AS n_high,
+           |  count(*) FILTER (WHERE value < 10.0) AS n_low,
+           |  count(DISTINCT user_id) FILTER (WHERE value > 100.0)
+           |    AS n_high_users,
+           |  CAST(sum(DISTINCT CAST(value AS DECIMAL(18,6)))
+           |    AS DECIMAL(38,6)) AS sum_distinct_values
+           |FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** E231: **interval RANGE frame** — the time-based sliding window
+    * that needs no resampling: per customer, each order's trailing
+    * 30-day spend via `RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND
+    * CURRENT ROW` over the order DATE (value-based peers, so same-day
+    * orders aggregate together regardless of row order — the exact
+    * semantic difference from E8's numeric RANGE and W3's ROWS
+    * frames). Spend stays DECIMAL(18,2); the frame sum is exact. The
+    * output tiebreak orders by (custkey, date, orderkey) — the frame
+    * itself is insensitive to the tiebreak by construction, which is
+    * the property that makes interval frames retry-safe. */
+  val qWindowRangeInterval = Q("q_window_range_interval",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val v = s"ri_orders_$tag"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             |  o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    OVER (PARTITION BY o_custkey
+             |      ORDER BY CAST(o_orderdate AS DATE)
+             |      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+             |        AND CURRENT ROW) AS DECIMAL(38,2))
+             |    AS spend_30d
+             |FROM $v
+             |ORDER BY o_custkey, d, o_orderkey""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           |  o_orderkey,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           |    OVER (PARTITION BY o_custkey
+           |      ORDER BY CAST(o_orderdate AS DATE)
+           |      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+           |        AND CURRENT ROW) AS DECIMAL(38,2)) AS spend_30d
+           |FROM orders
+           |ORDER BY o_custkey, d, o_orderkey""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1607,5 +1687,5 @@ object Metrics {
     qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge,
     qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences,
     qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar,
-    qRollingSlope)
+    qRollingSlope, qSqlAggModifiers, qWindowRangeInterval)
 }

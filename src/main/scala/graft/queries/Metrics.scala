@@ -1678,6 +1678,38 @@ object Metrics {
            |FROM orders
            |ORDER BY o_custkey, d, o_orderkey""".stripMargin))
 
+  /** E232: **equi-depth histogram** — decile boundaries of order value
+    * where every bin holds the same row count (±1), the histogram
+    * query optimizers and skew diagnostics actually want (the
+    * equi-WIDTH profiler E41 shows shape; equi-depth shows
+    * QUANTILES): ntile over the total order (price, orderkey) bins
+    * deterministically, then one rollup per bin for [lo, hi] and the
+    * count. Price stays DECIMAL(18,2); no doubles anywhere. The
+    * global ntile sort is the honest exact cost — the KLL sketch
+    * (E61) is the recorded approximate path at 100 TB. */
+  val qHistogramEquiDepth = Q("q_histogram_equi_depth",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_totalprice".cast("decimal(18,2)").as("v"),
+          $"o_orderkey")
+        .withColumn("bin",
+          ntile(10).over(Window.orderBy($"v", $"o_orderkey")))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), min($"v").as("lo"),
+          max($"v").as("hi"))
+        .orderBy($"bin")
+    },
+    Some("""WITH binned AS (
+           |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+           |    ntile(10) OVER (ORDER BY
+           |      CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+           |      AS bin
+           |  FROM orders
+           |)
+           |SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi
+           |FROM binned GROUP BY bin ORDER BY bin""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1687,5 +1719,6 @@ object Metrics {
     qAggKmvDistinct, qArraySetops, qRunsTest, qQqMap, qAggKmvMerge,
     qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences,
     qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar,
-    qRollingSlope, qSqlAggModifiers, qWindowRangeInterval)
+    qRollingSlope, qSqlAggModifiers, qWindowRangeInterval,
+    qHistogramEquiDepth)
 }

@@ -1710,6 +1710,59 @@ object Metrics {
            |SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi
            |FROM binned GROUP BY bin ORDER BY bin""".stripMargin))
 
+  /** Row shape for the typed pipeline (E233) — top-level so the
+    * product Encoder derives once. */
+  final case class Ord(key: Long, cust: Long, status: String,
+      price: Double)
+
+  /** E233: **typed Dataset pipeline** — the Dataset[T] surface done
+    * honestly: `as[Ord]` with a derived product encoder, a typed
+    * lambda filter, and `groupByKey(...).mapGroups` whose per-group
+    * fold accumulates BigDecimal CENTS (exact, so the fold is
+    * iteration-order-free — the one discipline that makes mapGroups
+    * deterministic; a Double accumulator here would hash-diverge
+    * between runs). The scaladoc records the trade the DataFrame
+    * house style avoids: typed lambdas are opaque to Catalyst (the
+    * price filter does NOT push to the parquet scan, and the
+    * deserialization boundary shows in the plan), which is exactly
+    * why only this surface row uses them — type safety where wanted,
+    * with the cost stated, matching the X6/X7 UDF/UDAF convention. */
+  val qTypedPipeline = Q("q_typed_pipeline",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ds = Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey".as("key"), $"o_custkey".as("cust"),
+          $"o_orderstatus".as("status"),
+          $"o_totalprice".as("price"))
+        .as[Ord]
+      ds.filter(o => o.price > 1000.0)
+        .groupByKey(_.status)
+        .mapGroups { (status, it) =>
+          var n = 0L
+          var cents = BigInt(0)
+          var custs = Set.empty[Long]
+          it.foreach { o =>
+            n += 1
+            cents += BigDecimal(o.price)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .*(100).toBigInt
+            custs += o.cust
+          }
+          (status, n, custs.size.toLong,
+            (BigDecimal(cents) / 100).setScale(2).toString)
+        }
+        .toDF("status", "n_orders", "n_customers", "revenue")
+        .select($"status", $"n_orders", $"n_customers",
+          $"revenue".cast("decimal(18,2)").as("revenue"))
+        .orderBy($"status")
+    },
+    Some("""SELECT o_orderstatus AS status, count(*) AS n_orders,
+           |  count(DISTINCT o_custkey) AS n_customers,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           |    AS DECIMAL(18,2)) AS revenue
+           |FROM orders WHERE o_totalprice > 1000.0
+           |GROUP BY o_orderstatus ORDER BY status""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1720,5 +1773,5 @@ object Metrics {
     qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences,
     qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar,
     qRollingSlope, qSqlAggModifiers, qWindowRangeInterval,
-    qHistogramEquiDepth)
+    qHistogramEquiDepth, qTypedPipeline)
 }

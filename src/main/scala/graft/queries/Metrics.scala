@@ -1763,6 +1763,172 @@ object Metrics {
            |FROM orders WHERE o_totalprice > 1000.0
            |GROUP BY o_orderstatus ORDER BY status""".stripMargin))
 
+  /** E234: **log-return volatility** — the dispersion of day-over-day
+    * log returns of daily revenue, the risk/stability metric that
+    * complements drawdown (E146) and EWMA (E139): rₜ = ln(yₜ/yₜ₋₁)
+    * from exact DECIMAL daily sums (the ratio is one double division
+    * of identical decimals, then one ln — the all-round log-parity
+    * precedent), and the sample stddev comes from Σr and Σr² of those
+    * identical doubles in one aggregate. Output also reports the
+    * worst single-day log drop and its date (deterministic argmin via
+    * the integer-exact min + equality filter). */
+  val qVolatility = Q("q_volatility",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val seqW = Window.orderBy($"d")
+      val daily = Tables.read(spark, sfDir, "orders")
+        .groupBy(to_date($"o_orderdate").as("d"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+        .withColumn("prev", lag($"rev", 1).over(seqW))
+        .filter($"prev".isNotNull)
+        .withColumn("r",
+          log($"rev".cast("double") / $"prev".cast("double")))
+      // returns quantize to integer NANO-units before the moment sums
+      // (Σr and Σr² over ~1700 doubles would be accumulation-order
+      // doubles — the one thing the house discipline forbids); the
+      // quantization is the same round() on identical doubles, so it
+      // is engine-exact, and the ppb loss is far below the 6dp output
+      val tot = Window.partitionBy()
+      daily
+        .withColumn("rn",
+          round($"r" * 1e9, 0).cast("decimal(38,0)"))
+        .withColumn("rmin", min($"rn").over(tot))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("sr", sum($"rn").over(tot))
+        .withColumn("sr2", sum($"rn" * $"rn").over(tot))
+        .filter($"rn" === $"rmin")
+        .agg(max($"n").as("n_returns"),
+          round(sqrt((max($"sr2").cast("double") -
+            max($"sr").cast("double") * max($"sr").cast("double") /
+              max($"n").cast("double")) /
+            (max($"n") - 1).cast("double")) / 1e9, 6)
+            .as("volatility"),
+          round(max($"rmin").cast("double") / 1e9, 6)
+            .as("worst_log_return"),
+          min($"d").as("worst_day"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS d,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           |  FROM orders GROUP BY 1
+           |), rets AS (
+           |  SELECT d,
+           |    CAST(round(ln(CAST(rev AS DOUBLE) /
+           |        CAST(lag(rev) OVER (ORDER BY d) AS DOUBLE)) * 1e9,
+           |      0) AS HUGEINT) AS rn
+           |  FROM daily
+           |  QUALIFY lag(rev) OVER (ORDER BY d) IS NOT NULL
+           |), framed AS (
+           |  SELECT d, rn, min(rn) OVER () AS rmin,
+           |    count(*) OVER () AS n, sum(rn) OVER () AS sr,
+           |    sum(rn * rn) OVER () AS sr2
+           |  FROM rets
+           |)
+           |SELECT CAST(max(n) AS BIGINT) AS n_returns,
+           |  round(sqrt((CAST(max(sr2) AS DOUBLE) -
+           |    CAST(max(sr) AS DOUBLE) * CAST(max(sr) AS DOUBLE) /
+           |      CAST(max(n) AS DOUBLE)) /
+           |    CAST(max(n) - 1 AS DOUBLE)) / 1e9, 6) AS volatility,
+           |  round(CAST(max(rmin) AS DOUBLE) / 1e9, 6)
+           |    AS worst_log_return,
+           |  min(d) AS worst_day
+           |FROM framed WHERE rn = rmin""".stripMargin))
+
+  /** E235: **2D histogram (heatmap grid)** — joint distribution of
+    * order value decile × ISO weekday, the grid every heatmap chart
+    * and independence eyeball-check consumes (the 2D sibling of the
+    * equi-depth histogram E232, and the binned front end the χ²
+    * machinery E148 can then test). The value axis bins by ntile over
+    * the total order (deterministic depth bins); the weekday axis is
+    * the pinned ISO convention (E164). Counts plus each cell's share
+    * of its decile row — integer-exact until the share division. */
+  val qHistogram2d = Q("q_histogram_2d",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_totalprice".cast("decimal(18,2)").as("v"),
+          $"o_orderkey",
+          (weekday(to_date($"o_orderdate")) + 1).cast("int").as("dow"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy($"v", $"o_orderkey")))
+        .groupBy($"decile", $"dow")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_share",
+          round($"n".cast("double") /
+            sum($"n").over(Window.partitionBy($"decile"))
+              .cast("double"), 6))
+        .orderBy($"decile", $"dow")
+    },
+    Some("""WITH binned AS (
+           |  SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+           |    ntile(10) OVER (ORDER BY
+           |      CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+           |      AS decile
+           |  FROM orders
+           |), cells AS (
+           |  SELECT decile, CAST(dow AS INTEGER) AS dow,
+           |    count(*) AS n
+           |  FROM binned GROUP BY 1, 2
+           |)
+           |SELECT decile, dow, n,
+           |  round(CAST(n AS DOUBLE) /
+           |    CAST(sum(n) OVER (PARTITION BY decile) AS DOUBLE), 6)
+           |    AS row_share
+           |FROM cells ORDER BY decile, dow""".stripMargin))
+
+  /** E236: **new vs returning users** — per ISO week, how many active
+    * users are seen for the FIRST time vs returning, the growth
+    * decomposition every weekly report leads with (first-touch
+    * attribution of activity, where retention cohorts E39 follow the
+    * cohort forward instead). First-seen week is one min-window per
+    * user; the weekly rollup is integer-exact with the returning
+    * share divided at the edge. Week keys are the MONDAY DATE of the
+    * week (pure date arithmetic — no week-number/week-year convention
+    * to pin across engines, the sharper form of the E160/E164
+    * lesson). */
+  val qNewVsReturning = Q("q_new_vs_returning",
+    (spark, sfDir) => {
+      import spark.implicits._
+      // week key = the MONDAY date of the week — engine-proof (no
+      // week-number/week-year convention to pin: Spark's date_format
+      // 'Y' and weekofyear follow different week definitions, while
+      // the Monday anchor is pure arithmetic on both engines)
+      val weekly = Tables.read(spark, sfDir, "events")
+        .select($"user_id",
+          date_sub(to_date($"ts"), weekday(to_date($"ts"))).as("wk"))
+        .distinct()
+      weekly
+        .withColumn("first_wk",
+          min($"wk").over(Window.partitionBy($"user_id")))
+        .groupBy($"wk")
+        .agg(count(lit(1)).as("n_active"),
+          sum(($"wk" === $"first_wk").cast("long")).as("n_new"))
+        .select($"wk", $"n_active", $"n_new",
+          ($"n_active" - $"n_new").as("n_returning"),
+          round(($"n_active" - $"n_new").cast("double") /
+            $"n_active".cast("double"), 6).as("returning_share"))
+        .orderBy($"wk")
+    },
+    Some("""WITH weekly AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+           |      AS wk
+           |  FROM events
+           |), flagged AS (
+           |  SELECT wk,
+           |    min(wk) OVER (PARTITION BY user_id) AS first_wk
+           |  FROM weekly
+           |)
+           |SELECT wk, count(*) AS n_active,
+           |  CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_new,
+           |  CAST(count(*) - sum(CASE WHEN wk = first_wk THEN 1
+           |    ELSE 0 END) AS BIGINT) AS n_returning,
+           |  round(CAST(count(*) - sum(CASE WHEN wk = first_wk
+           |      THEN 1 ELSE 0 END) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE), 6) AS returning_share
+           |FROM flagged GROUP BY wk ORDER BY wk""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1773,5 +1939,6 @@ object Metrics {
     qAnomalyMad, qSurvivalKm, qSqlWindowClause, qTukeyFences,
     qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar,
     qRollingSlope, qSqlAggModifiers, qWindowRangeInterval,
-    qHistogramEquiDepth, qTypedPipeline)
+    qHistogramEquiDepth, qTypedPipeline, qVolatility,
+    qHistogram2d, qNewVsReturning)
 }

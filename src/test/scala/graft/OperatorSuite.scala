@@ -2661,6 +2661,32 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("histograms and growth decomposition conserve their inputs") {
+    // E232/E235: equi-depth bins hold n±1 rows and cover all orders;
+    // the 2D grid's cells sum to the order count and each decile's
+    // row shares to 1. E236: new+returning = active per week, and
+    // week 1 is all-new. E234: volatility is positive and finite.
+    val eq = graft.queries.Metrics.qHistogramEquiDepth.fn(spark, sf)
+      .collect()
+    val nOrders = Tables.read(spark, sf, "orders").count()
+    assert(eq.map(_.getLong(1)).sum === nOrders)
+    assert(eq.map(_.getLong(1)).max - eq.map(_.getLong(1)).min <= 1)
+    val grid = graft.queries.Metrics.qHistogram2d.fn(spark, sf)
+      .collect()
+    assert(grid.map(_.getLong(2)).sum === nOrders)
+    grid.groupBy(_.getInt(0)).foreach { case (_, cells) =>
+      assert(math.abs(cells.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    val nvr = graft.queries.Metrics.qNewVsReturning.fn(spark, sf)
+      .collect()
+    nvr.foreach(r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1)))
+    assert(nvr.head.getLong(3) === 0L, "first week must be all-new")
+    val vol = graft.queries.Metrics.qVolatility.fn(spark, sf).head()
+    assert(vol.getDouble(1) > 0 && !vol.getDouble(1).isNaN)
+    assert(vol.getDouble(2) <= 0 || nvr.nonEmpty)
+  }
+
   test("seasonal decomposition reconstructs y exactly per row") {
     // E220's defining identity: y = trend + seasonal + residual holds
     // ROW-WISE by construction (residual is defined as the difference

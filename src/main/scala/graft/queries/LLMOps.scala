@@ -1050,6 +1050,93 @@ object LLMOps {
            |SELECT q_id, neighbor_id, label, cos_sim, rank
            |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
 
+  /** E237: **ANN recall audit** — the third member of the
+    * sketch-accuracy family (MinHash E227, KMV E210): for each of the
+    * 50 probe vectors, how much of the exact brute-force top-3 does
+    * the IVF path (label-cell restriction, the X3 ANN) actually
+    * recover? recall@3 = |ANN∩exact|/3 per probe, with the global
+    * mean — the number an ANN deployment must watch when it tunes
+    * probe counts. Both top-3 sets are deterministic
+    * (cos rounded 6dp, neighbor-id tiebreak), the intersection is an
+    * equi-join on (probe, neighbor), and every division is integer/3
+    * at the edge. The brute side IS the X3 broadcast top-k — the
+    * audit costs one extra 50×500 scored frame, which is the point:
+    * auditing on a sample is cheap insurance. */
+  val qSimAnnRecall = Q("q_sim_ann_recall",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = emb(spark, sfDir)
+        .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+          $"label".as("q_label"), $"nrm".as("qnrm"))
+      def top3(restrictToCell: Boolean) = {
+        val joined =
+          if (restrictToCell)
+            e.join(broadcast(q), $"label" === $"q_label" &&
+              $"vec_id" =!= $"q_id")
+          else
+            e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos_sim".desc, $"neighbor_id")
+        joined
+          .select($"q_id", $"vec_id".as("neighbor_id"),
+            round(Vectors.dot($"qv", $"embedding") /
+              ($"qnrm" * $"nrm"), 6).as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"neighbor_id")
+      }
+      val hits = top3(restrictToCell = true).as("a")
+        .join(top3(restrictToCell = false).as("b"),
+          $"a.q_id" === $"b.q_id" &&
+            $"a.neighbor_id" === $"b.neighbor_id")
+        .groupBy($"a.q_id").agg(count(lit(1)).as("n_hits"))
+      q.select($"q_id")
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)).cast("double") / 3.0, 6)
+            .as("recall_at_3"))
+        .orderBy($"q_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, label, embedding,
+           |    sqrt(list_sum(list_transform(list_zip(embedding, embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS nrm
+           |  FROM embeddings
+           |), q AS (
+           |  SELECT vec_id AS q_id, embedding AS qv, label AS q_label,
+           |    nrm AS qnrm
+           |  FROM e WHERE vec_id < 50
+           |), ann AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT q.q_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |        round(list_sum(list_transform(list_zip(qv, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (qnrm * e.nrm), 6) DESC,
+           |        e.vec_id) AS rank
+           |    FROM e JOIN q ON e.label = q.q_label
+           |      AND e.vec_id <> q.q_id
+           |  ) WHERE rank <= 3
+           |), brute AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT q.q_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |        round(list_sum(list_transform(list_zip(qv, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (qnrm * e.nrm), 6) DESC,
+           |        e.vec_id) AS rank
+           |    FROM e JOIN q ON e.vec_id <> q.q_id
+           |  ) WHERE rank <= 3
+           |), hits AS (
+           |  SELECT a.q_id, count(*) AS n_hits
+           |  FROM ann a JOIN brute b
+           |    ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+           |  GROUP BY a.q_id
+           |)
+           |SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+           |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0, 6)
+           |    AS recall_at_3
+           |FROM q LEFT JOIN hits h ON q.q_id = h.q_id
+           |ORDER BY q.q_id""".stripMargin))
+
   // ---------------------------------------------------------------- X4
   /** Multimodal join: text table ⋈ vector table on the shared id, with
     * predicates on both modalities. */
@@ -3253,5 +3340,6 @@ object LLMOps {
     qSampleSystematic, qDedupRateBySource, qLengthProfile,
     qPackSequences, qUdfNorm,
     qUdafCentroid,
-    qPipelineCorpus, qPipelineIngest, qMinhashAccuracy)
+    qPipelineCorpus, qPipelineIngest, qMinhashAccuracy,
+    qSimAnnRecall)
 }

@@ -2687,6 +2687,20 @@ class OperatorSuite extends AnyFunSuite {
     assert(vol.getDouble(2) <= 0 || nvr.nonEmpty)
   }
 
+  test("ANN recall audit: 50 probes, recall in [0,1], hits bounded") {
+    // E237: one row per probe vector; n_hits ≤ 3; recall = hits/3;
+    // and the mean recall must be > 0 (the label-cell IVF can't miss
+    // EVERYTHING — labels correlate with geometry in the fixture).
+    val rows = LLMOps.qSimAnnRecall.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 50)
+    rows.foreach { case (_, h, rec) =>
+      assert(h >= 0 && h <= 3)
+      assert(math.abs(rec - h / 3.0) < 1e-9)
+    }
+    assert(rows.map(_._2).sum > 0, "IVF recovered nothing")
+  }
+
   test("seasonal decomposition reconstructs y exactly per row") {
     // E220's defining identity: y = trend + seasonal + residual holds
     // ROW-WISE by construction (residual is defined as the difference

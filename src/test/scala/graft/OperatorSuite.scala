@@ -2696,7 +2696,8 @@ class OperatorSuite extends AnyFunSuite {
     assert(rows.length === 50)
     rows.foreach { case (_, h, rec) =>
       assert(h >= 0 && h <= 3)
-      assert(math.abs(rec - h / 3.0) < 1e-9)
+      // recall ships rounded to 6dp, so compare at that resolution
+      assert(math.abs(rec - h / 3.0) < 5e-7)
     }
     assert(rows.map(_._2).sum > 0, "IVF recovered nothing")
   }

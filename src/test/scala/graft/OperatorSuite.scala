@@ -2702,6 +2702,42 @@ class OperatorSuite extends AnyFunSuite {
     assert(rows.map(_._2).sum > 0, "IVF recovered nothing")
   }
 
+  test("streaming agg recovers exactly-once across a restart") {
+    // §5.2.6 reliability pin no query can express: a complete-mode
+    // aggregation processes half the input, STOPS, more files land,
+    // and a NEW query restarted from the same checkpoint must resume
+    // the state store and produce exactly the single-pass batch
+    // answer — no dropped pre-restart state, no double counting.
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-restart-in").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-restart-ckpt").toString
+    val events = Tables.read(spark, sf, "events")
+    events.filter($"event_id" % 2 === 0).write
+      .mode("overwrite").parquet(s"$in/batch1")
+    def startQuery(name: String) = {
+      val s = spark.readStream.schema(events.schema)
+        .parquet(s"$in/*")
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      s.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q1 = startQuery("restart_phase1")
+    q1.processAllAvailable(); q1.stop()
+    events.filter($"event_id" % 2 === 1).write
+      .mode("overwrite").parquet(s"$in/batch2")
+    val q2 = startQuery("restart_phase2")
+    q2.processAllAvailable(); q2.stop()
+    val streamed = spark.table("restart_phase2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val batch = events.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq,
+      "restarted stream must equal the one-pass batch aggregate")
+  }
+
   test("seasonal decomposition reconstructs y exactly per row") {
     // E220's defining identity: y = trend + seasonal + residual holds
     // ROW-WISE by construction (residual is defined as the difference

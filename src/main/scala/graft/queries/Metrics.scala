@@ -1929,6 +1929,61 @@ object Metrics {
            |    CAST(count(*) AS DOUBLE), 6) AS returning_share
            |FROM flagged GROUP BY wk ORDER BY wk""".stripMargin))
 
+  /** E238: **week-over-week audience overlap** — the Jaccard of
+    * consecutive weeks' active-user sets: the audience-churn signal
+    * that complements the new-vs-returning split (E236 tells you how
+    * many are returning; this tells you how much of LAST week's
+    * audience they are). Weekly sets key on the Monday date (the E236
+    * pin); the overlap is one self-join on user at a one-week shift,
+    * set sizes come from the weekly rollup, and Jaccard uses the
+    * inclusion–exclusion identity on exact counts with one edge
+    * division. */
+  val qAudienceOverlap = Q("q_audience_overlap",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val weekly = Tables.read(spark, sfDir, "events")
+        .select($"user_id",
+          date_sub(to_date($"ts"), weekday(to_date($"ts"))).as("wk"))
+        .distinct()
+      val sizes = weekly.groupBy($"wk").agg(count(lit(1)).as("n"))
+      val overlap = weekly.as("a")
+        .join(weekly.as("b"), $"a.user_id" === $"b.user_id" &&
+          expr("date_add(a.wk, 7) = b.wk"))
+        .groupBy($"b.wk".as("wk")).agg(count(lit(1)).as("n_both"))
+      sizes.as("cur")
+        .join(sizes.select($"wk".as("prev_wk"), $"n".as("n_prev")),
+          expr("date_add(prev_wk, 7) = wk"))
+        .join(overlap, Seq("wk"), "left")
+        .select($"wk", $"n_prev", $"n".as("n_cur"),
+          coalesce($"n_both", lit(0L)).as("n_both"),
+          round(coalesce($"n_both", lit(0L)).cast("double") /
+            ($"n_prev" + $"n" - coalesce($"n_both", lit(0L)))
+              .cast("double"), 6).as("jaccard"))
+        .orderBy($"wk")
+    },
+    Some("""WITH weekly AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+           |      AS wk
+           |  FROM events
+           |), sizes AS (
+           |  SELECT wk, count(*) AS n FROM weekly GROUP BY wk
+           |), overlap AS (
+           |  SELECT b.wk AS wk, count(*) AS n_both
+           |  FROM weekly a JOIN weekly b
+           |    ON a.user_id = b.user_id AND a.wk + to_days(7) = b.wk
+           |  GROUP BY 1
+           |)
+           |SELECT c.wk, p.n AS n_prev, c.n AS n_cur,
+           |  coalesce(o.n_both, 0) AS n_both,
+           |  round(CAST(coalesce(o.n_both, 0) AS DOUBLE) /
+           |    CAST(p.n + c.n - coalesce(o.n_both, 0) AS DOUBLE), 6)
+           |    AS jaccard
+           |FROM sizes c
+           |JOIN sizes p ON p.wk + to_days(7) = c.wk
+           |LEFT JOIN overlap o ON o.wk = c.wk
+           |ORDER BY c.wk""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1940,5 +1995,5 @@ object Metrics {
     qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar,
     qRollingSlope, qSqlAggModifiers, qWindowRangeInterval,
     qHistogramEquiDepth, qTypedPipeline, qVolatility,
-    qHistogram2d, qNewVsReturning)
+    qHistogram2d, qNewVsReturning, qAudienceOverlap)
 }

@@ -71,6 +71,7 @@ object Bench {
     else if (name.startsWith("q_dedup_")) "dedup"
     else if (name.startsWith("q_fource_")) "fource"
     else if (name.startsWith("q_source_")) "source"
+    else if (name.startsWith("q_graph_")) "graph"
     else "other"
 
   def main(args: Array[String]): Unit = {

@@ -124,10 +124,12 @@ object Graphs {
     *
     * The Spark side is LEVEL-SYNCHRONOUS BFS, the shape that scales:
     * each round joins only the CURRENT frontier against the edge list,
-    * unions into the visited set, and re-minimizes. Three static
-    * rounds keep the query deterministic and plan-bounded; unbounded
-    * reachability (where per-round checkpointing becomes mandatory)
-    * is E5's job. The DuckDB oracle is the same semantics via
+    * unions into the visited set, re-minimizes, and CHECKPOINTS —
+    * each round reads `visited` twice, so skipping the checkpoint
+    * duplicates the plan prefix 2^k-fold (measured: faster at sf0.1,
+    * ×5.8 slower at sf1 — see the inline note). Three static rounds
+    * keep the query deterministic; unbounded reachability is E5's
+    * job. The DuckDB oracle is the same semantics via
     * WITH RECURSIVE path enumeration with a hop<3 bound and a final
     * min(hop) — path enumeration is exponential in general, fine at
     * oracle scale, and the level-synchronous engine side is the form
@@ -136,24 +138,28 @@ object Graphs {
   val qGraphBfs = Q("q_graph_bfs",
     (spark, sfDir) => {
       import spark.implicits._
-      // ONE checkpoint (the edge set); the 3 static rounds then build
-      // a single bounded plan. Per-round checkpointing is the tool
-      // for UNBOUNDED iteration (E5's pointer jumping, where lineage
-      // would grow with the data's diameter) — for a fixed k=3 the
-      // duplicated-subtree cost is re-reading the checkpointed edges,
-      // and dropping the 4 intermediate materialization jobs measured
-      // 2.8 s → 2.1 s warm at sf0.1.
+      // Checkpoint EVERY round, not just the edges. The no-checkpoint
+      // form is faster at small scale (2.1 s vs 2.8 s warm at sf0.1 —
+      // four fewer materialization jobs) but each round references
+      // `visited` TWICE (frontier filter + union), so the unmaterialized
+      // plan duplicates the whole prefix 2^k times — measured 22.5 s
+      // vs 3.9 s at sf1, a ×5.8 blowup for ×10 data. The fixed
+      // per-round job floor is the price of linear scaling; this is
+      // the same lesson E5's pointer jumping encodes, re-proven here
+      // by measuring BOTH forms at BOTH scales (round-12 close).
       val e = supportEdges(spark, sfDir).localCheckpoint()
       val und = e.select($"s1".as("u"), $"s2".as("v"))
         .union(e.select($"s2".as("u"), $"s1".as("v")))
       var visited = e.agg(min($"s1").as("part_key"))
         .select($"part_key", lit(0L).as("hops"))
+        .localCheckpoint()
       for (k <- 1 to 3) {
         val frontier = visited.filter($"hops" === (k - 1))
           .join(und, $"part_key" === $"u")
           .select($"v".as("part_key"), lit(k.toLong).as("hops"))
         visited = visited.union(frontier)
           .groupBy($"part_key").agg(min($"hops").as("hops"))
+          .localCheckpoint()
       }
       visited.orderBy($"part_key")
     },

@@ -1984,6 +1984,98 @@ object Metrics {
            |LEFT JOIN overlap o ON o.wk = c.wk
            |ORDER BY c.wk""".stripMargin))
 
+  /** E239: **fact fan-out profile** — the count-of-counts of lineitems
+    * per order: how many orders have 1, 2, … line items, plus each
+    * size's share of ROWS (what actually drives join fan-out and
+    * shuffle volume — the first thing to read before trusting a join
+    * estimate, and the fact-table sibling of the near-dup degree
+    * distribution E177). Two hash aggs; integer-exact with one share
+    * division. */
+  val qFanoutProfile = Q("q_fanout_profile",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n_orders"))
+        .withColumn("n_rows", $"k" * $"n_orders")
+        .withColumn("row_share",
+          round($"n_rows".cast("double") /
+            sum($"n_rows").over(tot).cast("double"), 6))
+        .orderBy($"k")
+    },
+    Some("""WITH fanout AS (
+           |  SELECT l_orderkey, count(*) AS k
+           |  FROM lineitem GROUP BY 1
+           |), hist AS (
+           |  SELECT k, count(*) AS n_orders, k * count(*) AS n_rows
+           |  FROM fanout GROUP BY k
+           |)
+           |SELECT k, n_orders, CAST(n_rows AS BIGINT) AS n_rows,
+           |  round(CAST(n_rows AS DOUBLE) /
+           |    CAST(sum(n_rows) OVER () AS DOUBLE), 6) AS row_share
+           |FROM hist ORDER BY k""".stripMargin))
+
+  /** E240: **revenue bridge** — month-over-month Δrevenue decomposed
+    * into a volume effect (Δqty at last month's realized price) and a
+    * price/mix effect (the remainder), the FP&A waterfall behind
+    * every "why did revenue move" narrative. Monthly revenue and
+    * quantity accumulate as exact DECIMALs; the realized-price base
+    * rev₋₁/vol₋₁ and both effects are built from ONE division shape
+    * shared by the engines, and the decomposition is exact by
+    * construction: vol_effect + price_effect ≡ Δrev (the residual
+    * definition — pinned by test). Month keys are date_trunc dates,
+    * lag is one ordered window over the ≤85-month frame. */
+  val qRevenueBridge = Q("q_revenue_bridge",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val seqW = Window.orderBy($"m")
+      val monthly = Tables.read(spark, sfDir, "lineitem")
+        .groupBy(date_trunc("month", $"l_shipdate").cast("date")
+          .as("m"))
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("rev"),
+          sum($"l_quantity".cast("decimal(18,2)")).as("vol"))
+      monthly
+        .withColumn("prev_rev", lag($"rev", 1).over(seqW))
+        .withColumn("prev_vol", lag($"vol", 1).over(seqW))
+        .filter($"prev_rev".isNotNull)
+        .select($"m",
+          ($"rev" - $"prev_rev").cast("double").as("d_rev"),
+          round(($"vol" - $"prev_vol").cast("double") *
+            ($"prev_rev".cast("double") / $"prev_vol".cast("double")),
+            2).as("volume_effect"),
+          round(($"rev" - $"prev_rev").cast("double") -
+            round(($"vol" - $"prev_vol").cast("double") *
+              ($"prev_rev".cast("double") /
+                $"prev_vol".cast("double")), 2), 2)
+            .as("price_mix_effect"))
+        .orderBy($"m")
+    },
+    Some("""WITH monthly AS (
+           |  SELECT CAST(date_trunc('month',
+           |      CAST(l_shipdate AS TIMESTAMP)) AS DATE) AS m,
+           |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+           |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS vol
+           |  FROM lineitem GROUP BY 1
+           |), lagged AS (
+           |  SELECT m, rev, vol,
+           |    lag(rev) OVER (ORDER BY m) AS prev_rev,
+           |    lag(vol) OVER (ORDER BY m) AS prev_vol
+           |  FROM monthly
+           |)
+           |SELECT m,
+           |  CAST(rev - prev_rev AS DOUBLE) AS d_rev,
+           |  round(CAST(vol - prev_vol AS DOUBLE) *
+           |    (CAST(prev_rev AS DOUBLE) / CAST(prev_vol AS DOUBLE)),
+           |    2) AS volume_effect,
+           |  round(CAST(rev - prev_rev AS DOUBLE) -
+           |    round(CAST(vol - prev_vol AS DOUBLE) *
+           |      (CAST(prev_rev AS DOUBLE) /
+           |        CAST(prev_vol AS DOUBLE)), 2), 2)
+           |    AS price_mix_effect
+           |FROM lagged WHERE prev_rev IS NOT NULL
+           |ORDER BY m""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -1995,5 +2087,6 @@ object Metrics {
     qSqlNotInNull, qSeasonalDecompose, qPivotMultiAgg, qSqlSugar,
     qRollingSlope, qSqlAggModifiers, qWindowRangeInterval,
     qHistogramEquiDepth, qTypedPipeline, qVolatility,
-    qHistogram2d, qNewVsReturning, qAudienceOverlap)
+    qHistogram2d, qNewVsReturning, qAudienceOverlap,
+    qFanoutProfile, qRevenueBridge)
 }

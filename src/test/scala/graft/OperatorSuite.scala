@@ -2738,6 +2738,24 @@ class OperatorSuite extends AnyFunSuite {
       "restarted stream must equal the one-pass batch aggregate")
   }
 
+  test("fan-out profile conserves rows; revenue bridge sums exactly") {
+    // E239: Σ k·n_orders over the histogram = the lineitem count and
+    // row shares sum to 1; E240: the two effects reconstruct Δrev to
+    // the cent (price_mix is the residual by definition).
+    val fp = graft.queries.Metrics.qFanoutProfile.fn(spark, sf)
+      .collect()
+    assert(fp.map(_.getLong(2)).sum ===
+      Tables.read(spark, sf, "lineitem").count())
+    assert(math.abs(fp.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    graft.queries.Metrics.qRevenueBridge.fn(spark, sf).collect()
+      .foreach { r =>
+        val (d, v, p) =
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(math.abs(d - (v + p)) < 0.011,
+          s"bridge must reconstruct d_rev: $d vs ${v + p}")
+      }
+  }
+
   test("seasonal decomposition reconstructs y exactly per row") {
     // E220's defining identity: y = trend + seasonal + residual holds
     // ROW-WISE by construction (residual is defined as the difference

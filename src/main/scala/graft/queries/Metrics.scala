@@ -2076,6 +2076,55 @@ object Metrics {
            |FROM lagged WHERE prev_rev IS NOT NULL
            |ORDER BY m""".stripMargin))
 
+  /** E241: **Pareto cutoff (80/20 readout)** — the smallest customer
+    * prefix (by spend, descending) whose cumulative revenue reaches
+    * 80%, reported as counts and shares: the single-row answer the
+    * Lorenz curve (E197) plots. The 80% comparison happens on exact
+    * decimals scaled by 5 (cum·5 ≥ total·4 — no 0.8 double anywhere),
+    * so the cutoff row is engine-exact; the only doubles are the two
+    * output shares. One join, one descending sort for the ranked
+    * cumsum (KLL is the recorded approximate path at 100 TB). */
+  val qParetoCutoff = Q("q_pareto_cutoff",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val ranked = Tables.read(spark, sfDir, "customer")
+        .join(Tables.read(spark, sfDir, "orders"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_custkey")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("s"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"s".desc, $"c_custkey")))
+        .withColumn("cum", sum($"s").over(Window
+          .orderBy($"s".desc, $"c_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum($"s").over(tot))
+        .withColumn("n", count(lit(1)).over(tot))
+      ranked.filter($"cum" * 5 >= $"total" * 4)
+        .agg(min($"rn").as("n_customers_80"), max($"n").as("n_buyers"),
+          round(min($"rn").cast("double") /
+            max($"n").cast("double"), 6).as("customer_share"))
+    },
+    Some("""WITH spend AS (
+           |  SELECT c_custkey,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+           |  FROM customer JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY 1
+           |), ranked AS (
+           |  SELECT s,
+           |    row_number() OVER (ORDER BY s DESC, c_custkey) AS rn,
+           |    sum(s) OVER (ORDER BY s DESC, c_custkey
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cum,
+           |    sum(s) OVER () AS total, count(*) OVER () AS n
+           |  FROM spend
+           |)
+           |SELECT CAST(min(rn) AS BIGINT) AS n_customers_80,
+           |  CAST(max(n) AS BIGINT) AS n_buyers,
+           |  round(CAST(min(rn) AS DOUBLE) / CAST(max(n) AS DOUBLE),
+           |    6) AS customer_share
+           |FROM ranked WHERE cum * 5 >= total * 4""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2088,5 +2137,5 @@ object Metrics {
     qRollingSlope, qSqlAggModifiers, qWindowRangeInterval,
     qHistogramEquiDepth, qTypedPipeline, qVolatility,
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
-    qFanoutProfile, qRevenueBridge)
+    qFanoutProfile, qRevenueBridge, qParetoCutoff)
 }

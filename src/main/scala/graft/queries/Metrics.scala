@@ -2125,6 +2125,101 @@ object Metrics {
            |    6) AS customer_share
            |FROM ranked WHERE cum * 5 >= total * 4""".stripMargin))
 
+  /** E242: **field-level survivorship** — the MDM merge rule the
+    * row-level canonical pick (E73) cannot express: within each
+    * duplicate group, EACH FIELD independently takes its latest
+    * non-null value (golden-record construction). The fixture has no
+    * nulls, so staleness is planted deterministically (every third
+    * doc's source and every fourth doc's lang are nulled) and the
+    * survivor is the conditional struct-max
+    * max(CASE non-null THEN (recency, id, value)) — ONE hash agg per
+    * group, no per-field self-joins, lexicographic struct comparison
+    * identical on both engines (probed: DuckDB named-struct max +
+    * field extraction mirror Spark's struct max + getField). Groups
+    * key on content hash like exact dedup (X1). */
+  val qSurvivorship = Q("q_survivorship",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val staled = Tables.read(spark, sfDir, "documents")
+        .select(sha2($"text", 256).as("grp"), $"doc_id",
+          when($"doc_id" % 3 === 0, lit(null: String))
+            .otherwise($"source").as("source"),
+          when($"doc_id" % 4 === 0, lit(null: String))
+            .otherwise($"lang").as("lang"))
+      staled.groupBy($"grp")
+        .agg(count(lit(1)).as("n_dups"), min($"doc_id").as("doc_id"),
+          max(when($"source".isNotNull,
+            struct($"doc_id".as("d"), $"source".as("v"))))
+            .getField("v").as("source"),
+          max(when($"lang".isNotNull,
+            struct($"doc_id".as("d"), $"lang".as("v"))))
+            .getField("v").as("lang"))
+        .select($"doc_id", $"n_dups", $"source", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH staled AS (
+           |  SELECT sha256(text) AS grp, doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END
+           |      AS source,
+           |    CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END
+           |      AS lang
+           |  FROM documents
+           |)
+           |SELECT min(doc_id) AS doc_id, count(*) AS n_dups,
+           |  (max(CASE WHEN source IS NOT NULL
+           |    THEN {'d': doc_id, 'v': source} END)).v AS source,
+           |  (max(CASE WHEN lang IS NOT NULL
+           |    THEN {'d': doc_id, 'v': lang} END)).v AS lang
+           |FROM staled GROUP BY grp ORDER BY doc_id""".stripMargin))
+
+  /** E243: **top movers (week-over-week rank drift)** — which parts
+    * jumped or fell furthest in the weekly revenue leaderboard: rank
+    * per Monday-keyed week (dense, deterministic tiebreak), self-join
+    * at a one-week shift, order by |Δrank| — the leaderboard-drift
+    * readout behind every "what changed this week" report. Revenue
+    * ranks on exact decimals; output keeps the top 20 movers with a
+    * (drift, part) total order. */
+  val qTopMovers = Q("q_top_movers",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val weekly = Tables.read(spark, sfDir, "lineitem")
+        .groupBy(date_sub(to_date($"l_shipdate"),
+          weekday(to_date($"l_shipdate"))).as("wk"),
+          $"l_partkey")
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("rev"))
+        .withColumn("rk", row_number().over(Window.partitionBy($"wk")
+          .orderBy($"rev".desc, $"l_partkey")))
+      weekly.as("cur")
+        .join(weekly.as("prev"),
+          $"cur.l_partkey" === $"prev.l_partkey" &&
+            expr("date_add(prev.wk, 7) = cur.wk"))
+        .select($"cur.wk".as("wk"), $"cur.l_partkey".as("part_key"),
+          $"prev.rk".as("prev_rank"), $"cur.rk".as("cur_rank"),
+          ($"prev.rk" - $"cur.rk").as("rank_gain"))
+        .orderBy(abs($"rank_gain").desc, $"wk", $"part_key")
+        .limit(20)
+    },
+    Some("""WITH weekly AS (
+           |  SELECT CAST(date_trunc('week',
+           |      CAST(l_shipdate AS TIMESTAMP)) AS DATE) AS wk,
+           |    l_partkey,
+           |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+           |  FROM lineitem GROUP BY 1, 2
+           |), ranked AS (
+           |  SELECT wk, l_partkey,
+           |    row_number() OVER (PARTITION BY wk
+           |      ORDER BY rev DESC, l_partkey) AS rk
+           |  FROM weekly
+           |)
+           |SELECT c.wk, c.l_partkey AS part_key,
+           |  p.rk AS prev_rank, c.rk AS cur_rank,
+           |  p.rk - c.rk AS rank_gain
+           |FROM ranked c JOIN ranked p
+           |  ON c.l_partkey = p.l_partkey
+           |  AND p.wk + to_days(7) = c.wk
+           |ORDER BY abs(p.rk - c.rk) DESC, c.wk, c.l_partkey
+           |LIMIT 20""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2137,5 +2232,6 @@ object Metrics {
     qRollingSlope, qSqlAggModifiers, qWindowRangeInterval,
     qHistogramEquiDepth, qTypedPipeline, qVolatility,
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
-    qFanoutProfile, qRevenueBridge, qParetoCutoff)
+    qFanoutProfile, qRevenueBridge, qParetoCutoff,
+    qSurvivorship, qTopMovers)
 }

@@ -2756,6 +2756,24 @@ class OperatorSuite extends AnyFunSuite {
       }
   }
 
+  test("survivorship takes latest non-null per field independently") {
+    // E242: a field nulled on the group's latest doc must survive
+    // from an EARLIER doc — and the two fields decide independently.
+    // Hand-check: every doc_id divisible by 12 has BOTH fields
+    // stale; if its group is a singleton both survive as null.
+    val rows = graft.queries.Metrics.qSurvivorship.fn(spark, sf)
+      .collect()
+    val docs = Tables.read(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === docs)
+    rows.filter(_.getLong(1) == 1).foreach { r =>
+      val id = r.getLong(0)
+      assert((r.isNullAt(2)) === (id % 3 == 0),
+        s"singleton $id source-null rule")
+      assert((r.isNullAt(3)) === (id % 4 == 0),
+        s"singleton $id lang-null rule")
+    }
+  }
+
   test("seasonal decomposition reconstructs y exactly per row") {
     // E220's defining identity: y = trend + seasonal + residual holds
     // ROW-WISE by construction (residual is defined as the difference

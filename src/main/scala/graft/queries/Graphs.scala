@@ -183,5 +183,73 @@ object Graphs {
            |SELECT node AS part_key, CAST(min(hop) AS BIGINT) AS hops
            |FROM walk GROUP BY node ORDER BY part_key""".stripMargin))
 
-  val all: Seq[Q] = Seq(qGraphTriangles, qGraphBfs)
+  /** E244: **neighbor-set similarity (link prediction)** — for part
+    * pairs sharing ≥2 common neighbors in the support graph, the
+    * Jaccard of their neighbor sets: the classic "products bought
+    * alongside the same things" similarity that predicts missing
+    * edges (and powers co-purchase recommendations) — structural
+    * similarity, where the triangle count (E192) measures local
+    * density. Wedges enumerate through the broadcast undirected edge
+    * list exactly as E192's join legs do; degrees come from one
+    * aggregation; Jaccard is inclusion–exclusion on exact integer
+    * counts with the one edge division, and the top 20 export is
+    * totally ordered (jaccard 6dp desc, then the pair). */
+  val qGraphNeighborSim = Q("q_graph_neighbor_sim",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = supportEdges(spark, sfDir).localCheckpoint()
+      val und = e.select($"s1".as("u"), $"s2".as("v"))
+        .union(e.select($"s2".as("u"), $"s1".as("v")))
+      val deg = und.groupBy($"u").agg(count(lit(1)).as("d"))
+      val shared = und.as("x")
+        .join(broadcast(und.as("y")),
+          $"x.v" === $"y.v" && $"x.u" < $"y.u")
+        .groupBy($"x.u".as("a"), $"y.u".as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+      shared
+        .join(broadcast(deg.select($"u".as("a"), $"d".as("da"))),
+          Seq("a"))
+        .join(broadcast(deg.select($"u".as("b"), $"d".as("db"))),
+          Seq("b"))
+        .select($"a", $"b", $"n_shared",
+          round($"n_shared".cast("double") /
+            ($"da" + $"db" - $"n_shared").cast("double"), 6)
+            .as("jaccard"))
+        .orderBy($"jaccard".desc, $"a", $"b")
+        .limit(20)
+    },
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem
+           |), bags AS (
+           |  SELECT o, list_sort(list(p)) AS ps
+           |  FROM pairs GROUP BY o
+           |), expanded AS (
+           |  SELECT unnest(ps) AS s1, o FROM bags
+           |), e AS (
+           |  SELECT a.s1, b.s1 AS s2
+           |  FROM expanded a JOIN expanded b
+           |    ON a.o = b.o AND a.s1 < b.s1
+           |  GROUP BY 1, 2 HAVING count(*) >= 2
+           |), und AS (
+           |  SELECT s1 AS u, s2 AS v FROM e
+           |  UNION ALL SELECT s2, s1 FROM e
+           |), deg AS (
+           |  SELECT u, count(*) AS d FROM und GROUP BY u
+           |), shared AS (
+           |  SELECT x.u AS a, y.u AS b, count(*) AS n_shared
+           |  FROM und x JOIN und y ON x.v = y.v AND x.u < y.u
+           |  GROUP BY 1, 2 HAVING count(*) >= 2
+           |)
+           |SELECT s.a, s.b, s.n_shared,
+           |  round(CAST(s.n_shared AS DOUBLE) /
+           |    CAST(d1.d + d2.d - s.n_shared AS DOUBLE), 6)
+           |    AS jaccard
+           |FROM shared s
+           |JOIN deg d1 ON d1.u = s.a
+           |JOIN deg d2 ON d2.u = s.b
+           |ORDER BY jaccard DESC, s.a, s.b LIMIT 20""".stripMargin))
+
+  val all: Seq[Q] = Seq(qGraphTriangles, qGraphBfs, qGraphNeighborSim)
 }

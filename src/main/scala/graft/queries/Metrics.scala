@@ -2220,6 +2220,39 @@ object Metrics {
            |ORDER BY abs(p.rk - c.rk) DESC, c.wk, c.l_partkey
            |LIMIT 20""".stripMargin))
 
+  /** E245: **SQL pipe syntax** — Spark 4's `|>` operator chain
+    * (FROM … |> WHERE … |> AGGREGATE … |> ORDER BY), the linear
+    * query-authoring surface new in this engine generation: the
+    * engine side runs the PIPE form, the oracle the classic
+    * equivalent — pinning that the two spellings agree is exactly
+    * what a team adopting the new syntax needs hash-checked once.
+    * Same decimal discipline as everywhere (revenue sums exact). */
+  val qSqlPipeSyntax = Q("q_sql_pipe_syntax",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val v = s"pipe_orders_$tag"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""FROM $v
+             ||> WHERE o_totalprice > 1000.0
+             ||> EXTEND CAST(o_totalprice AS DECIMAL(18,2)) AS p
+             ||> AGGREGATE count(*) AS n_orders,
+             |     CAST(sum(p) AS DECIMAL(38,2)) AS revenue
+             |     GROUP BY o_orderpriority
+             ||> ORDER BY o_orderpriority""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           |    AS DECIMAL(38,2)) AS revenue
+           |FROM orders WHERE o_totalprice > 1000.0
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2233,5 +2266,5 @@ object Metrics {
     qHistogramEquiDepth, qTypedPipeline, qVolatility,
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
     qFanoutProfile, qRevenueBridge, qParetoCutoff,
-    qSurvivorship, qTopMovers)
+    qSurvivorship, qTopMovers, qSqlPipeSyntax)
 }

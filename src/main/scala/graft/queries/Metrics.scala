@@ -2253,6 +2253,46 @@ object Metrics {
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** E246: **case-insensitive collation** — Spark 4's COLLATE
+    * UTF8_LCASE in GROUP BY: mixed-case values (planted: even
+    * customers lowercase their segment) collapse into one group
+    * without rewriting every predicate through lower(). The oracle IS
+    * the lower() rewrite — pinning that the collation path and the
+    * classic normalization agree. Display value is the BINARY min of
+    * the group's original strings (deterministic on both engines;
+    * the collated group's "first" value would be aggregation-order
+    * luck). */
+  val qSqlCollation = Q("q_sql_collation",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val v = s"coll_customer_$tag"
+      Tables.read(spark, sfDir, "customer").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT min(seg_mixed) AS seg_display, count(*) AS n
+             |FROM (
+             |  SELECT CASE WHEN c_custkey % 2 = 0
+             |    THEN lower(c_mktsegment) ELSE c_mktsegment END
+             |    AS seg_mixed
+             |  FROM $v
+             |)
+             |GROUP BY seg_mixed COLLATE UTF8_LCASE
+             |ORDER BY seg_display""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""SELECT min(seg_mixed) AS seg_display, count(*) AS n
+           |FROM (
+           |  SELECT CASE WHEN c_custkey % 2 = 0
+           |    THEN lower(c_mktsegment) ELSE c_mktsegment END
+           |    AS seg_mixed
+           |  FROM customer
+           |)
+           |GROUP BY lower(seg_mixed)
+           |ORDER BY seg_display""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2266,5 +2306,5 @@ object Metrics {
     qHistogramEquiDepth, qTypedPipeline, qVolatility,
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
     qFanoutProfile, qRevenueBridge, qParetoCutoff,
-    qSurvivorship, qTopMovers, qSqlPipeSyntax)
+    qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation)
 }

@@ -2293,6 +2293,38 @@ object Metrics {
            |GROUP BY lower(seg_mixed)
            |ORDER BY seg_display""".stripMargin))
 
+  /** E247: **named function arguments** — Spark 4's
+    * `name => value` call syntax, exercised on `mask()` (the built-in
+    * sibling of the regex PII scrubbers E66): arguments passed OUT of
+    * positional order, every class character pinned explicitly (a
+    * defaulted argument would silently couple the oracle to Spark's
+    * defaults). The oracle reproduces the masking with four character-
+    * class regex passes — same transform, no named-args needed, which
+    * is exactly the cross-engine equivalence worth hashing. */
+  val qSqlNamedArgs = Q("q_sql_named_args",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val v = s"na_customer_$tag"
+      Tables.read(spark, sfDir, "customer").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT c_custkey,
+             |  mask(c_name, otherChar => '#', digitChar => '0',
+             |       lowerChar => 'x', upperChar => 'X') AS masked
+             |FROM $v
+             |ORDER BY c_custkey LIMIT 50""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""SELECT c_custkey,
+           |  regexp_replace(regexp_replace(regexp_replace(
+           |    regexp_replace(c_name, '[A-Z]', 'X', 'g'),
+           |    '[a-z]', 'x', 'g'), '[0-9]', '0', 'g'),
+           |    '[^Xx0]', '#', 'g') AS masked
+           |FROM customer ORDER BY c_custkey LIMIT 50""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2306,5 +2338,5 @@ object Metrics {
     qHistogramEquiDepth, qTypedPipeline, qVolatility,
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
     qFanoutProfile, qRevenueBridge, qParetoCutoff,
-    qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation)
+    qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation, qSqlNamedArgs)
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-analytics operators added in round 12 (SURVEY.md §2.12
-  * E212–E215) — the collocation / novelty / consistent-sampling /
+  * E212–E215, E221, E223, E229) — the collocation / novelty /
+  * consistent-sampling /
   * embedding-geometry layer on top of the LLMOps text family
   * (tokenize E X5, TF-IDF E37, BM25 E74, quality E65/E131, dedup
   * E X1–X2/E172).

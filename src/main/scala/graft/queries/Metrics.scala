@@ -556,7 +556,9 @@ object Metrics {
     * under-specified frame, which ties would make engine-dependent.
     * One window sort per partition grain, one hash agg; bars are
     * (type × day), so output is bounded by the calendar, not the
-    * data. */
+    * data. Arithmetic is DECIMAL(18,6)-exact; the OUTPUT casts to
+    * DOUBLE (both sides) so decimal trailing zeros can't split the
+    * comparator's value hash — the r12 lesson. */
   val qOhlcBars = Q("q_ohlc_bars",
     (spark, sfDir) => {
       import spark.implicits._
@@ -571,10 +573,12 @@ object Metrics {
         .withColumn("rn_a", row_number().over(wAsc))
         .withColumn("rn_d", row_number().over(wDesc))
         .groupBy($"event_type", $"d")
-        .agg(max(when($"rn_a" === 1, $"v")).as("open"),
-          max($"v").as("high"), min($"v").as("low"),
-          max(when($"rn_d" === 1, $"v")).as("close"),
-          count(lit(1)).as("n"), sum($"v").as("volume"))
+        .agg(max(when($"rn_a" === 1, $"v")).cast("double").as("open"),
+          max($"v").cast("double").as("high"),
+          min($"v").cast("double").as("low"),
+          max(when($"rn_d" === 1, $"v")).cast("double").as("close"),
+          count(lit(1)).as("n"),
+          sum($"v").cast("double").as("volume"))
         .orderBy($"event_type", $"d")
     },
     Some("""WITH ev AS (
@@ -592,10 +596,11 @@ object Metrics {
            |  FROM ev
            |)
            |SELECT event_type, d,
-           |  max(CASE WHEN rn_a = 1 THEN v END) AS open,
-           |  max(v) AS high, min(v) AS low,
-           |  max(CASE WHEN rn_d = 1 THEN v END) AS close,
-           |  count(*) AS n, sum(v) AS volume
+           |  CAST(max(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+           |  CAST(max(v) AS DOUBLE) AS high,
+           |  CAST(min(v) AS DOUBLE) AS low,
+           |  CAST(max(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+           |  count(*) AS n, CAST(sum(v) AS DOUBLE) AS volume
            |FROM numbered GROUP BY event_type, d
            |ORDER BY event_type, d""".stripMargin))
 
@@ -1261,8 +1266,11 @@ object Metrics {
     * 0.25/0.75 are exact binary so the positions are engine-proof),
     * fences at 1.5·IQR, and outlier counts on both tails. The grouped
     * complement to the global MAD detector (E211): spend stays
-    * DECIMAL(18,2) through the quantile pick, and the fence compare
-    * happens in double identically on both engines. */
+    * DECIMAL(18,2) through the quantile pick, the fence compare
+    * happens in double identically on both engines, and the q1/q3
+    * OUTPUT columns cast to DOUBLE (r12 hash canon — a quantile
+    * landing on a trailing-zero cent value would otherwise split the
+    * comparator). */
   val qTukeyFences = Q("q_tukey_fences",
     (spark, sfDir) => {
       import spark.implicits._
@@ -1288,7 +1296,8 @@ object Metrics {
             ($"q3" - $"q1").cast("double"))
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_customers"),
-          max($"q1").as("q1"), max($"q3").as("q3"),
+          max($"q1").cast("double").as("q1"),
+          max($"q3").cast("double").as("q3"),
           sum(($"s".cast("double") < $"lo").cast("long"))
             .as("n_low_outliers"),
           sum(($"s".cast("double") > $"hi").cast("long"))
@@ -1322,7 +1331,8 @@ object Metrics {
            |  FROM quarts
            |)
            |SELECT c_mktsegment, count(*) AS n_customers,
-           |  max(q1) AS q1, max(q3) AS q3,
+           |  CAST(max(q1) AS DOUBLE) AS q1,
+           |  CAST(max(q3) AS DOUBLE) AS q3,
            |  CAST(sum(CASE WHEN CAST(s AS DOUBLE) < lo THEN 1
            |    ELSE 0 END) AS BIGINT) AS n_low_outliers,
            |  CAST(sum(CASE WHEN CAST(s AS DOUBLE) > hi THEN 1
@@ -1468,27 +1478,30 @@ object Metrics {
   val qPivotMultiAgg = Q("q_pivot_multi_agg",
     (spark, sfDir) => {
       import spark.implicits._
-      Tables.read(spark, sfDir, "orders")
+      val pivoted = Tables.read(spark, sfDir, "orders")
         .groupBy($"o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("spend"),
           count(lit(1)).as("cnt"))
-        .orderBy($"o_orderpriority")
+      // decimal-exact sums; DOUBLE at the output edge (r12 hash canon)
+      Seq("F", "O", "P").foldLeft(pivoted) { (df, s) =>
+        df.withColumn(s"${s}_spend", col(s"${s}_spend").cast("double"))
+      }.orderBy($"o_orderpriority")
     },
     Some("""SELECT o_orderpriority,
-           |  sum(CASE WHEN o_orderstatus = 'F'
+           |  CAST(sum(CASE WHEN o_orderstatus = 'F'
            |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-           |    AS F_spend,
+           |    AS DOUBLE) AS F_spend,
            |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
            |    AS F_cnt,
-           |  sum(CASE WHEN o_orderstatus = 'O'
+           |  CAST(sum(CASE WHEN o_orderstatus = 'O'
            |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-           |    AS O_spend,
+           |    AS DOUBLE) AS O_spend,
            |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
            |    AS O_cnt,
-           |  sum(CASE WHEN o_orderstatus = 'P'
+           |  CAST(sum(CASE WHEN o_orderstatus = 'P'
            |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-           |    AS P_spend,
+           |    AS DOUBLE) AS P_spend,
            |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
            |    AS P_cnt
            |FROM orders GROUP BY o_orderpriority
@@ -1514,7 +1527,7 @@ object Metrics {
              |FROM (
              |  SELECT t.tier, count(*) AS n_customers,
              |    CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2)
-             |      AS DECIMAL(18,2)) AS total_bal,
+             |      AS DOUBLE) AS total_bal,
              |    'drop-me' AS helper
              |  FROM $vc c
              |  JOIN (VALUES ('BUILDING', 'b2b'), ('MACHINERY', 'b2b'),
@@ -1533,7 +1546,7 @@ object Metrics {
            |FROM (
            |  SELECT t.tier, count(*) AS n_customers,
            |    CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2)
-           |      AS DECIMAL(18,2)) AS total_bal,
+           |      AS DOUBLE) AS total_bal,
            |    'drop-me' AS helper
            |  FROM customer c
            |  JOIN (VALUES ('BUILDING', 'b2b'), ('MACHINERY', 'b2b'),
@@ -1605,7 +1618,10 @@ object Metrics {
     * and DISTINCT-modified aggregates (`sum(DISTINCT ...)` on an
     * exact DECIMAL so dedup-then-sum is order-free). Both engines
     * parse all three (probed before writing) — the row pins that a
-    * query written in this idiom migrates verbatim. */
+    * query written in this idiom migrates verbatim. Output edges are
+    * canonical: count_if casts to BIGINT (DuckDB's is HUGEINT) and
+    * the distinct sum casts to DOUBLE (decimal trailing zeros would
+    * split the comparator's value hash — the r12 lesson). */
   val qSqlAggModifiers = Q("q_sql_agg_modifiers",
     (spark, sfDir) => {
       val tag = windowViewRun.incrementAndGet()
@@ -1614,12 +1630,12 @@ object Metrics {
       try {
         spark.sql(
           s"""SELECT event_type,
-             |  count_if(value > 100.0) AS n_high,
+             |  CAST(count_if(value > 100.0) AS BIGINT) AS n_high,
              |  count(*) FILTER (WHERE value < 10.0) AS n_low,
              |  count(DISTINCT user_id) FILTER (WHERE value > 100.0)
              |    AS n_high_users,
              |  CAST(sum(DISTINCT CAST(value AS DECIMAL(18,6)))
-             |    AS DECIMAL(38,6)) AS sum_distinct_values
+             |    AS DOUBLE) AS sum_distinct_values
              |FROM $v
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
       } finally {
@@ -1628,12 +1644,12 @@ object Metrics {
       }
     },
     Some("""SELECT event_type,
-           |  count_if(value > 100.0) AS n_high,
+           |  CAST(count_if(value > 100.0) AS BIGINT) AS n_high,
            |  count(*) FILTER (WHERE value < 10.0) AS n_low,
            |  count(DISTINCT user_id) FILTER (WHERE value > 100.0)
            |    AS n_high_users,
            |  CAST(sum(DISTINCT CAST(value AS DECIMAL(18,6)))
-           |    AS DECIMAL(38,6)) AS sum_distinct_values
+           |    AS DOUBLE) AS sum_distinct_values
            |FROM events
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
@@ -1643,7 +1659,8 @@ object Metrics {
     * CURRENT ROW` over the order DATE (value-based peers, so same-day
     * orders aggregate together regardless of row order — the exact
     * semantic difference from E8's numeric RANGE and W3's ROWS
-    * frames). Spend stays DECIMAL(18,2); the frame sum is exact. The
+    * frames). Spend stays DECIMAL(18,2) inside the frame sum (exact);
+    * only the output casts to DOUBLE (r12 hash canon). The
     * output tiebreak orders by (custkey, date, orderkey) — the frame
     * itself is insensitive to the tiebreak by construction, which is
     * the property that makes interval frames retry-safe. */
@@ -1660,7 +1677,7 @@ object Metrics {
              |    OVER (PARTITION BY o_custkey
              |      ORDER BY CAST(o_orderdate AS DATE)
              |      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
-             |        AND CURRENT ROW) AS DECIMAL(38,2))
+             |        AND CURRENT ROW) AS DOUBLE)
              |    AS spend_30d
              |FROM $v
              |ORDER BY o_custkey, d, o_orderkey""".stripMargin)
@@ -1675,7 +1692,7 @@ object Metrics {
            |    OVER (PARTITION BY o_custkey
            |      ORDER BY CAST(o_orderdate AS DATE)
            |      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
-           |        AND CURRENT ROW) AS DECIMAL(38,2)) AS spend_30d
+           |        AND CURRENT ROW) AS DOUBLE) AS spend_30d
            |FROM orders
            |ORDER BY o_custkey, d, o_orderkey""".stripMargin))
 
@@ -1685,7 +1702,11 @@ object Metrics {
     * equi-WIDTH profiler E41 shows shape; equi-depth shows
     * QUANTILES): ntile over the total order (price, orderkey) bins
     * deterministically, then one rollup per bin for [lo, hi] and the
-    * count. Price stays DECIMAL(18,2); no doubles anywhere. The
+    * count. Price stays DECIMAL(18,2) through the sort and rollup;
+    * only the OUTPUT columns cast to DOUBLE, because the comparator
+    * hashes rendered values and a Spark decimal's trailing zeros
+    * ('201630.50') never hash-equal the oracle's float ('201630.5')
+    * — the r12 lesson, applied as the output-type canon. The
     * global ntile sort is the honest exact cost — the KLL sketch
     * (E61) is the recorded approximate path at 100 TB. */
   val qHistogramEquiDepth = Q("q_histogram_equi_depth",
@@ -1697,8 +1718,9 @@ object Metrics {
         .withColumn("bin",
           ntile(10).over(Window.orderBy($"v", $"o_orderkey")))
         .groupBy($"bin")
-        .agg(count(lit(1)).as("n"), min($"v").as("lo"),
-          max($"v").as("hi"))
+        .agg(count(lit(1)).as("n"),
+          min($"v").cast("double").as("lo"),
+          max($"v").cast("double").as("hi"))
         .orderBy($"bin")
     },
     Some("""WITH binned AS (
@@ -1708,7 +1730,9 @@ object Metrics {
            |      AS bin
            |  FROM orders
            |)
-           |SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi
+           |SELECT bin, count(*) AS n,
+           |  CAST(min(v) AS DOUBLE) AS lo,
+           |  CAST(max(v) AS DOUBLE) AS hi
            |FROM binned GROUP BY bin ORDER BY bin""".stripMargin))
 
   /** Row shape for the typed pipeline (E233) — top-level so the
@@ -1727,7 +1751,9 @@ object Metrics {
     * price filter does NOT push to the parquet scan, and the
     * deserialization boundary shows in the plan), which is exactly
     * why only this surface row uses them — type safety where wanted,
-    * with the cost stated, matching the X6/X7 UDF/UDAF convention. */
+    * with the cost stated, matching the X6/X7 UDF/UDAF convention.
+    * The cents fold stays exact; revenue leaves as DOUBLE (r12 hash
+    * canon — decimal trailing zeros split the comparator). */
   val qTypedPipeline = Q("q_typed_pipeline",
     (spark, sfDir) => {
       import spark.implicits._
@@ -1754,13 +1780,13 @@ object Metrics {
         }
         .toDF("status", "n_orders", "n_customers", "revenue")
         .select($"status", $"n_orders", $"n_customers",
-          $"revenue".cast("decimal(18,2)").as("revenue"))
+          $"revenue".cast("decimal(18,2)").cast("double").as("revenue"))
         .orderBy($"status")
     },
     Some("""SELECT o_orderstatus AS status, count(*) AS n_orders,
            |  count(DISTINCT o_custkey) AS n_customers,
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-           |    AS DECIMAL(18,2)) AS revenue
+           |    AS DOUBLE) AS revenue
            |FROM orders WHERE o_totalprice > 1000.0
            |GROUP BY o_orderstatus ORDER BY status""".stripMargin))
 
@@ -2227,7 +2253,8 @@ object Metrics {
     * engine side runs the PIPE form, the oracle the classic
     * equivalent — pinning that the two spellings agree is exactly
     * what a team adopting the new syntax needs hash-checked once.
-    * Same decimal discipline as everywhere (revenue sums exact). */
+    * Same decimal discipline as everywhere (revenue sums exact;
+    * DOUBLE only at the output edge, per the r12 hash canon). */
   val qSqlPipeSyntax = Q("q_sql_pipe_syntax",
     (spark, sfDir) => {
       val tag = windowViewRun.incrementAndGet()
@@ -2239,7 +2266,7 @@ object Metrics {
              ||> WHERE o_totalprice > 1000.0
              ||> EXTEND CAST(o_totalprice AS DECIMAL(18,2)) AS p
              ||> AGGREGATE count(*) AS n_orders,
-             |     CAST(sum(p) AS DECIMAL(38,2)) AS revenue
+             |     CAST(sum(p) AS DOUBLE) AS revenue
              |     GROUP BY o_orderpriority
              ||> ORDER BY o_orderpriority""".stripMargin)
       } finally {
@@ -2249,7 +2276,7 @@ object Metrics {
     },
     Some("""SELECT o_orderpriority, count(*) AS n_orders,
            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-           |    AS DECIMAL(38,2)) AS revenue
+           |    AS DOUBLE) AS revenue
            |FROM orders WHERE o_totalprice > 1000.0
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))

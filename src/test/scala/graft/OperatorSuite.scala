@@ -2426,10 +2426,10 @@ class OperatorSuite extends AnyFunSuite {
     assert(bars.map(_.getLong(6)).sum ===
       Tables.read(spark, sf, "events").count())
     bars.foreach { r =>
-      val (o, h, l, c) = (r.getDecimal(2), r.getDecimal(3),
-        r.getDecimal(4), r.getDecimal(5))
-      assert(l.compareTo(o) <= 0 && o.compareTo(h) <= 0)
-      assert(l.compareTo(c) <= 0 && c.compareTo(h) <= 0)
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h)
+      assert(l <= c && c <= h)
     }
     val jsd = graft.queries.Metrics.qJsDivergence.fn(spark, sf)
       .head().getDouble(3)
@@ -2570,7 +2570,7 @@ class OperatorSuite extends AnyFunSuite {
     }
     graft.queries.Metrics.qTukeyFences.fn(spark, sf).collect()
       .foreach { r =>
-        assert(r.getDecimal(2).compareTo(r.getDecimal(3)) <= 0)
+        assert(r.getDouble(2) <= r.getDouble(3))
         assert(r.getLong(4) + r.getLong(5) < r.getLong(1))
       }
     val wc = graft.queries.Metrics.qSqlWindowClause.fn(spark, sf)

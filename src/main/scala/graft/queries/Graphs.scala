@@ -251,5 +251,142 @@ object Graphs {
            |JOIN deg d2 ON d2.u = s.b
            |ORDER BY jaccard DESC, s.a, s.b LIMIT 20""".stripMargin))
 
-  val all: Seq[Q] = Seq(qGraphTriangles, qGraphBfs, qGraphNeighborSim)
+  /** E248: **local clustering coefficient** — per vertex with degree
+    * ≥ 2, the fraction of its neighbor pairs that are themselves
+    * connected: c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the standard
+    * "how clique-like is this node's neighborhood" readout that turns
+    * E192's raw triangle counts into a normalized density (a hub in
+    * 50 triangles can still be LESS clustered than a leafy node in
+    * 3). Triangle participation reuses E192's canonical a<b<c
+    * enumeration verbatim; degrees are one aggregation over the
+    * doubled edge list; vertices in no triangle appear with c = 0 via
+    * the left join (dropping them would bias every average-clustering
+    * readout upward). All counting is integer-exact; the one division
+    * is the 6dp double edge. Scale shape is E192's: the support-capped
+    * edge set broadcasts through the wedge join, and degree-ordering
+    * is the recorded refinement when it can't. */
+  val qGraphClustering = Q("q_graph_clustering",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = supportEdges(spark, sfDir).localCheckpoint()
+      val und = e.select($"s1".as("u"), $"s2".as("v"))
+        .union(e.select($"s2".as("u"), $"s1".as("v")))
+      val deg = und.groupBy($"u").agg(count(lit(1)).as("degree"))
+      val tri = e.as("e1")
+        .join(broadcast(e.as("e2")), $"e1.s2" === $"e2.s1")
+        .join(broadcast(e.as("e3")),
+          $"e3.s1" === $"e1.s1" && $"e3.s2" === $"e2.s2")
+        .select($"e1.s1".as("a"), $"e1.s2".as("b"), $"e2.s2".as("c"))
+        .select(explode(array($"a", $"b", $"c")).as("u"))
+        .groupBy($"u").agg(count(lit(1)).as("n_tri"))
+      deg.filter($"degree" >= 2)
+        .join(broadcast(tri), Seq("u"), "left")
+        .select($"u".as("part_key"), $"degree",
+          coalesce($"n_tri", lit(0L)).as("n_triangles"),
+          round(lit(2.0) * coalesce($"n_tri", lit(0L)).cast("double") /
+            ($"degree" * ($"degree" - 1)).cast("double"), 6)
+            .as("clustering"))
+        .orderBy($"part_key")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem
+           |), e AS (
+           |  SELECT a.p AS s1, b.p AS s2
+           |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 2
+           |), und AS (
+           |  SELECT s1 AS u, s2 AS v FROM e
+           |  UNION ALL SELECT s2, s1 FROM e
+           |), deg AS (
+           |  SELECT u, count(*) AS degree FROM und GROUP BY u
+           |), tri AS (
+           |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+           |  FROM e e1
+           |  JOIN e e2 ON e1.s2 = e2.s1
+           |  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+           |), tcnt AS (
+           |  SELECT u, count(*) AS n_tri FROM (
+           |    SELECT a AS u FROM tri
+           |    UNION ALL SELECT b FROM tri
+           |    UNION ALL SELECT c FROM tri
+           |  ) GROUP BY u
+           |)
+           |SELECT d.u AS part_key, d.degree,
+           |  coalesce(t.n_tri, 0) AS n_triangles,
+           |  round(2.0 * CAST(coalesce(t.n_tri, 0) AS DOUBLE) /
+           |    CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+           |    AS clustering
+           |FROM deg d LEFT JOIN tcnt t ON t.u = d.u
+           |WHERE d.degree >= 2
+           |ORDER BY part_key""".stripMargin))
+
+  /** E249: **degree assortativity** — the Pearson correlation of
+    * endpoint degrees over every directed edge of the support graph:
+    * positive means hubs link to hubs (social-network shape), negative
+    * means hubs link to leaves (hub-and-spoke / infrastructure shape)
+    * — the one-number structural fingerprint used to sanity-check
+    * whether a generated or deduped graph still "looks like" its
+    * domain. Both directions of each edge contribute, so the x and y
+    * marginals are identical and r is symmetric by construction. All
+    * five sums (M, Σx, Σxy, Σx², and the shared Σy=Σx) are exact
+    * integers (degree products of a support-capped sparse graph stay
+    * far inside BIGINT; the oracle's HUGEINT sums cast down at the
+    * edge); the closed form r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²)
+    * (denominators equal for x and y because the marginals coincide)
+    * happens once in double, rounded 6dp. One aggregation after a
+    * broadcast degree
+    * join — no per-vertex iteration, so the shape is 100 TB-safe. */
+  val qGraphAssortativity = Q("q_graph_assortativity",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = supportEdges(spark, sfDir).localCheckpoint()
+      val und = e.select($"s1".as("u"), $"s2".as("v"))
+        .union(e.select($"s2".as("u"), $"s1".as("v")))
+      val deg = und.groupBy($"u").agg(count(lit(1)).as("d"))
+      val xy = und
+        .join(broadcast(deg.select($"u", $"d".as("dx"))), Seq("u"))
+        .join(broadcast(deg.select($"u".as("v"), $"d".as("dy"))),
+          Seq("v"))
+      xy.agg(count(lit(1)).as("m"),
+          sum($"dx").as("sx"), sum($"dy").as("sy"),
+          sum($"dx" * $"dy").as("sxy"),
+          sum($"dx" * $"dx").as("sx2"))
+        .select($"m".as("n_directed_edges"),
+          round(($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"m" * $"sx2" - $"sx" * $"sx").cast("double"), 6)
+            .as("assortativity"))
+    },
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem
+           |), e AS (
+           |  SELECT a.p AS s1, b.p AS s2
+           |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 2
+           |), und AS (
+           |  SELECT s1 AS u, s2 AS v FROM e
+           |  UNION ALL SELECT s2, s1 FROM e
+           |), deg AS (
+           |  SELECT u, count(*) AS d FROM und GROUP BY u
+           |), xy AS (
+           |  SELECT dx.d AS x, dy.d AS y
+           |  FROM und
+           |  JOIN deg dx ON dx.u = und.u
+           |  JOIN deg dy ON dy.u = und.v
+           |), sums AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS m,
+           |    CAST(sum(x) AS BIGINT) AS sx,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sx2
+           |  FROM xy
+           |)
+           |SELECT m AS n_directed_edges,
+           |  round(CAST(m * sxy - sx * sy AS DOUBLE) /
+           |    CAST(m * sx2 - sx * sx AS DOUBLE), 6) AS assortativity
+           |FROM sums""".stripMargin))
+
+  val all: Seq[Q] = Seq(qGraphTriangles, qGraphBfs, qGraphNeighborSim,
+    qGraphClustering, qGraphAssortativity)
 }

@@ -2353,6 +2353,220 @@ object Metrics {
            |    '[^Xx0]', '#', 'g') AS masked
            |FROM customer ORDER BY c_custkey LIMIT 50""".stripMargin))
 
+  /** E250: **higher moments (skewness / excess kurtosis)** — the two
+    * shape statistics the stddev family (A3) stops short of, per
+    * event type. NOT the built-ins: Spark's `skewness`/`kurtosis` are
+    * population estimators while DuckDB's are sample-adjusted, so the
+    * built-ins can never hash-agree; and both accumulate doubles in
+    * iteration order. Instead the E213-volatility discipline, pushed
+    * to order 4: quantize to exact centi-units, take deviations from
+    * the FLOOR-mean c = ⌊S/n⌋ (so per-row deviations are bounded by
+    * the VALUE RANGE, never by n — the n-scaled-deviation trick of
+    * E195/ACF overflows DECIMAL(38,0) at fourth powers once n passes
+    * ~10⁴), accumulate Σd²,Σd³,Σd⁴ exactly (d⁴ ≤ 5.8e18 fits a BIGINT
+    * row-side; the sums ride DECIMAL(38,0)/HUGEINT), then correct the
+    * c-vs-μ offset dm = r/n in ONE identical double expression on
+    * both engines (binomial shift of central moments), with
+    * sqrt(m2)·m2 instead of pow(m2,1.5) — Math.pow and C pow may
+    * differ in the last ulp; sqrt and multiply are IEEE-exact. */
+  val qAggMoments = Q("q_agg_moments",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type")
+      val quant = Tables.read(spark, sfDir, "events")
+        .select($"event_type",
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("vi"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum($"vi").over(w))
+        .withColumn("c", expr("s DIV n"))
+        .withColumn("d", $"vi" - $"c")
+      val sums = quant.groupBy($"event_type")
+        .agg(max($"n").as("n"), max($"s" - $"n" * $"c").as("r"),
+          sum(($"d" * $"d").cast("decimal(38,0)")).as("e2"),
+          sum(($"d" * $"d" * $"d").cast("decimal(38,0)")).as("e3"),
+          sum(($"d" * $"d" * $"d" * $"d").cast("decimal(38,0)"))
+            .as("e4"))
+      sums
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("dm", $"r".cast("double") / $"nd")
+        .withColumn("m2",
+          $"e2".cast("double") / $"nd" - $"dm" * $"dm")
+        .withColumn("m3",
+          $"e3".cast("double") / $"nd" -
+            lit(3.0) * $"dm" * ($"e2".cast("double") / $"nd") +
+            lit(2.0) * $"dm" * $"dm" * $"dm")
+        .withColumn("m4",
+          $"e4".cast("double") / $"nd" -
+            lit(4.0) * $"dm" * ($"e3".cast("double") / $"nd") +
+            lit(6.0) * $"dm" * $"dm" * ($"e2".cast("double") / $"nd") -
+            lit(3.0) * $"dm" * $"dm" * $"dm" * $"dm")
+        .select($"event_type", $"n",
+          round($"m3" / (sqrt($"m2") * $"m2"), 6).as("skewness"),
+          round($"m4" / ($"m2" * $"m2") - lit(3.0), 6)
+            .as("kurtosis_excess"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH quant AS (
+           |  SELECT event_type,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS vi
+           |  FROM events
+           |), framed AS (
+           |  SELECT event_type, vi,
+           |    count(*) OVER w AS n, sum(vi) OVER w AS s
+           |  FROM quant
+           |  WINDOW w AS (PARTITION BY event_type)
+           |), dev AS (
+           |  SELECT event_type, n, s, s // n AS c, vi - (s // n) AS d
+           |  FROM framed
+           |), sums AS (
+           |  SELECT event_type,
+           |    CAST(max(n) AS BIGINT) AS n,
+           |    CAST(max(s - n * (s // n)) AS BIGINT) AS r,
+           |    sum(d * d) AS e2, sum(d * d * d) AS e3,
+           |    sum(d * d * d * d) AS e4
+           |  FROM dev GROUP BY event_type
+           |), moments AS (
+           |  SELECT event_type, n,
+           |    CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS dm,
+           |    CAST(e2 AS DOUBLE) / CAST(n AS DOUBLE) AS f2,
+           |    CAST(e3 AS DOUBLE) / CAST(n AS DOUBLE) AS f3,
+           |    CAST(e4 AS DOUBLE) / CAST(n AS DOUBLE) AS f4
+           |  FROM sums
+           |), central AS (
+           |  SELECT event_type, n,
+           |    f2 - dm * dm AS m2,
+           |    f3 - 3.0 * dm * f2 + 2.0 * dm * dm * dm AS m3,
+           |    f4 - 4.0 * dm * f3 + 6.0 * dm * dm * f2
+           |      - 3.0 * dm * dm * dm * dm AS m4
+           |  FROM moments
+           |)
+           |SELECT event_type, n,
+           |  round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+           |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+           |FROM central ORDER BY event_type""".stripMargin))
+
+  /** E251: **weighted median** — per return flag, the extended price
+    * at which half the SHIPPED QUANTITY sits below: the
+    * inventory-weighted center that the unweighted median (E9) gets
+    * wrong whenever line sizes vary. Exact and order-free: quantity
+    * is integral (CAST to BIGINT pins it), the cumulative weight runs
+    * over the total order (price, orderkey, linenumber), and the
+    * median is the FIRST row where 2·cumw ≥ W — an integer
+    * comparison, no interpolation, so engines can't disagree on
+    * midpoint convention. One window sort per group + one min-pick;
+    * price leaves as DOUBLE (it arrives as one). */
+  val qWeightedMedian = Q("q_weighted_median",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val grp = Window.partitionBy($"l_returnflag")
+      val cum = grp.orderBy($"l_extendedprice", $"l_orderkey",
+        $"l_linenumber")
+      Tables.read(spark, sfDir, "lineitem")
+        .select($"l_returnflag", $"l_extendedprice",
+          $"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("long").as("qty"))
+        .withColumn("total_w", sum($"qty").over(grp))
+        .withColumn("cum_w", sum($"qty").over(cum))
+        .filter($"cum_w" * 2 >= $"total_w")
+        .groupBy($"l_returnflag")
+        .agg(max($"total_w").as("total_weight"),
+          min($"l_extendedprice").as("weighted_median"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH cum AS (
+           |  SELECT l_returnflag, l_extendedprice,
+           |    CAST(l_quantity AS BIGINT) AS qty,
+           |    sum(CAST(l_quantity AS BIGINT))
+           |      OVER (PARTITION BY l_returnflag) AS total_w,
+           |    sum(CAST(l_quantity AS BIGINT))
+           |      OVER (PARTITION BY l_returnflag
+           |        ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           |      AS cum_w
+           |  FROM lineitem
+           |)
+           |SELECT l_returnflag,
+           |  CAST(max(total_w) AS BIGINT) AS total_weight,
+           |  min(l_extendedprice) AS weighted_median
+           |FROM cum WHERE cum_w * 2 >= total_w
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** E252: **conversion attribution (first- vs last-touch)** — for
+    * every purchase event, which prior touch (view/click/signup) gets
+    * the credit under the two standard marketing models, aggregated
+    * to a per-channel comparison. The engine form is the one that
+    * scales: ONE window pass over each user's (ts, event_id)-ordered
+    * timeline carrying first/last non-null touch type
+    * (`first/last(..., ignoreNulls)` over the running frame — no
+    * purchase×touch self-join, no per-conversion subquery), then one
+    * aggregation; purchases with no prior touch land in the explicit
+    * 'none' channel instead of silently dropping (the
+    * attribution-sums-to-conversions invariant). The oracle
+    * deliberately takes the OTHER route — a correlated LATERAL top-1
+    * per purchase — so the hash pins that the window-carry and the
+    * per-row lookup are the same semantics, not just that one
+    * implementation agrees with itself. Error events are neither
+    * touches nor conversions; ties break on event_id (total order,
+    * retry-safe). */
+  val qAttribution = Q("q_attribution",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val timeline = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("touch",
+          when($"event_type".isin("view", "click", "signup"),
+            $"event_type"))
+        .withColumn("first_touch",
+          first($"touch", ignoreNulls = true).over(timeline))
+        .withColumn("last_touch",
+          last($"touch", ignoreNulls = true).over(timeline))
+        .filter($"event_type" === "purchase")
+        .select(coalesce($"first_touch", lit("none")).as("ft"),
+          coalesce($"last_touch", lit("none")).as("lt"))
+        .select(explode(array(
+          struct(lit("first_touch").as("model"), $"ft".as("channel")),
+          struct(lit("last_touch").as("model"), $"lt".as("channel"))))
+          .as("x"))
+        .groupBy($"x.model".as("model"), $"x.channel".as("channel"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy($"model", $"channel")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |    event_type
+           |  FROM events
+           |), purchases AS (
+           |  SELECT * FROM ev WHERE event_type = 'purchase'
+           |), touches AS (
+           |  SELECT * FROM ev
+           |  WHERE event_type IN ('view', 'click', 'signup')
+           |), attributed AS (
+           |  SELECT
+           |    coalesce((SELECT t.event_type FROM touches t
+           |      WHERE t.user_id = p.user_id
+           |        AND (t.ts < p.ts
+           |             OR (t.ts = p.ts AND t.event_id < p.event_id))
+           |      ORDER BY t.ts, t.event_id LIMIT 1), 'none') AS ft,
+           |    coalesce((SELECT t.event_type FROM touches t
+           |      WHERE t.user_id = p.user_id
+           |        AND (t.ts < p.ts
+           |             OR (t.ts = p.ts AND t.event_id < p.event_id))
+           |      ORDER BY t.ts DESC, t.event_id DESC LIMIT 1), 'none')
+           |      AS lt
+           |  FROM purchases p
+           |), unioned AS (
+           |  SELECT 'first_touch' AS model, ft AS channel
+           |  FROM attributed
+           |  UNION ALL
+           |  SELECT 'last_touch', lt FROM attributed
+           |)
+           |SELECT model, channel, count(*) AS n_conversions
+           |FROM unioned GROUP BY model, channel
+           |ORDER BY model, channel""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2366,5 +2580,6 @@ object Metrics {
     qHistogramEquiDepth, qTypedPipeline, qVolatility,
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
     qFanoutProfile, qRevenueBridge, qParetoCutoff,
-    qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation, qSqlNamedArgs)
+    qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation,
+    qSqlNamedArgs, qAggMoments, qWeightedMedian, qAttribution)
 }

@@ -2786,4 +2786,61 @@ class OperatorSuite extends AnyFunSuite {
         assert(math.abs(y - sum) < 1e-9, s"identity broke: $y vs $sum")
       }
   }
+
+  test("graph clustering and assortativity stay in their ranges") {
+    // E248: a local clustering coefficient is a fraction of realized
+    // neighbor pairs — [0,1] by definition — and triangle incidence
+    // cannot exceed the pair count deg·(deg−1)/2 it is normalized by.
+    // E249: assortativity is a Pearson correlation, so [−1,1].
+    val cc = graft.queries.Graphs.qGraphClustering.fn(spark, sf)
+      .collect()
+    assert(cc.nonEmpty)
+    cc.foreach { r =>
+      val (deg, tri, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 2)
+      assert(tri * 2 <= deg * (deg - 1), s"tri $tri exceeds pairs")
+      assert(c >= 0.0 && c <= 1.0, s"coefficient $c out of range")
+    }
+    val as = graft.queries.Graphs.qGraphAssortativity.fn(spark, sf)
+      .head()
+    assert(as.getLong(0) > 0)
+    assert(math.abs(as.getDouble(1)) <= 1.0)
+  }
+
+  test("moments, weighted median, attribution conserve their inputs") {
+    // E250: group sizes cover the table; excess kurtosis has the
+    // theoretical floor g2 ≥ −2 (attained by a two-point mass).
+    // E251: a weighted median is an observed value, so it sits inside
+    // the group's price range, and weights conserve quantity.
+    // E252: every purchase is attributed exactly once per model, so
+    // both models sum to the purchase count.
+    val ev = Tables.read(spark, sf, "events")
+    val mo = graft.queries.Metrics.qAggMoments.fn(spark, sf).collect()
+    assert(mo.map(_.getLong(1)).sum === ev.count())
+    mo.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+      assert(r.getDouble(3) >= -2.0, "kurtosis below theoretical floor")
+    }
+    val li = Tables.read(spark, sf, "lineitem")
+    val wm = graft.queries.Metrics.qWeightedMedian.fn(spark, sf)
+      .collect()
+    assert(wm.map(_.getLong(1)).sum ===
+      li.agg(sum($"l_quantity".cast("long"))).head().getLong(0))
+    val range = li.groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice").as("lo"),
+        max($"l_extendedprice").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    wm.foreach { r =>
+      val (lo, hi) = range(r.getString(0))
+      assert(r.getDouble(2) >= lo && r.getDouble(2) <= hi)
+    }
+    val at = graft.queries.Metrics.qAttribution.fn(spark, sf)
+      .collect()
+    val nPurch = ev.filter($"event_type" === "purchase").count()
+    at.groupBy(_.getString(0)).foreach { case (model, rows) =>
+      assert(rows.map(_.getLong(2)).sum === nPurch,
+        s"$model does not conserve conversions")
+    }
+  }
 }

@@ -381,6 +381,59 @@ object Corpus {
            |FROM rates r LEFT JOIN picked p ON r.source = p.source
            |ORDER BY r.source""".stripMargin))
 
+  /** E253: **lexical richness (hapax / type-token ratio)** — per
+    * source, the vocabulary-health panel quality pipelines read
+    * before training: token volume, distinct types, hapax legomena
+    * (frequency-1 types — the long tail that dominates natural text
+    * and vanishes in template/boilerplate corpora), TTR =
+    * types/tokens, and the hapax share of the vocabulary. A corpus
+    * whose TTR or hapax share collapses is repeating itself — the
+    * corpus-level complement to the per-document repetition signals
+    * (E65). Tokenization is the house whitespace convention (X5).
+    * One (source, token) aggregation — vocabulary-sized, Zipf-thin —
+    * then one per-source rollup with conditional counting; the two
+    * ratios are the 6dp double edge. */
+  val qTextHapax = Q("q_text_hapax",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "documents")
+        .select($"source",
+          explode(split(trim($"text"), " ")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+        .groupBy($"source")
+        .agg(sum($"cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"cnt" === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select($"source", $"n_tokens", $"n_types", $"n_hapax",
+          round($"n_types".cast("double") /
+            $"n_tokens".cast("double"), 6).as("ttr"),
+          round($"n_hapax".cast("double") /
+            $"n_types".cast("double"), 6).as("hapax_share"))
+        .orderBy($"source")
+    },
+    Some("""WITH tf AS (
+           |  SELECT source, w AS tok, count(*) AS cnt
+           |  FROM (SELECT source,
+           |          unnest(string_split(trim(text), ' ')) AS w
+           |        FROM documents) u
+           |  WHERE w <> '' GROUP BY 1, 2
+           |), rolled AS (
+           |  SELECT source,
+           |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |    count(*) AS n_types,
+           |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hapax
+           |  FROM tf GROUP BY source
+           |)
+           |SELECT source, n_tokens, n_types, n_hapax,
+           |  round(CAST(n_types AS DOUBLE) /
+           |    CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           |  round(CAST(n_hapax AS DOUBLE) /
+           |    CAST(n_types AS DOUBLE), 6) AS hapax_share
+           |FROM rolled ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
-    qEmbedSeparation, qGenBigrams, qBpeMergeStep, qSampleTemperature)
+    qEmbedSeparation, qGenBigrams, qBpeMergeStep, qSampleTemperature,
+    qTextHapax)
 }

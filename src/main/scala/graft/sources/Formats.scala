@@ -1755,6 +1755,62 @@ object Formats {
     Some("""SELECT n_nationkey, n_name, n_regionkey
            |FROM nation ORDER BY n_nationkey""".stripMargin))
 
+  /** E254: **bounded-file-size sink (maxRecordsPerFile)** — the
+    * OTHER half of the small-files story: E54/E141 pack tiny outputs
+    * UP into right-sized files; this row caps oversized outputs DOWN.
+    * A task writing one huge partition emits one huge file — the
+    * thing that breaks downstream range-splitting readers and object-
+    * store multipart limits at 100 TB. `maxRecordsPerFile` makes the
+    * writer roll a new file every N records WITHIN a task, with no
+    * repartition (no shuffle: the cap is enforced at the sink). The
+    * fixture writes events repartitioned to 2 tasks (≫cap per task
+    * at every sf) with a 300-record cap; the layout booleans pin that
+    * (a) no file exceeds the cap — counted from the data itself via
+    * `_metadata.file_path`, not trusted from the writer — and (b) the
+    * file count is at least ⌈rows/cap⌉. The oracle recomputes the
+    * same per-type stats off the original events, so the rolled
+    * files must conserve every row. */
+  val qSinkMaxRecords = Q("q_sink_max_records",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "maxrec_events")
+      val cap = 300L
+      loadOnceJvm(spark, sfDir, "maxrec") {
+        Tables.read(spark, sfDir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .repartition(2)
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", cap)
+          .parquet(dir)
+      }
+      val back = spark.read.schema(slim).parquet(dir)
+      val perFile = back.select(col("_metadata.file_path").as("f"))
+        .groupBy($"f").agg(count(lit(1)).as("rows"))
+        .agg(count(lit(1)).as("n_files"), max($"rows").as("max_rows"),
+          sum($"rows").as("total"))
+        .head()
+      val (nFiles, maxRows, total) =
+        (perFile.getLong(0), perFile.getLong(1), perFile.getLong(2))
+      back.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .withColumn("cap_respected", lit(maxRows <= cap))
+        .withColumn("file_count_ok",
+          lit(nFiles >= (total + cap - 1) / cap))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |       count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value,
+           |       TRUE AS cap_respected,
+           |       TRUE AS file_count_ok
+           |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1766,5 +1822,5 @@ object Formats {
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
     qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted,
-    qWriteAuditPublish, qSourceJsonMultiline)
+    qWriteAuditPublish, qSourceJsonMultiline, qSinkMaxRecords)
 }

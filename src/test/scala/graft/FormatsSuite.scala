@@ -293,4 +293,27 @@ class FormatsSuite extends AnyFunSuite {
     assert(kept >= 1 && kept <= 4,
       s"3/30-day window over 16 range files must keep ≤4, kept $kept")
   }
+
+  test("maxRecordsPerFile rolls files at the cap and conserves rows") {
+    // E254: run the query once (builds the capped store), then pin
+    // the physical layout the audit booleans summarize: every file
+    // holds ≤300 rows, the file count is at least ⌈rows/300⌉ (the
+    // cap actually forced rolling — 2 tasks alone would give 2
+    // files), and the booleans themselves came back true.
+    import TestSpark.sf
+    import graft.sources.Formats
+    val res = Formats.qSinkMaxRecords.fn(spark, sf).collect()
+    assert(res.forall(_.getBoolean(4)), "cap_respected must be true")
+    assert(res.forall(_.getBoolean(5)), "file_count_ok must be true")
+    val dir = Formats.fmtDir(sf, "maxrec_events")
+    val perFile = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("f"))
+      .groupBy($"f").agg(count(lit(1)).as("rows")).collect()
+    val total = perFile.map(_.getLong(1)).sum
+    assert(perFile.forall(_.getLong(1) <= 300L),
+      "a file exceeds the record cap")
+    assert(perFile.length >= ((total + 299) / 300).toInt,
+      "cap did not force file rolling")
+    assert(perFile.length > 2, "2 tasks must roll to >2 files")
+  }
 }

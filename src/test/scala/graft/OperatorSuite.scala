@@ -2843,4 +2843,18 @@ class OperatorSuite extends AnyFunSuite {
         s"$model does not conserve conversions")
     }
   }
+
+  test("lexical richness: hapax within types within tokens") {
+    // E253: the three counts nest by definition (a hapax is a type;
+    // a type occurs at least once), and both ratios are proper
+    // fractions of their denominators.
+    val hx = graft.queries.Corpus.qTextHapax.fn(spark, sf).collect()
+    assert(hx.nonEmpty)
+    hx.foreach { r =>
+      val (tok, typ, hap) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hap <= typ && typ <= tok)
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1)
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+    }
+  }
 }

@@ -387,6 +387,74 @@ object Graphs {
            |    CAST(m * sx2 - sx * sx AS DOUBLE), 6) AS assortativity
            |FROM sums""".stripMargin))
 
+  /** E255: **k-core decomposition (3-core)** — the maximal subgraph
+    * where every vertex keeps degree ≥ 3, the standard "dense
+    * backbone" extraction that separates structurally embedded nodes
+    * from peripheral ones (fraud rings, community cores, influence
+    * seeds). Semantics are BOUNDED-PEEL: exactly 10 rounds of
+    * remove-degree-<3-vertices, a fixpoint at fixture scale
+    * (OperatorSuite asserts min remaining degree ≥ 3 — degree ≥ k
+    * everywhere IS the convergence certificate) and, crucially,
+    * parity-proof even if a future fixture needed more rounds: the
+    * oracle UNROLLS the same 10 rounds (generated by the same loop
+    * that would change the engine's), so both sides always compute
+    * the identical bounded semantics. Each round is one degree
+    * aggregation + two semi-joins against the survivor set
+    * (broadcast here — survivor sets only shrink; hash semi-join at
+    * 100 TB), checkpointed per round for the E193 linear-plan
+    * lesson. */
+  val qGraphKcore = Q("q_graph_kcore",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = supportEdges(spark, sfDir).localCheckpoint()
+      var und = e.select($"s1".as("u"), $"s2".as("v"))
+        .union(e.select($"s2".as("u"), $"s1".as("v")))
+        .localCheckpoint()
+      for (_ <- 1 to 10) {
+        val keep = und.groupBy($"u").agg(count(lit(1)).as("d"))
+          .filter($"d" >= 3).select($"u")
+        und = und
+          .join(broadcast(keep), Seq("u"), "left_semi")
+          .join(broadcast(keep.select($"u".as("v"))), Seq("v"),
+            "left_semi")
+          .localCheckpoint()
+      }
+      und.groupBy($"u").agg(count(lit(1)).as("core_degree"))
+        .select($"u".as("part_key"), $"core_degree")
+        .orderBy($"part_key")
+    },
+    Some {
+      // Every CTE is MATERIALIZED: each round references its
+      // predecessor three times, so DuckDB's default inlining would
+      // expand the 10-round chain 3^10-fold (measured: it exhausts
+      // file handles re-opening the base parquet).
+      val base =
+        """WITH pairs AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem
+          |), e AS MATERIALIZED (
+          |  SELECT a.p AS s1, b.p AS s2
+          |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), r0 AS MATERIALIZED (
+          |  SELECT s1 AS u, s2 AS v FROM e
+          |  UNION ALL SELECT s2, s1 FROM e
+          |)""".stripMargin
+      val rounds = (1 to 10).map { i =>
+        s""", r$i AS MATERIALIZED (
+           |  SELECT u, v FROM r${i - 1}
+           |  WHERE u IN (SELECT u FROM r${i - 1}
+           |              GROUP BY u HAVING count(*) >= 3)
+           |    AND v IN (SELECT u FROM r${i - 1}
+           |              GROUP BY u HAVING count(*) >= 3)
+           |)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT u AS part_key, count(*) AS core_degree
+          |FROM r10 GROUP BY u ORDER BY part_key""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(qGraphTriangles, qGraphBfs, qGraphNeighborSim,
-    qGraphClustering, qGraphAssortativity)
+    qGraphClustering, qGraphAssortativity, qGraphKcore)
 }

@@ -2567,6 +2567,166 @@ object Metrics {
            |FROM unioned GROUP BY model, channel
            |ORDER BY model, channel""".stripMargin))
 
+  /** E256: **blocked fuzzy record linkage** — near-miss part names
+    * (edit distance 1–3) as candidate duplicate entities, the
+    * blocking + comparison shape every entity-resolution pipeline
+    * runs. The design IS the scale story, in order: (1) collapse
+    * records to the DISTINCT name vocabulary first (the entity set —
+    * vocabulary-sized, not record-sized; 2k records → ~80 names here,
+    * and a 100 TB catalog's name vocabulary is still tiny next to its
+    * rows), carrying each name's record count; (2) BLOCK on the first
+    * token, so comparison pairs are per-block quadratic in the
+    * VOCABULARY, never all-pairs over records; (3) only then pay
+    * levenshtein, keeping 0 < dist ≤ 3 (dist 0 would be exact dedup —
+    * X1's job). Identical edit-distance definition on both engines;
+    * output totally ordered by (dist, name_a, name_b). */
+  val qLinkBlocking = Q("q_link_blocking",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val names = Tables.read(spark, sfDir, "part")
+        .groupBy($"p_name").agg(count(lit(1)).as("n_records"))
+        .withColumn("blk", split($"p_name", " ").getItem(0))
+      names.as("a")
+        .join(names.as("b"),
+          $"a.blk" === $"b.blk" && $"a.p_name" < $"b.p_name")
+        .withColumn("dist",
+          levenshtein($"a.p_name", $"b.p_name"))
+        .filter($"dist".between(1, 3))
+        .select($"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+          $"dist", $"a.n_records".as("n_records_a"),
+          $"b.n_records".as("n_records_b"))
+        .orderBy($"dist", $"name_a", $"name_b")
+    },
+    Some("""WITH names AS (
+           |  SELECT p_name, count(*) AS n_records,
+           |    string_split(p_name, ' ')[1] AS blk
+           |  FROM part GROUP BY p_name
+           |)
+           |SELECT a.p_name AS name_a, b.p_name AS name_b,
+           |  levenshtein(a.p_name, b.p_name) AS dist,
+           |  a.n_records AS n_records_a, b.n_records AS n_records_b
+           |FROM names a JOIN names b
+           |  ON a.blk = b.blk AND a.p_name < b.p_name
+           |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+           |ORDER BY dist, name_a, name_b""".stripMargin))
+
+  /** E257: **session path analysis** — the top user journeys: within
+    * 30-minute-gap sessions (the E20 sessionization), the ordered
+    * event-type sequence as a path string, ranked by frequency — the
+    * "how do users actually move through the product" readout behind
+    * funnel design. Determinism is the whole trick: the path is built
+    * from `sort_array` over (ts, event_id, type) structs collected
+    * per session — array_join of a SORTED collect, never the
+    * aggregation-order-lucky collect_list — and the top-10 export
+    * breaks count ties on the path string. Two shuffles (sessionize
+    * window + path count) and a bounded top-k; paths are
+    * vocabulary-sized (event-type alphabet^length), not user-sized. */
+  val qPathAnalysis = Q("q_path_analysis",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val timeline = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      val sessions = Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("gap_us",
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(timeline)))
+        .withColumn("brk",
+          when($"gap_us".isNull || $"gap_us" > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum($"brk").over(timeline))
+      sessions
+        .groupBy($"user_id", $"sess")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct($"ts", $"event_id",
+            $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(10)
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |    event_type
+           |  FROM events
+           |), gapped AS (
+           |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+           |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+           |    THEN 1 ELSE 0 END AS brk
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), sessioned AS (
+           |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id) AS sess
+           |  FROM gapped
+           |), paths AS (
+           |  SELECT user_id, sess,
+           |    string_agg(event_type, '>' ORDER BY ts, event_id)
+           |      AS path
+           |  FROM sessioned GROUP BY user_id, sess
+           |)
+           |SELECT path, count(*) AS n_sessions
+           |FROM paths GROUP BY path
+           |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin))
+
+  /** E258: **rolling active users (DAU / WAU / stickiness)** — per
+    * day, the distinct users active that day, the distinct users
+    * active in the trailing 7 days, and their ratio: the engagement
+    * triple on every product dashboard. Rolling DISTINCT does not
+    * decompose into window frames (distinct is not subtractable), so
+    * the engine shape is contribution-explode: each (user, day)
+    * activity row fans out to the ≤7 trailing days it keeps the user
+    * "weekly active" for (`sequence(day, day+6)` — row-local, one
+    * shuffle to the day grain, no keyless range join for PlanSuite to
+    * veto), then one per-day aggregation counts WAU, with DAU as the
+    * conditional distinct on the contribution where day = activity
+    * day. Days past the data's horizon are clipped by the 1-row
+    * max-day broadcast. The oracle takes the range-join route —
+    * pinning that fan-out and range-scan agree. */
+  val qRollingActive = Q("q_rolling_active",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val activity = Tables.read(spark, sfDir, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val horizon = activity.agg(max($"day").as("max_day"))
+      activity
+        .select($"user_id", $"day",
+          explode(expr("sequence(day, date_add(day, 6))")).as("d"))
+        .join(broadcast(horizon), $"d" <= $"max_day")
+        .groupBy($"d")
+        .agg(countDistinct(when($"day" === $"d", $"user_id"))
+          .as("dau"),
+          countDistinct($"user_id").as("wau"))
+        .select($"d", $"dau", $"wau",
+          round($"dau".cast("double") / $"wau".cast("double"), 6)
+            .as("stickiness"))
+        .orderBy($"d")
+    },
+    Some("""WITH activity AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           |  FROM events
+           |), days AS (
+           |  SELECT DISTINCT day AS d FROM activity
+           |  UNION
+           |  SELECT DISTINCT day + CAST(i AS INTEGER) AS d
+           |  FROM activity, range(1, 7) t(i)
+           |  WHERE day + CAST(i AS INTEGER)
+           |    <= (SELECT max(day) FROM activity)
+           |), rolled AS (
+           |  SELECT d.d,
+           |    count(DISTINCT CASE WHEN a.day = d.d
+           |      THEN a.user_id END) AS dau,
+           |    count(DISTINCT a.user_id) AS wau
+           |  FROM days d JOIN activity a
+           |    ON a.day BETWEEN d.d - 6 AND d.d
+           |  GROUP BY d.d
+           |)
+           |SELECT d, dau, wau,
+           |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+           |    AS stickiness
+           |FROM rolled ORDER BY d""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2581,5 +2741,6 @@ object Metrics {
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
     qFanoutProfile, qRevenueBridge, qParetoCutoff,
     qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation,
-    qSqlNamedArgs, qAggMoments, qWeightedMedian, qAttribution)
+    qSqlNamedArgs, qAggMoments, qWeightedMedian, qAttribution,
+    qLinkBlocking, qPathAnalysis, qRollingActive)
 }

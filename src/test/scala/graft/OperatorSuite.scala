@@ -2844,6 +2844,48 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("k-core is a fixpoint; linkage stays blocked; paths and DAU cohere") {
+    // E255: after the bounded peel, every surviving vertex holds
+    // degree ≥ 3 INSIDE the survivor subgraph — which certifies the
+    // 10 rounds actually reached the fixpoint (if they hadn't, some
+    // vertex would sit below k and the next peel would change the
+    // set). E256: candidates obey the block (same first token), the
+    // distance band, and the canonical a<b order. E257: top paths
+    // are ranked with the tie-break total order. E258: a day's
+    // actives are a subset of its trailing week's, and the first
+    // day's window contains only itself.
+    val core = graft.queries.Graphs.qGraphKcore.fn(spark, sf)
+      .collect()
+    assert(core.nonEmpty)
+    assert(core.forall(_.getLong(1) >= 3L),
+      "peel did not converge: a survivor sits below k=3")
+    val lk = graft.queries.Metrics.qLinkBlocking.fn(spark, sf)
+      .collect()
+    lk.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      assert(a.split(" ").head === b.split(" ").head, "block broken")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 3)
+    }
+    val paths = graft.queries.Metrics.qPathAnalysis.fn(spark, sf)
+      .collect()
+    assert(paths.length === 10)
+    paths.sliding(2).foreach { case Array(x, y) =>
+      assert(y.getLong(1) < x.getLong(1) ||
+        (y.getLong(1) === x.getLong(1) &&
+          y.getString(0) > x.getString(0)))
+    }
+    val act = graft.queries.Metrics.qRollingActive.fn(spark, sf)
+      .collect()
+    assert(act.nonEmpty)
+    act.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "dau must not exceed wau")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1)
+    }
+    assert(act.head.getLong(1) === act.head.getLong(2),
+      "first day's trailing week is itself")
+  }
+
   test("lexical richness: hapax within types within tokens") {
     // E253: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper

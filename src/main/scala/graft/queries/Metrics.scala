@@ -2727,6 +2727,186 @@ object Metrics {
            |    AS stickiness
            |FROM rolled ORDER BY d""".stripMargin))
 
+  /** E259: **RFM segmentation** — the classic customer triage:
+    * recency (days since last order, against the dataset's own
+    * horizon so the query is reproducible, not wall-clock-dependent),
+    * frequency (order count) and monetary (exact DECIMAL spend),
+    * each scored into quintiles, then rolled up to segment counts.
+    * Determinism is the usual ntile discipline: every quintile sort
+    * carries the custkey tiebreak, and the orientations make 5 "best"
+    * on all three axes (recency sorts DESC so the most recent
+    * customers land in the top tile). Output is the bounded 5×5×5
+    * segment grid with its population and average spend (DOUBLE
+    * edge), not the per-customer table — the grid is what campaign
+    * tooling consumes, and it keeps the result calendar-bounded. */
+  val qRfmSegments = Q("q_rfm_segments",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val horizon = Window.partitionBy()
+      val rfm = Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_custkey")
+        .agg(max(to_date($"o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum($"o_totalprice".cast("decimal(18,2)")).as("monetary"))
+        .withColumn("recency",
+          datediff(max($"last_order").over(horizon), $"last_order"))
+      rfm
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy($"recency".desc, $"o_custkey")))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy($"frequency", $"o_custkey")))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy($"monetary", $"o_custkey")))
+        .groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg($"monetary".cast("double")), 6).as("avg_spend"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    },
+    Some("""WITH rfm AS (
+           |  SELECT o_custkey,
+           |    max(CAST(o_orderdate AS DATE)) AS last_order,
+           |    count(*) AS frequency,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+           |  FROM orders GROUP BY o_custkey
+           |), with_recency AS (
+           |  SELECT o_custkey, frequency, monetary,
+           |    CAST(max(last_order) OVER () - last_order AS BIGINT)
+           |      AS recency
+           |  FROM rfm
+           |), scored AS (
+           |  SELECT
+           |    ntile(5) OVER (ORDER BY recency DESC, o_custkey)
+           |      AS r_score,
+           |    ntile(5) OVER (ORDER BY frequency, o_custkey)
+           |      AS f_score,
+           |    ntile(5) OVER (ORDER BY monetary, o_custkey)
+           |      AS m_score,
+           |    monetary
+           |  FROM with_recency
+           |)
+           |SELECT r_score, f_score, m_score,
+           |  count(*) AS n_customers,
+           |  round(avg(CAST(monetary AS DOUBLE)), 6) AS avg_spend
+           |FROM scored GROUP BY 1, 2, 3
+           |ORDER BY r_score, f_score, m_score""".stripMargin))
+
+  /** E260: **exponential-smoothing forecast (SES fold)** — the
+    * one-step-ahead simple-exponential-smoothing level per event
+    * type over its daily counts: s₁ = y₁, sₜ = 0.3·yₜ + 0.7·sₜ₋₁ —
+    * the baseline every forecasting bake-off starts from. A
+    * recurrence cannot be a window frame (each state depends on the
+    * previous STATE, not the previous rows), so the engine shape is
+    * collect-sorted-then-fold: one hash agg to the (type, day) grain
+    * — calendar-bounded, so the per-type array is bounded by days,
+    * never by raw rows — then `aggregate()` (Catalyst's fold HOF)
+    * over the sorted series entirely row-locally. The oracle is
+    * DuckDB's `list_reduce`, whose first-element-as-init left-fold
+    * the Spark side mirrors exactly (init = element 1, fold over the
+    * slice from 2), with every lambda constant CAST to DOUBLE on
+    * both sides so the fold is double arithmetic in identical order
+    * — bit-equal, then one 6dp round. */
+  val qForecastSes = Q("q_forecast_ses",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"y")))
+          .as("series"))
+        .select($"event_type",
+          size($"series").as("n_days"),
+          element_at($"series", -1).getField("y").as("last_y"),
+          expr("""round(aggregate(
+            |  transform(slice(series, 2, size(series) - 1),
+            |    x -> CAST(x.y AS DOUBLE)),
+            |  CAST(element_at(series, 1).y AS DOUBLE),
+            |  (acc, y) -> CAST(0.3 AS DOUBLE) * y
+            |    + CAST(0.7 AS DOUBLE) * acc), 6)""".stripMargin)
+            .as("forecast_next"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    count(*) AS y
+           |  FROM events GROUP BY 1, 2
+           |), series AS (
+           |  SELECT event_type,
+           |    list(CAST(y AS DOUBLE) ORDER BY day) AS ys,
+           |    count(*) AS n_days,
+           |    CAST(max_by(y, day) AS BIGINT) AS last_y
+           |  FROM daily GROUP BY event_type
+           |)
+           |SELECT event_type, n_days, last_y,
+           |  round(list_reduce(ys,
+           |    (acc, y) -> CAST(0.3 AS DOUBLE) * y
+           |      + CAST(0.7 AS DOUBLE) * acc), 6) AS forecast_next
+           |FROM series ORDER BY event_type""".stripMargin))
+
+  /** E261: **document surprisal scoring** — each document's average
+    * per-token information content against the corpus unigram model:
+    * −Σ log₂(p(tok))/n, the cheap perplexity proxy quality pipelines
+    * use to flag out-of-distribution documents (very low = template
+    * boilerplate, very high = noise/garbled). The order-free double
+    * discipline: per-token surprisal is rounded ONCE to integer
+    * micro-bits (CAST(round(−log₂(p)·10⁶) AS BIGINT) — one float op
+    * per VOCABULARY entry, not per token occurrence), and per-doc
+    * totals are integer sums, immune to aggregation order; the
+    * per-token average divides once at the edge. Corpus N crosses in
+    * as the 1-row broadcast; the token→probability join is
+    * vocabulary-sized on the build side. Top 10 by (avg desc,
+    * doc_id). */
+  val qDocSurprisal = Q("q_doc_surprisal",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val toks = Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("tok"))
+        .filter($"tok" =!= "")
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val n = vocab.agg(sum($"cnt").as("n_corpus"))
+      val scored = vocab.crossJoin(broadcast(n))
+        .select($"tok",
+          round(-log2($"cnt".cast("double") /
+            $"n_corpus".cast("double")) * lit(1000000.0))
+            .cast("long").as("micro_bits"))
+      toks.join(broadcast(scored), Seq("tok"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"micro_bits").as("total_micro"))
+        .select($"doc_id", $"n_tokens",
+          round($"total_micro".cast("double") / lit(1000000.0) /
+            $"n_tokens".cast("double"), 6).as("avg_bits_per_token"))
+        .orderBy($"avg_bits_per_token".desc, $"doc_id")
+        .limit(10)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, w AS tok
+           |  FROM (SELECT doc_id,
+           |          unnest(string_split(trim(text), ' ')) AS w
+           |        FROM documents) u
+           |  WHERE w <> ''
+           |), vocab AS (
+           |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+           |), scored AS (
+           |  SELECT tok,
+           |    CAST(round(-log2(CAST(cnt AS DOUBLE) /
+           |      CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE))
+           |      * 1000000.0) AS BIGINT) AS micro_bits
+           |  FROM vocab
+           |), per_doc AS (
+           |  SELECT t.doc_id, count(*) AS n_tokens,
+           |    sum(s.micro_bits) AS total_micro
+           |  FROM toks t JOIN scored s ON s.tok = t.tok
+           |  GROUP BY t.doc_id
+           |)
+           |SELECT doc_id, n_tokens,
+           |  round(CAST(total_micro AS DOUBLE) / 1000000.0 /
+           |    CAST(n_tokens AS DOUBLE), 6) AS avg_bits_per_token
+           |FROM per_doc
+           |ORDER BY avg_bits_per_token DESC, doc_id LIMIT 10"""
+      .stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2742,5 +2922,6 @@ object Metrics {
     qFanoutProfile, qRevenueBridge, qParetoCutoff,
     qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation,
     qSqlNamedArgs, qAggMoments, qWeightedMedian, qAttribution,
-    qLinkBlocking, qPathAnalysis, qRollingActive)
+    qLinkBlocking, qPathAnalysis, qRollingActive,
+    qRfmSegments, qForecastSes, qDocSurprisal)
 }

@@ -1811,6 +1811,52 @@ object Formats {
            |FROM events GROUP BY event_type ORDER BY event_type"""
       .stripMargin))
 
+  /** E262: **glob-filtered recursive ingestion** — reading a REAL
+    * lake directory: nested batch subdirectories (no Hive partition
+    * scheme) holding the data, with operational debris (a .tmp
+    * upload, a README, a stray CSV) scattered alongside. Two reader
+    * controls make it safe: `recursiveFileLookup` walks the nesting
+    * without inventing partition columns, and `pathGlobFilter`
+    * admits only `*.parquet` — without it the scan would try to
+    * parse the debris as parquet and die (or worse, a permissive
+    * format would absorb it). The fixture splits events into two
+    * disjoint nested batches (click/view vs the rest), so the
+    * glob-filtered recursive read must reconstruct EXACTLY the
+    * original table — the shared round-trip oracle catches any row
+    * lost to nesting or gained from junk. */
+  val qSourceGlobFilter = Q("q_source_glob_filter",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "glob_events")
+      loadOnceJvm(spark, sfDir, "glob") {
+        val ev = Tables.read(spark, sfDir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        ev.filter($"event_type".isin("click", "view"))
+          .write.mode("overwrite").parquet(s"$dir/batch_a")
+        ev.filter(!$"event_type".isin("click", "view"))
+          .write.mode("overwrite").parquet(s"$dir/batch_b")
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.writeString(p.resolve("upload.tmp"),
+          "partial upload debris")
+        java.nio.file.Files.writeString(p.resolve("README.txt"),
+          "lake landing zone")
+        java.nio.file.Files.writeString(
+          p.resolve("batch_a").resolve("manifest.csv"),
+          "id,status\n1,ok")
+      }
+      spark.read.schema(slim)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some(roundtripOracle))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1822,5 +1868,6 @@ object Formats {
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
     qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted,
-    qWriteAuditPublish, qSourceJsonMultiline, qSinkMaxRecords)
+    qWriteAuditPublish, qSourceJsonMultiline, qSinkMaxRecords,
+    qSourceGlobFilter)
 }

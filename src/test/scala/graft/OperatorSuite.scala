@@ -2886,6 +2886,47 @@ class OperatorSuite extends AnyFunSuite {
       "first day's trailing week is itself")
   }
 
+  test("RFM quintiles balance; SES stays convex; surprisal bounded") {
+    // E259: the segment grid partitions the customer base, every
+    // score is a 1..5 quintile, and each axis's marginal is balanced
+    // to ±1 (the ntile contract). E260: an exponential smoothing
+    // level is a convex combination of observed values, so it cannot
+    // leave the series' [min, max]. E261: average surprisal is
+    // positive and can't exceed log2(corpus size) bits.
+    val rfm = graft.queries.Metrics.qRfmSegments.fn(spark, sf)
+      .collect()
+    val nCust = Tables.read(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(rfm.map(_.getLong(3)).sum === nCust)
+    rfm.foreach { r =>
+      (0 to 2).foreach(i =>
+        assert(r.getInt(i) >= 1 && r.getInt(i) <= 5))
+    }
+    val rMarginal = rfm.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).values.toSeq
+    assert(rMarginal.max - rMarginal.min <= 1,
+      "r_score quintiles unbalanced")
+    val daily = Tables.read(spark, sf, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy($"event_type")
+      .agg(min($"y").as("lo"), max($"y").as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.queries.Metrics.qForecastSes.fn(spark, sf).collect()
+      .foreach { r =>
+        val (lo, hi) = daily(r.getString(0))
+        val f = r.getDouble(3)
+        assert(f >= lo && f <= hi, s"SES $f left [$lo, $hi]")
+      }
+    val sup = graft.queries.Metrics.qDocSurprisal.fn(spark, sf)
+      .collect()
+    assert(sup.length === 10)
+    sup.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 64)
+    }
+  }
+
   test("lexical richness: hapax within types within tokens") {
     // E253: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper

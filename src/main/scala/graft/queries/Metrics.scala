@@ -2907,6 +2907,216 @@ object Metrics {
            |ORDER BY avg_bits_per_token DESC, doc_id LIMIT 10"""
       .stripMargin))
 
+  /** E263: **LATERAL VIEW legacy spelling** — HiveQL's generator
+    * syntax (`LATERAL VIEW explode(...) t AS col`, plus the OUTER
+    * variant that keeps empty-array rows), the spelling a decade of
+    * warehouse code is written in and the first thing a Hive
+    * migration throws at the parser. Semantics are exactly the
+    * modern explode/unnest (X8/E68) — the row pins that the LEGACY
+    * SYNTAX parses and agrees with the oracle's unnest, the same
+    * both-spellings-one-hash contract as the pipe-syntax row (E245).
+    * Exploding each part's name tokens, then counting per token:
+    * vocabulary-sized output, one shuffle. The OUTER half is
+    * exercised on a planted empty array (no-token names would vanish
+    * under plain LATERAL VIEW; OUTER emits them with NULL — counted
+    * under the 'none' bucket). */
+  val qSqlLateralView = Q("q_sql_lateral_view",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val v = s"lv_part_$tag"
+      Tables.read(spark, sfDir, "part").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT coalesce(tok, 'none') AS tok,
+             |  count(*) AS n_parts
+             |FROM (
+             |  SELECT p_partkey,
+             |    CASE WHEN p_partkey % 100 = 0
+             |      THEN array()
+             |      ELSE split(p_name, ' ') END AS toks
+             |  FROM $v
+             |)
+             |LATERAL VIEW OUTER explode(toks) t AS tok
+             |GROUP BY coalesce(tok, 'none')
+             |ORDER BY tok""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""WITH exploded AS (
+           |  SELECT p_partkey,
+           |    unnest(CASE WHEN p_partkey % 100 = 0
+           |      THEN [NULL]
+           |      ELSE string_split(p_name, ' ') END) AS tok
+           |  FROM part
+           |)
+           |SELECT coalesce(tok, 'none') AS tok, count(*) AS n_parts
+           |FROM exploded
+           |GROUP BY coalesce(tok, 'none')
+           |ORDER BY tok""".stripMargin))
+
+  /** E264: **DISTRIBUTE BY / SORT BY (CLUSTER BY) surface** — the
+    * Hive-inherited physical-layout clauses: DISTRIBUTE BY hashes
+    * rows across partitions, SORT BY orders WITHIN each partition
+    * (no global sort — the whole point at 100 TB: a terasort-free
+    * way to get per-partition runs for downstream merge-joins or
+    * run-length-friendly files), CLUSTER BY is both on one key. The
+    * RESULT SET is clause-invariant (the comparator sorts rows, so
+    * parity pins that the layout clauses change no data), and
+    * PlanSuite locks what the clauses actually promise: a
+    * RepartitionByExpression with a non-global Sort — and NO global
+    * sort node. Aggregated to per-type stats after the clustered
+    * projection so the fixture output stays bounded. */
+  val qSqlClusterBy = Q("q_sql_cluster_by",
+    (spark, sfDir) => {
+      val tag = windowViewRun.incrementAndGet()
+      val v = s"cb_events_$tag"
+      Tables.read(spark, sfDir, "events").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(min(value) AS DOUBLE) AS min_value,
+             |  CAST(max(value) AS DOUBLE) AS max_value
+             |FROM (
+             |  SELECT event_type, value FROM $v
+             |  CLUSTER BY event_type
+             |)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(min(value) AS DOUBLE) AS min_value,
+           |  CAST(max(value) AS DOUBLE) AS max_value
+           |FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** E265: **time-windowed funnel** — the funnel (E38) with
+    * DEADLINES: signup → first click within 7 days → first purchase
+    * within 7 days OF THAT CLICK, per user, reported as stage
+    * conversion counts plus median days-to-convert. Deadline funnels
+    * are a different operator than unordered funnels: each stage is
+    * an AS-OF join (earliest qualifying successor in a bounded
+    * window), here two window-free as-of picks via conditional min
+    * over the user's timeline — per user the FIRST signup anchors
+    * the chain (deterministic anchor), and min(ts) picks are
+    * order-free. The signup→purchase span floors to whole days in
+    * exact integer microseconds (DIV on both engines) before the one
+    * double division for the average. */
+  val qFunnelWindowed = Q("q_funnel_windowed",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"event_type", $"ts")
+      val signup = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t0"))
+      val click = ev.filter($"event_type" === "click")
+        .join(signup, Seq("user_id"))
+        .filter($"ts" > $"t0" &&
+          unix_micros($"ts") - unix_micros($"t0") <=
+            7L * 86400 * 1000000)
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val purchase = ev.filter($"event_type" === "purchase")
+        .join(click, Seq("user_id"))
+        .filter($"ts" > $"t1" &&
+          unix_micros($"ts") - unix_micros($"t1") <=
+            7L * 86400 * 1000000)
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val funnel = signup
+        .join(click, Seq("user_id"), "left")
+        .join(purchase, Seq("user_id"), "left")
+        .withColumn("span_days",
+          expr("(unix_micros(t2) - unix_micros(t0)) DIV 86400000000"))
+      funnel.agg(
+        count(lit(1)).as("n_signup"),
+        count($"t1").as("n_click_7d"),
+        count($"t2").as("n_purchase_7d"),
+        round(sum($"span_days").cast("double") /
+          count($"t2").cast("double"), 6).as("avg_days_full"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events
+           |), signup AS (
+           |  SELECT user_id, min(ts) AS t0 FROM ev
+           |  WHERE event_type = 'signup' GROUP BY user_id
+           |), click AS (
+           |  SELECT e.user_id, min(e.ts) AS t1
+           |  FROM ev e JOIN signup s ON s.user_id = e.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > s.t0
+           |    AND epoch_us(e.ts) - epoch_us(s.t0)
+           |        <= CAST(604800000000 AS BIGINT)
+           |  GROUP BY e.user_id
+           |), purchase AS (
+           |  SELECT e.user_id, min(e.ts) AS t2
+           |  FROM ev e JOIN click c ON c.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+           |    AND epoch_us(e.ts) - epoch_us(c.t1)
+           |        <= CAST(604800000000 AS BIGINT)
+           |  GROUP BY e.user_id
+           |)
+           |SELECT count(*) AS n_signup,
+           |  count(c.t1) AS n_click_7d,
+           |  count(p.t2) AS n_purchase_7d,
+           |  round(CAST(sum(
+           |      (epoch_us(p.t2) - epoch_us(s.t0)) // 86400000000
+           |    ) AS DOUBLE) / CAST(count(p.t2) AS DOUBLE), 6)
+           |    AS avg_days_full
+           |FROM signup s
+           |LEFT JOIN click c ON c.user_id = s.user_id
+           |LEFT JOIN purchase p ON p.user_id = s.user_id"""
+      .stripMargin))
+
+  /** E266: **transition matrix with dwell time** — for consecutive
+    * events per user, the (from-type → to-type) transition counts
+    * and mean dwell seconds: the empirical Markov chain product
+    * analytics reads flow and friction from (a slow view→purchase
+    * edge is a checkout problem; a fat error→error edge is a retry
+    * storm). One lag window per user timeline (the E257 total
+    * order), then one hash agg on the bounded type×type grid; dwell
+    * sums are exact integer microseconds, divided once at the
+    * edge. */
+  val qTransitionDwell = Q("q_transition_dwell",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val timeline = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type",
+          lag($"event_type", 1).over(timeline))
+        .withColumn("dwell_us",
+          unix_micros($"ts") -
+            unix_micros(lag($"ts", 1).over(timeline)))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type".as("from_type"),
+          $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          round(sum($"dwell_us").cast("double") / lit(1000000.0) /
+            count(lit(1)).cast("double"), 6).as("avg_dwell_sec"))
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |    event_type
+           |  FROM events
+           |), lagged AS (
+           |  SELECT event_type,
+           |    lag(event_type) OVER w AS prev_type,
+           |    epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dwell_us
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |)
+           |SELECT prev_type AS from_type, event_type AS to_type,
+           |  count(*) AS n_transitions,
+           |  round(CAST(sum(dwell_us) AS DOUBLE) / 1000000.0 /
+           |    CAST(count(*) AS DOUBLE), 6) AS avg_dwell_sec
+           |FROM lagged WHERE prev_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2923,5 +3133,6 @@ object Metrics {
     qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation,
     qSqlNamedArgs, qAggMoments, qWeightedMedian, qAttribution,
     qLinkBlocking, qPathAnalysis, qRollingActive,
-    qRfmSegments, qForecastSes, qDocSurprisal)
+    qRfmSegments, qForecastSes, qDocSurprisal,
+    qSqlLateralView, qSqlClusterBy, qFunnelWindowed, qTransitionDwell)
 }

@@ -2927,6 +2927,33 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("windowed funnel narrows; transitions conserve; lateral view plants") {
+    // E265: each deadline stage can only lose users, the averaged
+    // span sits inside [0, 14] days (two chained 7-day windows), and
+    // stage counts are bounded by the signup base. E266: each user
+    // with k events contributes exactly k−1 transitions, dwell is
+    // non-negative (the timeline is ordered). E263: the planted
+    // empty-array rows (partkey % 100 = 0) surface as the 'none'
+    // bucket with exactly their count.
+    val fw = graft.queries.Metrics.qFunnelWindowed.fn(spark, sf)
+      .head()
+    assert(fw.getLong(0) >= fw.getLong(1))
+    assert(fw.getLong(1) >= fw.getLong(2))
+    assert(fw.getDouble(3) >= 0 && fw.getDouble(3) <= 14)
+    val ev = Tables.read(spark, sf, "events")
+    val td = graft.queries.Metrics.qTransitionDwell.fn(spark, sf)
+      .collect()
+    val nUsers = ev.select($"user_id").distinct().count()
+    assert(td.map(_.getLong(2)).sum === ev.count() - nUsers)
+    td.foreach(r => assert(r.getDouble(3) >= 0))
+    val lv = graft.queries.Metrics.qSqlLateralView.fn(spark, sf)
+      .collect()
+    val planted = Tables.read(spark, sf, "part")
+      .filter($"p_partkey" % 100 === 0).count()
+    assert(lv.find(_.getString(0) == "none")
+      .map(_.getLong(1)).contains(planted))
+  }
+
   test("lexical richness: hapax within types within tokens") {
     // E253: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper

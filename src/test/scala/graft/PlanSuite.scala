@@ -150,7 +150,9 @@ class PlanSuite extends AnyFunSuite {
       "q_agg_kmv_distinct", // 1-row exact-count cross into the audit
       "q_pmi_cooccur", // 1-row corpus-size cross into the PMI term
       "q_embed_separation", // 500-row fixed-frame vec_id<vec_id pairs
-      "q_sim_ann_recall") // ≤50 probe vectors broadcast, X3's shape
+      "q_sim_ann_recall", // ≤50 probe vectors broadcast, X3's shape
+      "q_rolling_active", // 1-row max-day horizon cross clips fan-out
+      "q_doc_surprisal") // 1-row corpus-size cross into the log-probs
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),
@@ -757,5 +759,20 @@ class PlanSuite extends AnyFunSuite {
     // went through a lead() after all
     val nWindows = "Window \\[".r.findAllIn(p).length
     assert(nWindows == 1, s"expected only the rank window, got:\n$p")
+  }
+
+  test("CLUSTER BY plans a hash exchange with only partition-local sort") {
+    // E264's promise: CLUSTER BY is DISTRIBUTE BY (hash exchange) +
+    // SORT BY (per-partition sort) — a global sort node here would
+    // mean the clause silently upgraded to the terasort it exists to
+    // avoid. The inner clustered projection must show hashpartitioning
+    // on the cluster key; any Sort present must be non-global. The
+    // final ORDER BY of the 5-row aggregate is a TakeOrderedAndProject
+    // (bounded), not a global Sort, so the assertion is exact.
+    val p = plan("q_sql_cluster_by")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"CLUSTER BY lost its hash exchange:\n$p")
+    assert(!p.contains("Sort [") || !p.contains("global=true"),
+      s"CLUSTER BY must not global-sort:\n$p")
   }
 }

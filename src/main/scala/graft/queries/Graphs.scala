@@ -41,23 +41,33 @@ object Graphs {
     * per-order pair count is quadratic in basket size, so a
     * pathological giant basket needs a size cap before the expansion
     * (the fixture's baskets are ~4 items; the E3/E47 salting and AQE
-    * guards are the tools if a real corpus breaks this). */
-  private def supportEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.read(spark, sfDir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      .groupBy($"o").agg(sort_array(collect_set($"p")).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |    y -> struct(x AS s1, y AS s2))))""".stripMargin))
-        .as("pr"))
-      .select($"pr.s1", $"pr.s2")
-      .groupBy($"s1", $"s2")
-      .agg(count(lit(1)).as("w"))
-      .filter($"w" >= 2)
-      .select($"s1", $"s2")
-  }
+    * guards are the tools if a real corpus breaks this).
+    *
+    * The edge set is Memo-cached per (session, sfDir) — SIX queries
+    * (E192/E193/E244/E248/E249/E255) start from the same edges, and
+    * rebuilding the two-shuffle pair expansion per query was the
+    * graph family's dominant bench cost (round-13 measurement:
+    * ~1.7–2.0 s each, mostly edge building). Same contract as the
+    * cohort/shingle intermediates: built once, persisted
+    * MEMORY_AND_DISK, evicted with the session's context. Callers
+    * still localCheckpoint where they need plan truncation. */
+  private def supportEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo.cached(spark, s"support_edges:$sfDir") {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .groupBy($"o").agg(sort_array(collect_set($"p")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    y -> struct(x AS s1, y AS s2))))""".stripMargin))
+          .as("pr"))
+        .select($"pr.s1", $"pr.s2")
+        .groupBy($"s1", $"s2")
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= 2)
+        .select($"s1", $"s2")
+    }
 
   /** E192: **exact triangle counting** — per-vertex triangle
     * participation over the support-2 co-purchase graph, the local

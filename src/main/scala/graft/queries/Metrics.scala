@@ -3117,6 +3117,121 @@ object Metrics {
            |FROM lagged WHERE prev_type IS NOT NULL
            |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
 
+  /** E267: **argument-extreme aggregates (min_by / max_by)** — "the
+    * value of X at the row where Y is extreme", the lookup every
+    * "latest status per key" query wants without a row_number
+    * subquery: per user, the event type and value at their FIRST and
+    * LAST event. Determinism is the ordering key's job: event_id is
+    * unique per user timeline tie-broken nowhere — ties simply cannot
+    * happen, which is the ONLY condition under which min_by/max_by
+    * are reproducible (the scaladoc's warning: an ordering key with
+    * duplicates makes both engines pick aggregation-order luck).
+    * DuckDB spells them arg_min/arg_max. One hash agg, no window. */
+  val qAggArgExtremes = Q("q_agg_arg_extremes",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          min_by($"event_type", $"event_id").as("first_type"),
+          max_by($"event_type", $"event_id").as("last_type"),
+          max_by($"value", $"event_id").cast("double")
+            .as("last_value"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+           |  arg_min(event_type, event_id) AS first_type,
+           |  arg_max(event_type, event_id) AS last_type,
+           |  CAST(arg_max(value, event_id) AS DOUBLE) AS last_value
+           |FROM events GROUP BY user_id ORDER BY user_id"""
+      .stripMargin))
+
+  /** E268: **string formatting scalars** — `format_string` (Java
+    * printf on the Spark side, C printf as DuckDB's `printf`: %s,
+    * zero-padded %06d and hex %x agree across both runtimes — the
+    * float specifiers deliberately do NOT appear, because Java
+    * HALF_UPs %.2f where C half-evens it), plus lpad / rpad /
+    * translate / repeat — the ID-formatting row every export job
+    * hits. Pure row-local projection; the LIMIT keeps the fixture
+    * output bounded with the (custkey) total order. */
+  val qScalarFormat = Q("q_scalar_format",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+        .select($"c_custkey",
+          format_string("C-%06d:%x", $"c_custkey", $"c_custkey")
+            .as("formatted_id"),
+          lpad($"c_mktsegment", 12, ".").as("padded"),
+          translate($"c_mktsegment", "AEIOU", "aeiou")
+            .as("translated"),
+          concat(repeat(lit("*"), 3), $"c_mktsegment").as("starred"))
+        .orderBy($"c_custkey")
+        .limit(50)
+    },
+    Some("""SELECT c_custkey,
+           |  printf('C-%06d:%x', c_custkey, c_custkey)
+           |    AS formatted_id,
+           |  lpad(c_mktsegment, 12, '.') AS padded,
+           |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+           |  repeat('*', 3) || c_mktsegment AS starred
+           |FROM customer ORDER BY c_custkey LIMIT 50""".stripMargin))
+
+  /** E269: **interval-overlap self-join** — pairs of the same
+    * customer's orders whose [order, last-ship] activity windows
+    * overlap: the concurrency detector (simultaneous open orders,
+    * double-booked resources, overlapping sessions). The join is
+    * equi on the customer key FIRST — which bounds each comparison
+    * to one customer's own orders, the property that keeps an
+    * interval self-join off the quadratic cliff (the keyless variant
+    * is E3's binned problem; keyed overlap is just an equi join with
+    * a residual `a.start ≤ b.end AND b.start ≤ a.end`). Canonical
+    * a<b ordering counts each pair once; output is the per-customer
+    * overlap count plus the maximum concurrent-overlap days, exact
+    * integer date arithmetic throughout. */
+  val qJoinIntervalOverlap = Q("q_join_interval_overlap",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val spans = Tables.read(spark, sfDir, "orders")
+        .join(Tables.read(spark, sfDir, "lineitem")
+            .groupBy($"l_orderkey")
+            .agg(max(to_date($"l_shipdate")).as("fin")),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("cust"), $"o_orderkey".as("ok"),
+          to_date($"o_orderdate").as("st"), $"fin")
+        .filter($"fin" >= $"st")
+      spans.as("a")
+        .join(spans.as("b"),
+          $"a.cust" === $"b.cust" && $"a.ok" < $"b.ok" &&
+            $"a.st" <= $"b.fin" && $"b.st" <= $"a.fin")
+        .select($"a.cust".as("cust"),
+          (datediff(least($"a.fin", $"b.fin"),
+            greatest($"a.st", $"b.st")) + 1).as("overlap_days"))
+        .groupBy($"cust")
+        .agg(count(lit(1)).as("n_overlapping_pairs"),
+          max($"overlap_days").cast("long").as("max_overlap_days"))
+        .orderBy($"cust")
+    },
+    Some("""WITH spans AS (
+           |  SELECT o.o_custkey AS cust, o.o_orderkey AS ok,
+           |    CAST(o.o_orderdate AS DATE) AS st, f.fin
+           |  FROM orders o
+           |  JOIN (SELECT l_orderkey,
+           |          max(CAST(l_shipdate AS DATE)) AS fin
+           |        FROM lineitem GROUP BY l_orderkey) f
+           |    ON o.o_orderkey = f.l_orderkey
+           |  WHERE f.fin >= CAST(o.o_orderdate AS DATE)
+           |)
+           |SELECT a.cust AS cust,
+           |  count(*) AS n_overlapping_pairs,
+           |  CAST(max(CAST(least(a.fin, b.fin)
+           |    - greatest(a.st, b.st) AS BIGINT) + 1) AS BIGINT)
+           |    AS max_overlap_days
+           |FROM spans a JOIN spans b
+           |  ON a.cust = b.cust AND a.ok < b.ok
+           |    AND a.st <= b.fin AND b.st <= a.fin
+           |GROUP BY a.cust ORDER BY cust""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -3134,5 +3249,6 @@ object Metrics {
     qSqlNamedArgs, qAggMoments, qWeightedMedian, qAttribution,
     qLinkBlocking, qPathAnalysis, qRollingActive,
     qRfmSegments, qForecastSes, qDocSurprisal,
-    qSqlLateralView, qSqlClusterBy, qFunnelWindowed, qTransitionDwell)
+    qSqlLateralView, qSqlClusterBy, qFunnelWindowed, qTransitionDwell,
+    qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap)
 }

@@ -2954,6 +2954,42 @@ class OperatorSuite extends AnyFunSuite {
       .map(_.getLong(1)).contains(planted))
   }
 
+  test("arg extremes, format scalars, interval overlap hold shape") {
+    // E267: one row per user; first/last come from the event-type
+    // alphabet (an out-of-alphabet value means the ordering key
+    // picked a wrong row). E268: the printf spec round-trips as a
+    // parseable ID; lpad pads to exactly 12. E269: an overlap needs
+    // at least 1 shared day by the inclusive-bounds definition, and
+    // a customer's pair count is bounded by C(n_orders, 2).
+    val alphabet =
+      Set("view", "click", "signup", "purchase", "error")
+    val ax = graft.queries.Metrics.qAggArgExtremes.fn(spark, sf)
+      .collect()
+    val nUsers = Tables.read(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(ax.length.toLong === nUsers)
+    ax.foreach { r =>
+      assert(alphabet(r.getString(2)) && alphabet(r.getString(3)))
+    }
+    graft.queries.Metrics.qScalarFormat.fn(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getString(1).matches("C-\\d{6}:[0-9a-f]+"))
+        assert(r.getString(2).length === 12)
+        assert(r.getString(4).startsWith("***"))
+      }
+    val ov = graft.queries.Metrics.qJoinIntervalOverlap.fn(spark, sf)
+      .collect()
+    assert(ov.nonEmpty)
+    val ordersPerCust = Tables.read(spark, sf, "orders")
+      .groupBy($"o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ov.foreach { r =>
+      val n = ordersPerCust(r.getLong(0))
+      assert(r.getLong(1) <= n * (n - 1) / 2)
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
   test("lexical richness: hapax within types within tokens") {
     // E253: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper

@@ -3232,6 +3232,173 @@ object Metrics {
            |    AND a.st <= b.fin AND b.st <= a.fin
            |GROUP BY a.cust ORDER BY cust""".stripMargin))
 
+  /** E270: **dynamic pivot** — the R1/E224 pivot WITHOUT an explicit
+    * value list: `pivot(col)` first runs a distinct-values pre-pass
+    * (its own collect-to-driver job, capped by
+    * spark.sql.pivotMaxValues) and only then plans the aggregation —
+    * the two-pass shape this row exists to pin, because the
+    * convenience costs an extra scan that the explicit-list form
+    * (E224's recorded 100 TB advice) avoids. Output equals the
+    * explicit form exactly: pivoted status columns sort
+    * alphabetically, so the schema is deterministic for the
+    * fixture's F/O/P alphabet. */
+  val qPivotDynamic = Q("q_pivot_dynamic",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val pivoted = Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus")
+        .agg(count(lit(1)))
+      // a status absent for one priority pivots to NULL where the
+      // oracle's conditional count gives 0 — canonicalize
+      pivoted.columns.filter(_ != "o_orderpriority")
+        .foldLeft(pivoted) { (df, c) =>
+          df.withColumn(c, coalesce(col(c), lit(0L)))
+        }
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  /** E271: **cohort LTV curve** — cumulative purchase value per
+    * signup cohort by weeks-since-signup: the revenue companion to
+    * the retention matrix (E39 counts who comes back; LTV sums what
+    * they spend). Cohort = Monday of the user's FIRST signup (pure
+    * date arithmetic, the E238 Monday-key lesson); age = whole weeks
+    * from signup to purchase (integer DIV on day spans); revenue
+    * accumulates as exact DECIMAL cents through the cumulative
+    * window and casts to DOUBLE only at the edge. Grain is (cohort
+    * week × age) — calendar-bounded both ways. */
+  val qCohortLtv = Q("q_cohort_ltv",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+      val signup = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min(to_date($"ts")).as("s0"))
+        .withColumn("cohort", date_sub($"s0", weekday($"s0")))
+      val rev = ev.filter($"event_type" === "purchase")
+        .select($"user_id", to_date($"ts").as("d"),
+          $"value".cast("decimal(18,6)").as("v"))
+        .join(signup, Seq("user_id"))
+        .filter($"d" >= $"s0")
+        .withColumn("age_weeks", expr("datediff(d, s0) DIV 7"))
+        .groupBy($"cohort", $"age_weeks")
+        .agg(sum($"v").as("wk_rev"),
+          countDistinct($"user_id").as("n_buyers"))
+      val cum = Window.partitionBy($"cohort").orderBy($"age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_rev",
+          sum($"wk_rev").over(cum).cast("double"))
+        .select($"cohort", $"age_weeks", $"n_buyers",
+          $"wk_rev".cast("double").as("week_revenue"),
+          round($"cum_rev", 6).as("cumulative_revenue"))
+        .orderBy($"cohort", $"age_weeks")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+           |  FROM events
+           |), signup AS (
+           |  SELECT user_id, min(d) AS s0
+           |  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+           |), cohorted AS (
+           |  SELECT user_id, s0,
+           |    s0 - CAST(isodow(s0) - 1 AS INTEGER) AS cohort
+           |  FROM signup
+           |), weekly AS (
+           |  SELECT c.cohort,
+           |    CAST(e.d - c.s0 AS BIGINT) // 7 AS age_weeks,
+           |    sum(CAST(e.value AS DECIMAL(18,6))) AS wk_rev,
+           |    count(DISTINCT e.user_id) AS n_buyers
+           |  FROM ev e JOIN cohorted c ON c.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase' AND e.d >= c.s0
+           |  GROUP BY 1, 2
+           |)
+           |SELECT cohort, age_weeks, n_buyers,
+           |  CAST(wk_rev AS DOUBLE) AS week_revenue,
+           |  round(CAST(sum(wk_rev) OVER (PARTITION BY cohort
+           |    ORDER BY age_weeks ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND CURRENT ROW) AS DOUBLE), 6) AS cumulative_revenue
+           |FROM weekly ORDER BY cohort, age_weeks""".stripMargin))
+
+  /** E272: **skyline (Pareto frontier)** — customers not DOMINATED on
+    * (account balance ↓ better, total spend ↑ better): the
+    * efficient-frontier operator relational engines lack as a
+    * primitive, composed here from two windows instead of the naive
+    * quadratic anti-join: group to acctbal levels (max spend per
+    * level — dominance within a level needs the best spend only),
+    * cumulative-max spend over STRICTLY smaller balances via lag of
+    * a running max over the level sequence, keep levels whose best
+    * spend beats every cheaper level's. O(n log n) sort replaces the
+    * O(n²) dominance join — the composition IS the scale story.
+    * Output: the frontier customers (level representatives by best
+    * spend, custkey tiebreak), ordered by balance — along which
+    * frontier spend strictly increases by construction, since each
+    * kept level must beat every cheaper level's best
+    * (OperatorSuite pins the monotonicity). */
+  val qSkyline = Q("q_skyline",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val spend = Tables.read(spark, sfDir, "customer")
+        .join(Tables.read(spark, sfDir, "orders"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_custkey",
+          $"c_acctbal".cast("decimal(18,2)").as("bal"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("spend"))
+      // best spend per balance level, with a deterministic
+      // representative (highest spend, then lowest custkey)
+      val levels = spend
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"bal")
+            .orderBy($"spend".desc, $"c_custkey")))
+        .filter($"rn" === 1)
+        .select($"c_custkey", $"bal", $"spend")
+      val seq = Window.orderBy($"bal")
+      levels
+        .withColumn("run_max",
+          max($"spend").over(
+            seq.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .withColumn("prev_max", lag($"run_max", 1).over(seq))
+        .filter($"prev_max".isNull || $"spend" > $"prev_max")
+        .select($"c_custkey",
+          $"bal".cast("double").as("acctbal"),
+          $"spend".cast("double").as("total_spend"))
+        .orderBy($"acctbal")
+    },
+    Some("""WITH spend AS (
+           |  SELECT c_custkey,
+           |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           |  FROM customer JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY 1, 2
+           |), levels AS (
+           |  SELECT c_custkey, bal, spend FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY bal
+           |      ORDER BY spend DESC, c_custkey) AS rn
+           |    FROM spend
+           |  ) WHERE rn = 1
+           |), running AS (
+           |  SELECT c_custkey, bal, spend,
+           |    max(spend) OVER (ORDER BY bal
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS run_max
+           |  FROM levels
+           |), ranked AS (
+           |  SELECT c_custkey, bal, spend,
+           |    lag(run_max) OVER (ORDER BY bal) AS prev_max
+           |  FROM running
+           |)
+           |SELECT c_custkey, CAST(bal AS DOUBLE) AS acctbal,
+           |  CAST(spend AS DOUBLE) AS total_spend
+           |FROM ranked
+           |WHERE prev_max IS NULL OR spend > prev_max
+           |ORDER BY acctbal""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -3250,5 +3417,6 @@ object Metrics {
     qLinkBlocking, qPathAnalysis, qRollingActive,
     qRfmSegments, qForecastSes, qDocSurprisal,
     qSqlLateralView, qSqlClusterBy, qFunnelWindowed, qTransitionDwell,
-    qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap)
+    qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap,
+    qPivotDynamic, qCohortLtv, qSkyline)
 }

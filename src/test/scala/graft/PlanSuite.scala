@@ -150,9 +150,7 @@ class PlanSuite extends AnyFunSuite {
       "q_agg_kmv_distinct", // 1-row exact-count cross into the audit
       "q_pmi_cooccur", // 1-row corpus-size cross into the PMI term
       "q_embed_separation", // 500-row fixed-frame vec_id<vec_id pairs
-      "q_sim_ann_recall", // ≤50 probe vectors broadcast, X3's shape
-      "q_rolling_active", // 1-row max-day horizon cross clips fan-out
-      "q_doc_surprisal") // 1-row corpus-size cross into the log-probs
+      "q_sim_ann_recall") // ≤50 probe vectors broadcast, X3's shape
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def modules: Seq[Q] =
+  // private[graft] so the suite can assert no module ever registers a
+  // name another module already owns (a duplicate would silently shadow
+  // the earlier query in queryMap — the round-13 incident)
+  private[graft] def modules: Seq[Q] =
     _root_.graft.queries.Cohort.all ++
       _root_.graft.queries.Relational.all ++
       _root_.graft.queries.Aggregates.all ++

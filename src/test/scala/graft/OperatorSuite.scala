@@ -16,6 +16,20 @@ class OperatorSuite extends AnyFunSuite {
 
   // ---------------------------------------------------------- goldens
 
+  test("every registered query name is unique across modules") {
+    // Q.queryMap keeps the LAST definition for a duplicated name, so a
+    // module re-registering an existing name silently replaces the
+    // original implementation with no test or gate failing — exactly
+    // what happened (and was caught by inspection, not tooling) in
+    // round 13. This assertion makes the shadowing loud.
+    val names = SparkEntry.modules.map(_.name)
+    val dups = names.groupBy(identity).collect {
+      case (n, occ) if occ.size > 1 => n
+    }
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size === names.size)
+  }
+
   test("events.ts reads as microsecond timestamps (µs fixture, native)") {
     val row = Tables.read(spark, sf, "events")
       .select(min($"ts"), max($"ts")).head()

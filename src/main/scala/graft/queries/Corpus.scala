@@ -381,7 +381,7 @@ object Corpus {
            |FROM rates r LEFT JOIN picked p ON r.source = p.source
            |ORDER BY r.source""".stripMargin))
 
-  /** E252: **lexical richness (hapax / type-token ratio)** — per
+  /** E251: **lexical richness (hapax / type-token ratio)** — per
     * source, the vocabulary-health panel quality pipelines read
     * before training: token volume, distinct types, hapax legomena
     * (frequency-1 types — the long tail that dominates natural text

@@ -44,7 +44,7 @@ object Graphs {
     * guards are the tools if a real corpus breaks this).
     *
     * The edge set is Memo-cached per (session, sfDir) — SIX queries
-    * (E192/E193/E244/E248/E249/E254) start from the same edges, and
+    * (E192/E193/E244/E248/E249/E253) start from the same edges, and
     * rebuilding the two-shuffle pair expansion per query was the
     * graph family's dominant bench cost (round-13 measurement:
     * ~1.7–2.0 s each, mostly edge building). Same contract as the
@@ -397,7 +397,7 @@ object Graphs {
            |    CAST(m * sx2 - sx * sx AS DOUBLE), 6) AS assortativity
            |FROM sums""".stripMargin))
 
-  /** E254: **k-core decomposition (3-core)** — the maximal subgraph
+  /** E253: **k-core decomposition (3-core)** — the maximal subgraph
     * where every vertex keeps degree ≥ 3, the standard "dense
     * backbone" extraction that separates structurally embedded nodes
     * from peripheral ones (fraud rings, community cores, influence

@@ -2446,52 +2446,7 @@ object Metrics {
            |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
            |FROM central ORDER BY event_type""".stripMargin))
 
-  /** E251: **weighted median** — per return flag, the extended price
-    * at which half the SHIPPED QUANTITY sits below: the
-    * inventory-weighted center that the unweighted median (E9) gets
-    * wrong whenever line sizes vary. Exact and order-free: quantity
-    * is integral (CAST to BIGINT pins it), the cumulative weight runs
-    * over the total order (price, orderkey, linenumber), and the
-    * median is the FIRST row where 2·cumw ≥ W — an integer
-    * comparison, no interpolation, so engines can't disagree on
-    * midpoint convention. One window sort per group + one min-pick;
-    * price leaves as DOUBLE (it arrives as one). */
-  val qWeightedMedian = Q("q_weighted_median",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val grp = Window.partitionBy($"l_returnflag")
-      val cum = grp.orderBy($"l_extendedprice", $"l_orderkey",
-        $"l_linenumber")
-      Tables.read(spark, sfDir, "lineitem")
-        .select($"l_returnflag", $"l_extendedprice",
-          $"l_orderkey", $"l_linenumber",
-          $"l_quantity".cast("long").as("qty"))
-        .withColumn("total_w", sum($"qty").over(grp))
-        .withColumn("cum_w", sum($"qty").over(cum))
-        .filter($"cum_w" * 2 >= $"total_w")
-        .groupBy($"l_returnflag")
-        .agg(max($"total_w").as("total_weight"),
-          min($"l_extendedprice").as("weighted_median"))
-        .orderBy($"l_returnflag")
-    },
-    Some("""WITH cum AS (
-           |  SELECT l_returnflag, l_extendedprice,
-           |    CAST(l_quantity AS BIGINT) AS qty,
-           |    sum(CAST(l_quantity AS BIGINT))
-           |      OVER (PARTITION BY l_returnflag) AS total_w,
-           |    sum(CAST(l_quantity AS BIGINT))
-           |      OVER (PARTITION BY l_returnflag
-           |        ORDER BY l_extendedprice, l_orderkey, l_linenumber)
-           |      AS cum_w
-           |  FROM lineitem
-           |)
-           |SELECT l_returnflag,
-           |  CAST(max(total_w) AS BIGINT) AS total_weight,
-           |  min(l_extendedprice) AS weighted_median
-           |FROM cum WHERE cum_w * 2 >= total_w
-           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
-
-  /** E255: **blocked fuzzy record linkage (key blocking)** — near-miss
+  /** E254: **blocked fuzzy record linkage (key blocking)** — near-miss
     * part names (edit distance 1–3) as candidate duplicate entities:
     * STANDARD key blocking, the complement of q_er_blocking's
     * sorted-neighborhood method (the two canonical ER candidate
@@ -2538,7 +2493,7 @@ object Metrics {
            |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
            |ORDER BY dist, name_a, name_b""".stripMargin))
 
-  /** E256: **exponential-smoothing forecast (SES fold)** — the
+  /** E255: **exponential-smoothing forecast (SES fold)** — the
     * one-step-ahead simple-exponential-smoothing level per event
     * type over its daily counts: s₁ = y₁, sₜ = 0.3·yₜ + 0.7·sₜ₋₁ —
     * the baseline every forecasting bake-off starts from, and the
@@ -2596,7 +2551,7 @@ object Metrics {
            |      + CAST(0.7 AS DOUBLE) * acc), 6) AS forecast_next
            |FROM series ORDER BY event_type""".stripMargin))
 
-  /** E258: **LATERAL VIEW legacy spelling** — HiveQL's generator
+  /** E257: **LATERAL VIEW legacy spelling** — HiveQL's generator
     * syntax (`LATERAL VIEW explode(...) t AS col`, plus the OUTER
     * variant that keeps empty-array rows), the spelling a decade of
     * warehouse code is written in and the first thing a Hive
@@ -2645,7 +2600,7 @@ object Metrics {
            |GROUP BY coalesce(tok, 'none')
            |ORDER BY tok""".stripMargin))
 
-  /** E259: **DISTRIBUTE BY / SORT BY (CLUSTER BY) surface** — the
+  /** E258: **DISTRIBUTE BY / SORT BY (CLUSTER BY) surface** — the
     * Hive-inherited physical-layout clauses: DISTRIBUTE BY hashes
     * rows across partitions, SORT BY orders WITHIN each partition
     * (no global sort — the whole point at 100 TB: a terasort-free
@@ -2683,7 +2638,7 @@ object Metrics {
            |FROM events
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  /** E260: **transition dwell times** — for consecutive events per
+  /** E259: **transition dwell times** — for consecutive events per
     * user, the mean seconds spent on each (from-type → to-type)
     * edge: the FRICTION readout on the transition grid whose
     * PROBABILITY readout is q_markov_transitions (E130-family) — the
@@ -2732,7 +2687,7 @@ object Metrics {
            |FROM lagged WHERE prev_type IS NOT NULL
            |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
 
-  /** E261: **argument-extreme aggregates (min_by / max_by)** — "the
+  /** E260: **argument-extreme aggregates (min_by / max_by)** — "the
     * value of X at the row where Y is extreme", the lookup every
     * "latest status per key" query wants without a row_number
     * subquery: per user, the event type and value at their FIRST and
@@ -2761,7 +2716,7 @@ object Metrics {
            |FROM events GROUP BY user_id ORDER BY user_id"""
       .stripMargin))
 
-  /** E262: **string formatting scalars** — `format_string` (Java
+  /** E261: **string formatting scalars** — `format_string` (Java
     * printf on the Spark side, C printf as DuckDB's `printf`: %s,
     * zero-padded %06d and hex %x agree across both runtimes — the
     * float specifiers deliberately do NOT appear, because Java
@@ -2792,7 +2747,7 @@ object Metrics {
            |  repeat('*', 3) || c_mktsegment AS starred
            |FROM customer ORDER BY c_custkey LIMIT 50""".stripMargin))
 
-  /** E263: **interval-overlap self-join** — pairs of the same
+  /** E262: **interval-overlap self-join** — pairs of the same
     * customer's orders whose [order, last-ship] activity windows
     * overlap: the concurrency detector (simultaneous open orders,
     * double-booked resources, overlapping sessions). The join is
@@ -2847,7 +2802,7 @@ object Metrics {
            |    AND a.st <= b.fin AND b.st <= a.fin
            |GROUP BY a.cust ORDER BY cust""".stripMargin))
 
-  /** E264: **dynamic pivot** — the R1/E224 pivot WITHOUT an explicit
+  /** E263: **dynamic pivot** — the R1/E224 pivot WITHOUT an explicit
     * value list: `pivot(col)` first runs a distinct-values pre-pass
     * (its own collect-to-driver job, capped by
     * spark.sql.pivotMaxValues) and only then plans the aggregation —
@@ -2893,7 +2848,7 @@ object Metrics {
     qHistogram2d, qNewVsReturning, qAudienceOverlap,
     qFanoutProfile, qRevenueBridge, qParetoCutoff,
     qSurvivorship, qTopMovers, qSqlPipeSyntax, qSqlCollation,
-    qSqlNamedArgs, qAggMoments, qWeightedMedian,
+    qSqlNamedArgs, qAggMoments,
     qLinkBlocking, qForecastSes,
     qSqlLateralView, qSqlClusterBy, qTransitionDwell,
     qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap,

@@ -1755,7 +1755,7 @@ object Formats {
     Some("""SELECT n_nationkey, n_name, n_regionkey
            |FROM nation ORDER BY n_nationkey""".stripMargin))
 
-  /** E253: **bounded-file-size sink (maxRecordsPerFile)** — the
+  /** E252: **bounded-file-size sink (maxRecordsPerFile)** — the
     * OTHER half of the small-files story: E54/E141 pack tiny outputs
     * UP into right-sized files; this row caps oversized outputs DOWN.
     * A task writing one huge partition emits one huge file — the
@@ -1811,7 +1811,7 @@ object Formats {
            |FROM events GROUP BY event_type ORDER BY event_type"""
       .stripMargin))
 
-  /** E257: **glob-filtered recursive ingestion** — reading a REAL
+  /** E256: **glob-filtered recursive ingestion** — reading a REAL
     * lake directory: nested batch subdirectories (no Hive partition
     * scheme) holding the data, with operational debris (a .tmp
     * upload, a README, a stray CSV) scattered alongside. Two reader

@@ -433,7 +433,130 @@ object Corpus {
            |    CAST(n_types AS DOUBLE), 6) AS hapax_share
            |FROM rolled ORDER BY source""".stripMargin))
 
+  /** E265: **PCA power-iteration step** — one matrix-free power
+    * iteration toward the corpus embedding's dominant principal
+    * component: v₁ ∝ Σᵣ (xᵣ·v₀)·xᵣ from the uniform start
+    * v₀ = (1/8,…,1/8) (unit for d=64, and exactly representable —
+    * no irrational seed). The single-STEP framing mirrors
+    * q_kmeans_step: one iteration is the distributed primitive
+    * (two row-local passes + one dimension-keyed aggregation);
+    * driver-looping it is orchestration, not a new operator. The
+    * whole computation is ORDER-FREE integers until two float ops:
+    * embeddings quantize once to nano-units (round → BIGINT; the
+    * float grid cannot produce engine-splitting .5 cases with
+    * opposite signs), the row dot (×8) is a BIGINT fold, the
+    * per-dimension accumulation rides DECIMAL(38,0)/HUGEINT, and
+    * only the normalization (milli-quantized norm, one sqrt, one
+    * divide) touches doubles — identically on both engines, then
+    * 6dp. Output: 64 (dimension, loading) rows, a unit vector. */
+  val qPcaPowerStep = Q("q_pca_power_step",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val byDim = Tables.read(spark, sfDir, "embeddings")
+        .select($"vec_id", expr(
+          """transform(embedding,
+            |  x -> CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT))"""
+            .stripMargin).as("nanos"))
+        .select($"vec_id", $"nanos",
+          expr("aggregate(nanos, 0L, (a, x) -> a + x)").as("dot8"))
+        .select(posexplode($"nanos").as(Seq("dim", "n")), $"dot8")
+        .groupBy($"dim")
+        .agg(sum($"dot8".cast("decimal(38,0)") * $"n").as("w8e18"))
+        .select($"dim",
+          ($"w8e18".cast("double") / lit(8.0e18)).as("w"))
+      val norm = byDim
+        .select(($"w" * 1000.0).as("wm"))
+        .select(expr("CAST(round(wm) AS BIGINT)").as("wmi"))
+        .agg(sum($"wmi" * $"wmi").as("norm2_milli"))
+      byDim.crossJoin(broadcast(norm))
+        .select($"dim",
+          round($"w" / (sqrt($"norm2_milli".cast("double")) / 1000.0),
+            6).as("loading"))
+        .orderBy($"dim")
+    },
+    Some("""WITH nanos AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT))
+           |      AS ns
+           |  FROM embeddings
+           |), dotted AS (
+           |  SELECT vec_id, ns, list_sum(ns) AS dot8 FROM nanos
+           |), exploded AS (
+           |  SELECT unnest(range(len(ns))) AS dim,
+           |    unnest(ns) AS n, dot8
+           |  FROM dotted
+           |), byd AS (
+           |  SELECT dim,
+           |    CAST(sum(CAST(dot8 AS HUGEINT) * n) AS DOUBLE) / 8e18
+           |      AS w
+           |  FROM exploded GROUP BY dim
+           |), nrm AS (
+           |  SELECT sum(CAST(round(w * 1000.0) AS BIGINT)
+           |    * CAST(round(w * 1000.0) AS BIGINT)) AS norm2_milli
+           |  FROM byd
+           |)
+           |SELECT CAST(dim AS INTEGER) AS dim,
+           |  round(w / (sqrt(CAST(norm2_milli AS DOUBLE)) / 1000.0), 6)
+           |    AS loading
+           |FROM byd CROSS JOIN nrm ORDER BY dim""".stripMargin))
+
+  /** E266: **readability panel (Flesch-style)** — per source, average
+    * sentence length, vowel-group "syllable" density and the Flesch
+    * reading-ease score computed from them: the classic prose-
+    * complexity proxy quality pipelines bucket corpora by (low score
+    * = dense/legalese, implausibly high = fragmented/listy). Every
+    * count is an exact integer from one regexp pass (words =
+    * whitespace tokens, sentences = terminal-punctuation runs
+    * clamped to ≥1 so punctuation-free synthetic docs don't divide
+    * by zero, syllables = [aeiouy]+ runs — the standard cheap proxy,
+    * stated as such); the Flesch formula is the one double edge,
+    * identical constants both sides, 6dp. */
+  val qTextReadability = Q("q_text_readability",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "documents")
+        .select($"source",
+          size(split(trim($"text"), "\\s+")).cast("long").as("w"),
+          greatest(lit(1L),
+            expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)"))
+            .as("s"),
+          expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)")
+            .as("y"))
+        .groupBy($"source")
+        .agg(sum($"w").as("n_words"), sum($"s").as("n_sentences"),
+          sum($"y").as("n_syllables"))
+        .select($"source", $"n_words", $"n_sentences", $"n_syllables",
+          round(lit(206.835) -
+            lit(1.015) * ($"n_words".cast("double") /
+              $"n_sentences".cast("double")) -
+            lit(84.6) * ($"n_syllables".cast("double") /
+              $"n_words".cast("double")), 6).as("flesch"))
+        .orderBy($"source")
+    },
+    Some("""WITH counted AS (
+           |  SELECT source,
+           |    CAST(len(regexp_extract_all(trim(text), '\S+'))
+           |      AS BIGINT) AS w,
+           |    greatest(CAST(1 AS BIGINT),
+           |      CAST(len(regexp_extract_all(text, '[.!?]+'))
+           |        AS BIGINT)) AS s,
+           |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           |      AS BIGINT) AS y
+           |  FROM documents
+           |)
+           |SELECT source, CAST(sum(w) AS BIGINT) AS n_words,
+           |  CAST(sum(s) AS BIGINT) AS n_sentences,
+           |  CAST(sum(y) AS BIGINT) AS n_syllables,
+           |  round(206.835
+           |    - 1.015 * (CAST(sum(w) AS DOUBLE) /
+           |        CAST(sum(s) AS DOUBLE))
+           |    - 84.6 * (CAST(sum(y) AS DOUBLE) /
+           |        CAST(sum(w) AS DOUBLE)), 6) AS flesch
+           |FROM counted GROUP BY source ORDER BY source"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
     qEmbedSeparation, qGenBigrams, qBpeMergeStep, qSampleTemperature,
-    qTextHapax)
+    qTextHapax, qPcaPowerStep, qTextReadability)
 }

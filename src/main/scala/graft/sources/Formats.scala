@@ -1857,6 +1857,66 @@ object Formats {
     },
     Some(roundtripOracle))
 
+  /** E264: **parquet compression-codec roundtrip (zstd)** — the
+    * storage knob that matters most at 100 TB: zstd trades ~2× better
+    * ratio than snappy for modest CPU, and whether a reader can
+    * transparently consume a MIXED-codec table (yesterday's snappy
+    * files beside today's zstd migration) is exactly the operational
+    * question. The fixture writes the SAME events half snappy, half
+    * zstd, into one directory (per-write `compression` option — no
+    * session-level codec flip), verifies both codecs are actually on
+    * disk from the parquet footers, and reads the union back against
+    * the shared round-trip oracle: one row lost or doubled by the
+    * codec split fails parity. */
+  val qCodecParquetZstd = Q("q_codec_parquet_zstd",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "codec_events")
+      loadOnceJvm(spark, sfDir, "codec_zstd") {
+        val ev = Tables.read(spark, sfDir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        ev.filter($"event_id" % 2 === 0)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$dir/snappy")
+        ev.filter($"event_id" % 2 =!= 0)
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$dir/zstd")
+      }
+      val codecs = Seq("snappy", "zstd").map { leaf =>
+        import org.apache.hadoop.fs.{Path => HPath}
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new HPath(s"$dir/$leaf")
+        val fs = p.getFileSystem(conf)
+        val part = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+        val fr = ParquetFileReader
+          .open(HadoopInputFile.fromPath(part, conf))
+        try fr.getFooter.getBlocks.get(0).getColumns.get(0)
+          .getCodec.name().toLowerCase
+        finally fr.close()
+      }
+      spark.read.schema(slim)
+        .parquet(s"$dir/snappy", s"$dir/zstd")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .withColumn("both_codecs_on_disk",
+          lit(codecs == Seq("snappy", "zstd")))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |       count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value,
+           |       TRUE AS both_codecs_on_disk
+           |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1869,5 +1929,5 @@ object Formats {
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
     qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted,
     qWriteAuditPublish, qSourceJsonMultiline, qSinkMaxRecords,
-    qSourceGlobFilter)
+    qSourceGlobFilter, qCodecParquetZstd)
 }

@@ -2937,6 +2937,31 @@ class OperatorSuite extends AnyFunSuite {
       Tables.read(spark, sf, "orders").count())
   }
 
+  test("PCA step is near-unit; readability and codec rows cohere") {
+    // E265: the output is a normalized vector — Σ loading² = 1 up to
+    // the documented milli-quantized norm (±2e-3). E266: counts are
+    // positive and every doc contributes ≥1 sentence by the clamp.
+    // E264: the mixed-codec store conserves events and both codecs
+    // were verified on disk from the footers.
+    val pca = graft.queries.Corpus.qPcaPowerStep.fn(spark, sf)
+      .collect()
+    assert(pca.length === 64)
+    val norm2 = pca.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 2e-3, s"norm² was $norm2")
+    val rd = graft.queries.Corpus.qTextReadability.fn(spark, sf)
+      .collect()
+    assert(rd.nonEmpty)
+    rd.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
+      assert(!r.getDouble(4).isNaN)
+    }
+    val cz = graft.sources.Formats.qCodecParquetZstd.fn(spark, sf)
+      .collect()
+    assert(cz.forall(_.getBoolean(4)), "codec footer check failed")
+    assert(cz.map(_.getLong(1)).sum ===
+      Tables.read(spark, sf, "events").count())
+  }
+
   test("lexical richness: hapax within types within tokens") {
     // E253: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper

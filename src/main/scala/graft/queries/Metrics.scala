@@ -2834,6 +2834,78 @@ object Metrics {
            |FROM orders GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** E268: **rolling-origin forecast backtest** —
+    * the evaluation loop that turns E255's SES level into a
+    * credible forecaster: for every day t ≥ 2, forecast t from the
+    * prefix [1, t−1] (the same first-element-init fold), compare to
+    * the actual, and report per-type MAE — the "how wrong would we
+    * have been every day" number a forecast sign-off needs, distinct
+    * from q_markov_backtest's train/test split (one cut there; a
+    * rolling origin here, the standard time-series CV). The per-day
+    * refits are O(n²) in days but ROW-LOCAL on a calendar-bounded
+    * array (≤31 elements — ~500 fused float ops per type), which is
+    * the honest trade against carrying 30 incremental state columns.
+    * Parity discipline: each forecast double is quantized ONCE to
+    * integer micro-units, absolute errors are exact BIGINT, their sum
+    * is order-free, and the MAE divides once at the edge. */
+  val qForecastBacktest = Q("q_forecast_backtest",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"y")))
+          .as("series"))
+        .select($"event_type",
+          expr("transform(series, s -> CAST(s.y AS DOUBLE))")
+            .as("ysd"),
+          expr("transform(series, s -> s.y)").as("ysl"))
+        .select($"event_type",
+          (size($"ysd") - 1).cast("long").as("n_evals"),
+          expr("""aggregate(
+            |  transform(sequence(2, size(ysd)), i ->
+            |    abs(CAST(round(aggregate(slice(ysd, 2, i - 2),
+            |        CAST(element_at(ysd, 1) AS DOUBLE),
+            |        (a, y) -> CAST(0.3 AS DOUBLE) * y
+            |          + CAST(0.7 AS DOUBLE) * a)
+            |      * 1000000.0) AS BIGINT)
+            |      - element_at(ysl, i) * 1000000L)),
+            |  0L, (acc, e) -> acc + e)""".stripMargin)
+            .as("abs_err_micro"))
+        .select($"event_type", $"n_evals",
+          round($"abs_err_micro".cast("double") / lit(1000000.0) /
+            $"n_evals".cast("double"), 6).as("mae"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    count(*) AS y
+           |  FROM events GROUP BY 1, 2
+           |), series AS (
+           |  SELECT event_type,
+           |    list(CAST(y AS DOUBLE) ORDER BY day) AS ysd,
+           |    list(y ORDER BY day) AS ysl
+           |  FROM daily GROUP BY event_type
+           |), evaled AS (
+           |  SELECT event_type,
+           |    CAST(len(ysd) - 1 AS BIGINT) AS n_evals,
+           |    CAST(list_sum(list_transform(range(2, len(ysd) + 1),
+           |      i -> abs(CAST(round(list_reduce(
+           |          list_slice(ysd, 1, i - 1),
+           |          (a, y) -> CAST(0.3 AS DOUBLE) * y
+           |            + CAST(0.7 AS DOUBLE) * a)
+           |        * 1000000.0) AS BIGINT)
+           |        - ysl[i] * CAST(1000000 AS BIGINT))))
+           |      AS BIGINT) AS abs_err_micro
+           |  FROM series
+           |)
+           |SELECT event_type, n_evals,
+           |  round(CAST(abs_err_micro AS DOUBLE) / 1000000.0 /
+           |    CAST(n_evals AS DOUBLE), 6) AS mae
+           |FROM evaled ORDER BY event_type""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2852,5 +2924,5 @@ object Metrics {
     qLinkBlocking, qForecastSes,
     qSqlLateralView, qSqlClusterBy, qTransitionDwell,
     qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap,
-    qPivotDynamic)
+    qPivotDynamic, qForecastBacktest)
 }

@@ -965,10 +965,76 @@ object Streams {
            |FROM counts c JOIN sel s ON c.source = s.source
            |ORDER BY c.source""".stripMargin))
 
+  /** E267: **batch-backfill + streaming-forward union (the kappa
+    * handoff)** — the one-architecture answer to "recompute history,
+    * stream the rest": the SAME aggregation expression runs once as
+    * a BATCH job over everything before a cutover day and once as an
+    * AvailableNow STREAM over the files at-or-after it, and the
+    * union of the two partial aggregates must equal the single
+    * all-batch computation — the oracle. This is the migration
+    * contract every lambda→kappa cutover needs hash-checked: the
+    * split is by the data's own event time (a deterministic
+    * date predicate on both paths, nothing wall-clock), the stream
+    * side drains its backlog in bounded micro-batches with streaming
+    * exactly-once semantics, and per-(type, side) partials merge by
+    * ADDITION, the property that makes the handoff safe only for
+    * decomposable aggregates (counts/sums here; a median would need
+    * the sketch family). Grain keys carry a `side` column so the
+    * result also PROVES both paths contributed. */
+  val qStreamBackfillUnion = Q("q_stream_backfill_union",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cutover = "2024-01-16"
+      val dir = "target/stream/" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/backfill_fwd"
+      graft.Memo.onceJvm(spark, s"load:backfill:$sfDir") {
+        Tables.read(spark, sfDir, "events")
+          .filter(to_date($"ts") >= lit(cutover))
+          .repartition(4, $"event_id")
+          .write.mode("overwrite").parquet(dir)
+      }
+      def shape(df: DataFrame, side: String) = df
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .withColumn("side", lit(side))
+      val batchSide = shape(
+        Tables.read(spark, sfDir, "events")
+          .filter(to_date($"ts") < lit(cutover)), "backfill")
+      val streamAgg = spark.readStream.schema(Tables.events)
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+      val streamSide = StreamRun
+        .toTableAvailableNow(spark, streamAgg, "t_backfill", "complete")
+        .withColumn("side", lit("stream"))
+      batchSide.unionByName(streamSide)
+        .orderBy($"event_type", $"side")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, value,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+           |  FROM events
+           |), sided AS (
+           |  SELECT event_type,
+           |    CASE WHEN d < DATE '2024-01-16' THEN 'backfill'
+           |         ELSE 'stream' END AS side,
+           |    value
+           |  FROM ev
+           |)
+           |SELECT event_type, count(*) AS n,
+           |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |    AS DOUBLE) AS sum_value, side
+           |FROM sided GROUP BY event_type, side
+           |ORDER BY event_type, side""".stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
     qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
     qStreamJoinOuter,
     qStreamJoinFull, qStreamAvailableNow, qStreamFileSink,
-    qStreamQuantile, qStreamListener, qStreamKmv)
+    qStreamQuantile, qStreamListener, qStreamKmv, qStreamBackfillUnion)
 }

@@ -2962,6 +2962,37 @@ class OperatorSuite extends AnyFunSuite {
       Tables.read(spark, sf, "events").count())
   }
 
+  test("backfill union covers both sides; backtest errors bounded") {
+    // E267: every event type reports BOTH a backfill and a stream
+    // partial, and their counts add up to the full table — the kappa
+    // handoff conserves. E268: one evaluation per day after the
+    // first, and an SES forecast of a bounded series cannot miss by
+    // more than the series' range.
+    val bu = graft.streaming.Streams.qStreamBackfillUnion
+      .fn(spark, sf).collect()
+    val byType = bu.groupBy(_.getString(0))
+    byType.foreach { case (t, rows) =>
+      assert(rows.map(_.getString(3)).toSet ===
+        Set("backfill", "stream"), s"$t missing a side")
+    }
+    assert(bu.map(_.getLong(1)).sum ===
+      Tables.read(spark, sf, "events").count())
+    val bt = graft.queries.Metrics.qForecastBacktest.fn(spark, sf)
+      .collect()
+    val span = Tables.read(spark, sf, "events")
+      .groupBy($"event_type", to_date($"ts")).count()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("days"),
+        (max($"count") - min($"count")).as("range"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bt.foreach { r =>
+      val (days, range) = span(r.getString(0))
+      assert(r.getLong(1) === days - 1)
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= range)
+    }
+  }
+
   test("lexical richness: hapax within types within tokens") {
     // E253: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper

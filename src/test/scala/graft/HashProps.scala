@@ -215,4 +215,54 @@ object HashProps extends Properties("graft") {
         if (vals.length < 128) est == vals.length.toDouble
         else math.abs(est - vals.length) / vals.length < 0.8
     }
+
+  property("floor-mean moment shift equals the naive double formula") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 49002))) { centsRaw =>
+      // E250's integer plumbing vs the textbook direct computation:
+      // quantized centi-values, deviations from c = ⌊S/n⌋, binomial
+      // dm-shift — must land on the plain Σ(v−μ)^k moments within
+      // double tolerance for ANY value multiset (incl. n=1, where
+      // both skew and kurtosis are NaN-family and excluded).
+      val cents = centsRaw.map(_.toLong)
+      val n = cents.length.toLong
+      val s = cents.sum
+      val c = s / n
+      val r = s - n * c
+      val d = cents.map(_ - c)
+      val (e2, e3, e4) = (
+        d.map(x => BigInt(x) * x).sum,
+        d.map(x => BigInt(x) * x * x).sum,
+        d.map(x => BigInt(x) * x * x * x).sum)
+      val nd = n.toDouble
+      val dm = r.toDouble / nd
+      val m2 = e2.toDouble / nd - dm * dm
+      val m3 = e3.toDouble / nd - 3.0 * dm * (e2.toDouble / nd) +
+        2.0 * dm * dm * dm
+      val m4 = e4.toDouble / nd - 4.0 * dm * (e3.toDouble / nd) +
+        6.0 * dm * dm * (e2.toDouble / nd) -
+        3.0 * dm * dm * dm * dm
+      // naive reference on the same quantized values
+      val mu = cents.map(_.toDouble).sum / nd
+      def cm(k: Int) = cents.map(v => math.pow(v - mu, k)).sum / nd
+      val tol = 1e-6 * math.max(1.0, cm(2)) // relative-ish
+      math.abs(m2 - cm(2)) <= tol * 10 &&
+        math.abs(m3 - cm(3)) <= 1e-6 * math.max(1.0,
+          math.abs(cm(3))) * 100 &&
+        math.abs(m4 - cm(4)) <= 1e-6 * math.max(1.0, cm(4)) * 100
+    }
+
+  property("SES fold equals the closed-form weighted sum") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 100000))) { ysInt =>
+      // E255's first-element-init left fold vs the closed form
+      // sₙ = (1−α)ⁿ⁻¹y₁ + Σ α(1−α)ⁿ⁻ⁱ yᵢ — same number, two routes.
+      val ys = ysInt.map(_.toDouble)
+      val fold = ys.tail.foldLeft(ys.head)((a, y) => 0.3 * y + 0.7 * a)
+      val n = ys.length
+      val closed = math.pow(0.7, n - 1) * ys.head +
+        ys.tail.zipWithIndex.map { case (y, i) =>
+          0.3 * math.pow(0.7, n - 2 - i) * y
+        }.sum
+      math.abs(fold - closed) <=
+        1e-9 * math.max(1.0, math.abs(closed))
+    }
 }

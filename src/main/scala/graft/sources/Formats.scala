@@ -1917,6 +1917,73 @@ object Formats {
            |FROM events GROUP BY event_type ORDER BY event_type"""
       .stripMargin))
 
+  /** E269: **corrupt-file tolerance (ignoreCorruptFiles)** — the
+    * OTHER debris strategy from E256's glob filter: the glob AVOIDS
+    * reading junk by name; this row READS a directory where one
+    * "part-…parquet" file is a truncated upload (planted: the first
+    * 512 bytes of a real part file, a valid magic header with a torn
+    * footer — the classic killed-writer artifact that a name filter
+    * cannot catch) and relies on
+    * `spark.sql.files.ignoreCorruptFiles` to skip it mid-scan
+    * instead of failing the job. The query proves BOTH halves of the
+    * contract: with the flag the scan returns exactly the intact
+    * files' rows (the oracle pins the surviving half), and a control
+    * read WITHOUT the flag must THROW — asserted inside the query so
+    * a silently-lenient default can never fake the pass. The flag is
+    * set per-query and restored. */
+  val qSourceIgnoreCorrupt = Q("q_source_ignore_corrupt",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "corruptish_events")
+      loadOnceJvm(spark, sfDir, "corruptish") {
+        Tables.read(spark, sfDir, "events")
+          .filter($"event_id" % 2 === 0)
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .write.mode("overwrite").parquet(dir)
+        // plant a torn parquet: valid magic, truncated body/footer
+        val p = java.nio.file.Paths.get(dir)
+        import scala.jdk.CollectionConverters._
+        val donor = java.nio.file.Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.minBy(_.getFileName.toString)
+        val bytes = java.nio.file.Files.readAllBytes(donor)
+        java.nio.file.Files.write(
+          p.resolve("part-99999-torn-upload.snappy.parquet"),
+          bytes.take(512.min(bytes.length)))
+      }
+      val key = "spark.sql.files.ignoreCorruptFiles"
+      val prev = spark.conf.get(key)
+      val strictFails =
+        try {
+          spark.conf.set(key, "false")
+          try {
+            spark.read.schema(slim).parquet(dir).count(); false
+          } catch { case _: Throwable => true }
+        } finally spark.conf.set(key, prev)
+      require(strictFails,
+        "control read without ignoreCorruptFiles must fail")
+      try {
+        spark.conf.set(key, "true")
+        spark.read.schema(slim).parquet(dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"user_id").as("n_users"),
+            round(sum($"value".cast("decimal(18,6)")), 6)
+              .cast("double").as("sum_value"))
+          .orderBy($"event_type")
+          // materialize UNDER the flag: the lazy plan must not
+          // escape the conf scope
+          .localCheckpoint()
+      } finally spark.conf.set(key, prev)
+    },
+    Some("""SELECT event_type,
+           |       count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events WHERE event_id % 2 = 0
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1929,5 +1996,5 @@ object Formats {
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
     qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted,
     qWriteAuditPublish, qSourceJsonMultiline, qSinkMaxRecords,
-    qSourceGlobFilter, qCodecParquetZstd)
+    qSourceGlobFilter, qCodecParquetZstd, qSourceIgnoreCorrupt)
 }

@@ -5,9 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Corpus-analytics operators added in round 12 (SURVEY.md §2.12
-  * E212–E215, E221, E223, E229) — the collocation / novelty /
-  * consistent-sampling /
+/** Corpus-analytics operators added in rounds 12–13 (SURVEY.md §2.12
+  * E212–E215, E221, E223, E229; round 13's E251, E265–E266) — the
+  * collocation / novelty / consistent-sampling /
   * embedding-geometry layer on top of the LLMOps text family
   * (tokenize E X5, TF-IDF E37, BM25 E74, quality E65/E131, dedup
   * E X1–X2/E172).

@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over co-occurrence graphs derived from the fixture
-  * tables (SURVEY.md §2.12 E192–E193 and E244, round 12).
+  * tables (SURVEY.md §2.12 E192–E193 and E244, round 12; E248–E249
+  * and E253, round 13).
   *
   * The repo already has the *clustering* side of graph work — connected
   * components by pointer-jumping (E5), PageRank (round 11), near-dup

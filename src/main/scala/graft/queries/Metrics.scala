@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Distribution-comparison and concentration statistics (SURVEY.md
   * §2.12, round 12 — E194–E211, E216–E220, E224, E226, E228–E236,
-  * E238–E243, E245–E247) — the monitoring layer's "are these two
+  * E238–E243, E245–E247 — plus round 13's E250, E254–E255, E257–E263
+  * and E268) — the monitoring layer's "are these two
   * populations the same, and how unequal is this one" toolbox, next to
   * the score-drift (PSI, E165) and eval (AUC E124, calibration E134)
   * families from round 11.

@@ -150,7 +150,8 @@ class PlanSuite extends AnyFunSuite {
       "q_agg_kmv_distinct", // 1-row exact-count cross into the audit
       "q_pmi_cooccur", // 1-row corpus-size cross into the PMI term
       "q_embed_separation", // 500-row fixed-frame vec_id<vec_id pairs
-      "q_sim_ann_recall") // ≤50 probe vectors broadcast, X3's shape
+      "q_sim_ann_recall", // ≤50 probe vectors broadcast, X3's shape
+      "q_pca_power_step") // 1-row norm cross into the 64-dim vector
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

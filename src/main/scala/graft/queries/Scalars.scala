@@ -429,8 +429,41 @@ object Scalars {
            |WHERE levenshtein(c_name, 'Customer#000000042') <= 2
            |ORDER BY c_custkey""".stripMargin))
 
+  /** E270: **date-format pattern parity** — rendering timestamps to
+    * strings is where every migration leaks: Spark speaks Java
+    * SimpleDateFormat-ish patterns ('yyyy-MM-dd', 'EEEE', 'DDD'),
+    * the SQL world speaks C strftime ('%Y-%m-%d', '%A', '%j') — two
+    * pattern LANGUAGES that must land on byte-identical strings.
+    * This row pins the safe translatable subset: the ISO minute
+    * stamp, the English day name (both engines' default locale),
+    * the zero-padded 3-digit day-of-year, and the month
+    * abbreviation. Deliberately NOT pinned: week-of-year ('ww' vs
+    * '%W' — three incompatible conventions, the E238 lesson says use
+    * Monday-date arithmetic instead) and any locale-sensitive
+    * output beyond default-English. Row-local projection; bounded
+    * deterministic export. */
+  val qScalarDatefmt = Q("q_scalar_datefmt",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .select($"event_id", $"ts")
+        .orderBy($"event_id").limit(50)
+        .select($"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm").as("iso_minute"),
+          date_format($"ts", "EEEE").as("day_name"),
+          date_format($"ts", "DDD").as("day_of_year"),
+          date_format($"ts", "MMM").as("month_abbrev"))
+    },
+    Some("""SELECT event_id,
+           |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M')
+           |    AS iso_minute,
+           |  strftime(CAST(ts AS TIMESTAMP), '%A') AS day_name,
+           |  strftime(CAST(ts AS TIMESTAMP), '%j') AS day_of_year,
+           |  strftime(CAST(ts AS TIMESTAMP), '%b') AS month_abbrev
+           |FROM events ORDER BY event_id LIMIT 50""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
     qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
     qScalarTry, qSqlParams, qScalarEditDist, qMapHof,
-    qScalarJaroWinkler, qRuleEditdistPrefilter)
+    qScalarJaroWinkler, qRuleEditdistPrefilter, qScalarDatefmt)
 }

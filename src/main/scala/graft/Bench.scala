@@ -168,7 +168,8 @@ object Bench {
     val coldTotal = results.map(r => if (r.ok) r.r1 else 0.0).sum
     val calibJson = s"[$calibStart,$calibMid,$calibEnd]"
     // per-family min-of-2 subtotals, fixed key order for stable lines
-    val famJson = Seq("stream", "dedup", "fource", "source", "other")
+    val famJson = Seq("stream", "dedup", "fource", "source", "graph",
+        "other")
       .map { f =>
         val s = results.collect {
           case r if r.ok && family(r.name) == f => r.sec }.sum

@@ -153,7 +153,7 @@ object LLMOps {
   private val shCte: String =
     """toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
-      |), sh AS (
+      |), sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1,
       |    len(ws) - 1)) AS i) t
@@ -606,14 +606,14 @@ object LLMOps {
     * near-dup pair table; shared by the cluster-assignment oracle and
     * the recursive-SQL oracle (Extras.qSqlRecursive). */
   private[graft] val pairsCte: String =
-    s"""$shCte, sizes AS (
+    s"""$shCte, sizes AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-       |), common AS (
+       |), common AS MATERIALIZED (
        |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
        |  FROM sh x JOIN sh y
        |    ON x.s = y.s AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT d1, d2
        |  FROM common
        |  JOIN sizes s1 ON s1.doc_id = d1
@@ -691,15 +691,17 @@ object LLMOps {
           round($"pr" * n, 6).as("pr_scaled"))
         .orderBy($"doc_id")
     },
-    Some(s"""WITH $pairsCte, edges AS (
+    Some(s"""WITH $pairsCte, edges AS MATERIALIZED (
             |  SELECT d1 AS src, d2 AS dst FROM pairs
             |  UNION ALL SELECT d2, d1 FROM pairs
-            |), nodes AS (SELECT DISTINCT src AS id FROM edges),
-            |dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-            |nn AS (SELECT count(*) AS n FROM nodes),
-            |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+            |), nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+            |dg AS MATERIALIZED (
+            |  SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+            |pr0 AS MATERIALIZED (
+            |  SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
             |        AS pr FROM nodes),
-            |it1 AS (
+            |it1 AS MATERIALIZED (
             |  SELECT nodes.id,
             |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
             |    CAST(0.85 AS DOUBLE) * coalesce(s.inb, 0) AS pr
@@ -708,7 +710,7 @@ object LLMOps {
             |    FROM edges e JOIN pr0 p ON p.id = e.src
             |    JOIN dg d ON d.src = e.src GROUP BY e.dst) s
             |  USING (id)
-            |), it2 AS (
+            |), it2 AS MATERIALIZED (
             |  SELECT nodes.id,
             |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
             |    CAST(0.85 AS DOUBLE) * coalesce(s.inb, 0) AS pr

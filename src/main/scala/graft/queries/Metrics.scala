@@ -2907,6 +2907,52 @@ object Metrics {
            |    CAST(n_evals AS DOUBLE), 6) AS mae
            |FROM evaled ORDER BY event_type""".stripMargin))
 
+  /** E271: **language-label confusion audit** — the QA step on top of
+    * the detector: cross-tabulate each document's DECLARED `lang`
+    * against the X5-family heuristic's GUESS (the same
+    * stopword-ratio rule as q_lang_id, inlined so this row stands
+    * alone), with per-cell counts and the per-declared-label
+    * agreement rate. Mislabeled-language shards are a top-3 cause of
+    * silent quality loss in multilingual corpora, and the confusion
+    * grid — not the per-doc verdicts — is what a data auditor
+    * actually reads. Grid is |langs|×2, one fact pass, one hash agg;
+    * the agreement rate is the single double edge. */
+  val qLangConfusion = Q("q_lang_confusion",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy($"lang")
+      Tables.read(spark, sfDir, "documents")
+        .select($"lang", split(trim($"text"), " ").as("ws"))
+        .select($"lang",
+          when(size(filter($"ws", w => w.isin("a", "the"))) /
+            size($"ws").cast("double") >= 0.08, "en")
+            .otherwise("other").as("guess"))
+        .groupBy($"lang", $"guess")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("lang_total", sum($"n_docs").over(tot))
+        .select($"lang", $"guess", $"n_docs",
+          round($"n_docs".cast("double") /
+            $"lang_total".cast("double"), 6).as("share_of_declared"))
+        .orderBy($"lang", $"guess")
+    },
+    Some("""WITH guessed AS (
+           |  SELECT lang,
+           |    CASE WHEN len(list_filter(
+           |        string_split(trim(text), ' '),
+           |        w -> w IN ('a', 'the'))) * 1.0 /
+           |      len(string_split(trim(text), ' ')) >= 0.08
+           |      THEN 'en' ELSE 'other' END AS guess
+           |  FROM documents
+           |), grid AS (
+           |  SELECT lang, guess, count(*) AS n_docs
+           |  FROM guessed GROUP BY lang, guess
+           |)
+           |SELECT lang, guess, n_docs,
+           |  round(CAST(n_docs AS DOUBLE) /
+           |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE),
+           |    6) AS share_of_declared
+           |FROM grid ORDER BY lang, guess""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2925,5 +2971,5 @@ object Metrics {
     qLinkBlocking, qForecastSes,
     qSqlLateralView, qSqlClusterBy, qTransitionDwell,
     qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap,
-    qPivotDynamic, qForecastBacktest)
+    qPivotDynamic, qForecastBacktest, qLangConfusion)
 }

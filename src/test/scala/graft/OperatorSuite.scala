@@ -2993,6 +2993,18 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("language confusion grid partitions the corpus") {
+    // E271: cell counts cover every document exactly once, and each
+    // declared label's shares sum to 1.
+    val lc = graft.queries.Metrics.qLangConfusion.fn(spark, sf)
+      .collect()
+    assert(lc.map(_.getLong(2)).sum ===
+      Tables.read(spark, sf, "documents").count())
+    lc.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    }
+  }
+
   test("lexical richness: hapax within types within tokens") {
     // E253: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper

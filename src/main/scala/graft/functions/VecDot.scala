@@ -231,8 +231,9 @@ object GraftExtensions {
           .BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EditDistPrefilter)
-    // whole-operator extension (SURVEY §4.2 rung c): plans the
-    // TopKPerKey logical node as a bounded-heap physical operator
+    // whole-operator extensions (SURVEY §4.2 rung c): the TopKPerKey
+    // bounded-heap operator and the native streaming-merge as-of join
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -494,7 +494,60 @@ object Scale {
            |WHERE o_orderpriority = '1-URGENT'
            |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
+  /** E272: **native as-of join operator** — every purchase joined to
+    * the same user's latest at-or-before view through
+    * [[graft.plans.AsOfJoin]], the second whole-operator extension
+    * (logical node + injected strategy + streaming-merge
+    * BinaryExecNode): both sides hash-cluster on user_id and sort
+    * (key, time) per partition, then one merge pass holds exactly ONE
+    * candidate row of state — no unioned shuffle, no window buffer,
+    * no candidate-pair expansion at any skew (the operator's scaladoc
+    * carries the full comparison against the tagged-union-window form
+    * E102 uses). The oracle IS that window form, so the hash pins the
+    * two implementations to identical semantics, ties included (a
+    * view at the purchase's exact timestamp matches; equal-time views
+    * resolve to the greatest event_id). PlanSuite locks the AsOfJoin
+    * node into the plan. */
+  val qJoinAsofNative = Q("q_join_asof_native",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id".as("v_user_id"), $"ts".as("v_ts"),
+          $"event_id".as("v_event_id"))
+      graft.plans.AsOfJoin.of(purchases, views,
+          probeKey = "user_id", buildKey = "v_user_id",
+          probeTime = "ts", buildTime = "v_ts",
+          buildTiebreak = "v_event_id")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"v_event_id".as("prev_view_id"),
+          (unix_micros($"ts") - unix_micros($"v_ts")).as("gap_us"))
+        .orderBy($"purchase_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+           |  FROM events
+           |  WHERE event_type IN ('view', 'purchase')
+           |), carried AS (
+           |  SELECT user_id, ts, event_id, kind,
+           |    last_value(CASE WHEN kind = 0 THEN event_id END
+           |      IGNORE NULLS) OVER w AS prev_view_id,
+           |    last_value(CASE WHEN kind = 0 THEN epoch_us(ts) END
+           |      IGNORE NULLS) OVER w AS prev_view_us
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY ts, kind, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |)
+           |SELECT user_id, event_id AS purchase_id, prev_view_id,
+           |  epoch_us(ts) - prev_view_us AS gap_us
+           |FROM carried WHERE kind = 1
+           |ORDER BY purchase_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinRangeBinned, qWindowRangeFrame, qAggRollup,
     qStreamStatic, qSinkForeach, qStreamUpsert, qTopkPerKey,
-    qJoinSkewAqe, qJoinBloom)
+    qJoinSkewAqe, qJoinBloom, qJoinAsofNative)
 }

@@ -2993,6 +2993,42 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("native as-of join equals the tagged-union window form") {
+    // E272 ↔ E102 semantics pin, engine-side: the custom operator's
+    // full output must equal the window formulation computed here on
+    // the same session — including purchases with NO prior view
+    // (nulls) and exact-timestamp ties. Row-for-row, not just counts.
+    val ev = Tables.read(spark, sf, "events")
+    val native = graft.queries.Scale.qJoinAsofNative.fn(spark, sf)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)))).sortBy(_._1)
+    val tagged = ev.filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "view", 0).otherwise(1).as("kind"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val windowed = tagged
+      .withColumn("pv",
+        last(when($"kind" === 0, $"event_id"), ignoreNulls = true)
+          .over(w))
+      .withColumn("pus",
+        last(when($"kind" === 0, unix_micros($"ts")),
+          ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"event_id", $"pv",
+        (unix_micros($"ts") - $"pus").as("gap"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        Option(r.get(2)))).sortBy(_._1)
+    assert(native.length === windowed.length)
+    native.zip(windowed).foreach { case (a, b) =>
+      assert(a === b, s"as-of divergence: $a vs $b")
+    }
+    assert(native.exists(_._2.isEmpty),
+      "fixture should include a no-prior-view purchase (null path)")
+  }
+
   test("language confusion grid partitions the corpus") {
     // E271: cell counts cover every document exactly once, and each
     // declared label's shares sum to 1.

@@ -760,6 +760,17 @@ class PlanSuite extends AnyFunSuite {
     assert(nWindows == 1, s"expected only the rank window, got:\n$p")
   }
 
+  test("native as-of join plans the AsOfJoin operator, no window") {
+    // E272's reason to exist: the custom strategy must claim the
+    // logical node (an unplanned AsOfJoin would fail the query
+    // entirely), and the plan must carry NO Window and NO
+    // SortMergeJoin — the operator replaces both formulations.
+    val p = plan("q_join_asof_native")
+    assert(p.contains("AsOfJoin"), s"custom operator missing:\n$p")
+    assert(!p.contains("Window ["), s"window form leaked back:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ leaked in:\n$p")
+  }
+
   test("CLUSTER BY plans a hash exchange with only partition-local sort") {
     // E264's promise: CLUSTER BY is DISTRIBUTE BY (hash exchange) +
     // SORT BY (per-partition sort) — a global sort node here would

@@ -44,7 +44,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   * inner equi join would pay); a hot key serializes only its own
   * merge, state stays one row, and there is no candidate-pair
   * expansion at any skew (the failure mode of the range-join
-  * formulation, J6/E3's subject). */
+  * formulation, J6/E3's subject).
+  *
+  * Null semantics (documented contract, not SQL's): the merge
+  * compares keys and times with the natural null-first ordering, so
+  * NULL keys match NULL keys and a NULL time sorts before every real
+  * time — callers with nullable keys/times should filter or coalesce
+  * first (equi-join NULL-never-matches semantics would need a
+  * null-guard here; the fixture columns are non-null and the
+  * tagged-union window form shares the same caveat). */
 case class AsOfJoin(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression, rightTiebreak: Expression,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {

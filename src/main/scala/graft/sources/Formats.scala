@@ -1943,9 +1943,12 @@ object Formats {
         // plant a torn parquet: valid magic, truncated body/footer
         val p = java.nio.file.Paths.get(dir)
         import scala.jdk.CollectionConverters._
-        val donor = java.nio.file.Files.list(p).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.minBy(_.getFileName.toString)
+        val listing = java.nio.file.Files.list(p)
+        val donor =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.minBy(_.getFileName.toString)
+          finally listing.close()
         val bytes = java.nio.file.Files.readAllBytes(donor)
         java.nio.file.Files.write(
           p.resolve("part-99999-torn-upload.snappy.parquet"),

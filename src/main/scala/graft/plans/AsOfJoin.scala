@@ -57,6 +57,15 @@ case class AsOfJoin(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression, rightTiebreak: Expression,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+  // the merge comparators are built from the LEFT side's types and
+  // applied to BOTH sides' projections — a width/encoding mismatch
+  // would corrupt results silently, so reject it at construction
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key types differ: ${leftKeys.map(_.dataType)} vs " +
+      s"${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs " +
+      s"${rightTime.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -89,6 +98,16 @@ case class AsOfJoinExec(leftKeys: Seq[Expression],
     ClusteredDistribution(leftKeys) ::
       ClusteredDistribution(rightKeys) :: Nil
 
+  /** The merge emits rows in the probe side's order and partition
+    * layout, so advertise both — a downstream groupBy/join on the
+    * probe key reuses the exchange and the (key, time) sort instead
+    * of re-shuffling (the plan-shape saving the class doc claims). */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    requiredChildOrdering.head
+
   /** Per-partition sort contract the merge relies on: probe by
     * (key, time); build by (key, time, tiebreak) so "last admitted"
     * is well-defined under time ties. */
@@ -114,7 +133,11 @@ case class AsOfJoinExec(leftKeys: Seq[Expression],
         .createNaturalAscendingOrdering(lk.map(_.dataType))
       val timeOrd = RowOrdering
         .createNaturalAscendingOrdering(Seq(lt.dataType))
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // bind against NULLABLE right attrs: unmatched probe rows read
+      // the all-null placeholder, and a build column that was
+      // non-nullable at the source must still null-check here
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       // single-row lookahead on the build side; rows are COPIED out of

@@ -517,7 +517,10 @@ object Corpus {
       import spark.implicits._
       Tables.read(spark, sfDir, "documents")
         .select($"source",
-          size(split(trim($"text"), "\\s+")).cast("long").as("w"),
+          // count via regexp like the oracle: split("") yields [""]
+          // (count 1) where regexp_extract_all('\S+') yields 0 — an
+          // empty/whitespace-only doc would split the engines
+          expr("CAST(regexp_count(text, '\\\\S+') AS BIGINT)").as("w"),
           greatest(lit(1L),
             expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)"))
             .as("s"),

@@ -2361,11 +2361,16 @@ object Metrics {
     * built-ins can never hash-agree; and both accumulate doubles in
     * iteration order. Instead the E213-volatility discipline, pushed
     * to order 4: quantize to exact centi-units, take deviations from
-    * the FLOOR-mean c = ⌊S/n⌋ (so per-row deviations are bounded by
-    * the VALUE RANGE, never by n — the n-scaled-deviation trick of
-    * E195/ACF overflows DECIMAL(38,0) at fourth powers once n passes
-    * ~10⁴), accumulate Σd²,Σd³,Σd⁴ exactly (d⁴ ≤ 5.8e18 fits a BIGINT
-    * row-side; the sums ride DECIMAL(38,0)/HUGEINT), then correct the
+    * the FLOOR-mean c = ⌊S/n⌋ (pmod-based on the Spark side so both
+    * engines floor identically even on negative sums; per-row
+    * deviations are bounded by the VALUE RANGE, never by n — the
+    * n-scaled-deviation trick of E195/ACF overflows DECIMAL(38,0) at
+    * fourth powers once n passes ~10⁴), accumulate Σd²,Σd³,Σd⁴
+    * exactly with the 3rd/4th powers in DECIMAL(38,0)/HUGEINT from
+    * the second factor on (a Long d⁴ had only 1.36× headroom at
+    * sf0.1 and wraps SILENTLY under non-ANSI multiply while the
+    * oracle's BIGINT throws — the worst possible divergence pair),
+    * then correct the
     * c-vs-μ offset dm = r/n in ONE identical double expression on
     * both engines (binomial shift of central moments), with
     * sqrt(m2)·m2 instead of pow(m2,1.5) — Math.pow and C pow may
@@ -2374,19 +2379,29 @@ object Metrics {
     (spark, sfDir) => {
       import spark.implicits._
       val w = Window.partitionBy($"event_type")
+      // c is the FLOOR mean: r = pmod(s, n) is the non-negative
+      // remainder on both engines (Spark's bare DIV truncates toward
+      // zero, which splits from DuckDB's floor // on negative sums —
+      // the fixture is positive today, a regeneration need not be)
       val quant = Tables.read(spark, sfDir, "events")
         .select($"event_type",
           ($"value".cast("decimal(18,2)") * 100).cast("long").as("vi"))
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("s", sum($"vi").over(w))
-        .withColumn("c", expr("s DIV n"))
+        .withColumn("r0", pmod($"s", $"n"))
+        .withColumn("c", expr("(s - r0) DIV n"))
         .withColumn("d", $"vi" - $"c")
+      // d² stays in Long (|d| ≤ ~5e4 at current fixtures → ≤ ~2.5e9);
+      // the 3rd/4th powers ride DECIMAL from the SECOND factor on —
+      // a Long d⁴ had only 1.36× headroom at sf0.1 and would WRAP
+      // silently under non-ANSI multiply while the oracle's BIGINT
+      // throws (measured; the review-caught divergence pair)
+      val d38 = $"d".cast("decimal(38,0)")
       val sums = quant.groupBy($"event_type")
-        .agg(max($"n").as("n"), max($"s" - $"n" * $"c").as("r"),
+        .agg(max($"n").as("n"), max($"r0").as("r"),
           sum(($"d" * $"d").cast("decimal(38,0)")).as("e2"),
-          sum(($"d" * $"d" * $"d").cast("decimal(38,0)")).as("e3"),
-          sum(($"d" * $"d" * $"d" * $"d").cast("decimal(38,0)"))
-            .as("e4"))
+          sum(d38 * $"d" * $"d").as("e3"),
+          sum(d38 * $"d" * $"d" * $"d").as("e4"))
       sums
         .withColumn("nd", $"n".cast("double"))
         .withColumn("dm", $"r".cast("double") / $"nd")
@@ -2424,8 +2439,9 @@ object Metrics {
            |  SELECT event_type,
            |    CAST(max(n) AS BIGINT) AS n,
            |    CAST(max(s - n * (s // n)) AS BIGINT) AS r,
-           |    sum(d * d) AS e2, sum(d * d * d) AS e3,
-           |    sum(d * d * d * d) AS e4
+           |    sum(d * d) AS e2,
+           |    sum(CAST(d AS HUGEINT) * d * d) AS e3,
+           |    sum(CAST(d AS HUGEINT) * d * d * d) AS e4
            |  FROM dev GROUP BY event_type
            |), moments AS (
            |  SELECT event_type, n,
@@ -2609,10 +2625,14 @@ object Metrics {
     * run-length-friendly files), CLUSTER BY is both on one key. The
     * RESULT SET is clause-invariant (the comparator sorts rows, so
     * parity pins that the layout clauses change no data), and
-    * PlanSuite locks what the clauses actually promise: a
-    * RepartitionByExpression with a non-global Sort — and NO global
-    * sort node. Aggregated to per-type stats after the clustered
-    * projection so the fixture output stays bounded. */
+    * PlanSuite locks what the optimizer actually does with them
+    * here: the DISTRIBUTE half survives as the REPARTITION_BY_COL
+    * hash exchange, while the SORT half is correctly ELIMINATED —
+    * the consuming hash aggregate gains nothing from sorted input,
+    * so EliminateSorts drops it (write the clustered projection to a
+    * sink instead and the local sort survives, E101's layout).
+    * Aggregated to per-type stats after the clustered projection so
+    * the fixture output stays bounded. */
   val qSqlClusterBy = Q("q_sql_cluster_by",
     (spark, sfDir) => {
       val tag = windowViewRun.incrementAndGet()
@@ -2862,6 +2882,11 @@ object Metrics {
           expr("transform(series, s -> CAST(s.y AS DOUBLE))")
             .as("ysd"),
           expr("transform(series, s -> s.y)").as("ysl"))
+        // a single-day series has nothing to evaluate — and unguarded
+        // it CRASHES: sequence(2, 1) descends and slice() gets a
+        // negative length (review-caught); the oracle's empty range
+        // would quietly emit NULL instead, a divergence either way
+        .filter(size($"ysd") >= 2)
         .select($"event_type",
           (size($"ysd") - 1).cast("long").as("n_evals"),
           expr("""aggregate(
@@ -2901,6 +2926,7 @@ object Metrics {
            |        - ysl[i] * CAST(1000000 AS BIGINT))))
            |      AS BIGINT) AS abs_err_micro
            |  FROM series
+           |  WHERE len(ysd) >= 2
            |)
            |SELECT event_type, n_evals,
            |  round(CAST(abs_err_micro AS DOUBLE) / 1000000.0 /

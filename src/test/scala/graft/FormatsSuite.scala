@@ -295,7 +295,7 @@ class FormatsSuite extends AnyFunSuite {
   }
 
   test("maxRecordsPerFile rolls files at the cap and conserves rows") {
-    // E254: run the query once (builds the capped store), then pin
+    // E252: run the query once (builds the capped store), then pin
     // the physical layout the audit booleans summarize: every file
     // holds ≤300 rows, the file count is at least ⌈rows/300⌉ (the
     // cap actually forced rolling — 2 tasks alone would give 2

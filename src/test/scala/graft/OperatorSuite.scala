@@ -2834,11 +2834,11 @@ class OperatorSuite extends AnyFunSuite {
   }
 
   test("k-core is a fixpoint and linkage stays blocked") {
-    // E254: after the bounded peel, every surviving vertex holds
+    // E253: after the bounded peel, every surviving vertex holds
     // degree ≥ 3 INSIDE the survivor subgraph — which certifies the
     // 10 rounds actually reached the fixpoint (if they hadn't, some
     // vertex would sit below k and the next peel would change the
-    // set). E255: candidates obey the block (same first token), the
+    // set). E254: candidates obey the block (same first token), the
     // distance band, and the canonical a<b order.
     val core = graft.queries.Graphs.qGraphKcore.fn(spark, sf)
       .collect()
@@ -2856,7 +2856,7 @@ class OperatorSuite extends AnyFunSuite {
   }
 
   test("SES forecast stays convex in its series range") {
-    // E256: an exponential smoothing level is a convex combination
+    // E255: an exponential smoothing level is a convex combination
     // of observed values, so it cannot leave the series' [min, max].
     val daily = Tables.read(spark, sf, "events")
       .groupBy($"event_type", to_date($"ts").as("d"))
@@ -2873,9 +2873,9 @@ class OperatorSuite extends AnyFunSuite {
   }
 
   test("transitions conserve and lateral view keeps planted empties") {
-    // E260: each user with k events contributes exactly k−1
+    // E259: each user with k events contributes exactly k−1
     // transitions, dwell is non-negative (the timeline is ordered).
-    // E258: the planted empty-array rows (partkey % 100 = 0) surface
+    // E257: the planted empty-array rows (partkey % 100 = 0) surface
     // as the 'none' bucket with exactly their count.
     val ev = Tables.read(spark, sf, "events")
     val td = graft.queries.Metrics.qTransitionDwell.fn(spark, sf)
@@ -2892,10 +2892,10 @@ class OperatorSuite extends AnyFunSuite {
   }
 
   test("arg extremes, format scalars, interval overlap hold shape") {
-    // E267: one row per user; first/last come from the event-type
+    // E260: one row per user; first/last come from the event-type
     // alphabet (an out-of-alphabet value means the ordering key
-    // picked a wrong row). E268: the printf spec round-trips as a
-    // parseable ID; lpad pads to exactly 12. E269: an overlap needs
+    // picked a wrong row). E261: the printf spec round-trips as a
+    // parseable ID; lpad pads to exactly 12. E262: an overlap needs
     // at least 1 shared day by the inclusive-bounds definition, and
     // a customer's pair count is bounded by C(n_orders, 2).
     val alphabet =
@@ -2928,7 +2928,7 @@ class OperatorSuite extends AnyFunSuite {
   }
 
   test("dynamic pivot conserves the orders table") {
-    // E264: the pivoted counts partition the orders table (absent
+    // E263: the pivoted counts partition the orders table (absent
     // status combos canonicalize to 0, never NULL).
     val pv = graft.queries.Metrics.qPivotDynamic.fn(spark, sf)
       .collect()
@@ -3042,7 +3042,7 @@ class OperatorSuite extends AnyFunSuite {
   }
 
   test("lexical richness: hapax within types within tokens") {
-    // E253: the three counts nest by definition (a hapax is a type;
+    // E251: the three counts nest by definition (a hapax is a type;
     // a type occurs at least once), and both ratios are proper
     // fractions of their denominators.
     val hx = graft.queries.Corpus.qTextHapax.fn(spark, sf).collect()

@@ -771,18 +771,27 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"SMJ leaked in:\n$p")
   }
 
-  test("CLUSTER BY plans a hash exchange with only partition-local sort") {
-    // E264's promise: CLUSTER BY is DISTRIBUTE BY (hash exchange) +
-    // SORT BY (per-partition sort) — a global sort node here would
-    // mean the clause silently upgraded to the terasort it exists to
-    // avoid. The inner clustered projection must show hashpartitioning
-    // on the cluster key; any Sort present must be non-global. The
-    // final ORDER BY of the 5-row aggregate is a TakeOrderedAndProject
-    // (bounded), not a global Sort, so the assertion is exact.
+  test("CLUSTER BY keeps its exchange; its useless sort is eliminated") {
+    // E258, pinned to what the optimizer ACTUALLY does (the original
+    // form of this test asserted on "global=true", a string
+    // executedPlan never prints, and could not fail — review-caught
+    // tautology; writing the honest version exposed the real plan):
+    // CLUSTER BY's DISTRIBUTE half survives as the hash exchange
+    // tagged REPARTITION_BY_COL, while its SORT BY half is correctly
+    // REMOVED by EliminateSorts — a hash aggregate gains nothing from
+    // sorted input, so the only Sort left is the final ORDER BY
+    // (exactly one global sort: "], true, 0"). Both properties are
+    // load-bearing: losing the exchange means the clause stopped
+    // distributing; a surviving local sort ("], false, 0") means the
+    // optimizer started paying for a sort nothing consumes.
     val p = plan("q_sql_cluster_by")
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"CLUSTER BY lost its user-requested hash exchange:\n$p")
     assert(p.contains("hashpartitioning(event_type"),
-      s"CLUSTER BY lost its hash exchange:\n$p")
-    assert(!p.contains("Sort [") || !p.contains("global=true"),
-      s"CLUSTER BY must not global-sort:\n$p")
+      s"CLUSTER BY exchange not on the cluster key:\n$p")
+    assert(!p.contains("], false, 0"),
+      s"useless SORT BY survived under the aggregate:\n$p")
+    assert("\\], true, 0".r.findAllIn(p).length == 1,
+      s"expected exactly the final ORDER BY's global sort:\n$p")
   }
 }

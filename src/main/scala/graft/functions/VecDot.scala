@@ -231,6 +231,7 @@ object GraftExtensions {
           .BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EditDistPrefilter)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     // whole-operator extensions (SURVEY §4.2 rung c): the TopKPerKey
     // bounded-heap operator and the native streaming-merge as-of join
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

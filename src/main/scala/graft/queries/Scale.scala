@@ -62,6 +62,45 @@ object Scale {
            | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
            |GROUP BY 1 ORDER BY signup_hour""".stripMargin))
 
+  /** E273: the SAME keyless interval join written NAIVELY — and
+    * auto-binned by [[graft.plans.RangeJoinBinning]], the optimizer
+    * rule that performs qJoinRangeBinned's manual rewrite for every
+    * user query. The DataFrame code below is the formulation a user
+    * who has never heard of bin-refinement would write; the rule
+    * (default bin 3600 s, `spark.graft.rangeJoin.bin`) turns it into
+    * an equi join on the hour bin with the exact predicate as
+    * residual. The 30-minute window also exercises the multi-bin
+    * explode path (an interval spans 1–2 hour bins). Gates: this
+    * oracle (DuckDB runs the same naive SQL), a PlanSuite lock (bin
+    * equi-join, no BNLJ; conf-off control nested-loops), and an
+    * OperatorSuite rule-on/off row equivalence. */
+  val qJoinRangeAuto = Q("q_join_range_auto",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "events")
+      val s = e.filter($"event_type" === "signup").select($"ts".as("s_ts"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"ts".as("p_ts"))
+      s.join(p, $"p_ts" > $"s_ts" &&
+          $"p_ts" <= $"s_ts" + expr("INTERVAL 30 MINUTES"))
+        .groupBy(date_trunc("day", $"s_ts").as("signup_day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros($"p_ts") - unix_micros($"s_ts"))
+            .as("gap_us_sum"))
+        .orderBy($"signup_day")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+           |)
+           |SELECT date_trunc('day', s.ts) AS signup_day,
+           |       count(*) AS n_pairs,
+           |       CAST(sum(epoch_us(p.ts) - epoch_us(s.ts)) AS BIGINT)
+           |         AS gap_us_sum
+           |FROM ev s JOIN ev p
+           |  ON s.event_type = 'signup' AND p.event_type = 'purchase'
+           | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+           |GROUP BY 1 ORDER BY signup_day""".stripMargin))
+
   /** W3b: RANGE-frame moving aggregate — 7-day trailing event volume per
     * calendar day. RANGE frames bound by value, not row position, so gaps
     * in the date sequence shrink the window (rowsBetween would silently
@@ -547,7 +586,8 @@ object Scale {
            |FROM carried WHERE kind = 1
            |ORDER BY purchase_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qJoinRangeBinned, qWindowRangeFrame, qAggRollup,
+  val all: Seq[Q] = Seq(qJoinRangeBinned, qJoinRangeAuto,
+    qWindowRangeFrame, qAggRollup,
     qStreamStatic, qSinkForeach, qStreamUpsert, qTopkPerKey,
     qJoinSkewAqe, qJoinBloom, qJoinAsofNative)
 }

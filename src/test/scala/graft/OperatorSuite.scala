@@ -3054,4 +3054,25 @@ class OperatorSuite extends AnyFunSuite {
       assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
     }
   }
+
+  test("range-join binning rewrite is row-equivalent to the naive plan") {
+    // E273: the optimizer rewrite must be invisible in the RESULT —
+    // run the identical naive query with the rule on and off and
+    // require row-for-row equality (the strict-vs-inclusive bounds,
+    // multi-bin explode, and bin-boundary ties all live in here).
+    def rows() = graft.queries.Scale.qJoinRangeAuto.fn(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.getTime)
+    val auto = rows()
+    spark.conf.set(graft.plans.RangeJoinBinning.BinConf, "0")
+    val naive = try rows()
+      finally spark.conf.unset(graft.plans.RangeJoinBinning.BinConf)
+    assert(auto.nonEmpty && auto.toSeq === naive.toSeq)
+    // and a tiny bin (60 s → up to 31 bins per 30-min interval)
+    // exercises long explode sequences without changing the answer
+    spark.conf.set(graft.plans.RangeJoinBinning.BinConf, "60")
+    val fine = try rows()
+      finally spark.conf.unset(graft.plans.RangeJoinBinning.BinConf)
+    assert(fine.toSeq === auto.toSeq)
+  }
 }

@@ -102,6 +102,31 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("probe_bin"))
   }
 
+  test("naive keyless interval join is auto-binned into an equi join") {
+    // E273: the RangeJoinBinning optimizer rule must rewrite the naive
+    // formulation into the binned equi join — the assertion is on the
+    // PLAN, because the naive BNLJ would pass the oracle too (slowly)
+    val p = plan("q_join_range_auto")
+    assert(p.contains("graft_rj_bin"),
+      s"RangeJoinBinning did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"auto-binned join must not nested-loop:\n$p")
+    // the explode fan-out rides the interval side, not the point side
+    assert(p.contains("Generate explode"),
+      s"interval side must explode its bin range:\n$p")
+    // control: with the rule disabled the same query nested-loops —
+    // proving the rule (not query formulation) carries the plan shape
+    spark.conf.set(graft.plans.RangeJoinBinning.BinConf, "0")
+    try {
+      val c = graft.queries.Scale.qJoinRangeAuto.fn(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(c.contains("BroadcastNestedLoopJoin") ||
+        c.contains("CartesianProduct"),
+        s"control (rule off) should nested-loop:\n$c")
+    } finally spark.conf.unset(graft.plans.RangeJoinBinning.BinConf)
+  }
+
   test("semi/anti joins plan as semi/anti, not join+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))

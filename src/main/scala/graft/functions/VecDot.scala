@@ -99,6 +99,12 @@ object GraftExtensions {
         "jaro_winkler"),
       (children: Seq[Expression]) =>
         JaroWinklerExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshteinExpr].getName,
+        "damerau_levenshtein"),
+      (children: Seq[Expression]) =>
+        DamerauLevenshteinExpr(children(0), children(1))))
     // mergeable KLL quantile-sketch family (KllSketch.scala): build
     // from doubles, re-aggregate persisted sketch bytes, extract
     ext.injectFunction((

@@ -2979,6 +2979,139 @@ object Metrics {
            |    6) AS share_of_declared
            |FROM grid ORDER BY lang, guess""".stripMargin))
 
+  /** E275: **largest-remainder apportionment** (Hamilton's method) —
+    * allocate a FIXED total of 1000 units across nations proportional
+    * to customer count, with the constraint that every allocation is
+    * an integer and the total is hit EXACTLY. Floor the quotas, then
+    * award the shortfall one unit each to the largest remainders
+    * (ties broken by nation key, so the answer is deterministic).
+    * Different operator from E-prorate (q_prorate spreads each ROW's
+    * value over its own 7 days by positional remainder — row-local);
+    * apportionment is a GLOBAL competition: the +1s depend on every
+    * group's remainder rank, which is exactly what makes it the
+    * seat-assignment / budget-split / shard-allocation primitive.
+    * All-integer throughout (quota numerators, floors, remainders);
+    * the only double is the reporting column `exact_quota`, rounded
+    * 6dp. Scale: group cardinality (25 nations) bounds the window —
+    * at 100 TB the count aggregation is the only fact-scale pass. */
+  val qAllocApportion = Q("q_alloc_apportion",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val rankW = Window.orderBy($"rem".desc, $"c_nationkey".asc)
+      val cc = Tables.read(spark, sfDir, "customer")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("c"))
+        .withColumn("total", sum($"c").over(tot))
+        .withColumn("num", $"c" * lit(1000L))
+        .withColumn("fl", expr("num DIV total"))
+        .withColumn("rem", pmod($"num", $"total"))
+        .withColumn("xr", row_number().over(rankW))
+        .withColumn("shortfall", lit(1000L) - sum($"fl").over(tot))
+      cc.join(Tables.read(spark, sfDir, "nation"),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"n_name".as("nation"), $"c".as("customers"),
+          ($"fl" + when($"xr" <= $"shortfall", 1L).otherwise(0L))
+            .as("seats"),
+          round($"num".cast("double") / $"total".cast("double"), 6)
+            .as("exact_quota"))
+        .orderBy($"nation")
+    },
+    Some("""WITH cc AS (
+           |  SELECT c_nationkey, count(*) AS c
+           |  FROM customer GROUP BY 1
+           |), q AS (
+           |  SELECT c_nationkey, c,
+           |    CAST(sum(c) OVER () AS BIGINT) AS total,
+           |    c * 1000 AS num
+           |  FROM cc
+           |), f AS (
+           |  SELECT c_nationkey, c, total, num,
+           |    num // total AS fl, num % total AS rem
+           |  FROM q
+           |), r AS (
+           |  SELECT *,
+           |    row_number() OVER (ORDER BY rem DESC, c_nationkey) AS xr,
+           |    1000 - CAST(sum(fl) OVER () AS BIGINT) AS shortfall
+           |  FROM f
+           |)
+           |SELECT n_name AS nation, CAST(c AS BIGINT) AS customers,
+           |  CAST(fl + CASE WHEN xr <= shortfall THEN 1 ELSE 0 END
+           |    AS BIGINT) AS seats,
+           |  round(CAST(num AS DOUBLE) / CAST(total AS DOUBLE), 6)
+           |    AS exact_quota
+           |FROM r JOIN nation ON c_nationkey = n_nationkey
+           |ORDER BY nation""".stripMargin))
+
+  /** E276: **clamped running balance** — the inventory/credit-ledger
+    * fold no window frame can express: balance after each order is
+    * `max(0, prev + delta)` (fulfilled orders debit, others credit),
+    * and the clamp makes the recurrence NON-LINEAR — unlike a running
+    * sum, each step depends on the clamped value of the one before, so
+    * the only faithful formulations are an ordered fold or a stateful
+    * scan. Here: per-key `sort_array(collect_list(struct(...)))` +
+    * `aggregate()` with the clamp in the merge lambda — row-local,
+    * zero extra shuffles beyond the one groupBy — mirrored in DuckDB
+    * by `list_reduce(list_prepend(0, list(delta ORDER BY ...)))`
+    * (first-element-as-init left fold, so the prepended 0 makes the
+    * very first step clamp too, matching aggregate()'s explicit
+    * zero). Integer cents end to end; per-key arrays are bounded by
+    * orders-per-customer. At unbounded per-key history the documented
+    * scale path is the same fold as a streaming
+    * `transformWithState` (T6) over event-time order. */
+  val qBalanceClamped = Q("q_balance_clamped",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val folded = Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey", to_date($"o_orderdate").as("d"),
+          $"o_orderkey",
+          (when($"o_orderstatus" === "F", -1L).otherwise(1L) *
+            ($"o_totalprice".cast("decimal(18,2)") * 100)
+              .cast("long")).as("delta"))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sort_array(collect_list(struct($"d", $"o_orderkey", $"delta")))
+            .as("tl"))
+        .withColumn("final_cents",
+          expr("""aggregate(transform(tl, x -> x.delta),
+                 |  CAST(0 AS BIGINT),
+                 |  (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))"""
+            .stripMargin))
+      folded
+        .join(Tables.read(spark, sfDir, "customer"),
+          $"o_custkey" === $"c_custkey")
+        .join(Tables.read(spark, sfDir, "nation"),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name".as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"n_orders").cast("long").as("n_orders"),
+          sum($"final_cents").cast("long").as("clamped_cents"))
+        .orderBy($"nation")
+    },
+    Some("""WITH d AS (
+           |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           |    o_orderkey,
+           |    (CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END) *
+           |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |        AS BIGINT) AS delta
+           |  FROM orders
+           |), folded AS (
+           |  SELECT o_custkey, count(*) AS n_orders,
+           |    list_reduce(
+           |      list_prepend(CAST(0 AS BIGINT),
+           |        list(delta ORDER BY d, o_orderkey)),
+           |      (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+           |      AS final_cents
+           |  FROM d GROUP BY 1
+           |)
+           |SELECT n_name AS nation,
+           |  count(*) AS n_customers,
+           |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           |  CAST(sum(final_cents) AS BIGINT) AS clamped_cents
+           |FROM folded
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY 1 ORDER BY nation""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2997,5 +3130,6 @@ object Metrics {
     qLinkBlocking, qForecastSes,
     qSqlLateralView, qSqlClusterBy, qTransitionDwell,
     qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap,
-    qPivotDynamic, qForecastBacktest, qLangConfusion)
+    qPivotDynamic, qForecastBacktest, qLangConfusion,
+    qAllocApportion, qBalanceClamped)
 }

@@ -399,6 +399,57 @@ object Scalars {
            |FROM l WHERE nextp IS NOT NULL
            |ORDER BY doc_id""".stripMargin))
 
+  /** E274: **Damerau-Levenshtein fuzzy distance** — the
+    * transposition-aware member of the fuzzy-matching family (E81
+    * levenshtein counts a swap as TWO edits; Jaro-Winkler E128 scores
+    * position agreement but is not a metric). The native expression
+    * (functions/DamerauLevenshtein.scala) implements the TRUE
+    * Lowrance–Wagner variant — `dl('CA','ABC') = 2`, where the common
+    * "optimal string alignment" shortcut returns 3 — because that is
+    * the variant DuckDB's `damerau_levenshtein` exposes, so the oracle
+    * is the real function, not a reimplementation. The output keeps
+    * plain levenshtein beside it: `dl ≤ lev` universally (every
+    * transposition is two substitutions), and the rows where they
+    * differ are exactly the transposition-dominated typo pairs the
+    * function exists to catch. Same bounded-prefix discipline as
+    * E81/E128: fixed 30-char inputs, pair generation by window — at
+    * corpus scale the pair generator is LSH/blocking, never
+    * all-pairs. */
+  val qScalarDamerau = Q("q_scalar_damerau",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val dl = call_function("damerau_levenshtein", $"p", $"nextp")
+      Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", $"source",
+          substring($"text", 1, 30).as("p"))
+        .withColumn("nextp", lead($"p", 1).over(w))
+        .filter($"nextp".isNotNull)
+        .select($"doc_id",
+          dl.as("dl_dist"),
+          levenshtein($"p", $"nextp").as("lev_dist"),
+          (dl < levenshtein($"p", $"nextp"))
+            .as("has_transposition_gain"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, source, substr(text, 1, 30) AS p
+           |  FROM documents
+           |), l AS (
+           |  SELECT doc_id, p,
+           |         lead(p) OVER (PARTITION BY source ORDER BY doc_id)
+           |           AS nextp
+           |  FROM p
+           |)
+           |SELECT doc_id,
+           |       CAST(damerau_levenshtein(p, nextp) AS INT) AS dl_dist,
+           |       CAST(levenshtein(p, nextp) AS INT) AS lev_dist,
+           |       damerau_levenshtein(p, nextp) < levenshtein(p, nextp)
+           |         AS has_transposition_gain
+           |FROM l WHERE nextp IS NOT NULL
+           |ORDER BY doc_id""".stripMargin))
+
   /** E159: **optimizer-injected similarity prefilter** — the
     * demonstration row for [[graft.plans.EditDistPrefilter]]: a
     * plain fuzzy-search filter `levenshtein(name, probe) <= 2`
@@ -465,5 +516,6 @@ object Scalars {
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
     qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
     qScalarTry, qSqlParams, qScalarEditDist, qMapHof,
-    qScalarJaroWinkler, qRuleEditdistPrefilter, qScalarDatefmt)
+    qScalarJaroWinkler, qRuleEditdistPrefilter, qScalarDatefmt,
+    qScalarDamerau)
 }

@@ -3055,6 +3055,50 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("damerau-levenshtein is the TRUE variant and bounded by lev") {
+    // E274: the constants DuckDB's damerau_levenshtein returned when
+    // probed (2026-08-14) — 'CA'→'ABC' = 2 is the discriminator: the
+    // optimal-string-alignment shortcut returns 3 there.
+    import graft.functions.DamerauLevenshteinHelper.{distance => dl}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(dl(u("CA"), u("ABC")) === 2)
+    assert(dl(u("ab"), u("ba")) === 1)
+    assert(dl(u("abc"), u("ca")) === 2)
+    assert(dl(u(""), u("abc")) === 3 && dl(u(""), u("")) === 0)
+    assert(dl(u("kitten"), u("sitting")) === 3)
+    // on the fixture grid: dl ≤ lev universally (a transposition is
+    // two substitutions), and the fixture must actually exercise the
+    // transposition path somewhere or the row proves nothing
+    val rows = graft.queries.Scalars.qScalarDamerau.fn(spark, sf)
+      .collect()
+    rows.foreach(r => assert(r.getInt(1) <= r.getInt(2)))
+    assert(rows.exists(_.getBoolean(3)),
+      "fixture has no transposition-dominated pair")
+  }
+
+  test("apportionment hits the total exactly, off floors by at most 1") {
+    // E275: Hamilton's method invariants — Σseats = 1000 exactly, and
+    // every nation gets floor(quota) or floor(quota)+1, never else.
+    val rows = graft.queries.Metrics.qAllocApportion.fn(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(2)).sum === 1000L)
+    val totalCust = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val fl = r.getLong(1) * 1000L / totalCust
+      assert(r.getLong(2) === fl || r.getLong(2) === fl + 1)
+    }
+  }
+
+  test("clamped balance never reports negative and conserves orders") {
+    // E276: the clamp makes every per-customer terminal balance ≥ 0,
+    // and the per-nation order counts partition the orders table.
+    val rows = graft.queries.Metrics.qBalanceClamped.fn(spark, sf)
+      .collect()
+    rows.foreach(r => assert(r.getLong(3) >= 0L))
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.read(spark, sf, "orders").count())
+  }
+
   test("range-join binning rewrite is row-equivalent to the naive plan") {
     // E273: the optimizer rewrite must be invisible in the RESULT —
     // run the identical naive query with the rule on and off and

@@ -1987,6 +1987,63 @@ object Formats {
            |FROM events WHERE event_id % 2 = 0
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** E277: **hostile-content CSV dialect round-trip** — S4's csv row
+    * proves the happy path on clean numeric columns; this row proves
+    * the part of CSV that actually breaks lakes: every payload embeds
+    * the delimiter, a double-quote AND a literal newline, the writer
+    * uses a non-default dialect (pipe separator, quote-doubling
+    * escape), and the reader must run `multiLine=true` (a quoted
+    * field spans physical lines, so "one record per line" is false —
+    * the same reason E222 exists for JSON). Fidelity is gated by an
+    * order-insensitive exact digest: the established md5-prefix
+    * encoding (E206) summed over rows, recomputed by the oracle from
+    * the source table — one swallowed quote, split record or
+    * mis-escaped delimiter anywhere in the corpus breaks the sum.
+    * FormatsSuite additionally proves the dialect options are
+    * LOAD-BEARING: the same files read without multiLine parse into
+    * MORE records (the embedded newlines split rows). Scale note:
+    * multiLine CSV is NOT splittable (a reader cannot start
+    * mid-quoted-field), so each file parses whole — the writer-side
+    * contract at 100 TB is many moderate files, which the upstream
+    * partitioning here provides; columnar formats remain the
+    * recommended at-rest layout (E18/E67). */
+  val qSourceCsvDialect = Q("q_source_csv_dialect",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val dir = fmtDir(sfDir, "csv_dialect")
+      val payload = concat(substring($"text", 1, 40),
+        lit("|,\"" + "\n"), $"source")
+      Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", $"lang", payload.as("payload"))
+        .write.mode("overwrite")
+        .option("sep", "|").option("quote", "\"")
+        .option("escape", "\"").option("header", "true")
+        .csv(dir)
+      spark.read
+        .option("sep", "|").option("quote", "\"")
+        .option("escape", "\"").option("header", "true")
+        .option("multiLine", "true")
+        .schema("doc_id BIGINT, lang STRING, payload STRING")
+        .csv(dir)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          sum(length($"payload")).cast("long").as("payload_chars"),
+          sum(conv(substring(md5($"payload".cast("binary")), 1, 8),
+            16, 10).cast("long")).cast("long").as("digest_sum"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, lang,
+           |    substr(text, 1, 40) || '|,"' || chr(10) || source
+           |      AS payload
+           |  FROM documents
+           |)
+           |SELECT count(*) AS n_docs,
+           |  count(DISTINCT lang) AS n_langs,
+           |  CAST(sum(length(payload)) AS BIGINT) AS payload_chars,
+           |  CAST(sum(CAST(concat('0x', substr(md5(payload), 1, 8))
+           |    AS BIGINT)) AS BIGINT) AS digest_sum
+           |FROM p""".stripMargin))
+
   val all: Seq[Q] = Seq(qSourceCsv, qSourceJson, qSourceOrc, qSourceAvro,
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
@@ -1999,5 +2056,6 @@ object Formats {
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
     qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted,
     qWriteAuditPublish, qSourceJsonMultiline, qSinkMaxRecords,
-    qSourceGlobFilter, qCodecParquetZstd, qSourceIgnoreCorrupt)
+    qSourceGlobFilter, qCodecParquetZstd, qSourceIgnoreCorrupt,
+    qSourceCsvDialect)
 }

@@ -316,4 +316,27 @@ class FormatsSuite extends AnyFunSuite {
       "cap did not force file rolling")
     assert(perFile.length > 2, "2 tasks must roll to >2 files")
   }
+
+  test("csv dialect options are load-bearing: no multiLine, more rows") {
+    // E277: run the query once (writes the hostile-content files),
+    // then read the SAME files without multiLine — every payload
+    // carries an embedded newline, so the naive line-per-record read
+    // must parse MORE records than documents has rows. If this stops
+    // holding, the fixture content stopped exercising the dialect and
+    // the round-trip row proves nothing.
+    import TestSpark.sf
+    import graft.sources.Formats
+    val res = Formats.qSourceCsvDialect.fn(spark, sf).collect()
+    val nDocs = res.head.getLong(0)
+    assert(nDocs === Tables.read(spark, sf, "documents").count())
+    val dir = Formats.fmtDir(sf, "csv_dialect")
+    val naive = spark.read
+      .option("sep", "|").option("quote", "\"")
+      .option("escape", "\"").option("header", "true")
+      .schema("doc_id BIGINT, lang STRING, payload STRING")
+      .csv(dir)
+      .count()
+    assert(naive > nDocs,
+      s"embedded newlines must split naive reads: $naive vs $nDocs")
+  }
 }

@@ -4061,6 +4061,72 @@ object Extras {
            |  (max(newest) OVER () - newest) > 7 AS stale_flag
            |FROM newest ORDER BY table_name""".stripMargin))
 
+  /** E283: **bitemporal as-of query** — the two-axis time query that
+    * SCD2 (E16) and time travel (E90) each cover HALF of: "what did we
+    * BELIEVE on transaction date T the state was AS OF valid date V".
+    * Versions derive from orders: each order is a new version of its
+    * customer's running spend, valid from `o_orderdate`, but RECORDED
+    * `o_orderkey % 3` days later (deterministic late-arriving
+    * corrections — the pattern real feeds exhibit). The query pins
+    * V = 1998-06-30, T = 1998-07-01: versions recorded after T are
+    * invisible even when their valid date qualifies — exactly the
+    * "don't rewrite reported history" guarantee bitemporal modelling
+    * exists for, and the asymmetry the one-day gap exposes (late
+    * June orders qualify on V but miss T). Running spend accumulates
+    * as exact cents under the valid-time order; the per-customer pick
+    * is one row_number over (valid_from DESC, orderkey DESC) — a
+    * single key-partitioned window after one filter scan, no join. */
+  val qBitemporal = Q("q_bitemporal",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cum = Window.partitionBy($"o_custkey")
+        .orderBy($"valid_from", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pick = Window.partitionBy($"o_custkey")
+        .orderBy($"valid_from".desc, $"o_orderkey".desc)
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          to_date($"o_orderdate").as("valid_from"),
+          date_add(to_date($"o_orderdate"), ($"o_orderkey" % 3)
+            .cast("int")).as("recorded_at"),
+          ($"o_totalprice".cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)").as("cents"))
+        .withColumn("cum_cents", sum($"cents").over(cum))
+        .filter($"recorded_at" <= lit("1998-07-01").cast("date") &&
+          $"valid_from" <= lit("1998-06-30").cast("date"))
+        .withColumn("rn", row_number().over(pick))
+        .filter($"rn" === 1)
+        .select($"o_custkey".as("cust_key"),
+          $"valid_from".as("version_date"),
+          $"o_orderkey".as("version_key"),
+          $"cum_cents".cast("long").as("believed_spend_cents"))
+        .orderBy($"cust_key")
+    },
+    Some("""WITH versions AS (
+           |  SELECT o_custkey, o_orderkey,
+           |    CAST(o_orderdate AS DATE) AS valid_from,
+           |    CAST(o_orderdate AS DATE)
+           |      + to_days(CAST(o_orderkey % 3 AS INTEGER))
+           |      AS recorded_at,
+           |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |        AS HUGEINT))
+           |      OVER (PARTITION BY o_custkey
+           |            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           |      AS cum_cents
+           |  FROM orders
+           |), visible AS (
+           |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY valid_from DESC, o_orderkey DESC) AS rn
+           |  FROM versions
+           |  WHERE recorded_at <= DATE '1998-07-01'
+           |    AND valid_from <= DATE '1998-06-30'
+           |)
+           |SELECT o_custkey AS cust_key, valid_from AS version_date,
+           |  o_orderkey AS version_key,
+           |  CAST(cum_cents AS BIGINT) AS believed_spend_cents
+           |FROM visible WHERE rn = 1 ORDER BY cust_key"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -4079,5 +4145,6 @@ object Extras {
     qLedgerCarry, qSeasonality, qPsi, qJoinAsofNearest,
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
     qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit,
-    qRollingMedian, qCohortLtv, qSkewProfile, qFreshness)
+    qRollingMedian, qCohortLtv, qSkewProfile, qFreshness,
+    qBitemporal)
 }

@@ -466,6 +466,83 @@ object Graphs {
           |FROM r10 GROUP BY u ORDER BY part_key""".stripMargin
     })
 
+  /** E281: **label propagation communities** — synchronous LPA over
+    * the support-2 co-purchase graph, the linear-time community
+    * detector next to the connected-component / pointer-jumping family
+    * (E5): each round every vertex adopts the label most frequent
+    * among its neighbours. Plain LPA is notoriously nondeterministic
+    * (random tie-breaks, async order); this row pins the DETERMINISTIC
+    * variant — synchronous rounds, ties broken toward the SMALLEST
+    * label — so both engines walk the identical trajectory, and bounds
+    * it at 5 rounds (LPA's own literature stops at ~5 sweeps; the
+    * fixpoint-vs-budget tradeoff is the same one the k-core row E248
+    * documents). Labels start as vertex ids. Per round: one edge⋈label
+    * equi-join, one (vertex, label) count, one per-vertex argmax
+    * window — all on the sparse edge set, with the label frame
+    * broadcast while it stays small. The oracle GENERATES the same
+    * 5 unrolled rounds as MATERIALIZED CTEs (the k-core lesson:
+    * DuckDB's default inlining would expand the multiply-referenced
+    * round chain exponentially). */
+  val qGraphLabelProp = Q("q_graph_label_prop",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = supportEdges(spark, sfDir).localCheckpoint()
+      val und = e.select($"s1".as("u"), $"s2".as("v"))
+        .union(e.select($"s2".as("u"), $"s1".as("v")))
+        .localCheckpoint()
+      var lab = und.select($"u".as("node")).distinct()
+        .select($"node", $"node".as("lab"))
+      val pick = Window.partitionBy($"u")
+        .orderBy($"c".desc, $"lab".asc)
+      for (_ <- 1 to 5) {
+        lab = und
+          .join(broadcast(lab), $"v" === $"node")
+          .groupBy($"u", $"lab").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(pick))
+          .filter($"rn" === 1)
+          .select($"u".as("node"), $"lab")
+          .localCheckpoint()
+      }
+      lab.groupBy($"lab".as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min($"node").as("min_member"), max($"node").as("max_member"))
+        .orderBy($"community")
+    },
+    Some {
+      val base =
+        """WITH pairs AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem
+          |), e AS MATERIALIZED (
+          |  SELECT a.p AS s1, b.p AS s2
+          |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |), und AS MATERIALIZED (
+          |  SELECT s1 AS u, s2 AS v FROM e
+          |  UNION ALL SELECT s2, s1 FROM e
+          |), l0 AS MATERIALIZED (
+          |  SELECT DISTINCT u AS node, u AS lab FROM und
+          |)""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        s""", l$i AS MATERIALIZED (
+           |  SELECT u AS node, lab FROM (
+           |    SELECT und.u, l.lab, count(*) AS c,
+           |      row_number() OVER (PARTITION BY und.u
+           |        ORDER BY count(*) DESC, l.lab) AS rn
+           |    FROM und JOIN l${i - 1} l ON und.v = l.node
+           |    GROUP BY und.u, l.lab
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT lab AS community, count(*) AS n_members,
+          |  min(node) AS min_member, max(node) AS max_member
+          |FROM l5 GROUP BY lab ORDER BY community""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(qGraphTriangles, qGraphBfs, qGraphNeighborSim,
-    qGraphClustering, qGraphAssortativity, qGraphKcore)
+    qGraphClustering, qGraphAssortativity, qGraphKcore,
+    qGraphLabelProp)
 }

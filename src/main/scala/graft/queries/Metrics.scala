@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3112,6 +3113,455 @@ object Metrics {
            |JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY 1 ORDER BY nation""".stripMargin))
 
+  /** E278: **Mann–Whitney U (Wilcoxon rank-sum)** — the nonparametric
+    * two-sample location test next to KS (E194): does the purchase
+    * `value` distribution stochastically dominate click's? Exactness
+    * hinges on tied ranks: with per-distinct-value counts a1, a2 and
+    * cnt = a1+a2, the DOUBLED average rank of the tie group is the
+    * integer 2·cumBefore + cnt + 1, so the doubled rank sum R1d =
+    * Σ a1·(2·cumBefore+cnt+1) and the tie-correction Σ(cnt³−cnt) stay
+    * in DECIMAL(38,0)/HUGEINT on both engines; U1 = (R1d − n1(n1+1))/2
+    * is exact in double (one bit of .5), and the tie-corrected normal
+    * z does its sqrt+division on the final row. Like the KS scan this
+    * is one hash agg on distinct values + one global ordered window —
+    * the honest single sort an exact rank test needs (KLL E61 is the
+    * recorded approximate path at 100 TB). */
+  val qMannWhitney = Q("q_mannwhitney",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val perV = Tables.read(spark, sfDir, "events")
+        .filter($"event_type".isin("purchase", "click"))
+        .select($"value".as("v"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("g1"))
+        .groupBy($"v")
+        .agg(sum($"g1").as("a1"), sum(lit(1L) - $"g1").as("a2"))
+        .withColumn("cnt", ($"a1" + $"a2").cast("decimal(38,0)"))
+      val before = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perV
+        .withColumn("cum_before",
+          coalesce(sum($"cnt").over(before), lit(0))
+            .cast("decimal(38,0)"))
+        .agg(sum($"a1").cast("decimal(38,0)").as("n1"),
+          sum($"a2").cast("decimal(38,0)").as("n2"),
+          sum($"a1" * (lit(2) * $"cum_before" + $"cnt" + lit(1)))
+            .as("r1d"),
+          sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie3"))
+        .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+          (($"r1d" - $"n1" * ($"n1" + lit(1))).cast("double") / 2.0)
+            .as("u1"),
+          round(
+            ((($"r1d" - $"n1" * ($"n1" + lit(1))).cast("double") / 2.0) -
+              ($"n1" * $"n2").cast("double") / 2.0) /
+              sqrt(($"n1" * $"n2").cast("double") / 12.0 *
+                ((($"n1" + $"n2" + lit(1))).cast("double") -
+                  $"tie3".cast("double") /
+                    (($"n1" + $"n2").cast("double") *
+                      ($"n1" + $"n2" - lit(1)).cast("double")))), 6)
+            .as("z"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT value AS v,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |), perv AS (
+           |  SELECT v, CAST(sum(g1) AS HUGEINT) AS a1,
+           |    CAST(sum(1 - g1) AS HUGEINT) AS a2,
+           |    CAST(count(*) AS HUGEINT) AS cnt
+           |  FROM ev GROUP BY v
+           |), ranked AS (
+           |  SELECT a1, a2, cnt,
+           |    coalesce(sum(cnt) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS cum_before
+           |  FROM perv
+           |), s AS (
+           |  SELECT sum(a1) AS n1, sum(a2) AS n2,
+           |    sum(a1 * (2 * cum_before + cnt + 1)) AS r1d,
+           |    sum(cnt * cnt * cnt - cnt) AS tie3
+           |  FROM ranked
+           |)
+           |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           |  CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           |  round((CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / 2.0 -
+           |      CAST(n1 * n2 AS DOUBLE) / 2.0) /
+           |    sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 *
+           |      (CAST(n1 + n2 + 1 AS DOUBLE) -
+           |        CAST(tie3 AS DOUBLE) /
+           |          (CAST(n1 + n2 AS DOUBLE) *
+           |            CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
+           |FROM s""".stripMargin))
+
+  /** E279: **one-way ANOVA F** — does mean order value differ across
+    * the five `o_orderpriority` classes? The variance decomposition
+    * SStot = SSB + SSW over integral CENTS: per-group n_g, S_g = Σc
+    * and SS_g = Σc² all accumulate in DECIMAL(38,0)/HUGEINT (c ≤ ~6e7
+    * cents, c² ≤ 4e15, ×1e6 rows ≤ 4e21 — comfortable), so the only
+    * float work is the ≤5-term Σ S_g²/n_g and the two ratio outputs:
+    * F = (SSB/(k−1))/(SSW/(N−k)) and effect size η² = SSB/SStot, both
+    * O(1) magnitudes where the 6dp rounding is meaningful. One hash
+    * agg at the priority grain; the final frame is ≤5 rows. */
+  val qAnovaF = Q("q_anova_f",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .select(($"o_totalprice".cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").as("c"), $"o_orderpriority")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("ng"),
+          sum($"c").as("sg"), sum($"c" * $"c").as("ssg"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum($"ng").cast("double").as("n"),
+          sum($"sg".cast("double") * $"sg".cast("double") /
+            $"ng".cast("double")).as("sb"),
+          sum($"ssg").cast("double").as("sstot_raw"),
+          sum($"sg").cast("double").as("s"))
+        .select($"n_groups", $"n".cast("long").as("n"),
+          round((($"sb" - $"s" * $"s" / $"n") / ($"n_groups" - 1)) /
+            ((($"sstot_raw" - $"s" * $"s" / $"n") -
+              ($"sb" - $"s" * $"s" / $"n")) / ($"n" - $"n_groups")), 6)
+            .as("f_stat"),
+          round(($"sb" - $"s" * $"s" / $"n") /
+            ($"sstot_raw" - $"s" * $"s" / $"n"), 6).as("eta_sq"))
+    },
+    Some("""WITH g AS (
+           |  SELECT o_orderpriority,
+           |    CAST(count(*) AS HUGEINT) AS ng,
+           |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS HUGEINT)) AS sg,
+           |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |        AS HUGEINT) *
+           |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |        AS HUGEINT)) AS ssg
+           |  FROM orders GROUP BY 1
+           |), s AS (
+           |  SELECT count(*) AS n_groups,
+           |    CAST(sum(ng) AS DOUBLE) AS n,
+           |    sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+           |      CAST(ng AS DOUBLE)) AS sb,
+           |    CAST(sum(ssg) AS DOUBLE) AS sstot_raw,
+           |    CAST(sum(sg) AS DOUBLE) AS s
+           |  FROM g
+           |)
+           |SELECT n_groups, CAST(n AS BIGINT) AS n,
+           |  round(((sb - s * s / n) / (n_groups - 1)) /
+           |    (((sstot_raw - s * s / n) - (sb - s * s / n)) /
+           |      (n - n_groups)), 6) AS f_stat,
+           |  round((sb - s * s / n) / (sstot_raw - s * s / n), 6)
+           |    AS eta_sq
+           |FROM s""".stripMargin))
+
+  /** E280: **cross-correlation function** — lead/lag coupling between
+    * the daily purchase-count and click-count series at calendar lags
+    * −7..+7, the two-series complement to the ACF (E195): a peak at
+    * negative lag says clicks LEAD purchases. Same integer-exact
+    * n-scaled-deviation trick: devx = n·x − Sx and devy = n·y − Sy are
+    * integral, num_k = Σ devx_t·devy_{t+k} accumulates in
+    * DECIMAL(38,0)/HUGEINT, and the full-series denominator
+    * sqrt(Σdevx²·Σdevy²) normalizes every lag (so r_0 is exactly the
+    * Pearson r of the two series). Lag pairing is by CALENDAR day, and
+    * the ±7 fan-out explodes on the ≤n-row daily aggregate joined back
+    * on the shifted date — no cross join on raw rows. */
+  val qCcf = Q("q_ccf",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tot = Window.partitionBy()
+      val daily = Tables.read(spark, sfDir, "events")
+        .filter($"event_type".isin("purchase", "click"))
+        .groupBy(to_date($"ts").as("d"))
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("x"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("devx",
+          ($"n" * $"x" - sum($"x").over(tot)).cast("decimal(38,0)"))
+        .withColumn("devy",
+          ($"n" * $"y" - sum($"y").over(tot)).cast("decimal(38,0)"))
+        .localCheckpoint()
+      val den = daily.agg(
+        sqrt(sum($"devx" * $"devx").cast("double") *
+          sum($"devy" * $"devy").cast("double")).as("den"))
+      daily.select($"d", $"devx",
+          explode(sequence(lit(-7), lit(7))).as("lag_days"))
+        .join(daily.select($"d".as("d2"), $"devy".as("devy2")),
+          expr("date_add(d, lag_days) = d2"))
+        .groupBy($"lag_days")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"devx" * $"devy2").as("num"))
+        .crossJoin(broadcast(den))
+        .select($"lag_days", $"n_pairs",
+          round($"num".cast("double") / $"den", 6).as("r"))
+        .orderBy($"lag_days")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS x,
+           |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           |      AS y
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |  GROUP BY 1
+           |), scaled AS (
+           |  SELECT d,
+           |    CAST(count(*) OVER () * x - sum(x) OVER () AS HUGEINT)
+           |      AS devx,
+           |    CAST(count(*) OVER () * y - sum(y) OVER () AS HUGEINT)
+           |      AS devy
+           |  FROM daily
+           |), den AS (
+           |  SELECT sqrt(CAST(sum(devx * devx) AS DOUBLE) *
+           |    CAST(sum(devy * devy) AS DOUBLE)) AS den
+           |  FROM scaled
+           |), lags AS (
+           |  SELECT CAST(k AS INTEGER) AS lag_days
+           |  FROM range(-7, 8) t(k)
+           |), paired AS (
+           |  SELECT l.lag_days, a.devx AS devx, b.devy AS devy2
+           |  FROM scaled a
+           |  JOIN lags l ON true
+           |  JOIN scaled b ON b.d = a.d + to_days(l.lag_days)
+           |)
+           |SELECT lag_days, count(*) AS n_pairs,
+           |  round(CAST(sum(devx * devy2) AS DOUBLE) /
+           |    (SELECT den FROM den), 6) AS r
+           |FROM paired GROUP BY lag_days ORDER BY lag_days"""
+      .stripMargin))
+
+  /** E282: **FIFO lot allocation** — match each part's returned
+    * quantity (`l_returnflag = 'R'`, FIFO demand) against its earliest
+    * supply lots (flags A/N), the classic inventory-costing /
+    * cost-basis problem that defeats naive SQL: which lots does each
+    * return consume? The join-free-per-row trick is CUMULATIVE
+    * INTERVALS: supply lot i covers [cumQty_{i−1}, cumQty_i) on the
+    * part's supply axis, demand j covers its own [lo, hi), and FIFO
+    * matching IS interval intersection — matched(i,j) =
+    * max(0, min(hi_i,hi_j) − max(lo_i,lo_j)). The join is equi on
+    * partkey FIRST with the overlap predicate inside the key (the
+    * E262 shape that keeps interval joins off the quadratic cliff;
+    * per-part lot counts bound the pair work, and a skewed part would
+    * take the E2/E47 salting path). Quantities are integral in the
+    * fixture but accumulate as DECIMAL(18,2) cums / DECIMAL(38,0)
+    * totals so every interval endpoint is exact on both engines; lot
+    * order is the total (shipdate, orderkey, linenumber). Output per
+    * part: lots, matches, matched vs unmatched-demand quantity. */
+  val qFifoAllocation = Q("q_fifo_allocation",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val li = Tables.read(spark, sfDir, "lineitem")
+        .select($"l_partkey".as("pk"), $"l_returnflag".as("rf"),
+          $"l_quantity".cast("decimal(18,2)").as("q"),
+          $"l_shipdate".as("sd"), $"l_orderkey".as("ok"),
+          $"l_linenumber".as("ln"))
+      def lots(side: DataFrame) = {
+        val w = Window.partitionBy($"pk")
+          .orderBy($"sd", $"ok", $"ln")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        side.select($"pk", $"q", sum($"q").over(w).as("hi"))
+          .withColumn("lo", $"hi" - $"q")
+      }
+      val supply = lots(li.filter($"rf" =!= "R"))
+        .select($"pk", $"lo".as("slo"), $"hi".as("shi"))
+      val demand = lots(li.filter($"rf" === "R"))
+        .select($"pk", $"lo".as("dlo"), $"hi".as("dhi"))
+      val matched = supply.join(demand, Seq("pk"))
+        .filter($"slo" < $"dhi" && $"dlo" < $"shi")
+        .groupBy($"pk")
+        .agg(count(lit(1)).as("n_matches"),
+          sum(least($"shi", $"dhi") - greatest($"slo", $"dlo"))
+            .as("matched_qty"))
+      demand.groupBy($"pk")
+        .agg(count(lit(1)).as("n_demands"),
+          sum($"dhi" - $"dlo").as("demand_qty"))
+        .join(matched, Seq("pk"), "left")
+        .select($"pk".as("part_key"), $"n_demands",
+          coalesce($"n_matches", lit(0L)).as("n_matches"),
+          $"demand_qty".cast("double").as("demand_qty"),
+          coalesce($"matched_qty", lit(0).cast("decimal(18,2)"))
+            .cast("double").as("matched_qty"),
+          ($"demand_qty" - coalesce($"matched_qty",
+            lit(0).cast("decimal(18,2)"))).cast("double")
+            .as("unmatched_qty"))
+        .orderBy($"part_key")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_partkey AS pk, l_returnflag AS rf,
+           |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+           |    l_shipdate AS sd, l_orderkey AS ok, l_linenumber AS ln
+           |  FROM lineitem
+           |), supply AS (
+           |  SELECT pk, q,
+           |    sum(q) OVER (PARTITION BY pk ORDER BY sd, ok, ln) AS shi,
+           |    sum(q) OVER (PARTITION BY pk ORDER BY sd, ok, ln) - q
+           |      AS slo
+           |  FROM li WHERE rf <> 'R'
+           |), demand AS (
+           |  SELECT pk, q,
+           |    sum(q) OVER (PARTITION BY pk ORDER BY sd, ok, ln) AS dhi,
+           |    sum(q) OVER (PARTITION BY pk ORDER BY sd, ok, ln) - q
+           |      AS dlo
+           |  FROM li WHERE rf = 'R'
+           |), m AS (
+           |  SELECT s.pk, count(*) AS n_matches,
+           |    sum(least(s.shi, d.dhi) - greatest(s.slo, d.dlo))
+           |      AS matched_qty
+           |  FROM supply s JOIN demand d ON s.pk = d.pk
+           |    AND s.slo < d.dhi AND d.dlo < s.shi
+           |  GROUP BY s.pk
+           |), dm AS (
+           |  SELECT pk, count(*) AS n_demands,
+           |    sum(dhi - dlo) AS demand_qty
+           |  FROM demand GROUP BY pk
+           |)
+           |SELECT dm.pk AS part_key, n_demands,
+           |  coalesce(n_matches, 0) AS n_matches,
+           |  CAST(demand_qty AS DOUBLE) AS demand_qty,
+           |  CAST(coalesce(matched_qty, 0) AS DOUBLE) AS matched_qty,
+           |  CAST(demand_qty - coalesce(matched_qty, 0) AS DOUBLE)
+           |    AS unmatched_qty
+           |FROM dm LEFT JOIN m ON dm.pk = m.pk
+           |ORDER BY part_key""".stripMargin))
+
+  /** E284: **Theil inequality indices** — per market segment, the
+    * entropy-based inequality measures over positive customer spend:
+    * Theil T = Σ(xᵢ/S)·ln(N·xᵢ/S) (top-sensitive) and Theil L =
+    * (1/N)·Σ ln(S/(N·xᵢ)) (bottom-sensitive), the decomposable
+    * complements to Gini (E133) and HHI (E196) — unlike Gini, Theil
+    * splits exactly into between-group + within-group terms, which is
+    * why monitoring stacks carry it. Spend aggregates exactly
+    * (DECIMAL cents); S and N come from one segment window; each
+    * customer's ln term is double (the JSD/E205-proven class — ln of
+    * an exact rational, summed per segment and rounded 6dp; zero-spend
+    * customers are EXCLUDED, as ln 0 diverges — documented, and
+    * n_customers reports the included count). One join + one hash agg
+    * + one segment window; ≤5-row output. */
+  val qTheilIndex = Q("q_theil_index",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val seg = Window.partitionBy($"c_mktsegment")
+      Tables.read(spark, sfDir, "customer")
+        .join(Tables.read(spark, sfDir, "orders"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment", $"c_custkey")
+        .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").as("x"))
+        .filter($"x" > 0)
+        .select($"c_mktsegment", $"x",
+          sum($"x").over(seg).as("s"),
+          count(lit(1)).over(seg).as("n"))
+        .groupBy($"c_mktsegment")
+        .agg(max($"n").as("n_customers"),
+          round(sum($"x".cast("double") / $"s".cast("double") *
+            log($"n".cast("double") * $"x".cast("double") /
+              $"s".cast("double"))), 6).as("theil_t"),
+          round(sum(log($"s".cast("double") /
+            ($"n".cast("double") * $"x".cast("double")))) /
+            max($"n").cast("double"), 6).as("theil_l"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH spend AS (
+           |  SELECT c_mktsegment, c_custkey,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+           |      AS HUGEINT) AS x
+           |  FROM customer JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY 1, 2
+           |), framed AS (
+           |  SELECT c_mktsegment, x,
+           |    sum(x) OVER (PARTITION BY c_mktsegment) AS s,
+           |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+           |  FROM spend WHERE x > 0
+           |)
+           |SELECT c_mktsegment,
+           |  max(n) AS n_customers,
+           |  round(sum(CAST(x AS DOUBLE) / CAST(s AS DOUBLE) *
+           |    ln(CAST(n AS DOUBLE) * CAST(x AS DOUBLE) /
+           |      CAST(s AS DOUBLE))), 6) AS theil_t,
+           |  round(sum(ln(CAST(s AS DOUBLE) /
+           |    (CAST(n AS DOUBLE) * CAST(x AS DOUBLE)))) /
+           |    CAST(max(n) AS DOUBLE), 6) AS theil_l
+           |FROM framed GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin))
+
+  /** E285: **Holt linear-trend forecast** — double exponential
+    * smoothing over each event type's daily counts, the next rung
+    * after SES (E255) when the series trends: level lₜ = α·yₜ +
+    * (1−α)(lₜ₋₁+bₜ₋₁), trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, forecast
+    * ŷ = l+b. The recursion carries TWO states, so the row-local fold
+    * (E255's collect-sorted-then-`aggregate()` shape — calendar-
+    * bounded arrays, never raw-row-bounded) folds a STRUCT
+    * accumulator, with init {l: y₁, b: 0} (the zero-trend init
+    * variant, pinned) and every constant CAST to DOUBLE. The oracle
+    * is a RECURSIVE CTE stepping t = 2..n with the identical update
+    * expression — NOT a `list_reduce` struct fold: DuckDB v1.0
+    * resolves struct-field references inside fold lambdas lazily and
+    * a two-field accumulator reads the wrong generation (measured:
+    * {'l': acc.l+x.l, 'b': acc.b+acc.l} over [10,12,14,13] returns
+    * b=95, which is neither the old-l 68 nor the new-l 107). The
+    * recursion is ~n_days steps over an event-type-keyed join — both
+    * sides execute the same double ops in the same order, one 6dp
+    * round at the edge. */
+  val qForecastHolt = Q("q_forecast_holt",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"y")))
+          .as("series"))
+        .select($"event_type",
+          size($"series").as("n_days"),
+          expr("""aggregate(
+            |  transform(slice(series, 2, size(series) - 1),
+            |    x -> CAST(x.y AS DOUBLE)),
+            |  named_struct(
+            |    'l', CAST(element_at(series, 1).y AS DOUBLE),
+            |    'b', CAST(0.0 AS DOUBLE)),
+            |  (acc, y) -> named_struct(
+            |    'l', CAST(0.3 AS DOUBLE) * y
+            |      + CAST(0.7 AS DOUBLE) * (acc.l + acc.b),
+            |    'b', CAST(0.4 AS DOUBLE) *
+            |      ((CAST(0.3 AS DOUBLE) * y
+            |        + CAST(0.7 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+            |      + CAST(0.6 AS DOUBLE) * acc.b))""".stripMargin)
+            .as("st"))
+        .select($"event_type", $"n_days",
+          round($"st".getField("l") + $"st".getField("b"), 6)
+            .as("forecast_next"),
+          round($"st".getField("b"), 6).as("trend"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT event_type,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    count(*) AS y
+           |  FROM events GROUP BY 1, 2
+           |), idx AS (
+           |  SELECT event_type, CAST(y AS DOUBLE) AS y,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY day) AS t,
+           |    count(*) OVER (PARTITION BY event_type) AS n_days
+           |  FROM daily
+           |), st AS (
+           |  SELECT event_type, t, n_days, y AS l,
+           |    CAST(0.0 AS DOUBLE) AS b
+           |  FROM idx WHERE t = 1
+           |  UNION ALL
+           |  SELECT s.event_type, d.t, s.n_days,
+           |    CAST(0.3 AS DOUBLE) * d.y
+           |      + CAST(0.7 AS DOUBLE) * (s.l + s.b),
+           |    CAST(0.4 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * d.y
+           |      + CAST(0.7 AS DOUBLE) * (s.l + s.b)) - s.l)
+           |      + CAST(0.6 AS DOUBLE) * s.b
+           |  FROM st s JOIN idx d ON d.event_type = s.event_type
+           |    AND d.t = s.t + 1
+           |)
+           |SELECT event_type, n_days,
+           |  round(l + b, 6) AS forecast_next,
+           |  round(b, 6) AS trend
+           |FROM st WHERE t = n_days ORDER BY event_type"""
+      .stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -3131,5 +3581,7 @@ object Metrics {
     qSqlLateralView, qSqlClusterBy, qTransitionDwell,
     qAggArgExtremes, qScalarFormat, qJoinIntervalOverlap,
     qPivotDynamic, qForecastBacktest, qLangConfusion,
-    qAllocApportion, qBalanceClamped)
+    qAllocApportion, qBalanceClamped,
+    qMannWhitney, qAnovaF, qCcf,
+    qFifoAllocation, qTheilIndex, qForecastHolt)
 }

@@ -3119,4 +3119,148 @@ class OperatorSuite extends AnyFunSuite {
       finally spark.conf.unset(graft.plans.RangeJoinBinning.BinConf)
     assert(fine.toSeq === auto.toSeq)
   }
+
+  test("Mann-Whitney U matches the brute-force pair count") {
+    // E278: U1 literally counts (purchase, click) pairs where
+    // purchase wins, +0.5 per tie — recompute it pairwise from the
+    // collected sf0.001 values and require exact equality with the
+    // rank-sum form (the two derivations share no code path).
+    val r = graft.queries.Metrics.qMannWhitney.fn(spark, sf).head()
+    val vs = Tables.read(spark, sf, "events")
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val p = vs.collect { case ("purchase", v) => v }
+    val c = vs.collect { case ("click", v) => v }
+    val u1 = p.iterator.map(a =>
+      c.count(a > _) + 0.5 * c.count(a == _)).sum
+    assert(r.getLong(0) === p.length.toLong)
+    assert(r.getLong(1) === c.length.toLong)
+    assert(math.abs(r.getDouble(2) - u1) < 1e-6,
+      s"rank-sum U=${r.getDouble(2)} pairwise U=$u1")
+  }
+
+  test("ANOVA decomposition: F positive, eta_sq in (0,1)") {
+    // E279: eta² = SSB/SStot must land strictly inside (0,1) on data
+    // with any between-group signal, and F relates to it by the
+    // fixed (k, N) degrees of freedom.
+    val r = graft.queries.Metrics.qAnovaF.fn(spark, sf).head()
+    val (k, n) = (r.getLong(0), r.getLong(1))
+    val (f, eta) = (r.getDouble(2), r.getDouble(3))
+    assert(k === 5L)
+    assert(eta > 0 && eta < 1)
+    val fFromEta = (eta / (k - 1)) / ((1 - eta) / (n - k))
+    assert(math.abs(f - fFromEta) / f < 1e-4)
+  }
+
+  test("CCF at lag 0 is the Pearson r of the two daily series") {
+    // E280: the full-series denominator normalization makes r(0)
+    // exactly Pearson; and r(k) must stay within [-1, 1] while pair
+    // counts shrink by |k| off the 30-day calendar.
+    val rows = graft.queries.Metrics.qCcf.fn(spark, sf).collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      assert(r.getLong(1) === 30L - math.abs(r.getInt(0)))
+    }
+    val daily = Tables.read(spark, sf, "events")
+      .filter($"event_type".isin("purchase", "click"))
+      .groupBy(to_date($"ts")).agg(
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val (xs, ys) = (daily.map(_._1), daily.map(_._2))
+    def dev(a: Array[Double]) = { val m = a.sum / a.length; a.map(_ - m) }
+    val (dx, dy) = (dev(xs), dev(ys))
+    val pearson = dx.zip(dy).map(t => t._1 * t._2).sum /
+      math.sqrt(dx.map(v => v * v).sum * dy.map(v => v * v).sum)
+    val r0 = rows.find(_.getInt(0) == 0).get.getDouble(2)
+    assert(math.abs(r0 - pearson) < 1e-6)
+  }
+
+  test("FIFO allocation conserves demand and never over-matches supply") {
+    // E282: matched + unmatched = demand per part, and matched can
+    // never exceed the part's total supply (interval intersection is
+    // bounded by both axes).
+    val rows = graft.queries.Metrics.qFifoAllocation.fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val supply = Tables.read(spark, sf, "lineitem")
+      .filter($"l_returnflag" =!= "R")
+      .groupBy($"l_partkey").agg(sum($"l_quantity").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (matched, unmatched, demand) =
+        (r.getDouble(4), r.getDouble(5), r.getDouble(3))
+      assert(math.abs(matched + unmatched - demand) < 1e-6)
+      assert(matched <= supply.getOrElse(r.getLong(0), 0.0) + 1e-6)
+      assert(unmatched >= -1e-6)
+    }
+  }
+
+  test("bitemporal pick never exceeds the customer's full-history spend") {
+    // E283: the as-of-(V,T) belief is a prefix of the valid-time
+    // ledger, so it is bounded by the all-time total; and every
+    // reported version must itself satisfy both cutoffs.
+    val rows = graft.queries.Extras.qBitemporal.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.read(spark, sf, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100)
+        .cast("long")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = java.sql.Date.valueOf("1998-06-30")
+    rows.foreach { r =>
+      assert(!r.getDate(1).after(v))
+      assert(r.getLong(3) <= totals(r.getLong(0)))
+    }
+  }
+
+  test("Theil T and L are nonnegative and zero only under equality") {
+    // E284: both indices are ≥ 0 (Jensen), and on the fixture's
+    // skewed spend strictly positive for every segment.
+    val rows = graft.queries.Metrics.qTheilIndex.fn(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0, s"theil_t ${r.getString(0)}")
+      assert(r.getDouble(3) > 0, s"theil_l ${r.getString(0)}")
+    }
+  }
+
+  test("Holt fold matches an in-test Scala recursion") {
+    // E285: re-run the recursion in plain Scala over the collected
+    // daily series — the engine's aggregate() fold must agree to the
+    // rounded output digit.
+    val rows = graft.queries.Metrics.qForecastHolt.fn(spark, sf)
+      .collect()
+    val daily = Tables.read(spark, sf, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy($"event_type", $"d").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val ys = daily(r.getString(0)).map(_.getLong(2).toDouble)
+      var (l, b) = (ys.head, 0.0)
+      ys.tail.foreach { y =>
+        val nl = 0.3 * y + 0.7 * (l + b)
+        val nb = 0.4 * (nl - l) + 0.6 * b
+        l = nl; b = nb
+      }
+      assert(r.getInt(1) === ys.length)
+      assert(math.abs(r.getDouble(2) - (l + b)) < 1e-6)
+      assert(math.abs(r.getDouble(3) - b) < 1e-6)
+    }
+  }
+
+  test("label propagation is deterministic and covers every vertex") {
+    // E281: two independent runs must agree exactly (the pinned
+    // smallest-label tie-break is the whole point), and community
+    // sizes must partition the vertex set.
+    def run() = graft.queries.Graphs.qGraphLabelProp.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run()
+    assert(a === run())
+    val nVertices = a.map(_._2).sum
+    assert(nVertices > 0 && a.forall(_._2 > 0))
+  }
 }

@@ -559,7 +559,120 @@ object Corpus {
            |FROM counted GROUP BY source ORDER BY source"""
       .stripMargin))
 
+  /** E286: **prefix-filtered set-similarity join (PPJoin-lite)** —
+    * all order pairs whose PART BASKETS have Jaccard ≥ 0.5, mined
+    * with the prefix filter: order each basket by GLOBAL token rarity
+    * (df asc, partkey asc); if J(A,B) ≥ τ then any qualifying pair
+    * has |A∩B| ≥ τ·max(|A|,|B|), so the rarest |x|−⌈τ|x|⌉+1 tokens of
+    * each side must overlap — only those prefix tokens enter the
+    * candidate equi-join. This is the EXACT-recall scale path the
+    * ngram-Jaccard scaladoc (E X2) records as losing on documents'
+    * 31-word vocabulary: baskets draw from the 2k/20k-part vocabulary
+    * where rarity ordering actually thins candidates, the setting
+    * PPJoin was built for. The filter's losslessness is PROVEN by the
+    * gate itself — the oracle runs the NAIVE all-pairs join, so any
+    * pair the prefix filter drops fails parity. Verification is
+    * row-local (`array_intersect` on the two collected baskets — no
+    * second shuffle), candidates dedup before the verify join, and
+    * skew is self-limiting: a token lands in many prefixes only if
+    * its df is LOW, so prefix-token fan-out is bounded by rarity
+    * (the hot-token guard the inverted-index variant needs a max-df
+    * cap for). J ≥ 0.5 compares exactly on both engines (0.5 is a
+    * power of two; c and sizes are integers). */
+  val qJoinSetsimPrefix = Q("q_join_setsim_prefix",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val tok = Tables.read(spark, sfDir, "lineitem")
+        .select($"l_orderkey".as("k"), $"l_partkey".as("t")).distinct()
+      val dfm = tok.groupBy($"t").agg(count(lit(1)).as("df"))
+      val sets = tok.join(dfm, Seq("t"))
+        .groupBy($"k")
+        .agg(sort_array(collect_list(struct($"df", $"t"))).as("st"))
+        .select($"k",
+          expr("transform(st, x -> x.t)").as("toks"),
+          size($"st").as("n"))
+        .withColumn("prefix",
+          expr("slice(toks, 1, n - CAST((n + 1) DIV 2 AS INT) + 1)"))
+        .localCheckpoint()
+      val pref = sets.select($"k", explode($"prefix").as("t"))
+      val cand = pref.as("a")
+        .join(pref.as("b"), $"a.t" === $"b.t" && $"a.k" < $"b.k")
+        .select($"a.k".as("k1"), $"b.k".as("k2")).distinct()
+      cand
+        .join(sets.select($"k".as("k1"), $"toks".as("ta"),
+          $"n".as("n1")), Seq("k1"))
+        .join(sets.select($"k".as("k2"), $"toks".as("tb"),
+          $"n".as("n2")), Seq("k2"))
+        .withColumn("c", size(array_intersect($"ta", $"tb")))
+        .filter($"c" / ($"n1" + $"n2" - $"c") >= 0.5)
+        .select($"k1".as("order_a"), $"k2".as("order_b"),
+          $"c".cast("long").as("n_common"),
+          round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
+        .orderBy($"order_a", $"order_b")
+    },
+    Some("""WITH tok AS (
+           |  SELECT DISTINCT l_orderkey AS k, l_partkey AS t
+           |  FROM lineitem
+           |), sizes AS (
+           |  SELECT k, count(*) AS n FROM tok GROUP BY 1
+           |), common AS (
+           |  SELECT a.k AS k1, b.k AS k2, count(*) AS c
+           |  FROM tok a JOIN tok b ON a.t = b.t AND a.k < b.k
+           |  GROUP BY 1, 2
+           |)
+           |SELECT k1 AS order_a, k2 AS order_b,
+           |  CAST(c AS BIGINT) AS n_common,
+           |  round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+           |FROM common
+           |JOIN sizes s1 ON s1.k = k1
+           |JOIN sizes s2 ON s2.k = k2
+           |WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
+           |ORDER BY order_a, order_b""".stripMargin))
+
+  /** E287: **repeated-substring detection** — which 40-char windows
+    * (stride 10) appear in MORE THAN ONE document: the substring-level
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") that document- and shingle-level dedup
+    * (X1/X2) miss — boilerplate headers, licence blocks and template
+    * runs shared across otherwise-distinct docs. Window extraction is
+    * row-local (one `transform(sequence(...))` per doc, no join); the
+    * only shuffle is the window-key aggregation — the same shuffle
+    * class exact dedup pays. The literal window string is the key here
+    * so the oracle can replay it; the recorded 100 TB variant keys on
+    * `xxhash64(win)` (8-byte keys instead of 40-char strings) and
+    * strides 1 on the probe side when exact recall across unaligned
+    * offsets is required (stride s only guarantees catching shared
+    * runs whose offsets agree mod s). */
+  val qDedupSubstring = Q("q_dedup_substring",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "documents")
+        .filter(length($"text") >= 40)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, CAST(length(text) AS INT) - 39, 10),
+            |  i -> substring(text, i, 40))""".stripMargin)).as("win"))
+        .groupBy($"win")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min($"doc_id").as("first_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"win")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(
+           |      generate_series(1, CAST(length(text) AS INTEGER) - 39,
+           |        10),
+           |      i -> substr(text, CAST(i AS INTEGER), 40))) AS win
+           |  FROM documents WHERE length(text) >= 40
+           |)
+           |SELECT win, count(DISTINCT doc_id) AS n_docs,
+           |  count(*) AS n_occurrences, min(doc_id) AS first_doc
+           |FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+           |ORDER BY win""".stripMargin))
+
   val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
     qEmbedSeparation, qGenBigrams, qBpeMergeStep, qSampleTemperature,
-    qTextHapax, qPcaPowerStep, qTextReadability)
+    qTextHapax, qPcaPowerStep, qTextReadability,
+    qJoinSetsimPrefix, qDedupSubstring)
 }

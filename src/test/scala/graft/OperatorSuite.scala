@@ -3252,6 +3252,52 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("prefix filter thins candidates without losing a qualifying pair") {
+    // E286: the whole point of PPJoin — candidate pairs from prefix
+    // tokens must be a strict subset of the naive all-pairs candidate
+    // set, yet the verified result must equal the naive τ-join (the
+    // oracle already proves equality at sf0.01; re-prove on sf0.001
+    // against an in-test naive join, and measure the thinning).
+    val tok = Tables.read(spark, sf, "lineitem")
+      .select($"l_orderkey".as("k"), $"l_partkey".as("t")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sets = tok.groupBy(_._1).map { case (k, ts) =>
+      k -> ts.map(_._2).toSet }
+    val naive = for {
+      (k1, s1) <- sets.toSeq; (k2, s2) <- sets.toSeq if k1 < k2
+      c = (s1 & s2).size if c > 0
+      if c.toDouble / (s1.size + s2.size - c) >= 0.5
+    } yield (k1, k2, c)
+    val got = graft.queries.Corpus.qJoinSetsimPrefix.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === naive.map(t => (t._1, t._2, t._3.toLong)).toSet)
+    assert(got.nonEmpty)
+    // thinning: tokens-in-prefix < tokens-in-set overall
+    val df = tok.groupBy(_._2).view.mapValues(_.length).toMap
+    val prefixTokens = sets.iterator.map { case (_, s) =>
+      s.size - (s.size + 1) / 2 + 1 }.sum
+    val allTokens = sets.iterator.map(_._2.size).sum
+    assert(prefixTokens < allTokens)
+  }
+
+  test("every repeated substring window really occurs in its docs") {
+    // E287: spot-verify containment — each reported window must be a
+    // literal substring of at least n_docs distinct documents, at a
+    // stride-aligned offset.
+    val texts = Tables.read(spark, sf, "documents")
+      .select($"text").collect().map(_.getString(0))
+    val rows = graft.queries.Corpus.qDedupSubstring.fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.take(25).foreach { r =>
+      val win = r.getString(0)
+      assert(win.length === 40)
+      val containing = texts.count(_.contains(win))
+      assert(containing >= r.getLong(1),
+        s"window '$win' claimed in ${r.getLong(1)} docs")
+    }
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

@@ -203,6 +203,15 @@ object GraftExtensions {
         "theta_anotb_estimate"),
       (children: Seq[Expression]) =>
         ThetaSetOpExpr(children(0), children(1), intersect = false)))
+    // single-pass Rabin-Karp window fingerprints (RollingHash.scala):
+    // the substring-dedup scale path (E288) — n/stride longs per doc
+    // instead of materialized window strings
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName,
+        "rolling_hashes"),
+      (children: Seq[Expression]) =>
+        RollingHashExpr(children(0), children(1), children(2))))
     // Spark's own runtime-filter Bloom machinery, exposed as callable
     // functions (the optimizer only plants these itself inside
     // InjectRuntimeFilter): bloom_agg builds a

@@ -671,8 +671,56 @@ object Corpus {
            |FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
            |ORDER BY win""".stripMargin))
 
+  /** E288: **hashed repeated-substring detection** — the recorded
+    * 100 TB path of E287, made real: the native `rolling_hashes`
+    * expression (RollingHash.scala, codegen'd Rabin–Karp) fingerprints
+    * every 40-char/stride-10 window in ONE O(n) pass per document, so
+    * the shuffle key is an 8-byte LONG instead of a 40-char string —
+    * 5× less shuffle volume and no window materialization in the scan
+    * stage. The aggregation (distinct docs, occurrences, first doc)
+    * runs entirely on hashes; only the ≥2-doc SURVIVORS (a few hundred
+    * rows against 13k windows at sf0.01) are joined back — broadcast —
+    * to one representative document to re-extract the literal window
+    * for display. The oracle is E287's string-window SQL verbatim:
+    * parity holds iff no 64-bit collision occurred among the corpus
+    * windows (expected ≈ m²/2⁶⁵ ≈ 10⁻¹¹ here), so the gate doubles as
+    * the collision check, and OperatorSuite pins hashed ≡ literal
+    * row-for-row. */
+  val qDedupSubstringHashed = Q("q_dedup_substring_hashed",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val docs = Tables.read(spark, sfDir, "documents")
+      val agg = docs
+        .select($"doc_id",
+          posexplode(expr("rolling_hashes(text, 40, 10)")))
+        .groupBy($"col")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min($"doc_id").as("first_doc"),
+          min(struct($"doc_id", $"pos")).as("rep"))
+        .filter($"n_docs" >= 2)
+      docs.select($"doc_id".as("rd"), $"text")
+        .join(broadcast(agg), $"rd" === $"rep.doc_id")
+        .select(
+          expr("substring(text, rep.pos * 10 + 1, 40)").as("win"),
+          $"n_docs", $"n_occurrences", $"first_doc")
+        .orderBy($"win")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(
+           |      generate_series(1, CAST(length(text) AS INTEGER) - 39,
+           |        10),
+           |      i -> substr(text, CAST(i AS INTEGER), 40))) AS win
+           |  FROM documents WHERE length(text) >= 40
+           |)
+           |SELECT win, count(DISTINCT doc_id) AS n_docs,
+           |  count(*) AS n_occurrences, min(doc_id) AS first_doc
+           |FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+           |ORDER BY win""".stripMargin))
+
   val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
     qEmbedSeparation, qGenBigrams, qBpeMergeStep, qSampleTemperature,
     qTextHapax, qPcaPowerStep, qTextReadability,
-    qJoinSetsimPrefix, qDedupSubstring)
+    qJoinSetsimPrefix, qDedupSubstring, qDedupSubstringHashed)
 }

@@ -4127,6 +4127,83 @@ object Extras {
            |FROM visible WHERE rn = 1 ORDER BY cust_key"""
       .stripMargin))
 
+  /** E289: **SCD2 point-in-time join** — attribute every shipment to
+    * the customer dimension VERSION that was current on its ship date:
+    * the fact⋈slowly-changing-dimension join every warehouse runs
+    * daily, and the consumer of what the SCD2 history builder (E16)
+    * produces. Versions build at the (customer, day) grain (same-day
+    * orders collapse into one version — no zero-length intervals),
+    * carrying the running order count as the version attribute;
+    * valid_to = lead(valid_from), NULL = open. The join is equi on
+    * custkey FIRST with the interval predicate inside the key — each
+    * fact matches AT MOST one version (intervals tile the customer's
+    * timeline from the first version onward), per-customer version
+    * counts bound the pair work, and the native as-of operator (E272)
+    * / range-binning rule (E273) are the recorded physical
+    * alternatives when the version table is too hot for this shape.
+    * Interval-closed semantics distinguish it from the as-of rows: a
+    * probe BEFORE the first version matches NOTHING (as-of-nearest
+    * would grab the first version anyway) — and the synthetic fixture
+    * exercises that branch for real, since its ship dates are drawn
+    * independently of order dates (~8% of shipments predate their
+    * customer's first version and drop out; OperatorSuite recomputes
+    * the join naively and pins the match set).
+    * Output rolls revenue up by "nth-order era" — which version of
+    * the relationship the money landed in. */
+  val qJoinScd2Pit = Q("q_join_scd2_pointintime",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val perDay = Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_custkey", to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      val versions = perDay
+        .select($"o_custkey", $"day".as("valid_from"),
+          sum($"n_day").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+            .as("orders_so_far"),
+          lead($"day", 1).over(w).as("valid_to"))
+      val facts = Tables.read(spark, sfDir, "lineitem")
+        .join(Tables.read(spark, sfDir, "orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("f_cust"),
+          to_date($"l_shipdate").as("f_day"),
+          ($"l_extendedprice".cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)").as("cents"))
+      facts.join(versions,
+          $"f_cust" === $"o_custkey" && $"f_day" >= $"valid_from" &&
+            ($"valid_to".isNull || $"f_day" < $"valid_to"))
+        .groupBy($"orders_so_far".as("order_era"))
+        .agg(count(lit(1)).as("n_shipments"),
+          sum($"cents").cast("long").as("revenue_cents"))
+        .orderBy($"order_era")
+    },
+    Some("""WITH per_day AS (
+           |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+           |    count(*) AS n_day
+           |  FROM orders GROUP BY 1, 2
+           |), versions AS (
+           |  SELECT o_custkey, day AS valid_from,
+           |    sum(n_day) OVER (PARTITION BY o_custkey ORDER BY day)
+           |      AS orders_so_far,
+           |    lead(day) OVER (PARTITION BY o_custkey ORDER BY day)
+           |      AS valid_to
+           |  FROM per_day
+           |), facts AS (
+           |  SELECT o_custkey AS f_cust,
+           |    CAST(l_shipdate AS DATE) AS f_day,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS HUGEINT) AS cents
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |)
+           |SELECT orders_so_far AS order_era,
+           |  count(*) AS n_shipments,
+           |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+           |FROM facts JOIN versions
+           |  ON f_cust = o_custkey AND f_day >= valid_from
+           |  AND (valid_to IS NULL OR f_day < valid_to)
+           |GROUP BY 1 ORDER BY order_era""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -4146,5 +4223,5 @@ object Extras {
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
     qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit,
     qRollingMedian, qCohortLtv, qSkewProfile, qFreshness,
-    qBitemporal)
+    qBitemporal, qJoinScd2Pit)
 }

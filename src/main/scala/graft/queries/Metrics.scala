@@ -3562,6 +3562,61 @@ object Metrics {
            |FROM st WHERE t = n_days ORDER BY event_type"""
       .stripMargin))
 
+  /** E290: **4-4-5 fiscal calendar rollup** — revenue by RETAIL fiscal
+    * month: quarters are 13 whole weeks split 4-4-5, so every fiscal
+    * month contains a whole number of weeks and same-month comparisons
+    * aren't distorted by calendar-month length (the reporting calendar
+    * most retailers actually close their books on). The mapping is
+    * pure integer arithmetic both engines execute identically: week =
+    * min(doy DIV 7 + 1, 52) from the fiscal-year start (Jan 1 here;
+    * week 53's stub days fold into month 12, the standard treatment),
+    * quarter = (week−1) DIV 13 + 1, and the 4-4-5 split inside the
+    * quarter by week-in-quarter ≤ 4 / ≤ 8. One scan, one hash agg at
+    * the (year, month) grain — the fiscal mapping rides the scan
+    * projection, so the shuffle is the ≤84-row rollup. */
+  val qFiscal445 = Q("q_fiscal_445",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .select(year($"o_orderdate").as("fiscal_year"),
+          expr("""least(datediff(CAST(o_orderdate AS DATE),
+            |  make_date(year(o_orderdate), 1, 1)) DIV 7 + 1, 52)"""
+            .stripMargin).as("wk"),
+          ($"o_totalprice".cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)").as("cents"))
+        .select($"fiscal_year", $"cents",
+          expr("(wk - 1) DIV 13 + 1").as("q"),
+          expr("(wk - 1) % 13 + 1").as("wiq"))
+        .select($"fiscal_year", $"cents",
+          (($"q" - 1) * 3 + when($"wiq" <= 4, 1)
+            .when($"wiq" <= 8, 2).otherwise(3)).cast("int")
+            .as("fiscal_month"))
+        .groupBy($"fiscal_year", $"fiscal_month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"cents").cast("long").as("revenue_cents"))
+        .orderBy($"fiscal_year", $"fiscal_month")
+    },
+    Some("""WITH wk AS (
+           |  SELECT CAST(year(o_orderdate) AS INTEGER) AS fiscal_year,
+           |    least(datediff('day',
+           |      make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1),
+           |      CAST(o_orderdate AS DATE)) // 7 + 1, 52) AS wk,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS HUGEINT) AS cents
+           |  FROM orders
+           |), mapped AS (
+           |  SELECT fiscal_year, cents,
+           |    ((wk - 1) // 13) * 3 +
+           |      CASE WHEN (wk - 1) % 13 + 1 <= 4 THEN 1
+           |           WHEN (wk - 1) % 13 + 1 <= 8 THEN 2
+           |           ELSE 3 END AS fiscal_month
+           |  FROM wk
+           |)
+           |SELECT fiscal_year, fiscal_month, count(*) AS n_orders,
+           |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+           |FROM mapped GROUP BY 1, 2
+           |ORDER BY fiscal_year, fiscal_month""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -3583,5 +3638,5 @@ object Metrics {
     qPivotDynamic, qForecastBacktest, qLangConfusion,
     qAllocApportion, qBalanceClamped,
     qMannWhitney, qAnovaF, qCcf,
-    qFifoAllocation, qTheilIndex, qForecastHolt)
+    qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445)
 }

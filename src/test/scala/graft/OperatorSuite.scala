@@ -3298,6 +3298,91 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("rolling_hashes matches per-window polynomial hashes") {
+    // E288: the O(1)-per-window difference form must equal the hash
+    // computed independently per substring, including mod-2^64
+    // wraparound; short strings yield empty arrays.
+    val r = spark.sql(
+      """SELECT rolling_hashes('abcdefghij', 4, 3) AS h,
+        |  rolling_hashes('abc', 4, 1) AS empty""".stripMargin).head()
+    val got = r.getSeq[Long](0)
+    val s = "abcdefghij"
+    def direct(sub: String): Long =
+      sub.foldLeft(0L)((acc, c) => acc * 1000003L + c)
+    val want = Seq(0, 3, 6).map(i => direct(s.substring(i, i + 4)))
+    assert(got === want)
+    assert(r.getSeq[Long](1).isEmpty)
+  }
+
+  test("hashed substring dedup equals the literal-window form") {
+    // E288 ≡ E287: same windows, same counts, same representatives —
+    // any difference would be a 64-bit collision (or a bug).
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val lit = graft.queries.Corpus.qDedupSubstring.fn(spark, sf)
+      .collect().map(key).toSeq
+    val hashed = graft.queries.Corpus.qDedupSubstringHashed.fn(spark, sf)
+      .collect().map(key).toSeq
+    assert(lit === hashed)
+    assert(lit.nonEmpty)
+  }
+
+  test("SCD2 point-in-time join matches a naive per-shipment recompute") {
+    // E289: intervals tile each customer's timeline from the first
+    // version onward, so a shipment matches AT MOST one version —
+    // recompute the era assignment naively in Scala (binary-search
+    // the version starts) and require identical era rollups,
+    // including the drop-out of shipments predating the first
+    // version (the fixture's independent ship dates exercise this).
+    val versions = Tables.read(spark, sf, "orders")
+      .groupBy($"o_custkey", to_date($"o_orderdate").as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1).view.mapValues { vs =>
+        val sorted = vs.sortBy(_._2.toEpochDay)
+        val eras = sorted.scanLeft(0L)(_ + _._3).tail
+        sorted.map(_._2.toEpochDay).zip(eras)
+      }.toMap
+    val facts = Tables.read(spark, sf, "lineitem")
+      .join(Tables.read(spark, sf, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", to_date($"l_shipdate").as("d"),
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val expected = facts.flatMap { case (ck, day, cents) =>
+      versions(ck).filter(_._1 <= day).lastOption
+        .map(v => (v._2, cents))
+    }.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val got = graft.queries.Extras.qJoinScd2Pit.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(expected.values.map(_._1).sum <
+      Tables.read(spark, sf, "lineitem").count(),
+      "fixture should exercise the before-first-version drop-out")
+  }
+
+  test("4-4-5 fiscal months partition orders with 4/4/5-week shapes") {
+    // E290: months land in 1..12, every order lands in exactly one
+    // fiscal month, and across a full year months 1,2 of a quarter
+    // carry 4 weeks and month 3 carries 5 (week 53 folding into 12).
+    val rows = graft.queries.Metrics.qFiscal445.fn(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 12))
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.read(spark, sf, "orders").count())
+    val weeks = (1 to 52).map { wk =>
+      val q = (wk - 1) / 13 + 1
+      val wiq = (wk - 1) % 13 + 1
+      (q - 1) * 3 + (if (wiq <= 4) 1 else if (wiq <= 8) 2 else 3)
+    }
+    val perMonth = weeks.groupBy(identity).view.mapValues(_.size)
+    (1 to 12).foreach { m =>
+      assert(perMonth(m) === (if (m % 3 == 0) 5 else 4))
+    }
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

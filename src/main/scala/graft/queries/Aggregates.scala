@@ -1260,6 +1260,43 @@ object Aggregates {
            |FROM ranked WHERE rk = 1
            |ORDER BY l_returnflag""".stripMargin))
 
+  /** E292: **ordered string aggregation (LISTAGG)** — the SQL:2016
+    * `LISTAGG(x, delim) WITHIN GROUP (ORDER BY ...)` surface Spark 4
+    * added, the report-building "roll the group into one display
+    * string" aggregate (distinct from E11's array collect: the output
+    * IS the delimited string, and the standard spelling is what BI
+    * tools emit). Determinism is the entire trick for an
+    * order-sensitive aggregate: the WITHIN GROUP order must be a
+    * TOTAL order on the aggregated values, so the query rolls the
+    * DISTINCT nation names per market segment (unique by
+    * construction) and the oracle is DuckDB's
+    * `string_agg(... ORDER BY ...)` — same order, same delimiter,
+    * byte-identical strings. The pre-agg bounds every group at ≤25
+    * elements; LISTAGG over unbounded groups is the documented
+    * anti-pattern (collect_list's caveats apply doubly to strings). */
+  val qAggListagg = Q("q_agg_listagg",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "customer")
+        .join(Tables.read(spark, sfDir, "nation"),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_mktsegment", $"n_name").agg(count(lit(1)).as("n"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_nations"),
+          expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)")
+            .as("nations"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH per AS (
+           |  SELECT c_mktsegment, n_name, count(*) AS n
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |  GROUP BY 1, 2
+           |)
+           |SELECT c_mktsegment, count(*) AS n_nations,
+           |  string_agg(n_name, '|' ORDER BY n_name) AS nations
+           |FROM per GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
@@ -1267,5 +1304,5 @@ object Aggregates {
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
     qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma,
     qFeatureScale, qAggLogMeans, qAggWeightedMedian, qGini,
-    qCalibration, qCvar, qAggMode)
+    qCalibration, qCvar, qAggMode, qAggListagg)
 }

@@ -4204,6 +4204,65 @@ object Extras {
            |  AND (valid_to IS NULL OR f_day < valid_to)
            |GROUP BY 1 ORDER BY order_era""".stripMargin))
 
+  /** Monotone suffix for qSqlUdf's per-invocation temp view. */
+  private val sqlUdfRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** E291: **SQL-defined scalar functions** — Spark 4's
+    * `CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN <expr>` (SQL
+    * UDFs, the surface that lets analysts package logic without
+    * touching Scala), exercised end to end: two functions (an
+    * integer-exact 10% tax uplift and a spend-tier CASE) defined via
+    * DDL, then consumed by an aggregate query. Catalyst INLINES the
+    * function body into the plan — a SQL UDF costs nothing at run
+    * time, unlike a JVM UDF (X6) which fences codegen; that inlining
+    * is why the oracle can be the body-substituted query and hash-
+    * match exactly. The tax math stays in BIGINT cents (v + v DIV 10
+    * — no float rounding to disagree on); `CREATE OR REPLACE` keeps
+    * the definition idempotent per session. */
+  val qSqlUdf = Q("q_sql_udf",
+    (spark, sfDir) => {
+      val tag = sqlUdfRun.incrementAndGet()
+      val v = s"sqludf_orders_$tag"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          """CREATE OR REPLACE TEMPORARY FUNCTION graft_taxed(c BIGINT)
+            |RETURNS BIGINT RETURN c + c DIV 10""".stripMargin)
+        spark.sql(
+          """CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(c BIGINT)
+            |RETURNS STRING RETURN
+            |  CASE WHEN c < 5000000 THEN 'low'
+            |       WHEN c < 20000000 THEN 'mid'
+            |       ELSE 'high' END""".stripMargin)
+        spark.sql(
+          s"""SELECT graft_tier(cents) AS tier,
+             |  count(*) AS n_orders,
+             |  sum(graft_taxed(cents)) AS taxed_cents
+             |FROM (
+             |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |    AS BIGINT) AS cents
+             |  FROM $v
+             |)
+             |GROUP BY graft_tier(cents) ORDER BY tier""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""WITH c AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |    AS BIGINT) AS cents
+           |  FROM orders
+           |)
+           |SELECT CASE WHEN cents < 5000000 THEN 'low'
+           |            WHEN cents < 20000000 THEN 'mid'
+           |            ELSE 'high' END AS tier,
+           |  count(*) AS n_orders,
+           |  CAST(sum(cents + cents // 10) AS BIGINT) AS taxed_cents
+           |FROM c
+           |GROUP BY 1 ORDER BY tier""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -4223,5 +4282,5 @@ object Extras {
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
     qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit,
     qRollingMedian, qCohortLtv, qSkewProfile, qFreshness,
-    qBitemporal, qJoinScd2Pit)
+    qBitemporal, qJoinScd2Pit, qSqlUdf)
 }

@@ -513,9 +513,45 @@ object Scalars {
            |  strftime(CAST(ts AS TIMESTAMP), '%b') AS month_abbrev
            |FROM events ORDER BY event_id LIMIT 50""".stripMargin))
 
+  /** E293: **calendar-interval arithmetic** — the month-addition
+    * CLAMPING semantics every billing system trips over: Jan 31 + 1
+    * month must be Feb 28/29, not Mar 2/3. Spark's `add_months` and
+    * DuckDB's `+ INTERVAL 1 MONTH` both clamp to month end — pinned
+    * here side by side with `last_day` and day-time interval addition
+    * on the timestamp axis (+90 minutes), the three interval classes
+    * (year-month clamped, month-end anchor, exact day-time) that
+    * date_add/datediff rows (F1, E203) don't touch. The `clamped`
+    * flag marks exactly the order dates where naive +30-days logic
+    * would diverge — the fixture's month-end orders exercise it. Pure
+    * projection, no shuffle beyond the output sort. */
+  val qScalarInterval = Q("q_scalar_interval",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey",
+          add_months(to_date($"o_orderdate"), 1).as("plus_month"),
+          last_day(to_date($"o_orderdate")).as("month_end"),
+          ($"o_orderdate" + expr("INTERVAL 90 MINUTES"))
+            .as("plus_90min"),
+          (dayofmonth(to_date($"o_orderdate")) =!=
+            dayofmonth(add_months(to_date($"o_orderdate"), 1)))
+            .as("clamped"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH
+           |    AS DATE) AS plus_month,
+           |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 MINUTE
+           |    AS plus_90min,
+           |  day(CAST(o_orderdate AS DATE)) <>
+           |    day(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH
+           |      AS DATE)) AS clamped
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
     qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
     qScalarTry, qSqlParams, qScalarEditDist, qMapHof,
     qScalarJaroWinkler, qRuleEditdistPrefilter, qScalarDatefmt,
-    qScalarDamerau)
+    qScalarDamerau, qScalarInterval)
 }

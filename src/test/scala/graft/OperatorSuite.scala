@@ -3383,6 +3383,61 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("SQL UDF inlines: plan has no UDF node and tiers partition orders") {
+    // E291: the SQL-defined function must inline into the plan (no
+    // ScalaUDF / codegen fence), and the tier split must cover every
+    // order exactly once.
+    val df = graft.queries.Extras.qSqlUdf.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "SQL UDF must inline")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.read(spark, sf, "orders").count())
+    // taxed = cents + cents DIV 10 ≥ cents, strictly for cents ≥ 10
+    rows.foreach(r => assert(r.getLong(2) > 0))
+  }
+
+  test("listagg output is the sorted pipe-joined distinct nation list") {
+    // E292: rebuild each segment's string from the raw data — order,
+    // delimiter and distinctness must all match.
+    val rows = graft.queries.Aggregates.qAggListagg.fn(spark, sf)
+      .collect()
+    val want = Tables.read(spark, sf, "customer")
+      .join(Tables.read(spark, sf, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_mktsegment", $"n_name").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.mkString("|")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2) === want(r.getString(0)))
+      assert(r.getLong(1) === want(r.getString(0)).split('|').length.toLong)
+    }
+  }
+
+  test("interval arithmetic clamps month-end and keeps day-time exact") {
+    // E293: Jan 31 + 1 month lands on the last day of Feb (clamped
+    // flag true); +90 minutes is exactly 5400 s; last_day never
+    // precedes the date.
+    val rows = graft.queries.Scalars.qScalarInterval.fn(spark, sf)
+      .collect()
+    val base = Tables.read(spark, sf, "orders")
+      .select($"o_orderkey", to_date($"o_orderdate"), $"o_orderdate")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDate(1).toLocalDate, r.getTimestamp(2))).toMap
+    assert(rows.exists(_.getBoolean(4)), "fixture has month-end orders")
+    rows.foreach { r =>
+      val (d, ts) = base(r.getLong(0))
+      val plus = r.getDate(1).toLocalDate
+      assert(plus === d.plusMonths(1),
+        s"java.time clamping must agree for $d")
+      assert(r.getBoolean(4) === (plus.getDayOfMonth != d.getDayOfMonth))
+      assert(r.getTimestamp(3).getTime - ts.getTime === 5400000L)
+      assert(!r.getDate(2).toLocalDate.isBefore(d))
+    }
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

@@ -247,6 +247,7 @@ object GraftExtensions {
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EditDistPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+    ext.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     // whole-operator extensions (SURVEY §4.2 rung c): the TopKPerKey
     // bounded-heap operator and the native streaming-merge as-of join
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -1,0 +1,304 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference, Cast, Coalesce, Expression, ExprId, Literal,
+  NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+  LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+/** Optimizer rule: **aggregate-navigator / materialized-rollup
+  * rewrite**. A query that aggregates the base fact table at a grain
+  * COARSER than (or equal to) a registered materialized rollup's
+  * grain, using only re-aggregable measures, is answered from the
+  * rollup instead of the base scan:
+  *
+  *   Aggregate(G ⊆ dims, {sum(m), count(*), min(m), max(m)},
+  *             scan(base))
+  *   ⇒ Aggregate(G→rollup dims, {sum(sum_m), sum(cnt),
+  *               min(min_m), max(max_m)}, scan(rollup))
+  *
+  * — the classic OLAP "aggregate navigator" every cube server ships
+  * (Kimball's summary-table navigation; materialized-view rewrite in
+  * warehouse engines): the user writes the naive query against the
+  * 100 TB fact table and reads the kilobyte rollup. Correctness rests
+  * on the algebra alone: SUM and COUNT are distributive (sum of
+  * per-cell sums, sum of per-cell counts), MIN/MAX are idempotent
+  * semilattice merges, and any grouping that is a SUBSET of the
+  * rollup's dimensions re-partitions whole cells, never splits one.
+  * AVG and DISTINCT aggregates are NOT re-aggregable from (sum, cnt)
+  * pairs without type surgery / exact cell identity, so their
+  * presence disables the rewrite (scope guard, not a TODO).
+  *
+  * Matching is name-free and expression-exact: the registered dim and
+  * measure SOURCE expressions are re-anchored onto the candidate
+  * scan's attributes by column name, then compared with
+  * `semanticEquals` against the query's (alias-resolved) grouping and
+  * aggregate children — `to_date(l_shipdate)` matches however the
+  * user spells it, and anything else refuses. Output attributes keep
+  * their original `ExprId`s (and a cast back to the original result
+  * type where decimal-sum widening differs), so the parent plan never
+  * notices the substitution.
+  *
+  * Scope guards, each load-bearing:
+  *  - the aggregate's child must be the registered base relation
+  *    under deterministic column-pruning Projects / SubqueryAliases
+  *    only — a Filter between aggregate and scan could silently drop
+  *    cells the rollup already merged, so it disables the rewrite
+  *    (predicate-aware rewrite over dim-only filters is the recorded
+  *    extension);
+  *  - every aggregate call must be non-DISTINCT, FILTER-free, and one
+  *    of sum/count/min/max over a registered measure source;
+  *  - every grouping expression must match a registered dim;
+  *  - kill switch `spark.graft.rollup.enabled` (default on) for the
+  *    rule-on/off equivalence test, and the registry is consulted by
+  *    base-path identity so only explicitly registered tables ever
+  *    rewrite.
+  *
+  * The (c) rung of SURVEY.md §4.2's ladder beside
+  * [[RangeJoinBinning]]: only an optimizer rule can redirect a query
+  * the user already wrote. Gated by E294 q_agg_rollup_rewrite (oracle
+  * runs the naive SQL against the BASE table in DuckDB — the rewrite
+  * must be invisible in the result), a PlanSuite lock (the rewritten
+  * plan scans the rollup parquet, not lineitem), and an OperatorSuite
+  * rule-on/off equivalence. */
+object RollupRewrite extends Rule[LogicalPlan] {
+
+  val EnabledConf = "spark.graft.rollup.enabled"
+
+  /** One registered rollup: dims/measures as expressions over the
+    * BASE relation's columns (re-anchored by name at match time),
+    * plus the analyzed plan of the summary table and its columns. */
+  final case class RollupDef(
+      basePath: String,
+      dims: Seq[(String, Expression)],
+      sums: Seq[(String, Expression)],
+      mins: Seq[(String, Expression)],
+      maxs: Seq[(String, Expression)],
+      cntCol: String,
+      summaryPlan: LogicalPlan)
+
+  private val registry = new ConcurrentHashMap[String, RollupDef]()
+
+  /** Register a rollup for the table `base` reads. `summary` must be
+    * the READ of the materialized table whose columns are: one per
+    * dim name, one per measure name, plus `cntCol` holding the
+    * per-cell row count. Template expressions are obtained by
+    * ANALYZING `base.select(...)` — a Spark 4 Column is a lazy
+    * ColumnNode wrapper, not a Catalyst tree, so only the analyzer
+    * produces the normalized expression (resolved casts, time zones)
+    * that `semanticEquals` can later compare against real query
+    * plans. Idempotent per path (latest wins). */
+  def register(base: DataFrame, dims: Seq[(String, Column)],
+      sums: Seq[(String, Column)], mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)], cntCol: String,
+      summary: DataFrame): Unit = {
+    val basePath = pathOf(base).getOrElse(throw new IllegalArgumentException(
+      "RollupRewrite.register: base must be a file-source read"))
+    def exprs(cs: Seq[(String, Column)]): Seq[(String, Expression)] = {
+      if (cs.isEmpty) return Nil
+      val analyzed = base.select(cs.map(_._2): _*)
+        .queryExecution.analyzed
+      val list = analyzed match {
+        case Project(pl, _) => pl.map {
+          case a: Alias => a.child
+          case e => e
+        }
+        case other => other.output
+      }
+      cs.map(_._1).zip(list)
+    }
+    registry.put(basePath, RollupDef(basePath, exprs(dims),
+      exprs(sums), exprs(mins), exprs(maxs), cntCol,
+      summary.queryExecution.analyzed))
+  }
+
+  /** Test/maintenance hook. */
+  def clear(): Unit = registry.clear()
+
+  /** The file-source root path a DataFrame scans (through pruning
+    * Projects), as the rule will see it — registration uses this so
+    * the key matches by construction. */
+  def pathOf(df: DataFrame): Option[String] =
+    stripToRelation(df.queryExecution.analyzed, Map.empty)
+      .map(_._2)
+
+  private def enabled: Boolean =
+    try conf.getConfString(EnabledConf, "true").trim.toBoolean
+    catch { case _: IllegalArgumentException => true }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled || registry.isEmpty) return plan
+    plan.transform {
+      case agg: Aggregate =>
+        rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** Peel deterministic Projects/SubqueryAliases, accumulating the
+    * alias substitution, down to a file-source relation. */
+  private def stripToRelation(p: LogicalPlan,
+      subst: Map[ExprId, Expression])
+      : Option[(LogicalRelation, String, Map[ExprId, Expression])] =
+    p match {
+      case Project(projList, child) if projList.forall(_.deterministic) =>
+        val next = subst ++ projList.collect {
+          case a: Alias => a.exprId -> a.child
+        }
+        stripToRelation(child, next)
+      case SubqueryAlias(_, child) => stripToRelation(child, subst)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.headOption
+              .map(path => (lr, path.toString, subst))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Inline accumulated Project aliases until the expression only
+    * references relation-level attributes. */
+  private def resolveThrough(e: Expression,
+      subst: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var changed = true
+    var fuel = 20
+    while (changed && fuel > 0) {
+      changed = false
+      cur = cur.transformUp {
+        case a: AttributeReference if subst.contains(a.exprId) =>
+          changed = true; subst(a.exprId)
+      }
+      fuel -= 1
+    }
+    cur
+  }
+
+  /** Re-anchor a registered template expression onto the candidate
+    * relation's output attributes by column name. */
+  private def anchor(template: Expression,
+      output: Seq[Attribute]): Option[Expression] = {
+    val byName = output.map(a => a.name -> a).toMap
+    var ok = true
+    val re = template.transformUp {
+      case a: AttributeReference =>
+        byName.get(a.name) match {
+          case Some(attr) => attr
+          case None => ok = false; a
+        }
+    }
+    if (ok) Some(re) else None
+  }
+
+  private def summaryAttr(d: RollupDef, name: String): Option[Attribute] =
+    d.summaryPlan.output.find(_.name == name)
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (ge, ae, child) =
+      (agg.groupingExpressions, agg.aggregateExpressions, agg.child)
+    val (rel, path, subst) =
+      stripToRelation(child, Map.empty).getOrElse(return None)
+    val d = Option(registry.get(path)).getOrElse(return None)
+    // never rewrite the rollup-build aggregate itself: it scans the
+    // base at exactly the dim grain but its registration happens
+    // after the build; this guard keeps a re-run of the build honest
+    if (child.fastEquals(d.summaryPlan)) return None
+
+    val anchoredDims = d.dims.flatMap { case (n, t) =>
+      anchor(t, rel.output).map(n -> _)
+    }
+    if (anchoredDims.size != d.dims.size) return None
+    def anchored(ms: Seq[(String, Expression)]) = ms.flatMap {
+      case (n, t) => anchor(t, rel.output).map(n -> _)
+    }
+    val (aSums, aMins, aMaxs) =
+      (anchored(d.sums), anchored(d.mins), anchored(d.maxs))
+
+    // every grouping expression must equal one registered dim
+    val dimFor = ge.map { g =>
+      val r = resolveThrough(g, subst)
+      anchoredDims.find(_._2.semanticEquals(r)) match {
+        case Some((n, _)) => g.canonicalized -> n
+        case None => return None
+      }
+    }.toMap
+
+    // rewrite one aggregate function; None = not re-aggregable
+    def reAgg(a: AggregateExpression): Option[Expression] = {
+      if (a.isDistinct || a.filter.isDefined) return None
+      def src(e: Expression) = resolveThrough(e, subst)
+      a.aggregateFunction match {
+        case Count(Seq(Literal(_, _))) =>
+          summaryAttr(d, d.cntCol).map { c =>
+            Coalesce(Seq(
+              Sum(c).toAggregateExpression(), Literal(0L)))
+          }
+        case Sum(e, em) =>
+          aSums.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
+            summaryAttr(d, n).map(c =>
+              Cast(Sum(c, em).toAggregateExpression(), a.dataType))
+          }
+        case Min(e) =>
+          aMins.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
+            summaryAttr(d, n).map(c =>
+              Cast(Min(c).toAggregateExpression(), a.dataType))
+          }
+        case Max(e) =>
+          aMaxs.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
+            summaryAttr(d, n).map(c =>
+              Cast(Max(c).toAggregateExpression(), a.dataType))
+          }
+        case _ => None
+      }
+    }
+
+    // rebuild every result expression over the summary, preserving
+    // names and ExprIds so the parent plan is untouched. Explicit
+    // recursion, NOT transformUp: an AggregateExpression subtree is
+    // rewritten ATOMICALLY by reAgg (its base-attribute leaves must
+    // not be visited individually — they only exist inside the
+    // re-aggregated form), and bare attributes outside any aggregate
+    // are grouping references that map to their dim column.
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case a: AggregateExpression => reAgg(a)
+      case a: AttributeReference =>
+        dimFor.get(resolveThrough(a, subst).canonicalized)
+          .orElse(dimFor.get(a.canonicalized))
+          .flatMap(summaryAttr(d, _))
+      case leaf if leaf.children.isEmpty => Some(leaf)
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val newAe: Seq[NamedExpression] = ae.map { ne =>
+      val rewritten = ne match {
+        case al: Alias => rewriteExpr(al.child).map(c =>
+          Alias(c, al.name)(exprId = al.exprId,
+            qualifier = al.qualifier))
+        case attr: Attribute => rewriteExpr(attr).map(c =>
+          Alias(c, attr.name)(exprId = attr.exprId))
+        case other => rewriteExpr(other).map(c =>
+          Alias(c, other.name)(exprId = other.exprId))
+      }
+      rewritten.getOrElse(return None)
+    }
+
+    // grouping expressions over the summary: non-attribute grouping
+    // expressions (e.g. to_date(...)) map to their dim column too
+    val newGe = ge.map { g =>
+      dimFor.get(g.canonicalized).flatMap(summaryAttr(d, _))
+        .getOrElse(return None)
+    }
+
+    Some(Aggregate(newGe, newAe, d.summaryPlan))
+  }
+}

@@ -594,9 +594,16 @@ object Corpus {
         .withColumn("prefix",
           expr("slice(toks, 1, n - CAST((n + 1) DIV 2 AS INT) + 1)"))
         .localCheckpoint()
-      val pref = sets.select($"k", explode($"prefix").as("t"))
+      val pref = sets.select($"k", $"n", explode($"prefix").as("t"))
+      // length filter (the PPJoin companion to the prefix filter):
+      // J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|) — at τ=0.5, sizes
+      // within 2× — so size-discordant candidates drop BEFORE the
+      // verify join ever sees them; exactness is untouched (a dropped
+      // pair has J ≤ min/max < τ); the round-13 bench records the
+      // before/after (5.1 s unfiltered at sf0.1).
       val cand = pref.as("a")
-        .join(pref.as("b"), $"a.t" === $"b.t" && $"a.k" < $"b.k")
+        .join(pref.as("b"), $"a.t" === $"b.t" && $"a.k" < $"b.k" &&
+          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
         .select($"a.k".as("k1"), $"b.k".as("k2")).distinct()
       cand
         .join(sets.select($"k".as("k1"), $"toks".as("ta"),

@@ -44,8 +44,8 @@ object Graphs {
     * (the fixture's baskets are ~4 items; the E3/E47 salting and AQE
     * guards are the tools if a real corpus breaks this).
     *
-    * The edge set is Memo-cached per (session, sfDir) — SIX queries
-    * (E192/E193/E244/E248/E249/E253) start from the same edges, and
+    * The edge set is Memo-cached per (session, sfDir) — SEVEN queries
+    * (E192/E193/E244/E248/E249/E253/E281) start from the same edges, and
     * rebuilding the two-shuffle pair expansion per query was the
     * graph family's dominant bench cost (round-13 measurement:
     * ~1.7–2.0 s each, mostly edge building). Same contract as the
@@ -493,14 +493,18 @@ object Graphs {
         .localCheckpoint()
       var lab = und.select($"u".as("node")).distinct()
         .select($"node", $"node".as("lab"))
-      val pick = Window.partitionBy($"u")
-        .orderBy($"c".desc, $"lab".asc)
       for (_ <- 1 to 5) {
+        // argmax by (count, lowest label) via max_by over the
+        // (c, -lab) struct — one aggregation instead of the
+        // groupBy+row_number window pair — each round saves a full
+        // shuffle+sort (the window form benched 4.1 s at sf0.1; the
+        // round-13 bench records this form). The ordering struct is
+        // unique per (u, lab), so max_by is deterministic.
         lab = und
           .join(broadcast(lab), $"v" === $"node")
           .groupBy($"u", $"lab").agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(pick))
-          .filter($"rn" === 1)
+          .groupBy($"u")
+          .agg(max_by($"lab", struct($"c", -$"lab")).as("lab"))
           .select($"u".as("node"), $"lab")
           .localCheckpoint()
       }

@@ -11,6 +11,13 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Column → Catalyst Expression (Spark 4 wraps columns in
+    * ColumnNodes; the converter is `private[sql]`). RollupRewrite's
+    * registration API takes user-facing Columns and needs their
+    * expressions for semantic matching. */
+  def expressionOf(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Executor-scratch temp file for operator spills. `java.io.tmpdir`
     * is the wrong place for executor spill bytes — on clusters where
     * /tmp is a small tmpfs it silently converts a disk-backed bound

@@ -3438,6 +3438,51 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("rollup rewrite redirects the scan and is invisible in results") {
+    // E294: with the rule on, the naive aggregate over lineitem must
+    // physically scan the materialized rollup; with the kill switch
+    // off it must scan the base table; both routes must return
+    // identical rows. A filtered aggregate must NOT rewrite (the
+    // cells-already-merged guard).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.collect() // force AQE finalization
+      walk(df.queryExecution.executedPlan)
+    }
+    def run() = graft.queries.Scale.qAggRollupRewrite.fn(spark, sf)
+    val on = run()
+    val onRows = on.collect().toSeq
+    val onScans = scans(run())
+    assert(onScans.exists(_.contains("graft-rollup")),
+      s"expected rollup scan, got $onScans")
+    assert(!onScans.exists(_.contains("lineitem.parquet")))
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      val off = run()
+      assert(off.collect().toSeq === onRows)
+      val offScans = scans(run())
+      assert(offScans.exists(_.contains("lineitem.parquet")),
+        s"kill switch must restore the base scan, got $offScans")
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    // guard: a filter below the aggregate disables the rewrite
+    val filtered = Tables.read(spark, sf, "lineitem")
+      .filter($"l_quantity" > 10)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).as("s"))
+    val fScans = scans(filtered)
+    assert(fScans.exists(_.contains("lineitem.parquet")))
+    assert(!fScans.exists(_.contains("graft-rollup")))
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

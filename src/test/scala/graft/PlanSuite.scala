@@ -171,6 +171,7 @@ class PlanSuite extends AnyFunSuite {
       "q_degree_distribution", // inherits ngram-jaccard's 1-row cross
       "q_quality_policy", // 1-row min/max-bounds cross into the scoring
       "q_acf", // 1-row ACF-denominator cross into the per-lag ratios
+      "q_ccf", // same 1-row denominator cross, two-series form (E280)
       "q_kendall_tau", // ≤31-row daily-frame d1<d2 pair broadcast
       "q_agg_kmv_distinct", // 1-row exact-count cross into the audit
       "q_pmi_cooccur", // 1-row corpus-size cross into the PMI term

@@ -1297,6 +1297,62 @@ object Aggregates {
            |FROM per GROUP BY c_mktsegment
            |ORDER BY c_mktsegment""".stripMargin))
 
+  /** E296: **dynamic-gap session window** — `session_window` with a
+    * PER-EVENT gap expression (views time out after 10 minutes,
+    * everything else after 30), the Spark feature the fixed-gap row
+    * (E85) doesn't touch and the semantics worth pinning: each event
+    * extends its session to [ts, ts+gap(event)), sessions merge while
+    * they overlap, and an event landing exactly ON the current end
+    * starts a NEW session (half-open). The oracle replays that rule
+    * with the global-cummax trick: sorted per user, event i starts a
+    * session iff tsᵢ ≥ max_{j<i}(tsⱼ+gapⱼ) — the per-session reset is
+    * provably unnecessary (once some k satisfies the break, every
+    * earlier end is ≤ tsₖ ≤ tsᵢ), so one running-max window computes
+    * the exact merge chain. Both sides work in epoch-µs integers;
+    * session_window's (start, end) = (min ts, max ts+gap) falls out
+    * of the same grouping on the oracle side. */
+  val qAggSessionDynamic = Q("q_agg_session_dynamic",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val gap = when($"event_type" === "view", lit("10 minutes"))
+        .otherwise(lit("30 minutes"))
+      Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id", session_window($"ts", gap).as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"w.start").as("start_us"),
+          unix_micros($"w.end").as("end_us"), $"n_events")
+        .orderBy($"user_id", $"start_us")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |    CASE WHEN event_type = 'view'
+           |      THEN 600000000 ELSE 1800000000 END AS gap_us
+           |  FROM events
+           |), marked AS (
+           |  SELECT user_id, us, gap_us,
+           |    CASE WHEN max(us + gap_us) OVER (
+           |        PARTITION BY user_id ORDER BY us
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      IS NULL THEN 1
+           |    WHEN us >= max(us + gap_us) OVER (
+           |        PARTITION BY user_id ORDER BY us
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      THEN 1 ELSE 0 END AS new_s
+           |  FROM ev
+           |), sessions AS (
+           |  SELECT user_id, us, gap_us,
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS sid
+           |  FROM marked
+           |)
+           |SELECT user_id, min(us) AS start_us,
+           |  max(us + gap_us) AS end_us,
+           |  count(*) AS n_events
+           |FROM sessions GROUP BY user_id, sid
+           |ORDER BY user_id, start_us""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
@@ -1304,5 +1360,5 @@ object Aggregates {
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
     qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma,
     qFeatureScale, qAggLogMeans, qAggWeightedMedian, qGini,
-    qCalibration, qCvar, qAggMode, qAggListagg)
+    qCalibration, qCvar, qAggMode, qAggListagg, qAggSessionDynamic)
 }

@@ -4263,6 +4263,69 @@ object Extras {
            |FROM c
            |GROUP BY 1 ORDER BY tier""".stripMargin))
 
+  /** E295: **bill-of-materials cost rollup** — the recursive rollup
+    * with ARITHMETIC along the path that plain reachability
+    * (`q_sql_recursive`, `q_graph_bfs`) doesn't exercise: each part's
+    * effective quantity in its root assembly is the PRODUCT of the
+    * per-edge quantities up the parent chain, and the answer per root
+    * is Σ over descendants of that product — the manufacturing
+    * "explode the BOM" query. The hierarchy derives deterministically
+    * from part keys (parent = key DIV 7, roots < 7, per-edge qty =
+    * key % 5 + 1 — a forest of depth ≤4 at any sf). The engine is
+    * the level-synchronous pointer walk (each round joins the
+    * still-climbing frontier against the edge map and multiplies; the
+    * settled rows bank out) — the same bounded-round shape as BFS,
+    * with products in BIGINT (≤5⁴ per path, exact). The oracle is a
+    * WITH RECURSIVE climb carrying the product. One broadcastable
+    * edge frame, ≤5 rounds, no driver-side loops over data. */
+  val qBomRollup = Q("q_bom_rollup",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val parts = Tables.read(spark, sfDir, "part")
+        .select($"p_partkey".as("k"))
+      val edges = parts.filter($"k" >= 7)
+        .select($"k".as("child"), ($"k" / 7).cast("long").as("parent"),
+          ($"k" % 5 + 1).cast("long").as("qty"))
+        .localCheckpoint()
+      var climbing = parts
+        .select($"k".as("node"), $"k".as("anc"), lit(1L).as("mult"))
+      var settled = climbing.filter($"anc" < 7)
+      climbing = climbing.filter($"anc" >= 7)
+      // 8 rounds settle every key below 7^8 ≈ 5.7M — headroom past
+      // sf10's part universe; an exhausted frontier makes the spare
+      // rounds near-free (empty joins), and the unbounded-recursion
+      // oracle would flag any still-climbing drop as a parity diff.
+      for (_ <- 1 to 8) {
+        val stepped = climbing
+          .join(broadcast(edges), $"anc" === $"child")
+          .select($"node", $"parent".as("anc"),
+            ($"mult" * $"qty").as("mult"))
+          .localCheckpoint()
+        settled = settled.unionByName(stepped.filter($"anc" < 7))
+        climbing = stepped.filter($"anc" >= 7)
+      }
+      settled
+        .groupBy($"anc".as("root_assembly"))
+        .agg(count(lit(1)).as("n_components"),
+          sum($"mult").cast("long").as("effective_qty"),
+          max($"mult").cast("long").as("max_path_qty"))
+        .orderBy($"root_assembly")
+    },
+    Some("""WITH RECURSIVE climb AS (
+           |  SELECT p_partkey AS node, p_partkey AS anc,
+           |    CAST(1 AS BIGINT) AS mult
+           |  FROM part
+           |  UNION ALL
+           |  SELECT node, anc // 7,
+           |    mult * (anc % 5 + 1)
+           |  FROM climb WHERE anc >= 7
+           |)
+           |SELECT anc AS root_assembly, count(*) AS n_components,
+           |  CAST(sum(mult) AS BIGINT) AS effective_qty,
+           |  CAST(max(mult) AS BIGINT) AS max_path_qty
+           |FROM climb WHERE anc < 7
+           |GROUP BY 1 ORDER BY root_assembly""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -4282,5 +4345,5 @@ object Extras {
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
     qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit,
     qRollingMedian, qCohortLtv, qSkewProfile, qFreshness,
-    qBitemporal, qJoinScd2Pit, qSqlUdf)
+    qBitemporal, qJoinScd2Pit, qSqlUdf, qBomRollup)
 }

@@ -3483,6 +3483,36 @@ class OperatorSuite extends AnyFunSuite {
     assert(!fScans.exists(_.contains("graft-rollup")))
   }
 
+  test("BOM rollup conserves parts and bounds path products") {
+    // E295: the climb banks every part exactly once under its root
+    // (conservation), roots are the keys below 7, and no path product
+    // can exceed 5^depth on the derived forest.
+    val rows = graft.queries.Extras.qBomRollup.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).forall(_ < 7))
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.read(spark, sf, "part").count())
+    rows.foreach(r => assert(r.getLong(3) <= 625L,
+      s"depth<=4 at sf0.001 bounds products by 5^4"))
+  }
+
+  test("dynamic-gap sessions partition events and never overlap") {
+    // E296: every event lands in exactly one session, and per user
+    // the sessions are disjoint half-open intervals in time order.
+    val rows = graft.queries.Aggregates.qAggSessionDynamic
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._4).sum ===
+      Tables.read(spark, sf, "events").count())
+    rows.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 >= e1)
+        case _ =>
+      }
+    }
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

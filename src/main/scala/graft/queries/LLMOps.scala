@@ -293,30 +293,29 @@ object LLMOps {
     (spark, sfDir) => {
       import spark.implicits._
       val bands = minhashBands(spark, sfDir)
-      // hot-bucket cap via the ngram-guard idiom: the over-cap
-      // (band, mv) drop-list is small in the expected case (at most
-      // rows/cap buckets can exceed the cap) → groupBy count (map-side
-      // partial, skew-immune) + anti-join. The previous windowed count
-      // buffered each hot bucket on ONE task before the filter could
-      // drop it — exactly the skew the cap exists to kill. No broadcast
-      // hint: rows/cap is not a hard broadcast-safe bound (adversarial
-      // skew — many buckets just over the cap — can grow the list to
-      // rows/cap ≈ corpus/6 rows at 8 bands), so AQE picks broadcast
-      // when the runtime size allows and falls back to a shuffled
-      // anti-join when it doesn't (ADVICE r6 item 2). The old 2-row
-      // floor needs no filter at all: a singleton bucket cannot produce
-      // an a.doc_id < b.doc_id pair, so letting it flow into the
-      // self-join leaves the result identical (OperatorSuite asserts
-      // bit-equality with the windowed form).
-      val hot = bands.groupBy($"band", $"mv")
-        .agg(count(lit(1)).as("bn"))
-        .filter($"bn" > 50)
-        .select($"band", $"mv")
-      val kept = bands.join(hot, Seq("band", "mv"), "left_anti")
-      val cand = kept.as("a")
-        .join(kept.as("b"), $"a.band" === $"b.band" &&
-          $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      // ONE aggregation replaces the old anti-join + bucket self-join:
+      // collect each bucket's sorted doc list (bounded — the 2..50 cap
+      // is now a `size` filter ON the collected list, so a hot bucket
+      // costs one bounded array that is immediately dropped, never a
+      // df² pair blowup or a one-task window buffer), then expand the
+      // canonical d1<d2 pairs ROW-LOCALLY with the same nested
+      // transform+slice HOF the support-edge graph build uses. The
+      // self-join form shuffled the band table twice more on
+      // (band, mv); this shape pays one bucket shuffle total and the
+      // pair fan-out is ≤ C(50,2) per bucket by construction (the
+      // per-round bench table records the effect — single-query wall
+      // times on this host swing with load, so no point number is
+      // quoted here). OperatorSuite still asserts bit-equality with
+      // the windowed 2..50 form.
+      val cand = bands.groupBy($"band", $"mv")
+        .agg(sort_array(collect_list($"doc_id")).as("ds"))
+        .filter(size($"ds").between(2, 50))
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |    y -> struct(x AS d1, y AS d2))))""".stripMargin))
+          .as("pr"))
+        .select($"pr.d1", $"pr.d2")
         .distinct()
       verifyJaccard(spark, sfDir, cand, 0.5)
     },

@@ -290,11 +290,11 @@ class OperatorSuite extends AnyFunSuite {
     assert(guarded === unguarded)
   }
 
-  test("minhash hot-bucket anti-join guard equals the windowed 2..50 cap") {
-    // the guard drops only >50 buckets; singletons flow through the
-    // self-join but cannot pair with themselves (doc_id < doc_id), so
-    // the anti-join form must equal the old windowed BETWEEN(2,50)
-    // form bit-for-bit
+  test("minhash bucket-list pair expansion equals the windowed 2..50 cap") {
+    // the collected-bucket form (size filter on the sorted doc list +
+    // row-local pair expansion) must equal the original windowed
+    // BETWEEN(2,50) self-join bit-for-bit: same cap, same canonical
+    // d1<d2 pairs, singletons producing nothing either way
     import org.apache.spark.sql.expressions.Window
     val guarded = LLMOps.qDedupMinhash.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

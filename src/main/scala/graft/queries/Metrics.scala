@@ -3617,6 +3617,226 @@ object Metrics {
            |FROM mapped GROUP BY 1, 2
            |ORDER BY fiscal_year, fiscal_month""".stripMargin))
 
+  /** E299: **weighted-average-cost inventory valuation** — the
+    * moving-WAC companion to FIFO lot allocation (E282): purchases
+    * (rf ≠ 'R') raise on-hand qty and cost at the lot's unit price;
+    * issues (rf = 'R') relieve qty at the CURRENT average unit cost,
+    * clamped to on-hand (over-issue ships what exists — pinned).
+    * Unlike FIFO, WAC is inherently SEQUENTIAL — each issue's unit
+    * cost depends on every prior transaction — so this is the E255/
+    * E285 row-local fold shape: per part, collect the year's
+    * transactions sorted by (ship date, order, line) and fold a
+    * THREE-field struct {qty, cost, cogs} with `aggregate()`. The
+    * oracle is the E285 RECURSIVE CTE (never a DuckDB struct
+    * `list_reduce` — the lazy-field-resolution misfold documented
+    * there), seeded at the zero accumulator and stepping t→t+1 with
+    * the textually identical CASE arithmetic, so both engines run
+    * the same doubles in the same order; one 4dp round at the edge.
+    * Per-part transaction lists are small (≤49 rows at every
+    * fixture scale — part fan-out, not table size, bounds them); the 100 TB layout is one shuffle on
+    * part key then row-local folds — no iteration over the cluster
+    * (the recursion lives INSIDE a row), unlike the oracle's
+    * engine-level loop. */
+  val qWacInventory = Q("q_wac_inventory",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "lineitem")
+        .select($"l_partkey".as("pk"),
+          struct($"l_shipdate".as("sd"), $"l_orderkey".as("ok"),
+            $"l_linenumber".as("ln"), $"l_returnflag".as("rf"),
+            $"l_quantity".cast("double").as("q"),
+            ($"l_extendedprice".cast("double") /
+              $"l_quantity".cast("double")).as("p")).as("txn"))
+        .groupBy($"pk")
+        .agg(sort_array(collect_list($"txn")).as("series"))
+        .select($"pk".as("part_key"),
+          size($"series").as("n_txns"),
+          expr("""aggregate(series,
+            |  named_struct('qty', CAST(0.0 AS DOUBLE),
+            |    'cost', CAST(0.0 AS DOUBLE),
+            |    'cogs', CAST(0.0 AS DOUBLE)),
+            |  (acc, x) -> CASE WHEN x.rf <> 'R' THEN named_struct(
+            |      'qty', acc.qty + x.q,
+            |      'cost', acc.cost + x.q * x.p,
+            |      'cogs', acc.cogs)
+            |    ELSE named_struct(
+            |      'qty', acc.qty - least(x.q, acc.qty),
+            |      'cost', acc.cost - least(x.q, acc.qty) *
+            |        (CASE WHEN acc.qty > CAST(0.0 AS DOUBLE)
+            |          THEN acc.cost / acc.qty
+            |          ELSE CAST(0.0 AS DOUBLE) END),
+            |      'cogs', acc.cogs + least(x.q, acc.qty) *
+            |        (CASE WHEN acc.qty > CAST(0.0 AS DOUBLE)
+            |          THEN acc.cost / acc.qty
+            |          ELSE CAST(0.0 AS DOUBLE) END))
+            |    END)""".stripMargin).as("st"))
+        .select($"part_key", $"n_txns",
+          round($"st".getField("qty"), 4).as("end_qty"),
+          round($"st".getField("cost"), 4).as("end_cost"),
+          round($"st".getField("cogs"), 4).as("cogs_total"),
+          round(when($"st".getField("qty") > 0.0,
+            $"st".getField("cost") / $"st".getField("qty")), 4)
+            .as("end_unit_cost"))
+        .orderBy($"part_key")
+    },
+    Some("""WITH RECURSIVE txns AS (
+           |  SELECT l_partkey AS pk, l_returnflag AS rf,
+           |    CAST(l_quantity AS DOUBLE) AS q,
+           |    CAST(l_extendedprice AS DOUBLE) /
+           |      CAST(l_quantity AS DOUBLE) AS p,
+           |    row_number() OVER (PARTITION BY l_partkey
+           |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS t,
+           |    count(*) OVER (PARTITION BY l_partkey) AS n
+           |  FROM lineitem
+           |), st AS (
+           |  SELECT pk, 0 AS t,
+           |    CAST(0.0 AS DOUBLE) AS qty,
+           |    CAST(0.0 AS DOUBLE) AS cost,
+           |    CAST(0.0 AS DOUBLE) AS cogs
+           |  FROM (SELECT DISTINCT pk FROM txns)
+           |  UNION ALL
+           |  SELECT s.pk, d.t,
+           |    CASE WHEN d.rf <> 'R' THEN s.qty + d.q
+           |      ELSE s.qty - least(d.q, s.qty) END,
+           |    CASE WHEN d.rf <> 'R' THEN s.cost + d.q * d.p
+           |      ELSE s.cost - least(d.q, s.qty) *
+           |        (CASE WHEN s.qty > CAST(0.0 AS DOUBLE)
+           |          THEN s.cost / s.qty
+           |          ELSE CAST(0.0 AS DOUBLE) END) END,
+           |    CASE WHEN d.rf <> 'R' THEN s.cogs
+           |      ELSE s.cogs + least(d.q, s.qty) *
+           |        (CASE WHEN s.qty > CAST(0.0 AS DOUBLE)
+           |          THEN s.cost / s.qty
+           |          ELSE CAST(0.0 AS DOUBLE) END) END
+           |  FROM st s JOIN txns d ON d.pk = s.pk AND d.t = s.t + 1
+           |), fin AS (
+           |  SELECT pk, max(t) AS n FROM st GROUP BY pk
+           |)
+           |SELECT s.pk AS part_key, fin.n AS n_txns,
+           |  round(s.qty, 4) AS end_qty,
+           |  round(s.cost, 4) AS end_cost,
+           |  round(s.cogs, 4) AS cogs_total,
+           |  round(CASE WHEN s.qty > 0.0 THEN s.cost / s.qty END, 4)
+           |    AS end_unit_cost
+           |FROM st s JOIN fin ON s.pk = fin.pk AND s.t = fin.n
+           |ORDER BY part_key""".stripMargin))
+
+  /** E300: **Fellegi–Sunter record-linkage weights** — the
+    * probabilistic model behind every production entity-resolution
+    * stack (and behind i2b2-side patient matching): for each
+    * comparison field f, a pair that AGREES contributes
+    * log₂(m_f/u_f) and a disagreement log₂((1−m_f)/(1−u_f)), where
+    * u_f (chance agreement between non-matches) is ESTIMATED FROM
+    * THE DATA as Σ_v n₁(v)·n₂(v) / (N₁·N₂) — an exact integer
+    * numerator (one equi-join of the two value-frequency tables, no
+    * float accumulation) with ONE double division, floored at
+    * 1/(N₁·N₂) so a collision-free field cannot produce log₂ 0; m_f
+    * is the usual asserted prior (0.9 balance, 0.95 suffix). The
+    * fixture carries no phone column, so the second comparator is
+    * the name's trailing digit — a uniform low-cardinality surrogate
+    * for the phone-suffix field real linkage uses. Pairs
+    * come from the E119 blocking discipline (equi-join on nation —
+    * never all-pairs), and the output is the canonical agreement-
+    * pattern table: one row per (agree_bal, agree_suffix) cell with
+    * its pair count and composite weight. The 1-row (N₁, N₂, u…)
+    * stats frame broadcasts into the ≤4-row pattern table — the
+    * allowlisted E147-class tiny cross, not a data cross. */
+  val qLinkFellegi = Q("q_link_fellegi",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cust = Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_nationkey",
+          floor($"c_acctbal" / 1000).as("cb"),
+          expr("right(c_name, 1)").as("cp"))
+      val supp = Tables.read(spark, sfDir, "supplier")
+        .select($"s_suppkey", $"s_nationkey",
+          floor($"s_acctbal" / 1000).as("sb"),
+          expr("right(s_name, 1)").as("sp"))
+      def uNum(l: DataFrame, lk: String, r: DataFrame, rk: String) =
+        l.groupBy(col(lk)).agg(count(lit(1)).as("cl"))
+          .join(r.groupBy(col(rk)).agg(count(lit(1)).as("cr")),
+            col(lk) === col(rk))
+          .agg(coalesce(sum($"cl" * $"cr"), lit(0L)).as("num"))
+      val stats = cust.agg(count(lit(1)).as("n1"))
+        .crossJoin(supp.agg(count(lit(1)).as("n2")))
+        .crossJoin(uNum(cust, "cb", supp, "sb")
+          .select($"num".as("num_bal")))
+        .crossJoin(uNum(cust, "cp", supp, "sp")
+          .select($"num".as("num_suffix")))
+        .select($"n1", $"n2",
+          (greatest($"num_bal", lit(1L)).cast("double") /
+            ($"n1" * $"n2").cast("double")).as("u_bal"),
+          (greatest($"num_suffix", lit(1L)).cast("double") /
+            ($"n1" * $"n2").cast("double")).as("u_suffix"))
+      val patterns = cust.join(supp, $"c_nationkey" === $"s_nationkey")
+        .select(($"cb" === $"sb").cast("int").as("agree_bal"),
+          ($"cp" === $"sp").cast("int").as("agree_suffix"))
+        .groupBy($"agree_bal", $"agree_suffix")
+        .agg(count(lit(1)).as("n_pairs"))
+      patterns.crossJoin(broadcast(stats))
+        .select($"agree_bal", $"agree_suffix", $"n_pairs",
+          round($"u_bal", 6).as("u_bal"),
+          round($"u_suffix", 6).as("u_suffix"),
+          round(
+            when($"agree_bal" === 1, log2(lit(0.9) / $"u_bal"))
+              .otherwise(log2(lit(0.1) / (lit(1.0) - $"u_bal"))) +
+            when($"agree_suffix" === 1, log2(lit(0.95) / $"u_suffix"))
+              .otherwise(log2(lit(0.05) / (lit(1.0) - $"u_suffix"))),
+            6).as("weight"))
+        .orderBy($"agree_bal", $"agree_suffix")
+    },
+    Some("""WITH cust AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    floor(c_acctbal / 1000) AS cb,
+           |    right(c_name, 1) AS cp
+           |  FROM customer
+           |), supp AS (
+           |  SELECT s_suppkey, s_nationkey,
+           |    floor(s_acctbal / 1000) AS sb,
+           |    right(s_name, 1) AS sp
+           |  FROM supplier
+           |), stats AS (
+           |  SELECT
+           |    (SELECT count(*) FROM cust) AS n1,
+           |    (SELECT count(*) FROM supp) AS n2,
+           |    (SELECT coalesce(sum(cl * cr), 0) FROM
+           |      (SELECT cb, count(*) AS cl FROM cust GROUP BY cb) a
+           |      JOIN (SELECT sb, count(*) AS cr FROM supp
+           |        GROUP BY sb) b ON a.cb = b.sb) AS num_bal,
+           |    (SELECT coalesce(sum(cl * cr), 0) FROM
+           |      (SELECT cp, count(*) AS cl FROM cust GROUP BY cp) a
+           |      JOIN (SELECT sp, count(*) AS cr FROM supp
+           |        GROUP BY sp) b ON a.cp = b.sp) AS num_suffix
+           |), u AS (
+           |  SELECT n1, n2,
+           |    CAST(greatest(num_bal, 1) AS DOUBLE) /
+           |      CAST(n1 * n2 AS DOUBLE) AS u_bal,
+           |    CAST(greatest(num_suffix, 1) AS DOUBLE) /
+           |      CAST(n1 * n2 AS DOUBLE) AS u_suffix
+           |  FROM stats
+           |), patterns AS (
+           |  SELECT CAST(cb = sb AS INT) AS agree_bal,
+           |    CAST(cp = sp AS INT) AS agree_suffix,
+           |    count(*) AS n_pairs
+           |  FROM cust JOIN supp ON c_nationkey = s_nationkey
+           |  GROUP BY 1, 2
+           |)
+           |SELECT agree_bal, agree_suffix, n_pairs,
+           |  round(u_bal, 6) AS u_bal,
+           |  round(u_suffix, 6) AS u_suffix,
+           |  round(
+           |    (CASE WHEN agree_bal = 1
+           |      THEN log2(CAST(0.9 AS DOUBLE) / u_bal)
+           |      ELSE log2(CAST(0.1 AS DOUBLE) /
+           |        (CAST(1.0 AS DOUBLE) - u_bal)) END) +
+           |    (CASE WHEN agree_suffix = 1
+           |      THEN log2(CAST(0.95 AS DOUBLE) / u_suffix)
+           |      ELSE log2(CAST(0.05 AS DOUBLE) /
+           |        (CAST(1.0 AS DOUBLE) - u_suffix)) END), 6)
+           |    AS weight
+           |FROM patterns CROSS JOIN u
+           |ORDER BY agree_bal, agree_suffix""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -3638,5 +3858,6 @@ object Metrics {
     qPivotDynamic, qForecastBacktest, qLangConfusion,
     qAllocApportion, qBalanceClamped,
     qMannWhitney, qAnovaF, qCcf,
-    qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445)
+    qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445,
+    qWacInventory, qLinkFellegi)
 }

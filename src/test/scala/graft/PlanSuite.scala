@@ -177,7 +177,8 @@ class PlanSuite extends AnyFunSuite {
       "q_pmi_cooccur", // 1-row corpus-size cross into the PMI term
       "q_embed_separation", // 500-row fixed-frame vec_id<vec_id pairs
       "q_sim_ann_recall", // ≤50 probe vectors broadcast, X3's shape
-      "q_pca_power_step") // 1-row norm cross into the 64-dim vector
+      "q_pca_power_step", // 1-row norm cross into the 64-dim vector
+      "q_link_fellegi") // 1-row (N1,N2,u) stats cross into ≤4 patterns
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

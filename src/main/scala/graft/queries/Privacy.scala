@@ -141,149 +141,5 @@ object Privacy {
            |GROUP BY user_id, shift_days
            |ORDER BY user_id""".stripMargin))
 
-  /** E300: **Fellegi–Sunter probabilistic record linkage** — the
-    * decision-theoretic core of every privacy-preserving matching
-    * pipeline (and of dedup across registries, the i2b2 multi-site
-    * patient-linkage problem). Two files (customers as file A,
-    * suppliers as file B) are compared on discrete fields; each
-    * candidate pair reduces to an AGREEMENT PATTERN, and the
-    * pattern's log2(m/u) weight decides link / possible / non-link.
-    *
-    * The scale architecture is the textbook one: (1) BLOCKING — the
-    * candidate generator is an equi-join on nation key, never the
-    * A×B cross product, so pair count is Σ_block |A_b|·|B_b|, not
-    * N1·N2; (2) u-probabilities estimated from DATA, not assumed —
-    * per-field value-frequency tables (2 and 10 rows) joined A-side
-    * to B-side and reduced to Σ_v p_A(v)·p_B(v), the exact
-    * random-agreement probability; (3) the resulting 1-row
-    * (N1, N2, u_sign, u_digit) stats frame is CROSSED into the ≤4
-    * pattern rows — a broadcast of one row, the allowlisted shape,
-    * never a data-sized nested-loop. m-probabilities are the
-    * standard fixed initialization (0.98 / 0.95); EM refinement
-    * would iterate exactly this pattern-count table, which is why
-    * the pattern table (not per-pair scores) is the output grain.
-    * Per pattern: pair count, the data-estimated random-agreement
-    * probability, the expected count under the non-match hypothesis
-    * (u_pattern × total candidate pairs), the Fellegi–Sunter log2
-    * composite weight, and the three-way decision at ±1. One
-    * blocked join + one tiny hash agg; at 100 TB the only exchange
-    * is the block key (and B broadcasts when it is dimension-sized,
-    * as here). */
-  val qLinkFellegi = Q("q_link_fellegi",
-    (spark, sfDir) => {
-      import spark.implicits._
-      def fields(df: org.apache.spark.sql.DataFrame, key: String,
-          nat: String, bal: String, side: String) =
-        df.select(col(key).as(s"${side}_id"),
-          col(nat).as(s"${side}_nat"),
-          (col(bal) >= 0).cast("int").as(s"${side}_sign"),
-          pmod(floor(abs(col(bal))).cast("long"), lit(10L))
-            .cast("int").as(s"${side}_digit"))
-      val a = fields(Tables.read(spark, sfDir, "customer"),
-        "c_custkey", "c_nationkey", "c_acctbal", "a")
-      val b = fields(Tables.read(spark, sfDir, "supplier"),
-        "s_suppkey", "s_nationkey", "s_acctbal", "b")
-      // per-field u = sum_v pA(v) * pB(v), from tiny frequency
-      // tables (2 and 10 values). The two file counts are dimension
-      // metadata (1500 / 100 rows at sf0.01) — a driver-side count
-      // is the honest plan, not a hidden data-sized collect.
-      val n1 = a.count()
-      val n2 = b.count()
-      val uSign = a.groupBy($"a_sign".as("v")).agg(count(lit(1)).as("ca"))
-        .join(b.groupBy($"b_sign".as("v")).agg(count(lit(1)).as("cb")), "v")
-        .agg((sum($"ca" * $"cb").cast("double") / (n1.toDouble * n2))
-          .as("u_sign"))
-      val uDigit = a.groupBy($"a_digit".as("v")).agg(count(lit(1)).as("ca"))
-        .join(b.groupBy($"b_digit".as("v")).agg(count(lit(1)).as("cb")), "v")
-        .agg((sum($"ca" * $"cb").cast("double") / (n1.toDouble * n2))
-          .as("u_digit"))
-      val stats = uSign.crossJoin(uDigit) // 1 row x 1 row
-      val mS = 0.98; val mD = 0.95
-      val patterns = a.join(b, $"a_nat" === $"b_nat") // blocked candidates
-        .select(($"a_sign" === $"b_sign").cast("int").as("agree_sign"),
-          ($"a_digit" === $"b_digit").cast("int").as("agree_digit"))
-        .groupBy($"agree_sign", $"agree_digit")
-        .agg(count(lit(1)).as("n_pairs"))
-      patterns.crossJoin(broadcast(stats))
-        .select($"agree_sign", $"agree_digit", $"n_pairs",
-          round(when($"agree_sign" === 1, $"u_sign")
-            .otherwise(lit(1.0) - $"u_sign") *
-            when($"agree_digit" === 1, $"u_digit")
-              .otherwise(lit(1.0) - $"u_digit"), 6).as("u_pattern"),
-          round((when($"agree_sign" === 1, log2(lit(mS) / $"u_sign"))
-            .otherwise(log2(lit(1 - mS) / (lit(1.0) - $"u_sign")))) +
-            (when($"agree_digit" === 1, log2(lit(mD) / $"u_digit"))
-              .otherwise(log2(lit(1 - mD) / (lit(1.0) - $"u_digit")))), 4)
-            .as("weight_log2"),
-          sum($"n_pairs").over(Window.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing))
-            .as("total_pairs"))
-        .withColumn("decision",
-          when($"weight_log2" > 1.0, "link")
-            .when($"weight_log2" < -1.0, "non-link")
-            .otherwise("possible"))
-        .orderBy($"agree_sign", $"agree_digit")
-    },
-    Some("""WITH a AS (
-           |  SELECT c_custkey AS a_id, c_nationkey AS a_nat,
-           |    CAST(c_acctbal >= 0 AS INT) AS a_sign,
-           |    CAST(CAST(floor(abs(c_acctbal)) AS BIGINT) % 10
-           |      AS INT) AS a_digit
-           |  FROM customer
-           |), b AS (
-           |  SELECT s_suppkey AS b_id, s_nationkey AS b_nat,
-           |    CAST(s_acctbal >= 0 AS INT) AS b_sign,
-           |    CAST(CAST(floor(abs(s_acctbal)) AS BIGINT) % 10
-           |      AS INT) AS b_digit
-           |  FROM supplier
-           |), n AS (
-           |  SELECT (SELECT count(*) FROM a) AS n1,
-           |         (SELECT count(*) FROM b) AS n2
-           |), us AS (
-           |  SELECT CAST(sum(ca * cb) AS DOUBLE) /
-           |      ((SELECT n1 FROM n) * (SELECT n2 FROM n)) AS u_sign
-           |  FROM (SELECT a_sign AS v, count(*) AS ca FROM a GROUP BY 1) fa
-           |  JOIN (SELECT b_sign AS v, count(*) AS cb FROM b GROUP BY 1) fb
-           |    USING (v)
-           |), ud AS (
-           |  SELECT CAST(sum(ca * cb) AS DOUBLE) /
-           |      ((SELECT n1 FROM n) * (SELECT n2 FROM n)) AS u_digit
-           |  FROM (SELECT a_digit AS v, count(*) AS ca FROM a GROUP BY 1) fa
-           |  JOIN (SELECT b_digit AS v, count(*) AS cb FROM b GROUP BY 1) fb
-           |    USING (v)
-           |), patterns AS (
-           |  SELECT CAST(a_sign = b_sign AS INT) AS agree_sign,
-           |         CAST(a_digit = b_digit AS INT) AS agree_digit,
-           |         count(*) AS n_pairs
-           |  FROM a JOIN b ON a_nat = b_nat
-           |  GROUP BY 1, 2
-           |)
-           |SELECT agree_sign, agree_digit, n_pairs,
-           |  round((CASE WHEN agree_sign = 1 THEN u_sign
-           |      ELSE 1.0 - u_sign END) *
-           |    (CASE WHEN agree_digit = 1 THEN u_digit
-           |      ELSE 1.0 - u_digit END), 6) AS u_pattern,
-           |  round((CASE WHEN agree_sign = 1 THEN log2(0.98 / u_sign)
-           |      ELSE log2(0.02 / (1.0 - u_sign)) END) +
-           |    (CASE WHEN agree_digit = 1 THEN log2(0.95 / u_digit)
-           |      ELSE log2(0.05 / (1.0 - u_digit)) END), 4)
-           |    AS weight_log2,
-           |  sum(n_pairs) OVER () AS total_pairs,
-           |  CASE WHEN round((CASE WHEN agree_sign = 1
-           |        THEN log2(0.98 / u_sign)
-           |        ELSE log2(0.02 / (1.0 - u_sign)) END) +
-           |      (CASE WHEN agree_digit = 1 THEN log2(0.95 / u_digit)
-           |        ELSE log2(0.05 / (1.0 - u_digit)) END), 4) > 1.0
-           |      THEN 'link'
-           |    WHEN round((CASE WHEN agree_sign = 1
-           |        THEN log2(0.98 / u_sign)
-           |        ELSE log2(0.02 / (1.0 - u_sign)) END) +
-           |      (CASE WHEN agree_digit = 1 THEN log2(0.95 / u_digit)
-           |        ELSE log2(0.05 / (1.0 - u_digit)) END), 4) < -1.0
-           |      THEN 'non-link'
-           |    ELSE 'possible' END AS decision
-           |FROM patterns, us, ud
-           |ORDER BY agree_sign, agree_digit""".stripMargin))
-
-  val all: Seq[Q] = Seq(qKAnonymity, qDateShift, qLinkFellegi)
+  val all: Seq[Q] = Seq(qKAnonymity, qDateShift)
 }

@@ -3837,6 +3837,214 @@ object Metrics {
            |FROM patterns CROSS JOIN u
            |ORDER BY agree_bal, agree_suffix""".stripMargin))
 
+  /** E301: **fixed-effect meta-analysis** — the multi-site pooling
+    * step that IS the published 4CE Phase-1 analysis plan: each site
+    * computes an effect estimate locally (here the log odds ratio of
+    * return ('R') given high quantity, from an integer-exact 2×2
+    * table per supplier nation), and the coordinating site pools them
+    * by INVERSE-VARIANCE weighting without ever seeing row-level
+    * data. Per site: Haldane–Anscombe +0.5 on every cell (guards
+    * empty cells and de-biases small ones), Woolf variance
+    * Σ 1/(cell+0.5). Pooled: θ̂ = Σwθ/Σw with w = 1/v, SE = √(1/Σw),
+    * plus the two heterogeneity diagnostics every forest plot
+    * carries — Cochran's Q = Σwθ² − (Σwθ)²/Σw and
+    * I² = max(0, (Q−df)/Q)·100. The per-site table is one broadcast
+    * dim join + one hash agg (integer counts — exact on both
+    * engines; doubles appear only in the ≤25-row effect stage); the
+    * pooled columns repeat per row via an empty-frame window over
+    * that ≤25-row frame — driver-scale, not a data shuffle. At
+    * 100 TB the sites ARE the partition grain: per-site cells reduce
+    * map-side, and the pooling stage touches k rows, not N. */
+  val qMetaAnalysis = Q("q_meta_analysis",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val supp = Tables.read(spark, sfDir, "supplier")
+        .select($"s_suppkey", $"s_nationkey".as("site"))
+      val cells = Tables.read(spark, sfDir, "lineitem")
+        .select($"l_suppkey",
+          ($"l_quantity" > 25).cast("int").as("e"),
+          ($"l_returnflag" === "R").cast("int").as("y"))
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"site")
+        .agg(sum($"e" * $"y").as("a"),
+          sum($"e" * (lit(1) - $"y")).as("b"),
+          sum((lit(1) - $"e") * $"y").as("c"),
+          sum((lit(1) - $"e") * (lit(1) - $"y")).as("d"))
+      val eff = cells.select($"site",
+          ($"a" + $"b" + $"c" + $"d").as("n"),
+          log(($"a" + 0.5) * ($"d" + 0.5) /
+            (($"b" + 0.5) * ($"c" + 0.5))).as("log_or"),
+          (lit(1.0) / ($"a" + 0.5) + lit(1.0) / ($"b" + 0.5) +
+            lit(1.0) / ($"c" + 0.5) + lit(1.0) / ($"d" + 0.5)).as("v"))
+        .withColumn("w", lit(1.0) / $"v")
+      val w0 = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val q = $"swt2" - $"swt" * $"swt" / $"sw"
+      eff.select($"site".as("site_key"), $"n".as("n_lines"),
+          round($"log_or", 6).as("log_or"),
+          round($"v", 6).as("var_log_or"),
+          sum($"w" * $"log_or").over(w0).as("swt"),
+          sum($"w" * $"log_or" * $"log_or").over(w0).as("swt2"),
+          sum($"w").over(w0).as("sw"),
+          count(lit(1)).over(w0).as("k"))
+        .select($"site_key", $"n_lines", $"log_or", $"var_log_or",
+          round($"swt" / $"sw", 6).as("pooled_log_or"),
+          round(sqrt(lit(1.0) / $"sw"), 6).as("pooled_se"),
+          round(q, 6).as("q_het"),
+          round(when(q > 0.0,
+            greatest(lit(0.0), (q - ($"k" - 1)) / q * 100))
+            .otherwise(0.0), 2).as("i2_pct"))
+        .orderBy($"site_key")
+    },
+    Some("""WITH cells AS (
+           |  SELECT s_nationkey AS site,
+           |    sum(CASE WHEN l_quantity > 25 AND l_returnflag = 'R'
+           |      THEN 1 ELSE 0 END) AS a,
+           |    sum(CASE WHEN l_quantity > 25 AND l_returnflag <> 'R'
+           |      THEN 1 ELSE 0 END) AS b,
+           |    sum(CASE WHEN l_quantity <= 25 AND l_returnflag = 'R'
+           |      THEN 1 ELSE 0 END) AS c,
+           |    sum(CASE WHEN l_quantity <= 25 AND l_returnflag <> 'R'
+           |      THEN 1 ELSE 0 END) AS d
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1
+           |), eff AS (
+           |  SELECT site, a + b + c + d AS n,
+           |    ln((a + 0.5) * (d + 0.5) /
+           |      ((b + 0.5) * (c + 0.5))) AS log_or,
+           |    1.0 / (a + 0.5) + 1.0 / (b + 0.5) +
+           |      1.0 / (c + 0.5) + 1.0 / (d + 0.5) AS v
+           |  FROM cells
+           |), wtd AS (
+           |  SELECT *, 1.0 / v AS w FROM eff
+           |), pooled AS (
+           |  SELECT site, n, log_or, v,
+           |    sum(w * log_or) OVER () AS swt,
+           |    sum(w * log_or * log_or) OVER () AS swt2,
+           |    sum(w) OVER () AS sw,
+           |    count(*) OVER () AS k
+           |  FROM wtd
+           |)
+           |SELECT site AS site_key, CAST(n AS BIGINT) AS n_lines,
+           |  round(log_or, 6) AS log_or, round(v, 6) AS var_log_or,
+           |  round(swt / sw, 6) AS pooled_log_or,
+           |  round(sqrt(1.0 / sw), 6) AS pooled_se,
+           |  round(swt2 - swt * swt / sw, 6) AS q_het,
+           |  round(CASE WHEN swt2 - swt * swt / sw > 0 THEN
+           |      greatest(0.0, ((swt2 - swt * swt / sw) - (k - 1)) /
+           |        (swt2 - swt * swt / sw) * 100)
+           |    ELSE 0.0 END, 2) AS i2_pct
+           |FROM pooled ORDER BY site_key""".stripMargin))
+
+  /** E302: **Benjamini–Hochberg FDR correction** — the multiple-
+    * testing step that follows any per-site / per-stratum screen
+    * (the E301 meta-analysis feeds it here): k hypotheses, each with
+    * a two-sided normal p-value from z = θ/√v, ranked ascending, and
+    * adjusted by the BH step-up rule p̃_(i) = min_{j≥i} p_(j)·k/j
+    * (capped at 1) — the suffix-min formulation, computed as a
+    * running min over the ranks in DESCENDING order, which is the
+    * one-pass distributed form (the textbook "step-up scan" is
+    * inherently sequential; the suffix-min is the same function as a
+    * window). Φ has no closed form and neither engine ships erf with
+    * identical ulps, so both sides evaluate the SAME Abramowitz–
+    * Stegun 7.1.26 polynomial (|ε| < 7.5e-8, far inside the 6dp
+    * gate) — textually identical constants, identical operation
+    * order. All windows run over the ≤25-row per-site frame;
+    * upstream is E301's integer-exact 2×2 pipeline. */
+  val qFdrBh = Q("q_fdr_bh",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val supp = Tables.read(spark, sfDir, "supplier")
+        .select($"s_suppkey", $"s_nationkey".as("site"))
+      val cells = Tables.read(spark, sfDir, "lineitem")
+        .select($"l_suppkey",
+          ($"l_quantity" > 25).cast("int").as("e"),
+          ($"l_returnflag" === "R").cast("int").as("y"))
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"site")
+        .agg(sum($"e" * $"y").as("a"),
+          sum($"e" * (lit(1) - $"y")).as("b"),
+          sum((lit(1) - $"e") * $"y").as("c"),
+          sum((lit(1) - $"e") * (lit(1) - $"y")).as("d"))
+      val z = log(($"a" + 0.5) * ($"d" + 0.5) /
+        (($"b" + 0.5) * ($"c" + 0.5))) /
+        sqrt(lit(1.0) / ($"a" + 0.5) + lit(1.0) / ($"b" + 0.5) +
+          lit(1.0) / ($"c" + 0.5) + lit(1.0) / ($"d" + 0.5))
+      // Abramowitz–Stegun 7.1.26 upper tail: identical text on both
+      // engines so the doubles agree bit-for-bit up to libm's exp.
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * abs($"z"))
+      val tail = (lit(0.3989422804014327) *
+        exp(-abs($"z") * abs($"z") / 2)) *
+        (lit(0.319381530) * t - lit(0.356563782) * t * t +
+          lit(1.781477937) * t * t * t -
+          lit(1.821255978) * t * t * t * t +
+          lit(1.330274429) * t * t * t * t * t)
+      val ranked = cells.select($"site", z.as("z"))
+        .withColumn("p", lit(2.0) * tail)
+        .withColumn("k", count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy($"p", $"site")))
+      ranked
+        .withColumn("p_adj", least(lit(1.0),
+          min($"p" * $"k" / $"rnk").over(Window.orderBy($"rnk".desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .select($"site".as("site_key"),
+          round($"z", 4).as("z_score"),
+          round($"p", 6).as("p_value"),
+          $"rnk".as("p_rank"),
+          round($"p_adj", 6).as("p_adj_bh"),
+          ($"p_adj" < 0.05).as("significant"))
+        .orderBy($"site_key")
+    },
+    Some("""WITH cells AS (
+           |  SELECT s_nationkey AS site,
+           |    sum(CASE WHEN l_quantity > 25 AND l_returnflag = 'R'
+           |      THEN 1 ELSE 0 END) AS a,
+           |    sum(CASE WHEN l_quantity > 25 AND l_returnflag <> 'R'
+           |      THEN 1 ELSE 0 END) AS b,
+           |    sum(CASE WHEN l_quantity <= 25 AND l_returnflag = 'R'
+           |      THEN 1 ELSE 0 END) AS c,
+           |    sum(CASE WHEN l_quantity <= 25 AND l_returnflag <> 'R'
+           |      THEN 1 ELSE 0 END) AS d
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1
+           |), zs AS (
+           |  SELECT site,
+           |    ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))) /
+           |      sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5) +
+           |        1.0 / (c + 0.5) + 1.0 / (d + 0.5)) AS z
+           |  FROM cells
+           |), ts AS (
+           |  SELECT site, z,
+           |    1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+           |  FROM zs
+           |), ps AS (
+           |  SELECT site, z,
+           |    2.0 * ((0.3989422804014327 * exp(-abs(z) * abs(z) / 2)) *
+           |      (0.319381530 * t - 0.356563782 * t * t +
+           |       1.781477937 * t * t * t -
+           |       1.821255978 * t * t * t * t +
+           |       1.330274429 * t * t * t * t * t)) AS p
+           |  FROM ts
+           |), ranked AS (
+           |  SELECT site, z, p,
+           |    count(*) OVER () AS k,
+           |    row_number() OVER (ORDER BY p, site) AS rnk
+           |  FROM ps
+           |), adj AS (
+           |  SELECT site, z, p, rnk,
+           |    least(1.0, min(p * k / rnk) OVER (ORDER BY rnk DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |      AS p_adj
+           |  FROM ranked
+           |)
+           |SELECT site AS site_key, round(z, 4) AS z_score,
+           |  round(p, 6) AS p_value, rnk AS p_rank,
+           |  round(p_adj, 6) AS p_adj_bh,
+           |  p_adj < 0.05 AS significant
+           |FROM adj ORDER BY site_key""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -3859,5 +4067,5 @@ object Metrics {
     qAllocApportion, qBalanceClamped,
     qMannWhitney, qAnovaF, qCcf,
     qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445,
-    qWacInventory, qLinkFellegi)
+    qWacInventory, qLinkFellegi, qMetaAnalysis, qFdrBh)
 }

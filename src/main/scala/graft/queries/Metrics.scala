@@ -4045,6 +4045,166 @@ object Metrics {
            |  p_adj < 0.05 AS significant
            |FROM adj ORDER BY site_key""".stripMargin))
 
+  /** E305: **difference-in-differences** — the workhorse causal
+    * estimator for "treatment rolled out at time T": compare the
+    * treated group's pre→post change against the control group's,
+    * so any shared time trend cancels. Treatment is the deterministic
+    * user-hash arm split the A/B rows (q_ab_test) already use; the
+    * period pivot is data-derived (midpoint of the observed day span
+    * — exact integer day arithmetic on both engines) and enters as a
+    * 1-row broadcast cross, the allowlisted tiny-stats shape. Cell
+    * means route through DECIMAL(18,6) sums (order-free, exact) with
+    * ONE double division at the edge; the DiD estimate
+    * (m₁₁−m₁₀)−(m₀₁−m₀₀) folds the 4-row cell table through an
+    * empty-frame window (4 rows — driver scale). One map-side-
+    * combined agg on (treated, post); nothing else shuffles. */
+  val qDid = Q("q_did",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"user_id", to_date($"ts").as("d"),
+          $"value".cast("decimal(18,6)").as("v"))
+      val pivot = ev.agg(date_add(min($"d"),
+        (datediff(max($"d"), min($"d")) / 2).cast("int")).as("cut"))
+      val w0 = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.crossJoin(broadcast(pivot))
+        .select(($"user_id" % 2 === 1).cast("int").as("treated"),
+          ($"d" >= $"cut").cast("int").as("post"), $"v")
+        .groupBy($"treated", $"post")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .select($"treated", $"post", $"n",
+          ($"sv".cast("double") / $"n").as("m"))
+        .select($"treated", $"post", $"n",
+          round($"m", 6).as("mean_value"),
+          round(sum(when($"treated" === $"post", $"m")
+            .otherwise(-$"m")).over(w0), 6).as("did_estimate"))
+        .orderBy($"treated", $"post")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    CAST(value AS DECIMAL(18,6)) AS v
+           |  FROM events
+           |), piv AS (
+           |  SELECT min(d) + CAST(date_diff('day', min(d), max(d)) // 2
+           |    AS INT) AS cut
+           |  FROM ev
+           |), cells AS (
+           |  SELECT CAST(user_id % 2 = 1 AS INT) AS treated,
+           |    CAST(d >= cut AS INT) AS post,
+           |    count(*) AS n, sum(v) AS sv
+           |  FROM ev, piv GROUP BY 1, 2
+           |), means AS (
+           |  SELECT treated, post, n, CAST(sv AS DOUBLE) / n AS m
+           |  FROM cells
+           |)
+           |SELECT treated, post, CAST(n AS BIGINT) AS n,
+           |  round(m, 6) AS mean_value,
+           |  round(sum(CASE WHEN treated = post THEN m ELSE -m END)
+           |    OVER (), 6) AS did_estimate
+           |FROM means ORDER BY treated, post""".stripMargin))
+
+  /** E306: **CUPED variance reduction** — the experimentation-
+    * platform standard (Deng et al., WSDM'13): regress each unit's
+    * post-period metric on its own PRE-period metric and analyze the
+    * residualized y_adj = y − θ(x − x̄), which keeps the mean of every
+    * arm unbiased while removing the between-user variance the
+    * pre-period already explains. θ = cov(x,y)/var(x) and x̄ are
+    * GLOBAL (pooled across arms — the published estimator; per-arm θ
+    * would bias the contrast), computed from the per-user frame by a
+    * tree-reduced 1-row aggregate and broadcast-crossed back — never
+    * a single-partition window over all users. Per arm the output
+    * reports mean/variance of y and y_adj (manual Σ/Σ² forms,
+    * identical operation order on both engines) and the realized
+    * variance-reduction percentage — the number that decides whether
+    * the covariate was worth collecting. Two shuffles total at any
+    * scale: user-key agg, then arm-key agg. */
+  val qCuped = Q("q_cuped",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"user_id", to_date($"ts").as("d"),
+          $"value".cast("decimal(18,6)").as("v"))
+      val pivot = ev.agg(date_add(min($"d"),
+        (datediff(max($"d"), min($"d")) / 2).cast("int")).as("cut"))
+      val per = ev.crossJoin(broadcast(pivot))
+        .groupBy($"user_id")
+        .agg(sum(when($"d" < $"cut", $"v")).as("sx"),
+          count(when($"d" < $"cut", lit(1))).as("nx"),
+          sum(when($"d" >= $"cut", $"v")).as("sy"),
+          count(when($"d" >= $"cut", lit(1))).as("ny"))
+        .filter($"nx" > 0 && $"ny" > 0)
+        .select($"user_id", ($"user_id" % 2).cast("int").as("variant"),
+          ($"sx".cast("double") / $"nx").as("x"),
+          ($"sy".cast("double") / $"ny").as("y"))
+      val theta = per.agg(count(lit(1)).as("k"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
+        .select((($"k" * $"sxy" - $"sx" * $"sy") /
+            ($"k" * $"sx2" - $"sx" * $"sx")).as("theta"),
+          ($"sx" / $"k").as("xbar"))
+      per.crossJoin(broadcast(theta))
+        .withColumn("y_adj", $"y" - $"theta" * ($"x" - $"xbar"))
+        .groupBy($"variant")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"y").as("sy"), sum($"y" * $"y").as("sy2"),
+          sum($"y_adj").as("sa"), sum($"y_adj" * $"y_adj").as("sa2"),
+          first($"theta").as("theta"))
+        .select($"variant", $"n_users",
+          round($"sy" / $"n_users", 6).as("mean_y"),
+          round($"sa" / $"n_users", 6).as("mean_y_adj"),
+          round(($"sy2" - $"sy" * $"sy" / $"n_users") /
+            ($"n_users" - 1), 6).as("var_y"),
+          round(($"sa2" - $"sa" * $"sa" / $"n_users") /
+            ($"n_users" - 1), 6).as("var_y_adj"),
+          round((lit(1.0) -
+            (($"sa2" - $"sa" * $"sa" / $"n_users") /
+              ($"sy2" - $"sy" * $"sy" / $"n_users"))) * 100, 2)
+            .as("var_reduction_pct"),
+          round($"theta", 6).as("theta"))
+        .orderBy($"variant")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    CAST(value AS DECIMAL(18,6)) AS v
+           |  FROM events
+           |), piv AS (
+           |  SELECT min(d) + CAST(date_diff('day', min(d), max(d)) // 2
+           |    AS INT) AS cut
+           |  FROM ev
+           |), per AS (
+           |  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+           |    CAST(sum(CASE WHEN d < cut THEN v END) AS DOUBLE) /
+           |      count(CASE WHEN d < cut THEN 1 END) AS x,
+           |    CAST(sum(CASE WHEN d >= cut THEN v END) AS DOUBLE) /
+           |      count(CASE WHEN d >= cut THEN 1 END) AS y
+           |  FROM ev, piv
+           |  GROUP BY 1, 2
+           |  HAVING count(CASE WHEN d < cut THEN 1 END) > 0
+           |     AND count(CASE WHEN d >= cut THEN 1 END) > 0
+           |), th AS (
+           |  SELECT (count(*) * sum(x * y) - sum(x) * sum(y)) /
+           |      (count(*) * sum(x * x) - sum(x) * sum(x)) AS theta,
+           |    sum(x) / count(*) AS xbar
+           |  FROM per
+           |), adj AS (
+           |  SELECT variant, y, y - theta * (x - xbar) AS y_adj, theta
+           |  FROM per, th
+           |)
+           |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+           |  round(sum(y) / count(*), 6) AS mean_y,
+           |  round(sum(y_adj) / count(*), 6) AS mean_y_adj,
+           |  round((sum(y * y) - sum(y) * sum(y) / count(*)) /
+           |    (count(*) - 1), 6) AS var_y,
+           |  round((sum(y_adj * y_adj) - sum(y_adj) * sum(y_adj) /
+           |    count(*)) / (count(*) - 1), 6) AS var_y_adj,
+           |  round((1.0 - ((sum(y_adj * y_adj) - sum(y_adj) *
+           |    sum(y_adj) / count(*)) /
+           |    (sum(y * y) - sum(y) * sum(y) / count(*)))) * 100, 2)
+           |    AS var_reduction_pct,
+           |  round(min(theta), 6) AS theta
+           |FROM adj GROUP BY variant ORDER BY variant""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -4067,5 +4227,6 @@ object Metrics {
     qAllocApportion, qBalanceClamped,
     qMannWhitney, qAnovaF, qCcf,
     qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445,
-    qWacInventory, qLinkFellegi, qMetaAnalysis, qFdrBh)
+    qWacInventory, qLinkFellegi, qMetaAnalysis, qFdrBh,
+    qDid, qCuped)
 }

@@ -1353,6 +1353,57 @@ object Aggregates {
            |FROM sessions GROUP BY user_id, sid
            |ORDER BY user_id, start_us""".stripMargin))
 
+  /** E308: **approx-percentile accuracy audit** — the sketch-trust
+    * readout for quantiles, completing the audit family (E227 does it
+    * for MinHash, E44/E51 for HLL/CMS): per event type, the exact
+    * interpolated p50/p90 (hash-gated against DuckDB's
+    * `quantile_cont`, the same type-7 definition Spark's `percentile`
+    * uses) next to `approx_percentile` (KLL-style, accuracy
+    * parameter 1000 → rank error ≤ 1/1000), verified by the
+    * GUARANTEE ITSELF, in rank space: the approx value's realized
+    * rank fraction must sit within q ± (1/1000 + tie slack). Value-
+    * space error would be the wrong check (a flat region makes huge
+    * value error legal, a dense region makes tiny error illegal);
+    * rank space is what the sketch promises. The realized ranks need
+    * one extra conditional pass over the rows with the per-group
+    * approx values joined back — a broadcast of a groups-sized frame.
+    * Oracle emits `TRUE` for the bound flags (the E44 driver-gated
+    * pattern: the sketch is Spark-side state no other engine can
+    * replay; exact columns are the hash gate, flags are the audit). */
+  val qQuantileAccuracy = Q("q_quantile_accuracy",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"event_type", $"value")
+      val stats = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          percentile($"value", lit(0.5)).as("p50_exact"),
+          percentile($"value", lit(0.9)).as("p90_exact"),
+          approx_percentile($"value", lit(0.5), lit(1000)).as("a50"),
+          approx_percentile($"value", lit(0.9), lit(1000)).as("a90"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(first($"n").as("n"),
+          first($"p50_exact").as("e50"), first($"p90_exact").as("e90"),
+          (sum(($"value" <= $"a50").cast("long")) /
+            first($"n").cast("double")).as("r50"),
+          (sum(($"value" <= $"a90").cast("long")) /
+            first($"n").cast("double")).as("r90"))
+        .select($"event_type", $"n",
+          round($"e50", 6).as("p50_exact"),
+          round($"e90", 6).as("p90_exact"),
+          (abs($"r50" - 0.5) <= 0.011).as("p50_within_bound"),
+          (abs($"r90" - 0.9) <= 0.011).as("p90_within_bound"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           |  round(quantile_cont(value, 0.9), 6) AS p90_exact,
+           |  TRUE AS p50_within_bound,
+           |  TRUE AS p90_within_bound
+           |FROM events GROUP BY event_type
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggCountDistinct, qAggMinFirst, qAggStats,
     qAggConditional, qAggGroupingSets, qAggGlobal, qWindowCumulative,
     qWindowMovingAvg, qWindowLag, qPivotEav, qUnpivot, qWindowRank,
@@ -1360,5 +1411,6 @@ object Aggregates {
     qWinsorize, qResample, qAggSessionWindow, qAggRegression,
     qChangePoint, qAggSpearman, qAuc, qRollingDistinct, qEwma,
     qFeatureScale, qAggLogMeans, qAggWeightedMedian, qGini,
-    qCalibration, qCvar, qAggMode, qAggListagg, qAggSessionDynamic)
+    qCalibration, qCvar, qAggMode, qAggListagg, qAggSessionDynamic,
+    qQuantileAccuracy)
 }

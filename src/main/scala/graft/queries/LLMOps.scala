@@ -3319,6 +3319,67 @@ object LLMOps {
             |    CAST(count(*) * 1000000 AS DOUBLE), 6) AS mae
             |FROM scored GROUP BY 1 ORDER BY decile""".stripMargin))
 
+  /** E307: **inverted-index build** — the posting-list transpose
+    * every search/retrieval stack sits on: token → (document
+    * frequency, doc-id range, ordered posting prefix). The structure
+    * splits into the two plans a 100 TB index build actually runs:
+    * (a) the per-token STATISTICS (df, min/max doc) are a plain
+    * map-side-combined aggregation — no list materialization; (b) the
+    * posting LIST is bounded BEFORE collection by the TopKPerKey
+    * operator (per-token k=5 lowest doc ids in a fixed-size heap —
+    * the same bounded-heap discipline as E27/E49), so no executor
+    * ever holds an unbounded hot-token posting list; real engines
+    * write postings in doc-id-sorted blocks exactly this way. The
+    * prefix string is the deterministic join of the k ids — array
+    * columns would hash differently across engines; a '-'-joined
+    * string is canonical. One shuffle on token for each branch, one
+    * broadcast-or-hash join to stitch (token cardinality is
+    * vocabulary-sized). */
+  val qTextPostings = Q("q_text_postings",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val toks = Tables.read(spark, sfDir, "documents")
+        .select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("token"))
+        .filter(length($"token") > 0)
+      val stats = toks.groupBy($"token")
+        .agg(count(lit(1)).as("df"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      val prefix = graft.plans.TopKPerKey.of(toks,
+          partitionCols = Seq("token"), orderCol = "doc_id",
+          desc = false, tiebreak = "doc_id", k = 5)
+        .groupBy($"token")
+        .agg(array_join(transform(sort_array(collect_list($"doc_id")),
+          _.cast("string")), "-").as("postings_prefix"))
+      stats.join(prefix, Seq("token"))
+        .select($"token", $"df", $"min_doc", $"max_doc",
+          $"postings_prefix")
+        .orderBy($"token")
+    },
+    Some("""WITH toks AS (
+           |  SELECT DISTINCT doc_id, t.token
+           |  FROM documents,
+           |    unnest(string_split(text, ' ')) AS t(token)
+           |  WHERE len(t.token) > 0
+           |), stats AS (
+           |  SELECT token, count(*) AS df,
+           |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |  FROM toks GROUP BY token
+           |), ranked AS (
+           |  SELECT token, doc_id,
+           |    row_number() OVER (PARTITION BY token
+           |      ORDER BY doc_id) AS rn
+           |  FROM toks
+           |), prefix AS (
+           |  SELECT token,
+           |    array_to_string(list_sort(list(doc_id)), '-')
+           |      AS postings_prefix
+           |  FROM ranked WHERE rn <= 5 GROUP BY token
+           |)
+           |SELECT token, df, min_doc, max_doc, postings_prefix
+           |FROM stats JOIN prefix USING (token)
+           |ORDER BY token""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupIncremental, qDedupMinhash,
     qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupCanonical, qDedupEmbed,
@@ -3342,5 +3403,5 @@ object LLMOps {
     qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest, qMinhashAccuracy,
-    qSimAnnRecall)
+    qSimAnnRecall, qTextPostings)
 }

@@ -4205,6 +4205,182 @@ object Metrics {
            |  round(min(theta), 6) AS theta
            |FROM adj GROUP BY variant ORDER BY variant""".stripMargin))
 
+  /** E309: **survey raking (iterative proportional fitting)** — the
+    * standard post-stratification weighting step: scale the observed
+    * (nation × segment) sample cells so their weighted margins match
+    * KNOWN population margins (here the per-nation and per-segment
+    * ORDER totals — activity-weighted targets the customer sample
+    * under-represents). IPF alternates row- and column-
+    * normalization; like k-core (E253) the semantics are BOUNDED —
+    * exactly 5 double sweeps, and the ORACLE UNROLLS THE SAME 5
+    * sweeps, so both engines always compute the identical bounded
+    * fixpoint approximation. Each half-sweep is one margin-partition
+    * window (w ← w·target/Σ_margin w) over the CELL table, whose
+    * grain is quasi-identifier cells (≤ |nations|×|segments|), never
+    * subjects — at 100 TB the subject table reduces once to cells
+    * and the raking iterates on dimension-sized data. Margins enter
+    * as broadcast-joined targets. */
+  val qRakeIpf = Q("q_rake_ipf",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cust = Tables.read(spark, sfDir, "customer")
+      val obs = cust.groupBy($"c_nationkey".as("nat"),
+          $"c_mktsegment".as("seg"))
+        .agg(count(lit(1)).as("n_obs"))
+      val pop = Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey")
+        .join(broadcast(cust.select($"c_custkey", $"c_nationkey",
+          $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      val rowT = pop.groupBy($"c_nationkey".as("nat"))
+        .agg(count(lit(1)).as("tr"))
+      val colT = pop.groupBy($"c_mktsegment".as("seg"))
+        .agg(count(lit(1)).as("tc"))
+      var cur = obs
+        .join(broadcast(rowT), Seq("nat"))
+        .join(broadcast(colT), Seq("seg"))
+        .withColumn("w", $"n_obs".cast("double"))
+      val byNat = Window.partitionBy($"nat")
+      val bySeg = Window.partitionBy($"seg")
+      for (_ <- 1 to 5) {
+        cur = cur.withColumn("w", $"w" * $"tr" / sum($"w").over(byNat))
+        cur = cur.withColumn("w", $"w" * $"tc" / sum($"w").over(bySeg))
+      }
+      cur.select($"nat".as("nation_key"), $"seg".as("segment"),
+          $"n_obs", $"tr".as("nation_target"),
+          $"tc".as("segment_target"), round($"w", 6).as("raked_count"))
+        .orderBy($"nation_key", $"segment")
+    },
+    Some {
+      val base =
+        """WITH obs AS MATERIALIZED (
+          |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+          |    count(*) AS n_obs
+          |  FROM customer GROUP BY 1, 2
+          |), rt AS MATERIALIZED (
+          |  SELECT c_nationkey AS nat, count(*) AS tr
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  GROUP BY 1
+          |), ct AS MATERIALIZED (
+          |  SELECT c_mktsegment AS seg, count(*) AS tc
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  GROUP BY 1
+          |), r0 AS MATERIALIZED (
+          |  SELECT nat, seg, n_obs, tr, tc,
+          |    CAST(n_obs AS DOUBLE) AS w
+          |  FROM obs JOIN rt USING (nat) JOIN ct USING (seg)
+          |)""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        s""", r${i}a AS MATERIALIZED (
+           |  SELECT nat, seg, n_obs, tr, tc,
+           |    w * tr / (sum(w) OVER (PARTITION BY nat)) AS w
+           |  FROM r${i - 1}
+           |), r$i AS MATERIALIZED (
+           |  SELECT nat, seg, n_obs, tr, tc,
+           |    w * tc / (sum(w) OVER (PARTITION BY seg)) AS w
+           |  FROM r${i}a
+           |)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT nat AS nation_key, seg AS segment, n_obs,
+          |  CAST(tr AS BIGINT) AS nation_target,
+          |  CAST(tc AS BIGINT) AS segment_target,
+          |  round(w, 6) AS raked_count
+          |FROM r5 ORDER BY nation_key, segment""".stripMargin
+    })
+
+  /** E310: **covariate balance audit (standardized mean
+    * differences)** — the table-one check that accompanies every
+    * DiD/CUPED/PSM analysis (E305/E306): per baseline covariate, the
+    * between-arm difference in units of pooled standard deviation,
+    * |SMD| > 0.1 being the conventional imbalance flag. Covariates
+    * are per-user baseline features (mean event value, event count,
+    * distinct event types) — one user-key aggregation; the audit
+    * itself runs on the per-user frame with one (covariate × arm)
+    * aggregation after an explicit 3-way unpivot (stack), manual
+    * Σ/Σ² variance forms so both engines execute the identical
+    * arithmetic. Output grain: covariate — 3 rows. Two shuffles at
+    * any scale (user key, then covariate×arm). */
+  val qCovariateBalance = Q("q_covariate_balance",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val per = Tables.read(spark, sfDir, "events")
+        .groupBy($"user_id")
+        .agg((sum($"value".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_value"),
+          count(lit(1)).cast("double").as("n_events"),
+          countDistinct($"event_type").cast("double").as("n_types"))
+        .select(($"user_id" % 2).cast("int").as("arm"),
+          $"mean_value", $"n_events", $"n_types")
+      val long = per.select($"arm", expr(
+        """stack(3, 'mean_value', mean_value,
+          |  'n_events', n_events,
+          |  'n_types', n_types) AS (covariate, x)""".stripMargin))
+      long.groupBy($"covariate", $"arm")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sx2"))
+        .select($"covariate", $"arm",
+          ($"sx" / $"n").as("m"),
+          (($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("v"))
+        .groupBy($"covariate")
+        .agg(sum(when($"arm" === 0, $"m")).as("mean_arm0"),
+          sum(when($"arm" === 1, $"m")).as("mean_arm1"),
+          sum(when($"arm" === 0, $"v")).as("var_arm0"),
+          sum(when($"arm" === 1, $"v")).as("var_arm1"))
+        .withColumn("smd_raw",
+          when($"var_arm0" + $"var_arm1" > 0,
+            ($"mean_arm1" - $"mean_arm0") /
+              sqrt(($"var_arm0" + $"var_arm1") / 2))
+            .otherwise(0.0))
+        .select($"covariate",
+          round($"mean_arm0", 6).as("mean_arm0"),
+          round($"mean_arm1", 6).as("mean_arm1"),
+          round($"smd_raw", 6).as("smd"),
+          (abs($"smd_raw") <= 0.1).as("balanced"))
+        .orderBy($"covariate")
+    },
+    Some("""WITH per AS (
+           |  SELECT CAST(user_id % 2 AS INT) AS arm,
+           |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+           |      count(*) AS mean_value,
+           |    CAST(count(*) AS DOUBLE) AS n_events,
+           |    CAST(count(DISTINCT event_type) AS DOUBLE) AS n_types
+           |  FROM events GROUP BY user_id
+           |), long AS (
+           |  SELECT arm, 'mean_value' AS covariate, mean_value AS x
+           |    FROM per
+           |  UNION ALL
+           |  SELECT arm, 'n_events', n_events FROM per
+           |  UNION ALL
+           |  SELECT arm, 'n_types', n_types FROM per
+           |), stats AS (
+           |  SELECT covariate, arm,
+           |    sum(x) / count(*) AS m,
+           |    (sum(x * x) - sum(x) * sum(x) / count(*)) /
+           |      (count(*) - 1) AS v
+           |  FROM long GROUP BY 1, 2
+           |), wide AS (
+           |  SELECT covariate,
+           |    sum(CASE WHEN arm = 0 THEN m END) AS mean_arm0,
+           |    sum(CASE WHEN arm = 1 THEN m END) AS mean_arm1,
+           |    sum(CASE WHEN arm = 0 THEN v END) AS var_arm0,
+           |    sum(CASE WHEN arm = 1 THEN v END) AS var_arm1
+           |  FROM stats GROUP BY covariate
+           |), smds AS (
+           |  SELECT covariate, mean_arm0, mean_arm1,
+           |    CASE WHEN var_arm0 + var_arm1 > 0 THEN
+           |      (mean_arm1 - mean_arm0) /
+           |        sqrt((var_arm0 + var_arm1) / 2)
+           |    ELSE 0.0 END AS smd_raw
+           |  FROM wide
+           |)
+           |SELECT covariate,
+           |  round(mean_arm0, 6) AS mean_arm0,
+           |  round(mean_arm1, 6) AS mean_arm1,
+           |  round(smd_raw, 6) AS smd,
+           |  abs(smd_raw) <= 0.1 AS balanced
+           |FROM smds ORDER BY covariate""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -4228,5 +4404,5 @@ object Metrics {
     qMannWhitney, qAnovaF, qCcf,
     qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445,
     qWacInventory, qLinkFellegi, qMetaAnalysis, qFdrBh,
-    qDid, qCuped)
+    qDid, qCuped, qRakeIpf, qCovariateBalance)
 }

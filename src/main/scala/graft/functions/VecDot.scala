@@ -212,6 +212,14 @@ object GraftExtensions {
         "rolling_hashes"),
       (children: Seq[Expression]) =>
         RollingHashExpr(children(0), children(1), children(2))))
+    // 2D Hilbert-curve index (HilbertIndex.scala): the locality
+    // clustering key for range-sorted layouts (E311), next to z-order
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName,
+        "hilbert_index"),
+      (children: Seq[Expression]) =>
+        HilbertIndexExpr(children(0), children(1), children(2))))
     // Spark's own runtime-filter Bloom machinery, exposed as callable
     // functions (the optimizer only plants these itself inside
     // InjectRuntimeFilter): bloom_agg builds a

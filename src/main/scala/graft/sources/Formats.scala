@@ -928,6 +928,86 @@ object Formats {
            |FROM ev WHERE u2 BETWEEN 1 AND 2 AND d2 BETWEEN 1 AND 2
            |GROUP BY 1 ORDER BY zcell""".stripMargin))
 
+  /** E311: **Hilbert-curve clustered layout** — the locality upgrade
+    * over E67's Morton/z-order: both fold two dimensions into one
+    * clustering key, but the Hilbert walk has NO diagonal jumps —
+    * consecutive indices are always grid-adjacent (OperatorSuite pins
+    * the bijection + adjacency on the full 8×8 grid), so a query
+    * rectangle covers fewer, longer runs of the key and a
+    * range-sorted file layout scans fewer files per rectangle. The
+    * key is the new native codegen'd `hilbert_index(x, y, order)`
+    * expression (functions/HilbertIndex.scala — the (b)-rung custom-
+    * Expression discipline); dims are a user bucket × day band on an
+    * 8×8 grid. The read-side contract mirrors E67: the query
+    * rectangle (u∈[2,4], d∈[1,3]) is enumerated into curve cells BY
+    * THE SAME FUNCTION on the driver (9 cells → the isin prune;
+    * sorted, they collapse to 4 contiguous index ranges vs z-order's
+    * 6 for this rectangle — the locality win made concrete). The
+    * ORACLE unrolls the identical 3-level reflect-and-swap arithmetic
+    * as generated CTEs (the k-core generated-unroll discipline) and
+    * filters the rectangle directly — so parity per cell proves the
+    * native expression against an independent SQL derivation of the
+    * curve. */
+  val qLayoutHilbert = Q("q_layout_hilbert",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"user_id", $"value",
+          expr("""hilbert_index(CAST(user_id % 8 AS BIGINT),
+            |CAST((dayofmonth(ts) - 1) div 4 AS BIGINT), 3)"""
+            .stripMargin.replace('\n', ' ')).as("hcell"))
+      val cells = for { u <- 2L to 4L; d <- 1L to 3L }
+        yield graft.functions.HilbertHelper.xy2d(3, u, d)
+      ev.filter($"hcell".isin(cells: _*))
+        .groupBy($"hcell")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"hcell")
+    },
+    Some {
+      val base =
+        """WITH h0 AS (
+          |  SELECT user_id, value,
+          |    CAST(user_id % 8 AS BIGINT) AS x0,
+          |    CAST((date_part('day', CAST(ts AS TIMESTAMP)) - 1) // 4
+          |      AS BIGINT) AS y0,
+          |    CAST(0 AS BIGINT) AS d0
+          |  FROM events
+          |  WHERE user_id % 8 BETWEEN 2 AND 4
+          |    AND (date_part('day', CAST(ts AS TIMESTAMP)) - 1) // 4
+          |      BETWEEN 1 AND 3
+          |)""".stripMargin
+      val rounds = Seq(4L, 2L, 1L).zipWithIndex.map { case (s, idx) =>
+        val i = idx + 1
+        s""", g$i AS (
+           |  SELECT user_id, value, x${i - 1} AS x, y${i - 1} AS y,
+           |    d${i - 1} AS d,
+           |    CASE WHEN (x${i - 1} & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |    CASE WHEN (y${i - 1} & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |  FROM h${i - 1}
+           |), h$i AS (
+           |  SELECT user_id, value,
+           |    CASE WHEN ry = 0 THEN
+           |      (CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END)
+           |    ELSE x END AS x$i,
+           |    CASE WHEN ry = 0 THEN
+           |      (CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END)
+           |    ELSE y END AS y$i,
+           |    d + ${s * s} * xor(3 * rx, ry) AS d$i
+           |  FROM g$i
+           |)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT d3 AS hcell, count(*) AS n,
+          |  count(DISTINCT user_id) AS n_users,
+          |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+          |    AS DOUBLE) AS sum_value
+          |FROM h3 GROUP BY 1 ORDER BY hcell""".stripMargin
+    })
+
   /** E95: **mixed-writer timestamp-unit scan** — the lake-drift scenario
     * this round's headline defect proved real (VERDICT r9 item 1): one
     * logical events table whose files were written by TWO writer
@@ -2051,7 +2131,8 @@ object Formats {
     qAggThetaOverlap,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
     qSourceSchemaEvolution,
-    qOutputRebalance, qLayoutZorder, qSourceMixedTsUnits,
+    qOutputRebalance, qLayoutZorder, qLayoutHilbert,
+    qSourceMixedTsUnits,
     qSourceMixedUnitsOneDir, qLayoutCompact, qSourceSkippingIndex,
     qJoinFederated, qIncrementalMv, qAggBitmapDistinct, qCodecAvroWire,
     qSourceCsvMalformed, qSourceNestedPrune, qLayoutRangeSorted,

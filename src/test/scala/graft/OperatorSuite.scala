@@ -3314,6 +3314,39 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getSeq[Long](1).isEmpty)
   }
 
+  test("hilbert_index is a grid-adjacent bijection on the 8x8 grid") {
+    // E311: the two properties that make the curve a layout key —
+    // bijection (every cell gets exactly one index) and unit-step
+    // locality (consecutive indices are grid neighbors, |Δx|+|Δy|=1,
+    // the property Morton/z-order lacks at quadrant boundaries).
+    import graft.functions.HilbertHelper.xy2d
+    val m = (for { x <- 0L until 8L; y <- 0L until 8L }
+      yield xy2d(3, x, y) -> ((x, y))).toMap
+    assert(m.keySet == (0L until 64L).toSet, "not a bijection")
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = m(d); val (x2, y2) = m(d + 1)
+      assert((x1 - x2).abs + (y1 - y2).abs == 1,
+        s"jump between d=$d and d=${d + 1}")
+    }
+    // SQL surface reaches the same arithmetic (codegen path), and the
+    // E311 rectangle collapses to fewer scan ranges than z-order's
+    def ranges(cells: Seq[Long]): Int = cells.sorted
+      .foldLeft((0, -2L)) { case ((k, prev), c) =>
+        (if (c == prev + 1) k else k + 1, c)
+      }._1
+    val hCells = for { u <- 2L to 4L; d <- 1L to 3L } yield xy2d(3, u, d)
+    def z(u: Long, d: Long): Long = // 3-bit Morton interleave
+      (0 until 3).map(i => (((u >> i) & 1) << (2 * i)) |
+        (((d >> i) & 1) << (2 * i + 1))).reduce(_ | _)
+    val zCells = for { u <- 2L to 4L; d <- 1L to 3L } yield z(u, d)
+    assert(ranges(hCells) < ranges(zCells),
+      s"hilbert ${ranges(hCells)} ranges vs morton ${ranges(zCells)}")
+    val row = spark.sql(
+      "SELECT hilbert_index(CAST(3 AS BIGINT), CAST(5 AS BIGINT), 3) h")
+      .head()
+    assert(row.getLong(0) == xy2d(3, 3L, 5L))
+  }
+
   test("hashed substring dedup equals the literal-window form") {
     // E288 ≡ E287: same windows, same counts, same representatives —
     // any difference would be a 64-bit collision (or a bug).

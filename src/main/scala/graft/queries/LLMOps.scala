@@ -3380,6 +3380,71 @@ object LLMOps {
            |FROM stats JOIN prefix USING (token)
            |ORDER BY token""".stripMargin))
 
+  /** E312: **deterministic negative sampling** — the contrastive-
+    * training companion to the positive-pair mining rows: every
+    * anchor document draws k=4 pseudo-uniform negatives from the
+    * corpus by a hash ring over doc ids (anchor·Knuth + j·1000003
+    * mod N), self-collisions deflected to the next slot. The hash
+    * form is the production-correct one for the same reason as the
+    * sampling family (E36/E49): stable under task retry, reproducible
+    * across re-exports, and — unlike rand() — joinable against a
+    * previous epoch's draws. The corpus size enters as the one-row
+    * broadcast cross (allowlisted tiny-stats shape). The drawn ids
+    * JOIN BACK to the corpus (one hash join on doc id — negatives
+    * need their features) and the output reports, per anchor, the
+    * hard-negative count (same language as the anchor — the signal a
+    * curriculum uses to temperature-mix easy vs hard) plus the
+    * deterministic id list. Zero data-sized shuffles beyond the one
+    * feature-fetch join at any scale. */
+  val qNegativeSampling = Q("q_negative_sampling",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val docs = Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", $"lang")
+      val n = docs.agg(count(lit(1)).as("corpus_n"))
+      val cand = docs.crossJoin(broadcast(n))
+        .select($"doc_id".as("anchor_id"), $"lang".as("anchor_lang"),
+          explode(array((1 to 4).map(lit(_)): _*)).as("j"),
+          $"corpus_n")
+        .withColumn("neg_raw",
+          ($"anchor_id" * 2654435761L + $"j" * 1000003L) % $"corpus_n")
+        .withColumn("neg_id",
+          when($"neg_raw" === $"anchor_id",
+            ($"neg_raw" + 1) % $"corpus_n").otherwise($"neg_raw"))
+      cand
+        .join(docs.select($"doc_id".as("neg_id"),
+          $"lang".as("neg_lang")), Seq("neg_id"))
+        .groupBy($"anchor_id")
+        .agg(count(lit(1)).as("n_negs"),
+          sum(($"neg_lang" === $"anchor_lang").cast("long"))
+            .as("n_same_lang"),
+          array_join(transform(sort_array(collect_list($"neg_id")),
+            _.cast("string")), "-").as("neg_ids"))
+        .orderBy($"anchor_id")
+    },
+    Some("""WITH n AS (
+           |  SELECT count(*) AS corpus_n FROM documents
+           |), cand AS (
+           |  SELECT d.doc_id AS anchor_id, d.lang AS anchor_lang,
+           |    (d.doc_id * 2654435761 + j * 1000003) % corpus_n
+           |      AS neg_raw,
+           |    d.doc_id, corpus_n
+           |  FROM documents d, n,
+           |    (SELECT unnest([1, 2, 3, 4]) AS j) js
+           |), fixed AS (
+           |  SELECT anchor_id, anchor_lang,
+           |    CASE WHEN neg_raw = anchor_id
+           |      THEN (neg_raw + 1) % corpus_n
+           |      ELSE neg_raw END AS neg_id
+           |  FROM cand
+           |)
+           |SELECT anchor_id, count(*) AS n_negs,
+           |  CAST(sum(CASE WHEN d.lang = anchor_lang THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_same_lang,
+           |  array_to_string(list_sort(list(neg_id)), '-') AS neg_ids
+           |FROM fixed JOIN documents d ON d.doc_id = neg_id
+           |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupIncremental, qDedupMinhash,
     qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupCanonical, qDedupEmbed,
@@ -3403,5 +3468,5 @@ object LLMOps {
     qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest, qMinhashAccuracy,
-    qSimAnnRecall, qTextPostings)
+    qSimAnnRecall, qTextPostings, qNegativeSampling)
 }

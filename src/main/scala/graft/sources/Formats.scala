@@ -642,6 +642,47 @@ object Formats {
            |       (SELECT count(*) FROM a ANTI JOIN b USING (user_id))
            |         AS n_only_a""".stripMargin))
 
+  /** E313: **native approx_top_k sketch rollup** — Spark 4's built-in
+    * frequent-items sketch run through the SAME composable pre-agg
+    * architecture as the custom sketch rows (E44 HLL / E51 CMS /
+    * E61 KLL / E69 theta): per-day `approx_top_k_accumulate` states
+    * (the layer a 100 TB deployment persists once per partition),
+    * merged at query time with `approx_top_k_combine` and read with
+    * `approx_top_k_estimate` — the daily states never rescan raw
+    * data. The audit contract is the E44 driver-gated pattern: the
+    * EXACT per-type counts are the hash gate (DuckDB recomputes
+    * them), and `within_bound` asserts the sketch's estimate — in
+    * this ≤maxItemsTracked regime the sketch is EXACT, so the bound
+    * is equality; a deployment past that regime would loosen it to
+    * the sketch's published error envelope. Item order from the
+    * estimate is re-ranked deterministically before output (the
+    * sketch's own tie order is not a contract). */
+  val qAggTopkSketch = Q("q_agg_topk_sketch",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select(to_date($"ts").as("day"), $"event_type")
+      val daily = ev.groupBy($"day")
+        .agg(expr("approx_top_k_accumulate(event_type, 10)")
+          .as("state"))
+      val est = daily
+        .agg(expr(
+          "approx_top_k_estimate(approx_top_k_combine(state, 10), 5)")
+          .as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item".as("event_type"),
+          $"e.count".as("est_count"))
+      val exact = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("event_type"))
+        .select($"event_type", $"exact_count",
+          ($"est_count" === $"exact_count").as("within_bound"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS exact_count,
+           |  TRUE AS within_bound
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   /** REBALANCE-hinted output — the 100 TB small-files answer on the
     * WRITE side: a plain `df.write` emits one file per task (32 here;
     * tens of thousands on a real cluster — the classic small-files
@@ -2128,7 +2169,7 @@ object Formats {
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
     qAggApprox, qAggHllUnion, qAggCmsFreq, qAggQuantileMerge,
-    qAggThetaOverlap,
+    qAggThetaOverlap, qAggTopkSketch,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
     qSourceSchemaEvolution,
     qOutputRebalance, qLayoutZorder, qLayoutHilbert,

@@ -110,6 +110,35 @@ object HashProps extends Properties("graft") {
       }
     }
 
+  property("hilbert_index: bijection + unit-step walk at any order") =
+    forAll(Gen.choose(1, 6)) { order =>
+      // E311: at every curve order, the index is a bijection onto
+      // [0, 4^order) and consecutive indices are grid neighbors —
+      // the two properties that make it a clustering key. Pure JVM
+      // arithmetic (no Spark job), so the full grid is cheap.
+      val n = 1L << order
+      val inv = new Array[(Long, Long)]((n * n).toInt)
+      var ok = true
+      var x = 0L
+      while (x < n) {
+        var y = 0L
+        while (y < n) {
+          val d = graft.functions.HilbertHelper.xy2d(order, x, y)
+          ok &&= d >= 0 && d < n * n && inv(d.toInt) == null
+          inv(d.toInt) = (x, y)
+          y += 1
+        }
+        x += 1
+      }
+      var d = 0
+      while (ok && d < n * n - 1) {
+        val (x1, y1) = inv(d); val (x2, y2) = inv(d + 1)
+        ok &&= (x1 - x2).abs + (y1 - y2).abs == 1
+        d += 1
+      }
+      ok
+    }
+
   property("cosine of a vector with itself is 1") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-10f, 10f))
       .suchThat(v => v.exists(x => math.abs(x) > 0.1f))) { v =>

@@ -4326,6 +4326,69 @@ object Extras {
            |FROM climb WHERE anc < 7
            |GROUP BY 1 ORDER BY root_assembly""".stripMargin))
 
+  private val sqlScriptRun =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** E314: **SQL scripting** (SQL/PSM, Spark 4) — the procedural
+    * surface a migrating T-SQL user (the reference IS a T-SQL stored
+    * procedure) reaches for first: `BEGIN … END` compound statements,
+    * `DECLARE`d session variables, `SET` assignment from scalar
+    * subqueries, and a `REPEAT … UNTIL` loop. The script runs a
+    * data-driven parameter search — double a price threshold until
+    * fewer than 1000 orders exceed it — the canonical "find the knob
+    * value" loop every warehouse script contains. Each iteration's
+    * scalar subquery is one Catalyst plan over the view (the loop is
+    * DRIVER-side control flow over distributed queries — exactly the
+    * reference's cursor-free procedural idiom, and the architecture
+    * note for 100 TB: iterations scan in parallel; only the loop
+    * variable lives on the driver). The oracle replays the identical
+    * doubling walk as a recursive CTE; matching (threshold, count,
+    * iterations) proves both the loop semantics and each iteration's
+    * aggregate. */
+  val qSqlScripting = Q("q_sql_scripting",
+    (spark, sfDir) => {
+      val tag = sqlScriptRun.incrementAndGet()
+      val v = s"script_orders_$tag"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      val prev = spark.conf.getOption("spark.sql.scripting.enabled")
+      spark.conf.set("spark.sql.scripting.enabled", "true")
+      try {
+        spark.sql(
+          s"""BEGIN
+             |  DECLARE t DOUBLE DEFAULT 64.0;
+             |  DECLARE c BIGINT DEFAULT -1;
+             |  DECLARE iters INT DEFAULT 0;
+             |  REPEAT
+             |    SET t = t * 2;
+             |    SET iters = iters + 1;
+             |    SET c = (SELECT count(*) FROM $v
+             |             WHERE o_totalprice > t);
+             |  UNTIL c < 1000 END REPEAT;
+             |  SELECT t AS threshold, c AS n_above, iters;
+             |END""".stripMargin)
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.scripting.enabled", p)
+          case None =>
+            spark.conf.unset("spark.sql.scripting.enabled")
+        }
+        spark.catalog.dropTempView(v)
+        ()
+      }
+    },
+    Some("""WITH RECURSIVE steps AS (
+           |  SELECT CAST(128.0 AS DOUBLE) AS t, 1 AS iters,
+           |    (SELECT count(*) FROM orders
+           |     WHERE o_totalprice > 128.0) AS c
+           |  UNION ALL
+           |  SELECT t * 2, iters + 1,
+           |    (SELECT count(*) FROM orders
+           |     WHERE o_totalprice > t * 2)
+           |  FROM steps WHERE c >= 1000
+           |)
+           |SELECT t AS threshold, CAST(c AS BIGINT) AS n_above, iters
+           |FROM steps WHERE c < 1000""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -4345,5 +4408,5 @@ object Extras {
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
     qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit,
     qRollingMedian, qCohortLtv, qSkewProfile, qFreshness,
-    qBitemporal, qJoinScd2Pit, qSqlUdf, qBomRollup)
+    qBitemporal, qJoinScd2Pit, qSqlUdf, qBomRollup, qSqlScripting)
 }

@@ -1031,10 +1031,79 @@ object Streams {
            |FROM sided GROUP BY event_type, side
            |ORDER BY event_type, side""".stripMargin))
 
+  /** E315: **checkpoint resume across restarts** — the operational
+    * property every production stream depends on and no single-run
+    * query can prove: a stopped query restarted against the SAME
+    * checkpoint continues from its committed offsets, processing only
+    * what landed since. Staged as two sequential `AvailableNow` runs
+    * of one query definition sharing checkpoint + parquet sink: run 1
+    * drains the even-id half of the fixture; the odd half then lands
+    * in the source directory as NEW files; run 2 restarts from the
+    * checkpoint and must admit exactly those new files. The sink is
+    * the E103 `_spark_metadata`-logged parquet sink, so the final
+    * read-back equals the full fixture ONLY under exactly-once
+    * resume: re-reading run-1 files would double those rows (sink
+    * appends), dropping the new files would lose them, and either
+    * fails the hash against the batch oracle. At 100 TB this is the
+    * nightly-drain restart contract: offsets (not data) are the
+    * driver-side state, and a crashed job re-runs its uncommitted
+    * batch idempotently. */
+  val qStreamResume = Q("q_stream_resume",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = "target/stream/" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/resume"
+      val srcDir = s"$base/src"
+      val outDir = s"$base/out"
+      graft.Memo.onceJvm(spark, s"load:resume:$sfDir") {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(base))
+        val ev = Tables.read(spark, sfDir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        def drain(): Unit = {
+          val s = spark.readStream
+            .schema("event_id BIGINT, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE")
+            .parquet(srcDir)
+          val q = s.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        ev.filter($"event_id" % 2 === 0)
+          .repartition(4).write.parquet(srcDir)
+        drain() // run 1: even half, offsets committed
+        ev.filter($"event_id" % 2 === 1)
+          .repartition(4).write.mode("append").parquet(srcDir)
+        drain() // run 2: resumes, admits only the new files
+      }
+      spark.read.parquet(outDir) // through _spark_metadata
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value".cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |       count(*) AS n,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+           |         AS DOUBLE) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
     qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
     qStreamJoinOuter,
     qStreamJoinFull, qStreamAvailableNow, qStreamFileSink,
-    qStreamQuantile, qStreamListener, qStreamKmv, qStreamBackfillUnion)
+    qStreamQuantile, qStreamListener, qStreamKmv, qStreamBackfillUnion,
+    qStreamResume)
 }

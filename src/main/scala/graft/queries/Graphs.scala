@@ -499,7 +499,12 @@ object Graphs {
         // groupBy+row_number window pair — each round saves a full
         // shuffle+sort (the window form benched 4.1 s at sf0.1; the
         // round-13 bench records this form). The ordering struct is
-        // unique per (u, lab), so max_by is deterministic.
+        // unique per (u, lab), so max_by is deterministic. A third
+        // form — ONE exchange per round via collect_list(lab) +
+        // row-local sorted run-length mode — was measured WORSE
+        // (5.1 s vs 3.1–4.1 s at sf0.1: the per-row sort_array over
+        // hub-vertex neighbor lists costs more than the second hash
+        // exchange saves) and rejected; the two-agg form stands.
         lab = und
           .join(broadcast(lab), $"v" === $"node")
           .groupBy($"u", $"lab").agg(count(lit(1)).as("c"))

@@ -290,6 +290,33 @@ class PlanSuite extends AnyFunSuite {
       "no sort may run below TopKPerKeyExec")
   }
 
+  test("round-13 closing rows keep their scale shapes") {
+    // E307: the posting-list prefix must bound through the custom
+    // operator, never a Window partition sort
+    val postings = plan("q_text_postings")
+    assert(postings.contains("TopKPerKey ["),
+      "postings prefix must plan the bounded-heap operator")
+    assert(!postings.contains("Window"),
+      "postings must not fall back to the Window form")
+    // E301/E302: the supplier dim joins broadcast; the fact table is
+    // never sort-merge-joined against a 100-row dim
+    Seq("q_meta_analysis", "q_fdr_bh").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q dim join")
+      assert(!p.contains("SortMergeJoin"), s"$q fact-side SMJ")
+    }
+    // E311: the hilbert key is the native expression inside the
+    // projection — no ScalaUDF (interpreted, codegen-breaking) node
+    val hil = plan("q_layout_hilbert")
+    assert(hil.contains("hilbert_index"), "native expression planned")
+    assert(!hil.contains("ScalaUDF"), "no UDF fallback")
+    // E303: all three coarser class tables broadcast back onto the
+    // level-0 classes
+    val gen = plan("q_k_generalize")
+    assert(gen.split("BroadcastHashJoin").length - 1 >= 3,
+      s"generalization ladder joins must broadcast, got:\n$gen")
+  }
+
   test("top-k-per-key runs two-phase: map-side partial below the exchange") {
     val p = plan("q_topk_per_key")
     val fin = p.indexOf("TopKPerKey [")

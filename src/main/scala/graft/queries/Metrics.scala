@@ -4381,6 +4381,151 @@ object Metrics {
            |  abs(smd_raw) <= 0.1 AS balanced
            |FROM smds ORDER BY covariate""".stripMargin))
 
+  /** E316: **Theil–Sen robust slope** — the median-of-pairwise-slopes
+    * trend estimator (up to ~29% outlier breakdown vs OLS's zero),
+    * the standard robust companion to the OLS window row (E228): per
+    * event type, every day pair (i < j) contributes
+    * (yⱼ−yᵢ)/(xⱼ−xᵢ) and the estimate is the exact median. The pair
+    * expansion is the E-Kendall daily-frame discipline: the per-type
+    * daily series is calendar-bounded (≤31 rows at any data scale),
+    * so the d₁<d₂ self-join is an equi-join on type over a broadcast
+    * frame — pairs grow with the CALENDAR squared, not the data. y
+    * sums route through DECIMAL (order-free); slopes become doubles
+    * once, from identical operands on both engines; the median is
+    * the exact interpolated percentile both engines define
+    * identically. */
+  val qTheilSen = Q("q_theil_sen",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val daily = Tables.read(spark, sfDir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(sum($"value".cast("decimal(18,6)")).as("y"))
+        .select($"event_type",
+          datediff($"d", lit("2024-01-01")).as("x"), $"y")
+        .localCheckpoint()
+      val slopes = daily.as("a")
+        .join(broadcast(daily.as("b")),
+          $"a.event_type" === $"b.event_type" && $"a.x" < $"b.x")
+        .select($"a.event_type".as("event_type"),
+          (($"b.y" - $"a.y").cast("double") /
+            ($"b.x" - $"a.x").cast("double")).as("slope"))
+      slopes.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(percentile($"slope", lit(0.5)), 6)
+            .as("theil_sen_slope"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    sum(CAST(value AS DECIMAL(18,6))) AS y
+           |  FROM events GROUP BY 1, 2
+           |), pts AS (
+           |  SELECT event_type,
+           |    date_diff('day', DATE '2024-01-01', d) AS x, y
+           |  FROM daily
+           |), slopes AS (
+           |  SELECT a.event_type,
+           |    CAST(b.y - a.y AS DOUBLE) /
+           |      CAST(b.x - a.x AS DOUBLE) AS slope
+           |  FROM pts a JOIN pts b
+           |    ON a.event_type = b.event_type AND a.x < b.x
+           |)
+           |SELECT event_type, count(*) AS n_pairs,
+           |  round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+           |FROM slopes GROUP BY event_type
+           |ORDER BY event_type""".stripMargin))
+
+  /** E317: **growth accounting** — the weekly user-state decomposition
+    * every product dashboard runs: each active (user, week) is NEW
+    * (first week ever), RETAINED (active the prior week) or
+    * RESURRECTED (active before, but not the prior week); CHURNED
+    * counts users active in week w−1 and absent in w. The
+    * quick ratio (new + resurrected) / churned summarizes whether
+    * inflow covers outflow. Classification is one lag/lead window
+    * over the deduplicated (user, week) presence frame — partitioned
+    * by user, so at 100 TB the only exchange is the user key (the
+    * presence dedup shares it); churn events are credited to the
+    * FOLLOWING week and capped at the fixture's last observed week
+    * (beyond it absence is censoring, not churn — same reasoning as
+    * the Kaplan–Meier row). The week grain is Monday-truncated dates
+    * on both engines. */
+  val qGrowthAccounting = Q("q_growth_accounting",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pres = Tables.read(spark, sfDir, "events")
+        .select($"user_id",
+          to_date(date_trunc("week", $"ts")).as("w"))
+        .distinct()
+      val byUser = Window.partitionBy($"user_id").orderBy($"w")
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cls = pres
+        .withColumn("prev_w", lag($"w", 1).over(byUser))
+        .withColumn("next_w", lead($"w", 1).over(byUser))
+        .withColumn("max_w", max($"w").over(wAll))
+      val states = cls.groupBy($"w")
+        .agg(sum(when($"prev_w".isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when($"prev_w" === date_sub($"w", 7), 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when($"prev_w".isNotNull &&
+            $"prev_w" < date_sub($"w", 7), 1L).otherwise(0L))
+            .as("n_resurrected"))
+      val churn = cls
+        .filter($"w" < $"max_w" &&
+          ($"next_w".isNull || $"next_w" > date_add($"w", 7)))
+        .groupBy(date_add($"w", 7).as("w"))
+        .agg(count(lit(1)).as("n_churned"))
+      states.join(churn, Seq("w"), "full_outer")
+        .select($"w".as("week"),
+          coalesce($"n_new", lit(0L)).as("n_new"),
+          coalesce($"n_retained", lit(0L)).as("n_retained"),
+          coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+          coalesce($"n_churned", lit(0L)).as("n_churned"),
+          when(coalesce($"n_churned", lit(0L)) > 0,
+            round((coalesce($"n_new", lit(0L)) +
+              coalesce($"n_resurrected", lit(0L))).cast("double") /
+              $"n_churned", 6)).as("quick_ratio"))
+        .orderBy($"week")
+    },
+    Some("""WITH pres AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+           |      AS w
+           |  FROM events
+           |), cls AS (
+           |  SELECT user_id, w,
+           |    lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+           |    lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w,
+           |    max(w) OVER () AS max_w
+           |  FROM pres
+           |), states AS (
+           |  SELECT w,
+           |    sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END) AS n_new,
+           |    sum(CASE WHEN prev_w = w - 7 THEN 1 ELSE 0 END)
+           |      AS n_retained,
+           |    sum(CASE WHEN prev_w IS NOT NULL AND prev_w < w - 7
+           |      THEN 1 ELSE 0 END) AS n_resurrected
+           |  FROM cls GROUP BY w
+           |), churn AS (
+           |  SELECT w + 7 AS w, count(*) AS n_churned
+           |  FROM cls
+           |  WHERE w < max_w AND (next_w IS NULL OR next_w > w + 7)
+           |  GROUP BY 1
+           |)
+           |SELECT COALESCE(s.w, c.w) AS week,
+           |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+           |  CAST(COALESCE(n_resurrected, 0) AS BIGINT)
+           |    AS n_resurrected,
+           |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+           |  CASE WHEN COALESCE(n_churned, 0) > 0 THEN
+           |    round(CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0)
+           |      AS DOUBLE) / n_churned, 6) END AS quick_ratio
+           |FROM states s FULL OUTER JOIN churn c ON s.w = c.w
+           |ORDER BY week""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -4404,5 +4549,6 @@ object Metrics {
     qMannWhitney, qAnovaF, qCcf,
     qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445,
     qWacInventory, qLinkFellegi, qMetaAnalysis, qFdrBh,
-    qDid, qCuped, qRakeIpf, qCovariateBalance)
+    qDid, qCuped, qRakeIpf, qCovariateBalance,
+    qTheilSen, qGrowthAccounting)
 }

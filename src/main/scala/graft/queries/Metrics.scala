@@ -4526,6 +4526,95 @@ object Metrics {
            |FROM states s FULL OUTER JOIN churn c ON s.w = c.w
            |ORDER BY week""".stripMargin))
 
+  /** E318: **logistic-regression IRLS step** — the distributed-GLM
+    * architecture the 4CE Phase-2 analyses (severity models) actually
+    * run, reduced to its load-bearing shape: ONE aggregation pass
+    * computes the sufficient statistics (X'X, X'(y−p)), the
+    * driver-scale solve inverts a d×d matrix, and iterations repeat
+    * the pass — the map-reduce GLM from the MLlib literature, joining
+    * the k-means (assignment) and PCA (power-iteration) step rows.
+    * This row pins the FIRST Newton/IRLS step from β = 0, where
+    * p = ½ and W = ¼I exactly, so β₁ = 4(X'X)⁻¹X'(y−½) in closed
+    * form. Design: y = URGENT order, x = total price. All sufficient
+    * statistics are INTEGER-EXACT (price in cents; Σc, Σc², Σcy as
+    * BIGINT/DECIMAL(38,0) sums — order-free on both engines; the
+    * only doubles are the 2×2 cofactor solve at the edge, identical
+    * operation order both sides). Output: the stats, both
+    * coefficients, and the fitted probability at the mean price —
+    * one row. At 100 TB: one map-side-combined scan per iteration,
+    * zero shuffles beyond the final 1-row reduce. */
+  val qGlmIrlsStep = Q("q_glm_irls_step",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = Tables.read(spark, sfDir, "orders")
+        .select(
+          (($"o_totalprice".cast("decimal(18,2)") * 100)
+            .cast("long")).as("cents"),
+          ($"o_orderpriority" === "1-URGENT" ||
+            $"o_orderpriority" === "URGENT").cast("long").as("y"))
+      val stats = base.agg(
+        count(lit(1)).as("n"),
+        sum($"cents").as("sc"),
+        sum(($"cents" * $"cents").cast("decimal(38,0)")).as("sc2"),
+        sum($"y").as("sy"),
+        sum($"cents" * $"y").as("scy"))
+      // scale x = cents * 1e-7 (price in units of $100k) so the
+      // normal-matrix entries are O(1); the 2x2 cofactor solve
+      stats.select($"n", $"sy",
+          ($"sc".cast("double") * 1e-7).as("bx"),
+          ($"sc2".cast("double") * 1e-14).as("cx"),
+          ($"sy".cast("double") - $"n".cast("double") / 2).as("u"),
+          (($"scy".cast("double") - $"sc".cast("double") / 2) * 1e-7)
+            .as("v"))
+        .select($"n", $"sy",
+          (($"n" * $"cx" - $"bx" * $"bx")).as("det"),
+          $"bx", $"cx", $"u", $"v")
+        .select($"n", $"sy",
+          round(lit(4.0) * ($"cx" * $"u" - $"bx" * $"v") / $"det", 6)
+            .as("beta_intercept"),
+          round(lit(4.0) * ($"n" * $"v" - $"bx" * $"u") / $"det", 6)
+            .as("beta_price"),
+          round(lit(1.0) / (lit(1.0) + exp(-(
+            (lit(4.0) * ($"cx" * $"u" - $"bx" * $"v") / $"det") +
+              (lit(4.0) * ($"n" * $"v" - $"bx" * $"u") / $"det") *
+                ($"bx" / $"n")))), 6).as("p_at_mean_price"))
+    },
+    Some("""WITH base AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT) AS cents,
+           |    CASE WHEN o_orderpriority IN ('1-URGENT', 'URGENT')
+           |      THEN 1 ELSE 0 END AS y
+           |  FROM orders
+           |), stats AS (
+           |  SELECT count(*) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS sc,
+           |    sum(CAST(cents * cents AS DECIMAL(38,0))) AS sc2,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(cents * y) AS BIGINT) AS scy
+           |  FROM base
+           |), scaled AS (
+           |  SELECT n, sy,
+           |    CAST(sc AS DOUBLE) * 1e-7 AS bx,
+           |    CAST(sc2 AS DOUBLE) * 1e-14 AS cx,
+           |    CAST(sy AS DOUBLE) - CAST(n AS DOUBLE) / 2 AS u,
+           |    (CAST(scy AS DOUBLE) - CAST(sc AS DOUBLE) / 2) * 1e-7
+           |      AS v
+           |  FROM stats
+           |), solved AS (
+           |  SELECT n, sy, bx, cx, u, v,
+           |    (n * cx - bx * bx) AS det
+           |  FROM scaled
+           |)
+           |SELECT CAST(n AS BIGINT) AS n, sy,
+           |  round(4.0 * (cx * u - bx * v) / det, 6)
+           |    AS beta_intercept,
+           |  round(4.0 * (n * v - bx * u) / det, 6) AS beta_price,
+           |  round(1.0 / (1.0 + exp(-(
+           |    (4.0 * (cx * u - bx * v) / det) +
+           |      (4.0 * (n * v - bx * u) / det) * (bx / n)))), 6)
+           |    AS p_at_mean_price
+           |FROM solved""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -4550,5 +4639,5 @@ object Metrics {
     qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445,
     qWacInventory, qLinkFellegi, qMetaAnalysis, qFdrBh,
     qDid, qCuped, qRakeIpf, qCovariateBalance,
-    qTheilSen, qGrowthAccounting)
+    qTheilSen, qGrowthAccounting, qGlmIrlsStep)
 }

@@ -4355,7 +4355,7 @@ object Extras {
       try {
         spark.sql(
           s"""BEGIN
-             |  DECLARE t DOUBLE DEFAULT 64.0;
+             |  DECLARE t DOUBLE DEFAULT 4096.0;
              |  DECLARE c BIGINT DEFAULT -1;
              |  DECLARE iters INT DEFAULT 0;
              |  REPEAT
@@ -4377,9 +4377,9 @@ object Extras {
       }
     },
     Some("""WITH RECURSIVE steps AS (
-           |  SELECT CAST(128.0 AS DOUBLE) AS t, 1 AS iters,
+           |  SELECT CAST(8192.0 AS DOUBLE) AS t, 1 AS iters,
            |    (SELECT count(*) FROM orders
-           |     WHERE o_totalprice > 128.0) AS c
+           |     WHERE o_totalprice > 8192.0) AS c
            |  UNION ALL
            |  SELECT t * 2, iters + 1,
            |    (SELECT count(*) FROM orders

@@ -2218,6 +2218,14 @@ object Metrics {
         .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("rev"))
         .withColumn("rk", row_number().over(Window.partitionBy($"wk")
           .orderBy($"rev".desc, $"l_partkey")))
+      // The week-shift self-join reads this frame twice. Materializing
+      // it was MEASURED WORSE at sf0.1 (localCheckpoint 3.9 s vs 2.4 s
+      // recompute, same session): the duplicated scan+agg+rank is
+      // cheaper than writing/reading the checkpoint blocks, and the
+      // parquet scan is the shared cold cost either way. Recompute
+      // stands; at a scale where the ranked frame is expensive, a
+      // cached table (E93's machinery) is the right lever, not an
+      // eager checkpoint.
       weekly.as("cur")
         .join(weekly.as("prev"),
           $"cur.l_partkey" === $"prev.l_partkey" &&

@@ -594,16 +594,29 @@ object Corpus {
         .withColumn("prefix",
           expr("slice(toks, 1, n - CAST((n + 1) DIV 2 AS INT) + 1)"))
         .localCheckpoint()
-      val pref = sets.select($"k", $"n", explode($"prefix").as("t"))
-      // length filter (the PPJoin companion to the prefix filter):
-      // J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|) — at τ=0.5, sizes
-      // within 2× — so size-discordant candidates drop BEFORE the
-      // verify join ever sees them; exactness is untouched (a dropped
-      // pair has J ≤ min/max < τ); the round-13 bench records the
-      // before/after (5.1 s unfiltered at sf0.1).
+      val pref = sets.select($"k", $"n",
+        posexplode($"prefix").as(Seq("i", "t")))
+      // Two PPJoin companions to the prefix filter, both
+      // exactness-preserving:
+      //  - length filter: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|)
+      //    — at τ=0.5, sizes within 2× — so size-discordant
+      //    candidates drop BEFORE the verify join (5.1 s unfiltered
+      //    at sf0.1, recorded round-13);
+      //  - positional filter: for the FIRST common token (global
+      //    rarity order, positions i₁/i₂), every further common token
+      //    lies in both suffixes, so c ≤ 1 + min(n₁−i₁−1, n₂−i₂−1);
+      //    J ≥ τ needs c ≥ (n₁+n₂)·τ/(1+τ) = (n₁+n₂)/3, so matches
+      //    whose positions can't reach it generate no candidate. A
+      //    qualifying pair always survives: its first common token is
+      //    inside both prefixes (else the prefix theorem is violated)
+      //    and satisfies the bound by definition. Added after the sf1
+      //    rung measured the unpositioned form at 136.8 s — candidate
+      //    density, not the verify, is the scale driver.
       val cand = pref.as("a")
         .join(pref.as("b"), $"a.t" === $"b.t" && $"a.k" < $"b.k" &&
-          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
+          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2 &&
+          (lit(1) + least($"a.n" - $"a.i" - 1, $"b.n" - $"b.i" - 1)) * 3
+            >= $"a.n" + $"b.n")
         .select($"a.k".as("k1"), $"b.k".as("k2")).distinct()
       cand
         .join(sets.select($"k".as("k1"), $"toks".as("ta"),

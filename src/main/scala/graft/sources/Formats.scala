@@ -683,6 +683,44 @@ object Formats {
            |  TRUE AS within_bound
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
+  /** E319: **custom DSv2 source with real pushdown** — the connector-
+    * development surface (SeriesSource.scala): a deterministic series
+    * GENERATOR table whose ScanBuilder implements
+    * `SupportsPushDownFilters` (range predicates on the row index
+    * narrow the generated range itself — rows outside [lo, hi) are
+    * never materialized, the generator analogue of row-group pruning)
+    * and `SupportsPushDownRequiredColumns` (a pruned column is never
+    * computed), split into parallel InputPartitions. The oracle
+    * recomputes the identical rows from DuckDB's `range()` — so the
+    * hash gates the pushdown ARITHMETIC (an off-by-one in the >=/< →
+    * [lo, hi) translation shifts a bucket count), the Knuth value
+    * function, and the partition-split completeness. PlanSuite locks
+    * the scan description to the narrowed bounds and pruned column
+    * set. */
+  val qSourceDsv2Pushdown = Q("q_source_dsv2_pushdown",
+    (spark, sfDir) => {
+      import spark.implicits._
+      spark.read.format("graft.sources.SeriesSource")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter($"i" >= 25000L && $"i" < 75000L)
+        .select($"i", $"value")
+        .groupBy(($"i" % 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min($"i").as("min_i"), max($"i").as("max_i"),
+          round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH s AS (
+           |  SELECT i,
+           |    CAST(i * 2654435761 % 2147483648 % 10000 AS DOUBLE)
+           |      / 100.0 AS value
+           |  FROM range(25000, 75000) t(i)
+           |)
+           |SELECT CAST(i % 10 AS INT) AS bucket, count(*) AS n,
+           |  min(i) AS min_i, max(i) AS max_i,
+           |  round(sum(value), 4) AS sum_value
+           |FROM s GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   /** REBALANCE-hinted output — the 100 TB small-files answer on the
     * WRITE side: a plain `df.write` emits one file per task (32 here;
     * tens of thousands on a real cluster — the classic small-files
@@ -2169,7 +2207,7 @@ object Formats {
     qSourceXml, qSourceText, qSourceBinary, qSourceJdbc, qSourceBucketed,
     qJoinCboReorder,
     qAggApprox, qAggHllUnion, qAggCmsFreq, qAggQuantileMerge,
-    qAggThetaOverlap, qAggTopkSketch,
+    qAggThetaOverlap, qAggTopkSketch, qSourceDsv2Pushdown,
     qSourcePartitioned, qSourcePartitionOverwrite, qSourceDpp,
     qSourceSchemaEvolution,
     qOutputRebalance, qLayoutZorder, qLayoutHilbert,

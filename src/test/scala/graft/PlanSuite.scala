@@ -317,6 +317,17 @@ class PlanSuite extends AnyFunSuite {
       s"generalization ladder joins must broadcast, got:\n$gen")
   }
 
+  test("DSv2 series source narrows its range and prunes columns") {
+    // E319: the pushed [25000, 75000) bounds and the i,value column
+    // subset must appear in the scan's own description — proof the
+    // generator never materializes out-of-range rows or the ts column
+    val p = plan("q_source_dsv2_pushdown")
+    assert(p.contains("SeriesScan[lo=25000, hi=75000"),
+      s"pushed range missing from scan description:\n$p")
+    assert(p.contains("cols=i,value"),
+      s"column pruning missing from scan description:\n$p")
+  }
+
   test("top-k-per-key runs two-phase: map-side partial below the exchange") {
     val p = plan("q_topk_per_key")
     val fin = p.indexOf("TopKPerKey [")

@@ -3347,6 +3347,23 @@ class OperatorSuite extends AnyFunSuite {
     assert(row.getLong(0) == xy2d(3, 3L, 5L))
   }
 
+  test("DSv2 series source: count-star, point lookup, empty range") {
+    // E319 edge cases: COUNT(*) prunes to a ZERO-column read schema
+    // (the reader must emit empty rows, not crash); EqualTo narrows
+    // to a single row; contradictory bounds clamp to an empty range
+    // instead of a negative one.
+    import org.apache.spark.sql.functions.col
+    def src = spark.read.format("graft.sources.SeriesSource")
+      .option("rows", "100").option("slices", "3").load()
+    assert(src.count() == 100L)
+    val one = src.filter(col("i") === 42L).select("i", "value").collect()
+    assert(one.length == 1 && one.head.getLong(0) == 42L)
+    assert(one.head.getDouble(1) ==
+      graft.sources.SeriesSource.valueAt(42L))
+    assert(src.filter(col("i") > 1000L).count() == 0L)
+    assert(src.filter(col("i") >= 90L && col("i") < 90L).count() == 0L)
+  }
+
   test("hashed substring dedup equals the literal-window form") {
     // E288 ≡ E287: same windows, same counts, same representatives —
     // any difference would be a 64-bit collision (or a bug).

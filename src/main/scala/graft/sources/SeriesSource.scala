@@ -56,7 +56,9 @@ class SeriesSource extends TableProvider {
       .getOrElse(1000L)
     val slices = Option(properties.get("slices")).map(_.toInt)
       .getOrElse(4)
-    new SeriesTable(rows, slices)
+    val maxRows = Option(properties.get("maxRowsPerBatch"))
+      .map(_.toLong).getOrElse(rows)
+    new SeriesTable(rows, slices, maxRows)
   }
 }
 
@@ -73,18 +75,21 @@ object SeriesSource {
     (i * 2654435761L % 2147483648L % 10000L) / 100.0
 }
 
-private[sources] class SeriesTable(rows: Long, slices: Int)
+private[sources] class SeriesTable(rows: Long, slices: Int,
+    maxRowsPerBatch: Long)
   extends Table with SupportsRead {
   override def name(): String = s"graft_series($rows)"
   override def schema(): StructType = SeriesSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeriesScanBuilder(rows, slices)
+    new SeriesScanBuilder(rows, slices, maxRowsPerBatch)
 }
 
-private[sources] class SeriesScanBuilder(rows: Long, slices: Int)
+private[sources] class SeriesScanBuilder(rows: Long, slices: Int,
+    maxRowsPerBatch: Long)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -127,17 +132,37 @@ private[sources] class SeriesScanBuilder(rows: Long, slices: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new SeriesScan(lo, math.max(lo, hi), slices, required)
+    new SeriesScan(lo, math.max(lo, hi), slices, required,
+      maxRowsPerBatch)
 }
 
 private[sources] class SeriesScan(lo: Long, hi: Long, slices: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, maxRowsPerBatch: Long)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"SeriesScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    SeriesScan.split(lo, hi, slices)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeriesReaderFactory(required.fieldNames)
+
+  /** Streaming face of the same scan: the row index IS the offset
+    * (exactly-once replay = regenerate [start, end)), and admission
+    * control caps each micro-batch at `maxRowsPerBatch` — the custom-
+    * source analogue of maxFilesPerTrigger, driven through Spark's
+    * own ReadLimit contract rather than a side channel. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeriesMicroBatchStream(lo, hi, slices, maxRowsPerBatch,
+      required.fieldNames)
+}
+
+private[sources] object SeriesScan {
+  def split(lo: Long, hi: Long, slices: Int): Array[InputPartition] = {
     val n = math.max(1, slices)
     val len = hi - lo
     (0 until n).map { k =>
@@ -146,9 +171,57 @@ private[sources] class SeriesScan(lo: Long, hi: Long, slices: Int,
       SeriesPartition(s, e): InputPartition
     }.toArray
   }
+}
+
+private[sources] case class SeriesOffset(v: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] class SeriesMicroBatchStream(lo: Long, hi: Long,
+    slices: Int, maxRowsPerBatch: Long, cols: Array[String])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset,
+    ReadLimit, SupportsAdmissionControl}
+
+  override def initialOffset(): Offset = SeriesOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    SeriesOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch >= hi - lo) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxRowsPerBatch)
+
+  // plain latestOffset() is the no-admission-control legacy path;
+  // Spark calls the (start, limit) overload when the source declares
+  // SupportsAdmissionControl
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeriesOffset].v
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming
+        .ReadMaxRows => math.min(hi, s + r.maxRows())
+      case _ => hi
+    }
+    SeriesOffset(cap)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] =
+    SeriesScan.split(start.asInstanceOf[SeriesOffset].v,
+      end.asInstanceOf[SeriesOffset].v, slices)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeriesReaderFactory(required.fieldNames)
+    new SeriesReaderFactory(cols)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class SeriesPartition(start: Long, end: Long)

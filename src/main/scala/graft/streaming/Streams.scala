@@ -1099,11 +1099,46 @@ object Streams {
            |FROM events GROUP BY event_type ORDER BY event_type"""
       .stripMargin))
 
+  /** E320: **custom streaming source (MicroBatchStream)** — the
+    * stream face of the E319 DSv2 connector: the row index IS the
+    * offset (replaying [start, end) regenerates identical rows —
+    * the determinism exactly-once rests on), and micro-batch size is
+    * governed by Spark's own admission-control contract
+    * (`SupportsAdmissionControl.latestOffset(start, ReadLimit)` with
+    * `ReadLimit.maxRows` — the custom-source analogue of
+    * maxFilesPerTrigger, E104's admission story without a file
+    * listing). 50k rows drain in five bounded micro-batches into a
+    * complete-mode aggregate; the oracle recomputes the buckets from
+    * DuckDB `range()`, so a skipped batch, a replayed batch, or an
+    * off-by-one in the offset arithmetic shifts a bucket count and
+    * fails the hash. */
+  val qStreamSeries = Q("q_stream_series",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val src = spark.readStream.format("graft.sources.SeriesSource")
+        .option("rows", "50000").option("slices", "4")
+        .option("maxRowsPerBatch", "10000").load()
+      val agg = src.groupBy(($"i" % 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value"), 4).as("sum_value"))
+      StreamRun.toTable(spark, agg, "t_series", "complete")
+        .orderBy($"bucket")
+    },
+    Some("""WITH s AS (
+           |  SELECT i,
+           |    CAST(i * 2654435761 % 2147483648 % 10000 AS DOUBLE)
+           |      / 100.0 AS value
+           |  FROM range(0, 50000) t(i)
+           |)
+           |SELECT CAST(i % 10 AS INT) AS bucket, count(*) AS n,
+           |  round(sum(value), 4) AS sum_value
+           |FROM s GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   val all: Seq[Q] = Seq(qStreamTumbling, qStreamSliding, qStreamSession,
     qStreamWatermark, qStreamDedup, qStreamDedupWm, qStreamDedupAgg,
     qStreamState, qStreamTws, qStreamTimeout, qStreamJoin,
     qStreamJoinOuter,
     qStreamJoinFull, qStreamAvailableNow, qStreamFileSink,
     qStreamQuantile, qStreamListener, qStreamKmv, qStreamBackfillUnion,
-    qStreamResume)
+    qStreamResume, qStreamSeries)
 }

@@ -4623,6 +4623,77 @@ object Metrics {
            |    AS p_at_mean_price
            |FROM solved""".stripMargin))
 
+  /** E321: **split-conformal prediction intervals** — the
+    * distribution-free uncertainty wrapper modern ML evals put around
+    * ANY point predictor: fit on a train split, take q̂ = the 90th
+    * percentile of absolute residuals on a held-out CALIBRATION
+    * split, and the interval prediction ± q̂ then covers ≥90% of
+    * fresh points by the exchangeability argument alone — no model
+    * assumptions. The splits are the deterministic-hash discipline
+    * (user_id mod 4: train {0,1}, calibrate 2, test 3 — the E25
+    * leakage-safe grouping, so one user never straddles splits).
+    * Predictor: per-type train mean from DECIMAL-exact sums; q̂: the
+    * exact interpolated percentile both engines define identically;
+    * the output audits the EMPIRICAL test coverage next to the
+    * nominal 0.9. Two broadcast stat joins (5-row frames) + three
+    * conditional aggregations — one fact scan each at any scale. */
+  val qConformal = Q("q_conformal",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val ev = Tables.read(spark, sfDir, "events")
+        .select($"event_type", ($"user_id" % 4).cast("int").as("split"),
+          $"value")
+      val fit = ev.filter($"split" <= 1).groupBy($"event_type")
+        .agg(count(lit(1)).as("n_train"),
+          (sum($"value".cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mu"))
+      val cal = ev.filter($"split" === 2)
+        .join(broadcast(fit), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_cal"),
+          percentile(abs($"value" - $"mu"), lit(0.9)).as("qhat"))
+      ev.filter($"split" === 3)
+        .join(broadcast(fit), Seq("event_type"))
+        .join(broadcast(cal), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(first($"n_train").as("n_train"),
+          first($"n_cal").as("n_cal"),
+          count(lit(1)).as("n_test"),
+          round(first($"mu"), 6).as("mu"),
+          round(first($"qhat"), 6).as("qhat"),
+          round(sum((abs($"value" - $"mu") <= $"qhat").cast("long"))
+            .cast("double") / count(lit(1)), 6).as("coverage"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type,
+           |    CAST(user_id % 4 AS INT) AS split, value
+           |  FROM events
+           |), fit AS (
+           |  SELECT event_type, count(*) AS n_train,
+           |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+           |      count(*) AS mu
+           |  FROM ev WHERE split <= 1 GROUP BY 1
+           |), cal AS (
+           |  SELECT e.event_type, count(*) AS n_cal,
+           |    quantile_cont(abs(value - mu), 0.9) AS qhat
+           |  FROM ev e JOIN fit USING (event_type)
+           |  WHERE split = 2 GROUP BY 1
+           |)
+           |SELECT e.event_type,
+           |  CAST(min(n_train) AS BIGINT) AS n_train,
+           |  CAST(min(n_cal) AS BIGINT) AS n_cal,
+           |  count(*) AS n_test,
+           |  round(min(mu), 6) AS mu,
+           |  round(min(qhat), 6) AS qhat,
+           |  round(CAST(sum(CASE WHEN abs(value - mu) <= qhat
+           |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           |    AS coverage
+           |FROM ev e JOIN fit USING (event_type)
+           |  JOIN cal USING (event_type)
+           |WHERE split = 3
+           |GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   private val windowViewRun =
     new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -4647,5 +4718,5 @@ object Metrics {
     qFifoAllocation, qTheilIndex, qForecastHolt, qFiscal445,
     qWacInventory, qLinkFellegi, qMetaAnalysis, qFdrBh,
     qDid, qCuped, qRakeIpf, qCovariateBalance,
-    qTheilSen, qGrowthAccounting, qGlmIrlsStep)
+    qTheilSen, qGrowthAccounting, qGlmIrlsStep, qConformal)
 }

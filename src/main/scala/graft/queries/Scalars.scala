@@ -549,9 +549,59 @@ object Scalars {
            |      AS DATE)) AS clamped
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** E322: **URL parsing scalars** — `parse_url`'s component
+    * extraction (HOST / PATH / QUERY / REF and the two-argument
+    * query-parameter form), the scalar family every clickstream/log
+    * pipeline leans on and the dedup-by-canonical-URL step needs.
+    * The fixture carries no URL column, so URLs are BUILT
+    * deterministically from document attributes (host from source,
+    * path from doc id, query from lang) — the parse must invert the
+    * construction exactly, and the oracle does the inversion with
+    * plain string/regexp functions (DuckDB has no parse_url), so the
+    * two engines cross-check each other's parsers. Adds the
+    * canonical-URL projection (scheme+host+path, query and fragment
+    * stripped, the dedup key) per row. Zero shuffles beyond the
+    * ORDER BY. */
+  val qScalarUrl = Q("q_scalar_url",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "documents")
+        .select($"doc_id",
+          concat(lit("https://"), $"source", lit(".example.com/docs/"),
+            $"doc_id", lit("?lang="), $"lang", lit("&v=2#sec"),
+            ($"doc_id" % 5)).as("url"))
+        .select($"doc_id", $"url",
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'REF')").as("fragment"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"),
+          concat(lit("https://"),
+            expr("parse_url(url, 'HOST')"),
+            expr("parse_url(url, 'PATH')")).as("canonical_url"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (
+           |  SELECT doc_id,
+           |    'https://' || source || '.example.com/docs/' ||
+           |      doc_id || '?lang=' || lang || '&v=2#sec' ||
+           |      (doc_id % 5) AS url
+           |  FROM documents
+           |)
+           |SELECT doc_id, url,
+           |  regexp_extract(url, 'https://([^/]+)', 1) AS host,
+           |  regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1) AS path,
+           |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+           |  regexp_extract(url, '#(.*)$', 1) AS fragment,
+           |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           |  'https://' || regexp_extract(url, 'https://([^/]+)', 1) ||
+           |    regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1)
+           |    AS canonical_url
+           |FROM u ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qScalarDate, qScalarString, qScalarMath,
     qScalarCase, qScalarJson, qScalarVariant, qArrayHof, qScalarRegex,
     qScalarTry, qSqlParams, qScalarEditDist, qMapHof,
     qScalarJaroWinkler, qRuleEditdistPrefilter, qScalarDatefmt,
-    qScalarDamerau, qScalarInterval)
+    qScalarDamerau, qScalarInterval, qScalarUrl)
 }

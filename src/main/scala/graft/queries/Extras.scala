@@ -4389,6 +4389,85 @@ object Extras {
            |SELECT t AS threshold, CAST(c AS BIGINT) AS n_above, iters
            |FROM steps WHERE c < 1000""".stripMargin))
 
+  /** E323: **interval complement (gap extraction)** — the other half
+    * of interval algebra: E59 fills value gaps, E-interval-merge
+    * coalesces overlaps into covered spans; this row emits the FREE
+    * intervals BETWEEN the merged spans — the scheduling/SLA idle-
+    * window finder ("when was this subject NOT under observation"),
+    * which for the reference's data model is literally the
+    * out-of-hospital gap list between admissions. Same
+    * open-marker/span-id sweep as the merge row (one window pass,
+    * partitioned by subject — no self-join), then one lag over the
+    * per-subject SPAN table (dimension-sized relative to the fact
+    * input) yields each gap as (prev span end, next span start).
+    * Exact integer day arithmetic end to end. */
+  val qIntervalGaps = Q("q_interval_gaps",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val iv = Tables.read(spark, sfDir, "orders")
+        .select($"o_custkey",
+          datediff(to_date($"o_orderdate"),
+            lit("1970-01-01").cast("date")).as("s"))
+        .withColumn("e", $"s" + 7)
+      val before = Window.partitionBy($"o_custkey").orderBy($"s", $"e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val upto = Window.partitionBy($"o_custkey").orderBy($"s", $"e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val spans = iv
+        .withColumn("prev_e", max($"e").over(before))
+        .withColumn("opens",
+          ($"prev_e".isNull || $"s" > $"prev_e").cast("int"))
+        .withColumn("span", sum($"opens").over(upto))
+        .groupBy($"o_custkey", $"span")
+        .agg(min($"s").as("ms"), max($"e").as("me"))
+      spans
+        .withColumn("prev_me", lag($"me", 1).over(
+          Window.partitionBy($"o_custkey").orderBy($"ms")))
+        .filter($"prev_me".isNotNull && $"ms" > $"prev_me")
+        .select($"o_custkey".as("cust_key"),
+          $"prev_me".as("gap_start"), $"ms".as("gap_end"),
+          ($"ms" - $"prev_me").cast("long").as("gap_days"))
+        .orderBy($"cust_key", $"gap_start")
+    },
+    Some("""WITH iv AS (
+           |  SELECT o_custkey,
+           |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |      AS INTEGER) AS s,
+           |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           |      AS INTEGER) + 7 AS e
+           |  FROM orders
+           |), marked AS (
+           |  SELECT o_custkey, s, e,
+           |    max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS prev_e
+           |  FROM iv
+           |), opened AS (
+           |  SELECT o_custkey, s, e,
+           |    CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END
+           |      AS opens
+           |  FROM marked
+           |), numbered AS (
+           |  SELECT o_custkey, s, e,
+           |    sum(opens) OVER (PARTITION BY o_custkey ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS span
+           |  FROM opened
+           |), spans AS (
+           |  SELECT o_custkey, span, min(s) AS ms, max(e) AS me
+           |  FROM numbered GROUP BY 1, 2
+           |), gapped AS (
+           |  SELECT o_custkey, ms, me,
+           |    lag(me) OVER (PARTITION BY o_custkey ORDER BY ms)
+           |      AS prev_me
+           |  FROM spans
+           |)
+           |SELECT o_custkey AS cust_key, prev_me AS gap_start,
+           |  ms AS gap_end, CAST(ms - prev_me AS BIGINT) AS gap_days
+           |FROM gapped
+           |WHERE prev_me IS NOT NULL AND ms > prev_me
+           |ORDER BY cust_key, gap_start""".stripMargin))
+
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
     qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
@@ -4408,5 +4487,6 @@ object Extras {
     qSweepConcurrency, qRollingAnomaly, qPercentileRibbon,
     qAgingBuckets, qIdempotentIngest, qTopPaths, qZipfFit,
     qRollingMedian, qCohortLtv, qSkewProfile, qFreshness,
-    qBitemporal, qJoinScd2Pit, qSqlUdf, qBomRollup, qSqlScripting)
+    qBitemporal, qJoinScd2Pit, qSqlUdf, qBomRollup, qSqlScripting,
+    qIntervalGaps)
 }

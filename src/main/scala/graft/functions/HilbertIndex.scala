@@ -1,10 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression,
   TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** 2D Hilbert-curve index (the `xy2d` transform): the distance along
   * the order-`k` Hilbert curve at grid cell (x, y), side n = 2^k.
@@ -65,8 +66,20 @@ case class HilbertIndexExpr(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
   // AbstractDataType is private[sql] so ExpectsInputTypes is not
-  // available to third-party expressions; callers cast x/y to BIGINT
-  // (as the sibling expressions require) and order is an INT literal.
+  // available to third-party expressions; this explicit override gives
+  // the same analysis-time error an ExpectsInputTypes mixin would —
+  // without it an INT x/y or BIGINT order survives analysis and dies
+  // at runtime (interpreted: ClassCastException; codegen: Janino
+  // compile failure). ADVICE r13.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, LongType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (x, y, o) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert_index requires (BIGINT x, BIGINT y, INT order), " +
+          s"got (${x.sql}, ${y.sql}, ${o.sql})")
+    }
+
   override def dataType: DataType = LongType
   override def prettyName: String = "hilbert_index"
 

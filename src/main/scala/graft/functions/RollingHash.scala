@@ -1,11 +1,13 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression,
   TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
+  LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rabin–Karp polynomial rolling hashes of every `width`-char window
@@ -63,6 +65,16 @@ object RollingHashHelper {
   * [[GraftExtensions]]. */
 case class RollingHashExpr(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
+
+  // analysis-time input validation (see HilbertIndexExpr; ADVICE r13)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (s, w, st) => TypeCheckResult.TypeCheckFailure(
+        s"rolling_hashes requires (STRING text, INT width, INT stride)," +
+          s" got (${s.sql}, ${w.sql}, ${st.sql})")
+    }
 
   override def dataType: DataType = ArrayType(LongType, false)
   override def prettyName: String = "rolling_hashes"

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, Cast, Coalesce, Expression, ExprId, Literal,
   NamedExpression}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
@@ -198,8 +199,21 @@ object RollupRewrite extends Rule[LogicalPlan] {
     if (ok) Some(re) else None
   }
 
-  private def summaryAttr(d: RollupDef, name: String): Option[Attribute] =
-    d.summaryPlan.output.find(_.name == name)
+  /** A PER-REWRITE instance of the summary plan. Two rewritable
+    * aggregates in one query (self-join / union of aggregates over the
+    * base) must NOT share scan ExprIds — that is the duplicate-
+    * attribute-id situation analysis-time DeduplicateRelations exists
+    * to prevent, and this rule runs after it. File reads analyze to a
+    * MultiInstanceRelation leaf (LogicalRelation), so `newInstance()`
+    * re-ids the output; a summary plan with non-leaf structure above
+    * the relation cannot be safely re-id'd here and keeps the shared
+    * instance (registration via spark.read never produces one). */
+  private def freshSummary(d: RollupDef): LogicalPlan =
+    d.summaryPlan match {
+      case m: MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (ge, ae, child) =
@@ -211,6 +225,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // base at exactly the dim grain but its registration happens
     // after the build; this guard keeps a re-run of the build honest
     if (child.fastEquals(d.summaryPlan)) return None
+
+    val sumPlan = freshSummary(d)
+    def summaryAttr(name: String): Option[Attribute] =
+      sumPlan.output.find(_.name == name)
 
     val anchoredDims = d.dims.flatMap { case (n, t) =>
       anchor(t, rel.output).map(n -> _)
@@ -236,24 +254,27 @@ object RollupRewrite extends Rule[LogicalPlan] {
       if (a.isDistinct || a.filter.isDefined) return None
       def src(e: Expression) = resolveThrough(e, subst)
       a.aggregateFunction match {
-        case Count(Seq(Literal(_, _))) =>
-          summaryAttr(d, d.cntCol).map { c =>
+        // non-null literal ONLY: count(*)/count(1). COUNT(NULL) — or
+        // any count argument constant-folded to a null literal — is 0,
+        // not the cell row count (ADVICE r13).
+        case Count(Seq(Literal(v, _))) if v != null =>
+          summaryAttr(d.cntCol).map { c =>
             Coalesce(Seq(
               Sum(c).toAggregateExpression(), Literal(0L)))
           }
         case Sum(e, em) =>
           aSums.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
-            summaryAttr(d, n).map(c =>
+            summaryAttr(n).map(c =>
               Cast(Sum(c, em).toAggregateExpression(), a.dataType))
           }
         case Min(e) =>
           aMins.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
-            summaryAttr(d, n).map(c =>
+            summaryAttr(n).map(c =>
               Cast(Min(c).toAggregateExpression(), a.dataType))
           }
         case Max(e) =>
           aMaxs.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
-            summaryAttr(d, n).map(c =>
+            summaryAttr(n).map(c =>
               Cast(Max(c).toAggregateExpression(), a.dataType))
           }
         case _ => None
@@ -267,12 +288,25 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // not be visited individually — they only exist inside the
     // re-aggregated form), and bare attributes outside any aggregate
     // are grouping references that map to their dim column.
+    // a select-list expression that IS a grouping dim — bare attribute
+    // or computed (e.g. to_date(l_shipdate)) — maps to its summary dim
+    // column as a whole; only grouped dims qualify (ADVICE r13: the
+    // recursive case used to abort the rewrite on computed dims)
+    val groupedDims = dimFor.values.toSet
+    def asGroupedDim(e: Expression): Option[String] =
+      dimFor.get(e.canonicalized).orElse {
+        val r = resolveThrough(e, subst)
+        anchoredDims.find(_._2.semanticEquals(r)).map(_._1)
+          .filter(groupedDims)
+      }
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case a: AggregateExpression => reAgg(a)
       case a: AttributeReference =>
         dimFor.get(resolveThrough(a, subst).canonicalized)
           .orElse(dimFor.get(a.canonicalized))
-          .flatMap(summaryAttr(d, _))
+          .flatMap(summaryAttr)
+      case e if e.children.nonEmpty && asGroupedDim(e).isDefined =>
+        asGroupedDim(e).flatMap(summaryAttr)
       case leaf if leaf.children.isEmpty => Some(leaf)
       case other =>
         val kids = other.children.map(rewriteExpr)
@@ -295,10 +329,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // grouping expressions over the summary: non-attribute grouping
     // expressions (e.g. to_date(...)) map to their dim column too
     val newGe = ge.map { g =>
-      dimFor.get(g.canonicalized).flatMap(summaryAttr(d, _))
+      dimFor.get(g.canonicalized).flatMap(summaryAttr)
         .getOrElse(return None)
     }
 
-    Some(Aggregate(newGe, newAe, d.summaryPlan))
+    Some(Aggregate(newGe, newAe, sumPlan))
   }
 }

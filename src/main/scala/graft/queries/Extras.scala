@@ -4196,7 +4196,7 @@ object Extras {
            |      AS HUGEINT) AS cents
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |)
-           |SELECT orders_so_far AS order_era,
+           |SELECT CAST(orders_so_far AS BIGINT) AS order_era,
            |  count(*) AS n_shipments,
            |  CAST(sum(cents) AS BIGINT) AS revenue_cents
            |FROM facts JOIN versions

@@ -3347,6 +3347,87 @@ class OperatorSuite extends AnyFunSuite {
     assert(row.getLong(0) == xy2d(3, 3L, 5L))
   }
 
+  test("native expressions reject wrong input types at analysis time") {
+    // ADVICE r13: without checkInputDataTypes an INT x/y (or BIGINT
+    // order) survived analysis and died at runtime — interpreted path
+    // ClassCastException, codegen path a Janino compile failure. Both
+    // expressions must now fail ANALYSIS with a readable message.
+    import org.apache.spark.sql.AnalysisException
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT hilbert_index(3, 5, 3)").collect()
+    }
+    assert(e1.getMessage.contains("hilbert_index"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT hilbert_index(CAST(3 AS BIGINT), CAST(5 AS BIGINT), " +
+          "CAST(3 AS BIGINT))").collect()
+    }
+    assert(e2.getMessage.contains("hilbert_index"))
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT rolling_hashes('abcd', CAST(2 AS BIGINT), 1)")
+        .collect()
+    }
+    assert(e3.getMessage.contains("rolling_hashes"))
+    // and the valid signatures still analyze + run
+    assert(spark.sql(
+      "SELECT size(rolling_hashes('abcd', 2, 1)) n").head().getInt(0) == 3)
+  }
+
+  test("rollup rewrite: count(null), twin branches, computed dim") {
+    // The three ADVICE r13 rollup findings, each locked:
+    //  1. COUNT(NULL) over the registered base must NOT rewrite to
+    //     sum(cnt) — its correct value is 0, not the cell row count.
+    //  2. Two rewritable aggregates in ONE query (union) must get
+    //     DISTINCT summary-scan ExprIds (fresh plan instance per
+    //     rewrite), not two branches sharing attribute ids.
+    //  3. A COMPUTED grouping dim (to_date(l_shipdate)) appearing in
+    //     the select list must map to the summary dim column instead
+    //     of silently aborting the rewrite.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    graft.queries.Scale.qAggRollupRewrite.fn(spark, sf).collect() // register
+    val base = Tables.read(spark, sf, "lineitem")
+    // (1) count(null) = 0 everywhere
+    val cn = base.groupBy($"l_returnflag")
+      .agg(count(lit(null)).as("c")).collect()
+    assert(cn.nonEmpty && cn.forall(_.getLong(1) == 0L),
+      s"COUNT(NULL) must be 0, got ${cn.mkString(",")}")
+    // (3) computed-dim grouping rewrites to the rollup scan and the
+    // kill switch restores identical rows from the base
+    def computed() = base
+      .groupBy(to_date($"l_shipdate"))
+      .agg(sum($"l_quantity".cast("decimal(18,2)"))
+        .cast("double").as("s"))
+      .toDF("ship_day", "s")
+      .orderBy($"ship_day")
+    val onRows = computed().collect().toSeq
+    val onDf = computed()
+    onDf.collect()
+    assert(walk(onDf.queryExecution.executedPlan)
+        .exists(_.contains("graft-rollup")),
+      "computed grouping dim must use the rollup")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try assert(computed().collect().toSeq === onRows)
+    finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    // (2) twin rewrites in one plan: distinct summary output ids
+    val twin = computed().limit(3).union(computed().limit(3))
+    val aggOutsIds = twin.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.child.output.map(_.exprId).toSet
+    }
+    assert(aggOutsIds.size == 2, s"expected 2 aggregates, $aggOutsIds")
+    assert(aggOutsIds(0).intersect(aggOutsIds(1)).isEmpty,
+      "twin rollup rewrites must not share scan ExprIds")
+  }
+
   test("DSv2 series source: count-star, point lookup, empty range") {
     // E319 edge cases: COUNT(*) prunes to a ZERO-column read schema
     // (the reader must emit empty rows, not crash); EqualTo narrows

@@ -39,3 +39,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // from GC pressure (host has 128 GiB — headroom is free locally)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// dev-only passthrough for A/B measurements (e.g.
+// -Dspark.graft.labelprop.broadcast=false, state-store provider
+// experiments) without editing this file per run; the driver never
+// sets it, so round artifacts always measure the defaults
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

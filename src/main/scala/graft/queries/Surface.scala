@@ -265,6 +265,150 @@ object Surface {
            |GROUP BY 1, 2
            |ORDER BY month, l_returnflag""".stripMargin))
 
+  /** E330: **EXECUTE IMMEDIATE** (Spark 4) — dynamic SQL with
+    * positional `?` parameters bound via USING, the SQL-side twin of
+    * the parameterized `spark.sql(sqlText, args)` API. Parameter
+    * binding (not string splicing) is the injection-safe idiom a
+    * metadata-driven warehouse needs; the oracle runs the resolved
+    * query directly. The dynamic text is itself assembled from a
+    * session VARIABLE to exercise the full Spark 4 variable surface
+    * (DECLARE/SET VAR feed the statement; E314's scripting row covers
+    * the procedural block form). */
+  val qSqlExecuteImmediate = Q("q_sql_execute_immediate",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val v = s"ei_orders_${viewRun.incrementAndGet()}"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      try {
+        spark.sql("DECLARE OR REPLACE VARIABLE ei_limit INT DEFAULT 40")
+        spark.sql("SET VAR ei_limit = 60")
+        spark.sql(
+          s"""EXECUTE IMMEDIATE
+             |  'SELECT o_orderstatus, count(*) AS n,
+             |     CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),
+             |       6) AS DOUBLE) AS revenue
+             |   FROM $v WHERE o_orderkey < ? GROUP BY o_orderstatus
+             |   ORDER BY o_orderstatus'
+             |  USING ei_limit""".stripMargin)
+      } finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6)
+           |    AS DOUBLE) AS revenue
+           |FROM orders WHERE o_orderkey < 60
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin))
+
+  /** E331: **grouping() / grouping_id()** — the disambiguation
+    * functions that make A5's GROUPING SETS output machine-readable:
+    * a NULL dim value in a super-aggregate row is indistinguishable
+    * from a NULL in the data without them. grouping_id() additionally
+    * gives the canonical integer encoding of WHICH dims are rolled
+    * up, the key BI tools pivot on. Identical surface in DuckDB, so
+    * the oracle is 1:1. */
+  val qAggGroupingId = Q("q_agg_grouping_id",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val v = s"gid_orders_${viewRun.incrementAndGet()}"
+      Tables.read(spark, sfDir, "orders").createOrReplaceTempView(v)
+      try {
+        spark.sql(
+          s"""SELECT coalesce(o_orderstatus, 'all') AS status,
+             |  coalesce(o_orderpriority, 'all') AS priority,
+             |  grouping(o_orderstatus) AS g_status,
+             |  grouping(o_orderpriority) AS g_priority,
+             |  CAST(grouping_id(o_orderstatus, o_orderpriority)
+             |    AS BIGINT) AS gid,
+             |  count(*) AS n
+             |FROM $v
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |  (o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, status, priority""".stripMargin)
+      } finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'all') AS status,
+           |  coalesce(o_orderpriority, 'all') AS priority,
+           |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+           |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority,
+           |  CAST(grouping_id(o_orderstatus, o_orderpriority)
+           |    AS BIGINT) AS gid,
+           |  count(*) AS n
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           |  (o_orderstatus), (o_orderpriority), ())
+           |ORDER BY gid, status, priority""".stripMargin))
+
+  /** E332: **timestamp arithmetic verbs** — `timestampadd` /
+    * `timestampdiff` / `date_part`, the ANSI forms F1's
+    * date-arithmetic row does not cover (it uses datediff/add_months
+    * style). Pure calendar arithmetic, no time zones — tz conversion
+    * semantics differ between the engines' type systems and belong to
+    * a session-config story, not a row-function one. Zero-shuffle
+    * scan; the events ts-unit gotcha is handled by the ev CTE canon
+    * on the oracle side. */
+  val qScalarTsArith = Q("q_scalar_ts_arith",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "events")
+        .filter($"event_id" < 50)
+        .select($"event_id",
+          expr("timestampadd(HOUR, 3, ts)").as("ts_plus3h"),
+          expr("timestampadd(DAY, -1, ts)").as("ts_minus1d"),
+          expr("timestampdiff(DAY, ts, timestampadd(HOUR, 50, ts))")
+            .cast("long").as("dd"),
+          expr("date_part('hour', ts)").cast("long").as("hr"),
+          // Spark date_part('dow') is 1=Sunday..7 (dayofweek); DuckDB
+          // dayofweek is 0=Sunday..6 — the oracle adds 1
+          expr("date_part('dow', ts)").cast("long").as("dow"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+           |)
+           |SELECT event_id,
+           |  ts + INTERVAL 3 HOUR AS ts_plus3h,
+           |  ts - INTERVAL 1 DAY AS ts_minus1d,
+           |  CAST(date_diff('day', ts, ts + INTERVAL 50 HOUR)
+           |    AS BIGINT) AS dd,
+           |  CAST(date_part('hour', ts) AS BIGINT) AS hr,
+           |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
+           |FROM ev WHERE event_id < 50
+           |ORDER BY event_id""".stripMargin))
+
+  /** E333: **array edit functions** — `array_insert`,
+    * `array_compact`, `array_distinct`, `array_prepend`: the
+    * mutation-shaped verbs F8's HOF row (transform/filter/aggregate)
+    * does not cover. Arrays are BUILT in-query from scalar columns so
+    * the oracle can state the expected result literally, and the
+    * output edge renders through `array_join` — rendered list
+    * syntax differs between engines ('[1 2]' vs '[1, 2]'), a string
+    * join is the canonical form. Row-local, zero shuffle. */
+  val qScalarArrayEdit = Q("q_scalar_array_edit",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Tables.read(spark, sfDir, "orders")
+        .filter($"o_orderkey".between(1, 50))
+        .select($"o_orderkey",
+          array_join(array_compact(array($"o_orderkey", lit(null),
+            $"o_orderkey" + 1)), ",").as("compacted"),
+          array_join(array_insert(array($"o_orderkey",
+            $"o_orderkey" + 1), lit(2), lit(99L)), ",").as("inserted"),
+          array_join(array_distinct(array($"o_orderkey",
+            $"o_orderkey", $"o_orderkey" + 1)), ",").as("distincted"),
+          array_join(array_prepend(array($"o_orderkey"), lit(0L)), ",")
+            .as("prepended"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  o_orderkey || ',' || (o_orderkey + 1) AS compacted,
+           |  o_orderkey || ',99,' || (o_orderkey + 1) AS inserted,
+           |  o_orderkey || ',' || (o_orderkey + 1) AS distincted,
+           |  '0,' || o_orderkey AS prepended
+           |FROM orders WHERE o_orderkey BETWEEN 1 AND 50
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(qSqlTablesample, qDfTranspose, qScalarXml,
-    qScalarMaps, qScalarTry, qAggRollupIncremental)
+    qScalarMaps, qScalarTry, qAggRollupIncremental,
+    qSqlExecuteImmediate, qAggGroupingId, qScalarTsArith,
+    qScalarArrayEdit)
 }

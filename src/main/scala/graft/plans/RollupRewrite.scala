@@ -9,8 +9,12 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+import org.apache.spark.sql.catalyst.expressions.{And,
+  GreaterThanOrEqual, IsNotNull, LessThan, PlanExpression,
+  RuntimeReplaceable}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.types.{DateType, TimestampType}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -51,10 +55,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * Scope guards, each load-bearing:
   *  - the aggregate's child must be the registered base relation
   *    under deterministic column-pruning Projects / SubqueryAliases
-  *    only — a Filter between aggregate and scan could silently drop
-  *    cells the rollup already merged, so it disables the rewrite
-  *    (predicate-aware rewrite over dim-only filters is the recorded
-  *    extension);
+  *    and (round 14) Filters whose every condition re-expresses over
+  *    the DIM columns — a dim predicate selects whole cells, so it
+  *    moves onto the summary scan verbatim; a predicate touching any
+  *    non-dim column (a measure) would split cells the rollup already
+  *    merged and still disables the rewrite;
   *  - every aggregate call must be non-DISTINCT, FILTER-free, and one
   *    of sum/count/min/max over a registered measure source;
   *  - every grouping expression must match a registered dim;
@@ -143,23 +148,32 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Peel deterministic Projects/SubqueryAliases, accumulating the
-    * alias substitution, down to a file-source relation. */
+  /** Peel deterministic Projects/SubqueryAliases — and Filters, whose
+    * conditions are COLLECTED, not skipped — accumulating the alias
+    * substitution, down to a file-source relation. A collected filter
+    * only permits the rewrite if `rewrite` can re-express every one of
+    * its conditions over the summary's dim columns (see
+    * `filterOnDims`); anything else still disables it. */
   private def stripToRelation(p: LogicalPlan,
-      subst: Map[ExprId, Expression])
-      : Option[(LogicalRelation, String, Map[ExprId, Expression])] =
+      subst: Map[ExprId, Expression],
+      conds: Seq[Expression] = Nil)
+      : Option[(LogicalRelation, String, Map[ExprId, Expression],
+          Seq[Expression])] =
     p match {
       case Project(projList, child) if projList.forall(_.deterministic) =>
         val next = subst ++ projList.collect {
           case a: Alias => a.exprId -> a.child
         }
-        stripToRelation(child, next)
-      case SubqueryAlias(_, child) => stripToRelation(child, subst)
+        stripToRelation(child, next, conds)
+      case SubqueryAlias(_, child) => stripToRelation(child, subst, conds)
+      case Filter(cond, child) if cond.deterministic &&
+          cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+        stripToRelation(child, subst, conds :+ cond)
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
             fs.location.rootPaths.headOption
-              .map(path => (lr, path.toString, subst))
+              .map(path => (lr, path.toString, subst, conds))
           case _ => None
         }
       case _ => None
@@ -218,7 +232,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (ge, ae, child) =
       (agg.groupingExpressions, agg.aggregateExpressions, agg.child)
-    val (rel, path, subst) =
+    val (rel, path, subst, conds) =
       stripToRelation(child, Map.empty).getOrElse(return None)
     val d = Option(registry.get(path)).getOrElse(return None)
     // never rewrite the rollup-build aggregate itself: it scans the
@@ -239,6 +253,79 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
     val (aSums, aMins, aMaxs) =
       (anchored(d.sums), anchored(d.mins), anchored(d.maxs))
+
+    // Predicate-aware extension (round 14, the scaladoc's recorded
+    // extension delivered): a Filter between the aggregate and the
+    // scan is safe IFF every condition re-expresses over the rollup's
+    // dim columns — a dim predicate selects WHOLE cells (every base
+    // row in a cell shares its dim values), so filtering summary
+    // cells ≡ filtering base rows. Any reference to a non-dim column
+    // (a measure, e.g. l_quantity > 10) aborts the rewrite: that
+    // predicate splits cells the rollup already merged.
+    // The optimizer unwraps `to_date(c) ⋈ DATE'd'` into raw timestamp
+    // bounds at day boundaries (`c >= TIMESTAMP'd 00:00:00'`,
+    // `c < TIMESTAMP'd+1 00:00:00'`, plus an isnotnull(c) guard)
+    // before this rule sees the filter, so a day-dim predicate
+    // arrives as comparisons on the BASE timestamp column. For the
+    // day-floor function these are exactly re-expressible: with
+    // midnight literal m(d), `c >= m(d)` ⟺ `to_date(c) >= d` and
+    // `c < m(d)` ⟺ `to_date(c) < d` (floor monotonicity; both
+    // directions checked in the suite), and to_date(c) is null iff c
+    // is. Guarded on session tz = UTC (the engine pins it; to_date
+    // flooring is tz-dependent). Other comparison shapes (>, <=, =,
+    // non-midnight literals) are NOT cell-expressible and abort.
+    def unwrapRR(e: Expression): Expression = e match {
+      case r: RuntimeReplaceable => unwrapRR(r.replacement)
+      case other => other
+    }
+    lazy val utcSession =
+      conf.getConfString("spark.sql.session.timeZone", "") == "UTC"
+    val MicrosPerDay = 86400000000L
+    def dayFloorDim(c: AttributeReference): Option[Attribute] =
+      anchoredDims.collectFirst {
+        case (n, t) if (unwrapRR(t) match {
+          case Cast(a: AttributeReference, DateType, _, _) =>
+            a.exprId == c.exprId
+          case _ => false
+        }) => n
+      }.flatMap(summaryAttr)
+    def midnightDate(us: Long): Option[Literal] =
+      if (us % MicrosPerDay == 0)
+        Some(Literal((us / MicrosPerDay).toInt, DateType))
+      else None
+    def rewriteCond(e: Expression): Option[Expression] = {
+      val r = resolveThrough(e, subst)
+      anchoredDims.find(_._2.semanticEquals(r)) match {
+        case Some((n, _)) => summaryAttr(n)
+        case None => e match {
+          case IsNotNull(c: AttributeReference)
+              if dayFloorDim(c).isDefined =>
+            dayFloorDim(c).map(IsNotNull)
+          case GreaterThanOrEqual(c: AttributeReference,
+              Literal(us: Long, TimestampType)) if utcSession &&
+              dayFloorDim(c).isDefined =>
+            for { d <- midnightDate(us); a <- dayFloorDim(c) }
+              yield GreaterThanOrEqual(a, d)
+          case LessThan(c: AttributeReference,
+              Literal(us: Long, TimestampType)) if utcSession &&
+              dayFloorDim(c).isDefined =>
+            for { d <- midnightDate(us); a <- dayFloorDim(c) }
+              yield LessThan(a, d)
+          case _: AttributeReference => None
+          case leaf if leaf.children.isEmpty => Some(leaf)
+          case other =>
+            val kids = other.children.map(rewriteCond)
+            if (kids.exists(_.isEmpty)) None
+            else Some(other.withNewChildren(kids.map(_.get)))
+        }
+      }
+    }
+    val condOnSummary: Option[Expression] = conds match {
+      case Nil => None
+      case cs =>
+        val rw = cs.map(c => rewriteCond(c).getOrElse(return None))
+        Some(rw.reduce(And(_, _)))
+    }
 
     // every grouping expression must equal one registered dim
     val dimFor = ge.map { g =>
@@ -333,6 +420,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
         .getOrElse(return None)
     }
 
-    Some(Aggregate(newGe, newAe, sumPlan))
+    val scan = condOnSummary.map(Filter(_, sumPlan)).getOrElse(sumPlan)
+    Some(Aggregate(newGe, newAe, scan))
   }
 }

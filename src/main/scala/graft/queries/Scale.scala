@@ -592,7 +592,8 @@ object Scale {
     * per year of days × 3 flags: 5 orders of magnitude smaller than
     * the base at sf1+, the size ratio that makes aggregate navigation
     * the single highest-leverage OLAP optimization. */
-  private def rollupSummary(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def rollupSummary(
+      spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
     graft.Memo.cached(spark, s"rollup_summary:$sfDir") {
       import spark.implicits._

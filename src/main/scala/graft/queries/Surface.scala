@@ -407,8 +407,45 @@ object Surface {
            |FROM orders WHERE o_orderkey BETWEEN 1 AND 50
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** E334: **predicate-aware rollup rewrite** — the recorded
+    * extension of E294 delivered: the user writes the naive FILTERED
+    * aggregate over the base fact table (a ship-day range + a
+    * returnflag IN list — both registered dims), and
+    * [[graft.plans.RollupRewrite]] re-expresses the whole predicate
+    * over the summary's dim columns and answers from the rollup —
+    * now with partition-grade cell pruning, since the moved filter
+    * pushes into the summary scan. At 100 TB this is the difference
+    * between the navigator helping only full-table rollups and
+    * helping every dashboard's date-range query. A measure predicate
+    * (l_quantity > 10) still disables the rewrite — OperatorSuite
+    * locks both routes; the oracle runs the naive SQL on the base. */
+  val qAggRollupFiltered = Q("q_agg_rollup_filtered",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Scale.rollupSummary(spark, sfDir)
+      Tables.read(spark, sfDir, "lineitem")
+        .filter(to_date($"l_shipdate")
+            .between("1996-02-01", "1997-04-30") &&
+          $"l_returnflag".isin("A", "R"))
+        .groupBy($"l_returnflag")
+        .agg(sum($"l_quantity".cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_qty,
+           |  count(*) AS n_items
+           |FROM lineitem
+           |WHERE CAST(l_shipdate AS DATE)
+           |    BETWEEN DATE '1996-02-01' AND DATE '1997-04-30'
+           |  AND l_returnflag IN ('A', 'R')
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qSqlTablesample, qDfTranspose, qScalarXml,
     qScalarMaps, qScalarTry, qAggRollupIncremental,
     qSqlExecuteImmediate, qAggGroupingId, qScalarTsArith,
-    qScalarArrayEdit)
+    qScalarArrayEdit, qAggRollupFiltered)
 }

@@ -3428,6 +3428,41 @@ class OperatorSuite extends AnyFunSuite {
       "twin rollup rewrites must not share scan ExprIds")
   }
 
+  test("rollup rewrite: dim-only filters move onto the summary scan") {
+    // E334: a predicate over registered DIMS (ship-day range +
+    // returnflag IN list) must not disable the rewrite any more — the
+    // query must scan the rollup WITH the re-expressed filter (values
+    // equal to the rule-off base route), while a measure predicate
+    // still restores the base scan (locked by the E294 test above).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    def run() = graft.queries.Surface.qAggRollupFiltered.fn(spark, sf)
+    val onRows = run().collect().toSeq
+    assert(onRows.nonEmpty)
+    val df = run(); df.collect()
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.exists(_.contains("graft-rollup")),
+      s"dim-filtered aggregate must scan the rollup, got $scans")
+    assert(!scans.exists(_.contains("lineitem.parquet")))
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      val off = run()
+      assert(off.collect().toSeq === onRows,
+        "filtered rewrite must be invisible in results")
+      assert(walk({ val d = run(); d.collect()
+        d.queryExecution.executedPlan })
+        .exists(_.contains("lineitem.parquet")))
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+  }
+
   test("DSv2 series source: count-star, point lookup, empty range") {
     // E319 edge cases: COUNT(*) prunes to a ZERO-column read schema
     // (the reader must emit empty rows, not crash); EqualTo narrows

@@ -559,26 +559,24 @@ object Corpus {
            |FROM counted GROUP BY source ORDER BY source"""
       .stripMargin))
 
-  /** E286: **prefix-filtered set-similarity join (PPJoin-lite)** —
-    * all order pairs whose PART BASKETS have Jaccard ≥ 0.5, mined
-    * with the prefix filter: order each basket by GLOBAL token rarity
-    * (df asc, partkey asc); if J(A,B) ≥ τ then any qualifying pair
-    * has |A∩B| ≥ τ·max(|A|,|B|), so the rarest |x|−⌈τ|x|⌉+1 tokens of
-    * each side must overlap — only those prefix tokens enter the
-    * candidate equi-join. This is the EXACT-recall scale path the
-    * ngram-Jaccard scaladoc (E X2) records as losing on documents'
-    * 31-word vocabulary: baskets draw from the 2k/20k-part vocabulary
-    * where rarity ordering actually thins candidates, the setting
-    * PPJoin was built for. The filter's losslessness is PROVEN by the
-    * gate itself — the oracle runs the NAIVE all-pairs join, so any
-    * pair the prefix filter drops fails parity. Verification is
-    * row-local (`array_intersect` on the two collected baskets — no
-    * second shuffle), candidates dedup before the verify join, and
-    * skew is self-limiting: a token lands in many prefixes only if
-    * its df is LOW, so prefix-token fan-out is bounded by rarity
-    * (the hot-token guard the inverted-index variant needs a max-df
-    * cap for). J ≥ 0.5 compares exactly on both engines (0.5 is a
-    * power of two; c and sizes are integers). */
+  /** E286: **prefix-filtered set-similarity join (PPJoin →
+    * pair-key prefixes)** — all order pairs whose PART BASKETS have
+    * Jaccard ≥ 0.5. Baskets are ordered by GLOBAL token rarity
+    * (df asc, partkey asc); candidates are generated from 2-TOKEN
+    * prefix keys (AdaptJoin-class, see the derivation at the
+    * candidate block below), after three scale rungs each killed a
+    * weaker form: the unfiltered prefix join at sf0.1 (5.1 s), the
+    * positional-filterless form at sf1 (136.8 s), and the
+    * single-token form at sf10 (token df grows with corpus size over
+    * a FIXED part catalog, so Σ df² candidates grew ×10⁴ and the run
+    * spilled >60 GB and died — pair-df stays ~O(1) in the same
+    * regime, restoring ~linear candidates). The filter stack's
+    * losslessness is PROVEN by the gate itself — the oracle runs the
+    * NAIVE all-pairs join, so any qualifying pair a filter drops
+    * fails parity. Verification is row-local (`array_intersect` on
+    * the two collected baskets — no second shuffle); candidates dedup
+    * before the verify join. J ≥ 0.5 compares exactly on both
+    * engines (0.5 is a power of two; c and sizes are integers). */
   val qJoinSetsimPrefix = Q("q_join_setsim_prefix",
     (spark, sfDir) => {
       import spark.implicits._
@@ -591,33 +589,64 @@ object Corpus {
         .select($"k",
           expr("transform(st, x -> x.t)").as("toks"),
           size($"st").as("n"))
-        .withColumn("prefix",
-          expr("slice(toks, 1, n - CAST((n + 1) DIV 2 AS INT) + 1)"))
         .localCheckpoint()
-      val pref = sets.select($"k", $"n",
-        posexplode($"prefix").as(Seq("i", "t")))
-      // Two PPJoin companions to the prefix filter, both
-      // exactness-preserving:
-      //  - length filter: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|)
-      //    — at τ=0.5, sizes within 2× — so size-discordant
-      //    candidates drop BEFORE the verify join (5.1 s unfiltered
-      //    at sf0.1, recorded round-13);
-      //  - positional filter: for the FIRST common token (global
-      //    rarity order, positions i₁/i₂), every further common token
-      //    lies in both suffixes, so c ≤ 1 + min(n₁−i₁−1, n₂−i₂−1);
-      //    J ≥ τ needs c ≥ (n₁+n₂)·τ/(1+τ) = (n₁+n₂)/3, so matches
-      //    whose positions can't reach it generate no candidate. A
-      //    qualifying pair always survives: its first common token is
-      //    inside both prefixes (else the prefix theorem is violated)
-      //    and satisfies the bound by definition. Added after the sf1
-      //    rung measured the unpositioned form at 136.8 s — candidate
-      //    density, not the verify, is the scale driver.
-      val cand = pref.as("a")
-        .join(pref.as("b"), $"a.t" === $"b.t" && $"a.k" < $"b.k" &&
-          $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2 &&
-          (lit(1) + least($"a.n" - $"a.i" - 1, $"b.n" - $"b.i" - 1)) * 3
-            >= $"a.n" + $"b.n")
-        .select($"a.k".as("k1"), $"b.k".as("k2")).distinct()
+      // Candidate generation, round-14 form: PAIR-key prefixes
+      // (AdaptJoin-style ℓ=2 prefix keys, Wang et al. SIGMOD'12
+      // class), adopted after the sf10 rung KILLED the single-token
+      // form — baskets draw tokens from the UNSCALED part catalog, so
+      // at ×100 data every token's df grows ×100 and the single-token
+      // candidate join (Σ prefix-df² by construction) grows ×10⁴: the
+      // sf10 run spilled >60 GB of shuffle and died on disk. With
+      // 2-token keys the candidate count is Σ pair-df², and pair-df
+      // (orders containing BOTH parts) stays ~O(1) when single df is
+      // thousands — candidates return to ~linear in rows.
+      //
+      // Exactness (τ = 0.5, oracle = naive all-pairs, so any dropped
+      // qualifying pair fails parity):
+      //  - J ≥ τ ⟹ c ≥ ⌈(n₁+n₂)/3⌉ and sizes within 2× — so for
+      //    n₁,n₂ ≥ 2, c ≥ 2: the pair of the FIRST TWO common tokens
+      //    (in the shared global-rarity order) exists;
+      //  - position bound: c common tokens in n slots put the 2nd
+      //    common token at 0-based position ≤ n − c + 1, and the
+      //    smallest c a size-n basket can qualify with (partner ≥
+      //    max(2, ⌈n/2⌉)) is cmin(n) = max(2, ⌈(n+max(2,⌈n/2⌉))/3⌉) —
+      //    so both of the first two common tokens lie in the ℓ₂(n) =
+      //    min(n, n − cmin(n) + 2)-prefix of each side, and the pair
+      //    is emitted by both;
+      //  - positional filter (pair form): beyond the 2nd common token
+      //    at position j, all further common tokens sit in both
+      //    suffixes: c ≤ 2 + min(n₁−j₁−1, n₂−j₂−1); the true
+      //    (1st,2nd)-common instance always satisfies it, so distinct
+      //    (k1,k2) survives;
+      //  - baskets of size 1 qualify only against sizes ≤ 2
+      //    (J = 1/n₂ ≥ τ), handled by a single-token side path over
+      //    the ≤2-token baskets only.
+      val withPairs = sets.filter($"n" >= 2)
+        .withColumn("l2", expr(
+          """least(n, n - greatest(2,
+            |  (n + greatest(2, (n + 1) DIV 2) + 2) DIV 3) + 2)"""
+            .stripMargin))
+        .select($"k", $"n", explode(expr(
+          """flatten(transform(sequence(0, l2 - 2), i ->
+            |  transform(sequence(i + 1, l2 - 1), j ->
+            |    struct(toks[i] AS t1, toks[j] AS t2, j AS jp))))"""
+            .stripMargin)).as("pr"))
+        .select($"k", $"n", $"pr.t1", $"pr.t2", $"pr.jp")
+      val candPairs = withPairs.as("a")
+        .join(withPairs.as("b"),
+          $"a.t1" === $"b.t1" && $"a.t2" === $"b.t2" &&
+            $"a.k" < $"b.k" &&
+            $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2 &&
+            (lit(2) + least($"a.n" - $"a.jp" - 1,
+              $"b.n" - $"b.jp" - 1)) * 3 >= $"a.n" + $"b.n")
+        .select($"a.k".as("k1"), $"b.k".as("k2"))
+      val tiny = sets.filter($"n" <= 2)
+        .select($"k", $"n", explode($"toks").as("t"))
+      val candTiny = tiny.as("a")
+        .join(tiny.as("b"), $"a.t" === $"b.t" && $"a.k" < $"b.k" &&
+          least($"a.n", $"b.n") === 1)
+        .select($"a.k".as("k1"), $"b.k".as("k2"))
+      val cand = candPairs.union(candTiny).distinct()
       cand
         .join(sets.select($"k".as("k1"), $"toks".as("ta"),
           $"n".as("n1")), Seq("k1"))

@@ -181,7 +181,9 @@ class PlanSuite extends AnyFunSuite {
       "q_link_fellegi", // 1-row (N1,N2,u) stats cross into ≤4 patterns
       "q_did", // 1-row day-span-pivot cross splits pre/post
       "q_cuped", // 1-row pivot + 1-row (theta, xbar) crosses
-      "q_negative_sampling") // 1-row corpus-size cross into the ring
+      "q_negative_sampling", // 1-row corpus-size cross into the ring
+      "q_agg_rollup_incremental") // 1-row cutoff-date cross splits
+                                  // standing rollup vs delta (E329)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

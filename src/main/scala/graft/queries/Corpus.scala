@@ -577,11 +577,17 @@ object Corpus {
     * the two collected baskets — no second shuffle); candidates dedup
     * before the verify join. J ≥ 0.5 compares exactly on both
     * engines (0.5 is a power of two; c and sizes are integers). */
-  val qJoinSetsimPrefix = Q("q_join_setsim_prefix",
-    (spark, sfDir) => {
-      import spark.implicits._
-      val tok = Tables.read(spark, sfDir, "lineitem")
-        .select($"l_orderkey".as("k"), $"l_partkey".as("t")).distinct()
+  /** The full pair-key PPJoin pipeline over an arbitrary basket
+    * frame `tok(k: long, t: long)` (distinct rows) — factored out of
+    * the Q so OperatorSuite can fuzz it against a brute-force
+    * all-pairs join on RANDOM basket sets, locking the ℓ₂-prefix
+    * derivation independent of the lineitem fixture's shape. */
+  private[graft] def setsimPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      tok: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    {
       val dfm = tok.groupBy($"t").agg(count(lit(1)).as("df"))
       val sets = tok.join(dfm, Seq("t"))
         .groupBy($"k")
@@ -658,6 +664,16 @@ object Corpus {
           $"c".cast("long").as("n_common"),
           round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
         .orderBy($"order_a", $"order_b")
+    }
+  }
+
+  val qJoinSetsimPrefix = Q("q_join_setsim_prefix",
+    (spark, sfDir) => {
+      import spark.implicits._
+      setsimPairs(spark,
+        Tables.read(spark, sfDir, "lineitem")
+          .select($"l_orderkey".as("k"), $"l_partkey".as("t"))
+          .distinct())
     },
     Some("""WITH tok AS (
            |  SELECT DISTINCT l_orderkey AS k, l_partkey AS t

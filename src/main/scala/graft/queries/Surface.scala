@@ -444,8 +444,53 @@ object Surface {
            |GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 
+  /** E335: **incremental join-view maintenance** — the join twin of
+    * E329's rollup refresh, the other half of classical IVM: with
+    * deltas on BOTH sides of a materialized join view,
+    *
+    *   (A ∪ ΔA) ⋈ (B ∪ ΔB)
+    *     = A⋈B  ∪  ΔA⋈(B ∪ ΔB)  ∪  A⋈ΔB
+    *
+    * — the standing view is REUSED untouched and only the two delta
+    * terms are computed. At 100 TB the delta terms are the whole
+    * point: ΔA is small, so ΔA⋈B broadcasts the delta against the big
+    * side (no full-table shuffle), and A⋈ΔB likewise; refresh cost is
+    * ∝ |Δ|·selectivity, never |A⋈B|. Old/delta splits are
+    * deterministic key-hash slices (no cutoff stat frame, no 1-row
+    * cross). The oracle answers the final per-nation aggregate from
+    * the naive full join — the maintenance algebra must be invisible
+    * in the result. */
+  val qJoinIncremental = Q("q_join_incremental",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val o = Tables.read(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val c = Tables.read(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_nationkey")
+      val oldO = o.filter($"o_orderkey" % 10 < 8)
+      val dO = o.filter($"o_orderkey" % 10 >= 8)
+      val oldC = c.filter($"c_custkey" % 10 < 9)
+      val dC = c.filter($"c_custkey" % 10 >= 9)
+      val standing = oldO.join(oldC, $"o_custkey" === $"c_custkey")
+      val deltaA = dO.join(c, $"o_custkey" === $"c_custkey")
+      val deltaB = oldO.join(broadcast(dC),
+        $"o_custkey" === $"c_custkey")
+      standing.unionByName(deltaA).unionByName(deltaB)
+        .groupBy($"c_nationkey".cast("long").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("revenue"))
+        .orderBy($"nation")
+    },
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           |  count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           |    AS revenue
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY 1 ORDER BY nation""".stripMargin))
+
   val all: Seq[Q] = Seq(qSqlTablesample, qDfTranspose, qScalarXml,
     qScalarMaps, qScalarTry, qAggRollupIncremental,
     qSqlExecuteImmediate, qAggGroupingId, qScalarTsArith,
-    qScalarArrayEdit, qAggRollupFiltered)
+    qScalarArrayEdit, qAggRollupFiltered, qJoinIncremental)
 }

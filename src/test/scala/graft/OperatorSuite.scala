@@ -3280,6 +3280,37 @@ class OperatorSuite extends AnyFunSuite {
     assert(prefixTokens < allTokens)
   }
 
+  test("pair-key prefix join is exact on random basket sets") {
+    // Round-14 lock for the ℓ₂ pair-prefix derivation, independent of
+    // the lineitem fixture's shape: 400 random baskets over a tiny
+    // 40-token vocabulary (much denser than the fixture — heavy
+    // df ties, many qualifying pairs), sizes 1..8 INCLUDING the
+    // size-1 and size-2 edge cases the hybrid's tiny path covers,
+    // compared against an in-test brute-force τ-join. A wrong cmin/ℓ₂
+    // bound or a broken tiny path drops a qualifying pair here with
+    // high probability. Seeded: deterministic across runs.
+    val rnd = new scala.util.Random(1405)
+    val baskets = (1L to 400L).map { k =>
+      val n = 1 + rnd.nextInt(8)
+      val s = scala.collection.mutable.Set.empty[Long]
+      while (s.size < n) s += rnd.nextInt(40).toLong
+      k -> s.toSet
+    }
+    val tok = baskets.flatMap { case (k, s) => s.map(t => (k, t)) }
+    val tokDf = spark.createDataFrame(tok).toDF("k", "t")
+    val got = graft.queries.Corpus.setsimPairs(spark, tokDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val naive = (for {
+      (k1, s1) <- baskets; (k2, s2) <- baskets if k1 < k2
+      c = (s1 & s2).size if c > 0
+      if c.toDouble / (s1.size + s2.size - c) >= 0.5
+    } yield (k1, k2, c.toLong)).toSet
+    assert(naive.nonEmpty, "fuzz fixture must produce qualifying pairs")
+    assert(got === naive,
+      s"missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+  }
+
   test("every repeated substring window really occurs in its docs") {
     // E287: spot-verify containment — each reported window must be a
     // literal substring of at least n_docs distinct documents, at a

@@ -319,6 +319,84 @@ object Extras {
            |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
            |ORDER BY key""".stripMargin))
 
+  /** Monotone suffix + previous-table retirement for qMergeIntoApi
+    * (same conventions as qMergeIntoSql). */
+  private val mergeApiRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private val mergeApiPrevTable =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** E336: **DataFrame `mergeInto` API** (Spark 4) — the typed twin
+    * of E86's SQL MERGE, exercising the clause kind SQL row E86 does
+    * NOT: `whenNotMatchedBySource(...).delete()`, the
+    * retire-stale-target-rows arm that turns MERGE into a full
+    * bidirectional sync. Three arms: matched → update balance from
+    * the latest purchase; not matched → insert the new account;
+    * not-matched-by-source AND balance < 1000 → delete (dormant
+    * low-balance rows with no activity). Runs through the same
+    * group-based SupportsRowLevelOperations catalog as E86/E89, so
+    * the plan is the same scan + replace-groups shape MERGE compiles
+    * to on any DSv2 warehouse at scale. Source columns are renamed
+    * (skey/new_balance) so every reference resolves unambiguously —
+    * the API has no USING alias to lean on. Oracle: the equivalent
+    * full-outer-join CASE algebra. */
+  val qMergeIntoApi = Q("q_merge_into_api",
+    (spark, sfDir) => {
+      import spark.implicits._
+      if (spark.conf.getOption("spark.sql.catalog.graftmem").isEmpty)
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemRowTableCatalog].getName)
+      val id = mergeApiRun.incrementAndGet()
+      val tbl = s"graftmem.db.merge_api_$id"
+      val prev = mergeApiPrevTable.getAndSet(tbl)
+      if (prev != null) spark.sql(s"DROP TABLE IF EXISTS $prev")
+      spark.sql(
+        s"CREATE TABLE $tbl (key BIGINT, c_mktsegment STRING, " +
+          "balance DOUBLE)")
+      Tables.read(spark, sfDir, "customer")
+        .filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"), $"c_mktsegment",
+          $"c_acctbal".cast("double").as("balance"))
+        .writeTo(tbl).append()
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      Tables.read(spark, sfDir, "events")
+        .filter($"event_type" === "purchase" && $"value".isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id".as("skey"), $"value".as("new_balance"))
+        .mergeInto(tbl, col("key") === col("skey"))
+        .whenMatched()
+        .update(Map("balance" -> col("new_balance")))
+        .whenNotMatched()
+        .insert(Map("key" -> col("skey"),
+          "balance" -> col("new_balance")))
+        .whenNotMatchedBySource(col("balance") < 1000.0)
+        .delete()
+        .merge()
+      spark.table(tbl).orderBy($"key")
+    },
+    Some(s"""WITH ${Cohort.evCte}, pur AS (
+           |  SELECT user_id, value, ts, event_id FROM ev
+           |  WHERE event_type = 'purchase' AND value IS NOT NULL
+           |), latest AS (
+           |  SELECT user_id AS skey, value AS new_balance
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           |          ORDER BY ts DESC, event_id DESC) AS rn FROM pur)
+           |  WHERE rn = 1
+           |), base AS (
+           |  SELECT c_custkey AS key, c_mktsegment,
+           |         CAST(c_acctbal AS DOUBLE) AS balance
+           |  FROM customer WHERE c_custkey % 2 = 0
+           |)
+           |SELECT COALESCE(b.key, l.skey) AS key,
+           |       b.c_mktsegment,
+           |       COALESCE(l.new_balance, b.balance) AS balance
+           |FROM base b FULL OUTER JOIN latest l ON b.key = l.skey
+           |WHERE l.skey IS NOT NULL
+           |   OR b.balance >= 1000
+           |ORDER BY key""".stripMargin))
+
   /** Monotone suffix + previous-table retirement for qSqlUpdateDelete
     * (same conventions as qMergeIntoSql). */
   private val updRun =
@@ -4470,7 +4548,7 @@ object Extras {
 
   val all: Seq[Q] = Seq(qJoinSalted, qProfileColumns, qSessionize,
     qJoinLateral, qMergeUpsert, qMergeIntoSql, qSqlUpdateDelete,
-    qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
+    qMergeIntoApi, qTimeTravel, qTableHistory, qSchemaEvolveDdl, qObserveMetrics,
     qCdcDiff, qScd2History, qSqlSurface, qSqlPivotUnpivot,
     qSqlCorrelated, qFunnel,
     qRetentionCohort, qProfileHistogram, qProfileTopValues,

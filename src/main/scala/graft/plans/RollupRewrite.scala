@@ -8,12 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   NamedExpression}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Max, Min, Sum}
+  AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.Divide
 import org.apache.spark.sql.catalyst.expressions.{And,
   GreaterThanOrEqual, IsNotNull, LessThan, PlanExpression,
   RuntimeReplaceable}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.{types => types}
 import org.apache.spark.sql.types.{DateType, TimestampType}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -38,9 +40,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * per-cell sums, sum of per-cell counts), MIN/MAX are idempotent
   * semilattice merges, and any grouping that is a SUBSET of the
   * rollup's dimensions re-partitions whole cells, never splits one.
-  * AVG and DISTINCT aggregates are NOT re-aggregable from (sum, cnt)
-  * pairs without type surgery / exact cell identity, so their
-  * presence disables the rewrite (scope guard, not a TODO).
+  * AVG over a DOUBLE measure re-aggregates as Σsums/Σcounts when the
+  * registration supplies a PER-MEASURE non-null count column (round
+  * 14); decimal AVG and DISTINCT aggregates stay out of scope — the
+  * former would have to reproduce Average's precision/scale algebra
+  * digit-for-digit, the latter needs exact cell identity — and their
+  * presence disables the rewrite.
   *
   * Matching is name-free and expression-exact: the registered dim and
   * measure SOURCE expressions are re-anchored onto the candidate
@@ -89,7 +94,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
       mins: Seq[(String, Expression)],
       maxs: Seq[(String, Expression)],
       cntCol: String,
-      summaryPlan: LogicalPlan)
+      summaryPlan: LogicalPlan,
+      avgs: Seq[(String, String, Expression)] = Nil)
 
   private val registry = new ConcurrentHashMap[String, RollupDef]()
 
@@ -105,7 +111,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
   def register(base: DataFrame, dims: Seq[(String, Column)],
       sums: Seq[(String, Column)], mins: Seq[(String, Column)],
       maxs: Seq[(String, Column)], cntCol: String,
-      summary: DataFrame): Unit = {
+      summary: DataFrame,
+      avgs: Seq[(String, String, Column)] = Nil): Unit = {
     val basePath = pathOf(base).getOrElse(throw new IllegalArgumentException(
       "RollupRewrite.register: base must be a file-source read"))
     def exprs(cs: Seq[(String, Column)]): Seq[(String, Expression)] = {
@@ -121,9 +128,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
       }
       cs.map(_._1).zip(list)
     }
+    val avgDefs = exprs(avgs.map { case (s, _, c) => (s, c) })
+      .zip(avgs).map { case ((s, t), (_, c, _)) => (s, c, t) }
     registry.put(basePath, RollupDef(basePath, exprs(dims),
       exprs(sums), exprs(mins), exprs(maxs), cntCol,
-      summary.queryExecution.analyzed))
+      summary.queryExecution.analyzed, avgDefs))
   }
 
   /** Test/maintenance hook. */
@@ -194,8 +203,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
       }
       fuel -= 1
     }
-    cur
+    stripNoopCasts(cur)
   }
+
+  /** No-op casts (Cast to the expression's own type) survive ANALYSIS
+    * — where registration obtains its templates — but the OPTIMIZER
+    * strips them from real queries before this rule runs
+    * (SimplifyCasts), so `avg(cast(price as double))` arrives as
+    * `avg(price)` while the template kept the cast. Normalize both
+    * sides before any semanticEquals. */
+  private def stripNoopCasts(e: Expression): Expression =
+    e.transformUp {
+      case Cast(c, dt, _, _) if c.dataType == dt => c
+    }
 
   /** Re-anchor a registered template expression onto the candidate
     * relation's output attributes by column name. */
@@ -210,7 +230,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
           case None => ok = false; a
         }
     }
-    if (ok) Some(re) else None
+    if (ok) Some(stripNoopCasts(re)) else None
   }
 
   /** A PER-REWRITE instance of the summary plan. Two rewritable
@@ -253,6 +273,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
     val (aSums, aMins, aMaxs) =
       (anchored(d.sums), anchored(d.mins), anchored(d.maxs))
+    val aAvgs = d.avgs.flatMap { case (sCol, cCol, t) =>
+      anchor(t, rel.output).map(re => (sCol, cCol, re))
+    }
 
     // Predicate-aware extension (round 14, the scaladoc's recorded
     // extension delivered): a Filter between the aggregate and the
@@ -363,6 +386,24 @@ object RollupRewrite extends Rule[LogicalPlan] {
           aMaxs.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
             summaryAttr(n).map(c =>
               Cast(Max(c).toAggregateExpression(), a.dataType))
+          }
+        // AVG over a DOUBLE measure with a registered per-measure
+        // non-null count (round 14 — the scaladoc's former scope
+        // guard, made sound): avg = Σ cell-sums / Σ cell-counts. The
+        // per-measure count is count(measure), NOT count(*), so
+        // nullable measures stay exact (cells skip nulls on both
+        // legs). Restricted to DoubleType — decimal Average carries
+        // its own precision/scale algebra that a rebuilt division
+        // would have to reproduce digit-for-digit; out of scope.
+        case Average(e, _) if a.dataType == types.DoubleType =>
+          aAvgs.find(_._3.semanticEquals(src(e))).flatMap {
+            case (sCol, cCol, _) =>
+              for { sa <- summaryAttr(sCol); ca <- summaryAttr(cCol) }
+                yield Divide(
+                  Cast(Sum(sa).toAggregateExpression(),
+                    types.DoubleType),
+                  Cast(Sum(ca).toAggregateExpression(),
+                    types.DoubleType))
           }
         case _ => None
       }

@@ -605,7 +605,12 @@ object Scale {
         .agg(sum($"l_quantity".cast("decimal(18,2)")).as("qty_sum"),
           min($"l_quantity".cast("decimal(18,2)")).as("qty_min"),
           max($"l_quantity".cast("decimal(18,2)")).as("qty_max"),
-          count(lit(1)).as("cnt"))
+          count(lit(1)).as("cnt"),
+          // AVG support (round 14): per-measure sum + NON-NULL count
+          // — count(price), not count(*), so a nullable measure
+          // re-aggregates exactly
+          sum($"l_extendedprice".cast("double")).as("price_sum"),
+          count($"l_extendedprice").as("price_cnt"))
         .write.mode("overwrite").parquet(dir)
       val summary = spark.read.parquet(dir)
       graft.plans.RollupRewrite.register(
@@ -617,7 +622,9 @@ object Scale {
         mins = Seq("qty_min" -> base("l_quantity").cast("decimal(18,2)")),
         maxs = Seq("qty_max" -> base("l_quantity").cast("decimal(18,2)")),
         cntCol = "cnt",
-        summary = summary)
+        summary = summary,
+        avgs = Seq(("price_sum", "price_cnt",
+          base("l_extendedprice").cast("double"))))
       summary
     }
 

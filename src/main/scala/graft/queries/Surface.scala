@@ -489,8 +489,40 @@ object Surface {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY 1 ORDER BY nation""".stripMargin))
 
+  /** E337: **AVG through the rollup rewrite** — the re-aggregation
+    * the navigator's scaladoc originally refused, made sound by
+    * registering a PER-MEASURE non-null count beside the cell sum:
+    * avg(price) over the base rewrites to Σ price_sum / Σ price_cnt
+    * over the rollup (count(price) cells, so nullable measures stay
+    * exact). Restricted to DOUBLE measures; house 6dp rounding at the
+    * output edge absorbs the summation-order difference every
+    * distributed double mean carries (the oracle's naive avg has its
+    * own order). A day-range dim filter rides along, composing E334's
+    * predicate-aware path with the new aggregate. */
+  val qAggRollupAvg = Q("q_agg_rollup_avg",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Scale.rollupSummary(spark, sfDir)
+      Tables.read(spark, sfDir, "lineitem")
+        .filter(to_date($"l_shipdate") >= "1996-01-01")
+        .groupBy($"l_returnflag")
+        .agg(round(avg($"l_extendedprice".cast("double")), 6)
+            .as("avg_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  round(avg(CAST(l_extendedprice AS DOUBLE)), 6)
+           |    AS avg_price,
+           |  count(*) AS n_items
+           |FROM lineitem
+           |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qSqlTablesample, qDfTranspose, qScalarXml,
     qScalarMaps, qScalarTry, qAggRollupIncremental,
     qSqlExecuteImmediate, qAggGroupingId, qScalarTsArith,
-    qScalarArrayEdit, qAggRollupFiltered, qJoinIncremental)
+    qScalarArrayEdit, qAggRollupFiltered, qJoinIncremental,
+    qAggRollupAvg)
 }

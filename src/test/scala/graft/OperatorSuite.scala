@@ -3492,6 +3492,17 @@ class OperatorSuite extends AnyFunSuite {
         d.queryExecution.executedPlan })
         .exists(_.contains("lineitem.parquet")))
     } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    // E337: AVG (double measure, per-measure non-null count) also
+    // rides the rollup — scan lock + kill-switch value equality
+    def runAvg() = graft.queries.Surface.qAggRollupAvg.fn(spark, sf)
+    val avgOn = runAvg().collect().toSeq
+    val avgDf = runAvg(); avgDf.collect()
+    assert(walk(avgDf.queryExecution.executedPlan)
+        .exists(_.contains("graft-rollup")),
+      "avg over a registered measure must scan the rollup")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try assert(runAvg().collect().toSeq === avgOn)
+    finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 
   test("DSv2 series source: count-star, point lookup, empty range") {

@@ -222,7 +222,29 @@ object Bench {
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"families":$famJson,"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
     }
     try {
-      val p = java.nio.file.Paths.get("target", "bench_full.json")
+      // Anchor both artifacts at the REPO ROOT, not the CWD (ADVICE
+      // r14): a bench launched from elsewhere used to silently write
+      // BENCH_FULL.json into that directory, letting the committed
+      // copy go stale. The root is recovered from the compiled-class
+      // location (…/target/scala-2.13/classes → walk up to the dir
+      // holding build.sbt), falling back to the CWD if the classpath
+      // shape is unexpected (e.g. an assembled jar elsewhere).
+      val root: java.nio.file.Path = {
+        val here = java.nio.file.Paths.get("").toAbsolutePath
+        try {
+          var d = java.nio.file.Paths.get(
+            Bench.getClass.getProtectionDomain.getCodeSource
+              .getLocation.toURI)
+          var found: java.nio.file.Path = null
+          while (found == null && d != null) {
+            if (java.nio.file.Files.exists(d.resolve("build.sbt")))
+              found = d
+            d = d.getParent
+          }
+          if (found != null) found else here
+        } catch { case _: Throwable => here }
+      }
+      val p = root.resolve("target").resolve("bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
       // ... and a COMMITTED-path twin (VERDICT r13 item 3): the stdout
@@ -231,8 +253,12 @@ object Bench {
       // is gitignored; BENCH_FULL.json at the repo root is picked up by
       // the round-end commit, giving every round a full per-query map.
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"), full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+        root.resolve("BENCH_FULL.json"), full.getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      // the artifact line on stdout must survive, but the failure must
+      // be VISIBLE (ADVICE r14: a swallowed write left stale files)
+      System.err.println(s"[bench] BENCH_FULL write failed: $t")
+    }
     // Shutdown hygiene so NOTHING can print after the artifact line
     // (the r9 failure mode): silence loggers, then stop the streaming
     // state-store maintenance daemon — it outlives spark.stop() and its

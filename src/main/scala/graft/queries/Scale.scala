@@ -610,7 +610,17 @@ object Scale {
           // — count(price), not count(*), so a nullable measure
           // re-aggregates exactly
           sum($"l_extendedprice".cast("double")).as("price_sum"),
-          count($"l_extendedprice").as("price_cnt"))
+          count($"l_extendedprice").as("price_cnt"),
+          // stddev/var support (round 15): per-measure Σx, Σx² and
+          // non-null count — the three cells that merge to M2 across
+          // any coarser grouping (RollupRewrite's statOverCells).
+          // l_quantity is integral ≤ 50, so both sums are EXACT in
+          // double at any realistic cell size and the condition
+          // number of Σx² − (Σx)²/n is ~3 (see the rule's scaladoc).
+          sum($"l_quantity".cast("double")).as("qty_d_sum"),
+          sum(($"l_quantity" * $"l_quantity").cast("double"))
+            .as("qty_sq_sum"),
+          count($"l_quantity").as("qty_d_cnt"))
         .write.mode("overwrite").parquet(dir)
       val summary = spark.read.parquet(dir)
       graft.plans.RollupRewrite.register(
@@ -624,7 +634,9 @@ object Scale {
         cntCol = "cnt",
         summary = summary,
         avgs = Seq(("price_sum", "price_cnt",
-          base("l_extendedprice").cast("double"))))
+          base("l_extendedprice").cast("double"))),
+        stats = Seq(("qty_d_sum", "qty_sq_sum", "qty_d_cnt",
+          base("l_quantity").cast("double"))))
       summary
     }
 

@@ -3505,6 +3505,101 @@ class OperatorSuite extends AnyFunSuite {
     finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 
+  test("rollup rewrite: stddev/var cells ride the summary (round 15)") {
+    // E338: all four central-moment forms rewrite to the Σx/Σx²/n cell
+    // merge — scan lock + kill-switch value equality (the rule-on/off
+    // equivalence VERDICT r14 item 2 asks for).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    def run() = graft.queries.Surface15.qAggRollupStats.fn(spark, sf)
+    val onRows = run().collect().toSeq
+    assert(onRows.nonEmpty)
+    val df = run(); df.collect()
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.exists(_.contains("graft-rollup")),
+      s"stddev/var aggregate must scan the rollup, got $scans")
+    assert(!scans.exists(_.contains("lineitem.parquet")))
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      assert(run().collect().toSeq === onRows,
+        "stats rewrite must be invisible in results")
+      assert(walk({ val d = run(); d.collect()
+        d.queryExecution.executedPlan })
+        .exists(_.contains("lineitem.parquet")))
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+  }
+
+  test("rollup rewrite: ANSI-safe avg, try_avg refusal, strict register") {
+    // The three ADVICE r14 findings, each locked.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    // (1) medium: an ALL-NULL measure group must re-aggregate to NULL
+    // through the rewritten division (Σ counts = 0) — under the
+    // session's default ANSI mode the old session-eval-mode Divide
+    // threw DIVIDE_BY_ZERO here. Register a dedicated tiny rollup
+    // whose base has one fully-NULL group.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rollup-nulls").toString
+    Seq(("a", "x", Some(1.0)), ("a", "y", Some(3.0)),
+        ("b", "x", None), ("b", "y", None))
+      .toDF("g", "sub", "x")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    base.groupBy($"g", $"sub")
+      .agg(count(lit(1)).as("cnt"), sum($"x").as("x_sum"),
+        count($"x").as("x_cnt"))
+      .write.mode("overwrite").parquet(s"$dir/summary")
+    val summary = spark.read.parquet(s"$dir/summary")
+    graft.plans.RollupRewrite.register(base,
+      dims = Seq("g" -> base("g"), "sub" -> base("sub")),
+      sums = Nil, mins = Nil, maxs = Nil, cntCol = "cnt",
+      summary = summary,
+      avgs = Seq(("x_sum", "x_cnt", base("x"))))
+    def avgQ() = base.groupBy($"g").agg(avg($"x").as("m")).orderBy($"g")
+    val rows = avgQ().collect()
+    assert(walk({ val d = avgQ(); d.collect()
+      d.queryExecution.executedPlan })
+      .exists(_.contains(s"$dir/summary")),
+      "avg must ride the tiny rollup for this lock to mean anything")
+    assert(rows.map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      === Map("a" -> 2.0, "b" -> null),
+      "all-NULL group must yield NULL, not DIVIDE_BY_ZERO")
+    // (2) low: try_avg keeps its NULL-on-error contract — the rewrite
+    // refuses it and the plan stays on the base parquet
+    val tryDf = base.groupBy($"g")
+      .agg(expr("try_avg(x)").as("m")).orderBy($"g")
+    tryDf.collect()
+    assert(walk(tryDf.queryExecution.executedPlan)
+      .exists(_.contains(s"$dir/base")),
+      "try_avg must NOT be rewritten onto the summary")
+    // (3) low: registering a FILTERED base must throw, not silently
+    // bind the unfiltered path to a partial summary
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.RollupRewrite.register(
+        base.filter($"x" > 1.0),
+        dims = Seq("g" -> base("g")), sums = Nil, mins = Nil,
+        maxs = Nil, cntCol = "cnt", summary = summary)
+    }
+    assert(e.getMessage.contains("file-source read"))
+  }
+
   test("DSv2 series source: count-star, point lookup, empty range") {
     // E319 edge cases: COUNT(*) prunes to a ZERO-column read schema
     // (the reader must emit empty rows, not crash); EqualTo narrows

@@ -60,5 +60,131 @@ object Surface15 {
            |GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[Q] = Seq(qAggRollupStats)
+  /** Per-invocation temp-view suffix (same concurrency discipline as
+    * Surface.viewRun: Verify and a test may run a query concurrently
+    * in one JVM, and temp views are session-global). */
+  private val viewRun =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** E339: **SQL pipe syntax** (Spark 4's `|>` operators, the last
+    * notable uncovered SQL dialect surface after round 14's sweep) —
+    * one query chaining the core pipe verbs: `FROM` → `WHERE`
+    * (pre-agg) → `EXTEND` (computed column) → `AGGREGATE … GROUP BY`
+    * → `WHERE` (post-agg, pipe's HAVING) → `ORDER BY` → `LIMIT`.
+    * Pipe syntax is pure parse-time sugar — the analyzer produces the
+    * identical logical plan as the classic form, so every Catalyst
+    * optimization (pushdown through the EXTEND, partial aggregation)
+    * applies unchanged and the 100 TB story is the classic query's.
+    * The oracle is the SAME query spelled classically (DuckDB has no
+    * pipe parser), which is exactly the semantic claim: sugar, not
+    * semantics. */
+  val qSqlPipe = Q("q_sql_pipe",
+    (spark, sfDir) => {
+      val v = s"pipe_li_${viewRun.incrementAndGet()}"
+      Tables.read(spark, sfDir, "lineitem").createOrReplaceTempView(v)
+      try spark.sql(
+        s"""FROM $v
+           ||> WHERE l_quantity >= 10
+           ||> EXTEND l_extendedprice * (1 - l_discount) AS revenue
+           ||> AGGREGATE
+           |     CAST(round(sum(revenue), 2) AS DOUBLE) AS sum_rev,
+           |     CAST(count(*) AS BIGINT) AS n_items
+           |   GROUP BY l_returnflag, l_linestatus
+           ||> WHERE n_items > 50
+           ||> ORDER BY l_returnflag, l_linestatus
+           ||> LIMIT 5""".stripMargin)
+      finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(round(sum(l_extendedprice * (1 - l_discount)), 2)
+           |    AS DOUBLE) AS sum_rev,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem
+           |WHERE l_quantity >= 10
+           |GROUP BY l_returnflag, l_linestatus
+           |HAVING count(*) > 50
+           |ORDER BY l_returnflag, l_linestatus
+           |LIMIT 5""".stripMargin))
+
+  /** E340: **parameterized SQL** — `spark.sql(text, args)` with NAMED
+    * (`:minQty`) and POSITIONAL (`?`) markers, the injection-safe
+    * query surface every service in front of the engine should use
+    * (parameters bind as typed literals at parse time — they are NOT
+    * string-spliced, so a hostile value cannot alter the plan shape).
+    * Two probes union the two binding styles over the same aggregate;
+    * the oracle inlines the literals, which is precisely the
+    * semantics parameter binding promises. Constant-folding sees the
+    * bound literal, so pushdown/pruning behave exactly as with
+    * hand-written constants — nothing changes at 100 TB. */
+  val qSqlParams = Q("q_sql_params",
+    (spark, sfDir) => {
+      val v = s"param_li_${viewRun.incrementAndGet()}"
+      Tables.read(spark, sfDir, "lineitem").createOrReplaceTempView(v)
+      try {
+        val named = spark.sql(
+          s"""SELECT 'named' AS style, l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM $v WHERE l_quantity BETWEEN :lo AND :hi
+             |GROUP BY l_returnflag""".stripMargin,
+          Map("lo" -> 5, "hi" -> 15))
+        val positional = spark.sql(
+          s"""SELECT 'positional' AS style, l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM $v WHERE l_quantity BETWEEN ? AND ?
+             |GROUP BY l_returnflag""".stripMargin,
+          Array(5, 15))
+        named.unionAll(positional)
+          .orderBy("style", "l_returnflag")
+      } finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""WITH g AS (
+           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+           |  FROM lineitem WHERE l_quantity BETWEEN 5 AND 15
+           |  GROUP BY l_returnflag)
+           |SELECT s.style, g.l_returnflag, g.n
+           |FROM (VALUES ('named'), ('positional')) s(style), g
+           |ORDER BY s.style, g.l_returnflag""".stripMargin))
+
+  /** E341: **collation-aware comparison and grouping** — Spark 4's
+    * `COLLATE UTF8_LCASE` makes equality/grouping case-insensitive at
+    * the TYPE level, replacing the classic `lower(col)` normalization
+    * (and unlike `lower()`, a collated column keeps its original
+    * bytes — display text survives while comparison semantics
+    * change). The fixture is consistently-cased, so the query
+    * manufactures mixed case deterministically (even keys upper, odd
+    * lower), groups on the collated value, and outputs the lower()
+    * canonical form the oracle can reproduce. Grouping on a collated
+    * string hashes its collation key — same shuffle shape as any
+    * string groupBy at scale. */
+  val qSqlCollation = Q("q_sql_collation",
+    (spark, sfDir) => {
+      val v = s"coll_cust_${viewRun.incrementAndGet()}"
+      Tables.read(spark, sfDir, "customer").createOrReplaceTempView(v)
+      try spark.sql(
+        s"""WITH mixed AS (
+           |  SELECT CASE WHEN c_custkey % 2 = 0
+           |           THEN upper(c_mktsegment)
+           |           ELSE lower(c_mktsegment) END AS seg,
+           |         c_acctbal
+           |  FROM $v)
+           |SELECT lower(seg COLLATE UTF8_LCASE) AS segment,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS bal
+           |FROM mixed
+           |WHERE seg COLLATE UTF8_LCASE = 'bUiLdInG'
+           |   OR seg COLLATE UTF8_LCASE <> 'bUiLdInG'
+           |GROUP BY seg COLLATE UTF8_LCASE
+           |ORDER BY segment""".stripMargin)
+      finally { spark.catalog.dropTempView(v); () }
+    },
+    Some("""SELECT lower(c_mktsegment) AS segment,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS bal
+           |FROM customer
+           |GROUP BY lower(c_mktsegment)
+           |ORDER BY segment""".stripMargin))
+
+  val all: Seq[Q] = Seq(qAggRollupStats, qSqlPipe, qSqlParams,
+    qSqlCollation)
 }
+

@@ -31,13 +31,35 @@ import org.apache.spark.sql.functions._
   * Timestamps are unchanged: N× more events in the same window, the
   * realistic densification.
   *
-  * Usage: `runMain graft.ScaleUp <srcSfDir> <outDir> <factor>`. */
+  * `--grow-keys` (VERDICT r14 item 1) additionally scales the
+  * part/supplier KEY UNIVERSES with the factor: `p_partkey` /
+  * `s_suppkey` are shifted per copy and `lineitem` shifts
+  * `l_partkey`/`l_suppkey` to match. The default mode models a corpus
+  * growing against FIXED dimensions — realistic for star joins, but it
+  * saturates density-sensitive workloads: the co-purchase graph's edge
+  * count froze at 1.196M from sf1 onward (every copy re-draws the same
+  * 2k-part catalog, so new rows stop creating new part pairs once the
+  * pair space is covered — measured in the round-14 sf10 rung), and
+  * order baskets get F−1 verbatim clones (identical part sets), so
+  * set-similarity output grows quadratically in F by construction.
+  * With grow-keys each copy is a DISJOINT part universe: graph
+  * vertices AND edges grow ∝ F at constant degree distribution, and
+  * cross-copy basket overlap is exactly zero, so setsim output grows
+  * ∝ F — the shape of a naturally larger catalog, and the fixture on
+  * which "BFS/k-core/label-prop survive a 100× graph" is actually
+  * falsifiable. Dimension-table realism flips accordingly: part and
+  * supplier stop being broadcastable at high factors, which is itself
+  * the honest 100 TB condition for the catalog-join family.
+  *
+  * Usage: `runMain graft.ScaleUp <srcSfDir> <outDir> <factor>
+  * [--grow-keys]`. */
 object ScaleUp {
 
   private val STRIDE = 10000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, fStr) = args
+    val growKeys = args.contains("--grow-keys")
+    val Array(src, out, fStr) = args.filterNot(_ == "--grow-keys")
     val factor = fStr.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = Sessions.local("graft-scaleup")
@@ -57,7 +79,11 @@ object ScaleUp {
 
     copies("customer")((d, i) => shift(d, i, "c_custkey"))
     copies("orders")((d, i) => shift(d, i, "o_orderkey", "o_custkey"))
-    copies("lineitem")((d, i) => shift(d, i, "l_orderkey"))
+    if (growKeys)
+      copies("lineitem")((d, i) =>
+        shift(d, i, "l_orderkey", "l_partkey", "l_suppkey"))
+    else
+      copies("lineitem")((d, i) => shift(d, i, "l_orderkey"))
     // ts passes through as TimestampType and is written as parquet
     // timestamp[µs] (outputTimestampType below), matching the current
     // fixture encoding; Tables.read's footer probe takes the native path.
@@ -89,9 +115,17 @@ object ScaleUp {
             slice(col("embedding"), 1, r)))
       }
     }
-    // dimension tables pass through unscaled (broadcast side stays
-    // realistic as facts grow)
-    Seq("nation", "region", "part", "supplier").foreach { t =>
+    // dimension tables: nation/region always pass through (genuinely
+    // fixed geography); part/supplier grow with the factor under
+    // --grow-keys so the catalog joins stay key-consistent with the
+    // shifted lineitem FKs, and pass through otherwise
+    if (growKeys) {
+      copies("part")((d, i) => shift(d, i, "p_partkey"))
+      copies("supplier")((d, i) => shift(d, i, "s_suppkey"))
+    }
+    val fixed = if (growKeys) Seq("nation", "region")
+                else Seq("nation", "region", "part", "supplier")
+    fixed.foreach { t =>
       Tables.read(spark, src, t).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
     }

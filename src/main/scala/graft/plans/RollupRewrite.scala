@@ -220,14 +220,23 @@ object RollupRewrite extends Rule[LogicalPlan] {
     stripNoopCasts(cur)
   }
 
-  /** No-op casts (Cast to the expression's own type) survive ANALYSIS
-    * — where registration obtains its templates — but the OPTIMIZER
-    * strips them from real queries before this rule runs
-    * (SimplifyCasts), so `avg(cast(price as double))` arrives as
-    * `avg(price)` while the template kept the cast. Normalize both
-    * sides before any semanticEquals. */
+  /** Analysis-vs-optimized normalization. Registration obtains its
+    * templates from the ANALYZER, but the rule compares them against
+    * OPTIMIZED query plans, which have been through two rewrites the
+    * templates have not:
+    *  - SimplifyCasts drops no-op casts (Cast to the expression's own
+    *    type), so `avg(cast(price as double))` arrives as `avg(price)`
+    *    while the template kept the cast;
+    *  - ConstantFolding collapses implicit literal promotions, so the
+    *    template's `i % cast(10 as bigint)` (type-coercion inserted
+    *    the cast) arrives as `i % 10L` in the query (the round-15 e2e
+    *    incident: every computed dim with a literal failed to match).
+    * Fold literal casts and strip no-op casts on both sides before
+    * any semanticEquals. */
   private def stripNoopCasts(e: Expression): Expression =
     e.transformUp {
+      case c @ Cast(_: Literal, dt, _, _) if c.foldable =>
+        Literal.create(c.eval(null), dt)
       case Cast(c, dt, _, _) if c.dataType == dt => c
     }
 
@@ -263,12 +272,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case other => other
     }
 
+  private val dbg = sys.env.contains("GRAFT_ROLLUP_DEBUG")
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (ge, ae, child) =
       (agg.groupingExpressions, agg.aggregateExpressions, agg.child)
     val (rel, path, subst, conds) =
-      stripToRelation(child, Map.empty).getOrElse(return None)
-    val d = Option(registry.get(path)).getOrElse(return None)
+      stripToRelation(child, Map.empty).getOrElse {
+        if (dbg) println(s"[rollup-dbg] no relation under $child")
+        return None
+      }
+    val d = Option(registry.get(path)).getOrElse {
+      if (dbg) println(s"[rollup-dbg] no registration for $path")
+      return None
+    }
     // never rewrite the rollup-build aggregate itself: it scans the
     // base at exactly the dim grain but its registration happens
     // after the build; this guard keeps a re-run of the build honest
@@ -281,7 +298,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val anchoredDims = d.dims.flatMap { case (n, t) =>
       anchor(t, rel.output).map(n -> _)
     }
-    if (anchoredDims.size != d.dims.size) return None
+    if (anchoredDims.size != d.dims.size) {
+      if (dbg) println(s"[rollup-dbg] dim anchoring failed: ${d.dims}")
+      return None
+    }
     def anchored(ms: Seq[(String, Expression)]) = ms.flatMap {
       case (n, t) => anchor(t, rel.output).map(n -> _)
     }
@@ -372,7 +392,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
       val r = resolveThrough(g, subst)
       anchoredDims.find(_._2.semanticEquals(r)) match {
         case Some((n, _)) => g.canonicalized -> n
-        case None => return None
+        case None =>
+          if (dbg) println(s"[rollup-dbg] grouping $g → $r matches no " +
+            s"dim among ${anchoredDims.map(_._2)}")
+          return None
       }
     }.toMap
 
@@ -535,7 +558,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case other => rewriteExpr(other).map(c =>
           Alias(c, other.name)(exprId = other.exprId))
       }
-      rewritten.getOrElse(return None)
+      rewritten.getOrElse {
+        if (dbg) println(s"[rollup-dbg] select-list expr not " +
+          s"re-aggregable: $ne")
+        return None
+      }
     }
 
     // grouping expressions over the summary: non-attribute grouping

@@ -663,7 +663,10 @@ object Corpus {
         .select($"k1".as("order_a"), $"k2".as("order_b"),
           $"c".cast("long").as("n_common"),
           round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
-        .orderBy($"order_a", $"order_b")
+      // deliberately UNSORTED: the enumeration form sorts for its
+      // output contract, but the top-k form feeds TopKPerKey (which
+      // re-distributes by key), and a global sort of a potentially
+      // quadratic pair set in between would be pure waste
     }
   }
 
@@ -674,6 +677,7 @@ object Corpus {
         Tables.read(spark, sfDir, "lineitem")
           .select($"l_orderkey".as("k"), $"l_partkey".as("t"))
           .distinct())
+        .orderBy($"order_a", $"order_b")
     },
     Some("""WITH tok AS (
            |  SELECT DISTINCT l_orderkey AS k, l_partkey AS t
@@ -693,6 +697,79 @@ object Corpus {
            |JOIN sizes s2 ON s2.k = k2
            |WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
            |ORDER BY order_a, order_b""".stripMargin))
+
+  /** E343: **emit-bounded set-similarity: top-k partners per key** —
+    * the form a production pipeline actually runs at 100 TB (VERDICT
+    * r14 item 5). Full pair ENUMERATION (`q_join_setsim_prefix`) is
+    * the audit tool; its output is inherently quadratic on a
+    * clone-heavy corpus (~10⁹ pairs / 732 s at the sf10 rung,
+    * output-bound). Downstream consumers — canonical selection,
+    * near-dup linking, similar-item recommendation — only ever need
+    * each key's BEST partners, so this form keeps the identical
+    * candidate generation + verification (same provably lossless
+    * pair-key prefix filter stack, same exactness argument) and bounds
+    * the EMIT: the verified pairs are symmetrized into directed
+    * (key, partner) rows and run through the [[graft.plans.TopKPerKey]]
+    * physical operator (bounded heap per key, spill-safe), so the
+    * emitted rows, the post-verify shuffle, and anything downstream
+    * are ≤ k·|keys| ∝ corpus size — never pair-count — and the
+    * quadratic set dies inside the verify stage instead of being
+    * sorted, shuffled and materialized. No global sort anywhere
+    * (enumeration pays a full-output sort for its contract; top-k
+    * re-distributes by key only). Ranking is (jaccard DESC, partner
+    * ASC) — a total order per key, so the selected set is
+    * deterministic and the DuckDB row_number() oracle reproduces it
+    * exactly; both engines rank the same round-6 jaccard values the
+    * enumeration gate already proved equal at two scales. */
+  val qJoinSetsimTopk = Q("q_join_setsim_topk",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val pairs = setsimPairs(spark,
+        Tables.read(spark, sfDir, "lineitem")
+          .select($"l_orderkey".as("k"), $"l_partkey".as("t"))
+          .distinct())
+      val directed = pairs
+        .select($"order_a".as("k"), $"order_b".as("partner"),
+          $"n_common", $"jaccard")
+        .unionAll(pairs
+          .select($"order_b".as("k"), $"order_a".as("partner"),
+            $"n_common", $"jaccard"))
+      graft.plans.TopKPerKey.of(directed, partitionCols = Seq("k"),
+          orderCol = "jaccard", desc = true, tiebreak = "partner",
+          k = 3)
+        .select($"k".as("order_k"), $"partner", $"n_common",
+          $"jaccard")
+    },
+    Some("""WITH tok AS (
+           |  SELECT DISTINCT l_orderkey AS k, l_partkey AS t
+           |  FROM lineitem
+           |), sizes AS (
+           |  SELECT k, count(*) AS n FROM tok GROUP BY 1
+           |), common AS (
+           |  SELECT a.k AS k1, b.k AS k2, count(*) AS c
+           |  FROM tok a JOIN tok b ON a.t = b.t AND a.k < b.k
+           |  GROUP BY 1, 2
+           |), pairs AS (
+           |  SELECT k1, k2, CAST(c AS BIGINT) AS n_common,
+           |    round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+           |  FROM common
+           |  JOIN sizes s1 ON s1.k = k1
+           |  JOIN sizes s2 ON s2.k = k2
+           |  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
+           |), directed AS (
+           |  SELECT k1 AS k, k2 AS partner, n_common, jaccard
+           |  FROM pairs
+           |  UNION ALL
+           |  SELECT k2 AS k, k1 AS partner, n_common, jaccard
+           |  FROM pairs
+           |)
+           |SELECT k AS order_k, partner, n_common, jaccard
+           |FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY k ORDER BY jaccard DESC, partner) AS rn
+           |  FROM directed
+           |)
+           |WHERE rn <= 3""".stripMargin))
 
   /** E287: **repeated-substring detection** — which 40-char windows
     * (stride 10) appear in MORE THAN ONE document: the substring-level
@@ -787,5 +864,6 @@ object Corpus {
   val all: Seq[Q] = Seq(qPmiCooccur, qNgramNovelty, qSampleBottomk,
     qEmbedSeparation, qGenBigrams, qBpeMergeStep, qSampleTemperature,
     qTextHapax, qPcaPowerStep, qTextReadability,
-    qJoinSetsimPrefix, qDedupSubstring, qDedupSubstringHashed)
+    qJoinSetsimPrefix, qJoinSetsimTopk, qDedupSubstring,
+    qDedupSubstringHashed)
 }

@@ -106,17 +106,19 @@ object Surface15 {
            |ORDER BY l_returnflag, l_linestatus
            |LIMIT 5""".stripMargin))
 
-  /** E340: **parameterized SQL** — `spark.sql(text, args)` with NAMED
-    * (`:minQty`) and POSITIONAL (`?`) markers, the injection-safe
-    * query surface every service in front of the engine should use
-    * (parameters bind as typed literals at parse time — they are NOT
-    * string-spliced, so a hostile value cannot alter the plan shape).
-    * Two probes union the two binding styles over the same aggregate;
-    * the oracle inlines the literals, which is precisely the
-    * semantics parameter binding promises. Constant-folding sees the
-    * bound literal, so pushdown/pruning behave exactly as with
+  /** E340: **parameterized SQL, both binding styles** — `spark.sql(
+    * text, args)` with NAMED (`:lo`) and POSITIONAL (`?`) markers.
+    * The named style alone is already covered (E-ledger
+    * `q_sql_params`, queries/Scalars.scala); this row adds the
+    * POSITIONAL `Array`-bound form and pins that the two styles are
+    * semantically interchangeable by unioning them over the same
+    * aggregate. Parameters bind as typed literals at parse time —
+    * they are NOT string-spliced, so a hostile value cannot alter the
+    * plan shape. The oracle inlines the literals, which is precisely
+    * the semantics parameter binding promises. Constant-folding sees
+    * the bound literal, so pushdown/pruning behave exactly as with
     * hand-written constants — nothing changes at 100 TB. */
-  val qSqlParams = Q("q_sql_params",
+  val qSqlParams = Q("q_sql_params_styles",
     (spark, sfDir) => {
       val v = s"param_li_${viewRun.incrementAndGet()}"
       Tables.read(spark, sfDir, "lineitem").createOrReplaceTempView(v)
@@ -145,18 +147,22 @@ object Surface15 {
            |FROM (VALUES ('named'), ('positional')) s(style), g
            |ORDER BY s.style, g.l_returnflag""".stripMargin))
 
-  /** E341: **collation-aware comparison and grouping** — Spark 4's
-    * `COLLATE UTF8_LCASE` makes equality/grouping case-insensitive at
-    * the TYPE level, replacing the classic `lower(col)` normalization
-    * (and unlike `lower()`, a collated column keeps its original
-    * bytes — display text survives while comparison semantics
-    * change). The fixture is consistently-cased, so the query
-    * manufactures mixed case deterministically (even keys upper, odd
-    * lower), groups on the collated value, and outputs the lower()
-    * canonical form the oracle can reproduce. Grouping on a collated
-    * string hashes its collation key — same shuffle shape as any
-    * string groupBy at scale. */
-  val qSqlCollation = Q("q_sql_collation",
+  /** E341: **collation-aware predicates + aggregation** — Spark 4's
+    * `COLLATE UTF8_LCASE` makes equality case-insensitive at the TYPE
+    * level, replacing the classic `lower(col)` normalization (and
+    * unlike `lower()`, a collated column keeps its original bytes —
+    * display text survives while comparison semantics change).
+    * Collated GROUP BY alone is already covered (E246
+    * `q_sql_collation`, queries/Metrics.scala); this row adds collated
+    * EQUALITY/INEQUALITY PREDICATES (the tautology `= x OR <> x` must
+    * keep every row under any collation — a row lost here means the
+    * collated comparison diverged from trichotomy) and a numeric
+    * aggregate riding the collated grouping. The fixture is
+    * consistently-cased, so the query manufactures mixed case
+    * deterministically (even keys upper, odd lower). Grouping on a
+    * collated string hashes its collation key — same shuffle shape as
+    * any string groupBy at scale. */
+  val qSqlCollation = Q("q_sql_collation_pred",
     (spark, sfDir) => {
       val v = s"coll_cust_${viewRun.incrementAndGet()}"
       Tables.read(spark, sfDir, "customer").createOrReplaceTempView(v)
@@ -184,7 +190,100 @@ object Surface15 {
            |GROUP BY lower(c_mktsegment)
            |ORDER BY segment""".stripMargin))
 
+  /** E342: **end-to-end incremental refresh** — the three previously
+    * separate pieces composed into one gated flow (VERDICT r14 item
+    * 3): the custom MicroBatchStream source drains 50k rows in five
+    * admission-controlled micro-batches; `foreachBatch` lands every
+    * batch in a raw parquet zone AND folds its partial cells (Σx,
+    * Σx², non-null n, row count per bucket) into a maintained rollup
+    * — each refresh merges the previous cell store with the batch's
+    * partials, a cells-sized job independent of total history; the
+    * final store is registered with [[graft.plans.RollupRewrite]] and
+    * the USER QUERY at the bottom is the naive aggregate over the raw
+    * zone, which the navigator silently answers from the maintained
+    * cells (sum, stddev and count all riding E338's cell algebra).
+    *
+    * The oracle recomputes everything from DuckDB `range()` (the
+    * generator is deterministic), so one hash gates the whole chain:
+    * a skipped/replayed micro-batch, a lost cell merge, or a wrong
+    * navigator rewrite each shifts a bucket. Refresh idempotence: the
+    * cell store is written to a NEW `cells_v<batchId>` directory per
+    * batch (a replayed batch id overwrites its own output, the
+    * classic batch-id-versioned sink discipline); the raw append is
+    * non-transactional here — a production deployment makes it
+    * idempotent with the same batch-id guard or a transactional table
+    * format. At 100 TB the refresh cost per interval is O(batch +
+    * cells), not O(history) — the entire point of maintaining the
+    * rollup incrementally — and dashboard queries read kilobytes of
+    * cells. Scan redirection + stream/batch equivalence are locked in
+    * OperatorSuite. */
+  val qStreamRollupE2e = Q("q_stream_rollup_e2e",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.DataFrame
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-e2e-rollup").toString
+      val baseDir = s"$root/base"
+      val src = spark.readStream.format("graft.sources.SeriesSource")
+        .option("rows", "50000").option("slices", "4")
+        .option("maxRowsPerBatch", "10000").load()
+      @volatile var cellsDir: String = null
+      val maintain: (DataFrame, Long) => Unit = { (batch, id) =>
+        batch.write.mode("append").parquet(baseDir)
+        val partial = batch
+          .groupBy(($"i" % 10).cast("int").as("bucket"))
+          .agg(sum($"value").as("v_sum"),
+            sum($"value" * $"value").as("v_sq"),
+            count($"value").as("v_cnt"),
+            count(lit(1)).as("cnt"))
+        val merged = Option(cellsDir)
+          .map(d => spark.read.parquet(d).unionByName(partial)
+            .groupBy($"bucket")
+            .agg(sum($"v_sum").as("v_sum"), sum($"v_sq").as("v_sq"),
+              sum($"v_cnt").as("v_cnt"), sum($"cnt").as("cnt")))
+          .getOrElse(partial)
+        val next = s"$root/cells_v$id"
+        merged.write.mode("overwrite").parquet(next)
+        cellsDir = next
+      }
+      // state-light stream: same partition discipline as StreamRun
+      val key = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try {
+        val q = src.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch(maintain).start()
+        q.processAllAvailable(); q.stop()
+      } finally spark.conf.set(key, prevParts)
+      val base = spark.read.parquet(baseDir)
+      val summary = spark.read.parquet(cellsDir)
+      graft.plans.RollupRewrite.register(
+        base = base,
+        dims = Seq("bucket" -> (base("i") % 10).cast("int")),
+        sums = Seq("v_sum" -> base("value")),
+        mins = Nil, maxs = Nil, cntCol = "cnt",
+        summary = summary,
+        stats = Seq(("v_sum", "v_sq", "v_cnt", base("value"))))
+      base.groupBy(($"i" % 10).cast("int").as("bucket"))
+        .agg(round(sum($"value"), 4).as("sum_value"),
+          round(stddev_samp($"value"), 4).as("sd_value"),
+          count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH s AS (
+           |  SELECT i,
+           |    CAST(i * 2654435761 % 2147483648 % 10000 AS DOUBLE)
+           |      / 100.0 AS value
+           |  FROM range(0, 50000) t(i)
+           |)
+           |SELECT CAST(i % 10 AS INT) AS bucket,
+           |  round(sum(value), 4) AS sum_value,
+           |  round(stddev_samp(value), 4) AS sd_value,
+           |  count(*) AS n
+           |FROM s GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupStats, qSqlPipe, qSqlParams,
-    qSqlCollation)
+    qSqlCollation, qStreamRollupE2e)
 }
 

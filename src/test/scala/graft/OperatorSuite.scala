@@ -3537,6 +3537,50 @@ class OperatorSuite extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 
+  test("stream→rollup→navigator e2e: query reads maintained cells") {
+    // E342: the user query over the stream's raw landing zone must be
+    // silently answered from the incrementally maintained cell store
+    // (scan lock), and the kill switch must reproduce identical rows
+    // from the raw zone (stream/batch equivalence: the re-aggregation
+    // of streamed cells equals the full batch recompute).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val df = graft.queries.Surface15.qStreamRollupE2e.fn(spark, sf)
+    val onRows = df.collect().toSeq
+    assert(onRows.size == 10)
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.exists(_.contains("cells_v")),
+      s"e2e query must scan the maintained cell store, got $scans")
+    assert(!scans.exists(_.contains("/base")),
+      s"e2e query must not scan the raw landing zone, got $scans")
+    // the rewrite is plan-time: re-derive the SAME logical query over
+    // the raw zone with the rule disabled and require equal rows
+    val basePath = scans.find(_.contains("cells_v")).get
+      .replaceAll("cells_v\\d+$", "base")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      val base = spark.read.parquet(basePath)
+      val off = base
+        .groupBy((base("i") % 10).cast("int").as("bucket"))
+        .agg(round(sum($"value"), 4).as("sum_value"),
+          round(stddev_samp($"value"), 4).as("sd_value"),
+          count(lit(1)).as("n"))
+        .orderBy($"bucket")
+      assert(off.collect().toSeq === onRows,
+        "streamed cell maintenance must equal full batch recompute")
+      assert(base.count() === 50000L,
+        "raw landing zone must hold exactly the drained rows")
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+  }
+
   test("rollup rewrite: ANSI-safe avg, try_avg refusal, strict register") {
     // The three ADVICE r14 findings, each locked.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

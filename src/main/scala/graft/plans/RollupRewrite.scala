@@ -99,9 +99,25 @@ object RollupRewrite extends Rule[LogicalPlan] {
       cntCol: String,
       summaryPlan: LogicalPlan,
       avgs: Seq[(String, String, Expression)] = Nil,
-      stats: Seq[(String, String, String, Expression)] = Nil)
+      stats: Seq[(String, String, String, Expression)] = Nil) {
+    /** Identity for idempotent re-registration: the summary's own
+      * file path when it is a file read (the normal case), else the
+      * dim-name set — re-running a register() call replaces its prior
+      * def instead of accumulating duplicates in the lattice. */
+    def key: String = stripToRelation(summaryPlan, Map.empty)
+      .collect { case (_, p, _, Nil) => p }
+      .getOrElse(dims.map(_._1).sorted.mkString("dims:", ",", ""))
+  }
 
-  private val registry = new ConcurrentHashMap[String, RollupDef]()
+  /** Per base path: ALL registered rollups, coarsest first (fewest
+    * dims) — the navigator's summary LATTICE. A query is answered
+    * from the FIRST def that matches, i.e. the coarsest qualifying
+    * summary: grouping by a dim subset re-partitions whole cells, so
+    * among qualifying summaries the one with the fewest dims has the
+    * fewest cells and is the cheapest scan (Kimball's navigator rule;
+    * Harinarayan-Rajaraman-Ullman lattice descent). */
+  private val registry =
+    new ConcurrentHashMap[String, List[RollupDef]]()
 
   /** Register a rollup for the table `base` reads. `summary` must be
     * the READ of the materialized table whose columns are: one per
@@ -137,9 +153,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
       .zip(avgs).map { case ((s, t), (_, c, _)) => (s, c, t) }
     val statDefs = exprs(stats.map { case (s, _, _, c) => (s, c) })
       .zip(stats).map { case ((s, t), (_, q, c, _)) => (s, q, c, t) }
-    registry.put(basePath, RollupDef(basePath, exprs(dims),
+    val d = RollupDef(basePath, exprs(dims),
       exprs(sums), exprs(mins), exprs(maxs), cntCol,
-      summary.queryExecution.analyzed, avgDefs, statDefs))
+      summary.queryExecution.analyzed, avgDefs, statDefs)
+    registry.compute(basePath, (_, old) => {
+      val kept = Option(old).getOrElse(Nil).filterNot(_.key == d.key)
+      (d :: kept).sortBy(_.dims.size)
+    })
+    ()
   }
 
   /** Test/maintenance hook. */
@@ -275,17 +296,26 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private val dbg = sys.env.contains("GRAFT_ROLLUP_DEBUG")
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (ge, ae, child) =
-      (agg.groupingExpressions, agg.aggregateExpressions, agg.child)
     val (rel, path, subst, conds) =
-      stripToRelation(child, Map.empty).getOrElse {
-        if (dbg) println(s"[rollup-dbg] no relation under $child")
+      stripToRelation(agg.child, Map.empty).getOrElse {
+        if (dbg) println(s"[rollup-dbg] no relation under ${agg.child}")
         return None
       }
-    val d = Option(registry.get(path)).getOrElse {
+    val defs = Option(registry.get(path)).getOrElse {
       if (dbg) println(s"[rollup-dbg] no registration for $path")
       return None
     }
+    // lattice descent: defs are kept coarsest-first, so the first
+    // qualifying summary is the cheapest one that can answer the query
+    defs.view.flatMap(d => rewriteWith(agg, rel, subst, conds, d))
+      .headOption
+  }
+
+  private def rewriteWith(agg: Aggregate, rel: LogicalRelation,
+      subst: Map[ExprId, Expression], conds: Seq[Expression],
+      d: RollupDef): Option[LogicalPlan] = {
+    val (ge, ae, child) =
+      (agg.groupingExpressions, agg.aggregateExpressions, agg.child)
     // never rewrite the rollup-build aggregate itself: it scans the
     // base at exactly the dim grain but its registration happens
     // after the build; this guard keeps a re-run of the build honest

@@ -1592,6 +1592,189 @@ object LLMOps {
            |    / len(bg), 6) AS top_bigram_frac
            |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** E345: **bigram-LM scoring with interpolated backoff** — the next
+    * rung above E112's unigram LM, and the shape change matters more
+    * than the order: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·p_uni(w₂)
+    * (Jelinek–Mercer interpolation, λ = 0.75 — the standard fix for
+    * unseen-bigram zeros without Katz backoff's discounting table),
+    * and a document scores the mean log of that mixture over its
+    * bigrams. Junk with plausible WORDS but implausible SEQUENCES
+    * (shuffled text, keyword stuffing, concatenated fragments) sails
+    * past a unigram filter and fails this one.
+    *
+    * Scale shape, deliberately different from E112: the unigram side
+    * still BROADCASTS (vocab-bounded), but the bigram table grows
+    * with the corpus and does NOT — so the conditional-probability
+    * join runs as a key-partitioned shuffle join on (w₁,w₂), exactly
+    * the plan a 100 TB run needs (bigram counts and bigram
+    * occurrences co-shuffle once; nothing collects). That is the
+    * documented scale path E112's scaladoc pointed at (the CMS sketch
+    * replaces the EXACT table only when even the shuffled table's
+    * size must be bounded). λ and 1−λ are exact binary fractions
+    * (3/4, 1/4), divisions are exact-integer-over-exact-integer in
+    * double, and both engines apply the identical op order, so the
+    * 6-dp rounded score compares exactly under the gate. */
+  /** The full bigram-LM pipeline over any (doc_id, text) frame —
+    * factored out of the Q so OperatorSuite can assert the semantic
+    * invariant (fluent word ORDER outscores shuffled words with the
+    * same unigram profile) on a synthetic corpus with real sequence
+    * signal; the driver fixture's text is order-random by
+    * construction, so the invariant is only falsifiable off-fixture. */
+  private[graft] def bigramLmScores(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val pairs = d
+      .select($"doc_id", split(trim($"text"), " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"ws") - 1),
+        i => struct(element_at($"ws", i).as("w1"),
+          element_at($"ws", i + 1).as("w2")))).as("p"))
+      .select($"doc_id", $"p.w1", $"p.w2")
+    val c12 = pairs.groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val toks = d.select(explode(split(trim($"text"), " ")).as("w"))
+    val tf = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum($"c").as("n_total"))
+    val uni = tf.crossJoin(broadcast(total))
+      .select($"w".as("w2"), ($"c" / $"n_total").as("pu"))
+    val cond = c12.join(c1, "w1")
+      .select($"w1", $"w2", ($"c12" / $"c1").as("pc"))
+    pairs.join(cond, Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w2"))
+      .select($"doc_id",
+        log(lit(0.75) * $"pc" + lit(0.25) * $"pu").as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg($"lp"), 6).as("bigram_lm_score"))
+  }
+
+  val qQualityBigramLm = Q("q_quality_bigram_lm",
+    (spark, sfDir) => {
+      import spark.implicits._
+      bigramLmScores(docs(spark, sfDir).select($"doc_id", $"text"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+           |  FROM documents
+           |), p AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(ws) - 1),
+           |      i -> ws[i])) AS w1,
+           |    unnest(list_transform(generate_series(1, len(ws) - 1),
+           |      i -> ws[i + 1])) AS w2
+           |  FROM t WHERE len(ws) >= 2
+           |), c12 AS (
+           |  SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2
+           |), c1 AS (
+           |  SELECT w1, count(*) AS c1 FROM p GROUP BY 1
+           |), toks AS (
+           |  SELECT unnest(string_split(trim(text), ' ')) AS w
+           |  FROM documents
+           |), tf AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+           |tot AS (SELECT sum(c) AS n_total FROM tf),
+           |uni AS (
+           |  SELECT w AS w2, c / (SELECT n_total FROM tot) AS pu
+           |  FROM tf
+           |), cond AS (
+           |  SELECT w1, w2, c12 / c1 AS pc
+           |  FROM c12 JOIN c1 USING (w1)
+           |)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(avg(ln(0.75 * pc + 0.25 * pu)), 6)
+           |    AS bigram_lm_score
+           |FROM p JOIN cond USING (w1, w2) JOIN uni USING (w2)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** E346: **DSIR importance-weighted data selection** — Data
+    * Selection with Importance Resampling (Xie et al. 2023): score
+    * every raw document by how much more likely its HASHED-unigram
+    * feature profile is under a TARGET domain (here: source 'src1',
+    * standing in for "high-quality reference corpus") than under the
+    * raw pool, log w(x) = Σ_tokens [ln p_tgt(b(w)) − ln p_raw(b(w))],
+    * add-one smoothed over B = 8192 hash buckets, then keep the
+    * top-N. This is the published, production-standard way to tilt a
+    * 100 TB crawl toward a domain WITHOUT training a classifier.
+    *
+    * The hashing is the whole scale story (and why DSIR hashes at
+    * all): both feature tables are ≤ B rows NO MATTER THE CORPUS
+    * SIZE, so fitting is two token-grain aggregations and scoring is
+    * one BROADCAST probe + one doc-grain agg — a scan-shaped
+    * pipeline with zero corpus-sized joins. Selection ranks on the
+    * 6-dp-rounded weight with doc_id tiebreak, so the kept set is
+    * deterministic and engine-portable (the bucket hash is the house
+    * char-fold polynomial, identical in DuckDB). */
+  /** The full DSIR scoring pipeline over any (doc_id, text, is_tgt)
+    * frame — factored out of the Q so OperatorSuite can assert the
+    * semantic invariant (target-vocabulary docs rank first) on a
+    * synthetic corpus with a REAL domain shift; the driver fixture
+    * draws every source from one shared vocabulary, so on-fixture the
+    * weights are smoothing noise by construction (the gate still pins
+    * the computation bit-for-bit, which is what it is for). */
+  private[graft] def dsirScores(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val B = 8192
+    val tok = d
+      .select($"doc_id", $"is_tgt",
+        explode(split(trim($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .select($"doc_id", $"is_tgt", (charFold($"w") % B).as("b"))
+    val raw = tok.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter($"is_tgt")
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val totals = tok.agg(count(lit(1)).as("nr"),
+      count(when($"is_tgt", 1)).as("ntg"))
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select($"b",
+        (log(($"ct" + 1) / ($"ntg" + B)) -
+          log(($"cr" + 1) / ($"nr" + B))).as("lw"))
+    tok.join(broadcast(lr), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"lw"), 6).as("log_w"))
+  }
+
+  val qSampleDsir = Q("q_sample_dsir",
+    (spark, sfDir) => {
+      import spark.implicits._
+      dsirScores(docs(spark, sfDir)
+          .select($"doc_id", $"text",
+            ($"source" === "src1").as("is_tgt")))
+        .orderBy($"log_w".desc, $"doc_id")
+        .limit(50)
+    },
+    Some(s"""WITH tok AS (
+           |  SELECT doc_id, source,
+           |    ${charFoldSql("w")} % 8192 AS b
+           |  FROM (
+           |    SELECT doc_id, source,
+           |      unnest(string_split(trim(text), ' ')) AS w
+           |    FROM documents
+           |  ) WHERE len(w) > 0
+           |), raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY 1),
+           |tgt AS (
+           |  SELECT b, count(*) AS ct FROM tok
+           |  WHERE source = 'src1' GROUP BY 1
+           |), tot AS (
+           |  SELECT count(*) AS nr,
+           |    count(*) FILTER (WHERE source = 'src1') AS ntg
+           |  FROM tok
+           |), lr AS (
+           |  SELECT r.b,
+           |    ln((coalesce(t.ct, 0) + 1)
+           |       / ((SELECT ntg FROM tot) + 8192))
+           |    - ln((r.cr + 1) / ((SELECT nr FROM tot) + 8192)) AS lw
+           |  FROM raw r LEFT JOIN tgt t USING (b)
+           |)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  round(sum(lw), 6) AS log_w
+           |FROM tok JOIN lr USING (b)
+           |GROUP BY doc_id
+           |ORDER BY log_w DESC, doc_id LIMIT 50""".stripMargin))
+
   // ------------------------------------------------------ token counts
   /** Token counting: whitespace tokens, regex word-runs, and a BPE-ish
     * chars/4 estimate. */
@@ -3455,7 +3638,8 @@ object LLMOps {
     qMultimodalFrames, qMmFeatures, qMmResize, qTextTf, qNgramFreq,
     qTextTfidf,
     qTextBm25,
-    qLangId, qQualityScore, qQualityRepetition, qQualityLm, qTokenCount,
+    qLangId, qQualityScore, qQualityRepetition, qQualityLm,
+    qQualityBigramLm, qSampleDsir, qTokenCount,
     qFingerprint, qGenPosexplode, qSplitGroup,
     qSampleStratified, qSampleMixture, qSamplePerSource, qSampleWeighted,
     qChunkDocs,

@@ -283,7 +283,104 @@ object Surface15 {
            |  count(*) AS n
            |FROM s GROUP BY 1 ORDER BY bucket""".stripMargin))
 
+  /** Build-and-register the two-level summary LATTICE over `orders`,
+    * once per (session, sfDir): fine = (o_day, o_orderpriority),
+    * coarse = (o_orderpriority), the coarse level built FROM the fine
+    * one (cells merge — the standard lattice build, never a second
+    * base scan). Both register with [[graft.plans.RollupRewrite]];
+    * the registry keeps them coarsest-first. On the `orders` table —
+    * not lineitem — so the lattice choice below is isolated from the
+    * single-summary rollup family's plan locks. */
+  private def latticeSummaries(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.Memo.cached(spark, s"rollup_lattice:$sfDir") {
+      import spark.implicits._
+      val base = Tables.read(spark, sfDir, "orders")
+      val fineDir = java.nio.file.Files
+        .createTempDirectory("graft-rollup-lat-fine").toString
+      val coarseDir = java.nio.file.Files
+        .createTempDirectory("graft-rollup-lat-coarse").toString
+      base.groupBy(to_date($"o_orderdate").as("o_day"),
+          $"o_orderpriority")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .as("price_sum"),
+          min($"o_totalprice".cast("decimal(18,2)")).as("price_min"),
+          max($"o_totalprice".cast("decimal(18,2)")).as("price_max"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(fineDir)
+      val fine = spark.read.parquet(fineDir)
+      fine.groupBy($"o_orderpriority")
+        .agg(sum($"price_sum").as("price_sum"),
+          min($"price_min").as("price_min"),
+          max($"price_max").as("price_max"),
+          sum($"cnt").as("cnt"))
+        .write.mode("overwrite").parquet(coarseDir)
+      val coarse = spark.read.parquet(coarseDir)
+      def reg(dims: Seq[(String, org.apache.spark.sql.Column)],
+          summary: org.apache.spark.sql.DataFrame): Unit =
+        graft.plans.RollupRewrite.register(
+          base = base,
+          dims = dims,
+          sums = Seq("price_sum" ->
+            base("o_totalprice").cast("decimal(18,2)")),
+          mins = Seq("price_min" ->
+            base("o_totalprice").cast("decimal(18,2)")),
+          maxs = Seq("price_max" ->
+            base("o_totalprice").cast("decimal(18,2)")),
+          cntCol = "cnt", summary = summary)
+      reg(Seq("o_day" -> to_date(base("o_orderdate")),
+        "o_orderpriority" -> base("o_orderpriority")), fine)
+      reg(Seq("o_orderpriority" -> base("o_orderpriority")), coarse)
+      coarse
+    }
+
+  /** E344: **summary-lattice navigation** — TWO materialized rollups
+    * of the same base at nested grains (fine: day × priority ≈ 10⁴
+    * cells; coarse: priority = 5 cells), both registered, and the
+    * navigator answers each query from the COARSEST summary whose dim
+    * set covers the query's grouping (Harinarayan–Rajaraman–Ullman
+    * lattice descent; Kimball's navigator rule). The gated query
+    * below groups by priority only — both summaries qualify, and the
+    * rewrite must pick the 5-cell one: at 100 TB that's the
+    * difference between reading kilobytes and reading the day-level
+    * summary's millions of cells, and it's what makes a summary
+    * LATTICE (not just one rollup) the right warehouse shape — each
+    * dashboard grain pays only its own cells. OperatorSuite locks the
+    * descent three ways: priority-grain scans the coarse directory,
+    * day-grain scans the fine one (coarse can't answer it), and
+    * rule-off reproduces identical rows from the base scan. The
+    * DuckDB oracle runs the naive SQL on the base — the navigation
+    * must be invisible in values. Decimal cells keep both routes
+    * exact. */
+  val qAggRollupLattice = Q("q_agg_rollup_lattice",
+    (spark, sfDir) => {
+      import spark.implicits._
+      latticeSummaries(spark, sfDir)
+      Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          min($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("min_price"),
+          max($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("max_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS min_price,
+           |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS max_price,
+           |  count(*) AS n_orders
+           |FROM orders
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupStats, qSqlPipe, qSqlParams,
-    qSqlCollation, qStreamRollupE2e)
+    qSqlCollation, qStreamRollupE2e, qAggRollupLattice)
 }
 

@@ -3581,6 +3581,105 @@ class OperatorSuite extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 
+  test("bigram LM: fluent word order outscores shuffled words (E345)") {
+    // Same unigram profile, different sequences: docs built from a
+    // canonical sentence must outscore docs of the same words shuffled
+    // — the signal a unigram LM (E112) cannot see. Fit and score on
+    // the combined corpus, exactly like the production query.
+    val sent = "the quick brown fox jumps over the lazy dog"
+    val words = sent.split(" ").toSeq
+    val rnd = new scala.util.Random(42)
+    val fluent = (1L to 20L).map(i => (i, Seq.fill(3)(sent).mkString(" ")))
+    val shuffled = (21L to 30L).map { i =>
+      (i, rnd.shuffle(Seq.fill(3)(words).flatten).mkString(" "))
+    }
+    val d = spark.createDataFrame(fluent ++ shuffled)
+      .toDF("doc_id", "text")
+    val s = graft.queries.LLMOps.bigramLmScores(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val fm = fluent.map(f => s(f._1)).sum / fluent.size
+    val sm = shuffled.map(f => s(f._1)).sum / shuffled.size
+    assert(fm > sm + 0.5,
+      s"fluent mean $fm must clearly outscore shuffled mean $sm")
+  }
+
+  test("DSIR selection ranks target-vocabulary docs first (E346)") {
+    // A real domain shift (disjoint vocabularies): every UNFLAGGED doc
+    // written in the target vocabulary must outweigh every off-domain
+    // doc — importance weighting finds domain LOOKALIKES in the raw
+    // pool, which is the method's entire purpose. (The driver fixture
+    // shares one vocabulary across sources, so this invariant is only
+    // falsifiable on a synthetic corpus; the oracle gate pins the
+    // fixture computation itself.)
+    val tgtText = "alpha beta gamma delta epsilon zeta eta theta"
+    val offText = "one two three four five six seven eight nine ten"
+    val rows = (1L to 10L).map(i => (i, tgtText, true)) ++
+      (11L to 15L).map(i => (i, tgtText, false)) ++
+      (16L to 40L).map(i => (i, offText, false))
+    val d = spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "is_tgt")
+    val scored = graft.queries.LLMOps.dsirScores(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val likeMin = scored.filter(x => x._1 >= 11 && x._1 <= 15)
+      .map(_._2).min
+    val offMax = scored.filter(_._1 >= 16).map(_._2).max
+    assert(likeMin > offMax,
+      s"weakest lookalike $likeMin must outweigh best off-domain $offMax")
+  }
+
+  test("rollup lattice: coarsest qualifying summary answers each grain") {
+    // E344: two registered summaries over orders (fine = day×priority,
+    // coarse = priority). Lattice descent, locked three ways:
+    // priority-grain → coarse dir; day-grain → fine dir (coarse cannot
+    // answer it); rule-off → identical rows from the base scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val df = graft.queries.Surface15.qAggRollupLattice.fn(spark, sf)
+    val onRows = df.collect().toSeq
+    assert(onRows.size === 5)
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.exists(_.contains("graft-rollup-lat-coarse")),
+      s"priority grain must read the 5-cell coarse summary, got $scans")
+    assert(!scans.exists(_.contains("graft-rollup-lat-fine")),
+      s"priority grain must NOT read the fine summary, got $scans")
+    assert(!scans.exists(_.contains("orders.parquet")),
+      s"priority grain must NOT read the base, got $scans")
+    // day grain: fine qualifies, coarse does not (o_day ∉ its dims)
+    def dayGrain() = Tables.read(spark, sf, "orders")
+      .groupBy(to_date($"o_orderdate").as("o_day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+        .cast("double").as("sum_price"))
+    val dayScans = walk(dayGrain().queryExecution.executedPlan)
+    assert(dayScans.exists(_.contains("graft-rollup-lat-fine")),
+      s"day grain must read the fine summary, got $dayScans")
+    assert(!dayScans.exists(_.contains("graft-rollup-lat-coarse")),
+      s"day grain must NOT read the coarse summary, got $dayScans")
+    // rule off: same rows from the base scan
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      val off = Tables.read(spark, sf, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          min($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("min_price"),
+          max($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("max_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+      assert(off.collect().toSeq === onRows,
+        "lattice navigation must be invisible in values")
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+  }
+
   test("rollup rewrite: ANSI-safe avg, try_avg refusal, strict register") {
     // The three ADVICE r14 findings, each locked.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -16,8 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode}
 import org.apache.spark.sql.catalyst.expressions.{And,
   GreaterThanOrEqual, IsNotNull, LessThan, PlanExpression,
   RuntimeReplaceable}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
-  LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
+  Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.{types => types}
 import org.apache.spark.sql.types.{DateType, TimestampType}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -187,6 +187,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled || registry.isEmpty) return plan
     plan.transform {
+      case agg @ Aggregate(_, _, ex: Expand, _) =>
+        rewriteGroupingSets(agg, ex).getOrElse(agg)
       case agg: Aggregate =>
         rewrite(agg).getOrElse(agg)
     }
@@ -294,6 +296,274 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
 
   private val dbg = sys.env.contains("GRAFT_ROLLUP_DEBUG")
+
+  /** GROUP BY ROLLUP / CUBE / GROUPING SETS through the navigator
+    * (round 15). Spark plans grouping sets as
+    * `Aggregate(dims :+ gid, aggs, Expand(projections, out, scan))`:
+    * Expand replicates every base row once per grouping set, nulling
+    * the un-grouped dim slots and tagging the set with a
+    * `spark_grouping_id` literal. The replication commutes with cell
+    * merging — each base row lands in exactly one summary cell with
+    * identical dim values, so expanding CELLS and re-aggregating
+    * (sum-of-sums, sum-of-counts, min-of-mins, …) per (dims, gid) is
+    * row-for-row equivalent to expanding the base — which makes the
+    * full dashboard-cube family answerable from kilobytes of rollup.
+    *
+    * Mechanics: classify each Expand output slot by its column of
+    * per-projection expressions — all-literal (the gid; kept
+    * verbatim), dim-or-null (kept; the dim expression re-pointed at
+    * the summary's dim column, the nulls kept as-is), or a measure
+    * source identical across projections (DROPPED — aggregate
+    * arguments are remapped to appended CELL slots instead, one per
+    * needed cell column, shared across grouping sets). Anything else
+    * — a slot mixing expressions, a measure-slot reference outside an
+    * aggregate, a grouping expression touching a dropped slot, a
+    * Filter under the Expand — refuses the rewrite. Same aggregate
+    * algebra and eval-mode guards as the flat path (count(*)→Σcnt,
+    * sum/min/max→cells, AVG→Σs/Σc legacy-divide, stddev/var→M2 from
+    * Σx/Σx²/n); the lattice is consulted coarsest-first exactly like
+    * flat aggregates. */
+  private def rewriteGroupingSets(agg: Aggregate,
+      ex: Expand): Option[LogicalPlan] = {
+    val (rel, path, subst, conds) =
+      stripToRelation(ex.child, Map.empty).getOrElse {
+        if (dbg) println(s"[rollup-dbg] gs: no relation under ${ex.child}")
+        return None
+      }
+    // predicate-aware grouping sets are out of scope: a Filter under
+    // the Expand stays on the base plan (no rewrite)
+    if (conds.nonEmpty) return None
+    val defs = Option(registry.get(path)).getOrElse(return None)
+    defs.view.flatMap(d => rewriteExpandWith(agg, ex, rel, subst, d))
+      .headOption
+  }
+
+  private sealed trait SlotKind
+  private case object LitSlot extends SlotKind
+  private final case class DimSlot(name: String) extends SlotKind
+  private final case class MeasureSlot(src: Expression) extends SlotKind
+
+  private def rewriteExpandWith(agg: Aggregate, ex: Expand,
+      rel: LogicalRelation, subst: Map[ExprId, Expression],
+      d: RollupDef): Option[LogicalPlan] = {
+    if (ex.child.fastEquals(d.summaryPlan)) return None
+    val sumPlan = freshSummary(d)
+    def summaryAttr(name: String): Option[Attribute] =
+      sumPlan.output.find(_.name == name)
+    val anchoredDims = d.dims.flatMap { case (n, t) =>
+      anchor(t, rel.output).map(n -> _)
+    }
+    if (anchoredDims.size != d.dims.size) return None
+    def anchored(ms: Seq[(String, Expression)]) = ms.flatMap {
+      case (n, t) => anchor(t, rel.output).map(n -> _)
+    }
+    val (aSums, aMins, aMaxs) =
+      (anchored(d.sums), anchored(d.mins), anchored(d.maxs))
+    val aAvgs = d.avgs.flatMap { case (sCol, cCol, t) =>
+      anchor(t, rel.output).map(re => (sCol, cCol, re))
+    }
+    val aStats = d.stats.flatMap { case (sCol, qCol, cCol, t) =>
+      anchor(t, rel.output).map(re => (sCol, qCol, cCol, re))
+    }
+    def isNullLit(e: Expression) = e match {
+      case Literal(null, _) => true
+      case _ => false
+    }
+
+    val slotKinds: Seq[SlotKind] = ex.output.indices.map { i =>
+      val es = ex.projections.map(_(i))
+      if (es.forall(_.isInstanceOf[Literal])) LitSlot
+      else {
+        val rs = es.filterNot(isNullLit)
+          .map(e => stripNoopCasts(resolveThrough(e, subst)))
+        val h = rs.head
+        if (!rs.forall(_.semanticEquals(h))) {
+          if (dbg) println(s"[rollup-dbg] gs: mixed slot $i: $rs")
+          return None
+        }
+        anchoredDims.find(_._2.semanticEquals(h)) match {
+          case Some((n, _)) => DimSlot(n)
+          case None => MeasureSlot(h)
+        }
+      }
+    }
+    // a dim slot's non-null projections must map to an existing
+    // summary column; verify up front so the projection rebuild below
+    // can .get safely
+    slotKinds.foreach {
+      case DimSlot(n) if summaryAttr(n).isEmpty => return None
+      case _ => ()
+    }
+
+    val keepIdx = ex.output.indices.filter(i => slotKinds(i) match {
+      case MeasureSlot(_) => false
+      case _ => true
+    })
+    val keptIds = keepIdx.map(i => ex.output(i).exprId).toSet
+    val measureSrcBySlotId: Map[ExprId, Expression] =
+      ex.output.indices.flatMap { i =>
+        slotKinds(i) match {
+          case MeasureSlot(src) => Some(ex.output(i).exprId -> src)
+          case _ => None
+        }
+      }.toMap
+
+    // grouping expressions may only touch kept (dim / gid) slots
+    if (!agg.groupingExpressions.forall(
+        _.references.forall(r => keptIds.contains(r.exprId))))
+      return None
+
+    // appended cell slots: cell column name -> (new Expand output
+    // attr, summary attr fed through every projection)
+    val extra = scala.collection.mutable.LinkedHashMap
+      .empty[String, (AttributeReference, Attribute)]
+    def cellAttr(name: String): Option[AttributeReference] =
+      summaryAttr(name).map { sa =>
+        extra.getOrElseUpdate(name,
+          (AttributeReference(name, sa.dataType, nullable = true)(),
+            sa))._1
+      }
+    // resolve an aggregate ARGUMENT over Expand output back to its
+    // base-relation source: substitute measure-slot attrs with their
+    // per-projection source expression (the argument may wrap the
+    // slot, e.g. `sum(cast(slot as decimal))` — the cast lives in the
+    // aggregate, the slot carries the raw column), then normalize.
+    // Any dim/gid attr inside an aggregate argument refuses.
+    def srcOfArg(e: Expression): Option[Expression] = {
+      var ok = true
+      val r = e.transformUp {
+        case a: AttributeReference =>
+          measureSrcBySlotId.get(a.exprId) match {
+            case Some(src) => src
+            case None => ok = false; a
+          }
+      }
+      if (ok) Some(stripNoopCasts(r)) else None
+    }
+
+    def statOverCellsX(srcE: Expression, samp: Boolean,
+        sqrtIt: Boolean): Option[Expression] =
+      aStats.find(_._4.semanticEquals(srcE)).flatMap {
+        case (sCol, qCol, cCol, _) =>
+          for { sa <- cellAttr(sCol); qa <- cellAttr(qCol)
+                ca <- cellAttr(cCol) } yield {
+            val dbl = types.DoubleType
+            def sumD(a: Attribute) =
+              Cast(Sum(a).toAggregateExpression(), dbl)
+            val n = sumD(ca); val s1 = sumD(sa); val s2 = sumD(qa)
+            val m2 = Greatest(Seq(Literal(0.0), Subtract(s2,
+              Divide(Multiply(s1, s1, EvalMode.LEGACY), n,
+                EvalMode.LEGACY), EvalMode.LEGACY)))
+            val denom =
+              if (samp) Subtract(n, Literal(1.0), EvalMode.LEGACY)
+              else n
+            val v = Divide(m2, denom, EvalMode.LEGACY)
+            val out = if (sqrtIt) Sqrt(v) else v
+            if (samp)
+              If(LessThan(n, Literal(2.0)), Literal(null, dbl), out)
+            else out
+          }
+      }
+
+    def reAggX(a: AggregateExpression): Option[Expression] = {
+      if (a.isDistinct || a.filter.isDefined) return None
+      a.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null =>
+          cellAttr(d.cntCol).map(c => Coalesce(Seq(
+            Sum(c).toAggregateExpression(), Literal(0L))))
+        case Sum(e, em) =>
+          srcOfArg(e).flatMap(src =>
+            aSums.find(_._2.semanticEquals(src))).flatMap {
+            case (n, _) => cellAttr(n).map(c =>
+              Cast(Sum(c, em).toAggregateExpression(), a.dataType))
+          }
+        case Min(e) =>
+          srcOfArg(e).flatMap(src =>
+            aMins.find(_._2.semanticEquals(src))).flatMap {
+            case (n, _) => cellAttr(n).map(c =>
+              Cast(Min(c).toAggregateExpression(), a.dataType))
+          }
+        case Max(e) =>
+          srcOfArg(e).flatMap(src =>
+            aMaxs.find(_._2.semanticEquals(src))).flatMap {
+            case (n, _) => cellAttr(n).map(c =>
+              Cast(Max(c).toAggregateExpression(), a.dataType))
+          }
+        case Average(e, em) if a.dataType == types.DoubleType &&
+            em != EvalMode.TRY =>
+          srcOfArg(e).flatMap(src =>
+            aAvgs.find(_._3.semanticEquals(src))).flatMap {
+            case (sCol, cCol, _) =>
+              for { sa <- cellAttr(sCol); ca <- cellAttr(cCol) }
+                yield Divide(
+                  Cast(Sum(sa).toAggregateExpression(),
+                    types.DoubleType),
+                  Cast(Sum(ca).toAggregateExpression(),
+                    types.DoubleType),
+                  EvalMode.LEGACY)
+          }
+        case StddevSamp(e, true) =>
+          srcOfArg(e).flatMap(statOverCellsX(_, samp = true,
+            sqrtIt = true))
+        case StddevPop(e, true) =>
+          srcOfArg(e).flatMap(statOverCellsX(_, samp = false,
+            sqrtIt = true))
+        case VarianceSamp(e, true) =>
+          srcOfArg(e).flatMap(statOverCellsX(_, samp = true,
+            sqrtIt = false))
+        case VariancePop(e, true) =>
+          srcOfArg(e).flatMap(statOverCellsX(_, samp = false,
+            sqrtIt = false))
+        case _ => None
+      }
+    }
+
+    def rewriteExprX(e: Expression): Option[Expression] = e match {
+      case a: AggregateExpression => reAggX(a)
+      case a: AttributeReference =>
+        // dim / gid references stay; a measure-slot reference outside
+        // an aggregate has no summary equivalent
+        if (keptIds.contains(a.exprId)) Some(a) else None
+      case leaf if leaf.children.isEmpty => Some(leaf)
+      case other =>
+        val kids = other.children.map(rewriteExprX)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val newAe: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      ne =>
+        val rewritten = ne match {
+          case al: Alias => rewriteExprX(al.child).map(c =>
+            Alias(c, al.name)(exprId = al.exprId,
+              qualifier = al.qualifier))
+          case attr: Attribute => rewriteExprX(attr).map {
+            case same: Attribute if same.exprId == attr.exprId => attr
+            case c => Alias(c, attr.name)(exprId = attr.exprId)
+          }
+          case other => rewriteExprX(other).map(c =>
+            Alias(c, other.name)(exprId = other.exprId))
+        }
+        rewritten.getOrElse {
+          if (dbg) println(s"[rollup-dbg] gs: not re-aggregable: $ne")
+          return None
+        }
+    }
+
+    val newOutput: Seq[Attribute] =
+      keepIdx.map(ex.output) ++ extra.values.map(_._1)
+    val newProjections: Seq[Seq[Expression]] = ex.projections.map {
+      row =>
+        keepIdx.map { i =>
+          slotKinds(i) match {
+            case DimSlot(n) =>
+              if (isNullLit(row(i))) row(i) else summaryAttr(n).get
+            case _ => row(i) // literal slot (gid) verbatim
+          }
+        } ++ extra.values.map(_._2)
+    }
+    Some(Aggregate(agg.groupingExpressions, newAe,
+      Expand(newProjections, newOutput, sumPlan)))
+  }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (rel, path, subst, conds) =

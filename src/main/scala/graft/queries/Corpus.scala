@@ -728,12 +728,24 @@ object Corpus {
         Tables.read(spark, sfDir, "lineitem")
           .select($"l_orderkey".as("k"), $"l_partkey".as("t"))
           .distinct())
+      // symmetrize with a single-pass explode, NOT a self-union: a
+      // union of two selects over `pairs` makes Spark COMPUTE THE
+      // WHOLE CANDIDATE+VERIFY PIPELINE TWICE (one subtree per
+      // branch), doubling every upstream shuffle — measured fatally
+      // at the quadratic-output sf10 rung (the union form died on
+      // disk at stage 66 where the enumeration form's 1× footprint
+      // had just fit at 732 s; BASELINE round-15). The explode emits
+      // both directions from ONE verified row, and the map-side
+      // TopKPerKeyPartial consumes the exploded iterator pipelined —
+      // the only post-verify shuffle WRITE is the heap output,
+      // ≤ k·keys·partitions rows, never pair-count.
       val directed = pairs
-        .select($"order_a".as("k"), $"order_b".as("partner"),
-          $"n_common", $"jaccard")
-        .unionAll(pairs
-          .select($"order_b".as("k"), $"order_a".as("partner"),
-            $"n_common", $"jaccard"))
+        .select(explode(array(
+          struct($"order_a".as("k"), $"order_b".as("partner"),
+            $"n_common", $"jaccard"),
+          struct($"order_b".as("k"), $"order_a".as("partner"),
+            $"n_common", $"jaccard"))).as("d"))
+        .select($"d.k", $"d.partner", $"d.n_common", $"d.jaccard")
       graft.plans.TopKPerKey.of(directed, partitionCols = Seq("k"),
           orderCol = "jaccard", desc = true, tiebreak = "partner",
           k = 3)

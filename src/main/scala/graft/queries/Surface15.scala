@@ -6,9 +6,10 @@ import graft.{Q, Tables}
 
 /** Round-15 ledger (SURVEY.md §17 — VERDICT r14 items 2/3/4/5): the
   * Σx² navigator cells, the end-to-end incremental-refresh flow, the
-  * Spark-4 SQL pipe/parameter surface, and the emit-bounded setsim
-  * production form. One oracle-gated row each; scale notes per query.
-  */
+  * Spark-4 SQL pipe/parameter surface, and the summary-lattice
+  * navigation row (the emit-bounded setsim form lives with its family
+  * in queries/Corpus.scala). One oracle-gated row each; scale notes
+  * per query. */
 object Surface15 {
 
   /** E338: **stddev/var through the aggregate navigator** — the
@@ -380,7 +381,92 @@ object Surface15 {
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** E347: **filtered lattice descent** — the navigator's two
+    * extensions composed: the query groups by priority (the COARSE
+    * summary's grain) but filters on a DAY RANGE, a dimension only
+    * the FINE summary carries. The coarse summary cannot express the
+    * predicate over its cells (its cells merged the days away), so
+    * the descent must SKIP it and answer from the fine summary with
+    * the day predicate moved onto the fine summary's scan — whole
+    * cells, never split ones. This fall-through is the load-bearing
+    * property of a real navigator: the cheapest summary that can
+    * answer THE WHOLE QUERY (grain AND predicate), not just the
+    * grain. At 100 TB it is the difference between every dashboard
+    * date-picker change re-scanning the fact table and it re-reading
+    * a few thousand day-grain cells. Oracle = naive filtered SQL on
+    * the base; OperatorSuite locks the fine-dir scan, the coarse-dir
+    * skip, and rule-off equality. */
+  val qAggRollupLatticeFiltered = Q("q_agg_rollup_lattice_filtered",
+    (spark, sfDir) => {
+      import spark.implicits._
+      latticeSummaries(spark, sfDir)
+      Tables.read(spark, sfDir, "orders")
+        .filter(to_date($"o_orderdate") >= lit("1995-01-01") &&
+          to_date($"o_orderdate") < lit("1996-01-01"))
+        .groupBy($"o_orderpriority")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  count(*) AS n_orders
+           |FROM orders
+           |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  /** E348: **CUBE through the navigator** — the user writes the naive
+    * `CUBE(day, priority)` dashboard query against the base table and
+    * the rewrite answers ALL FOUR grouping sets from the fine
+    * summary's cells: Spark plans grouping sets as an Expand that
+    * replicates every input row once per set, and replication
+    * commutes with cell merging (each base row belongs to exactly one
+    * cell with the same dim values), so expanding ~10⁴ cells is
+    * row-for-row equivalent to expanding the base — at 100 TB the
+    * entire cube costs 4× a kilobyte-scan instead of 4× a fact-table
+    * pass, which is the materialized-view rewrite warehouse engines
+    * reserve for their cube servers. The lattice is consulted
+    * coarsest-first here too: the coarse (priority-only) summary
+    * cannot express the day sets (its day slot is not a registered
+    * dim and the grouping references it), so the descent lands on the
+    * fine summary — the same fall-through E347 locks for filters.
+    * Cube nulls are coalesced to 'all' ABOVE the aggregate (the house
+    * A5 convention), so the oracle's CUBE output compares exactly;
+    * the fixture columns are null-free, making the sentinel
+    * unambiguous. Scan redirection + rule-off equality locked in
+    * OperatorSuite. */
+  val qAggRollupCube = Q("q_agg_rollup_cube",
+    (spark, sfDir) => {
+      import spark.implicits._
+      latticeSummaries(spark, sfDir)
+      Tables.read(spark, sfDir, "orders")
+        .cube(to_date($"o_orderdate").as("o_day"), $"o_orderpriority")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce($"o_day".cast("string"), lit("all"))
+            .as("day_s"),
+          coalesce($"o_orderpriority", lit("all")).as("priority_s"),
+          $"sum_price", $"n_orders")
+        .orderBy($"day_s", $"priority_s")
+    },
+    Some("""SELECT
+           |  coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+           |    'all') AS day_s,
+           |  coalesce(o_orderpriority, 'all') AS priority_s,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  count(*) AS n_orders
+           |FROM orders
+           |GROUP BY CUBE(CAST(o_orderdate AS DATE), o_orderpriority)
+           |ORDER BY day_s, priority_s""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupStats, qSqlPipe, qSqlParams,
-    qSqlCollation, qStreamRollupE2e, qAggRollupLattice)
+    qSqlCollation, qStreamRollupE2e, qAggRollupLattice,
+    qAggRollupLatticeFiltered, qAggRollupCube)
 }
 

@@ -3680,6 +3680,74 @@ class OperatorSuite extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 
+  test("filtered lattice descent skips the coarse summary (E347)") {
+    // Grain says coarse (priority ⊆ both summaries); the day-range
+    // predicate says fine (only the fine summary carries o_day). The
+    // navigator must fall through the coarse def and answer from the
+    // fine summary with the predicate on its scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val df = graft.queries.Surface15
+      .qAggRollupLatticeFiltered.fn(spark, sf)
+    val onRows = df.collect().toSeq
+    assert(onRows.size === 5)
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.exists(_.contains("graft-rollup-lat-fine")),
+      s"filtered coarse-grain query must read the fine summary, " +
+        s"got $scans")
+    assert(!scans.exists(_.contains("graft-rollup-lat-coarse")),
+      s"coarse summary cannot express the day predicate, got $scans")
+    assert(!scans.exists(_.contains("orders.parquet")),
+      s"must not fall back to the base scan, got $scans")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      val off = graft.queries.Surface15
+        .qAggRollupLatticeFiltered.fn(spark, sf)
+      assert(off.collect().toSeq === onRows,
+        "filtered descent must be invisible in values")
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+  }
+
+  test("CUBE is answered from the summary lattice (E348)") {
+    // All four grouping sets of CUBE(day, priority) must come from the
+    // fine summary's Expand, never a base scan; descent skips the
+    // coarse summary (its grouping references the day slot). Rule-off
+    // reproduces identical rows from the base.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val df = graft.queries.Surface15.qAggRollupCube.fn(spark, sf)
+    val onRows = df.collect().toSeq
+    assert(onRows.exists(r => r.getString(0) == "all" &&
+      r.getString(1) == "all"), "grand-total row must exist")
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.exists(_.contains("graft-rollup-lat-fine")),
+      s"cube must read the fine summary, got $scans")
+    assert(!scans.exists(_.contains("orders.parquet")),
+      s"cube must not scan the base, got $scans")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      val off = graft.queries.Surface15.qAggRollupCube.fn(spark, sf)
+      assert(off.collect().toSeq === onRows,
+        "cube navigation must be invisible in values")
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+  }
+
   test("rollup rewrite: ANSI-safe avg, try_avg refusal, strict register") {
     // The three ADVICE r14 findings, each locked.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -152,6 +152,10 @@ class PlanSuite extends AnyFunSuite {
       "q_sql_recursive", // same inherited 1-row corpus cross
       "q_text_tfidf", // same 1-row corpus-size cross for the idf term
       "q_quality_lm", // 1-row token-total cross into the LM log-probs
+      "q_quality_bigram_lm", // same 1-row token-total cross (the
+                             // unigram interpolation term, E345)
+      "q_sample_dsir", // 1-row (N_raw, N_tgt) totals cross into the
+                       // smoothed feature log-ratios (E346)
       "q_drift_chi2", // 1-row corpus-total cross into the type shares
       "q_sample_mixture", // 1-row (N, Σw) totals cross into the rates
       "q_dedup_canonical", // inherits ngram-jaccard's 1-row cross

@@ -13,11 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{
 import org.apache.spark.sql.catalyst.expressions.{Greatest, If,
   Multiply, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode}
-import org.apache.spark.sql.catalyst.expressions.{And,
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
   GreaterThanOrEqual, IsNotNull, LessThan, PlanExpression,
   RuntimeReplaceable}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
-  Filter, LogicalPlan, Project, SubqueryAlias}
+  Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.{types => types}
 import org.apache.spark.sql.types.{DateType, TimestampType}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -190,7 +191,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case agg @ Aggregate(_, _, ex: Expand, _) =>
         rewriteGroupingSets(agg, ex).getOrElse(agg)
       case agg: Aggregate =>
-        rewrite(agg).getOrElse(agg)
+        rewrite(agg).orElse(rewriteJoinBack(agg)).getOrElse(agg)
     }
   }
 
@@ -297,6 +298,104 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   private val dbg = sys.env.contains("GRAFT_ROLLUP_DEBUG")
 
+  /** The shared re-aggregation algebra — ONE definition of how each
+    * aggregate call maps to summary cells, used by all three rewrite
+    * paths (flat aggregate, Expand grouping sets, join-back). `srcOf`
+    * resolves the call's ARGUMENT to a base-relation expression (each
+    * path has its own indirection: plain alias substitution, Expand
+    * slot substitution, join-side substitution with a right-side
+    * refusal); `cell` resolves a summary column NAME to the
+    * summary-side expression that carries it (a scan attribute, or an
+    * appended Expand slot). Semantics and guards are the round-14/15
+    * set: count(*)→Σcnt (COUNT(NULL) refused), sum/min/max→cells with
+    * a cast back to the call's type, AVG→Σs/Σc legacy-divide (DOUBLE
+    * only, TRY refused), stddev/var→M2 from Σx/Σx²/n (nullOnDivide
+    * flavor only; see statOverCells' numerics note at the flat
+    * path). */
+  private def reAggShared(a: AggregateExpression,
+      srcOf: Expression => Option[Expression],
+      cell: String => Option[Expression],
+      d: RollupDef,
+      aSums: Seq[(String, Expression)],
+      aMins: Seq[(String, Expression)],
+      aMaxs: Seq[(String, Expression)],
+      aAvgs: Seq[(String, String, Expression)],
+      aStats: Seq[(String, String, String, Expression)])
+      : Option[Expression] = {
+    if (a.isDistinct || a.filter.isDefined) return None
+    def statOver(srcE: Expression, samp: Boolean,
+        sqrtIt: Boolean): Option[Expression] =
+      aStats.find(_._4.semanticEquals(srcE)).flatMap {
+        case (sCol, qCol, cCol, _) =>
+          for { sa <- cell(sCol); qa <- cell(qCol); ca <- cell(cCol) }
+            yield {
+              val dbl = types.DoubleType
+              def sumD(e: Expression) =
+                Cast(Sum(e).toAggregateExpression(), dbl)
+              val n = sumD(ca); val s1 = sumD(sa); val s2 = sumD(qa)
+              val m2 = Greatest(Seq(Literal(0.0), Subtract(s2,
+                Divide(Multiply(s1, s1, EvalMode.LEGACY), n,
+                  EvalMode.LEGACY), EvalMode.LEGACY)))
+              val denom =
+                if (samp) Subtract(n, Literal(1.0), EvalMode.LEGACY)
+                else n
+              val v = Divide(m2, denom, EvalMode.LEGACY)
+              val out = if (sqrtIt) Sqrt(v) else v
+              if (samp)
+                If(LessThan(n, Literal(2.0)), Literal(null, dbl), out)
+              else out
+            }
+      }
+    a.aggregateFunction match {
+      // non-null literal ONLY: count(*)/count(1). COUNT(NULL) — or
+      // any count argument constant-folded to a null literal — is 0,
+      // not the cell row count (ADVICE r13).
+      case Count(Seq(Literal(v, _))) if v != null =>
+        cell(d.cntCol).map(c => Coalesce(Seq(
+          Sum(c).toAggregateExpression(), Literal(0L))))
+      case Sum(e, em) =>
+        srcOf(e).flatMap(s =>
+          aSums.find(_._2.semanticEquals(s))).flatMap { case (n, _) =>
+          cell(n).map(c =>
+            Cast(Sum(c, em).toAggregateExpression(), a.dataType))
+        }
+      case Min(e) =>
+        srcOf(e).flatMap(s =>
+          aMins.find(_._2.semanticEquals(s))).flatMap { case (n, _) =>
+          cell(n).map(c =>
+            Cast(Min(c).toAggregateExpression(), a.dataType))
+        }
+      case Max(e) =>
+        srcOf(e).flatMap(s =>
+          aMaxs.find(_._2.semanticEquals(s))).flatMap { case (n, _) =>
+          cell(n).map(c =>
+            Cast(Max(c).toAggregateExpression(), a.dataType))
+        }
+      case Average(e, em) if a.dataType == types.DoubleType &&
+          em != EvalMode.TRY =>
+        srcOf(e).flatMap(s =>
+          aAvgs.find(_._3.semanticEquals(s))).flatMap {
+          case (sCol, cCol, _) =>
+            for { sa <- cell(sCol); ca <- cell(cCol) }
+              yield Divide(
+                Cast(Sum(sa).toAggregateExpression(),
+                  types.DoubleType),
+                Cast(Sum(ca).toAggregateExpression(),
+                  types.DoubleType),
+                EvalMode.LEGACY)
+        }
+      case StddevSamp(e, true) =>
+        srcOf(e).flatMap(statOver(_, samp = true, sqrtIt = true))
+      case StddevPop(e, true) =>
+        srcOf(e).flatMap(statOver(_, samp = false, sqrtIt = true))
+      case VarianceSamp(e, true) =>
+        srcOf(e).flatMap(statOver(_, samp = true, sqrtIt = false))
+      case VariancePop(e, true) =>
+        srcOf(e).flatMap(statOver(_, samp = false, sqrtIt = false))
+      case _ => None
+    }
+  }
+
   /** GROUP BY ROLLUP / CUBE / GROUPING SETS through the navigator
     * (round 15). Spark plans grouping sets as
     * `Aggregate(dims :+ gid, aggs, Expand(projections, out, scan))`:
@@ -336,6 +435,203 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val defs = Option(registry.get(path)).getOrElse(return None)
     defs.view.flatMap(d => rewriteExpandWith(agg, ex, rel, subst, d))
       .headOption
+  }
+
+  /** JOIN-BACK navigation (round 15): the star-query shape
+    * `Aggregate(G, aggs, Join(base ⋈ dim ON dimKey = dim.pk))` is
+    * answered from `Aggregate(G, aggs', Join(summary ⋈ dim))` when
+    * every equi-key on the base side is a registered DIM — the
+    * materialized-view join-back rewrite (Goldstein–Larson class).
+    * Soundness: all rows of a summary cell share their dim values, so
+    * they join EXACTLY the same dim rows as the cell row does; an
+    * inner equi-join therefore duplicates or drops WHOLE CELLS with
+    * multiplicity equal to the dim-side match count N, and every
+    * supported re-aggregation is invariant under uniform per-cell
+    * duplication — Σ(N·s)=N·Σs on both legs of AVG, count(*) becomes
+    * Σcnt over N copies = N·cnt exactly as the base join would, min/
+    * max are idempotent, and the stats merge computes from the same
+    * (N-scaled) Σx/Σx²/n totals the base join would produce. NULL
+    * keys drop cells and their base rows together (inner join only —
+    * outer/semi flavors are refused, their null-extension happens at
+    * row grain). Aggregate arguments must reference the BASE side
+    * only; dim-side attrs pass through grouping and select untouched.
+    * At 100 TB this turns every star-schema dashboard query — fact ⋈
+    * dimension, GROUP BY dimension attribute — into a dim-sized join
+    * over kilobytes of cells. */
+  private def rewriteJoinBack(agg: Aggregate): Option[LogicalPlan] = {
+    def peel(p: LogicalPlan, subst: Map[ExprId, Expression])
+        : (LogicalPlan, Map[ExprId, Expression]) = p match {
+      case Project(pl, c) if pl.forall(_.deterministic) =>
+        peel(c, subst ++ pl.collect {
+          case a: Alias => a.exprId -> a.child
+        })
+      case SubqueryAlias(_, c) => peel(c, subst)
+      case other => (other, subst)
+    }
+    val (core, outer) = peel(agg.child, Map.empty)
+    core match {
+      case j @ Join(_, _, Inner, Some(cond), _)
+          if cond.deterministic &&
+            cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+        trySide(agg, j, baseOnLeft = true, outer)
+          .orElse(trySide(agg, j, baseOnLeft = false, outer))
+      case _ => None
+    }
+  }
+
+  private def trySide(agg: Aggregate, j: Join, baseOnLeft: Boolean,
+      outer: Map[ExprId, Expression]): Option[LogicalPlan] = {
+    val baseSide = if (baseOnLeft) j.left else j.right
+    val (rel, path, substB, conds) =
+      stripToRelation(baseSide, Map.empty).getOrElse(return None)
+    val defs = Option(registry.get(path)).getOrElse(return None)
+    defs.view
+      .flatMap(d =>
+        joinBackWith(agg, j, baseOnLeft, rel, outer ++ substB, conds,
+          d))
+      .headOption
+  }
+
+  private def joinBackWith(agg: Aggregate, j: Join,
+      baseOnLeft: Boolean, rel: LogicalRelation,
+      subst: Map[ExprId, Expression], conds: Seq[Expression],
+      d: RollupDef): Option[LogicalPlan] = {
+    val other = if (baseOnLeft) j.right else j.left
+    if (other.exists(_.fastEquals(d.summaryPlan))) return None
+    val sumPlan = freshSummary(d)
+    def summaryAttr(name: String): Option[Attribute] =
+      sumPlan.output.find(_.name == name)
+    val anchoredDims = d.dims.flatMap { case (n, t) =>
+      anchor(t, rel.output).map(n -> _)
+    }
+    if (anchoredDims.size != d.dims.size) return None
+    def anchored(ms: Seq[(String, Expression)]) = ms.flatMap {
+      case (n, t) => anchor(t, rel.output).map(n -> _)
+    }
+    val (aSums, aMins, aMaxs) =
+      (anchored(d.sums), anchored(d.mins), anchored(d.maxs))
+    val aAvgs = d.avgs.flatMap { case (sCol, cCol, t) =>
+      anchor(t, rel.output).map(re => (sCol, cCol, re))
+    }
+    val aStats = d.stats.flatMap { case (sCol, qCol, cCol, t) =>
+      anchor(t, rel.output).map(re => (sCol, qCol, cCol, re))
+    }
+    val otherIds = other.outputSet
+    def overOther(e: Expression): Boolean =
+      e.references.subsetOf(otherIds) && e.deterministic
+    def dimAttrOf(e: Expression): Option[Attribute] = {
+      val r = resolveThrough(e, subst)
+      anchoredDims.find(_._2.semanticEquals(r)).map(_._1)
+        .flatMap(summaryAttr)
+    }
+
+    // Filters between the join and the base scan: the optimizer
+    // INFERS isnotnull(joinKey) on the base side of every inner
+    // equi-join, so the dims-only re-expression the flat path does is
+    // load-bearing here, not optional — a dim predicate (incl. the
+    // inferred null guard on a dim key) selects whole cells and moves
+    // onto the summary scan; anything touching a measure refuses.
+    def condRW(e: Expression): Option[Expression] = {
+      val direct = dimAttrOf(e)
+      if (direct.isDefined) direct
+      else e match {
+        case IsNotNull(x) => dimAttrOf(x).map(IsNotNull)
+        case _: AttributeReference => None
+        case leaf if leaf.children.isEmpty => Some(leaf)
+        case other2 =>
+          val kids = other2.children.map(condRW)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other2.withNewChildren(kids.map(_.get)))
+      }
+    }
+    val condOnSummary: Option[Expression] = conds match {
+      case Nil => None
+      case cs =>
+        val rw = cs.map(c => condRW(c).getOrElse {
+          if (dbg) println(s"[rollup-dbg] jb: base-side filter not " +
+            s"cell-expressible: $c")
+          return None
+        })
+        Some(rw.reduce(And(_, _)))
+    }
+
+    def flat(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => flat(a) ++ flat(b)
+      case x => Seq(x)
+    }
+    val newConjs = flat(j.condition.get).map {
+      case c if overOther(c) => c
+      case EqualTo(a, b) if overOther(b) && dimAttrOf(a).isDefined =>
+        EqualTo(dimAttrOf(a).get, b)
+      case EqualTo(a, b) if overOther(a) && dimAttrOf(b).isDefined =>
+        EqualTo(a, dimAttrOf(b).get)
+      case c =>
+        if (dbg) println(s"[rollup-dbg] jb: conjunct not " +
+          s"re-expressible: $c")
+        return None
+    }
+
+    // grouping: dim-side exprs pass; base-side exprs must be dims
+    val dimFor = agg.groupingExpressions.flatMap { g =>
+      if (overOther(g)) None
+      else dimAttrOf(g) match {
+        case Some(a) => Some(g.canonicalized -> a)
+        case None =>
+          if (dbg) println(s"[rollup-dbg] jb: grouping $g matches " +
+            "no dim")
+          return None
+      }
+    }.toMap
+    val newGe = agg.groupingExpressions.map { g =>
+      if (overOther(g)) g else dimFor(g.canonicalized)
+    }
+
+    def srcOfJ(e: Expression): Option[Expression] =
+      if (e.references.intersect(otherIds).nonEmpty) None
+      else Some(resolveThrough(e, subst))
+    def reAggJ(a: AggregateExpression): Option[Expression] =
+      reAggShared(a, srcOfJ, n => summaryAttr(n), d,
+        aSums, aMins, aMaxs, aAvgs, aStats)
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case a: AggregateExpression => reAggJ(a)
+      case a: AttributeReference if otherIds.contains(a) => Some(a)
+      case a: AttributeReference =>
+        dimFor.get(resolveThrough(a, subst).canonicalized)
+          .orElse(dimFor.get(a.canonicalized))
+      case e if e.children.nonEmpty && !overOther(e) &&
+          dimFor.contains(e.canonicalized) =>
+        dimFor.get(e.canonicalized)
+      case leaf if leaf.children.isEmpty => Some(leaf)
+      case other2 =>
+        val kids = other2.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other2.withNewChildren(kids.map(_.get)))
+    }
+    val newAe: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      ne =>
+        val rewritten = ne match {
+          case al: Alias => rewriteExpr(al.child).map(c =>
+            Alias(c, al.name)(exprId = al.exprId,
+              qualifier = al.qualifier))
+          case attr: Attribute => rewriteExpr(attr).map {
+            case same: Attribute if same.exprId == attr.exprId => attr
+            case c => Alias(c, attr.name)(exprId = attr.exprId)
+          }
+          case other2 => rewriteExpr(other2).map(c =>
+            Alias(c, other2.name)(exprId = other2.exprId))
+        }
+        rewritten.getOrElse {
+          if (dbg) println(s"[rollup-dbg] jb: not re-aggregable: $ne")
+          return None
+        }
+    }
+
+    val cond2 = newConjs.reduce(And(_, _))
+    val scan = condOnSummary.map(Filter(_, sumPlan)).getOrElse(sumPlan)
+    val newJoin =
+      if (baseOnLeft) Join(scan, other, Inner, Some(cond2), j.hint)
+      else Join(other, scan, Inner, Some(cond2), j.hint)
+    Some(Aggregate(newGe, newAe, newJoin))
   }
 
   private sealed trait SlotKind
@@ -441,82 +737,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
       if (ok) Some(stripNoopCasts(r)) else None
     }
 
-    def statOverCellsX(srcE: Expression, samp: Boolean,
-        sqrtIt: Boolean): Option[Expression] =
-      aStats.find(_._4.semanticEquals(srcE)).flatMap {
-        case (sCol, qCol, cCol, _) =>
-          for { sa <- cellAttr(sCol); qa <- cellAttr(qCol)
-                ca <- cellAttr(cCol) } yield {
-            val dbl = types.DoubleType
-            def sumD(a: Attribute) =
-              Cast(Sum(a).toAggregateExpression(), dbl)
-            val n = sumD(ca); val s1 = sumD(sa); val s2 = sumD(qa)
-            val m2 = Greatest(Seq(Literal(0.0), Subtract(s2,
-              Divide(Multiply(s1, s1, EvalMode.LEGACY), n,
-                EvalMode.LEGACY), EvalMode.LEGACY)))
-            val denom =
-              if (samp) Subtract(n, Literal(1.0), EvalMode.LEGACY)
-              else n
-            val v = Divide(m2, denom, EvalMode.LEGACY)
-            val out = if (sqrtIt) Sqrt(v) else v
-            if (samp)
-              If(LessThan(n, Literal(2.0)), Literal(null, dbl), out)
-            else out
-          }
-      }
+    def reAggX(a: AggregateExpression): Option[Expression] =
+      reAggShared(a, srcOfArg, n => cellAttr(n), d,
+        aSums, aMins, aMaxs, aAvgs, aStats)
 
-    def reAggX(a: AggregateExpression): Option[Expression] = {
-      if (a.isDistinct || a.filter.isDefined) return None
-      a.aggregateFunction match {
-        case Count(Seq(Literal(v, _))) if v != null =>
-          cellAttr(d.cntCol).map(c => Coalesce(Seq(
-            Sum(c).toAggregateExpression(), Literal(0L))))
-        case Sum(e, em) =>
-          srcOfArg(e).flatMap(src =>
-            aSums.find(_._2.semanticEquals(src))).flatMap {
-            case (n, _) => cellAttr(n).map(c =>
-              Cast(Sum(c, em).toAggregateExpression(), a.dataType))
-          }
-        case Min(e) =>
-          srcOfArg(e).flatMap(src =>
-            aMins.find(_._2.semanticEquals(src))).flatMap {
-            case (n, _) => cellAttr(n).map(c =>
-              Cast(Min(c).toAggregateExpression(), a.dataType))
-          }
-        case Max(e) =>
-          srcOfArg(e).flatMap(src =>
-            aMaxs.find(_._2.semanticEquals(src))).flatMap {
-            case (n, _) => cellAttr(n).map(c =>
-              Cast(Max(c).toAggregateExpression(), a.dataType))
-          }
-        case Average(e, em) if a.dataType == types.DoubleType &&
-            em != EvalMode.TRY =>
-          srcOfArg(e).flatMap(src =>
-            aAvgs.find(_._3.semanticEquals(src))).flatMap {
-            case (sCol, cCol, _) =>
-              for { sa <- cellAttr(sCol); ca <- cellAttr(cCol) }
-                yield Divide(
-                  Cast(Sum(sa).toAggregateExpression(),
-                    types.DoubleType),
-                  Cast(Sum(ca).toAggregateExpression(),
-                    types.DoubleType),
-                  EvalMode.LEGACY)
-          }
-        case StddevSamp(e, true) =>
-          srcOfArg(e).flatMap(statOverCellsX(_, samp = true,
-            sqrtIt = true))
-        case StddevPop(e, true) =>
-          srcOfArg(e).flatMap(statOverCellsX(_, samp = false,
-            sqrtIt = true))
-        case VarianceSamp(e, true) =>
-          srcOfArg(e).flatMap(statOverCellsX(_, samp = true,
-            sqrtIt = false))
-        case VariancePop(e, true) =>
-          srcOfArg(e).flatMap(statOverCellsX(_, samp = false,
-            sqrtIt = false))
-        case _ => None
-      }
-    }
 
     def rewriteExprX(e: Expression): Option[Expression] = e match {
       case a: AggregateExpression => reAggX(a)
@@ -699,122 +923,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
       }
     }.toMap
 
-    // rewrite one aggregate function; None = not re-aggregable
-    def reAgg(a: AggregateExpression): Option[Expression] = {
-      if (a.isDistinct || a.filter.isDefined) return None
-      def src(e: Expression) = resolveThrough(e, subst)
-      a.aggregateFunction match {
-        // non-null literal ONLY: count(*)/count(1). COUNT(NULL) — or
-        // any count argument constant-folded to a null literal — is 0,
-        // not the cell row count (ADVICE r13).
-        case Count(Seq(Literal(v, _))) if v != null =>
-          summaryAttr(d.cntCol).map { c =>
-            Coalesce(Seq(
-              Sum(c).toAggregateExpression(), Literal(0L)))
-          }
-        case Sum(e, em) =>
-          aSums.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
-            summaryAttr(n).map(c =>
-              Cast(Sum(c, em).toAggregateExpression(), a.dataType))
-          }
-        case Min(e) =>
-          aMins.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
-            summaryAttr(n).map(c =>
-              Cast(Min(c).toAggregateExpression(), a.dataType))
-          }
-        case Max(e) =>
-          aMaxs.find(_._2.semanticEquals(src(e))).flatMap { case (n, _) =>
-            summaryAttr(n).map(c =>
-              Cast(Max(c).toAggregateExpression(), a.dataType))
-          }
-        // AVG over a DOUBLE measure with a registered per-measure
-        // non-null count (round 14 — the scaladoc's former scope
-        // guard, made sound): avg = Σ cell-sums / Σ cell-counts. The
-        // per-measure count is count(measure), NOT count(*), so
-        // nullable measures stay exact (cells skip nulls on both
-        // legs). Restricted to DoubleType — decimal Average carries
-        // its own precision/scale algebra that a rebuilt division
-        // would have to reproduce digit-for-digit; out of scope.
-        // TRY mode is excluded (ADVICE r14): try_avg's whole contract
-        // is NULL-on-error, and a rebuilt plain division would lose
-        // it. The Divide below is built with LEGACY eval mode — the
-        // same choice Average.evaluateExpression hard-codes — so an
-        // all-NULL group (Σ counts = 0) yields NULL like native AVG
-        // instead of throwing DIVIDE_BY_ZERO under the session's ANSI
-        // mode (ADVICE r14, medium).
-        case Average(e, em) if a.dataType == types.DoubleType &&
-            em != EvalMode.TRY =>
-          aAvgs.find(_._3.semanticEquals(src(e))).flatMap {
-            case (sCol, cCol, _) =>
-              for { sa <- summaryAttr(sCol); ca <- summaryAttr(cCol) }
-                yield Divide(
-                  Cast(Sum(sa).toAggregateExpression(),
-                    types.DoubleType),
-                  Cast(Sum(ca).toAggregateExpression(),
-                    types.DoubleType),
-                  EvalMode.LEGACY)
-          }
-        // stddev/var over a DOUBLE measure with registered Σx / Σx² /
-        // non-null-count cells (round 15 — VERDICT r14 item 2, the
-        // reference's Labs A3 mean+stdev shape answered from a
-        // summary): merged across cells, M2 = Σx² − (Σx)²/n, then
-        // var_samp = M2/(n−1), var_pop = M2/n, stddev = √var.
-        // Numerics, documented because the textbook form CAN cancel:
-        // relative error of M2 is ≈ ε·κ where κ = 1 + n·mean²/M2
-        // (condition number of the sum-of-squares formula). Register a
-        // stats cell only when κ is modest — for the shipped fixture
-        // measure (l_quantity: mean ≈ 25.5, var ≈ 208, n ≤ 10⁵ per
-        // group) κ ≈ 3, i.e. ~15 significant digits survive; a
-        // measure with mean/σ ≳ 10⁶ should NOT be registered (keep the
-        // native Welford-merge scan). The Greatest(0, ·) clamp keeps
-        // FP noise from driving M2 a hair negative and turning √ into
-        // NaN. Null semantics mirror CentralMomentAgg with
-        // nullOnDivideByZero=true (the default): n=0 → NULL (the sums
-        // are NULL and propagate), n=1 → NULL for the _samp forms,
-        // 0.0 for the _pop forms; the legacy NaN flavor (second ctor
-        // arg false) refuses the rewrite. All arithmetic is built
-        // LEGACY-mode: double division/subtraction never faults, and
-        // n−1 = 0 must yield NULL, not a DIVIDE_BY_ZERO under ANSI.
-        case StddevSamp(e, true) => statOverCells(src(e), samp = true,
-          sqrtIt = true)
-        case StddevPop(e, true) => statOverCells(src(e), samp = false,
-          sqrtIt = true)
-        case VarianceSamp(e, true) => statOverCells(src(e), samp = true,
-          sqrtIt = false)
-        case VariancePop(e, true) => statOverCells(src(e), samp = false,
-          sqrtIt = false)
-        case _ => None
-      }
-    }
-
-    def statOverCells(srcE: Expression, samp: Boolean,
-        sqrtIt: Boolean): Option[Expression] =
-      aStats.find(_._4.semanticEquals(srcE)).flatMap {
-        case (sCol, qCol, cCol, _) =>
-          for { sa <- summaryAttr(sCol); qa <- summaryAttr(qCol)
-                ca <- summaryAttr(cCol) } yield {
-            val dbl = types.DoubleType
-            def sumD(a: Attribute) =
-              Cast(Sum(a).toAggregateExpression(), dbl)
-            val n = sumD(ca); val s1 = sumD(sa); val s2 = sumD(qa)
-            val m2 = Greatest(Seq(Literal(0.0), Subtract(s2,
-              Divide(Multiply(s1, s1, EvalMode.LEGACY), n,
-                EvalMode.LEGACY), EvalMode.LEGACY)))
-            val denom =
-              if (samp) Subtract(n, Literal(1.0), EvalMode.LEGACY)
-              else n
-            val v = Divide(m2, denom, EvalMode.LEGACY)
-            val out = if (sqrtIt) Sqrt(v) else v
-            // n = 0 leaves the sums NULL → out is NULL already; the
-            // explicit guard is the n = 1 sample case (denominator 0:
-            // legacy division yields NULL, matching nullOnDivideByZero,
-            // but the guard states the contract and survives any
-            // future eval-mode change)
-            if (samp)
-              If(LessThan(n, Literal(2.0)), Literal(null, dbl), out)
-            else out
-          }
-      }
+    // one aggregate call → its summary-cells form; the numerics of
+    // the stddev/var M2 merge (condition number κ ≈ 1 + n·mean²/M2,
+    // register-only-when-κ-is-modest guidance, the Greatest clamp
+    // against FP-negative M2, and the n=1→NULL _samp contract) are
+    // documented at reAggShared, which all three rewrite paths share
+    def reAgg(a: AggregateExpression): Option[Expression] =
+      reAggShared(a, e => Some(resolveThrough(e, subst)),
+        n => summaryAttr(n), d, aSums, aMins, aMaxs, aAvgs, aStats)
 
     // rebuild every result expression over the summary, preserving
     // names and ExprIds so the parent plan is untouched. Explicit

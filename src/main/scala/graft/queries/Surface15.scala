@@ -333,6 +333,21 @@ object Surface15 {
       reg(Seq("o_day" -> to_date(base("o_orderdate")),
         "o_orderpriority" -> base("o_orderpriority")), fine)
       reg(Seq("o_orderpriority" -> base("o_orderpriority")), coarse)
+      // third lattice level: customer-key grain — the FK into the
+      // customer dimension, which makes the star join-back (E349)
+      // possible: every cell shares its o_custkey, so joining cells
+      // to customer ≡ joining base rows to customer
+      val bycustDir = java.nio.file.Files
+        .createTempDirectory("graft-rollup-lat-bycust").toString
+      base.groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .as("price_sum"),
+          min($"o_totalprice".cast("decimal(18,2)")).as("price_min"),
+          max($"o_totalprice".cast("decimal(18,2)")).as("price_max"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(bycustDir)
+      reg(Seq("o_custkey" -> base("o_custkey")),
+        spark.read.parquet(bycustDir))
       coarse
     }
 
@@ -465,8 +480,54 @@ object Surface15 {
            |GROUP BY CUBE(CAST(o_orderdate AS DATE), o_orderpriority)
            |ORDER BY day_s, priority_s""".stripMargin))
 
+  /** E349: **star-query join-back** — the user writes the naive
+    * fact ⋈ dimension query (orders joined to customer on the FK,
+    * grouped by a CUSTOMER attribute) and the navigator answers it
+    * from the customer-key-grain summary joined to the dimension:
+    * `Aggregate(c_mktsegment, Join(orders ⋈ customer))` becomes
+    * `Aggregate(c_mktsegment, Join(15k cells ⋈ customer))`. This is
+    * the materialized-view JOIN-BACK rewrite (Goldstein–Larson
+    * class), and it is what makes a navigator useful on a star
+    * schema — dashboards group by dimension attributes (segment,
+    * nation, brand), not by fact-table keys, so grain-subset
+    * matching alone never fires for them. Soundness rides on cells
+    * sharing their dim values: every row of a cell joins exactly the
+    * rows the cell row joins, so the inner equi-join duplicates or
+    * drops whole cells and every supported re-aggregation is
+    * invariant under uniform per-cell duplication (the rule scaladoc
+    * carries the algebra, including the optimizer's inferred
+    * isnotnull(FK) guard moving onto the summary scan). At 100 TB the
+    * fact-side input drops from the table to |customer|-sized cells —
+    * the join even becomes broadcastable from the FACT side. Oracle =
+    * the naive join SQL on the base tables; OperatorSuite locks the
+    * scan redirection and rule-off equality. */
+  val qAggRollupJoinback = Q("q_agg_rollup_joinback",
+    (spark, sfDir) => {
+      import spark.implicits._
+      latticeSummaries(spark, sfDir)
+      val o = Tables.read(spark, sfDir, "orders")
+      val c = Tables.read(spark, sfDir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          min($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("min_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS min_price,
+           |  count(*) AS n_orders
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupStats, qSqlPipe, qSqlParams,
     qSqlCollation, qStreamRollupE2e, qAggRollupLattice,
-    qAggRollupLatticeFiltered, qAggRollupCube)
+    qAggRollupLatticeFiltered, qAggRollupCube, qAggRollupJoinback)
 }
 

@@ -3748,6 +3748,37 @@ class OperatorSuite extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 
+  test("star join-back reads cells, not the fact table (E349)") {
+    // orders ⋈ customer grouped by c_mktsegment must read the
+    // customer-key-grain summary joined to customer — no orders scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val df = graft.queries.Surface15.qAggRollupJoinback.fn(spark, sf)
+    val onRows = df.collect().toSeq
+    assert(onRows.size === 5)
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.exists(_.contains("graft-rollup-lat-bycust")),
+      s"join-back must read the custkey-grain cells, got $scans")
+    assert(!scans.exists(_.contains("orders.parquet")),
+      s"join-back must not scan the fact table, got $scans")
+    assert(scans.exists(_.contains("customer.parquet")),
+      s"the dimension side must still be the real table, got $scans")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      val off = graft.queries.Surface15.qAggRollupJoinback.fn(spark, sf)
+      assert(off.collect().toSeq === onRows,
+        "join-back must be invisible in values")
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+  }
+
   test("rollup rewrite: ANSI-safe avg, try_avg refusal, strict register") {
     // The three ADVICE r14 findings, each locked.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

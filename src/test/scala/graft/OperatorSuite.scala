@@ -3779,6 +3779,156 @@ class OperatorSuite extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 
+  test("navigator fuzz: rewrite-on equals rewrite-off on random shapes") {
+    // Property lock for the whole rewrite family: a synthetic base
+    // with NULL-bearing dims and measures, a registered (d1, d2)
+    // summary carrying every cell kind, then random query shapes —
+    // grouping subsets (incl. global), random aggregate mixes
+    // (count/sum/min/max/avg/stddev/var), optional dim filters, a
+    // CUBE round, and a dim-join round — each executed with the rule
+    // ON and OFF and compared value-for-value (relative 1e-9 on
+    // doubles: the cell merge and native Welford may differ in final
+    // ulps; anything larger is a real algebra bug).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(7)
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      val d1 = if (rnd.nextInt(20) == 0) null
+        else Integer.valueOf(rnd.nextInt(6))
+      val d2 = if (rnd.nextInt(25) == 0) null
+        else ("seg" + rnd.nextInt(4))
+      val m1 = if (rnd.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(rnd.nextInt(1000) / 10.0)
+      val m2 = java.lang.Long.valueOf(rnd.nextInt(500).toLong)
+      (d1, d2, m1, m2)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fuzz-base").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("d1",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("d2",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("m1",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("m2",
+            org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft-fuzz-cells").toString
+    base.groupBy($"d1", $"d2")
+      .agg(sum($"m1").as("m1_sum"), min($"m1").as("m1_min"),
+        max($"m1").as("m1_max"), count($"m1").as("m1_cnt"),
+        sum($"m1" * $"m1").as("m1_sq"),
+        sum($"m2").as("m2_sum"), min($"m2").as("m2_min"),
+        max($"m2").as("m2_max"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(sumDir)
+    graft.plans.RollupRewrite.register(
+      base = base,
+      dims = Seq("d1" -> base("d1"), "d2" -> base("d2")),
+      sums = Seq("m1_sum" -> base("m1"), "m2_sum" -> base("m2")),
+      mins = Seq("m1_min" -> base("m1"), "m2_min" -> base("m2")),
+      maxs = Seq("m1_max" -> base("m1"), "m2_max" -> base("m2")),
+      cntCol = "cnt", summary = spark.read.parquet(sumDir),
+      avgs = Seq(("m1_sum", "m1_cnt", base("m1"))),
+      stats = Seq(("m1_sum", "m1_sq", "m1_cnt", base("m1"))))
+    val dim = spark.createDataFrame(
+      (0 to 5).map(k => (k, s"name$k", k % 2))).toDF(
+      "k", "kname", "parity")
+
+    val aggPool: Seq[(String, Column)] = Seq(
+      "n" -> count(lit(1)).as("n"),
+      "s1" -> sum($"m1").as("s1"),
+      "s2" -> sum($"m2").as("s2"),
+      "mn" -> min($"m1").as("mn"),
+      "mx" -> max($"m2").as("mx"),
+      "av" -> avg($"m1").as("av"),
+      "sd" -> stddev_samp($"m1").as("sd"),
+      "vp" -> var_pop($"m1").as("vp"))
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Double, y: Double) =>
+        (x.isNaN && y.isNaN) ||
+          math.abs(x - y) <= 1e-9 * math.max(1.0,
+            math.max(math.abs(x), math.abs(y)))
+      case (x, y) => x == y
+    }
+    def rowsOf(df: DataFrame): Seq[Seq[Any]] = {
+      val out = df.collect().map(_.toSeq.toVector).toSeq
+      out.sortBy(_.mkString("|"))
+    }
+    def check(mk: () => DataFrame, what: String): Unit = {
+      val on = rowsOf(mk())
+      spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+      val off = try rowsOf(mk())
+        finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+      def dump = s"\nON : ${on.mkString("\n     ")}" +
+        s"\nOFF: ${off.mkString("\n     ")}"
+      assert(on.size == off.size,
+        s"$what: ${on.size} vs ${off.size}$dump")
+      on.zip(off).foreach { case (r1, r2) =>
+        assert(r1.size == r2.size && r1.zip(r2).forall {
+          case (x, y) => close(x, y)
+        }, s"$what: $r1 vs $r2$dump")
+      }
+    }
+    (1 to 10).foreach { i =>
+      val gs = Seq($"d1", $"d2").filter(_ => rnd.nextBoolean())
+      val aggs = rnd.shuffle(aggPool).take(2 + rnd.nextInt(3)).map(_._2)
+      // draw the filter constants BEFORE building the lambda — mk()
+      // runs twice (on/off) and a lambda that re-draws would compare
+      // two different queries
+      val k1 = rnd.nextInt(4)
+      val seg = "seg" + rnd.nextInt(4)
+      val filt: DataFrame => DataFrame = rnd.nextInt(3) match {
+        case 0 => identity
+        case 1 => _.filter($"d1" > k1)
+        case _ => _.filter($"d2" === seg)
+      }
+      check(() => {
+        val f = filt(spark.read.parquet(dir))
+        if (gs.isEmpty) f.agg(aggs.head, aggs.tail: _*)
+        else f.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+      }, s"round $i (grp=${gs.size}, aggs=${aggs.size})")
+    }
+    // CUBE round (Expand path) and join-back round
+    check(() => spark.read.parquet(dir).cube($"d1", $"d2")
+      .agg(count(lit(1)).as("n"), sum($"m2").as("s2"),
+        avg($"m1").as("av"), stddev_samp($"m1").as("sd")),
+      "cube")
+    check(() => spark.read.parquet(dir).join(dim, $"d1" === $"k")
+      .groupBy($"kname")
+      .agg(sum($"m2").as("s2"), count(lit(1)).as("n"),
+        var_pop($"m1").as("vp")),
+      "join-back")
+    // non-vacuousness: the equivalence rounds only mean something if
+    // the rewrite actually fires on this base — pin the scan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val probe = spark.read.parquet(dir).groupBy($"d1")
+      .agg(count(lit(1)).as("n"))
+    assert(walk(probe.queryExecution.executedPlan)
+      .exists(_.contains("graft-fuzz-cells")),
+      "fuzz base must be answered from its registered cells")
+    // no RollupRewrite.clear(): other tests' registrations are
+    // Memo-gated (built once per session), so a global clear here
+    // would strand them unregistered; the fuzz base is a unique temp
+    // path, so its registration cannot collide with anything
+  }
+
   test("rollup rewrite: ANSI-safe avg, try_avg refusal, strict register") {
     // The three ADVICE r14 findings, each locked.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -320,9 +320,29 @@ object RollupRewrite extends Rule[LogicalPlan] {
       aMins: Seq[(String, Expression)],
       aMaxs: Seq[(String, Expression)],
       aAvgs: Seq[(String, String, Expression)],
-      aStats: Seq[(String, String, String, Expression)])
+      aStats: Seq[(String, String, String, Expression)],
+      aDims: Seq[(String, Expression)] = Nil)
       : Option[Expression] = {
-    if (a.isDistinct || a.filter.isDefined) return None
+    if (a.filter.isDefined) return None
+    if (a.isDistinct) {
+      // COUNT(DISTINCT dim) is EXACT on the summary: the rollup holds
+      // one cell per dim combination, so the distinct set of a dim
+      // column is preserved bit-for-bit (and under a join-back's
+      // per-cell duplication, DISTINCT erases the multiplicity) —
+      // the one distinct aggregate a summary can answer without cell
+      // identity. Everything else distinct (measures, multi-arg)
+      // still refuses.
+      return a.aggregateFunction match {
+        case Count(Seq(e)) =>
+          srcOf(e).flatMap(s =>
+            aDims.find(_._2.semanticEquals(s))).flatMap {
+            case (n, _) => cell(n).map(c =>
+              Cast(Count(Seq(c)).toAggregateExpression(
+                isDistinct = true), a.dataType))
+          }
+        case _ => None
+      }
+    }
     def statOver(srcE: Expression, samp: Boolean,
         sqrtIt: Boolean): Option[Expression] =
       aStats.find(_._4.semanticEquals(srcE)).flatMap {
@@ -591,7 +611,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
       else Some(resolveThrough(e, subst))
     def reAggJ(a: AggregateExpression): Option[Expression] =
       reAggShared(a, srcOfJ, n => summaryAttr(n), d,
-        aSums, aMins, aMaxs, aAvgs, aStats)
+        aSums, aMins, aMaxs, aAvgs, aStats, anchoredDims)
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case a: AggregateExpression => reAggJ(a)
       case a: AttributeReference if otherIds.contains(a) => Some(a)
@@ -930,7 +950,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // documented at reAggShared, which all three rewrite paths share
     def reAgg(a: AggregateExpression): Option[Expression] =
       reAggShared(a, e => Some(resolveThrough(e, subst)),
-        n => summaryAttr(n), d, aSums, aMins, aMaxs, aAvgs, aStats)
+        n => summaryAttr(n), d, aSums, aMins, aMaxs, aAvgs, aStats,
+        anchoredDims)
 
     // rebuild every result expression over the summary, preserving
     // names and ExprIds so the parent plan is untouched. Explicit

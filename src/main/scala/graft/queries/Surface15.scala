@@ -526,8 +526,74 @@ object Surface15 {
            |GROUP BY c_mktsegment
            |ORDER BY c_mktsegment""".stripMargin))
 
+  /** E350: **COUNT(DISTINCT dim) through the navigator** — the one
+    * distinct aggregate a summary can answer EXACTLY without cell
+    * identity: the rollup holds one cell per dim combination, so a
+    * dim column's distinct set is preserved bit-for-bit and
+    * `count(DISTINCT to_date(o_orderdate))` per priority ("active
+    * days", the classic dashboard distinct) reads the fine summary's
+    * ~10⁴ cells instead of the fact table. Distinct MEASURES still
+    * refuse (they need exact cell identity the rollup merged away) —
+    * the guard the round-14 scaladoc recorded, now split precisely:
+    * dim-distinct in, measure-distinct out. The coarse summary lacks
+    * the day dim, so the lattice descends to the fine one even though
+    * the GROUPING alone would be satisfied by coarse — same
+    * fall-through as E347's filter. */
+  val qAggRollupDistinct = Q("q_agg_rollup_distinct",
+    (spark, sfDir) => {
+      import spark.implicits._
+      latticeSummaries(spark, sfDir)
+      Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct(to_date($"o_orderdate")).as("n_days"),
+          sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+           |    AS n_days,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  count(*) AS n_orders
+           |FROM orders
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  /** E351: **HAVING over the navigator** — composition, pinned: the
+    * rewrite preserves the Aggregate's output ExprIds, so a HAVING
+    * (a Filter ABOVE the aggregate) survives untouched and filters
+    * the re-aggregated cells; nothing in the rule needs to know it is
+    * there. The gated query keeps only the segments whose re-summed
+    * revenue clears a threshold — the navigator answers the aggregate
+    * from the coarse 5-cell summary and the HAVING prunes its output.
+    * (HAVING on a non-re-aggregable expression would simply leave the
+    * whole query on the base scan — refusal composes too.) */
+  val qAggRollupHaving = Q("q_agg_rollup_having",
+    (spark, sfDir) => {
+      import spark.implicits._
+      latticeSummaries(spark, sfDir)
+      Tables.read(spark, sfDir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .filter($"n_orders" > 100)
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  count(*) AS n_orders
+           |FROM orders
+           |GROUP BY o_orderpriority
+           |HAVING count(*) > 100
+           |ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupStats, qSqlPipe, qSqlParams,
     qSqlCollation, qStreamRollupE2e, qAggRollupLattice,
-    qAggRollupLatticeFiltered, qAggRollupCube, qAggRollupJoinback)
+    qAggRollupLatticeFiltered, qAggRollupCube, qAggRollupJoinback,
+    qAggRollupDistinct, qAggRollupHaving)
 }
 

@@ -3849,7 +3849,8 @@ class OperatorSuite extends AnyFunSuite {
       "mx" -> max($"m2").as("mx"),
       "av" -> avg($"m1").as("av"),
       "sd" -> stddev_samp($"m1").as("sd"),
-      "vp" -> var_pop($"m1").as("vp"))
+      "vp" -> var_pop($"m1").as("vp"),
+      "cd" -> countDistinct($"d2").as("cd"))
     def close(a: Any, b: Any): Boolean = (a, b) match {
       case (null, null) => true
       case (x: Double, y: Double) =>
@@ -3927,6 +3928,49 @@ class OperatorSuite extends AnyFunSuite {
     // Memo-gated (built once per session), so a global clear here
     // would strand them unregistered; the fuzz base is a unique temp
     // path, so its registration cannot collide with anything
+  }
+
+  test("distinct-dim and HAVING ride the navigator (E350/E351)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    // E350: count(DISTINCT day) forces the fine summary (day ∈ its
+    // dims) even though the grouping alone is coarse-satisfiable
+    val dd = graft.queries.Surface15.qAggRollupDistinct.fn(spark, sf)
+    val ddRows = dd.collect().toSeq
+    val ddScans = walk(dd.queryExecution.executedPlan)
+    assert(ddScans.exists(_.contains("graft-rollup-lat-fine")),
+      s"distinct-day must read the fine summary, got $ddScans")
+    assert(!ddScans.exists(_.contains("orders.parquet")),
+      s"distinct-day must not scan the base, got $ddScans")
+    // distinct MEASURE refuses: stays on the base scan
+    val dm = Tables.read(spark, sf, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_totalprice").as("nv"))
+    assert(walk(dm.queryExecution.executedPlan)
+      .exists(_.contains("orders.parquet")),
+      "distinct over a measure must refuse the rewrite")
+    // E351: HAVING filters the re-aggregated coarse cells
+    val hv = graft.queries.Surface15.qAggRollupHaving.fn(spark, sf)
+    val hvRows = hv.collect().toSeq
+    val hvScans = walk(hv.queryExecution.executedPlan)
+    assert(hvScans.exists(_.contains("graft-rollup-lat-coarse")),
+      s"HAVING query must read the coarse summary, got $hvScans")
+    // rule-off equality for both
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      assert(graft.queries.Surface15.qAggRollupDistinct.fn(spark, sf)
+        .collect().toSeq === ddRows)
+      assert(graft.queries.Surface15.qAggRollupHaving.fn(spark, sf)
+        .collect().toSeq === hvRows)
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 
   test("rollup rewrite: ANSI-safe avg, try_avg refusal, strict register") {

@@ -61,6 +61,26 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * type where decimal-sum widening differs), so the parent plan never
   * notices the substitution.
   *
+  * Round 15 made the single rewrite a NAVIGATOR:
+  *  - a summary LATTICE per base (multiple registered grains, the
+  *    coarsest qualifying one answers each query — including falling
+  *    PAST a coarse summary whose dims cannot express the query's
+  *    filter or distinct argument);
+  *  - GROUP BY ROLLUP/CUBE/GROUPING SETS (the Expand plan shape)
+  *    re-pointed at summary cells — replication commutes with cell
+  *    merging;
+  *  - star-query JOIN-BACK: Aggregate over Join(base, dim) on a
+  *    registered-dim equi-key becomes Join(summary, dim) — cells
+  *    share their dim values, so the inner join duplicates/drops
+  *    whole cells and the algebra is invariant under uniform
+  *    per-cell duplication;
+  *  - COUNT(DISTINCT dim) — exact, because the summary holds one
+  *    cell per dim combination (distinct MEASURES still refuse);
+  *  - HAVING/ORDER BY compose for free (output ExprIds preserved).
+  *  All paths share ONE re-aggregation algebra (reAggShared) and are
+  *  locked by a rule-on/off equivalence fuzz over random query
+  *  shapes plus per-shape scan-redirect pins in OperatorSuite.
+  *
   * Scope guards, each load-bearing:
   *  - the aggregate's child must be the registered base relation
   *    under deterministic column-pruning Projects / SubqueryAliases
@@ -69,9 +89,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *    moves onto the summary scan verbatim; a predicate touching any
   *    non-dim column (a measure) would split cells the rollup already
   *    merged and still disables the rewrite;
-  *  - every aggregate call must be non-DISTINCT, FILTER-free, and one
-  *    of sum/count/min/max over a registered measure source;
-  *  - every grouping expression must match a registered dim;
+  *  - every aggregate call must be FILTER-free and one of
+  *    sum/count/min/max/avg/stddev/var over a registered measure
+  *    source, or COUNT(DISTINCT dim);
+  *  - every grouping expression must match a registered dim (or, in
+  *    the join-back, pass through from the dimension side);
   *  - kill switch `spark.graft.rollup.enabled` (default on) for the
   *    rule-on/off equivalence test, and the registry is consulted by
   *    base-path identity so only explicitly registered tables ever

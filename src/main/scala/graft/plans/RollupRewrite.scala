@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   NamedExpression}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Count, Max, Min, StddevPop,
-  StddevSamp, Sum, VariancePop, VarianceSamp}
+  AggregateExpression, Average, Corr, Count, CovPopulation,
+  CovSample, Max, Min, StddevPop, StddevSamp, Sum, VariancePop,
+  VarianceSamp}
 import org.apache.spark.sql.catalyst.expressions.{Greatest, If,
   Multiply, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode}
@@ -113,6 +114,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
   /** One registered rollup: dims/measures as expressions over the
     * BASE relation's columns (re-anchored by name at match time),
     * plus the analyzed plan of the summary table and its columns. */
+  /** Cell-column names for one BIVARIATE measure pair (round 15):
+    * pairwise-complete count, Σx, Σy, Σxy, Σx², Σy² — the six
+    * distributive moments corr / covar_samp / covar_pop merge from.
+    * PAIRWISE matters: Spark's Corr/Cov* skip a row when EITHER side
+    * is null, so every cell (including the count) must be built over
+    * rows where BOTH measures are non-null, or nullable measures
+    * diverge. */
+  final case class BiStatCells(nCol: String, sxCol: String,
+      syCol: String, sxyCol: String, sxxCol: String, syyCol: String)
+
   final case class RollupDef(
       basePath: String,
       dims: Seq[(String, Expression)],
@@ -122,7 +133,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
       cntCol: String,
       summaryPlan: LogicalPlan,
       avgs: Seq[(String, String, Expression)] = Nil,
-      stats: Seq[(String, String, String, Expression)] = Nil) {
+      stats: Seq[(String, String, String, Expression)] = Nil,
+      bistats: Seq[(BiStatCells, Expression, Expression)] = Nil) {
     /** Identity for idempotent re-registration: the summary's own
       * file path when it is a file read (the normal case), else the
       * dim-name set — re-running a register() call replaces its prior
@@ -156,7 +168,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
       maxs: Seq[(String, Column)], cntCol: String,
       summary: DataFrame,
       avgs: Seq[(String, String, Column)] = Nil,
-      stats: Seq[(String, String, String, Column)] = Nil): Unit = {
+      stats: Seq[(String, String, String, Column)] = Nil,
+      bistats: Seq[(BiStatCells, Column, Column)] = Nil): Unit = {
     val basePath = pathOf(base).getOrElse(throw new IllegalArgumentException(
       "RollupRewrite.register: base must be a file-source read"))
     def exprs(cs: Seq[(String, Column)]): Seq[(String, Expression)] = {
@@ -176,9 +189,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
       .zip(avgs).map { case ((s, t), (_, c, _)) => (s, c, t) }
     val statDefs = exprs(stats.map { case (s, _, _, c) => (s, c) })
       .zip(stats).map { case ((s, t), (_, q, c, _)) => (s, q, c, t) }
+    val biX = exprs(bistats.zipWithIndex.map { case ((_, x, _), i) =>
+      (s"x$i", x) }).map(_._2)
+    val biY = exprs(bistats.zipWithIndex.map { case ((_, _, y), i) =>
+      (s"y$i", y) }).map(_._2)
+    val biDefs = bistats.zip(biX.zip(biY)).map {
+      case ((cells, _, _), (tx, ty)) => (cells, tx, ty)
+    }
     val d = RollupDef(basePath, exprs(dims),
       exprs(sums), exprs(mins), exprs(maxs), cntCol,
-      summary.queryExecution.analyzed, avgDefs, statDefs)
+      summary.queryExecution.analyzed, avgDefs, statDefs, biDefs)
     registry.compute(basePath, (_, old) => {
       val kept = Option(old).getOrElse(Nil).filterNot(_.key == d.key)
       (d :: kept).sortBy(_.dims.size)
@@ -343,7 +363,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
       aMaxs: Seq[(String, Expression)],
       aAvgs: Seq[(String, String, Expression)],
       aStats: Seq[(String, String, String, Expression)],
-      aDims: Seq[(String, Expression)] = Nil)
+      aDims: Seq[(String, Expression)] = Nil,
+      aBi: Seq[(BiStatCells, Expression, Expression)] = Nil)
       : Option[Expression] = {
     if (a.filter.isDefined) return None
     if (a.isDistinct) {
@@ -388,6 +409,50 @@ object RollupRewrite extends Rule[LogicalPlan] {
               else out
             }
       }
+    // bivariate merges from the six pairwise moments (round 15): with
+    // N = Σn, SX = Σsx, …, the co-moment CK = N·SXY − SX·SY gives
+    //   covar_pop  = CK / N²           (n=1 → 0.0, matching Spark)
+    //   covar_samp = CK / (N·(N−1))    (n<2 → NULL, guarded)
+    //   corr       = CK / (√(N·SXX−SX²)·√(N·SYY−SY²))
+    // — zero variance or N≤1 makes a denominator 0 and LEGACY divide
+    // yields NULL, matching nullOnDivideByZero=true (the only flavor
+    // matched); the Greatest clamps keep FP noise out of the √.
+    def biOver(xE: Expression, yE: Expression,
+        form: String): Option[Expression] =
+      aBi.find(b => b._2.semanticEquals(xE) && b._3.semanticEquals(yE))
+        .flatMap { case (cells, _, _) =>
+          for { na <- cell(cells.nCol); sxa <- cell(cells.sxCol)
+                sya <- cell(cells.syCol); sxya <- cell(cells.sxyCol)
+                sxxa <- cell(cells.sxxCol)
+                syya <- cell(cells.syyCol) } yield {
+            val dbl = types.DoubleType
+            def s(e: Expression) =
+              Cast(Sum(e).toAggregateExpression(), dbl)
+            val n = s(na); val sx = s(sxa); val sy = s(sya)
+            val sxy = s(sxya); val sxx = s(sxxa); val syy = s(syya)
+            def mul(a1: Expression, b1: Expression) =
+              Multiply(a1, b1, EvalMode.LEGACY)
+            def sub(a1: Expression, b1: Expression) =
+              Subtract(a1, b1, EvalMode.LEGACY)
+            def div(a1: Expression, b1: Expression) =
+              Divide(a1, b1, EvalMode.LEGACY)
+            val ck = sub(mul(n, sxy), mul(sx, sy))
+            def varN(ss: Expression, sv: Expression) =
+              Greatest(Seq(Literal(0.0), sub(mul(n, ss), mul(sv, sv))))
+            form match {
+              case "cov_pop" => div(ck, mul(n, n))
+              case "cov_samp" =>
+                If(LessThan(n, Literal(2.0)),
+                  Literal(null, dbl),
+                  div(ck, mul(n, sub(n, Literal(1.0)))))
+              case _ =>
+                div(ck, mul(Sqrt(varN(sxx, sx)), Sqrt(varN(syy, sy))))
+            }
+          }
+        }
+    def biArgs(x: Expression, y: Expression): Option[(Expression,
+        Expression)] =
+      for { xs <- srcOf(x); ys <- srcOf(y) } yield (xs, ys)
     a.aggregateFunction match {
       // non-null literal ONLY: count(*)/count(1). COUNT(NULL) — or
       // any count argument constant-folded to a null literal — is 0,
@@ -395,6 +460,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case Count(Seq(Literal(v, _))) if v != null =>
         cell(d.cntCol).map(c => Coalesce(Seq(
           Sum(c).toAggregateExpression(), Literal(0L))))
+      case Corr(x, y, true) =>
+        biArgs(x, y).flatMap { case (xs, ys) =>
+          biOver(xs, ys, "corr") }
+      case CovSample(x, y, true) =>
+        biArgs(x, y).flatMap { case (xs, ys) =>
+          biOver(xs, ys, "cov_samp") }
+      case CovPopulation(x, y, true) =>
+        biArgs(x, y).flatMap { case (xs, ys) =>
+          biOver(xs, ys, "cov_pop") }
       case Sum(e, em) =>
         srcOf(e).flatMap(s =>
           aSums.find(_._2.semanticEquals(s))).flatMap { case (n, _) =>
@@ -558,6 +632,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val aStats = d.stats.flatMap { case (sCol, qCol, cCol, t) =>
       anchor(t, rel.output).map(re => (sCol, qCol, cCol, re))
     }
+    val aBi = d.bistats.flatMap { case (cells, tx, ty) =>
+      for { ax <- anchor(tx, rel.output)
+            ay <- anchor(ty, rel.output) } yield (cells, ax, ay)
+    }
     val otherIds = other.outputSet
     def overOther(e: Expression): Boolean =
       e.references.subsetOf(otherIds) && e.deterministic
@@ -633,7 +711,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
       else Some(resolveThrough(e, subst))
     def reAggJ(a: AggregateExpression): Option[Expression] =
       reAggShared(a, srcOfJ, n => summaryAttr(n), d,
-        aSums, aMins, aMaxs, aAvgs, aStats, anchoredDims)
+        aSums, aMins, aMaxs, aAvgs, aStats, anchoredDims, aBi)
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case a: AggregateExpression => reAggJ(a)
       case a: AttributeReference if otherIds.contains(a) => Some(a)
@@ -702,6 +780,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
     val aStats = d.stats.flatMap { case (sCol, qCol, cCol, t) =>
       anchor(t, rel.output).map(re => (sCol, qCol, cCol, re))
+    }
+    val aBi = d.bistats.flatMap { case (cells, tx, ty) =>
+      for { ax <- anchor(tx, rel.output)
+            ay <- anchor(ty, rel.output) } yield (cells, ax, ay)
     }
     def isNullLit(e: Expression) = e match {
       case Literal(null, _) => true
@@ -781,7 +863,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
     def reAggX(a: AggregateExpression): Option[Expression] =
       reAggShared(a, srcOfArg, n => cellAttr(n), d,
-        aSums, aMins, aMaxs, aAvgs, aStats)
+        aSums, aMins, aMaxs, aAvgs, aStats, aBi = aBi)
 
 
     def rewriteExprX(e: Expression): Option[Expression] = e match {
@@ -879,6 +961,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val aStats = d.stats.flatMap { case (sCol, qCol, cCol, t) =>
       anchor(t, rel.output).map(re => (sCol, qCol, cCol, re))
     }
+    val aBi = d.bistats.flatMap { case (cells, tx, ty) =>
+      for { ax <- anchor(tx, rel.output)
+            ay <- anchor(ty, rel.output) } yield (cells, ax, ay)
+    }
 
     // Predicate-aware extension (round 14, the scaladoc's recorded
     // extension delivered): a Filter between the aggregate and the
@@ -973,7 +1059,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def reAgg(a: AggregateExpression): Option[Expression] =
       reAggShared(a, e => Some(resolveThrough(e, subst)),
         n => summaryAttr(n), d, aSums, aMins, aMaxs, aAvgs, aStats,
-        anchoredDims)
+        anchoredDims, aBi)
 
     // rebuild every result expression over the summary, preserving
     // names and ExprIds so the parent plan is untouched. Explicit

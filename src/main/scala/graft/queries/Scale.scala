@@ -620,7 +620,32 @@ object Scale {
           sum($"l_quantity".cast("double")).as("qty_d_sum"),
           sum(($"l_quantity" * $"l_quantity").cast("double"))
             .as("qty_sq_sum"),
-          count($"l_quantity").as("qty_d_cnt"))
+          count($"l_quantity").as("qty_d_cnt"),
+          // corr/covar support (round 15): the six PAIRWISE-complete
+          // moments of (l_quantity, l_extendedprice) — pairwise
+          // because Corr/Cov* skip a row when EITHER side is null
+          // (both are non-null in this fixture, but the guard is the
+          // contract a nullable pair needs)
+          count(when($"l_quantity".isNotNull &&
+            $"l_extendedprice".isNotNull, 1)).as("qp_n"),
+          sum(when($"l_quantity".isNotNull &&
+            $"l_extendedprice".isNotNull,
+            $"l_quantity".cast("double"))).as("qp_sx"),
+          sum(when($"l_quantity".isNotNull &&
+            $"l_extendedprice".isNotNull,
+            $"l_extendedprice".cast("double"))).as("qp_sy"),
+          sum(when($"l_quantity".isNotNull &&
+            $"l_extendedprice".isNotNull,
+            $"l_quantity".cast("double") *
+              $"l_extendedprice".cast("double"))).as("qp_sxy"),
+          sum(when($"l_quantity".isNotNull &&
+            $"l_extendedprice".isNotNull,
+            $"l_quantity".cast("double") *
+              $"l_quantity".cast("double"))).as("qp_sxx"),
+          sum(when($"l_quantity".isNotNull &&
+            $"l_extendedprice".isNotNull,
+            $"l_extendedprice".cast("double") *
+              $"l_extendedprice".cast("double"))).as("qp_syy"))
         .write.mode("overwrite").parquet(dir)
       val summary = spark.read.parquet(dir)
       graft.plans.RollupRewrite.register(
@@ -636,7 +661,11 @@ object Scale {
         avgs = Seq(("price_sum", "price_cnt",
           base("l_extendedprice").cast("double"))),
         stats = Seq(("qty_d_sum", "qty_sq_sum", "qty_d_cnt",
-          base("l_quantity").cast("double"))))
+          base("l_quantity").cast("double"))),
+        bistats = Seq((graft.plans.RollupRewrite.BiStatCells(
+          "qp_n", "qp_sx", "qp_sy", "qp_sxy", "qp_sxx", "qp_syy"),
+          base("l_quantity").cast("double"),
+          base("l_extendedprice").cast("double"))))
       summary
     }
 

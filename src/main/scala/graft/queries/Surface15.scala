@@ -591,9 +591,49 @@ object Surface15 {
            |HAVING count(*) > 100
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** E352: **corr / covariance through the navigator** — the
+    * bivariate completion of E338: `corr`, `covar_samp` and
+    * `covar_pop` over a registered measure PAIR re-aggregate from six
+    * pairwise-complete moment cells (n, Σx, Σy, Σxy, Σx², Σy²) via
+    * the co-moment CK = NΣxy − ΣxΣy. "Pairwise" is the correctness
+    * point: Spark and DuckDB both skip a row when EITHER side is
+    * null, so the cells must be built over both-non-null rows or a
+    * nullable pair diverges (the navigator fuzz exercises exactly
+    * that with its null-bearing m1). This is the association-summary
+    * shape (lab value vs severity, A3c) answered from kilobytes at
+    * 100 TB — and the same conditioning caveat as the univariate M2
+    * applies: the co-moment form cancels when |corr| is tiny relative
+    * to the means, so register pairs whose κ is modest, keep the
+    * native Welford scan otherwise. */
+  val qAggRollupCorr = Q("q_agg_rollup_corr",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Scale.rollupSummary(spark, sfDir)
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(round(corr($"l_quantity", $"l_extendedprice"), 6)
+            .as("qp_corr"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 4)
+            .as("qp_cov"),
+          round(covar_pop($"l_quantity", $"l_extendedprice"), 4)
+            .as("qp_cov_pop"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           |  round(covar_samp(l_quantity, l_extendedprice), 4)
+           |    AS qp_cov,
+           |  round(covar_pop(l_quantity, l_extendedprice), 4)
+           |    AS qp_cov_pop,
+           |  count(*) AS n_items
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupStats, qSqlPipe, qSqlParams,
     qSqlCollation, qStreamRollupE2e, qAggRollupLattice,
     qAggRollupLatticeFiltered, qAggRollupCube, qAggRollupJoinback,
-    qAggRollupDistinct, qAggRollupHaving)
+    qAggRollupDistinct, qAggRollupHaving, qAggRollupCorr)
 }
 

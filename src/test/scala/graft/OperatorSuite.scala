@@ -3821,12 +3821,22 @@ class OperatorSuite extends AnyFunSuite {
     val base = spark.read.parquet(dir)
     val sumDir = java.nio.file.Files
       .createTempDirectory("graft-fuzz-cells").toString
+    // bivariate cells PAIRWISE-guarded: m1 carries nulls, so a cell
+    // built over m1-non-null rows alone would diverge from corr/cov*
+    // semantics (they skip a row when EITHER side is null)
+    val pw = $"m1".isNotNull && $"m2".isNotNull
     base.groupBy($"d1", $"d2")
       .agg(sum($"m1").as("m1_sum"), min($"m1").as("m1_min"),
         max($"m1").as("m1_max"), count($"m1").as("m1_cnt"),
         sum($"m1" * $"m1").as("m1_sq"),
         sum($"m2").as("m2_sum"), min($"m2").as("m2_min"),
-        max($"m2").as("m2_max"), count(lit(1)).as("cnt"))
+        max($"m2").as("m2_max"), count(lit(1)).as("cnt"),
+        count(when(pw, 1)).as("b_n"),
+        sum(when(pw, $"m1")).as("b_sx"),
+        sum(when(pw, $"m2".cast("double"))).as("b_sy"),
+        sum(when(pw, $"m1" * $"m2")).as("b_sxy"),
+        sum(when(pw, $"m1" * $"m1")).as("b_sxx"),
+        sum(when(pw, ($"m2" * $"m2").cast("double"))).as("b_syy"))
       .write.mode("overwrite").parquet(sumDir)
     graft.plans.RollupRewrite.register(
       base = base,
@@ -3836,7 +3846,10 @@ class OperatorSuite extends AnyFunSuite {
       maxs = Seq("m1_max" -> base("m1"), "m2_max" -> base("m2")),
       cntCol = "cnt", summary = spark.read.parquet(sumDir),
       avgs = Seq(("m1_sum", "m1_cnt", base("m1"))),
-      stats = Seq(("m1_sum", "m1_sq", "m1_cnt", base("m1"))))
+      stats = Seq(("m1_sum", "m1_sq", "m1_cnt", base("m1"))),
+      bistats = Seq((graft.plans.RollupRewrite.BiStatCells(
+        "b_n", "b_sx", "b_sy", "b_sxy", "b_sxx", "b_syy"),
+        base("m1"), base("m2").cast("double"))))
     val dim = spark.createDataFrame(
       (0 to 5).map(k => (k, s"name$k", k % 2))).toDF(
       "k", "kname", "parity")
@@ -3850,7 +3863,9 @@ class OperatorSuite extends AnyFunSuite {
       "av" -> avg($"m1").as("av"),
       "sd" -> stddev_samp($"m1").as("sd"),
       "vp" -> var_pop($"m1").as("vp"),
-      "cd" -> countDistinct($"d2").as("cd"))
+      "cd" -> countDistinct($"d2").as("cd"),
+      "cr" -> corr($"m1", $"m2").as("cr"),
+      "cv" -> covar_samp($"m1", $"m2").as("cv"))
     def close(a: Any, b: Any): Boolean = (a, b) match {
       case (null, null) => true
       case (x: Double, y: Double) =>
@@ -3970,6 +3985,35 @@ class OperatorSuite extends AnyFunSuite {
         .collect().toSeq === ddRows)
       assert(graft.queries.Surface15.qAggRollupHaving.fn(spark, sf)
         .collect().toSeq === hvRows)
+    } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+  }
+
+  test("corr/covar ride the summary's pairwise moment cells (E352)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val df = graft.queries.Surface15.qAggRollupCorr.fn(spark, sf)
+    val onRows = df.collect().toSeq
+    assert(onRows.size === 3)
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.exists(_.contains("graft-rollup")),
+      s"corr query must read the moment cells, got $scans")
+    assert(!scans.exists(_.contains("lineitem.parquet")),
+      s"corr query must not scan the base, got $scans")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    try {
+      val off = graft.queries.Surface15.qAggRollupCorr.fn(spark, sf)
+        .collect().toSeq
+      // rounded outputs compare exactly; the underlying doubles agree
+      // to ~1e-12 (exact-integral quantities, modest co-moment κ)
+      assert(off === onRows, "corr navigation must be invisible")
     } finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
   }
 

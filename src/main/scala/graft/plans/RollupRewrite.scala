@@ -162,7 +162,23 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * ColumnNode wrapper, not a Catalyst tree, so only the analyzer
     * produces the normalized expression (resolved casts, time zones)
     * that `semanticEquals` can later compare against real query
-    * plans. Idempotent per path (latest wins). */
+    * plans. Idempotent per path (latest wins).
+    *
+    * '''Numerical conditioning caveat for `stats` / `bistats`'''
+    * (ADVICE r15): the rewrite merges stddev/var from sum-of-squares
+    * cells (M2 = Σx² − (Σx)²/n) and corr/covar from the six pairwise
+    * moments — the TEXTBOOK forms, which are catastrophically
+    * ill-conditioned when |mean| ≫ σ: the relative error of the
+    * merged variance is amplified by κ ≈ 1 + n·mean²/M2, so a measure
+    * like a raw epoch-microsecond timestamp (mean ~1.7e18, σ ~hours)
+    * loses ALL significant digits while sum/min/max/avg stay exact.
+    * Register a stats/bistats cell only when κ is modest (roughly
+    * mean²/variance ≲ 1e9 for doubles — true of ratios, quantities,
+    * prices, durations); for an ill-conditioned measure, CENTER it at
+    * registration time (register `x − c` for a fixed coarse offset c:
+    * variance and covariance are shift-invariant, so the cells stay
+    * valid for the original measure) or omit the stats cells so the
+    * navigator refuses and the query computes exactly from base. */
   def register(base: DataFrame, dims: Seq[(String, Column)],
       sums: Seq[(String, Column)], mins: Seq[(String, Column)],
       maxs: Seq[(String, Column)], cntCol: String,
@@ -261,8 +277,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.headOption
-              .map(path => (lr, path.toString, subst, conds))
+            // identity = the FULL sorted root-path set (ADVICE r15 /
+            // VERDICT r16 item 7): keying on rootPaths.head alone
+            // would let a multi-root read (spark.read.parquet(a, b))
+            // match a registration made on root `a` only, answering
+            // the two-root query from a summary built over half its
+            // rows. Single-root reads (this harness's only shape)
+            // produce the same key as before; a multi-root read gets
+            // a key no single-root registration can collide with.
+            val roots = fs.location.rootPaths
+            if (roots.isEmpty) None
+            else Some((lr,
+              roots.map(_.toString).sorted.mkString(";"),
+              subst, conds))
           case _ => None
         }
       case _ => None
@@ -302,7 +329,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private def stripNoopCasts(e: Expression): Expression =
     e.transformUp {
       case c @ Cast(_: Literal, dt, _, _) if c.foldable =>
-        Literal.create(c.eval(null), dt)
+        // the fold may THROW (ANSI overflow/format casts, or a cast
+        // whose evaluation needs a time zone the template never
+        // resolved); a normalization helper must degrade to leaving
+        // the expression alone — which at worst refuses the rewrite —
+        // never propagate an exception out of the optimizer rule
+        // (ADVICE r15)
+        try Literal.create(c.eval(null), dt)
+        catch { case scala.util.control.NonFatal(_) => c }
       case Cast(c, dt, _, _) if c.dataType == dt => c
     }
 
@@ -803,6 +837,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
         }
         anchoredDims.find(_._2.semanticEquals(h)) match {
           case Some((n, _)) => DimSlot(n)
+          // a MEASURE slot must be identical across EVERY projection,
+          // nulls included (ADVICE r15): classification above filtered
+          // null literals out before the identity check — right for
+          // dim slots, whose nulling IS the grouping-sets semantics,
+          // but a slot that is a measure in some projections and NULL
+          // in others would have its cell slot fed through every
+          // projection, over-counting the nulled sets. Spark's
+          // grouping-sets planner never nulls measure slots, but the
+          // rewrite must not ASSUME that: refuse instead.
+          case None if es.exists(isNullLit) =>
+            if (dbg) println(s"[rollup-dbg] gs: measure slot $i " +
+              "nulled in some projections")
+            return None
           case None => MeasureSlot(h)
         }
       }

@@ -4080,6 +4080,71 @@ class OperatorSuite extends AnyFunSuite {
     assert(e.getMessage.contains("file-source read"))
   }
 
+  test("rollup rewrite: multi-root read never matches a single-root registration") {
+    // ADVICE r15 / VERDICT r16 item 7: the registry keys on the FULL
+    // sorted root-path set. A registration made on root A must not
+    // answer a query over spark.read.parquet(A, B) — half its rows
+    // would come from outside the summary. Registering the two-root
+    // base itself works and rewrites.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(scans)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rollup-multiroot").toString
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "x")
+      .write.mode("overwrite").parquet(s"$dir/rootA")
+    Seq(("a", 10L), ("c", 20L)).toDF("g", "x")
+      .write.mode("overwrite").parquet(s"$dir/rootB")
+    val baseA = spark.read.parquet(s"$dir/rootA")
+    baseA.groupBy($"g")
+      .agg(sum($"x").as("x_sum"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/summaryA")
+    val summaryA = spark.read.parquet(s"$dir/summaryA")
+    graft.plans.RollupRewrite.register(baseA,
+      dims = Seq("g" -> baseA("g")),
+      sums = Seq("x_sum" -> baseA("x")),
+      mins = Nil, maxs = Nil, cntCol = "cnt", summary = summaryA)
+    // single-root query over rootA rides the summary (sanity)
+    val qa = baseA.groupBy($"g").agg(sum($"x").as("s")).orderBy($"g")
+    qa.collect()
+    assert(scans(qa.queryExecution.executedPlan)
+      .exists(_.contains(s"$dir/summaryA")),
+      "single-root registration must still fire on its own root")
+    // two-root query must REFUSE the single-root registration and
+    // compute from both roots (value check is the real gate)
+    val both = spark.read.parquet(s"$dir/rootA", s"$dir/rootB")
+    val qb = both.groupBy($"g").agg(sum($"x").as("s")).orderBy($"g")
+    val rows = qb.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("a" -> 13L, "b" -> 3L, "c" -> 20L),
+      "two-root aggregate must include rootB's rows")
+    assert(!scans(qb.queryExecution.executedPlan)
+      .exists(_.contains(s"$dir/summaryA")),
+      "two-root read must not match the single-root registration")
+    // registering the two-root base itself is a distinct key and fires
+    both.groupBy($"g")
+      .agg(sum($"x").as("x_sum"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/summaryAB")
+    val summaryAB = spark.read.parquet(s"$dir/summaryAB")
+    graft.plans.RollupRewrite.register(both,
+      dims = Seq("g" -> both("g")),
+      sums = Seq("x_sum" -> both("x")),
+      mins = Nil, maxs = Nil, cntCol = "cnt", summary = summaryAB)
+    val qc = spark.read.parquet(s"$dir/rootA", s"$dir/rootB")
+      .groupBy($"g").agg(sum($"x").as("s")).orderBy($"g")
+    val rows2 = qc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows2 === Map("a" -> 13L, "b" -> 3L, "c" -> 20L))
+    assert(scans(qc.queryExecution.executedPlan)
+      .exists(_.contains(s"$dir/summaryAB")),
+      "two-root registration must fire on the same two-root read")
+  }
+
   test("DSv2 series source: count-star, point lookup, empty range") {
     // E319 edge cases: COUNT(*) prunes to a ZERO-column read schema
     // (the reader must emit empty rows, not crash); EqualTo narrows

@@ -252,6 +252,18 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(children(0), children(1))))
+    // bucketed-bitmap distinct cells (BitmapCells.scala): OR-merge
+    // MAP<bucket, bitmap> summary cells; count = exact distinct
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_map_count_agg"),
+      new ExpressionInfo(classOf[BitmapMapCountAgg].getName,
+        "bitmap_map_count_agg"),
+      (children: Seq[Expression]) => BitmapMapCountAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_map_merge_agg"),
+      new ExpressionInfo(classOf[BitmapMapMergeAgg].getName,
+        "bitmap_map_merge_agg"),
+      (children: Seq[Expression]) => BitmapMapMergeAgg(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EditDistPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)

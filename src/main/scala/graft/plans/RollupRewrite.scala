@@ -76,7 +76,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *    whole cells and the algebra is invariant under uniform
   *    per-cell duplication;
   *  - COUNT(DISTINCT dim) — exact, because the summary holds one
-  *    cell per dim combination (distinct MEASURES still refuse);
+  *    cell per dim combination; COUNT(DISTINCT measure) — exact when
+  *    the registration carries a bucketed-bitmap cell for the
+  *    measure ([[graft.functions.BitmapMapCountAgg]], round 16):
+  *    the cell stores the exact distinct set as MAP<bucket, bitmap>
+  *    and OR-idempotence makes the merge safe under every path's
+  *    cell replication (other distinct shapes still refuse);
   *  - HAVING/ORDER BY compose for free (output ExprIds preserved).
   *  All paths share ONE re-aggregation algebra (reAggShared) and are
   *  locked by a rule-on/off equivalence fuzz over random query
@@ -134,7 +139,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
       summaryPlan: LogicalPlan,
       avgs: Seq[(String, String, Expression)] = Nil,
       stats: Seq[(String, String, String, Expression)] = Nil,
-      bistats: Seq[(BiStatCells, Expression, Expression)] = Nil) {
+      bistats: Seq[(BiStatCells, Expression, Expression)] = Nil,
+      distincts: Seq[(String, Expression)] = Nil) {
     /** Identity for idempotent re-registration: the summary's own
       * file path when it is a file read (the normal case), else the
       * dim-name set — re-running a register() call replaces its prior
@@ -178,14 +184,25 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * registration time (register `x − c` for a fixed coarse offset c:
     * variance and covariance are shift-invariant, so the cells stay
     * valid for the original measure) or omit the stats cells so the
-    * navigator refuses and the query computes exactly from base. */
+    * navigator refuses and the query computes exactly from base.
+    *
+    * `distincts` (round 16): each entry is (cell column name, measure
+    * Column); the summary column must hold `MAP<BIGINT, BINARY>` —
+    * per cell, `map_from_entries` over
+    * (`bitmap_bucket_number(m)` → `bitmap_construct_agg(
+    * bitmap_bit_position(m))`) built over NON-NULL m only (see
+    * [[graft.functions.BitmapMapBuffer]] for the full build contract).
+    * `COUNT(DISTINCT m)` then re-aggregates exactly on every rewrite
+    * path. The measure must be integral (the bitmap encodes longs);
+    * size the cells to the measure's per-cell distinct cardinality. */
   def register(base: DataFrame, dims: Seq[(String, Column)],
       sums: Seq[(String, Column)], mins: Seq[(String, Column)],
       maxs: Seq[(String, Column)], cntCol: String,
       summary: DataFrame,
       avgs: Seq[(String, String, Column)] = Nil,
       stats: Seq[(String, String, String, Column)] = Nil,
-      bistats: Seq[(BiStatCells, Column, Column)] = Nil): Unit = {
+      bistats: Seq[(BiStatCells, Column, Column)] = Nil,
+      distincts: Seq[(String, Column)] = Nil): Unit = {
     val basePath = pathOf(base).getOrElse(throw new IllegalArgumentException(
       "RollupRewrite.register: base must be a file-source read"))
     def exprs(cs: Seq[(String, Column)]): Seq[(String, Expression)] = {
@@ -214,7 +231,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
     val d = RollupDef(basePath, exprs(dims),
       exprs(sums), exprs(mins), exprs(maxs), cntCol,
-      summary.queryExecution.analyzed, avgDefs, statDefs, biDefs)
+      summary.queryExecution.analyzed, avgDefs, statDefs, biDefs,
+      exprs(distincts))
     registry.compute(basePath, (_, old) => {
       val kept = Option(old).getOrElse(Nil).filterNot(_.key == d.key)
       (d :: kept).sortBy(_.dims.size)
@@ -398,24 +416,34 @@ object RollupRewrite extends Rule[LogicalPlan] {
       aAvgs: Seq[(String, String, Expression)],
       aStats: Seq[(String, String, String, Expression)],
       aDims: Seq[(String, Expression)] = Nil,
-      aBi: Seq[(BiStatCells, Expression, Expression)] = Nil)
+      aBi: Seq[(BiStatCells, Expression, Expression)] = Nil,
+      aDistincts: Seq[(String, Expression)] = Nil)
       : Option[Expression] = {
     if (a.filter.isDefined) return None
     if (a.isDistinct) {
       // COUNT(DISTINCT dim) is EXACT on the summary: the rollup holds
       // one cell per dim combination, so the distinct set of a dim
       // column is preserved bit-for-bit (and under a join-back's
-      // per-cell duplication, DISTINCT erases the multiplicity) —
-      // the one distinct aggregate a summary can answer without cell
-      // identity. Everything else distinct (measures, multi-arg)
-      // still refuses.
+      // per-cell duplication, DISTINCT erases the multiplicity).
+      // COUNT(DISTINCT measure) is EXACT when the registration
+      // carries a bucketed-bitmap cell for the measure (round 16):
+      // the cell IS the exact distinct set, and bitmap OR's
+      // idempotence makes the merge invariant under the Expand
+      // replication and join-back duplication the other paths
+      // introduce — no cell identity needed. Other distinct shapes
+      // (multi-arg, sum/avg distinct) still refuse.
       return a.aggregateFunction match {
         case Count(Seq(e)) =>
-          srcOf(e).flatMap(s =>
-            aDims.find(_._2.semanticEquals(s))).flatMap {
-            case (n, _) => cell(n).map(c =>
-              Cast(Count(Seq(c)).toAggregateExpression(
-                isDistinct = true), a.dataType))
+          srcOf(e).flatMap { s =>
+            aDims.find(_._2.semanticEquals(s)).flatMap {
+              case (n, _) => cell(n).map(c =>
+                Cast(Count(Seq(c)).toAggregateExpression(
+                  isDistinct = true), a.dataType))
+            }.orElse(aDistincts.find(_._2.semanticEquals(s)).flatMap {
+              case (n, _) => cell(n).map(c =>
+                Cast(graft.functions.BitmapMapCountAgg(c)
+                  .toAggregateExpression(), a.dataType))
+            })
           }
         case _ => None
       }
@@ -670,6 +698,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
       for { ax <- anchor(tx, rel.output)
             ay <- anchor(ty, rel.output) } yield (cells, ax, ay)
     }
+    val aDist = d.distincts.flatMap { case (n, t) =>
+      anchor(t, rel.output).map(n -> _)
+    }
     val otherIds = other.outputSet
     def overOther(e: Expression): Boolean =
       e.references.subsetOf(otherIds) && e.deterministic
@@ -745,7 +776,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
       else Some(resolveThrough(e, subst))
     def reAggJ(a: AggregateExpression): Option[Expression] =
       reAggShared(a, srcOfJ, n => summaryAttr(n), d,
-        aSums, aMins, aMaxs, aAvgs, aStats, anchoredDims, aBi)
+        aSums, aMins, aMaxs, aAvgs, aStats, anchoredDims, aBi, aDist)
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case a: AggregateExpression => reAggJ(a)
       case a: AttributeReference if otherIds.contains(a) => Some(a)
@@ -818,6 +849,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val aBi = d.bistats.flatMap { case (cells, tx, ty) =>
       for { ax <- anchor(tx, rel.output)
             ay <- anchor(ty, rel.output) } yield (cells, ax, ay)
+    }
+    val aDist = d.distincts.flatMap { case (n, t) =>
+      anchor(t, rel.output).map(n -> _)
     }
     def isNullLit(e: Expression) = e match {
       case Literal(null, _) => true
@@ -910,7 +944,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
     def reAggX(a: AggregateExpression): Option[Expression] =
       reAggShared(a, srcOfArg, n => cellAttr(n), d,
-        aSums, aMins, aMaxs, aAvgs, aStats, aBi = aBi)
+        aSums, aMins, aMaxs, aAvgs, aStats, aBi = aBi,
+        aDistincts = aDist)
 
 
     def rewriteExprX(e: Expression): Option[Expression] = e match {
@@ -1012,6 +1047,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
       for { ax <- anchor(tx, rel.output)
             ay <- anchor(ty, rel.output) } yield (cells, ax, ay)
     }
+    val aDist = d.distincts.flatMap { case (n, t) =>
+      anchor(t, rel.output).map(n -> _)
+    }
 
     // Predicate-aware extension (round 14, the scaladoc's recorded
     // extension delivered): a Filter between the aggregate and the
@@ -1106,7 +1144,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def reAgg(a: AggregateExpression): Option[Expression] =
       reAggShared(a, e => Some(resolveThrough(e, subst)),
         n => summaryAttr(n), d, aSums, aMins, aMaxs, aAvgs, aStats,
-        anchoredDims, aBi)
+        anchoredDims, aBi, aDist)
 
     // rebuild every result expression over the summary, preserving
     // names and ExprIds so the parent plan is untouched. Explicit

@@ -600,7 +600,7 @@ object Scale {
       val base = Tables.read(spark, sfDir, "lineitem")
       val dir = java.nio.file.Files
         .createTempDirectory("graft-rollup").toString
-      base.groupBy(to_date($"l_shipdate").as("ship_day"),
+      val cells = base.groupBy(to_date($"l_shipdate").as("ship_day"),
           $"l_returnflag")
         .agg(sum($"l_quantity".cast("decimal(18,2)")).as("qty_sum"),
           min($"l_quantity".cast("decimal(18,2)")).as("qty_min"),
@@ -646,6 +646,31 @@ object Scale {
             $"l_extendedprice".isNotNull,
             $"l_extendedprice".cast("double") *
               $"l_extendedprice".cast("double"))).as("qp_syy"))
+      // COUNT(DISTINCT measure) support (round 16): per cell, the
+      // EXACT distinct set of l_orderkey as a bucketed bitmap —
+      // Spark's own bitmap encoding per (cell, 32k-bucket), folded
+      // into one MAP<bucket, bitmap> column. Built over NON-NULL
+      // values only (COUNT DISTINCT skips nulls; a null bucket key
+      // would poison map_from_entries); array_sort keeps the map's
+      // bucket order deterministic across rebuilds. Null-safe dim
+      // equality on the fold-in join so null-dim cells keep their
+      // bitmap (ship_day/returnflag are non-null in this fixture,
+      // but the build must not ASSUME that).
+      val bmCells = base.where($"l_orderkey".isNotNull)
+        .groupBy(to_date($"l_shipdate").as("ship_day"),
+          $"l_returnflag",
+          expr("bitmap_bucket_number(l_orderkey)").as("bkt"))
+        .agg(expr(
+          "bitmap_construct_agg(bitmap_bit_position(l_orderkey))")
+          .as("bm"))
+        .groupBy($"ship_day", $"l_returnflag")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct($"bkt", $"bm"))))
+          .as("okey_bm"))
+      cells.as("c").join(bmCells.as("b"),
+          $"c.ship_day" <=> $"b.ship_day" &&
+            $"c.l_returnflag" <=> $"b.l_returnflag", "left")
+        .select($"c.*", $"b.okey_bm")
         .write.mode("overwrite").parquet(dir)
       val summary = spark.read.parquet(dir)
       graft.plans.RollupRewrite.register(
@@ -665,7 +690,8 @@ object Scale {
         bistats = Seq((graft.plans.RollupRewrite.BiStatCells(
           "qp_n", "qp_sx", "qp_sy", "qp_sxy", "qp_sxx", "qp_syy"),
           base("l_quantity").cast("double"),
-          base("l_extendedprice").cast("double"))))
+          base("l_extendedprice").cast("double"))),
+        distincts = Seq("okey_bm" -> base("l_orderkey")))
       summary
     }
 

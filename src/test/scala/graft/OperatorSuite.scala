@@ -3825,7 +3825,7 @@ class OperatorSuite extends AnyFunSuite {
     // built over m1-non-null rows alone would diverge from corr/cov*
     // semantics (they skip a row when EITHER side is null)
     val pw = $"m1".isNotNull && $"m2".isNotNull
-    base.groupBy($"d1", $"d2")
+    val fuzzCells = base.groupBy($"d1", $"d2")
       .agg(sum($"m1").as("m1_sum"), min($"m1").as("m1_min"),
         max($"m1").as("m1_max"), count($"m1").as("m1_cnt"),
         sum($"m1" * $"m1").as("m1_sq"),
@@ -3837,6 +3837,21 @@ class OperatorSuite extends AnyFunSuite {
         sum(when(pw, $"m1" * $"m2")).as("b_sxy"),
         sum(when(pw, $"m1" * $"m1")).as("b_sxx"),
         sum(when(pw, ($"m2" * $"m2").cast("double"))).as("b_syy"))
+    // distinct-measure bitmap cell (round 16) — null-safe dim join:
+    // d1/d2 CARRY nulls here, and a null-dim cell losing its bitmap
+    // is exactly the bug the fuzz exists to catch
+    val fuzzBm = base.where($"m2".isNotNull)
+      .groupBy($"d1", $"d2",
+        expr("bitmap_bucket_number(m2)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(m2))")
+        .as("bm"))
+      .groupBy($"d1", $"d2")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct($"bkt", $"bm"))))
+        .as("m2_bm"))
+    fuzzCells.as("c").join(fuzzBm.as("b"),
+        $"c.d1" <=> $"b.d1" && $"c.d2" <=> $"b.d2", "left")
+      .select($"c.*", $"b.m2_bm")
       .write.mode("overwrite").parquet(sumDir)
     graft.plans.RollupRewrite.register(
       base = base,
@@ -3849,7 +3864,8 @@ class OperatorSuite extends AnyFunSuite {
       stats = Seq(("m1_sum", "m1_sq", "m1_cnt", base("m1"))),
       bistats = Seq((graft.plans.RollupRewrite.BiStatCells(
         "b_n", "b_sx", "b_sy", "b_sxy", "b_sxx", "b_syy"),
-        base("m1"), base("m2").cast("double"))))
+        base("m1"), base("m2").cast("double"))),
+      distincts = Seq("m2_bm" -> base("m2")))
     val dim = spark.createDataFrame(
       (0 to 5).map(k => (k, s"name$k", k % 2))).toDF(
       "k", "kname", "parity")
@@ -3864,6 +3880,7 @@ class OperatorSuite extends AnyFunSuite {
       "sd" -> stddev_samp($"m1").as("sd"),
       "vp" -> var_pop($"m1").as("vp"),
       "cd" -> countDistinct($"d2").as("cd"),
+      "dm" -> countDistinct($"m2").as("dm"),
       "cr" -> corr($"m1", $"m2").as("cr"),
       "cv" -> covar_samp($"m1", $"m2").as("cv"))
     def close(a: Any, b: Any): Boolean = (a, b) match {
@@ -3915,12 +3932,13 @@ class OperatorSuite extends AnyFunSuite {
     // CUBE round (Expand path) and join-back round
     check(() => spark.read.parquet(dir).cube($"d1", $"d2")
       .agg(count(lit(1)).as("n"), sum($"m2").as("s2"),
-        avg($"m1").as("av"), stddev_samp($"m1").as("sd")),
+        avg($"m1").as("av"), stddev_samp($"m1").as("sd"),
+        countDistinct($"m2").as("dm")),
       "cube")
     check(() => spark.read.parquet(dir).join(dim, $"d1" === $"k")
       .groupBy($"kname")
       .agg(sum($"m2").as("s2"), count(lit(1)).as("n"),
-        var_pop($"m1").as("vp")),
+        var_pop($"m1").as("vp"), countDistinct($"m2").as("dm")),
       "join-back")
     // non-vacuousness: the equivalence rounds only mean something if
     // the rewrite actually fires on this base — pin the scan
@@ -4143,6 +4161,63 @@ class OperatorSuite extends AnyFunSuite {
     assert(scans(qc.queryExecution.executedPlan)
       .exists(_.contains(s"$dir/summaryAB")),
       "two-root registration must fire on the same two-root read")
+  }
+
+  test("COUNT(DISTINCT measure) rides the navigator via bitmap cells (E353)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bmdm").toString
+    // (1) bijection property: bucket-boundary and zero values must
+    // count exactly through build → map fold → OR-merge → popcount
+    // (each value duplicated: dedup is the aggregate's job)
+    val vals = Seq(0L, 1L, 2L, 32767L, 32768L, 32769L,
+      65535L, 65536L, 1000000007L)
+    vals.flatMap(v => Seq(v, v, v)).map(Tuple1(_)).toDF("m")
+      .withColumn("g", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/bij")
+    val bij = spark.read.parquet(s"$dir/bij")
+      .where($"m".isNotNull)
+      .groupBy($"g", expr("bitmap_bucket_number(m)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(m))")
+        .as("bm"))
+      .groupBy($"g")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct($"bkt", $"bm")))).as("mp"))
+      .agg(expr("bitmap_map_count_agg(mp)").as("n"))
+      .collect()(0).getLong(0)
+    assert(bij == vals.distinct.size.toLong,
+      s"bitmap-cell distinct count $bij != ${vals.distinct.size}")
+    // (2) the gated fixture fires: scan redirect on the registered
+    // lineitem rollup, rule-on/off value equality
+    def q() = graft.queries.Surface16
+      .qAggRollupDistinctMeasure.fn(spark, sf) // fn registers the rollup
+    val dOn = q(); val onRows = dOn.collect().map(_.toSeq.toVector)
+    assert(walk(dOn.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup")),
+      "countDistinct(measure) must be answered from the rollup cells")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    val offRows = try q().collect().map(_.toSeq.toVector)
+      finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    assert(onRows.toSeq == offRows.toSeq,
+      "rewrite must be invisible in values")
+    // (3) a DISTINCT shape the bitmap cells cannot answer still
+    // refuses: sum(DISTINCT measure) has no cell form
+    val sd = Tables.read(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sum_distinct($"l_quantity").as("s"))
+    sd.collect()
+    assert(!walk(sd.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup")),
+      "sum(DISTINCT) must NOT be rewritten onto the summary")
   }
 
   test("DSv2 series source: count-star, point lookup, empty range") {

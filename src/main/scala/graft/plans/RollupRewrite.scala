@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
   GreaterThanOrEqual, IsNotNull, LessThan, PlanExpression,
   RuntimeReplaceable}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner,
+  LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
   Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.{types => types}
@@ -417,7 +418,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
       aStats: Seq[(String, String, String, Expression)],
       aDims: Seq[(String, Expression)] = Nil,
       aBi: Seq[(BiStatCells, Expression, Expression)] = Nil,
-      aDistincts: Seq[(String, Expression)] = Nil)
+      aDistincts: Seq[(String, Expression)] = Nil,
+      cntOuter: Boolean = false)
       : Option[Expression] = {
     if (a.filter.isDefined) return None
     if (a.isDistinct) {
@@ -518,10 +520,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
     a.aggregateFunction match {
       // non-null literal ONLY: count(*)/count(1). COUNT(NULL) — or
       // any count argument constant-folded to a null literal — is 0,
-      // not the cell row count (ADVICE r13).
+      // not the cell row count (ADVICE r13). Under an OUTER join-back
+      // that preserves the DIM side (round 16), an unmatched dim row
+      // reaches the aggregate as one joined row with a NULL cnt cell
+      // — exactly one base-plan row — so count(*) sums
+      // coalesce(cnt, 1): matched pairs contribute their cell count,
+      // null-extended rows contribute the 1 the base join would.
       case Count(Seq(Literal(v, _))) if v != null =>
-        cell(d.cntCol).map(c => Coalesce(Seq(
-          Sum(c).toAggregateExpression(), Literal(0L))))
+        cell(d.cntCol).map { c =>
+          val perRow =
+            if (cntOuter) Coalesce(Seq(c, Literal(1L))) else c
+          Coalesce(Seq(
+            Sum(perRow).toAggregateExpression(), Literal(0L)))
+        }
       case Corr(x, y, true) =>
         biArgs(x, y).flatMap { case (xs, ys) =>
           biOver(xs, ys, "corr") }
@@ -629,9 +640,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * Σcnt over N copies = N·cnt exactly as the base join would, min/
     * max are idempotent, and the stats merge computes from the same
     * (N-scaled) Σx/Σx²/n totals the base join would produce. NULL
-    * keys drop cells and their base rows together (inner join only —
-    * outer/semi flavors are refused, their null-extension happens at
-    * row grain). Aggregate arguments must reference the BASE side
+    * keys drop cells and their base rows together.
+    *
+    * OUTER flavors (round 16) extend the same algebra:
+    *  - base-preserved (fact LEFT JOIN dim): an unmatched CELL is
+    *    null-extended once, exactly as each of its base rows is —
+    *    all supported aggregates are already invariant;
+    *  - dim-preserved (dim LEFT JOIN fact / RIGHT / FULL): an
+    *    unmatched dim row null-extends the SUMMARY side, matching
+    *    the base plan's one all-NULL-base row. Null-skipping
+    *    aggregates are invariant for free; count(*) alone sees the
+    *    null-extended row and becomes Σcoalesce(cnt, 1) (see
+    *    reAggShared's cntOuter). Semi/anti still refuse (they are
+    *    row-existence operators, not aggregations over the join).
+    * Aggregate arguments must reference the BASE side
     * only; dim-side attrs pass through grouping and select untouched.
     * At 100 TB this turns every star-schema dashboard query — fact ⋈
     * dimension, GROUP BY dimension attribute — into a dim-sized join
@@ -648,7 +670,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
     val (core, outer) = peel(agg.child, Map.empty)
     core match {
-      case j @ Join(_, _, Inner, Some(cond), _)
+      case j @ Join(_, _, Inner | LeftOuter | RightOuter | FullOuter,
+          Some(cond), _)
           if cond.deterministic &&
             cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
         trySide(agg, j, baseOnLeft = true, outer)
@@ -756,17 +779,27 @@ object RollupRewrite extends Rule[LogicalPlan] {
         return None
     }
 
-    // grouping: dim-side exprs pass; base-side exprs must be dims
-    val dimFor = agg.groupingExpressions.flatMap { g =>
-      if (overOther(g)) None
-      else dimAttrOf(g) match {
-        case Some(a) => Some(g.canonicalized -> a)
-        case None =>
-          if (dbg) println(s"[rollup-dbg] jb: grouping $g matches " +
-            "no dim")
-          return None
-      }
-    }.toMap
+    // grouping: dim-side exprs pass (including COMPUTED dim-side
+    // expressions reached through peeled Project aliases — the
+    // optimizer extracts `expr AS _groupingexpression` into a Project
+    // between the aggregate and the join, so after resolveThrough a
+    // grouping attr may BE a dim-side expression); base-side exprs
+    // must be registered dims
+    val dimFor: Map[Expression, Expression] =
+      agg.groupingExpressions.flatMap { g =>
+        if (overOther(g)) None
+        else {
+          val rg = resolveThrough(g, subst)
+          if (overOther(rg)) Some(g.canonicalized -> rg)
+          else dimAttrOf(g) match {
+            case Some(a) => Some(g.canonicalized -> (a: Expression))
+            case None =>
+              if (dbg) println(s"[rollup-dbg] jb: grouping $g → $rg " +
+                "matches no dim and is not dim-side")
+              return None
+          }
+        }
+      }.toMap
     val newGe = agg.groupingExpressions.map { g =>
       if (overOther(g)) g else dimFor(g.canonicalized)
     }
@@ -774,9 +807,23 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def srcOfJ(e: Expression): Option[Expression] =
       if (e.references.intersect(otherIds).nonEmpty) None
       else Some(resolveThrough(e, subst))
+    // OUTER join-back (round 16): a join type that preserves the DIM
+    // side null-extends unmatched dim rows — one joined row with
+    // every summary column NULL, exactly as the base join produces
+    // one row with every base column NULL. All null-skipping
+    // aggregates (sum/min/max/avg/stats/bi/bitmap-distinct) are
+    // therefore invariant for free; count(*) alone counts the
+    // null-extended row and re-aggregates as Σcoalesce(cnt, 1).
+    val otherPreserved = j.joinType match {
+      case LeftOuter => !baseOnLeft
+      case RightOuter => baseOnLeft
+      case FullOuter => true
+      case _ => false
+    }
     def reAggJ(a: AggregateExpression): Option[Expression] =
       reAggShared(a, srcOfJ, n => summaryAttr(n), d,
-        aSums, aMins, aMaxs, aAvgs, aStats, anchoredDims, aBi, aDist)
+        aSums, aMins, aMaxs, aAvgs, aStats, anchoredDims, aBi, aDist,
+        cntOuter = otherPreserved)
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case a: AggregateExpression => reAggJ(a)
       case a: AttributeReference if otherIds.contains(a) => Some(a)
@@ -814,8 +861,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val cond2 = newConjs.reduce(And(_, _))
     val scan = condOnSummary.map(Filter(_, sumPlan)).getOrElse(sumPlan)
     val newJoin =
-      if (baseOnLeft) Join(scan, other, Inner, Some(cond2), j.hint)
-      else Join(other, scan, Inner, Some(cond2), j.hint)
+      if (baseOnLeft) Join(scan, other, j.joinType, Some(cond2), j.hint)
+      else Join(other, scan, j.joinType, Some(cond2), j.hint)
     Some(Aggregate(newGe, newAe, newJoin))
   }
 

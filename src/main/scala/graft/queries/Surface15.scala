@@ -292,7 +292,7 @@ object Surface15 {
     * the registry keeps them coarsest-first. On the `orders` table —
     * not lineitem — so the lattice choice below is isolated from the
     * single-summary rollup family's plan locks. */
-  private def latticeSummaries(
+  private[queries] def latticeSummaries(
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
     graft.Memo.cached(spark, s"rollup_lattice:$sfDir") {

@@ -55,5 +55,57 @@ object Surface16 {
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[Q] = Seq(qAggRollupDistinctMeasure)
+  /** E354: **outer-preserving star join-back through the navigator**
+    * — the round-15 join-back was Inner-only: a dimension row with no
+    * fact rows silently got no rewrite coverage, yet `dim LEFT JOIN
+    * fact` is THE dashboard shape for "show every segment, zero or
+    * not". The extension
+    * ([[graft.plans.RollupRewrite]] round 16) is pure algebra, no new
+    * cells: a dim-preserved outer join null-extends the SUMMARY side
+    * of an unmatched dim row exactly as the base join null-extends
+    * the base side, so every null-skipping aggregate is invariant for
+    * free, and count(*) — the one aggregate that counts the
+    * null-extended row — re-aggregates as Σcoalesce(cnt, 1). The
+    * query below left-joins a customer-key SPINE (2·c_custkey — half
+    * its keys lie past the fact table's key domain at every scale
+    * factor, since this fixture assigns every customer at least one
+    * order) to orders: the null-extension path is load-bearing in
+    * the gated values, not theoretical, and the grouping is a
+    * DIM-SIDE expression (spine key mod 7), exercising the pass-
+    * through leg. At 100 TB the win compounds the inner join-back's:
+    * the outer dashboard query joins the dimension to KILOBYTES of
+    * cells, and unmatched dim rows cost nothing instead of probing
+    * the fact table. Oracle = the naive outer-join SQL over BASE
+    * tables in DuckDB; scan redirection + rule on/off equality + a
+    * base-preserved and full-outer variant are locked in
+    * OperatorSuite. */
+  val qAggRollupJoinbackOuter = Q("q_agg_rollup_joinback_outer",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Surface15.latticeSummaries(spark, sfDir) // registers bycust grain
+      val cust = Tables.read(spark, sfDir, "customer")
+      val orders = Tables.read(spark, sfDir, "orders")
+      val spine = cust.select(($"c_custkey" * 2).as("k"))
+      spine.join(orders, $"k" === orders("o_custkey"), "left")
+        .groupBy(($"k" % 7).as("cohort"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          max($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("max_price"))
+        .orderBy($"cohort")
+    },
+    Some("""SELECT k % 7 AS cohort,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS max_price
+           |FROM (SELECT c_custkey * 2 AS k FROM customer) s
+           |LEFT JOIN orders ON k = o_custkey
+           |GROUP BY 1
+           |ORDER BY cohort""".stripMargin))
+
+  val all: Seq[Q] = Seq(qAggRollupDistinctMeasure,
+    qAggRollupJoinbackOuter)
 }

@@ -3866,8 +3866,10 @@ class OperatorSuite extends AnyFunSuite {
         "b_n", "b_sx", "b_sy", "b_sxy", "b_sxx", "b_syy"),
         base("m1"), base("m2").cast("double"))),
       distincts = Seq("m2_bm" -> base("m2")))
+    // k runs past d1's domain (0..5) so the OUTER join-back rounds
+    // below have genuinely unmatched dim rows to null-extend
     val dim = spark.createDataFrame(
-      (0 to 5).map(k => (k, s"name$k", k % 2))).toDF(
+      (0 to 8).map(k => (k, s"name$k", k % 2))).toDF(
       "k", "kname", "parity")
 
     val aggPool: Seq[(String, Column)] = Seq(
@@ -3940,6 +3942,28 @@ class OperatorSuite extends AnyFunSuite {
       .agg(sum($"m2").as("s2"), count(lit(1)).as("n"),
         var_pop($"m1").as("vp"), countDistinct($"m2").as("dm")),
       "join-back")
+    // OUTER join-back rounds (round 16): dim-preserved left (unmatched
+    // dim rows null-extend the summary side; count(*) must count them
+    // via Σcoalesce(cnt,1)), base-preserved left (unmatched CELLS
+    // null-extend the dim side), and full outer (both at once)
+    check(() => dim.join(spark.read.parquet(dir), $"k" === $"d1",
+        "left")
+      .groupBy($"parity")
+      .agg(count(lit(1)).as("n"), sum($"m2").as("s2"),
+        avg($"m1").as("av"), countDistinct($"m2").as("dm")),
+      "left-outer join-back (dim preserved)")
+    check(() => spark.read.parquet(dir)
+      .join(dim.filter($"k" =!= 2), $"d1" === $"k", "left")
+      .groupBy($"kname")
+      .agg(count(lit(1)).as("n"), sum($"m1").as("s1"),
+        stddev_samp($"m1").as("sd")),
+      "left-outer join-back (base preserved)")
+    check(() => spark.read.parquet(dir)
+      .join(dim.filter($"k" =!= 3), $"d1" === $"k", "full")
+      .groupBy($"parity")
+      .agg(count(lit(1)).as("n"), sum($"m2").as("s2"),
+        min($"m1").as("mn"), countDistinct($"m2").as("dm")),
+      "full-outer join-back")
     // non-vacuousness: the equivalence rounds only mean something if
     // the rewrite actually fires on this base — pin the scan
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
@@ -3957,6 +3981,12 @@ class OperatorSuite extends AnyFunSuite {
     assert(walk(probe.queryExecution.executedPlan)
       .exists(_.contains("graft-fuzz-cells")),
       "fuzz base must be answered from its registered cells")
+    val probeJb = dim.join(spark.read.parquet(dir), $"k" === $"d1",
+        "left")
+      .groupBy($"parity").agg(count(lit(1)).as("n"))
+    assert(walk(probeJb.queryExecution.executedPlan)
+      .exists(_.contains("graft-fuzz-cells")),
+      "outer join-back rounds must actually ride the cells")
     // no RollupRewrite.clear(): other tests' registrations are
     // Memo-gated (built once per session), so a global clear here
     // would strand them unregistered; the fuzz base is a unique temp
@@ -4218,6 +4248,50 @@ class OperatorSuite extends AnyFunSuite {
     assert(!walk(sd.queryExecution.executedPlan)
       .exists(_.contains("graft-rollup")),
       "sum(DISTINCT) must NOT be rewritten onto the summary")
+  }
+
+  test("outer join-back rides the navigator; semi still refuses (E354)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    // (1) the gated fixture: customer LEFT JOIN orders answered from
+    // the bycust-grain cells, invisible in values
+    def q() = graft.queries.Surface16
+      .qAggRollupJoinbackOuter.fn(spark, sf) // fn registers the lattice
+    val dOn = q(); val onRows = dOn.collect().map(_.toSeq.toVector)
+    assert(walk(dOn.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup-lat-bycust")),
+      "outer join-back must ride the bycust summary")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    val offRows = try q().collect().map(_.toSeq.toVector)
+      finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    assert(onRows.toSeq == offRows.toSeq)
+    // null-extension is load-bearing: count(*) must exceed the count
+    // of matched orders (spine keys past the fact domain contribute
+    // their bare null-extended row each)
+    val matched = Tables.read(spark, sf, "orders")
+      .filter($"o_custkey" % 2 === 0).count()
+    assert(onRows.map(_(1).asInstanceOf[Long]).sum > matched,
+      "unmatched spine keys must be counted via the null extension")
+    // (2) semi join still refuses: existence at row grain is not an
+    // aggregation over the join
+    import org.apache.spark.sql.functions.{count => cnt}
+    val cust = Tables.read(spark, sf, "customer")
+    val orders = Tables.read(spark, sf, "orders")
+    val semi = cust.join(orders,
+        cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy($"c_mktsegment").agg(cnt(lit(1)).as("n"))
+    semi.collect()
+    assert(!walk(semi.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup-lat")),
+      "semi join must NOT be rewritten onto summary cells")
   }
 
   test("DSv2 series source: count-star, point lookup, empty range") {

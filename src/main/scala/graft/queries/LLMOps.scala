@@ -2926,15 +2926,39 @@ object LLMOps {
     * QA reviews use because its coverage is provably even across the
     * sort dimension. k=20 with a fixed offset; the order is
     * (doc_id) — deterministic by primary key, so the sample is
-    * identical on any engine/cluster/retry. One ranking window +
-    * a modulus filter; the output aggregates the sample so the
-    * oracle hash pins membership, not just size. */
+    * identical on any engine/cluster/retry.
+    *
+    * The global rank is DISTRIBUTED (round 16 — the partition-less
+    * window lock caught the original `row_number() OVER (ORDER BY
+    * doc_id)` moving the whole fact table to one task): rows bucket
+    * into ≤4097 doc_id ranges, per-bucket counts get cumulative
+    * OFFSETS (the only partition-less window left — over the
+    * 4k-row bucket table, bounded at any corpus size), offsets
+    * broadcast back, and rank = offset + row_number within the
+    * bucket (a PARTITIONED window). Identical rank values, so the
+    * oracle — which still writes the naive global window — pins
+    * sample membership bit-for-bit; the output aggregates the
+    * sample so the hash pins membership, not just size. */
   val qSampleSystematic = Q("q_sample_systematic",
     (spark, sfDir) => {
       import spark.implicits._
-      docs(spark, sfDir)
-        .withColumn("rn", row_number().over(
-          Window.orderBy($"doc_id")))
+      val d = docs(spark, sfDir)
+      val bounds = broadcast(d.agg(min($"doc_id").as("lo"),
+        max($"doc_id").as("hi")))
+      // width chosen so bkt ∈ [0, 4096] with no multiply overflow
+      val bucketed = d.crossJoin(bounds)
+        .withColumn("w",
+          greatest(lit(1L), (($"hi" - $"lo") / 4096L) + 1L))
+        .withColumn("bkt", ($"doc_id" - $"lo") / $"w")
+      val offsets = bucketed.groupBy($"bkt")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum($"n").over(
+          Window.orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"bkt", $"off")
+      bucketed.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("rn", $"off" + row_number().over(
+          Window.partitionBy($"bkt").orderBy($"doc_id")))
         .filter(pmod($"rn", lit(20)) === 7)
         .agg(count(lit(1)).as("n_sampled"),
           sum($"doc_id").cast("long").as("id_sum"),

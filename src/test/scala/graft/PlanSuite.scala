@@ -868,4 +868,76 @@ class PlanSuite extends AnyFunSuite {
     assert("\\], true, 0".r.findAllIn(p).length == 1,
       s"expected exactly the final ORDER BY's global sort:\n$p")
   }
+
+  test("partition-less windows appear ONLY on the audited allowlist") {
+    // VERDICT r15: a WindowExec with no partitionSpec moves ALL rows
+    // to one task — the one anti-pattern class nothing fenced. Every
+    // query below is an AUDITED global frame over a
+    // dimension-sized/post-aggregate input (see each query's
+    // scaladoc); anything new that plans one fails here and must
+    // either partition its window or argue its way onto the list.
+    // Streams are excluded as in the cartesian lock (their fn runs
+    // the stream; their plans are locked by their own suite).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec,
+      WindowGroupLimitExec}
+    def globalWindows(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => globalWindows(a.executedPlan)
+      case q: QueryStageExec => globalWindows(q.plan)
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        1 + w.children.map(globalWindows).sum
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        1 + w.children.map(globalWindows).sum
+      case other => other.children.map(globalWindows).sum
+    }
+    val allowed = Set(
+      // day-grain / date-spine cumulative frames: the window input is
+      // the per-day (or per-period) aggregate, dimension-sized at any
+      // fact scale — see each query's scaladoc
+      "q_cohort_daily_counts", "q_fource_daily_counts",
+      "q_growth_accounting", "q_period_over_period", "q_freshness",
+      "q_seasonal_decompose", "q_volatility", "q_rolling_anomaly",
+      "q_rolling_slope", "q_sweep_concurrency", "q_revenue_bridge",
+      "q_cumulative_distinct", "q_aging_buckets",
+      // statistical tests / distribution profiles over post-aggregate
+      // or bounded-sample inputs (ranks over grouped value domains,
+      // test statistics over compacted samples)
+      "q_ks_test", "q_mannwhitney", "q_runs_test", "q_benford",
+      "q_cramers_v", "q_fdr_bh", "q_meta_analysis", "q_did",
+      "q_js_divergence", "q_psi", "q_histogram_2d",
+      "q_histogram_equi_depth", "q_profile_histogram",
+      "q_anomaly_mad", "q_skyline",
+      // ranked-share / concentration profiles over grouped rows
+      "q_lorenz_curve", "q_pareto_cutoff", "q_gains_lift",
+      "q_k_anonymity", "q_ratio_to_parent", "q_alloc_apportion",
+      "q_fanout_profile", "q_agg_cms_freq", "q_gini",
+      // eval-metric family: one total order of SCORES is the operator
+      // (AUC / calibration over the bounded eval set), and the
+      // text-profile pair ranks grouped length/term tables
+      "q_auc", "q_calibration", "q_length_profile", "q_zipf_fit",
+      // entity-grain ranked scores (per-customer/patient compacted
+      // rows; deliberately-global quantile frames, documented)
+      "q_rfm", "q_survival_km", "q_fource_patient_mapping",
+      // sampling: q_sample_temperature's frame is the ~20-row
+      // per-source rate table; q_sample_systematic's is its ≤4097-row
+      // bucket-offset table (the round-16 distributed-rank fix — the
+      // fact-table-sized global row_number this lock caught is gone)
+      "q_sample_temperature", "q_sample_systematic",
+      // the W-family gated query whose OPERATOR is a global range
+      // frame (deliberate, over the bounded spine)
+      "q_window_range_frame")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream"))
+      .flatMap { name =>
+        val n = globalWindows(
+          SparkEntry.queries(name)(spark, sf).queryExecution
+            .executedPlan)
+        if (n > 0 && !allowed.contains(name)) Some(name -> n) else None
+      }
+    assert(offenders.isEmpty,
+      s"unaudited partition-less windows: $offenders — partition the " +
+        "window or audit it into the allowlist with a scaladoc note")
+  }
 }

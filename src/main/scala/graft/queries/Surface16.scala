@@ -106,6 +106,163 @@ object Surface16 {
            |GROUP BY 1
            |ORDER BY cohort""".stripMargin))
 
+  /** Per-(session, sfDir) dirs of the incrementally-maintained
+    * lattice: (rawZoneDir, fineCellsDir, coarseCellsDir). Built once
+    * (Memo.once) — the OperatorSuite equivalence self-test reads the
+    * same stores the gated query registered. */
+  private val incrDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (String, String, String)]()
+
+  /** Build side of E355: drain the 50k-row MicroBatchStream in five
+    * admission-controlled batches; per batch, fold partial cells into
+    * the FINE summary (grain: i%20 × shard), then refresh ONLY the
+    * coarse (shard-grain) partitions the batch touched — derived from
+    * the refreshed FINE store, never from base. Shard = i div 15000
+    * against 10k-row contiguous batches, so refreshes mix
+    * first-insert, update, and untouched coarse partitions. Cells:
+    * Σv, Σv², non-null n, row count, and the EXACT distinct set of
+    * i % 7000 as a bucketed bitmap ([[graft.functions
+    * .BitmapMapMergeAgg]] re-merges it idempotently at every level —
+    * a replayed batch id overwrites its own versioned output AND
+    * cannot double-count the distinct cell, by algebra). Registers
+    * BOTH grains with [[graft.plans.RollupRewrite]]. */
+  private[graft] def incrLattice(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (String, String, String) = {
+    graft.Memo.once(spark, s"lat_incr:$sfDir") {
+      import spark.implicits._
+      import org.apache.spark.sql.DataFrame
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lat-incr").toString
+      val baseDir = s"$root/base"
+      val src = spark.readStream.format("graft.sources.SeriesSource")
+        .option("rows", "50000").option("slices", "4")
+        .option("maxRowsPerBatch", "10000").load()
+      @volatile var fineDir: String = null
+      @volatile var coarseDir: String = null
+      val reAggCells
+          : org.apache.spark.sql.RelationalGroupedDataset => DataFrame =
+        g => g.agg(sum($"v_sum").as("v_sum"), sum($"v_sq").as("v_sq"),
+          sum($"v_cnt").as("v_cnt"), sum($"cnt").as("cnt"),
+          expr("bitmap_map_merge_agg(k_bm)").as("k_bm"))
+      val maintain: (DataFrame, Long) => Unit = { (batch, id) =>
+        batch.write.mode("append").parquet(baseDir)
+        val g1 = ($"i" % 20).cast("int").as("g1")
+        val shard = expr("cast((i div 15000) as int)").as("shard")
+        val stats = batch.groupBy(g1, shard)
+          .agg(sum($"value").as("v_sum"),
+            sum($"value" * $"value").as("v_sq"),
+            count($"value").as("v_cnt"), count(lit(1)).as("cnt"))
+        val bm = batch.groupBy(g1, shard,
+            expr("bitmap_bucket_number(i % 7000)").as("bkt"))
+          .agg(expr(
+            "bitmap_construct_agg(bitmap_bit_position(i % 7000))")
+            .as("bm"))
+          .groupBy($"g1", $"shard")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct($"bkt", $"bm"))))
+            .as("k_bm"))
+        val partial = stats.as("c").join(bm.as("b"),
+            $"c.g1" <=> $"b.g1" && $"c.shard" <=> $"b.shard", "left")
+          .select($"c.*", $"b.k_bm")
+        val mergedFine = Option(fineDir)
+          .map(d => reAggCells(spark.read.parquet(d)
+            .unionByName(partial).groupBy($"g1", $"shard")))
+          .getOrElse(partial)
+        val nextFine = s"$root/fine_v$id"
+        mergedFine.write.mode("overwrite").parquet(nextFine)
+        // coarse refresh: ONLY the shards this batch touched, derived
+        // from the refreshed FINE store — cost O(fine cells of the
+        // affected shards), never O(base), never O(history)
+        val affected = partial.select($"shard").distinct()
+        val refreshed = reAggCells(
+          spark.read.parquet(nextFine)
+            .join(broadcast(affected), Seq("shard"), "left_semi")
+            .groupBy($"shard"))
+        val nextCoarse = s"$root/coarse_v$id"
+        Option(coarseDir)
+          .map(d => spark.read.parquet(d)
+            .join(broadcast(affected), Seq("shard"), "left_anti")
+            .unionByName(refreshed))
+          .getOrElse(refreshed)
+          .write.mode("overwrite").parquet(nextCoarse)
+        fineDir = nextFine
+        coarseDir = nextCoarse
+      }
+      val key = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try {
+        val q = src.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch(maintain).start()
+        q.processAllAvailable(); q.stop()
+      } finally spark.conf.set(key, prevParts)
+      val base = spark.read.parquet(baseDir)
+      def reg(dims: Seq[(String, org.apache.spark.sql.Column)],
+          dir: String): Unit =
+        graft.plans.RollupRewrite.register(
+          base = base, dims = dims,
+          sums = Seq("v_sum" -> base("value")),
+          mins = Nil, maxs = Nil, cntCol = "cnt",
+          summary = spark.read.parquet(dir),
+          stats = Seq(("v_sum", "v_sq", "v_cnt", base("value"))),
+          distincts = Seq("k_bm" -> (base("i") % 7000)))
+      reg(Seq(
+        "g1" -> (base("i") % 20).cast("int"),
+        "shard" -> expr("cast((i div 15000) as int)")), fineDir)
+      reg(Seq("shard" -> expr("cast((i div 15000) as int)")),
+        coarseDir)
+      incrDirs.put((spark, sfDir), (baseDir, fineDir, coarseDir))
+    }
+    incrDirs.get((spark, sfDir))
+  }
+
+  /** E355: **incrementally-consistent summary LATTICE** — E342
+    * maintained ONE grain from the stream; this row maintains the
+    * whole lattice: each micro-batch folds partial cells into the
+    * fine summary, then re-derives only the AFFECTED coarse-grain
+    * partitions from the refreshed fine cells (never from base, never
+    * the whole store) — the standard warehouse delta-propagation
+    * discipline, here with an exact-distinct bitmap cell riding the
+    * same refresh (OR-idempotent, so replay cannot double-count). The
+    * user query below is the naive shard-grain aggregate over the raw
+    * zone — sum, count, stddev and COUNT(DISTINCT i%7000) — and the
+    * navigator answers it from the COARSE cell store (coarsest-first
+    * descent). At 100 TB: refresh cost per interval is O(batch +
+    * affected cells); a dashboard query reads kilobytes; and the
+    * lattice never disagrees with itself because coarse grains are
+    * DERIVED, not separately maintained. Oracle recomputes everything
+    * from DuckDB range() (deterministic generator) — one hash gates
+    * ingestion, both refresh legs, registration and the rewrite.
+    * Lattice-wide equivalence vs full recompute of every grain +
+    * coarse-scan redirection are locked in OperatorSuite. */
+  val qAggRollupLatticeIncr = Q("q_agg_rollup_lattice_incr",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val (baseDir, _, _) = incrLattice(spark, sfDir)
+      spark.read.parquet(baseDir)
+        .groupBy(expr("cast((i div 15000) as int)").as("shard"))
+        .agg(round(sum($"value"), 4).as("sum_value"),
+          round(stddev_samp($"value"), 4).as("sd_value"),
+          count(lit(1)).as("n"),
+          countDistinct($"i" % 7000).as("n_keys"))
+        .orderBy($"shard")
+    },
+    Some("""WITH s AS (
+           |  SELECT i,
+           |    CAST(i * 2654435761 % 2147483648 % 10000 AS DOUBLE)
+           |      / 100.0 AS value
+           |  FROM range(0, 50000) t(i)
+           |)
+           |SELECT CAST(i // 15000 AS INT) AS shard,
+           |  round(sum(value), 4) AS sum_value,
+           |  round(stddev_samp(value), 4) AS sd_value,
+           |  count(*) AS n,
+           |  CAST(count(DISTINCT i % 7000) AS BIGINT) AS n_keys
+           |FROM s GROUP BY 1 ORDER BY shard""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupDistinctMeasure,
-    qAggRollupJoinbackOuter)
+    qAggRollupJoinbackOuter, qAggRollupLatticeIncr)
 }

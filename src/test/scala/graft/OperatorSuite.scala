@@ -4294,6 +4294,71 @@ class OperatorSuite extends AnyFunSuite {
       "semi join must NOT be rewritten onto summary cells")
   }
 
+  test("incremental lattice: every grain equals full recompute; descent picks grains (E355)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val (baseDir, fineDir, coarseDir) =
+      graft.queries.Surface16.incrLattice(spark, sf)
+    val base = spark.read.parquet(baseDir)
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString("|"))
+    // (1) FINE store (5 incremental refreshes) == full recompute from
+    // base, per cell, including the exact-distinct bitmap cell
+    val fineStore = norm(spark.read.parquet(fineDir)
+      .groupBy($"g1", $"shard")
+      .agg(round(sum($"v_sum"), 6).as("s"), sum($"cnt").as("n"),
+        expr("bitmap_map_count_agg(k_bm)").as("nd")))
+    val fineBase = norm(base
+      .groupBy(($"i" % 20).cast("int").as("g1"),
+        expr("cast((i div 15000) as int)").as("shard"))
+      .agg(round(sum($"value"), 6).as("s"), count(lit(1)).as("n"),
+        countDistinct($"i" % 7000).as("nd")))
+    assert(fineStore == fineBase,
+      "fine store must equal full recompute from base")
+    // (2) COARSE store (affected-partition refreshes) == re-agg of the
+    // FINE store == full recompute from base
+    val coarseStore = norm(spark.read.parquet(coarseDir)
+      .groupBy($"shard")
+      .agg(round(sum($"v_sum"), 6).as("s"), sum($"cnt").as("n"),
+        expr("bitmap_map_count_agg(k_bm)").as("nd")))
+    val coarseFromFine = norm(spark.read.parquet(fineDir)
+      .groupBy($"shard")
+      .agg(round(sum($"v_sum"), 6).as("s"), sum($"cnt").as("n"),
+        expr("bitmap_map_count_agg(k_bm)").as("nd")))
+    val coarseBase = norm(base
+      .groupBy(expr("cast((i div 15000) as int)").as("shard"))
+      .agg(round(sum($"value"), 6).as("s"), count(lit(1)).as("n"),
+        countDistinct($"i" % 7000).as("nd")))
+    assert(coarseStore == coarseFromFine,
+      "coarse store must equal a full re-aggregation of the fine store")
+    assert(coarseStore == coarseBase,
+      "coarse store must equal full recompute from base")
+    // (3) descent: the shard-grain gated query reads the COARSE cells;
+    // a (g1, shard)-grain query reads the FINE cells; neither reads base
+    val qc = graft.queries.Surface16.qAggRollupLatticeIncr.fn(spark, sf)
+    qc.collect()
+    val scansC = walk(qc.queryExecution.executedPlan)
+    assert(scansC.exists(_.contains("coarse_v")) &&
+      !scansC.exists(_.contains("/base")),
+      s"shard-grain query must read coarse cells, got $scansC")
+    val qf = base.groupBy(($"i" % 20).cast("int").as("g1"),
+        expr("cast((i div 15000) as int)").as("shard"))
+      .agg(sum($"value").as("s"))
+    qf.collect()
+    val scansF = walk(qf.queryExecution.executedPlan)
+    assert(scansF.exists(_.contains("fine_v")) &&
+      !scansF.exists(_.contains("/base")),
+      s"fine-grain query must read fine cells, got $scansF")
+  }
+
   test("DSv2 series source: count-star, point lookup, empty range") {
     // E319 edge cases: COUNT(*) prunes to a ZERO-column read schema
     // (the reader must emit empty rows, not crash); EqualTo narrows

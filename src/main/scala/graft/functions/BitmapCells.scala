@@ -15,80 +15,196 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType,
   * materialized rollup (VERDICT r15 item 1 of the coverage edges).
   *
   * A summary cell stores the measure's exact distinct set as
-  * `MAP<BIGINT, BINARY>`: Spark's own bucketed-bitmap encoding —
-  * `bitmap_bucket_number(m)` splits the value domain into 32768-bit
-  * buckets and `bitmap_construct_agg(bitmap_bit_position(m))` builds
-  * one ≤4 KB bitmap per (cell, bucket); `map_from_entries` folds the
-  * buckets of one cell into the single map column the navigator
-  * re-aggregates. (bucket, position) is a bijection of the value, so
-  * the map IS the distinct set, bit-for-bit.
+  * `MAP<BIGINT, BINARY>`: the value domain splits into 32768-wide
+  * buckets (floorDiv — bijective over ALL longs, negatives included)
+  * and each bucket holds an ADAPTIVE container, the Roaring-bitmap
+  * discipline: a sorted 2-byte position array while the bucket holds
+  * ≤2048 values, promoted to a 4 KB bitmap past that — the crossover
+  * where the array form stops being smaller. Adaptivity is the scale
+  * contract, measured, not assumed: the first cut stored a fixed
+  * 4 KB bitmap per touched bucket (Spark's own `bitmap_construct_agg`
+  * encoding), which is right for LOCALLY DENSE ids but exploded on
+  * the sf10gk fixture — ~2k distinct orderkeys per cell SPREAD OVER A
+  * 10⁹ key range put nearly every value in its own bucket, ~8 MB per
+  * cell, ~60 GB through the build shuffle, and the round-16 navigator
+  * rung timed out. With array containers the same cell is ~4 KB
+  * (2 bytes per sparse value), and a genuinely dense bucket still
+  * caps at 4 KB + tag.
   *
-  * Re-aggregation is [[BitmapMapCountAgg]]: OR the per-bucket bitmaps
-  * across cells, popcount the union. Set union is associative,
-  * commutative and IDEMPOTENT — which is exactly why this cell type
-  * composes with every navigator path for free: grouping-sets Expand
-  * replicates cells (OR of a bitmap with itself is itself), star
-  * join-back duplicates whole cells per dim match (same), and the
-  * lattice builds coarse cells from fine ones with
-  * [[BitmapMapMergeAgg]] (OR again — no double-count is possible by
-  * algebra, not by bookkeeping). The trade vs an HLL cell is exactness
-  * bought with size ∝ distinct-values/8 bytes, paid only for buckets a
-  * value actually hit; at 100 TB the cells stay kilobytes whenever the
-  * per-cell distinct set does, and the alternative — the base table's
-  * countDistinct expand + double shuffle — never runs.
+  * [[BitmapMapConstructAgg]] BUILDS cells directly from raw long
+  * values in one aggregation — no fixed-size per-bucket intermediate,
+  * no second grouping level, no map_from_entries fold-in join.
+  * [[BitmapMapCountAgg]] re-aggregates: OR the per-bucket containers
+  * across cells, Σ cardinality of the union. Set union is
+  * associative, commutative and IDEMPOTENT — which is exactly why
+  * this cell type composes with every navigator path for free:
+  * grouping-sets Expand replicates cells (union of a set with itself
+  * is itself), star join-back duplicates whole cells per dim match
+  * (same), and the lattice builds coarse cells from fine ones with
+  * [[BitmapMapMergeAgg]] (union again — no double-count is possible
+  * by algebra, not by bookkeeping). The trade vs an HLL cell is
+  * exactness bought with size ∝ distinct values (2 bytes each when
+  * sparse), paid only for buckets a value actually hit; the
+  * alternative — the base table's countDistinct expand + double
+  * shuffle — never runs.
   *
-  * Build-side contract (enforced by the registration docs, verified by
-  * the oracle): construct over NON-NULL measure values only (`WHERE m
-  * IS NOT NULL` before the bucket groupBy — COUNT(DISTINCT) skips
-  * nulls, and a null bucket key would poison `map_from_entries`); a
-  * cell whose measure is all-NULL simply has no map (NULL cell), which
-  * both aggregates here skip, re-aggregating to 0 — COUNT(DISTINCT) of
-  * an all-NULL group. */
-final class BitmapMapBuffer {
-  val buckets = new java.util.HashMap[Long, Array[Byte]]()
+  * Container wire format (the BINARY map value): length 4096 = a raw
+  * legacy bitmap as `bitmap_construct_agg` emits it (accepted so
+  * cells built with Spark's SQL bitmap functions — position =
+  * `bitmap_bit_position`, bucket = `bitmap_bucket_number` — keep
+  * merging; a registration must build all its cells ONE way, either
+  * convention works since merge keys on the bucket column); otherwise
+  * byte 0 is a tag: 0 = sorted big-endian 2-byte positions (length
+  * 1+2n, always odd), 1 = 4096-byte bitmap (length 4097). NULL
+  * handling: construct skips null inputs (COUNT DISTINCT semantics)
+  * and an all-NULL cell is simply a NULL map, which every aggregate
+  * here skips — re-aggregating to 0. */
+final class BmContainer {
+  /** sorted ascending while sparse; null once promoted to `bits` */
+  var positions: Array[Short] = new Array[Short](8)
+  var n: Int = 0
+  var bits: Array[Byte] = null
 
-  def orIn(bucket: Long, bytes: Array[Byte]): Unit = {
-    val cur = buckets.get(bucket)
-    if (cur == null) {
-      // clone: the input array may be a pointer into a reused
-      // UnsafeRow buffer, and the buffer outlives the row
-      buckets.put(bucket, java.util.Arrays.copyOf(bytes, bytes.length))
-    } else if (cur.length >= bytes.length) {
+  def cardinality: Long =
+    if (bits == null) n.toLong
+    else {
+      var total = 0L
       var i = 0
-      while (i < bytes.length) {
-        cur(i) = (cur(i) | bytes(i)).toByte; i += 1
+      while (i < bits.length) {
+        total += Integer.bitCount(bits(i) & 0xff); i += 1
       }
-    } else {
-      val grown = java.util.Arrays.copyOf(bytes, bytes.length)
-      var i = 0
-      while (i < cur.length) {
-        grown(i) = (grown(i) | cur(i)).toByte; i += 1
-      }
-      buckets.put(bucket, grown)
+      total
+    }
+
+  private def promote(): Unit = {
+    bits = new Array[Byte](4096)
+    var i = 0
+    while (i < n) {
+      val p = positions(i) & 0xffff
+      bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+      i += 1
+    }
+    positions = null
+    n = 0
+  }
+
+  def add(pos: Int): Unit = {
+    if (bits != null) {
+      bits(pos >> 3) = (bits(pos >> 3) | (1 << (pos & 7))).toByte
+      return
+    }
+    // binary search over unsigned shorts
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val v = positions(mid) & 0xffff
+      if (v < pos) lo = mid + 1 else hi = mid
+    }
+    if (lo < n && (positions(lo) & 0xffff) == pos) return
+    if (n == 2048) { promote(); add(pos); return }
+    if (n == positions.length)
+      positions = java.util.Arrays.copyOf(positions,
+        math.min(2048, positions.length * 2))
+    System.arraycopy(positions, lo, positions, lo + 1, n - lo)
+    positions(lo) = pos.toShort
+    n += 1
+  }
+
+  def orBits(other: Array[Byte]): Unit = {
+    if (bits == null) promote()
+    var i = 0
+    while (i < other.length && i < bits.length) {
+      bits(i) = (bits(i) | other(i)).toByte; i += 1
     }
   }
 
+  def mergeIn(other: BmContainer): Unit =
+    if (other.bits != null) orBits(other.bits)
+    else {
+      var i = 0
+      while (i < other.n) { add(other.positions(i) & 0xffff); i += 1 }
+    }
+
+  /** Tagged wire bytes (see the format note above). */
+  def serialize(): Array[Byte] =
+    if (bits != null) {
+      val out = new Array[Byte](4097)
+      out(0) = 1
+      System.arraycopy(bits, 0, out, 1, 4096)
+      out
+    } else {
+      val bb = ByteBuffer.allocate(1 + 2 * n)
+      bb.put(0: Byte)
+      var i = 0
+      while (i < n) { bb.putShort(positions(i)); i += 1 }
+      bb.array()
+    }
+}
+
+object BmContainer {
+  /** Decode any accepted wire form into a fresh container. */
+  def deserialize(bytes: Array[Byte]): BmContainer = {
+    val c = new BmContainer
+    orInto(c, bytes)
+    c
+  }
+
+  /** OR any accepted wire form into an existing container. */
+  def orInto(c: BmContainer, bytes: Array[Byte]): Unit =
+    if (bytes.length == 4096) c.orBits(bytes) // legacy raw bitmap
+    else bytes(0) match {
+      case 1 =>
+        val raw = new Array[Byte](4096)
+        System.arraycopy(bytes, 1, raw, 0, 4096)
+        c.orBits(raw)
+      case _ =>
+        val bb = ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+        while (bb.remaining() >= 2) c.add(bb.getShort & 0xffff)
+    }
+}
+
+final class BitmapMapBuffer {
+  val buckets = new java.util.HashMap[Long, BmContainer]()
+
+  private def containerFor(bucket: Long): BmContainer = {
+    var c = buckets.get(bucket)
+    if (c == null) { c = new BmContainer; buckets.put(bucket, c) }
+    c
+  }
+
+  /** Add one raw VALUE (the construct path): floorDiv/floorMod
+    * bucketing, bijective over all longs. */
+  def addValue(v: Long): Unit =
+    containerFor(Math.floorDiv(v, 32768L))
+      .add(Math.floorMod(v, 32768L).toInt)
+
+  /** OR one wire-form container under a bucket key (merge/count
+    * paths). */
+  def orIn(bucket: Long, bytes: Array[Byte]): Unit =
+    BmContainer.orInto(containerFor(bucket), bytes)
+
   def mergeIn(other: BitmapMapBuffer): Unit =
-    other.buckets.forEach((k, v) => orIn(k, v))
+    other.buckets.forEach((k, v) => containerFor(k).mergeIn(v))
 
   def popCount: Long = {
     var total = 0L
-    buckets.forEach { (_, bytes) =>
-      var i = 0
-      while (i < bytes.length) {
-        total += Integer.bitCount(bytes(i) & 0xff); i += 1
-      }
-    }
+    buckets.forEach((_, c) => total += c.cardinality)
     total
   }
 
   def serialize(): Array[Byte] = {
+    val parts = new java.util.ArrayList[(Long, Array[Byte])](
+      buckets.size)
     var size = 4
-    buckets.forEach((_, v) => size += 12 + v.length)
+    buckets.forEach { (k, c) =>
+      val b = c.serialize()
+      parts.add((k, b))
+      size += 12 + b.length
+    }
     val bb = ByteBuffer.allocate(size)
-    bb.putInt(buckets.size)
-    buckets.forEach { (k, v) =>
-      bb.putLong(k).putInt(v.length).put(v)
+    bb.putInt(parts.size)
+    parts.forEach { case (k, b) =>
+      bb.putLong(k).putInt(b.length).put(b)
     }
     bb.array()
   }
@@ -97,12 +213,12 @@ final class BitmapMapBuffer {
     * depend on hash-map iteration, or re-runs of a lattice build
     * would produce byte-different (still semantically equal) cells. */
   def toMapData: MapData = {
-    val keys = new Array[Any](buckets.size)
-    val vals = new Array[Any](buckets.size)
-    val sorted = new java.util.TreeMap[Long, Array[Byte]](buckets)
+    val sorted = new java.util.TreeMap[Long, BmContainer](buckets)
+    val keys = new Array[Any](sorted.size)
+    val vals = new Array[Any](sorted.size)
     var i = 0
-    sorted.forEach { (k, v) =>
-      keys(i) = k; vals(i) = v; i += 1
+    sorted.forEach { (k, c) =>
+      keys(i) = k; vals(i) = c.serialize(); i += 1
     }
     ArrayBasedMapData(keys, vals)
   }
@@ -119,7 +235,7 @@ object BitmapMapBuffer {
       val len = bb.getInt
       val arr = new Array[Byte](len)
       bb.get(arr)
-      buf.buckets.put(k, arr)
+      buf.orIn(k, arr)
       i += 1
     }
     buf
@@ -132,33 +248,8 @@ private[functions] trait BitmapMapAggBase
 
   override def nullable: Boolean = false
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case MapType(LongType, BinaryType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckFailure(
-            s"$prettyName requires MAP<BIGINT, BINARY>, got $other")
-    }
-
   override def createAggregationBuffer(): BitmapMapBuffer =
     new BitmapMapBuffer
-
-  override def update(buffer: BitmapMapBuffer,
-      input: InternalRow): BitmapMapBuffer = {
-    val v = child.eval(input)
-    if (v != null) {
-      val m = v.asInstanceOf[MapData]
-      m.foreach(LongType, BinaryType, (k, bm) =>
-        if (bm != null)
-          buffer.orIn(k.asInstanceOf[Long],
-            bm.asInstanceOf[Array[Byte]]))
-    }
-    buffer
-  }
 
   override def merge(buffer: BitmapMapBuffer,
       other: BitmapMapBuffer): BitmapMapBuffer = {
@@ -172,14 +263,86 @@ private[functions] trait BitmapMapAggBase
     BitmapMapBuffer.deserialize(bytes)
 }
 
-/** Σ popcount of the OR-union of bucketed-bitmap cells — the
-  * navigator's rewritten form of `COUNT(DISTINCT m)` (see
-  * [[BitmapMapBuffer]]). */
-case class BitmapMapCountAgg(
+private[functions] trait BitmapMapInputAggBase extends BitmapMapAggBase {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case MapType(LongType, BinaryType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires MAP<BIGINT, BINARY>, got $other")
+    }
+
+  override def update(buffer: BitmapMapBuffer,
+      input: InternalRow): BitmapMapBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val m = v.asInstanceOf[MapData]
+      m.foreach(LongType, BinaryType, (k, bm) =>
+        if (bm != null)
+          buffer.orIn(k.asInstanceOf[Long],
+            bm.asInstanceOf[Array[Byte]]))
+    }
+    buffer
+  }
+}
+
+/** BUILD a distinct cell from raw long values, one aggregation pass
+  * (see [[BmContainer]] — adaptive containers, no fixed-size
+  * intermediate). Null inputs are skipped (COUNT DISTINCT
+  * semantics). */
+case class BitmapMapConstructAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends BitmapMapAggBase {
+
+  override def prettyName: String = "bitmap_map_construct_agg"
+  override def dataType: DataType =
+    MapType(LongType, BinaryType, valueContainsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName requires BIGINT, got $other")
+    }
+
+  override def update(buffer: BitmapMapBuffer,
+      input: InternalRow): BitmapMapBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.addValue(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def eval(buffer: BitmapMapBuffer): Any = buffer.toMapData
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): BitmapMapConstructAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): BitmapMapConstructAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapMapConstructAgg =
+    copy(child = newChild)
+}
+
+/** Σ cardinality of the union of bucketed cells — the navigator's
+  * rewritten form of `COUNT(DISTINCT m)` (see [[BmContainer]]). */
+case class BitmapMapCountAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends BitmapMapInputAggBase {
 
   override def prettyName: String = "bitmap_map_count_agg"
   override def dataType: DataType = LongType
@@ -196,16 +359,16 @@ case class BitmapMapCountAgg(
       newChild: Expression): BitmapMapCountAgg = copy(child = newChild)
 }
 
-/** OR-union of bucketed-bitmap cells, returned as a cell again — the
+/** Union of bucketed cells, returned as a cell again — the
   * lattice-build / incremental-maintenance side: coarse-grain distinct
   * cells derive from fine-grain ones without touching base, and a
   * refreshed partition's cells merge into the store idempotently (see
-  * [[BitmapMapBuffer]]). */
+  * [[BmContainer]]). */
 case class BitmapMapMergeAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends BitmapMapAggBase {
+  extends BitmapMapInputAggBase {
 
   override def prettyName: String = "bitmap_map_merge_agg"
   override def dataType: DataType =

@@ -252,8 +252,15 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(children(0), children(1))))
-    // bucketed-bitmap distinct cells (BitmapCells.scala): OR-merge
-    // MAP<bucket, bitmap> summary cells; count = exact distinct
+    // bucketed-bitmap distinct cells (BitmapCells.scala): build from
+    // raw longs (adaptive containers), OR-merge MAP<bucket, container>
+    // summary cells, count = exact distinct
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_map_construct_agg"),
+      new ExpressionInfo(classOf[BitmapMapConstructAgg].getName,
+        "bitmap_map_construct_agg"),
+      (children: Seq[Expression]) =>
+        BitmapMapConstructAgg(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("bitmap_map_count_agg"),
       new ExpressionInfo(classOf[BitmapMapCountAgg].getName,

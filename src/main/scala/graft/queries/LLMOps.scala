@@ -2939,26 +2939,39 @@ object LLMOps {
     * oracle — which still writes the naive global window — pins
     * sample membership bit-for-bit; the output aggregates the
     * sample so the hash pins membership, not just size. */
+  /** The distributed global rank behind q_sample_systematic, exposed
+    * so the suite can pin BOTH its value (rn == the naive global
+    * row_number) and its scale shape (≤4097 distinct buckets — the
+    * r16 double-division regression produced a unique bucket per row,
+    * a fact-sized offset table, while rank VALUES stayed correct, so
+    * a value gate alone cannot catch it). */
+  private[graft] def systematicRanked(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir)
+    val bounds = broadcast(d.agg(min($"doc_id").as("lo"),
+      max($"doc_id").as("hi")))
+    // integer width so bkt ∈ [0, 4096]: `div`, never `/` (double)
+    val bucketed = d.crossJoin(bounds)
+      .withColumn("w",
+        expr("greatest(1L, ((hi - lo) div 4096) + 1)"))
+      .withColumn("bkt", expr("(doc_id - lo) div w"))
+    val offsets = bucketed.groupBy($"bkt")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum($"n").over(
+        Window.orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"off")
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("rn", $"off" + row_number().over(
+        Window.partitionBy($"bkt").orderBy($"doc_id")))
+  }
+
   val qSampleSystematic = Q("q_sample_systematic",
     (spark, sfDir) => {
       import spark.implicits._
-      val d = docs(spark, sfDir)
-      val bounds = broadcast(d.agg(min($"doc_id").as("lo"),
-        max($"doc_id").as("hi")))
-      // width chosen so bkt ∈ [0, 4096] with no multiply overflow
-      val bucketed = d.crossJoin(bounds)
-        .withColumn("w",
-          greatest(lit(1L), (($"hi" - $"lo") / 4096L) + 1L))
-        .withColumn("bkt", ($"doc_id" - $"lo") / $"w")
-      val offsets = bucketed.groupBy($"bkt")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("off", coalesce(sum($"n").over(
-          Window.orderBy($"bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select($"bkt", $"off")
-      bucketed.join(broadcast(offsets), Seq("bkt"))
-        .withColumn("rn", $"off" + row_number().over(
-          Window.partitionBy($"bkt").orderBy($"doc_id")))
+      systematicRanked(spark, sfDir)
         .filter(pmod($"rn", lit(20)) === 7)
         .agg(count(lit(1)).as("n_sampled"),
           sum($"doc_id").cast("long").as("id_sum"),

@@ -645,33 +645,19 @@ object Scale {
           sum(when($"l_quantity".isNotNull &&
             $"l_extendedprice".isNotNull,
             $"l_extendedprice".cast("double") *
-              $"l_extendedprice".cast("double"))).as("qp_syy"))
-      // COUNT(DISTINCT measure) support (round 16): per cell, the
-      // EXACT distinct set of l_orderkey as a bucketed bitmap —
-      // Spark's own bitmap encoding per (cell, 32k-bucket), folded
-      // into one MAP<bucket, bitmap> column. Built over NON-NULL
-      // values only (COUNT DISTINCT skips nulls; a null bucket key
-      // would poison map_from_entries); array_sort keeps the map's
-      // bucket order deterministic across rebuilds. Null-safe dim
-      // equality on the fold-in join so null-dim cells keep their
-      // bitmap (ship_day/returnflag are non-null in this fixture,
-      // but the build must not ASSUME that).
-      val bmCells = base.where($"l_orderkey".isNotNull)
-        .groupBy(to_date($"l_shipdate").as("ship_day"),
-          $"l_returnflag",
-          expr("bitmap_bucket_number(l_orderkey)").as("bkt"))
-        .agg(expr(
-          "bitmap_construct_agg(bitmap_bit_position(l_orderkey))")
-          .as("bm"))
-        .groupBy($"ship_day", $"l_returnflag")
-        .agg(map_from_entries(
-          array_sort(collect_list(struct($"bkt", $"bm"))))
-          .as("okey_bm"))
-      cells.as("c").join(bmCells.as("b"),
-          $"c.ship_day" <=> $"b.ship_day" &&
-            $"c.l_returnflag" <=> $"b.l_returnflag", "left")
-        .select($"c.*", $"b.okey_bm")
-        .write.mode("overwrite").parquet(dir)
+              $"l_extendedprice".cast("double"))).as("qp_syy"),
+          // COUNT(DISTINCT measure) support (round 16): per cell, the
+          // EXACT distinct set of l_orderkey as adaptive bucketed
+          // containers (graft.functions.BitmapMapConstructAgg) —
+          // built in THIS aggregation pass from the raw values, no
+          // per-bucket intermediate, no second grouping level, no
+          // fold-in join. The adaptivity matters at scale: sparse id
+          // domains (the sf10gk grow-keys fixture spreads ~2k orders
+          // per cell over a 10⁹ key range) cost 2 bytes per value,
+          // where fixed 4 KB per-bucket bitmaps measured ~8 MB per
+          // cell and killed the first cut's build.
+          expr("bitmap_map_construct_agg(l_orderkey)").as("okey_bm"))
+      cells.write.mode("overwrite").parquet(dir)
       val summary = spark.read.parquet(dir)
       graft.plans.RollupRewrite.register(
         base = base,

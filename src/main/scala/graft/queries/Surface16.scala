@@ -150,22 +150,11 @@ object Surface16 {
         batch.write.mode("append").parquet(baseDir)
         val g1 = ($"i" % 20).cast("int").as("g1")
         val shard = expr("cast((i div 15000) as int)").as("shard")
-        val stats = batch.groupBy(g1, shard)
+        val partial = batch.groupBy(g1, shard)
           .agg(sum($"value").as("v_sum"),
             sum($"value" * $"value").as("v_sq"),
-            count($"value").as("v_cnt"), count(lit(1)).as("cnt"))
-        val bm = batch.groupBy(g1, shard,
-            expr("bitmap_bucket_number(i % 7000)").as("bkt"))
-          .agg(expr(
-            "bitmap_construct_agg(bitmap_bit_position(i % 7000))")
-            .as("bm"))
-          .groupBy($"g1", $"shard")
-          .agg(map_from_entries(
-            array_sort(collect_list(struct($"bkt", $"bm"))))
-            .as("k_bm"))
-        val partial = stats.as("c").join(bm.as("b"),
-            $"c.g1" <=> $"b.g1" && $"c.shard" <=> $"b.shard", "left")
-          .select($"c.*", $"b.k_bm")
+            count($"value").as("v_cnt"), count(lit(1)).as("cnt"),
+            expr("bitmap_map_construct_agg(i % 7000)").as("k_bm"))
         val mergedFine = Option(fineDir)
           .map(d => reAggCells(spark.read.parquet(d)
             .unionByName(partial).groupBy($"g1", $"shard")))

@@ -3825,7 +3825,7 @@ class OperatorSuite extends AnyFunSuite {
     // built over m1-non-null rows alone would diverge from corr/cov*
     // semantics (they skip a row when EITHER side is null)
     val pw = $"m1".isNotNull && $"m2".isNotNull
-    val fuzzCells = base.groupBy($"d1", $"d2")
+    base.groupBy($"d1", $"d2")
       .agg(sum($"m1").as("m1_sum"), min($"m1").as("m1_min"),
         max($"m1").as("m1_max"), count($"m1").as("m1_cnt"),
         sum($"m1" * $"m1").as("m1_sq"),
@@ -3836,22 +3836,11 @@ class OperatorSuite extends AnyFunSuite {
         sum(when(pw, $"m2".cast("double"))).as("b_sy"),
         sum(when(pw, $"m1" * $"m2")).as("b_sxy"),
         sum(when(pw, $"m1" * $"m1")).as("b_sxx"),
-        sum(when(pw, ($"m2" * $"m2").cast("double"))).as("b_syy"))
-    // distinct-measure bitmap cell (round 16) — null-safe dim join:
-    // d1/d2 CARRY nulls here, and a null-dim cell losing its bitmap
-    // is exactly the bug the fuzz exists to catch
-    val fuzzBm = base.where($"m2".isNotNull)
-      .groupBy($"d1", $"d2",
-        expr("bitmap_bucket_number(m2)").as("bkt"))
-      .agg(expr("bitmap_construct_agg(bitmap_bit_position(m2))")
-        .as("bm"))
-      .groupBy($"d1", $"d2")
-      .agg(map_from_entries(
-        array_sort(collect_list(struct($"bkt", $"bm"))))
-        .as("m2_bm"))
-    fuzzCells.as("c").join(fuzzBm.as("b"),
-        $"c.d1" <=> $"b.d1" && $"c.d2" <=> $"b.d2", "left")
-      .select($"c.*", $"b.m2_bm")
+        sum(when(pw, ($"m2" * $"m2").cast("double"))).as("b_syy"),
+        // distinct-measure cell (round 16): built in the same pass,
+        // d1/d2 CARRY nulls here so null-dim cells keeping their
+        // distinct set is exercised by construction
+        expr("bitmap_map_construct_agg(m2)").as("m2_bm"))
       .write.mode("overwrite").parquet(sumDir)
     graft.plans.RollupRewrite.register(
       base = base,
@@ -4206,16 +4195,32 @@ class OperatorSuite extends AnyFunSuite {
     }
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bmdm").toString
-    // (1) bijection property: bucket-boundary and zero values must
-    // count exactly through build → map fold → OR-merge → popcount
-    // (each value duplicated: dedup is the aggregate's job)
-    val vals = Seq(0L, 1L, 2L, 32767L, 32768L, 32769L,
-      65535L, 65536L, 1000000007L)
-    vals.flatMap(v => Seq(v, v, v)).map(Tuple1(_)).toDF("m")
-      .withColumn("g", lit("x"))
+    // (1a) bijection property through the CONSTRUCT path: negatives,
+    // zero, bucket boundaries, and one bucket driven past 2048
+    // distinct values (the sparse→dense container promotion) must all
+    // count exactly (each value duplicated: dedup is the aggregate's
+    // job). Two cells, so the count also crosses a container merge.
+    val vals: Seq[Long] = Seq(-70000L, -32769L, -32768L, -1L, 0L, 1L,
+      2L, 32767L, 32768L, 32769L, 65535L, 65536L, 1000000007L) ++
+      (0L until 3000L).map(_ * 2 + 100000L) // 3000 evens, one bucket+
+    vals.flatMap(v => Seq(v, v)).zipWithIndex
+      .map { case (v, i) => (v, i % 2) }.toDF("m", "g")
       .write.mode("overwrite").parquet(s"$dir/bij")
     val bij = spark.read.parquet(s"$dir/bij")
-      .where($"m".isNotNull)
+      .groupBy($"g")
+      .agg(expr("bitmap_map_construct_agg(m)").as("mp"))
+      .agg(expr("bitmap_map_count_agg(mp)").as("n"))
+      .collect()(0).getLong(0)
+    assert(bij == vals.distinct.size.toLong,
+      s"bitmap-cell distinct count $bij != ${vals.distinct.size}")
+    // (1b) LEGACY compat: cells built with Spark's own SQL bitmap
+    // functions (4096-byte raw containers, 1-based positions) still
+    // merge and count through the same aggregates
+    val lvals = Seq(1L, 2L, 32767L, 32768L, 32769L, 65536L)
+    lvals.flatMap(v => Seq(v, v)).map(Tuple1(_)).toDF("m")
+      .withColumn("g", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/bijl")
+    val bijl = spark.read.parquet(s"$dir/bijl")
       .groupBy($"g", expr("bitmap_bucket_number(m)").as("bkt"))
       .agg(expr("bitmap_construct_agg(bitmap_bit_position(m))")
         .as("bm"))
@@ -4224,8 +4229,8 @@ class OperatorSuite extends AnyFunSuite {
         array_sort(collect_list(struct($"bkt", $"bm")))).as("mp"))
       .agg(expr("bitmap_map_count_agg(mp)").as("n"))
       .collect()(0).getLong(0)
-    assert(bij == vals.distinct.size.toLong,
-      s"bitmap-cell distinct count $bij != ${vals.distinct.size}")
+    assert(bijl == lvals.distinct.size.toLong,
+      s"legacy bitmap-cell distinct count $bijl != ${lvals.distinct.size}")
     // (2) the gated fixture fires: scan redirect on the registered
     // lineitem rollup, rule-on/off value equality
     def q() = graft.queries.Surface16
@@ -4357,6 +4362,24 @@ class OperatorSuite extends AnyFunSuite {
     assert(scansF.exists(_.contains("fine_v")) &&
       !scansF.exists(_.contains("/base")),
       s"fine-grain query must read fine cells, got $scansF")
+  }
+
+  test("systematic sampling: distributed rank equals naive, buckets bounded (r16)") {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = graft.queries.LLMOps.systematicRanked(spark, sf)
+    // scale shape: the partition-less offset window's input is the
+    // bucket table, ≤4097 rows at ANY corpus size — the double-
+    // division regression (unique double bucket per row) fails here
+    val nBkt = ranked.select(countDistinct($"bkt")).collect()(0)
+      .getLong(0)
+    assert(nBkt <= 4097L, s"bucket table must be bounded, got $nBkt")
+    assert(nBkt > 1L, "bucketing must actually split (non-vacuous)")
+    // value: rank == the naive global row_number, row for row
+    val mismatches = ranked.select($"doc_id", $"rn")
+      .withColumn("naive", row_number().over(Window.orderBy($"doc_id")))
+      .filter($"rn" =!= $"naive").count()
+    assert(mismatches == 0L,
+      "distributed rank must equal the naive global row_number")
   }
 
   test("DSv2 series source: count-star, point lookup, empty range") {

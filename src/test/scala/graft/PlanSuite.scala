@@ -158,6 +158,8 @@ class PlanSuite extends AnyFunSuite {
                        // smoothed feature log-ratios (E346)
       "q_drift_chi2", // 1-row corpus-total cross into the type shares
       "q_sample_mixture", // 1-row (N, Σw) totals cross into the rates
+      "q_sample_systematic", // 1-row (lo, hi) key-bounds cross feeds
+                             // the distributed-rank bucketing (r16)
       "q_dedup_canonical", // inherits ngram-jaccard's 1-row cross
       "q_text_bm25", // 1-row (N, avgdl, df) stats cross into scores
       "q_observe_metrics", // 1-row captured-metrics cross into the agg

@@ -533,6 +533,18 @@ object RollupRewrite extends Rule[LogicalPlan] {
           Coalesce(Seq(
             Sum(perRow).toAggregateExpression(), Literal(0L)))
         }
+      // COUNT(measure) — the NON-NULL count — re-aggregates as the
+      // sum of the measure's per-cell non-null-count cell (round 16):
+      // the same cCol the AVG and stats registrations already carry,
+      // so no new cell type. Null-extended join-back rows have a NULL
+      // cell (Sum skips), matching the base plan's all-NULL measure
+      // rows (Count skips) — no cntOuter analog needed.
+      case Count(Seq(e)) =>
+        srcOf(e).flatMap { s =>
+          aAvgs.find(_._3.semanticEquals(s)).map(_._2)
+            .orElse(aStats.find(_._4.semanticEquals(s)).map(_._3))
+        }.flatMap(cell).map(c => Coalesce(Seq(
+          Sum(c).toAggregateExpression(), Literal(0L))))
       case Corr(x, y, true) =>
         biArgs(x, y).flatMap { case (xs, ys) =>
           biOver(xs, ys, "corr") }

@@ -656,7 +656,17 @@ object Scale {
           // per cell over a 10⁹ key range) cost 2 bytes per value,
           // where fixed 4 KB per-bucket bitmaps measured ~8 MB per
           // cell and killed the first cut's build.
-          expr("bitmap_map_construct_agg(l_orderkey)").as("okey_bm"))
+          expr("bitmap_map_construct_agg(l_orderkey)").as("okey_bm"),
+          // EXPRESSION measure (round 16): the TPC-H Q1 revenue shape
+          // — a measure need not be a bare column; the registration
+          // template is any deterministic expression over base
+          // columns, re-anchored and semantically matched at rewrite
+          // time, so `sum(l_extendedprice * (1 - l_discount))`
+          // rides the summary however the user spells it
+          // decimal-quantized so the sum is EXACT and associative —
+          // the oracle's different summation order cannot drift
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)")).as("rev_sum"))
       cells.write.mode("overwrite").parquet(dir)
       val summary = spark.read.parquet(dir)
       graft.plans.RollupRewrite.register(
@@ -664,7 +674,10 @@ object Scale {
         dims = Seq(
           "ship_day" -> to_date(base("l_shipdate")),
           "l_returnflag" -> base("l_returnflag")),
-        sums = Seq("qty_sum" -> base("l_quantity").cast("decimal(18,2)")),
+        sums = Seq(
+          "qty_sum" -> base("l_quantity").cast("decimal(18,2)"),
+          "rev_sum" -> (base("l_extendedprice") *
+            (lit(1.0) - base("l_discount"))).cast("decimal(18,4)")),
         mins = Seq("qty_min" -> base("l_quantity").cast("decimal(18,2)")),
         maxs = Seq("qty_max" -> base("l_quantity").cast("decimal(18,2)")),
         cntCol = "cnt",

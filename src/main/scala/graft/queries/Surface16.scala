@@ -252,6 +252,75 @@ object Surface16 {
            |  CAST(count(DISTINCT i % 7000) AS BIGINT) AS n_keys
            |FROM s GROUP BY 1 ORDER BY shard""".stripMargin))
 
+  /** E356: **COUNT(measure) — the non-null count — through the
+    * navigator.** The round-15 algebra mapped only count(*)/count(1)
+    * (→ Σ cell row counts); `count(price)` — the everyday non-null
+    * count — refused, even though the AVG and stats registrations
+    * ALREADY carry a per-measure non-null-count cell (it is the
+    * denominator of Σs/Σc). Round 16 closes it with zero new cell
+    * types: count(m) → Σ cCol. NULL semantics line up by
+    * construction — the cell was built as count(m), Sum skips NULL
+    * cells from outer join-backs exactly as Count skips the base
+    * plan's all-NULL rows. The query pairs count(measure) with
+    * count(*) and avg over a grouping strictly coarser than the
+    * rollup grain; oracle = the naive SQL over base. Scan-redirect +
+    * rule on/off are locked in OperatorSuite and count(m1) joined the
+    * fuzz's aggregate pool. */
+  val qAggRollupCountMeasure = Q("q_agg_rollup_count_measure",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Scale.rollupSummary(spark, sfDir)
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count($"l_extendedprice").as("n_price"),
+          count(lit(1)).as("n_rows"),
+          round(avg($"l_extendedprice".cast("double")), 4)
+            .as("avg_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(count(l_extendedprice) AS BIGINT) AS n_price,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(avg(CAST(l_extendedprice AS DOUBLE)), 4)
+           |    AS avg_price
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
+  /** E357: **EXPRESSION measures through the navigator** — the TPC-H
+    * Q1 revenue shape: the registered measure is
+    * `l_extendedprice * (1 − l_discount)` quantized to
+    * DECIMAL(18,4), not a bare column. Registration templates are
+    * analyzed Catalyst expressions re-anchored onto the candidate
+    * scan by column name and matched with semanticEquals, so the
+    * user's spelling of the same arithmetic rides the summary — the
+    * warehouse's derived-measure rollup (revenue, margin, weighted
+    * anything) with no engine changes; this row pins that the
+    * mechanism actually covers it. The decimal quantization makes
+    * the cell sum EXACT and associative, so the oracle's different
+    * summation order cannot drift a double hash. At 100 TB the Q1
+    * dashboard reads ~7.5k cells instead of re-multiplying two
+    * columns across the fact table. Scan-redirect + on/off locked in
+    * OperatorSuite. */
+  val qAggRollupExprMeasure = Q("q_agg_rollup_expr_measure",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Scale.rollupSummary(spark, sfDir)
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+           |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_rows
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupDistinctMeasure,
-    qAggRollupJoinbackOuter, qAggRollupLatticeIncr)
+    qAggRollupJoinbackOuter, qAggRollupLatticeIncr,
+    qAggRollupCountMeasure, qAggRollupExprMeasure)
 }

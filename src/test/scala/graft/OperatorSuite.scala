@@ -3872,6 +3872,7 @@ class OperatorSuite extends AnyFunSuite {
       "vp" -> var_pop($"m1").as("vp"),
       "cd" -> countDistinct($"d2").as("cd"),
       "dm" -> countDistinct($"m2").as("dm"),
+      "c1" -> count($"m1").as("c1"),
       "cr" -> corr($"m1", $"m2").as("cr"),
       "cv" -> covar_samp($"m1", $"m2").as("cv"))
     def close(a: Any, b: Any): Boolean = (a, b) match {
@@ -4362,6 +4363,40 @@ class OperatorSuite extends AnyFunSuite {
     assert(scansF.exists(_.contains("fine_v")) &&
       !scansF.exists(_.contains("/base")),
       s"fine-grain query must read fine cells, got $scansF")
+  }
+
+  test("count(measure) and expression measures ride the navigator (E356/E357)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    def onOff(q: graft.Q): Unit = {
+      def run() = q.fn(spark, sf)
+      val dOn = run(); val on = dOn.collect().map(_.toSeq.toVector)
+      assert(walk(dOn.queryExecution.executedPlan)
+        .exists(_.contains("graft-rollup")),
+        s"${q.name} must be answered from the rollup cells")
+      spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+      val off = try run().collect().map(_.toSeq.toVector)
+        finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+      assert(on.toSeq == off.toSeq, s"${q.name}: rewrite visible")
+    }
+    onOff(graft.queries.Surface16.qAggRollupCountMeasure)
+    onOff(graft.queries.Surface16.qAggRollupExprMeasure)
+    // count(dim) must still REFUSE: over cells it would count cells,
+    // not base rows, and no cell records per-dim non-null row counts
+    val cd = Tables.read(spark, sf, "lineitem")
+      .groupBy($"l_returnflag").agg(count($"l_shipdate").as("n"))
+    cd.collect()
+    assert(!walk(cd.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup")),
+      "count(dim) must NOT be rewritten onto the summary")
   }
 
   test("systematic sampling: distributed rank equals naive, buckets bounded (r16)") {

@@ -262,8 +262,26 @@ object RollupRewrite extends Rule[LogicalPlan] {
     try conf.getConfString(EnabledConf, "true").trim.toBoolean
     catch { case _: IllegalArgumentException => true }
 
+  /** NEVER rewrite inside a streaming micro-batch (round 16 — found
+    * by the E167 gate, not by reading the code): a file-stream
+    * source's per-batch plan is a BATCH LogicalRelation over that
+    * batch's files, whose root path can equal a registered base path
+    * (it did: registering the events table made the E167 stream read
+    * 150 summary cells instead of 10,000 base rows). Rewriting there
+    * is unsound in general — a micro-batch is a SUBSET of the base
+    * (maxFilesPerTrigger), while the summary is the WHOLE table, so
+    * stateful re-aggregation double-counts. Micro-batch planning and
+    * foreachBatch user code run on the stream-execution thread, which
+    * Spark marks with the `sql.streaming.queryId` local property
+    * (StreamExecution.QUERY_ID_KEY) — refuse the whole rule there.
+    * Conservative by design: batch work issued from inside
+    * foreachBatch also skips the navigator. */
+  private def onStreamThread: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(
+      _.sparkContext.getLocalProperty("sql.streaming.queryId") != null)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled || registry.isEmpty) return plan
+    if (!enabled || registry.isEmpty || onStreamThread) return plan
     plan.transform {
       case agg @ Aggregate(_, _, ex: Expand, _) =>
         rewriteGroupingSets(agg, ex).getOrElse(agg)

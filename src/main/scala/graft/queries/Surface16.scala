@@ -320,7 +320,55 @@ object Surface16 {
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 
+  /** E358: **the one-call navigator API** —
+    * [[graft.plans.RollupBuild.materialize]] adopted for a SECOND
+    * fact table (events) in one statement: dims (day, event_type),
+    * measure value, distinct user_id. The helper builds every
+    * supported cell kind in ONE partial-aggregable hash aggregation
+    * (count(*), per-measure sum/min/max/non-null-count/Σx², the
+    * adaptive distinct container) and registers the lot, after which
+    * the naive per-type dashboard query below — count(*),
+    * count(value), sum, avg, stddev AND exact distinct users — reads
+    * cells. This is the adoption story the engine's user actually
+    * follows ("switch to the library and run every query you run
+    * today"): no hand-written cell algebra per table. Oracle = the
+    * naive SQL over the base events table; scan redirect + on/off in
+    * OperatorSuite. */
+  val qAggRollupBuildApi = Q("q_agg_rollup_build_api",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val base = Tables.read(spark, sfDir, "events")
+      graft.Memo.once(spark, s"rollup_events:$sfDir") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-rollup-events").toString
+        graft.plans.RollupBuild.materialize(spark, base, dir,
+          dims = Seq("day" -> to_date($"ts"),
+            "event_type" -> $"event_type"),
+          measures = Seq("value" -> $"value"),
+          distincts = Seq("user" -> $"user_id"))
+        ()
+      }
+      base.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count($"value").as("n_vals"),
+          round(sum($"value"), 4).as("sum_value"),
+          round(avg($"value"), 4).as("avg_value"),
+          round(stddev_samp($"value"), 4).as("sd_value"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(value) AS BIGINT) AS n_vals,
+           |  round(sum(value), 4) AS sum_value,
+           |  round(avg(value), 4) AS avg_value,
+           |  round(stddev_samp(value), 4) AS sd_value,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM events GROUP BY event_type
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupDistinctMeasure,
     qAggRollupJoinbackOuter, qAggRollupLatticeIncr,
-    qAggRollupCountMeasure, qAggRollupExprMeasure)
+    qAggRollupCountMeasure, qAggRollupExprMeasure,
+    qAggRollupBuildApi)
 }

@@ -4399,6 +4399,91 @@ class OperatorSuite extends AnyFunSuite {
       "count(dim) must NOT be rewritten onto the summary")
   }
 
+  test("RollupBuild one-call API: events cells answer the dashboard query (E358)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    def run() = graft.queries.Surface16.qAggRollupBuildApi.fn(spark, sf)
+    val dOn = run(); val on = dOn.collect().map(_.toSeq.toVector)
+    assert(walk(dOn.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup-events")),
+      "the one-call build must be the scan the query reads")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    val off = try run().collect().map(_.toSeq.toVector)
+      finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    assert(on.toSeq == off.toSeq, "rewrite must be invisible")
+    // day-grain (the declared grain itself) also rides the cells
+    import org.apache.spark.sql.functions.{to_date => toDate}
+    val day = Tables.read(spark, sf, "events")
+      .groupBy(toDate($"ts").as("day"))
+      .agg(sum($"value").as("s"), countDistinct($"user_id").as("u"))
+    day.collect()
+    assert(walk(day.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup-events")),
+      "day-grain query must also ride the cells")
+  }
+
+  test("navigator never fires inside a streaming micro-batch (r16)") {
+    // Found by the E167 gate: a file-stream batch plans as a BATCH
+    // LogicalRelation over the batch's files, whose root path can
+    // equal a registered base — rewriting there reads the whole-table
+    // summary for a SUBSET batch (double-counting under stateful
+    // re-aggregation). The rule refuses on the stream thread; this
+    // pins it with input-row accounting, which is what betrayed the
+    // original bug (values happened to agree on a 1-batch stream).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(scans)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-streamguard").toString
+    (1 to 1000).map(i => (i.toLong, s"t${i % 4}")).toDF("v", "kind")
+      .repartition(2).write.parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    base.groupBy($"kind")
+      .agg(sum($"v").as("v_sum"), count(lit(1)).as("cnt"))
+      .write.parquet(s"$dir/cells")
+    graft.plans.RollupRewrite.register(base,
+      dims = Seq("kind" -> base("kind")),
+      sums = Seq("v_sum" -> base("v")),
+      mins = Nil, maxs = Nil, cntCol = "cnt",
+      summary = spark.read.parquet(s"$dir/cells"))
+    // batch query rides the cells (the registration is live)
+    val b = base.groupBy($"kind").agg(sum($"v").as("s"))
+    b.collect()
+    assert(scans(b.queryExecution.executedPlan)
+      .exists(_.contains(s"$dir/cells")))
+    // the SAME aggregate as a stream must read base rows, not cells
+    val q = spark.readStream.schema(base.schema)
+      .parquet(s"$dir/base")
+      .groupBy($"kind").agg(sum($"v").as("s"))
+      .writeStream.format("memory").queryName("t_streamguard")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val inRows = q.recentProgress.map(_.numInputRows).sum
+    val got = spark.table("t_streamguard").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(inRows == 1000L,
+      s"micro-batch read $inRows rows — the navigator fired in-stream")
+    val want = (1 to 1000).groupBy(i => s"t${i % 4}")
+      .map { case (k, vs) => k -> vs.map(_.toLong).sum }
+    assert(got == want)
+  }
+
   test("systematic sampling: distributed rank equals naive, buckets bounded (r16)") {
     import org.apache.spark.sql.expressions.Window
     val ranked = graft.queries.LLMOps.systematicRanked(spark, sf)

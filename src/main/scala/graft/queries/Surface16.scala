@@ -367,8 +367,73 @@ object Surface16 {
            |FROM events GROUP BY event_type
            |ORDER BY event_type""".stripMargin))
 
+  /** E359: **the rollup ADVISOR** — the recommendation half every
+    * cube server ships beside its navigator
+    * ([[graft.plans.RollupAdvisor]]): given the naive queries a site
+    * runs (four dashboard aggregates over lineitem below), extract
+    * each aggregate's (base, dims, measures), absorb dim-sets into
+    * their maximal supersets (the navigator answers subset groupings
+    * from a superset summary — HRU lattice), and emit the
+    * materialize worklist with the decision numbers: exact cells at
+    * the grain vs base rows. The expected output is fully
+    * deterministic for the fixed workload — (ship-day × returnflag)
+    * absorbing three queries, (linestatus) covering the fourth — and
+    * the oracle RECOMPUTES the cell counts from base in DuckDB while
+    * pinning the extracted dim/measure sets and coverage as
+    * literals: a drifted extraction, a wrong absorption, or a wrong
+    * count each breaks the hash. The per-proposal cell counting is a
+    * small distinct-count job per row (an offline advisor run);
+    * the assembled result is proposal-sized, never data-sized. */
+  val qRollupAdvisor = Q("q_rollup_advisor",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val li = Tables.read(spark, sfDir, "lineitem")
+      val workload = Seq(
+        li.groupBy($"l_returnflag")
+          .agg(sum($"l_quantity").as("s")),
+        li.groupBy(to_date($"l_shipdate").as("d"), $"l_returnflag")
+          .agg(count(lit(1)).as("n")),
+        li.groupBy(to_date($"l_shipdate").as("d"))
+          .agg(avg($"l_extendedprice").as("a")),
+        li.groupBy($"l_linestatus")
+          .agg(max($"l_quantity").as("m")))
+      val props = graft.plans.RollupAdvisor.propose(workload)
+      val nRows = li.count()
+      val rows = props.map { p =>
+        val nCells = li.selectExpr(p.dims: _*).distinct().count()
+        (p.dims.mkString(","), p.queriesCovered,
+          p.measures.mkString(","), nCells, nRows,
+          math.round(nRows.toDouble / nCells * 100.0) / 100.0)
+      }
+      rows.toDF("dims", "n_queries", "measures", "n_cells",
+        "n_rows", "compression").orderBy($"dims")
+    },
+    Some("""WITH n AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+           |), c1 AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_cells FROM (
+           |    SELECT DISTINCT l_returnflag, CAST(l_shipdate AS DATE)
+           |    FROM lineitem)
+           |), c2 AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_cells FROM (
+           |    SELECT DISTINCT l_linestatus FROM lineitem)
+           |)
+           |SELECT * FROM (
+           |  SELECT 'l_returnflag,to_date(l_shipdate)' AS dims,
+           |    3 AS n_queries,
+           |    'l_extendedprice,l_quantity' AS measures,
+           |    c1.n_cells, n.n_rows,
+           |    round(n.n_rows * 1.0 / c1.n_cells, 2) AS compression
+           |  FROM c1, n
+           |  UNION ALL
+           |  SELECT 'l_linestatus', 1, 'l_quantity',
+           |    c2.n_cells, n.n_rows,
+           |    round(n.n_rows * 1.0 / c2.n_cells, 2)
+           |  FROM c2, n
+           |) ORDER BY dims""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupDistinctMeasure,
     qAggRollupJoinbackOuter, qAggRollupLatticeIncr,
     qAggRollupCountMeasure, qAggRollupExprMeasure,
-    qAggRollupBuildApi)
+    qAggRollupBuildApi, qRollupAdvisor)
 }

@@ -4430,6 +4430,29 @@ class OperatorSuite extends AnyFunSuite {
       "day-grain query must also ride the cells")
   }
 
+  test("rollup advisor: alias resolution, absorption, non-file refusal (E359)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-advisor").toString
+    Seq(("x", "u", 1.0), ("y", "v", 2.0)).toDF("a", "b", "m")
+      .write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    // w1 groups through a PROJECT ALIAS (k = a) — extraction must
+    // resolve it back to the base column, or w1's dim set would be
+    // "k" and never absorb into w2's {a, b}
+    val w1 = base.select($"a".as("k"), $"m")
+      .groupBy($"k").agg(sum($"m").as("s"))
+    val w2 = base.groupBy($"a", $"b").agg(count(lit(1)).as("n"))
+    // in-memory frame: no file base, no candidate
+    val w3 = Seq((1, 2)).toDF("p", "q").groupBy($"p")
+      .agg(max($"q").as("mx"))
+    val props = graft.plans.RollupAdvisor.propose(Seq(w1, w2, w3))
+    assert(props.size == 1, s"expected one maximal proposal: $props")
+    assert(props.head.dims == Seq("a", "b"))
+    assert(props.head.queriesCovered == 2,
+      "alias-resolved w1 must absorb into w2's grain")
+    assert(props.head.measures == Seq("m"))
+  }
+
   test("navigator never fires inside a streaming micro-batch (r16)") {
     // Found by the E167 gate: a file-stream batch plans as a BATCH
     // LogicalRelation over the batch's files, whose root path can

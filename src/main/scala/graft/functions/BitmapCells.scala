@@ -64,6 +64,13 @@ final class BmContainer {
   var positions: Array[Short] = new Array[Short](8)
   var n: Int = 0
   var bits: Array[Byte] = null
+  /** true iff a LEGACY raw-4096 container (Spark's SQL bitmap
+    * functions, 1-based positions) was ever OR'd in. Cardinality and
+    * merging are convention-agnostic, but VALUE reconstruction
+    * (sum-distinct) is not — [[BitmapMapSumAgg]] fails loud on such
+    * containers instead of summing off-by-one values. Propagated
+    * through serialization (dense tag 3). */
+  var legacy: Boolean = false
 
   def cardinality: Long =
     if (bits == null) n.toLong
@@ -118,18 +125,33 @@ final class BmContainer {
     }
   }
 
-  def mergeIn(other: BmContainer): Unit =
+  def mergeIn(other: BmContainer): Unit = {
     if (other.bits != null) orBits(other.bits)
     else {
       var i = 0
       while (i < other.n) { add(other.positions(i) & 0xffff); i += 1 }
+    }
+    legacy ||= other.legacy
+  }
+
+  /** Enumerate set positions ascending (sparse or dense). */
+  def foreachPos(f: Int => Unit): Unit =
+    if (bits == null) {
+      var i = 0
+      while (i < n) { f(positions(i) & 0xffff); i += 1 }
+    } else {
+      var p = 0
+      while (p < 32768) {
+        if ((bits(p >> 3) & (1 << (p & 7))) != 0) f(p)
+        p += 1
+      }
     }
 
   /** Tagged wire bytes (see the format note above). */
   def serialize(): Array[Byte] =
     if (bits != null) {
       val out = new Array[Byte](4097)
-      out(0) = 1
+      out(0) = if (legacy) 3 else 1
       System.arraycopy(bits, 0, out, 1, 4096)
       out
     } else {
@@ -151,12 +173,15 @@ object BmContainer {
 
   /** OR any accepted wire form into an existing container. */
   def orInto(c: BmContainer, bytes: Array[Byte]): Unit =
-    if (bytes.length == 4096) c.orBits(bytes) // legacy raw bitmap
-    else bytes(0) match {
-      case 1 =>
+    if (bytes.length == 4096) { // legacy raw bitmap
+      c.orBits(bytes)
+      c.legacy = true
+    } else bytes(0) match {
+      case 1 | 3 =>
         val raw = new Array[Byte](4096)
         System.arraycopy(bytes, 1, raw, 0, 4096)
         c.orBits(raw)
+        if (bytes(0) == 3) c.legacy = true
       case _ =>
         val bb = ByteBuffer.wrap(bytes, 1, bytes.length - 1)
         while (bb.remaining() >= 2) c.add(bb.getShort & 0xffff)
@@ -189,6 +214,33 @@ final class BitmapMapBuffer {
   def popCount: Long = {
     var total = 0L
     buckets.forEach((_, c) => total += c.cardinality)
+    total
+  }
+
+  /** Σ of the VALUES in the set — exact sum-distinct, reconstructing
+    * each value as bucket·32768 + position (the floorDiv/floorMod
+    * bijection [[addValue]] encodes with, negatives included). Fails
+    * LOUD on a legacy-origin container: 1-based legacy positions
+    * would reconstruct off-by-one values, and a wrong sum is worse
+    * than an error. `ansi` selects overflow behavior to match the
+    * query's Sum eval mode: checked (throws) vs Long ring
+    * arithmetic. */
+  def sumValues(ansi: Boolean): Long = {
+    var total = 0L
+    buckets.forEach { (bucket, c) =>
+      if (c.legacy) throw new IllegalStateException(
+        "bitmap_map_sum_agg: cell contains a legacy raw-4096 " +
+          "container (1-based positions); exact sum-distinct " +
+          "requires bitmap_map_construct_agg-built cells")
+      val baseV =
+        if (ansi) Math.multiplyExact(bucket, 32768L)
+        else bucket * 32768L
+      c.foreachPos { p =>
+        total =
+          if (ansi) Math.addExact(total, Math.addExact(baseV, p.toLong))
+          else total + baseV + p
+      }
+    }
     total
   }
 
@@ -357,6 +409,37 @@ case class BitmapMapCountAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(
       newChild: Expression): BitmapMapCountAgg = copy(child = newChild)
+}
+
+/** Σ of the union's VALUES — the navigator's rewritten form of
+  * `sum(DISTINCT m)` (round 16): the adaptive container IS the exact
+  * value set (bucket·32768 + position is the value), so the distinct
+  * sum is recoverable from cells with the same union-idempotence
+  * guarantees as the count. NULL on an empty union (Sum's empty/
+  * all-null contract); requires construct-built cells (legacy-origin
+  * containers fail loud — see [[BitmapMapBuffer.sumValues]]). */
+case class BitmapMapSumAgg(
+    child: Expression,
+    ansi: Boolean,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends BitmapMapInputAggBase {
+
+  override def prettyName: String = "bitmap_map_sum_agg"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def eval(buffer: BitmapMapBuffer): Any =
+    if (buffer.buckets.isEmpty) null else buffer.sumValues(ansi)
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): BitmapMapSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): BitmapMapSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapMapSumAgg = copy(child = newChild)
 }
 
 /** Union of bucketed cells, returned as a cell again — the

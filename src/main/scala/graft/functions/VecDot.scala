@@ -271,6 +271,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BitmapMapMergeAgg].getName,
         "bitmap_map_merge_agg"),
       (children: Seq[Expression]) => BitmapMapMergeAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bitmap_map_sum_agg"),
+      new ExpressionInfo(classOf[BitmapMapSumAgg].getName,
+        "bitmap_map_sum_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(m) => BitmapMapSumAgg(m, ansi = false)
+        case Seq(m, a) => BitmapMapSumAgg(m,
+          a.eval().asInstanceOf[Boolean])
+        case _ => throw new IllegalArgumentException(
+          "bitmap_map_sum_agg(cell[, ansi])")
+      }))
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EditDistPrefilter)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)

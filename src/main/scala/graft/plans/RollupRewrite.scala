@@ -465,6 +465,21 @@ object RollupRewrite extends Rule[LogicalPlan] {
                   .toAggregateExpression(), a.dataType))
             })
           }
+        // SUM(DISTINCT measure) — exact from the same container cells
+        // (round 16): the container IS the value set (bucket·32768 +
+        // position), so the distinct sum is Σ of the union's values,
+        // idempotent under replication like the count. TRY mode
+        // refuses (try_sum returns NULL on overflow; the cell merge
+        // throws); ANSI/LEGACY overflow behavior is threaded into the
+        // aggregate.
+        case Sum(e, em) if em != EvalMode.TRY =>
+          srcOf(e).flatMap(s =>
+            aDistincts.find(_._2.semanticEquals(s))).flatMap {
+            case (n, _) => cell(n).map(c =>
+              Cast(graft.functions.BitmapMapSumAgg(c,
+                ansi = em == EvalMode.ANSI).toAggregateExpression(),
+                a.dataType))
+          }
         case _ => None
       }
     }

@@ -432,8 +432,39 @@ object Surface16 {
            |  FROM c2, n
            |) ORDER BY dims""".stripMargin))
 
+  /** E360: **exact SUM(DISTINCT measure) through the navigator** —
+    * the adaptive container cell IS the exact value set
+    * (bucket·32768 + position reconstructs the value, negatives
+    * included), so the distinct SUM is recoverable from cells with
+    * the same union-idempotence guarantee as the count: replicated
+    * or duplicated cells cannot double-add a value because union
+    * erases multiplicity before summation. The rewrite threads the
+    * query's eval mode through (ANSI → checked overflow, LEGACY →
+    * Long ring, TRY refuses), and legacy-format containers fail LOUD
+    * rather than reconstructing off-by-one values (their positions
+    * are 1-based). Grouped strictly coarser than the rollup grain;
+    * oracle = the naive sum(DISTINCT) over base. Scan-redirect +
+    * on/off in OperatorSuite; sum_distinct joined the fuzz pool so
+    * the property holds across flat/cube/join-back rounds. */
+  val qAggRollupSumDistinct = Q("q_agg_rollup_sum_distinct",
+    (spark, sfDir) => {
+      import spark.implicits._
+      Scale.rollupSummary(spark, sfDir)
+      Tables.read(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(sum_distinct($"l_orderkey").cast("long")
+            .as("okey_dsum"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(DISTINCT l_orderkey) AS BIGINT) AS okey_dsum,
+           |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupDistinctMeasure,
     qAggRollupJoinbackOuter, qAggRollupLatticeIncr,
     qAggRollupCountMeasure, qAggRollupExprMeasure,
-    qAggRollupBuildApi, qRollupAdvisor)
+    qAggRollupBuildApi, qRollupAdvisor, qAggRollupSumDistinct)
 }

@@ -3872,6 +3872,7 @@ class OperatorSuite extends AnyFunSuite {
       "vp" -> var_pop($"m1").as("vp"),
       "cd" -> countDistinct($"d2").as("cd"),
       "dm" -> countDistinct($"m2").as("dm"),
+      "sdm" -> sum_distinct($"m2").as("sdm"),
       "c1" -> count($"m1").as("c1"),
       "cr" -> corr($"m1", $"m2").as("cr"),
       "cv" -> covar_samp($"m1", $"m2").as("cv"))
@@ -4245,15 +4246,27 @@ class OperatorSuite extends AnyFunSuite {
       finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
     assert(onRows.toSeq == offRows.toSeq,
       "rewrite must be invisible in values")
-    // (3) a DISTINCT shape the bitmap cells cannot answer still
-    // refuses: sum(DISTINCT measure) has no cell form
+    // (3) sum(DISTINCT) over a REGISTERED integral measure now rides
+    // the same cells (E360), value-equal to the naive plan...
+    def sq() = graft.queries.Surface16
+      .qAggRollupSumDistinct.fn(spark, sf)
+    val sOn = sq(); val sOnRows = sOn.collect().map(_.toSeq.toVector)
+    assert(walk(sOn.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup")),
+      "sum(DISTINCT registered measure) must ride the cells")
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    val sOffRows = try sq().collect().map(_.toSeq.toVector)
+      finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    assert(sOnRows.toSeq == sOffRows.toSeq)
+    // ...while a DISTINCT shape with no cell form still refuses:
+    // l_quantity is a double measure, not a registered distinct
     val sd = Tables.read(spark, sf, "lineitem")
       .groupBy($"l_returnflag")
       .agg(sum_distinct($"l_quantity").as("s"))
     sd.collect()
     assert(!walk(sd.queryExecution.executedPlan)
       .exists(_.contains("graft-rollup")),
-      "sum(DISTINCT) must NOT be rewritten onto the summary")
+      "sum(DISTINCT unregistered measure) must NOT be rewritten")
   }
 
   test("outer join-back rides the navigator; semi still refuses (E354)") {

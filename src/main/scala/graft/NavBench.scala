@@ -31,6 +31,8 @@ object NavBench {
   private val shapes = Seq(
     "q_agg_rollup_rewrite", "q_agg_rollup_stats", "q_agg_rollup_corr",
     "q_agg_rollup_distinct", "q_agg_rollup_distinct_measure",
+    "q_agg_rollup_sum_distinct", "q_agg_rollup_count_measure",
+    "q_agg_rollup_expr_measure", "q_agg_rollup_build_api",
     "q_agg_rollup_lattice", "q_agg_rollup_lattice_filtered",
     "q_agg_rollup_cube", "q_agg_rollup_joinback",
     "q_agg_rollup_joinback_outer", "q_agg_rollup_having")

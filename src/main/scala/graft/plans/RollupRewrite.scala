@@ -480,6 +480,25 @@ object RollupRewrite extends Rule[LogicalPlan] {
                 ansi = em == EvalMode.ANSI).toAggregateExpression(),
                 a.dataType))
           }
+        // AVG(DISTINCT measure) = distinct-sum / distinct-count over
+        // the same container cells; NULL on an empty union on both
+        // sides of the division, matching Average's empty contract
+        case Average(e, em) if em != EvalMode.TRY &&
+            a.dataType == types.DoubleType =>
+          srcOf(e).flatMap(s =>
+            aDistincts.find(_._2.semanticEquals(s))).flatMap {
+            case (n, _) => cell(n).map { c =>
+              val s1 = Cast(graft.functions.BitmapMapSumAgg(c,
+                ansi = em == EvalMode.ANSI).toAggregateExpression(),
+                types.DoubleType)
+              val n1 = Cast(graft.functions.BitmapMapCountAgg(c)
+                .toAggregateExpression(), types.DoubleType)
+              Divide(s1,
+                If(EqualTo(n1, Literal(0.0)),
+                  Literal(null, types.DoubleType), n1),
+                EvalMode.LEGACY)
+            }
+          }
         case _ => None
       }
     }

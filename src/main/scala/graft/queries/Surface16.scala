@@ -454,12 +454,15 @@ object Surface16 {
         .groupBy($"l_returnflag")
         .agg(sum_distinct($"l_orderkey").cast("long")
             .as("okey_dsum"),
-          countDistinct($"l_orderkey").as("n_orders"))
+          countDistinct($"l_orderkey").as("n_orders"),
+          round(expr("avg(DISTINCT l_orderkey)"), 4)
+            .as("okey_davg"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
            |  CAST(sum(DISTINCT l_orderkey) AS BIGINT) AS okey_dsum,
-           |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+           |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           |  round(avg(DISTINCT l_orderkey), 4) AS okey_davg
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 

@@ -3873,6 +3873,7 @@ class OperatorSuite extends AnyFunSuite {
       "cd" -> countDistinct($"d2").as("cd"),
       "dm" -> countDistinct($"m2").as("dm"),
       "sdm" -> sum_distinct($"m2").as("sdm"),
+      "adm" -> expr("avg(DISTINCT m2)").as("adm"),
       "c1" -> count($"m1").as("c1"),
       "cr" -> corr($"m1", $"m2").as("cr"),
       "cv" -> covar_samp($"m1", $"m2").as("cv"))

@@ -8,10 +8,18 @@ import java.nio.file.{Files, Paths}
   * no longer produce a plausible-looking CORRECTNESS artifact. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir, only) = args.toSeq match {
+    val (sfDir, outDir, argOnly) = args.toSeq match {
       case Seq(sf, out)          => (sf, out, Set.empty[String])
       case Seq(sf, out, rest @ _*) => (sf, out, rest.toSet)
     }
+    // dev-loop filter parity with Bench: SPARK_GRAFT_ONLY names
+    // queries when no extra args do (the driver passes neither, so
+    // round artifacts are always full-sweep)
+    val only =
+      if (argOnly.nonEmpty) argOnly
+      else sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]

@@ -3927,8 +3927,9 @@ class OperatorSuite extends AnyFunSuite {
     check(() => spark.read.parquet(dir).cube($"d1", $"d2")
       .agg(count(lit(1)).as("n"), sum($"m2").as("s2"),
         avg($"m1").as("av"), stddev_samp($"m1").as("sd"),
-        countDistinct($"m2").as("dm")),
-      "cube")
+        countDistinct($"m2").as("dm"), grouping_id().as("gid"),
+        grouping($"d1").as("g1")),
+      "cube (with grouping_id/grouping)")
     check(() => spark.read.parquet(dir).join(dim, $"d1" === $"k")
       .groupBy($"kname")
       .agg(sum($"m2").as("s2"), count(lit(1)).as("n"),
@@ -4268,6 +4269,20 @@ class OperatorSuite extends AnyFunSuite {
     assert(!walk(sd.queryExecution.executedPlan)
       .exists(_.contains("graft-rollup")),
       "sum(DISTINCT unregistered measure) must NOT be rewritten")
+    // (4) min/max(DISTINCT) ride via Spark's own EliminateDistinct
+    // (DISTINCT is a no-op for idempotent semilattice merges), so the
+    // plain min/max cell path answers them — every distinct aggregate
+    // class now either rides or refuses deliberately
+    val mm = Tables.read(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr("min(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))")
+          .as("mn"),
+        expr("max(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))")
+          .as("mx"))
+    mm.collect()
+    assert(walk(mm.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup")),
+      "min/max(DISTINCT) must ride the min/max cells")
   }
 
   test("outer join-back rides the navigator; semi still refuses (E354)") {

@@ -277,8 +277,21 @@ object GraftExtensions {
         "bitmap_map_sum_agg"),
       (children: Seq[Expression]) => children match {
         case Seq(m) => BitmapMapSumAgg(m, ansi = false)
-        case Seq(m, a) => BitmapMapSumAgg(m,
-          a.eval().asInstanceOf[Boolean])
+        case Seq(m, a) =>
+          // validate BEFORE eval (ADVICE r16): a NULL literal used to
+          // NPE and a non-foldable/non-boolean arg to ClassCastException
+          // at resolution time — raise the usage error instead
+          val v =
+            if (a.foldable &&
+              a.dataType == org.apache.spark.sql.types.BooleanType)
+              a.eval()
+            else null
+          v match {
+            case b: java.lang.Boolean => BitmapMapSumAgg(m, b)
+            case _ => throw new IllegalArgumentException(
+              "bitmap_map_sum_agg(cell[, ansi]): second argument " +
+                "must be a foldable non-null BOOLEAN literal")
+          }
         case _ => throw new IllegalArgumentException(
           "bitmap_map_sum_agg(cell[, ansi])")
       }))

@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   * cost the navigator trades against per-query fact scans. */
 object RollupBuild {
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType) =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Build the summary parquet at `dir` and register it. Returns the
     * registered summary DataFrame. Cell naming: `<m>_sum/_min/_max/
     * _cnt/_sq` per measure, `<d>_bm` per distinct, `cnt` for
@@ -47,6 +56,22 @@ object RollupBuild {
       distincts: Seq[(String, Column)] = Nil,
       stats: Boolean = true): DataFrame = {
     require(dims.nonEmpty, "RollupBuild: at least one dim")
+    // the integral contract is ENFORCED, not just documented (ADVICE
+    // r16): the build casts each distinct column to long, which is
+    // injective for integral inputs only — a double/decimal/string
+    // column would collide (1.5 and 1.7 both → 1) or silently drop
+    // unparseable values, yet countDistinct on the RAW column would
+    // still match the registered template and return wrong answers.
+    // Fail loud at build time instead.
+    if (distincts.nonEmpty) {
+      val resolved = base.select(distincts.map(_._2): _*).schema
+      distincts.map(_._1).zip(resolved).foreach { case (n, f) =>
+        require(isIntegral(f.dataType),
+          s"RollupBuild: distinct column '$n' must be integral " +
+            s"(Byte/Short/Int/Long) — the bitmap cell encodes exact " +
+            s"long identities; got ${f.dataType.simpleString}")
+      }
+    }
     val measureCells: Seq[Column] = measures.flatMap { case (n, c) =>
       val d = c.cast("double")
       Seq(sum(c).as(s"${n}_sum"), min(c).as(s"${n}_min"),

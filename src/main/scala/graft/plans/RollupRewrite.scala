@@ -230,10 +230,26 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val biDefs = bistats.zip(biX.zip(biY)).map {
       case ((cells, _, _), (tx, ty)) => (cells, tx, ty)
     }
+    // the bitmap cell encodes exact LONG identities, so the distinct
+    // template must be integral (ADVICE r16): a non-integral measure
+    // (double/decimal/string) would have been lossily cast at build
+    // time, yet its raw column would still semanticEquals the template
+    // at match time — wrong answers with no error. Fail registration.
+    val distinctDefs = exprs(distincts)
+    distinctDefs.foreach { case (n, t) =>
+      val ok = t.dataType match {
+        case types.ByteType | types.ShortType | types.IntegerType |
+             types.LongType => true
+        case _ => false
+      }
+      require(ok, s"RollupRewrite.register: distinct cell '$n' " +
+        s"template must be integral (Byte/Short/Int/Long); got " +
+        s"${t.dataType.simpleString}")
+    }
     val d = RollupDef(basePath, exprs(dims),
       exprs(sums), exprs(mins), exprs(maxs), cntCol,
       summary.queryExecution.analyzed, avgDefs, statDefs, biDefs,
-      exprs(distincts))
+      distinctDefs)
     registry.compute(basePath, (_, old) => {
       val kept = Option(old).getOrElse(Nil).filterNot(_.key == d.key)
       (d :: kept).sortBy(_.dims.size)
@@ -472,12 +488,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
         // refuses (try_sum returns NULL on overflow; the cell merge
         // throws); ANSI/LEGACY overflow behavior is threaded into the
         // aggregate.
-        case Sum(e, em) if em != EvalMode.TRY =>
+        // NumericEvalContext, not EvalMode (round 17): Spark 4.1's
+        // Sum.unapply yields the CONTEXT wrapper, so comparing it to
+        // an EvalMode value was vacuously true — the TRY refusal never
+        // fired and the ANSI flag was never set (caught by the scalac
+        // adapted-comparison warning; Average.unapply still yields the
+        // bare EvalMode, so only Sum needed this).
+        case Sum(e, ctx) if ctx.evalMode != EvalMode.TRY =>
           srcOf(e).flatMap(s =>
             aDistincts.find(_._2.semanticEquals(s))).flatMap {
             case (n, _) => cell(n).map(c =>
               Cast(graft.functions.BitmapMapSumAgg(c,
-                ansi = em == EvalMode.ANSI).toAggregateExpression(),
+                ansi = ctx.evalMode == EvalMode.ANSI)
+                .toAggregateExpression(),
                 a.dataType))
           }
         // AVG(DISTINCT measure) = distinct-sum / distinct-count over

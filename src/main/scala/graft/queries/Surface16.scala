@@ -147,7 +147,14 @@ object Surface16 {
           sum($"v_cnt").as("v_cnt"), sum($"cnt").as("cnt"),
           expr("bitmap_map_merge_agg(k_bm)").as("k_bm"))
       val maintain: (DataFrame, Long) => Unit = { (batch, id) =>
-        batch.write.mode("append").parquet(baseDir)
+        // raw zone is per-batch-id, mode OVERWRITE (ADVICE r16): a
+        // replayed batch id re-writes ITS OWN directory instead of
+        // appending duplicate rows, so the raw zone is idempotent
+        // end-to-end like the cell stores (whose OR/overwrite algebra
+        // already was). Spark's partition discovery reads the
+        // batch=<id> layout back as one table with an extra partition
+        // column the queries never touch.
+        batch.write.mode("overwrite").parquet(s"$baseDir/batch=$id")
         val g1 = ($"i" % 20).cast("int").as("g1")
         val shard = expr("cast((i div 15000) as int)").as("shard")
         val partial = batch.groupBy(g1, shard)

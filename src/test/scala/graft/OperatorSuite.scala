@@ -4770,6 +4770,188 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("round-17 latent locks: integral distincts, sum_agg args, TRY distinct") {
+    // The ADVICE r16 items plus the scalac-warning catch, each locked.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    def msgs(t: Throwable): String = {
+      var cur = t; val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('\n')
+        cur = cur.getCause }
+      sb.toString
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r17").toString
+    Seq((1L, "a", 1.5), (2L, "a", 1.7), (3L, "b", 2.0), (3L, "b", 9.0))
+      .toDF("k", "g", "d")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    // (1) RollupBuild refuses a non-integral distinct column loudly —
+    // the long cast would collide 1.5 and 1.7 yet countDistinct(d)
+    // would still match the raw-column template (ADVICE r16 medium)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.RollupBuild.materialize(spark, base, s"$dir/cells",
+        dims = Seq("g" -> base("g")),
+        measures = Seq("d" -> base("d")),
+        distincts = Seq("d" -> base("d")))
+    }
+    assert(msgs(e1).contains("integral"), msgs(e1))
+    // (2) register() enforces the same contract on the raw template
+    val e2 = intercept[IllegalArgumentException] {
+      base.groupBy($"g").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$dir/sum2")
+      graft.plans.RollupRewrite.register(base,
+        dims = Seq("g" -> base("g")), sums = Nil, mins = Nil,
+        maxs = Nil, cntCol = "cnt",
+        summary = spark.read.parquet(s"$dir/sum2"),
+        distincts = Seq("d_bm" -> base("d")))
+    }
+    assert(msgs(e2).contains("integral"), msgs(e2))
+    // (3) bitmap_map_sum_agg's optional flag rejects NULL /
+    // non-boolean / non-foldable args with the usage string instead of
+    // NPE / ClassCastException at resolution time (ADVICE r16 low)
+    base.createOrReplaceTempView("r17base")
+    for (arg <- Seq("NULL", "1", "mp IS NOT NULL")) {
+      val e = intercept[Throwable] {
+        spark.sql(
+          s"""SELECT bitmap_map_sum_agg(mp, $arg) FROM
+             |(SELECT bitmap_map_construct_agg(k) mp FROM r17base)
+             |""".stripMargin).collect()
+      }
+      assert(msgs(e).contains("foldable non-null BOOLEAN"),
+        s"arg=$arg: ${msgs(e)}")
+    }
+    // (4) the TRY-mode guard on distinct sums is REAL now: Spark 4.1's
+    // Sum.unapply yields a NumericEvalContext, so `em != EvalMode.TRY`
+    // compared a context to a mode and never refused (scalac
+    // adapted-comparison warning, round 17). try_sum(DISTINCT k) must
+    // stay on the base scan (NULL-on-overflow contract); plain
+    // sum(DISTINCT k) rides the cells and agrees with rewrite-off.
+    base.groupBy($"g")
+      .agg(count(lit(1)).as("cnt"),
+        expr("bitmap_map_construct_agg(k)").as("k_bm"))
+      .write.mode("overwrite").parquet(s"$dir/sum4")
+    graft.plans.RollupRewrite.register(base,
+      dims = Seq("g" -> base("g")), sums = Nil, mins = Nil,
+      maxs = Nil, cntCol = "cnt",
+      summary = spark.read.parquet(s"$dir/sum4"),
+      distincts = Seq("k_bm" -> base("k")))
+    val tryQ = base.groupBy($"g")
+      .agg(expr("try_sum(DISTINCT k)").as("s")).orderBy($"g")
+    tryQ.collect()
+    assert(walk(tryQ.queryExecution.executedPlan)
+      .exists(_.contains(s"$dir/base")),
+      "try_sum(DISTINCT) must NOT be rewritten onto the summary")
+    val onQ = base.groupBy($"g")
+      .agg(sum_distinct($"k").as("s")).orderBy($"g")
+    val on = onQ.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(walk({ onQ.collect(); onQ.queryExecution.executedPlan })
+      .exists(_.contains(s"$dir/sum4")),
+      "sum(DISTINCT) must ride the bitmap cells")
+    assert(on.toSeq === Seq(("a", 3L), ("b", 3L)))
+  }
+
+  test("round-17 latent locks: nulled measure slot and throwing template cast refuse") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Expand, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.types.{DoubleType, IntegerType,
+      StringType}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r17x").toString
+    Seq(("a", "x", 1.0), ("a", "y", 3.0), ("b", "x", 5.0))
+      .toDF("g", "sub", "x")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    base.groupBy($"g", $"sub")
+      .agg(count(lit(1)).as("cnt"), sum($"x").as("x_sum"))
+      .write.mode("overwrite").parquet(s"$dir/summary")
+    graft.plans.RollupRewrite.register(base,
+      dims = Seq("g" -> base("g"), "sub" -> base("sub")),
+      sums = Seq("x_sum" -> base("x")), mins = Nil, maxs = Nil,
+      cntCol = "cnt", summary = spark.read.parquet(s"$dir/summary"))
+    val rel = base.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.get
+    def attr(n: String) = rel.output.find(_.name == n).get
+    val (g, sub, x) = (attr("g"), attr("sub"), attr("x"))
+    // hand-build the grouping-sets Expand exactly as Spark plans
+    // ((g), (g, sub)), but with the MEASURE slot nulled in one
+    // projection — a shape Spark's planner never emits, and exactly
+    // the unchecked assumption the r16 verdict flagged: feeding the
+    // cell slot through every projection would over-count the nulled
+    // set. The classifier must REFUSE, not assume.
+    val gOut = AttributeReference("g", StringType)()
+    val subOut = AttributeReference("sub", StringType)()
+    val xOut = AttributeReference("x", DoubleType)()
+    val gid = AttributeReference("spark_grouping_id", IntegerType,
+      nullable = false)()
+    def plan(nullMeasureInProj0: Boolean): LogicalPlan = {
+      val x0: org.apache.spark.sql.catalyst.expressions.Expression =
+        if (nullMeasureInProj0) Literal(null, DoubleType) else x
+      val ex = Expand(
+        Seq(Seq(g, Literal(null, StringType), x0, Literal(1)),
+          Seq(g, sub, x, Literal(0))),
+        Seq(gOut, subOut, xOut, gid),
+        rel)
+      Aggregate(Seq(gOut, gid),
+        Seq(gOut.asInstanceOf[org.apache.spark.sql.catalyst
+            .expressions.NamedExpression],
+          Alias(Sum(xOut).toAggregateExpression(), "s")()),
+        ex)
+    }
+    val sane = graft.plans.RollupRewrite.apply(plan(false))
+    assert(sane.collect { case lr: LogicalRelation => lr }
+      .exists(_.relation.asInstanceOf[org.apache.spark.sql.execution
+        .datasources.HadoopFsRelation].location.rootPaths
+        .exists(_.toString.contains(s"$dir/summary"))),
+      "positive control: the well-formed Expand must rewrite to cells")
+    val nulled = plan(true)
+    val kept = graft.plans.RollupRewrite.apply(nulled)
+    assert(kept.fastEquals(nulled),
+      "a measure slot nulled in one projection must refuse the rewrite")
+    // throwing foldable cast in a registered dim template: anchoring
+    // strips/folds casts, and the ANSI string→int cast throws on eval.
+    // The rule must catch, leave the template alone, and still answer
+    // the g-grain query from the cells — never propagate the throw.
+    base.groupBy($"g")
+      .agg(count(lit(1)).as("cnt"), sum($"x").as("x_sum"))
+      .withColumn("bad", lit(null).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/sumbad")
+    graft.plans.RollupRewrite.register(base,
+      dims = Seq("g" -> base("g"), "bad" -> lit("abc").cast("int")),
+      sums = Seq("x_sum" -> base("x")), mins = Nil, maxs = Nil,
+      cntCol = "cnt", summary = spark.read.parquet(s"$dir/sumbad"))
+    val q = base.groupBy($"g").agg(sum($"x").as("s")).orderBy($"g")
+    val rows = q.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq(("a", 4.0), ("b", 5.0)))
+  }
+
+  test("round-17: incremental lattice raw zone is replay-idempotent") {
+    // ADVICE r16 low: the raw zone is per-batch-id with OVERWRITE, so
+    // a replayed batch rewrites its own directory instead of appending
+    // duplicates. Simulate the replay: rewrite batch=0 with its own
+    // contents and assert the zone's row count is unchanged.
+    val (baseDir, _, _) = graft.queries.Surface16.incrLattice(spark, sf)
+    val before = spark.read.parquet(baseDir).count()
+    val b0 = spark.read.parquet(s"$baseDir/batch=0")
+      .localCheckpoint(true)
+    b0.write.mode("overwrite").parquet(s"$baseDir/batch=0")
+    assert(spark.read.parquet(baseDir).count() === before,
+      "replaying a batch id must not change the raw zone")
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

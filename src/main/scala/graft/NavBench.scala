@@ -35,7 +35,8 @@ object NavBench {
     "q_agg_rollup_expr_measure", "q_agg_rollup_build_api",
     "q_agg_rollup_lattice", "q_agg_rollup_lattice_filtered",
     "q_agg_rollup_cube", "q_agg_rollup_joinback",
-    "q_agg_rollup_joinback_outer", "q_agg_rollup_having")
+    "q_agg_rollup_joinback_outer", "q_agg_rollup_joinback_preagg",
+    "q_agg_rollup_having")
 
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[String] = p match {

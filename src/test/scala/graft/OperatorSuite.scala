@@ -4952,6 +4952,54 @@ class OperatorSuite extends AnyFunSuite {
       "replaying a batch id must not change the raw zone")
   }
 
+  test("join-back pre-aggregation collapses unused dims below the join (E361)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    def aggBelowJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        .exists(_.children.exists(_.exists {
+          case _: Aggregate => true
+          case _ => false
+        }))
+    // (1) the gated query rides the FINER (priority × custkey)
+    // summary, with an Aggregate BELOW the join merging the cells to
+    // custkey grain — the round-17 pre-aggregation
+    def q() = graft.queries.Surface17
+      .qAggRollupJoinbackPreagg.fn(spark, sf)
+    val df = q()
+    val rows = df.collect()
+    assert(walk(df.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup-priocust")),
+      "query must ride the (priority × custkey) cells")
+    assert(aggBelowJoin(df),
+      "pre-aggregation must appear below the customer join")
+    // (2) rule-off equality — the pre-agg must be invisible in values
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    val off = try q().collect()
+      finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    assert(rows.map(_.toSeq).toSeq === off.map(_.toSeq).toSeq)
+    // (3) the honest floor: the KEY-GRAIN join-back (E349) gets NO
+    // pre-aggregation — used dims == registered dims, nothing to
+    // collapse — its plan joins the summary scan directly
+    val jb = graft.queries.Surface15.qAggRollupJoinback.fn(spark, sf)
+    jb.collect()
+    assert(walk(jb.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup-lat-bycust")),
+      "key-grain join-back must still ride its cells")
+    assert(!aggBelowJoin(jb),
+      "no pre-aggregation when the used grain equals the registered " +
+        "grain (the floor is the join input itself)")
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

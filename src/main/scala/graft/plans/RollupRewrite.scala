@@ -986,6 +986,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // required: each key's cell must meet its dim row to be grouped
     // by a dim-side attribute. That case is the documented BASELINE.md
     // ceiling, closed here for every finer-grain registration.
+    //
+    // REGIME GUARD (measured at the sf1gk rung, not argued): the
+    // pre-aggregation is an EXTRA exchange, and it only pays when the
+    // join itself shuffles — there its exchange is keyed on the same
+    // dims the join needs, so the reduction rides a shuffle the plan
+    // pays anyway. Under a BROADCAST dim the cells stream through the
+    // join map-side and the final aggregate's partial phase already
+    // collapses them without any big-side shuffle, so a pre-aggregate
+    // is strictly worse (first cut measured 0.74× on exactly that
+    // shape). Decide by the same evidence JoinSelection will use:
+    // the dim side's stats size vs autoBroadcastJoinThreshold, and
+    // explicit join hints (broadcast hint → never; shuffle hint →
+    // always, stats notwithstanding).
     val dimNames = d.dims.map(_._1).toSet
     val (cellDimNames, mergeCellNames) =
       usedCellNames.toSeq.partition(dimNames)
@@ -1009,8 +1022,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
       else if (isSumCell) Some(Sum(a0).toAggregateExpression())
       else None
     }
+    val otherHint = if (baseOnLeft) j.hint.rightHint else j.hint.leftHint
+    val hintBroadcast = otherHint.exists(_.strategy.contains(
+      org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+    val hintShuffle = otherHint.exists(_.strategy.exists(s =>
+      s == org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_MERGE ||
+        s == org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_HASH))
+    val bcThreshold = conf.autoBroadcastJoinThreshold
+    val dimBroadcastable = bcThreshold >= 0 &&
+      (try other.stats.sizeInBytes <= BigInt(bcThreshold)
+       catch { case scala.util.control.NonFatal(_) => false })
+    val shuffleRegime =
+      hintShuffle || (!hintBroadcast && !dimBroadcastable)
     val preAggOpt: Option[(LogicalPlan, Map[ExprId, Attribute])] =
-      if (preDims.size >= d.dims.size) None
+      if (!shuffleRegime || preDims.size >= d.dims.size) None
       else {
         val gAttrs = preDims.flatMap(summaryAttr(_).toSeq)
         val merged = mergeCellNames.flatMap { n =>

@@ -81,7 +81,14 @@ object Surface17 {
       Surface15.latticeSummaries(spark, sfDir)
       preaggSummary(spark, sfDir)
       val o = Tables.read(spark, sfDir, "orders")
-      val c = Tables.read(spark, sfDir, "customer")
+      // merge-hinted: this query models the BIG-dimension star join
+      // (the 100 TB regime where the dim no longer broadcasts) — the
+      // regime where the pre-aggregation pays, because its exchange is
+      // keyed on the same dims the shuffle join needs anyway. Under a
+      // broadcast-sized dim the rewrite SKIPS the pre-aggregate (cells
+      // stream map-side and partial aggregation already collapses
+      // them) — both sides of that policy are locked in OperatorSuite.
+      val c = Tables.read(spark, sfDir, "customer").hint("merge")
       o.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy($"c_mktsegment")
@@ -103,5 +110,191 @@ object Surface17 {
            |GROUP BY c_mktsegment
            |ORDER BY c_mktsegment""".stripMargin))
 
-  val all: Seq[Q] = Seq(qAggRollupJoinbackPreagg)
+  /** Per-(session, sfDir) dirs of the late-data lattice:
+    * (acceptedZoneDir, cellsDir, dropsDir). */
+  private val lateDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (String, String, String)]()
+
+  /** Build side of E362: the E355 incremental-lattice maintenance
+    * composed with WATERMARK semantics for late/out-of-order rows.
+    * The 50k-row deterministic stream carries an event-time proxy
+    * `shard(i)`: most rows are on time (`i div 5000`), every 13th is
+    * LATE by one shard (arrives after its shard's batch but within
+    * the allowed lateness), and every 17th is late by five shards
+    * (beyond the allowance). Per micro-batch, the maintenance mirrors
+    * Spark's own watermark contract: the high-water mark is the max
+    * event time seen in PREVIOUS batches, rows with
+    * `shard < highWater − 1` (one shard of allowed lateness) are
+    * counted-and-dropped into an observable drops table, all other
+    * rows — including the late-but-admissible ones — are appended to
+    * the accepted zone (per-batch-id, replay-idempotent) and folded
+    * into the cell store, refreshing exactly the AFFECTED shard
+    * partitions (late rows re-open old partitions; that is the point).
+    * The watermark advances on ALL input rows, dropped ones included,
+    * exactly as Spark's EventTimeWatermark does. Every step is a pure
+    * function of `i` given the pinned 10k-row batch boundaries, so
+    * the DuckDB oracle reproduces admission, drops and cells from
+    * range() alone. */
+  private[graft] def lateLattice(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (String, String, String) = {
+    graft.Memo.once(spark, s"lat_late:$sfDir") {
+      import spark.implicits._
+      import org.apache.spark.sql.DataFrame
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lat-late").toString
+      val accDir = s"$root/accepted"
+      val dropsDir = s"$root/drops"
+      val src = spark.readStream.format("graft.sources.SeriesSource")
+        .option("rows", "50000").option("slices", "4")
+        .option("maxRowsPerBatch", "10000").load()
+      @volatile var cellsDir: String = null
+      @volatile var highWater = Long.MinValue
+      val shardCol =
+        when($"i" % 13 === 0,
+          greatest(($"i" / 5000).cast("long") - 1, lit(0L)))
+          .when($"i" % 17 === 0,
+            greatest(($"i" / 5000).cast("long") - 5, lit(0L)))
+          .otherwise(($"i" / 5000).cast("long"))
+          .cast("int").as("shard")
+      val reAggCells
+          : org.apache.spark.sql.RelationalGroupedDataset => DataFrame =
+        g => g.agg(sum($"v_sum").as("v_sum"), sum($"v_sq").as("v_sq"),
+          sum($"v_cnt").as("v_cnt"), sum($"cnt").as("cnt"),
+          expr("bitmap_map_merge_agg(k_bm)").as("k_bm"))
+      val maintain: (DataFrame, Long) => Unit = { (batch, id) =>
+        val b = batch.withColumn("shard", shardCol)
+        val hw = highWater
+        // one shard of allowed lateness below the high-water mark
+        val admitted =
+          if (hw == Long.MinValue) b
+          else b.filter($"shard" >= lit(hw - 1))
+        val dropped =
+          if (hw == Long.MinValue) b.limit(0) else
+            b.filter($"shard" < lit(hw - 1))
+        dropped.groupBy().agg(count(lit(1)).as("n_dropped"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$dropsDir/batch=$id")
+        admitted.write.mode("overwrite")
+          .parquet(s"$accDir/batch=$id")
+        val partial = admitted
+          .groupBy($"shard", ($"i" % 10).cast("int").as("g"))
+          .agg(sum($"value").as("v_sum"),
+            sum($"value" * $"value").as("v_sq"),
+            count($"value").as("v_cnt"), count(lit(1)).as("cnt"),
+            expr("bitmap_map_construct_agg(i % 700)").as("k_bm"))
+        // refresh ONLY the shards this batch touched — late admitted
+        // rows RE-OPEN old shards, which is exactly the delta
+        // propagation the verdict asked to prove
+        val affected = partial.select($"shard").distinct()
+        val next = s"$root/cells_v$id"
+        Option(cellsDir) match {
+          case Some(prev) =>
+            val old = spark.read.parquet(prev)
+            val refreshed = reAggCells(
+              old.join(broadcast(affected), Seq("shard"), "left_semi")
+                .unionByName(partial).groupBy($"shard", $"g"))
+            old.join(broadcast(affected), Seq("shard"), "left_anti")
+              .unionByName(refreshed)
+              .write.mode("overwrite").parquet(next)
+          case None =>
+            partial.write.mode("overwrite").parquet(next)
+        }
+        cellsDir = next
+        // the watermark advances on ALL input rows, dropped included
+        val batchMax = b.agg(max($"shard")).head() match {
+          case r if r.isNullAt(0) => hw
+          case r => math.max(hw, r.getInt(0).toLong)
+        }
+        highWater = batchMax
+      }
+      val key = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try {
+        val q = src.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch(maintain).start()
+        q.processAllAvailable(); q.stop()
+      } finally spark.conf.set(key, prevParts)
+      val acc = spark.read.parquet(accDir)
+      graft.plans.RollupRewrite.register(
+        base = acc,
+        dims = Seq(
+          "shard" -> acc("shard"),
+          "g" -> (acc("i") % 10).cast("int")),
+        sums = Seq("v_sum" -> acc("value")),
+        mins = Nil, maxs = Nil, cntCol = "cnt",
+        summary = spark.read.parquet(cellsDir),
+        stats = Seq(("v_sum", "v_sq", "v_cnt", acc("value"))),
+        distincts = Seq("k_bm" -> (acc("i") % 700)))
+      lateDirs.put((spark, sfDir), (accDir, cellsDir, dropsDir))
+    }
+    lateDirs.get((spark, sfDir))
+  }
+
+  /** E362: **late and out-of-order data through the incremental
+    * lattice** — E355 proved partition-refresh consistency on clean
+    * appends; this row proves it under the watermark contract real
+    * streams need: late rows WITHIN the allowance re-open and update
+    * exactly their shard's cells (delta propagation to old
+    * partitions), rows PAST it are counted-and-dropped with the drop
+    * total observable in the output, and the high-water mark advances
+    * on every input row exactly as Spark's EventTimeWatermark does.
+    * The gated query is the naive shard-grain dashboard aggregate
+    * over the ACCEPTED zone — sum, stddev, count, exact
+    * COUNT(DISTINCT i%700) — answered by the navigator from the
+    * maintained cells, with the global dropped-row count joined on as
+    * a scalar. The oracle reconstructs admission, drops and the
+    * aggregate from DuckDB range() alone (every step is a pure
+    * function of i given the pinned batch boundaries). OperatorSuite
+    * locks maintained-cells ≡ full-recompute equivalence including
+    * the late batches, the exact expected drop count, and that late
+    * admitted rows really updated PRIOR batches' shards. */
+  val qAggRollupLatticeLate = Q("q_agg_rollup_lattice_late",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val (accDir, _, dropsDir) = lateLattice(spark, sfDir)
+      val drops = spark.read.parquet(dropsDir)
+        .agg(sum($"n_dropped").cast("long").as("n_dropped"))
+      spark.read.parquet(accDir)
+        .groupBy($"shard")
+        .agg(round(sum($"value"), 4).as("sum_value"),
+          round(stddev_samp($"value"), 4).as("sd_value"),
+          count(lit(1)).as("n"),
+          countDistinct($"i" % 700).as("n_keys"))
+        .crossJoin(broadcast(drops))
+        .orderBy($"shard")
+    },
+    Some("""WITH s AS (
+           |  SELECT i,
+           |    CAST(i * 2654435761 % 2147483648 % 10000 AS DOUBLE)
+           |      / 100.0 AS value,
+           |    i // 10000 AS b,
+           |    CASE WHEN i % 13 = 0
+           |           THEN greatest(i // 5000 - 1, 0)
+           |         WHEN i % 17 = 0
+           |           THEN greatest(i // 5000 - 5, 0)
+           |         ELSE i // 5000 END AS shard
+           |  FROM range(0, 50000) t(i)
+           |), flagged AS (
+           |  SELECT *,
+           |    (b >= 1 AND shard < 2 * b - 2) AS late
+           |  FROM s
+           |), drops AS (
+           |  SELECT CAST(count(*) FILTER (late) AS BIGINT)
+           |    AS n_dropped FROM flagged
+           |)
+           |SELECT CAST(shard AS INT) AS shard,
+           |  round(sum(value), 4) AS sum_value,
+           |  round(stddev_samp(value), 4) AS sd_value,
+           |  count(*) AS n,
+           |  CAST(count(DISTINCT i % 700) AS BIGINT) AS n_keys,
+           |  (SELECT n_dropped FROM drops) AS n_dropped
+           |FROM flagged WHERE NOT late
+           |GROUP BY 1 ORDER BY shard""".stripMargin))
+
+  val all: Seq[Q] = Seq(qAggRollupJoinbackPreagg,
+    qAggRollupLatticeLate)
 }

@@ -3935,6 +3935,20 @@ class OperatorSuite extends AnyFunSuite {
       .agg(sum($"m2").as("s2"), count(lit(1)).as("n"),
         var_pop($"m1").as("vp"), countDistinct($"m2").as("dm")),
       "join-back")
+    // merge-hinted round (round 17): the shuffle-join regime fires
+    // the pre-aggregation below the join — used dims {d1} ⊂ {d1,d2}
+    // — so every cell kind (sums, cnt, stats, bistat moments, bitmap
+    // distincts) is value-locked THROUGH the merged cells too
+    check(() => spark.read.parquet(dir)
+      .join(dim.hint("merge"), $"d1" === $"k")
+      .groupBy($"kname")
+      .agg(sum($"m2").as("s2"), count(lit(1)).as("n"),
+        avg($"m1").as("av"), stddev_samp($"m1").as("sd"),
+        corr($"m1", $"m2").as("cr"),
+        countDistinct($"m2").as("dm"),
+        sum_distinct($"m2").as("sdm"),
+        min($"m1").as("mn"), max($"m2").as("mx")),
+      "join-back with pre-aggregation (merge-hinted)")
     // OUTER join-back rounds (round 16): dim-preserved left (unmatched
     // dim rows null-extend the summary side; count(*) must count them
     // via Σcoalesce(cnt,1)), base-preserved left (unmatched CELLS
@@ -4987,6 +5001,26 @@ class OperatorSuite extends AnyFunSuite {
     val off = try q().collect()
       finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
     assert(rows.map(_.toSeq).toSeq === off.map(_.toSeq).toSeq)
+    // (2b) the regime guard: the SAME query WITHOUT the merge hint has
+    // a broadcast-sized dim at this scale, so the rewrite still fires
+    // but must SKIP the pre-aggregate — under a broadcast join the
+    // cells stream map-side and a pre-aggregate is an extra shuffle
+    // (measured 0.74x at the sf1gk rung before the guard existed)
+    val bq = {
+      val o = graft.Tables.read(spark, sf, "orders")
+      val c = graft.Tables.read(spark, sf, "customer")
+      o.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+    }
+    bq.collect()
+    assert(walk(bq.queryExecution.executedPlan)
+      .exists(_.contains("graft-rollup-priocust")),
+      "unhinted query must still ride the cells")
+    assert(!aggBelowJoin(bq),
+      "broadcast-sized dim must skip the pre-aggregate")
     // (3) the honest floor: the KEY-GRAIN join-back (E349) gets NO
     // pre-aggregation — used dims == registered dims, nothing to
     // collapse — its plan joins the summary scan directly
@@ -4998,6 +5032,139 @@ class OperatorSuite extends AnyFunSuite {
     assert(!aggBelowJoin(jb),
       "no pre-aggregation when the used grain equals the registered " +
         "grain (the floor is the join input itself)")
+  }
+
+  test("late-data lattice: cells equal full recompute, drops exact (E362)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val (accDir, cellsDir, dropsDir) =
+      graft.queries.Surface17.lateLattice(spark, sf)
+    // (1) maintained cells ≡ full recompute from the accepted zone —
+    // including the partitions late rows re-opened
+    val acc = spark.read.parquet(accDir)
+    val full = acc
+      .groupBy($"shard", ($"i" % 10).cast("int").as("g"))
+      .agg(sum($"value").as("v_sum"),
+        sum($"value" * $"value").as("v_sq"),
+        count($"value").as("v_cnt"), count(lit(1)).as("cnt"),
+        countDistinct($"i" % 700).as("nk"))
+    // bitmap_map_count_agg is an aggregate, so the per-cell distinct
+    // count reads through a (shard, g) groupBy on the cell store —
+    // which doubles as a merge-idempotence check on the stored cells
+    val m2 = spark.read.parquet(cellsDir)
+      .groupBy($"shard", $"g")
+      .agg(sum($"v_sum").as("v_sum"), sum($"v_sq").as("v_sq"),
+        sum($"v_cnt").as("v_cnt"), sum($"cnt").as("cnt"),
+        expr("bitmap_map_count_agg(k_bm)").as("nk"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getInt(1))
+    val fm = full.collect().map(r => key(r) ->
+      (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toMap
+    val mm = m2.collect().map(r => key(r) ->
+      (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toMap
+    assert(fm.keySet === mm.keySet,
+      s"cell-grain mismatch: ${fm.keySet.diff(mm.keySet)} / " +
+        s"${mm.keySet.diff(fm.keySet)}")
+    fm.foreach { case (k, (s1, q1, c1, n1, k1)) =>
+      val (s2, q2, c2, n2, k2) = mm(k)
+      assert(math.abs(s1 - s2) <= 1e-6 * math.max(1.0, math.abs(s1))
+        && math.abs(q1 - q2) <= 1e-6 * math.max(1.0, math.abs(q1))
+        && c1 == c2 && n1 == n2 && k1 == k2,
+        s"cell $k: maintained != recompute")
+    }
+    // (2) the drop count is the deterministic expected value: rows in
+    // batch b >= 1 whose (twisted) shard fell below 2b-2
+    def shardOf(i: Long): Long =
+      if (i % 13 == 0) math.max(i / 5000 - 1, 0)
+      else if (i % 17 == 0) math.max(i / 5000 - 5, 0)
+      else i / 5000
+    val expectedDrops = (0L until 50000L).count { i =>
+      val b = i / 10000
+      b >= 1 && shardOf(i) < 2 * b - 2
+    }
+    val recorded = spark.read.parquet(dropsDir)
+      .agg(sum($"n_dropped")).head().getLong(0)
+    assert(recorded == expectedDrops.toLong,
+      s"drops $recorded != expected $expectedDrops")
+    assert(recorded > 0, "fixture must actually drop rows")
+    // (3) late admitted rows really re-opened PRIOR batches' shards:
+    // the accepted zone must hold rows whose shard predates their
+    // batch's on-time window (shard < 2*batch)
+    val reopened = acc
+      .filter($"shard" < ($"batch" * 2).cast("int")).count()
+    assert(reopened > 0,
+      "late-but-admissible rows must land in earlier shards")
+    // (4) the gated query rides the maintained cells
+    val q = graft.queries.Surface17.qAggRollupLatticeLate.fn(spark, sf)
+    q.collect()
+    assert(walk(q.queryExecution.executedPlan)
+      .exists(_.contains("cells_v")),
+      "late-lattice query must be answered from the cell store")
+  }
+
+  test("advisor grains serve dim-filtered queries; measure filters refuse per-query (r17)") {
+    // VERDICT r16 item 7: the advisor IGNORES filters at extraction —
+    // right for dim filters (the grain still answers them through the
+    // navigator's predicate path) and right for measure filters too,
+    // because un-answerability is a PER-QUERY property the rewrite
+    // decides at match time, not a reason to distort the grain.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case other => other.children.flatMap(walk)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r17adv").toString
+    Seq(("a", "x", 1.0), ("a", "y", 3.0), ("b", "x", 5.0),
+        ("b", "y", 7.0))
+      .toDF("g", "sub", "x")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    // a FILTERED workload query must still contribute its full grain
+    val w1 = base.filter($"g" === "a").groupBy($"g", $"sub")
+      .agg(sum($"x".cast("double")).as("s"))
+    val w2 = base.groupBy($"g").agg(sum($"x".cast("double")).as("s"))
+    val props = graft.plans.RollupAdvisor.propose(Seq(w1, w2))
+    assert(props.size == 1 && props.head.dims == Seq("g", "sub")
+      && props.head.queriesCovered == 2,
+      s"expected one (g, sub) proposal covering both; got $props")
+    graft.plans.RollupBuild.materialize(spark, base,
+      s"$dir/cells",
+      dims = props.head.dims.zipWithIndex.map { case (s, i) =>
+        s"d$i" -> expr(s) },
+      measures = props.head.measures.zipWithIndex.map { case (s, i) =>
+        s"m$i" -> expr(s) })
+    // dim-only filter: answered FROM the advisor-built cells
+    val q1 = base.filter($"sub" === "x").groupBy($"g")
+      .agg(sum($"x".cast("double")).as("s")).orderBy($"g")
+    val r1 = q1.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(walk(q1.queryExecution.executedPlan)
+      .exists(_.contains(s"$dir/cells")),
+      "dim-filtered query must ride the advisor-proposed grain")
+    assert(r1.toSeq === Seq(("a", 1.0), ("b", 5.0)))
+    // measure filter: REFUSED per-query — scans base, right answer
+    val q2 = base.filter($"x" > 2.0).groupBy($"g")
+      .agg(sum($"x".cast("double")).as("s")).orderBy($"g")
+    val r2 = q2.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(walk(q2.queryExecution.executedPlan)
+      .exists(_.contains(s"$dir/base")),
+      "measure-filtered query must stay on the base scan")
+    assert(r2.toSeq === Seq(("a", 3.0), ("b", 12.0)))
   }
 
   test("label propagation is deterministic and covers every vertex") {

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN scale-rung instrument (VERDICT r16 item 1): the similarity
+  * family's last unmeasured claims, made falsifiable at a fixture —
+  *  - the BUCKETING claim: IVF cell sizes and LSH bucket sizes bound
+  *    each probe's candidate count (avg and max per probe, measured,
+  *    not argued from construction);
+  *  - the RECALL claim: recall@3 of the cell-restricted path vs the
+  *    exact brute-force top-3, mean and min over the 50 probes, from
+  *    the gated q_sim_ann_recall query's own output.
+  * Wall-clock for the four queries comes from `graft.Bench` with
+  * `SPARK_GRAFT_ONLY=q_sim_cosine_topk,q_sim_ann_ivf,q_sim_ann_lsh,
+  * q_sim_ann_recall` at the same fixture; this main reports the
+  * numbers a timing line cannot.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=/tmp/sf10gk sbt "runMain graft.AnnRung"`
+  * → ONE JSON line. */
+object AnnRung {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = Sessions.local("graft-annrung")
+    import spark.implicits._
+    val e = Tables.read(spark, sfDir, "embeddings")
+    val n = e.count()
+    val probes = e.filter($"vec_id" < 50)
+      .select($"vec_id", $"label",
+        queries.LLMOps.hyperBits($"embedding").as("bkt"))
+    val cellSizes = e.groupBy($"label").agg(count(lit(1)).as("c"))
+    val ivf = probes.join(cellSizes, "label")
+      .agg(avg($"c" - 1).as("a"), max($"c" - 1).as("m")).head()
+    val bktSizes = e
+      .withColumn("bkt", queries.LLMOps.hyperBits($"embedding"))
+      .groupBy($"bkt").agg(count(lit(1)).as("c"))
+    val lsh = probes.join(bktSizes, "bkt")
+      .agg(avg($"c" - 1).as("a"), max($"c" - 1).as("m")).head()
+    val rec = SparkEntry.queries("q_sim_ann_recall")(spark, sfDir)
+      .agg(avg($"recall_at_3").as("a"), min($"recall_at_3").as("m"))
+      .head()
+    // structural bounds, asserted at every scale (exit nonzero on
+    // violation): recall is a fraction of the exact top-3, and a
+    // probe's candidate set can never exceed its cell/bucket
+    require(rec.getDouble(0) >= 0.0 && rec.getDouble(0) <= 1.0 &&
+      rec.getDouble(1) >= 0.0, s"recall out of [0,1]: $rec")
+    require(ivf.getLong(1) >= ivf.getDouble(0).toLong &&
+      lsh.getLong(1) >= lsh.getDouble(0).toLong,
+      "candidate max below avg — measurement inconsistent")
+    def r(x: Double): String =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toString
+    println(s"""{"metric":"ann_rung","n_vecs":$n,""" +
+      s""""cand_ivf_avg":${r(ivf.getDouble(0))},""" +
+      s""""cand_ivf_max":${ivf.getLong(1)},""" +
+      s""""cand_lsh_avg":${r(lsh.getDouble(0))},""" +
+      s""""cand_lsh_max":${lsh.getLong(1)},""" +
+      s""""recall_mean":${r(rec.getDouble(0))},""" +
+      s""""recall_min":${r(rec.getDouble(1))},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -393,6 +393,78 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case Cast(c, dt, _, _) if c.dataType == dt => c
     }
 
+  private def unwrapRRTop(e: Expression): Expression = e match {
+    case r: RuntimeReplaceable => unwrapRRTop(r.replacement)
+    case other => other
+  }
+  private val MicrosPerDay = 86400000000L
+
+  /** Re-express ONE base-side filter condition over the summary's dim
+    * columns — shared by the flat path and (round 17) the join-back.
+    * A dim predicate selects WHOLE cells (every base row in a cell
+    * shares its dim values), so it moves onto the summary scan
+    * verbatim; any reference to a non-dim column refuses (that
+    * predicate would split cells the rollup already merged). The
+    * optimizer unwraps `to_date(c) ⋈ DATE'd'` into raw timestamp
+    * bounds at day boundaries (`c >= TIMESTAMP'd 00:00:00'`,
+    * `c < TIMESTAMP'd+1 00:00:00'`, plus an isnotnull(c) guard)
+    * before this rule sees the filter, so a day-dim predicate arrives
+    * as comparisons on the BASE timestamp column. For the day-floor
+    * function these are exactly re-expressible: with midnight literal
+    * m(d), `c >= m(d)` ⟺ `to_date(c) >= d` and `c < m(d)` ⟺
+    * `to_date(c) < d` (floor monotonicity; both directions checked in
+    * the suite), and to_date(c) is null iff c is. Guarded on session
+    * tz = UTC (the engine pins it; to_date flooring is tz-dependent).
+    * Other comparison shapes (>, <=, =, non-midnight literals) are
+    * NOT cell-expressible and refuse. */
+  private def condToSummary(e0: Expression,
+      resolve: Expression => Expression,
+      anchoredDims: Seq[(String, Expression)],
+      summaryAttr: String => Option[Attribute]): Option[Expression] = {
+    lazy val utcSession =
+      conf.getConfString("spark.sql.session.timeZone", "") == "UTC"
+    def dayFloorDim(c: AttributeReference): Option[Attribute] =
+      anchoredDims.collectFirst {
+        case (n, t) if (unwrapRRTop(t) match {
+          case Cast(a: AttributeReference, DateType, _, _) =>
+            a.exprId == c.exprId
+          case _ => false
+        }) => n
+      }.flatMap(summaryAttr)
+    def midnightDate(us: Long): Option[Literal] =
+      if (us % MicrosPerDay == 0)
+        Some(Literal((us / MicrosPerDay).toInt, DateType))
+      else None
+    def go(e: Expression): Option[Expression] = {
+      val r = resolve(e)
+      anchoredDims.find(_._2.semanticEquals(r)) match {
+        case Some((n, _)) => summaryAttr(n)
+        case None => e match {
+          case IsNotNull(c: AttributeReference)
+              if dayFloorDim(c).isDefined =>
+            dayFloorDim(c).map(IsNotNull)
+          case GreaterThanOrEqual(c: AttributeReference,
+              Literal(us: Long, TimestampType)) if utcSession &&
+              dayFloorDim(c).isDefined =>
+            for { d <- midnightDate(us); a <- dayFloorDim(c) }
+              yield GreaterThanOrEqual(a, d)
+          case LessThan(c: AttributeReference,
+              Literal(us: Long, TimestampType)) if utcSession &&
+              dayFloorDim(c).isDefined =>
+            for { d <- midnightDate(us); a <- dayFloorDim(c) }
+              yield LessThan(a, d)
+          case _: AttributeReference => None
+          case leaf if leaf.children.isEmpty => Some(leaf)
+          case other =>
+            val kids = other.children.map(go)
+            if (kids.exists(_.isEmpty)) None
+            else Some(other.withNewChildren(kids.map(_.get)))
+        }
+      }
+    }
+    go(e0)
+  }
+
   /** Re-anchor a registered template expression onto the candidate
     * relation's output attributes by column name. */
   private def anchor(template: Expression,
@@ -831,8 +903,6 @@ object RollupRewrite extends Rule[LogicalPlan] {
       dimNameOf(e).flatMap { n =>
         usedDimNames += n; summaryAttr(n)
       }
-    def dimAttrOfFilter(e: Expression): Option[Attribute] =
-      dimNameOf(e).flatMap(summaryAttr)
 
     // Filters between the join and the base scan: the optimizer
     // INFERS isnotnull(joinKey) on the base side of every inner
@@ -840,27 +910,20 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // load-bearing here, not optional — a dim predicate (incl. the
     // inferred null guard on a dim key) selects whole cells and moves
     // onto the summary scan; anything touching a measure refuses.
-    def condRW(e: Expression): Option[Expression] = {
-      val direct = dimAttrOfFilter(e)
-      if (direct.isDefined) direct
-      else e match {
-        case IsNotNull(x) => dimAttrOfFilter(x).map(IsNotNull)
-        case _: AttributeReference => None
-        case leaf if leaf.children.isEmpty => Some(leaf)
-        case other2 =>
-          val kids = other2.children.map(condRW)
-          if (kids.exists(_.isEmpty)) None
-          else Some(other2.withNewChildren(kids.map(_.get)))
-      }
-    }
+    // Round 17: shares condToSummary with the flat path, so day-range
+    // predicates (the optimizer's timestamp-bound unwrap of
+    // to_date(c) ⋈ DATE'd') now compose with the join-back too — the
+    // everyday "this quarter, by segment" star dashboard.
     val condOnSummary: Option[Expression] = conds match {
       case Nil => None
       case cs =>
-        val rw = cs.map(c => condRW(c).getOrElse {
-          if (dbg) println(s"[rollup-dbg] jb: base-side filter not " +
-            s"cell-expressible: $c")
-          return None
-        })
+        val rw = cs.map(c => condToSummary(c,
+          resolveThrough(_, subst), anchoredDims, summaryAttr)
+          .getOrElse {
+            if (dbg) println(s"[rollup-dbg] jb: base-side filter not " +
+              s"cell-expressible: $c")
+            return None
+          })
         Some(rw.reduce(And(_, _)))
     }
 
@@ -1316,52 +1379,11 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // is. Guarded on session tz = UTC (the engine pins it; to_date
     // flooring is tz-dependent). Other comparison shapes (>, <=, =,
     // non-midnight literals) are NOT cell-expressible and abort.
-    def unwrapRR(e: Expression): Expression = e match {
-      case r: RuntimeReplaceable => unwrapRR(r.replacement)
-      case other => other
-    }
-    lazy val utcSession =
-      conf.getConfString("spark.sql.session.timeZone", "") == "UTC"
-    val MicrosPerDay = 86400000000L
-    def dayFloorDim(c: AttributeReference): Option[Attribute] =
-      anchoredDims.collectFirst {
-        case (n, t) if (unwrapRR(t) match {
-          case Cast(a: AttributeReference, DateType, _, _) =>
-            a.exprId == c.exprId
-          case _ => false
-        }) => n
-      }.flatMap(summaryAttr)
-    def midnightDate(us: Long): Option[Literal] =
-      if (us % MicrosPerDay == 0)
-        Some(Literal((us / MicrosPerDay).toInt, DateType))
-      else None
-    def rewriteCond(e: Expression): Option[Expression] = {
-      val r = resolveThrough(e, subst)
-      anchoredDims.find(_._2.semanticEquals(r)) match {
-        case Some((n, _)) => summaryAttr(n)
-        case None => e match {
-          case IsNotNull(c: AttributeReference)
-              if dayFloorDim(c).isDefined =>
-            dayFloorDim(c).map(IsNotNull)
-          case GreaterThanOrEqual(c: AttributeReference,
-              Literal(us: Long, TimestampType)) if utcSession &&
-              dayFloorDim(c).isDefined =>
-            for { d <- midnightDate(us); a <- dayFloorDim(c) }
-              yield GreaterThanOrEqual(a, d)
-          case LessThan(c: AttributeReference,
-              Literal(us: Long, TimestampType)) if utcSession &&
-              dayFloorDim(c).isDefined =>
-            for { d <- midnightDate(us); a <- dayFloorDim(c) }
-              yield LessThan(a, d)
-          case _: AttributeReference => None
-          case leaf if leaf.children.isEmpty => Some(leaf)
-          case other =>
-            val kids = other.children.map(rewriteCond)
-            if (kids.exists(_.isEmpty)) None
-            else Some(other.withNewChildren(kids.map(_.get)))
-        }
-      }
-    }
+    // (round 17: the mechanics, including the day-floor unwrap, moved
+    // to condToSummary so the join-back path shares them verbatim)
+    def rewriteCond(e: Expression): Option[Expression] =
+      condToSummary(e, resolveThrough(_, subst), anchoredDims,
+        summaryAttr)
     val condOnSummary: Option[Expression] = conds match {
       case Nil => None
       case cs =>

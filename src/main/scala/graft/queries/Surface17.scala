@@ -295,6 +295,78 @@ object Surface17 {
            |FROM flagged WHERE NOT late
            |GROUP BY 1 ORDER BY shard""".stripMargin))
 
+  /** Build + register the (o_day × o_custkey) summary — the classic
+    * daily-customer rollup every warehouse keeps; the day dim is what
+    * lets date-range dashboards ride it. Once per (session, sfDir). */
+  private[queries] def dayCustSummary(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.Memo.cached(spark, s"rollup_jb_daycust:$sfDir") {
+      import spark.implicits._
+      val base = Tables.read(spark, sfDir, "orders")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-rollup-daycust").toString
+      base.groupBy(to_date($"o_orderdate").as("o_day"), $"o_custkey")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .as("price_sum"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(dir)
+      val summary = spark.read.parquet(dir)
+      graft.plans.RollupRewrite.register(
+        base = base,
+        dims = Seq("o_day" -> to_date(base("o_orderdate")),
+          "o_custkey" -> base("o_custkey")),
+        sums = Seq("price_sum" ->
+          base("o_totalprice").cast("decimal(18,2)")),
+        mins = Nil, maxs = Nil,
+        cntCol = "cnt", summary = summary)
+      summary
+    }
+
+  /** E363: **date-range star dashboard through the navigator** — the
+    * single most common warehouse query shape, previously refused:
+    * `WHERE to_date(ts) ∈ [d1, d2) ⋈ dim GROUP BY dim-attr`. The
+    * optimizer unwraps the day predicate into raw timestamp bounds at
+    * day boundaries; round 17 moved the flat path's day-floor
+    * re-expression into the shared condToSummary helper, so the
+    * JOIN-BACK path now re-expresses those bounds over the summary's
+    * day dim too (floor monotonicity at midnight literals, UTC
+    * session pinned). The full composition on one query: lattice
+    * descent lands on the (day × custkey) summary, the year filter
+    * moves onto the cell scan as a day-dim predicate, the
+    * pre-aggregation collapses the surviving days to custkey grain
+    * below the merge-hinted join (used dims {custkey} ⊂ {day,
+    * custkey}), and the dimension join + segment grouping run over
+    * key-grain rows. At 100 TB this is "this year's revenue by
+    * segment" reading date-pruned daily cells instead of the fact
+    * table. Oracle = naive SQL over base; OperatorSuite locks the
+    * summary-scan redirect, the day filter ON the summary scan, the
+    * pre-aggregate below the join, and rule-off equality. */
+  val qAggRollupJoinbackDayfilter = Q("q_agg_rollup_joinback_dayfilter",
+    (spark, sfDir) => {
+      import spark.implicits._
+      dayCustSummary(spark, sfDir)
+      val o = Tables.read(spark, sfDir, "orders")
+      val c = Tables.read(spark, sfDir, "customer").hint("merge")
+      o.filter(to_date($"o_orderdate") >= lit("1995-01-01") &&
+          to_date($"o_orderdate") < lit("1996-01-01"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price,
+           |  count(*) AS n_orders
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[Q] = Seq(qAggRollupJoinbackPreagg,
-    qAggRollupLatticeLate)
+    qAggRollupLatticeLate, qAggRollupJoinbackDayfilter)
 }

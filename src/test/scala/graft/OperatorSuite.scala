@@ -5167,6 +5167,46 @@ class OperatorSuite extends AnyFunSuite {
     assert(r2.toSeq === Seq(("a", 3.0), ("b", 12.0)))
   }
 
+  test("date-range star query rides cells: filter on scan, pre-agg below join (E363)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    def q() = graft.queries.Surface17
+      .qAggRollupJoinbackDayfilter.fn(spark, sf)
+    val df = q()
+    val rows = df.collect()
+    val cellScans = scansOf(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths
+        .exists(_.toString.contains("graft-rollup-daycust")))
+    assert(cellScans.nonEmpty,
+      "date-range star query must ride the (day × custkey) cells")
+    // the year predicate must reach the CELL scan as a day-dim filter
+    // (pushed to parquet, so it shows in the scan's data filters)
+    assert(cellScans.exists(_.dataFilters.exists(_.references
+        .exists(_.name == "o_day"))),
+      s"day filter must sit on the summary scan; got " +
+        s"${cellScans.map(_.dataFilters)}")
+    // pre-aggregation below the join: days collapse to custkey grain
+    assert(df.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+      .exists(_.children.exists(_.exists {
+        case _: Aggregate => true
+        case _ => false
+      })), "pre-aggregate must appear below the customer join")
+    // rule-off equality
+    spark.conf.set(graft.plans.RollupRewrite.EnabledConf, "false")
+    val off = try q().collect()
+      finally spark.conf.unset(graft.plans.RollupRewrite.EnabledConf)
+    assert(rows.map(_.toSeq).toSeq === off.map(_.toSeq).toSeq)
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

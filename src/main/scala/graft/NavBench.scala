@@ -80,11 +80,34 @@ object NavBench {
         anyUnfired = true
         System.err.println(s"[navbench] UNFIRED at $sfDir: $name")
       }
-      val on = math.min(timed(), timed())
-      spark.conf.set(plans.RollupRewrite.EnabledConf, "false")
-      val off =
-        try math.min(timed(), timed())
-        finally spark.conf.unset(plans.RollupRewrite.EnabledConf)
+      // SPARK_GRAFT_NAV_ALT=n switches to the ALTERNATION instrument
+      // (round 17): n interleaved ON/OFF pairs, medians reported.
+      // Single-pass min-of-2 is fine for the flat shapes, but the
+      // shuffle-join family's single-shot numbers swing up to 4× on
+      // this host (BASELINE.md round-17) — alternation cancels the
+      // slow host drift that min-of-2 cannot.
+      val alt = sys.env.get("SPARK_GRAFT_NAV_ALT")
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val (on, off) = alt match {
+        case Some(n) if n > 0 =>
+          val ons = collection.mutable.ArrayBuffer[Double]()
+          val offs = collection.mutable.ArrayBuffer[Double]()
+          for (_ <- 1 to n) {
+            ons += timed()
+            spark.conf.set(plans.RollupRewrite.EnabledConf, "false")
+            try offs += timed()
+            finally spark.conf.unset(plans.RollupRewrite.EnabledConf)
+          }
+          (med(ons.toSeq), med(offs.toSeq))
+        case _ =>
+          val o1 = math.min(timed(), timed())
+          spark.conf.set(plans.RollupRewrite.EnabledConf, "false")
+          val o2 =
+            try math.min(timed(), timed())
+            finally spark.conf.unset(plans.RollupRewrite.EnabledConf)
+          (o1, o2)
+      }
       (name, on, off, fired)
     }
     val calibEnd = Bench.calibMs()

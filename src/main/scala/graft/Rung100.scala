@@ -19,19 +19,28 @@ package graft
 object Rung100 {
 
   private val defaultTargets = Seq(
-    "q_minhash_accuracy", "q_join_setsim_prefix", "q_join_setsim_topk",
-    "q_top_movers", "q_dedup_minhash", "q_sql_recursive", "q_pagerank",
-    "q_write_audit_publish", "q_basket_pairs", "q_graph_label_prop")
+    // light first; the shuffle-heavy shingle/basket family last, so a
+    // disk-exhaustion kill there cannot void the rest of the rung
+    "q_top_movers", "q_sql_recursive", "q_write_audit_publish",
+    "q_graph_label_prop", "q_pagerank", "q_basket_pairs",
+    "q_minhash_accuracy", "q_dedup_minhash",
+    "q_join_setsim_prefix", "q_join_setsim_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf100gk")
     val targets = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultTargets)
-    val spark = Sessions.local("graft-rung100")
-    val calibStart = Bench.calibMs()
+    // ONE SparkSession PER QUERY (round-17 incident: a failed stage's
+    // shuffle files — 45 GB of them — outlive the failure inside a
+    // long-lived session and starve every subsequent query of disk;
+    // stopping the session deletes its block-manager directories, so
+    // each query starts with a clean spill budget)
+    var calibStart = -1L
     var anyErr = false
     val rows = targets.map { name =>
+      if (calibStart < 0) calibStart = Bench.calibMs()
+      val spark = Sessions.local("graft-rung100")
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
@@ -43,6 +52,7 @@ object Rung100 {
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[rung100] $name%-28s ${if (ok) f"$sec%.1f s"
         else "ERR"}")
+      spark.stop()
       (name, ok, sec)
     }
     val calibEnd = Bench.calibMs()
@@ -52,7 +62,6 @@ object Rung100 {
       s""""$n":${if (ok) r(s) else "\"err\""}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"rung100_cold_sec","calib_ms":[$calibStart,$calibEnd],"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
     if (anyErr) sys.exit(4)
   }
 }

@@ -3447,18 +3447,43 @@ object LLMOps {
         .agg(count(lit(1)).as("bn")).filter($"bn" > 50)
         .select($"band", $"mv")
       val kept = bands.join(hot, Seq("band", "mv"), "left_anti")
-      val cand = kept.as("a")
+      // PAIR-BUDGET-ADAPTIVE SAMPLING (round 17, found by the sf100gk
+      // rung, not by reading the code): the exact-Jaccard leg below
+      // joins candidate pairs against the FULL shingle corpus — at
+      // ×1000 rows that shuffle exceeded the host's disk (~45 GB of
+      // spill, java.io.IOException: No space left on device). An
+      // audit's cost must be bounded by the AUDIT BUDGET, not the
+      // corpus: sample left endpoints at rate ceil(nDocs/20k) so the
+      // audited pair count stays ~constant as the corpus grows, and
+      // semi-join the shingle/band legs down to the sampled docs (a
+      // broadcast-sized set, so the corpus is SCANNED once, never
+      // shuffled). rate == 1 at every driver scale (≤ 20k docs):
+      // results and plans there are bit-identical to the unsampled
+      // audit, and the DuckDB oracle applies the same rate formula.
+      val nDocs = docs(spark, sfDir).count()
+      val rate = math.max(1L, math.ceil(nDocs / 20000.0).toLong)
+      val keptA =
+        if (rate == 1L) kept else kept.filter($"doc_id" % rate === 0)
+      val cand = keptA.as("a")
         .join(kept.as("b"), $"a.band" === $"b.band" &&
           $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
         .distinct()
+      val sh0 = shingles(spark, sfDir)
+      val (bandsJ, sh) =
+        if (rate == 1L) (bands, sh0)
+        else {
+          val sampled = cand.select($"d1".as("doc_id"))
+            .union(cand.select($"d2".as("doc_id"))).distinct()
+          (bands.join(broadcast(sampled), Seq("doc_id"), "left_semi"),
+            sh0.join(broadcast(sampled), Seq("doc_id"), "left_semi"))
+        }
       val matches = cand
-        .join(bands.as("x"), $"d1" === $"x.doc_id")
-        .join(bands.as("y"),
+        .join(bandsJ.as("x"), $"d1" === $"x.doc_id")
+        .join(bandsJ.as("y"),
           $"d2" === $"y.doc_id" && $"x.band" === $"y.band")
         .groupBy($"d1", $"d2")
         .agg(sum(($"x.mv" === $"y.mv").cast("long")).as("n_match"))
-      val sh = shingles(spark, sfDir)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val common = cand.join(sh.as("p"), $"d1" === $"p.doc_id")
         .join(sh.as("q"), $"d2" === $"q.doc_id" && $"p.s" === $"q.s")
@@ -3504,6 +3529,9 @@ object LLMOps {
             |  FROM kept a JOIN kept b
             |    ON a.band = b.band AND a.mv = b.mv
             |   AND a.doc_id < b.doc_id
+            |  WHERE a.doc_id % (SELECT greatest(1,
+            |    CAST(ceil(count(*) / 20000.0) AS BIGINT))
+            |    FROM documents) = 0
             |), matches AS (
             |  SELECT d1, d2,
             |    sum(CASE WHEN x.mv = y.mv THEN 1 ELSE 0 END)

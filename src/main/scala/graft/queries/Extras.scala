@@ -1379,7 +1379,18 @@ object Extras {
     * recursive SQL). At 100 TB the iterative form stays the production
     * path: pointer jumping converges in O(log d) distributed rounds
     * with one row per node, while UNION ALL recursion materializes
-    * every path and runs O(d) levels. */
+    * every path and runs O(d) levels.
+    *
+    * Round 17, found by the sf100gk rung: bare UNION ALL recursion
+    * enumerates WALKS, not reachable pairs — inside near-clique dup
+    * clusters the frontier multiplies by the degree each level
+    * (Σ c·d⁴ rows), which exhausted the host's disk at ×1000 rows.
+    * UNION-distinct recursion is unsupported
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), but SELECT DISTINCT in
+    * the recursive branch dedups each LEVEL — levels are then bounded
+    * by reachable (id, origin) pairs (Σ c²), linear in corpus copies,
+    * and min(r) per id is unchanged (duplicates never affect a min).
+    * The oracle carries the same DISTINCT for symmetry. */
   val qSqlRecursive = Q("q_sql_recursive",
     (spark, sfDir) => {
       import spark.implicits._
@@ -1401,7 +1412,7 @@ object Extras {
              |  FROM (SELECT d1 AS id FROM $view
              |        UNION SELECT d2 FROM $view) n
              |  UNION ALL
-             |  SELECT e.dst AS id, reach.r, reach.depth + 1
+             |  SELECT DISTINCT e.dst AS id, reach.r, reach.depth + 1
              |  FROM reach
              |  JOIN (SELECT d1 AS src, d2 AS dst FROM $view
              |        UNION ALL SELECT d2, d1 FROM $view) e
@@ -1420,7 +1431,7 @@ object Extras {
             |  FROM (SELECT d1 AS id FROM pairs
             |        UNION SELECT d2 FROM pairs) n
             |  UNION ALL
-            |  SELECT e.dst AS id, reach.r, reach.depth + 1
+            |  SELECT DISTINCT e.dst AS id, reach.r, reach.depth + 1
             |  FROM reach
             |  JOIN (SELECT d1 AS src, d2 AS dst FROM pairs
             |        UNION ALL SELECT d2, d1 FROM pairs) e

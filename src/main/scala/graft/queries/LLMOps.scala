@@ -115,11 +115,21 @@ object LLMOps {
   private[graft] def verifyJaccard(spark: SparkSession, sfDir: String,
       cand: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
+    // shingles ride the verify joins as the PORTABLE 64-BIT HASH, not
+    // the string (round 17, sf100gk rung): the two inverted-index
+    // joins shuffle the whole shingle corpus, and 16-byte (doc, hash)
+    // rows cut that volume ~2.5× vs strings — the difference between
+    // fitting a single host's spill disk at ×1000 rows and not.
+    // Set identity is preserved up to 64-bit hash equivalence (the
+    // standard dedup-pipeline contract; the minhash family already
+    // lives on the same charFold), and the DuckDB mirror hashes with
+    // the identical formula, so parity is by construction.
     val sh = shingles(spark, sfDir)
+      .select($"doc_id", charFold($"s").as("h"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("x"), $"d1" === $"x.doc_id")
-      .join(sh.as("y"), $"d2" === $"y.doc_id" && $"x.s" === $"y.s")
+      .join(sh.as("y"), $"d2" === $"y.doc_id" && $"x.h" === $"y.h")
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("c"))
     common
       .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
@@ -133,13 +143,15 @@ object LLMOps {
   /** DuckDB mirror of [[verifyJaccard]] — expects CTEs `cand(d1,d2)`
     * and `sh(doc_id,s)` in scope. */
   private def verifyJaccardSql(threshold: String): String =
-    s"""sizes AS (
-       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    s"""vh AS (
+       |  SELECT doc_id, ${charFoldSql("s")} AS h FROM sh
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM vh GROUP BY 1
        |), common AS (
        |  SELECT d1, d2, count(*) AS c
        |  FROM cand
-       |  JOIN sh x ON x.doc_id = d1
-       |  JOIN sh y ON y.doc_id = d2 AND y.s = x.s
+       |  JOIN vh x ON x.doc_id = d1
+       |  JOIN vh y ON y.doc_id = d2 AND y.h = x.h
        |  GROUP BY 1, 2
        |)
        |SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
@@ -420,7 +432,16 @@ object LLMOps {
   private[graft] def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo.cached(spark, s"ngram_pairs:$sfDir") {
       import spark.implicits._
+      // the whole inverted-index pipeline runs on the portable 64-bit
+      // shingle hash (round 17, sf100gk rung): the vocabulary groupBy,
+      // the anti-join and the pair self-join all shuffle the corpus'
+      // shingles, and 16-byte (doc, hash) rows vs strings is what let
+      // the pair-graph consumers (pagerank, recursive clustering,
+      // dedup_cluster) fit a single host's spill disk at ×1000 rows.
+      // Hash-equivalence identity is the dedup contract (see
+      // verifyJaccard); the oracle CTEs hash identically.
       val sh = shingles(spark, sfDir)
+        .select($"doc_id", charFold($"s").as("h"))
       val nDocs = docs(spark, sfDir)
         .select(countDistinct($"doc_id").as("nd"))
       // drop-list of OVER-cap shingles: small in the expected case (at
@@ -429,14 +450,14 @@ object LLMOps {
       // build side when its runtime size allows and shuffles otherwise
       // (ADVICE r6 item 2); never broadcast the keep side, which is
       // the whole vocabulary
-      val hot = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      val hot = sh.groupBy($"h").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
         .filter($"df" > greatest(lit(50L), ($"nd" / 10L).cast("long")))
-        .select($"s")
-      val capped = sh.join(hot, Seq("s"), "left_anti")
+        .select($"h")
+      val capped = sh.join(hot, Seq("h"), "left_anti")
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val common = capped.as("x")
-        .join(capped.as("y"), $"x.s" === $"y.s" &&
+        .join(capped.as("y"), $"x.h" === $"y.h" &&
           $"x.doc_id" < $"y.doc_id")
         .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
         .agg(count(lit(1)).as("c"))
@@ -453,12 +474,14 @@ object LLMOps {
       import spark.implicits._
       ngramPairs(spark, sfDir).orderBy($"d1", $"d2")
     },
-    Some(s"""WITH $shCte, sizes AS (
-            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    Some(s"""WITH $shCte, vh AS (
+            |  SELECT doc_id, ${charFoldSql("s")} AS h FROM sh
+            |), sizes AS (
+            |  SELECT doc_id, count(*) AS n FROM vh GROUP BY 1
             |), common AS (
             |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
-            |  FROM sh x JOIN sh y
-            |    ON x.s = y.s AND x.doc_id < y.doc_id
+            |  FROM vh x JOIN vh y
+            |    ON x.h = y.h AND x.doc_id < y.doc_id
             |  GROUP BY 1, 2
             |)
             |SELECT d1, d2,
@@ -605,12 +628,14 @@ object LLMOps {
     * near-dup pair table; shared by the cluster-assignment oracle and
     * the recursive-SQL oracle (Extras.qSqlRecursive). */
   private[graft] val pairsCte: String =
-    s"""$shCte, sizes AS MATERIALIZED (
-       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    s"""$shCte, vh AS MATERIALIZED (
+       |  SELECT doc_id, ${charFoldSql("s")} AS h FROM sh
+       |), sizes AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n FROM vh GROUP BY 1
        |), common AS MATERIALIZED (
        |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
-       |  FROM sh x JOIN sh y
-       |    ON x.s = y.s AND x.doc_id < y.doc_id
+       |  FROM vh x JOIN vh y
+       |    ON x.h = y.h AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2
        |), pairs AS MATERIALIZED (
        |  SELECT d1, d2

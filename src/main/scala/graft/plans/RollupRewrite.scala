@@ -141,7 +141,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
       avgs: Seq[(String, String, Expression)] = Nil,
       stats: Seq[(String, String, String, Expression)] = Nil,
       bistats: Seq[(BiStatCells, Expression, Expression)] = Nil,
-      distincts: Seq[(String, Expression)] = Nil) {
+      distincts: Seq[(String, Expression)] = Nil,
+      cells: Long = Long.MaxValue) {
     /** Identity for idempotent re-registration: the summary's own
       * file path when it is a file read (the normal case), else the
       * dim-name set — re-running a register() call replaces its prior
@@ -151,13 +152,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
       .getOrElse(dims.map(_._1).sorted.mkString("dims:", ",", ""))
   }
 
-  /** Per base path: ALL registered rollups, coarsest first (fewest
-    * dims) — the navigator's summary LATTICE. A query is answered
-    * from the FIRST def that matches, i.e. the coarsest qualifying
-    * summary: grouping by a dim subset re-partitions whole cells, so
-    * among qualifying summaries the one with the fewest dims has the
-    * fewest cells and is the cheapest scan (Kimball's navigator rule;
-    * Harinarayan-Rajaraman-Ullman lattice descent). */
+  /** Per base path: ALL registered rollups, CHEAPEST first — the
+    * navigator's summary LATTICE. A query is answered from the FIRST
+    * def that matches. Round 17 made the order the measured CELL
+    * COUNT (counted once at registration from the summary's parquet
+    * footers), dims.size as the tiebreak: fewest-dims-first is only a
+    * proxy, and two same-arity grains on one base (day×priority vs
+    * day×custkey, both real registrations here) can differ by orders
+    * of magnitude in cells — exactly the HRU lattice-descent rule
+    * (answer from the qualifying view with the fewest rows). */
   private val registry =
     new ConcurrentHashMap[String, List[RollupDef]]()
 
@@ -246,13 +249,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
         s"template must be integral (Byte/Short/Int/Long); got " +
         s"${t.dataType.simpleString}")
     }
+    // one metadata-only count per registration: parquet footers make
+    // this cheap, and it is what puts the lattice in true
+    // cheapest-first order (see the registry doc)
+    val nCells =
+      try summary.count()
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val d = RollupDef(basePath, exprs(dims),
       exprs(sums), exprs(mins), exprs(maxs), cntCol,
       summary.queryExecution.analyzed, avgDefs, statDefs, biDefs,
-      distinctDefs)
+      distinctDefs, cells = nCells)
     registry.compute(basePath, (_, old) => {
       val kept = Option(old).getOrElse(Nil).filterNot(_.key == d.key)
-      (d :: kept).sortBy(_.dims.size)
+      (d :: kept).sortBy(x => (x.cells, x.dims.size))
     })
     ()
   }

@@ -100,10 +100,20 @@ object LLMOps {
           transform(sequence(lit(1), size($"ws") - 1),
             i => concat_ws(" ", element_at($"ws", i),
               element_at($"ws", i + 1))))).as("s"))
-        // the fixture is one small parquet file → one input partition;
-        // spread the cached shingles so every downstream join/agg
-        // reads them with full parallelism
-        .repartition(Sessions.cpuCount)
+        // the small fixtures are ONE parquet file → one input
+        // partition, so spread the shingles for downstream
+        // parallelism — but ONLY then (round 17, sf100gk rung): at
+        // ×1000 the source already reads as hundreds of splits and
+        // this repartition was a gratuitous full exchange of the
+        // STRING shingle corpus (~40 GB of the disk that killed the
+        // pair-graph family). The docs partition count is known
+        // before any job runs; > a few splits means the scan is
+        // already parallel and the exchange buys nothing.
+        .transform { df =>
+          if (docs(spark, sfDir).rdd.getNumPartitions * 4 >=
+              Sessions.cpuCount) df
+          else df.repartition(Sessions.cpuCount)
+        }
     }
 
   /** Exact-Jaccard verification of candidate pairs: count common

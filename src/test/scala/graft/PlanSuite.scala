@@ -188,8 +188,10 @@ class PlanSuite extends AnyFunSuite {
       "q_did", // 1-row day-span-pivot cross splits pre/post
       "q_cuped", // 1-row pivot + 1-row (theta, xbar) crosses
       "q_negative_sampling", // 1-row corpus-size cross into the ring
-      "q_agg_rollup_incremental") // 1-row cutoff-date cross splits
+      "q_agg_rollup_incremental", // 1-row cutoff-date cross splits
                                   // standing rollup vs delta (E329)
+      "q_agg_rollup_lattice_late") // 1-row dropped-rows total cross
+                                   // into the shard aggregate (E362)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -123,31 +123,66 @@ object LLMOps {
     * per-pair string-set building beats the join only when candidates
     * are few; the join form also partial-aggregates map-side.) */
   private[graft] def verifyJaccard(spark: SparkSession, sfDir: String,
-      cand: DataFrame, threshold: Double): DataFrame = {
+      cand: DataFrame, threshold: Double,
+      forceArrayForm: Boolean = false): DataFrame = {
     import spark.implicits._
-    // shingles ride the verify joins as the PORTABLE 64-BIT HASH, not
-    // the string (round 17, sf100gk rung): the two inverted-index
-    // joins shuffle the whole shingle corpus, and 16-byte (doc, hash)
-    // rows cut that volume ~2.5× vs strings — the difference between
-    // fitting a single host's spill disk at ×1000 rows and not.
-    // Set identity is preserved up to 64-bit hash equivalence (the
-    // standard dedup-pipeline contract; the minhash family already
-    // lives on the same charFold), and the DuckDB mirror hashes with
-    // the identical formula, so parity is by construction.
+    // shingles ride the verify as the PORTABLE 64-BIT HASH, not the
+    // string (round 17, sf100gk rung): 16-byte (doc, hash) rows cut
+    // the shuffled volume ~2.5× vs strings. Set identity is preserved
+    // up to 64-bit hash equivalence (the standard dedup-pipeline
+    // contract; the minhash family already lives on the same
+    // charFold), and the DuckDB mirror hashes with the identical
+    // formula, so parity is by construction.
     val sh = shingles(spark, sfDir)
       .select($"doc_id", charFold($"s").as("h"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("x"), $"d1" === $"x.doc_id")
-      .join(sh.as("y"), $"d2" === $"y.doc_id" && $"x.h" === $"y.h")
-      .groupBy($"d1", $"d2").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
-      .select($"d1", $"d2",
-        round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
-      .filter($"jaccard" >= threshold)
-      .orderBy($"d1", $"d2")
+    // TWO verify shapes, chosen by corpus size (round 17, the second
+    // sf100gk catch in this function): the inverted-index JOIN form
+    // partial-aggregates map-side and measured 2.8× faster at sf0.1
+    // where candidates are few — but its second join EXCHANGES the
+    // pair×shingle intermediate, Θ(|pairs|·shingles/doc) ≈ 120 GB at
+    // ×1000 rows, which no single host's spill disk absorbs. Past the
+    // audit family's 20k-doc line, verification switches to the
+    // row-local form: one sorted hash array per doc (collect once,
+    // Θ(corpus) exchange), two doc-grain joins, and a per-pair
+    // array_intersect — the intermediate that killed the join form is
+    // never materialized, cost is Θ(|pairs|·shingles/doc) CPU but
+    // only Θ(|pairs| + corpus) shuffle. Both forms compute the same
+    // exact c (shingles are distinct per doc), so the oracle — which
+    // keeps the join form in DuckDB — gates either; equality of the
+    // two forms is suite-locked via forceArrayForm.
+    val useArray = forceArrayForm || docs(spark, sfDir).count() > 20000
+    if (!useArray) {
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.as("x"), $"d1" === $"x.doc_id")
+        .join(sh.as("y"), $"d2" === $"y.doc_id" && $"x.h" === $"y.h")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")),
+          Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")),
+          Seq("d2"))
+        .select($"d1", $"d2",
+          round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
+        .filter($"jaccard" >= threshold)
+        .orderBy($"d1", $"d2")
+    } else {
+      val sets = sh.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"h")).as("hs"),
+          count(lit(1)).as("n"))
+      cand
+        .join(sets.select($"doc_id".as("d1"), $"hs".as("hs1"),
+          $"n".as("n1")), Seq("d1"))
+        .join(sets.select($"doc_id".as("d2"), $"hs".as("hs2"),
+          $"n".as("n2")), Seq("d2"))
+        .select($"d1", $"d2",
+          size(array_intersect($"hs1", $"hs2")).as("c"),
+          $"n1", $"n2")
+        .select($"d1", $"d2",
+          round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
+        .filter($"jaccard" >= threshold)
+        .orderBy($"d1", $"d2")
+    }
   }
 
   /** DuckDB mirror of [[verifyJaccard]] — expects CTEs `cand(d1,d2)`

@@ -5215,6 +5215,30 @@ class OperatorSuite extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq === off.map(_.toSeq).toSeq)
   }
 
+  test("verify-Jaccard array form equals the join form exactly (r17)") {
+    // The sf100gk switch: past 20k docs the verify uses row-local
+    // sorted-array intersection instead of the inverted-index join
+    // (whose pair×shingle intermediate is what exhausted the host's
+    // disk at ×1000). Both forms must produce IDENTICAL rows — c is
+    // the same exact common-shingle count either way.
+    import org.apache.spark.sql.DataFrame
+    def cand(): DataFrame = {
+      val ids = graft.Tables.read(spark, sf, "documents")
+        .select($"doc_id").orderBy($"doc_id").limit(40)
+        .collect().map(_.getLong(0))
+      ids.combinations(2).map { case Array(a, b) => (a, b) }
+        .toSeq.toDF("d1", "d2")
+    }
+    val joinForm = graft.queries.LLMOps
+      .verifyJaccard(spark, sf, cand(), 0.1).collect().map(_.toSeq)
+    val arrayForm = graft.queries.LLMOps
+      .verifyJaccard(spark, sf, cand(), 0.1, forceArrayForm = true)
+      .collect().map(_.toSeq)
+    assert(joinForm.nonEmpty,
+      "fixture must produce verified pairs for this lock to bite")
+    assert(joinForm.toSeq === arrayForm.toSeq)
+  }
+
   test("label propagation is deterministic and covers every vertex") {
     // E281: two independent runs must agree exactly (the pinned
     // smallest-label tie-break is the whole point), and community

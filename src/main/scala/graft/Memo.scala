@@ -53,6 +53,7 @@ object Memo {
 
   private val entries = TrieMap.empty[(SparkSession, String), Cell[DataFrame]]
   private val actions = TrieMap.empty[(SparkSession, String), Cell[Unit]]
+  private val values = TrieMap.empty[(SparkSession, String), Cell[Any]]
   private val jvmActions =
     TrieMap.empty[(org.apache.spark.SparkContext, String), Cell[Unit]]
   private val hooked = TrieMap.empty[SparkSession, Unit]
@@ -71,6 +72,20 @@ object Memo {
       buildsDone.incrementAndGet()
       build.persist(StorageLevel.MEMORY_AND_DISK)
     })).value
+  }
+
+  /** Compute a driver-side SCALAR once per (session, key) — corpus row
+    * counts and sketch-sizing constants that gate a query's plan shape
+    * (verify-form switch, CMS width). Without this every invocation of
+    * the gated query re-runs a count() job for a value that is constant
+    * per (session, sfDir) (ADVICE r17 low). Same once-only Cell
+    * discipline and context-end eviction as [[cached]]. */
+  def value[A](spark: SparkSession, key: String)(build: => A): A = {
+    hook(spark)
+    values.getOrElseUpdate((spark, key), new Cell(() => {
+      buildsDone.incrementAndGet()
+      build
+    })).value.asInstanceOf[A]
   }
 
   /** Run a side-effecting load (Derby fill, bucketed-table CTAS) once
@@ -137,6 +152,7 @@ object Memo {
     entries.remove((spark, key))
       .foreach(_.settled.foreach(_.unpersist(blocking = false)))
     actions.remove((spark, key))
+    values.remove((spark, key))
     ()
   }
 
@@ -147,6 +163,7 @@ object Memo {
             end: SparkListenerApplicationEnd): Unit = {
           entries.filterInPlace { case ((s, _), _) => s ne spark }
           actions.filterInPlace { case ((s, _), _) => s ne spark }
+          values.filterInPlace { case ((s, _), _) => s ne spark }
           hooked.remove(spark)
           ()
         }

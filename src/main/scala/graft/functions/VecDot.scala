@@ -94,6 +94,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CharFoldExpr].getName, "char_fold"),
       (children: Seq[Expression]) => CharFoldExpr(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("char_fold64"),
+      new ExpressionInfo(classOf[CharFold64Expr].getName,
+        "char_fold64"),
+      (children: Seq[Expression]) => CharFold64Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_probe_long"),
+      new ExpressionInfo(classOf[CmsProbeLong].getName,
+        "cms_probe_long"),
+      (children: Seq[Expression]) =>
+        CmsProbeLong(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName,
         "jaro_winkler"),

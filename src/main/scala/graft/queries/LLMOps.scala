@@ -62,6 +62,31 @@ object LLMOps {
   private def charFoldSql(s: String): String =
     graft.functions.PortableHash.charFoldSql(s)
 
+  /** Full-width 64-bit shingle-IDENTITY hash — the exact-Jaccard
+    * family (verifyJaccard, ngramPairs, their oracles) joins on this,
+    * not on [[charFold]]: the mod-P fold's ~2^20-value range is
+    * pigeonhole-collided once the distinct-shingle vocabulary passes a
+    * million (the ×1000 rung corpus holds orders of magnitude more),
+    * which would silently inflate common-shingle counts and leak false
+    * near-dup pairs into every pair-graph consumer (ADVICE r17 high).
+    * [[charFold]] remains the BUCKETING hash where a bounded range is
+    * the point (minhash band permutations mod P, simhash bit votes,
+    * blur noise, sampling spread). */
+  private[graft] def charFold64(s: Column): Column =
+    graft.functions.PortableHash.charFold64(s)
+
+  /** Same 64-bit hash in DuckDB SQL. */
+  private def charFold64Sql(s: String): String =
+    graft.functions.PortableHash.charFold64Sql(s)
+
+  /** Corpus row count, memoized per (session, sfDir) — gates the
+    * verify-form switch and sizes the vocabulary CMS; constant per
+    * fixture, so never worth a repeated count() job (ADVICE r17 low). */
+  private[graft] def docCount(spark: SparkSession, sfDir: String): Long =
+    graft.Memo.value(spark, s"doc_count:$sfDir") {
+      docs(spark, sfDir).count()
+    }
+
   /** Portable pseudo-random spread of a long id into [0, 2^31) — the
     * shared selection hash of the sampling family (stratified keep
     * rates, per-source cap order). The id is folded into 31 bits with
@@ -126,15 +151,15 @@ object LLMOps {
       cand: DataFrame, threshold: Double,
       forceArrayForm: Boolean = false): DataFrame = {
     import spark.implicits._
-    // shingles ride the verify as the PORTABLE 64-BIT HASH, not the
-    // string (round 17, sf100gk rung): 16-byte (doc, hash) rows cut
-    // the shuffled volume ~2.5× vs strings. Set identity is preserved
-    // up to 64-bit hash equivalence (the standard dedup-pipeline
-    // contract; the minhash family already lives on the same
-    // charFold), and the DuckDB mirror hashes with the identical
-    // formula, so parity is by construction.
+    // shingles ride the verify as the full-width 64-BIT IDENTITY HASH,
+    // not the string (round 17 introduced the hash ride — 16-byte
+    // (doc, hash) rows cut the shuffled volume ~2.5× vs strings;
+    // round 18 widened it from the mod-P fold, whose ~2^20-value range
+    // is pigeonhole-collided at rung-scale vocabularies — see
+    // charFold64's doc). The DuckDB mirror folds the identical
+    // polynomial, so parity is by construction.
     val sh = shingles(spark, sfDir)
-      .select($"doc_id", charFold($"s").as("h"))
+      .select($"doc_id", charFold64($"s").as("h"))
     // TWO verify shapes, chosen by corpus size (round 17, the second
     // sf100gk catch in this function): the inverted-index JOIN form
     // partial-aggregates map-side and measured 2.8× faster at sf0.1
@@ -142,20 +167,27 @@ object LLMOps {
     // pair×shingle intermediate, Θ(|pairs|·shingles/doc) ≈ 120 GB at
     // ×1000 rows, which no single host's spill disk absorbs. Past the
     // audit family's 20k-doc line, verification switches to the
-    // row-local form: one sorted hash array per doc (collect once,
+    // row-local form: one sorted hash-SET per doc (collect once,
     // Θ(corpus) exchange), two doc-grain joins, and a per-pair
     // array_intersect — the intermediate that killed the join form is
     // never materialized, cost is Θ(|pairs|·shingles/doc) CPU but
-    // only Θ(|pairs| + corpus) shuffle. Both forms compute the same
-    // exact c (shingles are distinct per doc), so the oracle — which
-    // keeps the join form in DuckDB — gates either; equality of the
-    // two forms is suite-locked via forceArrayForm.
-    val useArray = forceArrayForm || docs(spark, sfDir).count() > 20000
+    // only Θ(|pairs| + corpus) shuffle. Both forms compute c and n
+    // over the same per-doc DEDUPLICATED hash sets (join form:
+    // distinct (doc,h) rows; array form: collect_set + size of the
+    // set), so their equality is algebraic even under a hash collision
+    // rather than merely birthday-improbable (ADVICE r17 medium); the
+    // oracle keeps the join form in DuckDB with the matching DISTINCT,
+    // and equality of the two Spark forms is suite-locked via
+    // forceArrayForm.
+    val useArray = forceArrayForm || docCount(spark, sfDir) > 20000
     if (!useArray) {
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // small-corpus form only — the extra distinct exchange is noise
+      // here and the big-corpus path never takes this branch
+      val shd = sh.distinct()
+      val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val common = cand
-        .join(sh.as("x"), $"d1" === $"x.doc_id")
-        .join(sh.as("y"), $"d2" === $"y.doc_id" && $"x.h" === $"y.h")
+        .join(shd.as("x"), $"d1" === $"x.doc_id")
+        .join(shd.as("y"), $"d2" === $"y.doc_id" && $"x.h" === $"y.h")
         .groupBy($"d1", $"d2").agg(count(lit(1)).as("c"))
       common
         .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")),
@@ -168,8 +200,8 @@ object LLMOps {
         .orderBy($"d1", $"d2")
     } else {
       val sets = sh.groupBy($"doc_id")
-        .agg(sort_array(collect_list($"h")).as("hs"),
-          count(lit(1)).as("n"))
+        .agg(sort_array(collect_set($"h")).as("hs"))
+        .select($"doc_id", $"hs", size($"hs").as("n"))
       cand
         .join(sets.select($"doc_id".as("d1"), $"hs".as("hs1"),
           $"n".as("n1")), Seq("d1"))
@@ -189,7 +221,7 @@ object LLMOps {
     * and `sh(doc_id,s)` in scope. */
   private def verifyJaccardSql(threshold: String): String =
     s"""vh AS (
-       |  SELECT doc_id, ${charFoldSql("s")} AS h FROM sh
+       |  SELECT DISTINCT doc_id, ${charFold64Sql("s")} AS h FROM sh
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n FROM vh GROUP BY 1
        |), common AS (
@@ -476,43 +508,105 @@ object LLMOps {
     * tables get. Tiny output (one row per near-dup pair). */
   private[graft] def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo.cached(spark, s"ngram_pairs:$sfDir") {
-      import spark.implicits._
-      // the whole inverted-index pipeline runs on the portable 64-bit
-      // shingle hash (round 17, sf100gk rung): the vocabulary groupBy,
-      // the anti-join and the pair self-join all shuffle the corpus'
-      // shingles, and 16-byte (doc, hash) rows vs strings is what let
-      // the pair-graph consumers (pagerank, recursive clustering,
-      // dedup_cluster) fit a single host's spill disk at ×1000 rows.
-      // Hash-equivalence identity is the dedup contract (see
-      // verifyJaccard); the oracle CTEs hash identically.
-      val sh = shingles(spark, sfDir)
-        .select($"doc_id", charFold($"s").as("h"))
-      val nDocs = docs(spark, sfDir)
-        .select(countDistinct($"doc_id").as("nd"))
-      // drop-list of OVER-cap shingles: small in the expected case (at
-      // most corpus/cap entries can exceed the cap) but not a hard
-      // broadcast-safe bound, so no hint — AQE broadcasts the anti-join
-      // build side when its runtime size allows and shuffles otherwise
-      // (ADVICE r6 item 2); never broadcast the keep side, which is
-      // the whole vocabulary
-      val hot = sh.groupBy($"h").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocs))
-        .filter($"df" > greatest(lit(50L), ($"nd" / 10L).cast("long")))
-        .select($"h")
-      val capped = sh.join(hot, Seq("h"), "left_anti")
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val common = capped.as("x")
-        .join(capped.as("y"), $"x.h" === $"y.h" &&
-          $"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
-        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
-        .select($"d1", $"d2",
-          round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
+      ngramPairsImpl(spark, sfDir, exactVocab = false)
     }
+
+  /** The pair-mining body behind [[ngramPairs]]. `exactVocab = true`
+    * forces the round-17 full-vocabulary df groupBy (kept ONLY as the
+    * equality baseline the suite locks the sketch path against);
+    * `false` — the shipped path — prefilters the vocabulary with a
+    * Count-Min sketch:
+    *
+    * The df cap (drop shingles in > max(50, |docs|/10) documents from
+    * the self-join) previously required grouping the ENTIRE hashed
+    * vocabulary — at the ×1000 rung that is a ~16 GB exchange of ~1B
+    * distinct hashes, plus the corpus-sized anti-join against its
+    * output, the two exchanges (of three simultaneously live) that
+    * made q_sql_recursive and q_pagerank exceed a single host's spill
+    * disk (VERDICT r17 weak #4). The sketch path rebuilds the SAME
+    * exact hot list without ever exchanging the vocabulary:
+    *
+    *  1. ONE sketch aggregate over the shingle hashes — map-side
+    *     partial CMS per task, a ~32-sketch reduce, kilobyte-to-
+    *     megabyte result to the driver. No corpus exchange.
+    *  2. Per-row probe (`cms_probe_long`, codegen'd) keeps only rows
+    *     whose ESTIMATED df exceeds the cap — the maybe-hot band. CMS
+    *     never underestimates, so every truly-hot shingle is in the
+    *     band deterministically; eps is sized so the band's false-
+    *     positive mass stays a sliver (error ≤ cap/8 when the width
+    *     floor doesn't bind — and the floor only widens the band,
+    *     never corrupts it).
+    *  3. Exact df groupBy over the band only — few distinct keys, so
+    *     map-side combine collapses it to almost nothing — then the
+    *     true `df > cap` filter. Band false positives die HERE, which
+    *     is why the final hot list is bit-identical to the full
+    *     groupBy's (suite-locked at two sfs).
+    *  4. The anti-join build side is that small exact hot list — AQE
+    *     broadcasts it, so the corpus-sized anti-join exchange
+    *     disappears too.
+    *
+    * Cost at 100 TB: the vocabulary never shuffles; what remains is
+    * the one inherent inverted-index exchange (the pair self-join on
+    * h) plus doc-grain sizes. eps ≈ cap/(8·N) = 1/(80·avg shingles
+    * per doc) — corpus-size-independent, so the sketch stays small as
+    * rows grow. */
+  private[graft] def ngramPairsImpl(spark: SparkSession, sfDir: String,
+      exactVocab: Boolean, capOverride: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    // the whole inverted-index pipeline runs on the 64-bit identity
+    // hash (round 17 introduced the hash ride to cut shuffle bytes
+    // ~2.5×; round 18 widened it from mod-P, which pigeonhole-collides
+    // at rung vocabularies — ADVICE r17 high, see charFold64). The
+    // oracle CTEs hash identically.
+    val sh = shingles(spark, sfDir)
+      .select($"doc_id", charFold64($"s").as("h"))
+    val nd = docCount(spark, sfDir)
+    // capOverride is a TEST hook: the fixtures' max df sits under the
+    // production cap at every sf, so only a forced tiny cap makes the
+    // hot list non-empty — the sketch-vs-exact equality lock must bite
+    // where shingles are actually dropped, not just on empty hot lists
+    val cap = capOverride.getOrElse(math.max(50L, nd / 10L))
+    val hot: DataFrame =
+      if (exactVocab) {
+        // round-17 baseline: full-vocabulary df groupBy
+        sh.groupBy($"h").agg(count(lit(1)).as("df"))
+          .filter($"df" > cap).select($"h")
+      } else {
+        val nSh = graft.Memo.value(spark, s"shingle_count:$sfDir") {
+          sh.count()
+        }
+        // error bound eps·N ≤ cap/8 keeps the maybe-hot band tight;
+        // the width floor (eps ≥ 2e-5 → ~100k counters ≈ 5.6 MB per
+        // partial buffer) bounds executor memory for extreme
+        // shingles-per-doc regimes at the price of a wider band
+        val eps = math.max(cap.toDouble / (8.0 * math.max(nSh, 1L)),
+          2e-5)
+        val skBytes = sh
+          .agg(expr(f"count_min_sketch(h, ${eps}%.9fd, 0.99d, 42)"))
+          .head().getAs[Array[Byte]](0)
+        if (skBytes == null) sh.filter(lit(false)).select($"h")
+        else {
+          val band = sh.filter(
+            call_function("cms_probe_long", lit(skBytes), $"h") >
+              cap)
+          band.groupBy($"h").agg(count(lit(1)).as("df"))
+            .filter($"df" > cap).select($"h")
+        }
+      }
+    val capped = sh.join(hot, Seq("h"), "left_anti")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = capped.as("x")
+      .join(capped.as("y"), $"x.h" === $"y.h" &&
+        $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+      .select($"d1", $"d2",
+        round($"c" / ($"n1" + $"n2" - $"c"), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
 
   val qDedupNgramJaccard = Q("q_dedup_ngram_jaccard",
     (spark, sfDir) => {
@@ -520,7 +614,7 @@ object LLMOps {
       ngramPairs(spark, sfDir).orderBy($"d1", $"d2")
     },
     Some(s"""WITH $shCte, vh AS (
-            |  SELECT doc_id, ${charFoldSql("s")} AS h FROM sh
+            |  SELECT doc_id, ${charFold64Sql("s")} AS h FROM sh
             |), sizes AS (
             |  SELECT doc_id, count(*) AS n FROM vh GROUP BY 1
             |), common AS (
@@ -674,7 +768,7 @@ object LLMOps {
     * the recursive-SQL oracle (Extras.qSqlRecursive). */
   private[graft] val pairsCte: String =
     s"""$shCte, vh AS MATERIALIZED (
-       |  SELECT doc_id, ${charFoldSql("s")} AS h FROM sh
+       |  SELECT doc_id, ${charFold64Sql("s")} AS h FROM sh
        |), sizes AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM vh GROUP BY 1
        |), common AS MATERIALIZED (

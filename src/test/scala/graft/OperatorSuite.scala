@@ -116,6 +116,85 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("char_fold64 matches the wrapping JVM reference, BMP and beyond") {
+    // the identity hash of the exact-Jaccard family (round 18 — the
+    // mod-P fold pigeonhole-collides at rung vocabularies): full-width
+    // 64-bit polynomial, Java wrap semantics, code-point iteration.
+    // Long strings force the wraparound the hash is defined by.
+    def fold64(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = acc * 31L + cp
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val samples = Seq("key agg", "a", "",
+      "the quick brown fox jumps over the lazy dog 1234567890",
+      "😀", "a😀b", "𝕍park 𠀀", "mixed😀𐍈x")
+    val rows = samples.toDF("s")
+      .select($"s", LLMOps.charFold64($"s").as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === fold64(r.getString(0)),
+        s"char_fold64(${r.getString(0)})")
+    }
+    // wraparound really occurred: the long sample's unbounded-integer
+    // fold exceeds Long range, so its wrapped value must differ
+    val long = samples.maxBy(_.length)
+    val unbounded = long.codePoints().toArray
+      .foldLeft(BigInt(0))((a, cp) => a * 31 + cp)
+    assert(!unbounded.isValidLong && unbounded.toLong === fold64(long))
+  }
+
+  test("ngram CMS-prefiltered df cap equals the exact vocabulary groupBy where it bites") {
+    // The round-18 scale fix (VERDICT r17 #1): the full-vocabulary df
+    // groupBy + anti-join becomes sketch-probe → exact-recheck of the
+    // maybe-hot band → broadcast anti-join. CMS never underestimates,
+    // so the recheck rebuilds the EXACT hot list — outputs must be
+    // bit-identical. The production cap never bites on the fixture, so
+    // force one small enough that shingles are genuinely dropped.
+    val df = Tables.read(spark, sf, "documents")
+      .select($"doc_id", split(trim($"text"), " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"ws") - 1),
+          i => concat_ws(" ", element_at($"ws", i),
+            element_at($"ws", i + 1))))).as("s"))
+      .groupBy($"s").count().filter($"count" > 2).count()
+    assert(df > 0L, "fixture must have shingles over the forced cap")
+    def run(exact: Boolean) =
+      LLMOps.ngramPairsImpl(spark, sf, exactVocab = exact,
+          capOverride = Some(2L))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    assert(run(exact = true) === run(exact = false))
+  }
+
+  test("cms_probe_long validates its inputs at analysis time") {
+    // foldable BINARY sketch + BIGINT key, or a clean AnalysisException
+    // (the bitmap_map_sum_agg precedent — never an NPE/CCE mid-plan)
+    val sk = Tables.read(spark, sf, "documents")
+      .agg(expr("count_min_sketch(doc_id, 0.01d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val ok = Tables.read(spark, sf, "documents")
+      .select(call_function("cms_probe_long", lit(sk), $"doc_id"))
+      .count()
+    assert(ok > 0L)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.read(spark, sf, "documents")
+        .select(call_function("cms_probe_long", $"text".cast("binary"),
+          $"doc_id")).collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("foldable"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.read(spark, sf, "documents")
+        .select(call_function("cms_probe_long", lit(sk), $"text"))
+        .collect()
+    }
+    assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
+  }
+
   test("Vectors.dot / cosine / l2NormUdf golden values") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     val r = df.select(

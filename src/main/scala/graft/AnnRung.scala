@@ -40,11 +40,24 @@ object AnnRung {
     val rec = SparkEntry.queries("q_sim_ann_recall")(spark, sfDir)
       .agg(avg($"recall_at_3").as("a"), min($"recall_at_3").as("m"))
       .head()
+    // round 18: the learned-cell (k-means, nprobe) path — candidates
+    // per probe and its recall, alongside the label-cell numbers so
+    // the r17 "fixture-limited recall" caveat has its measured answer
+    val km = queries.Surface18.kmeansCandCounts(spark, sfDir)
+      .agg(avg($"n_cand").as("a"), max($"n_cand").as("m")).head()
+    val kmRec = SparkEntry.queries("q_sim_ann_kmeans_recall")(spark,
+        sfDir)
+      .agg(avg($"recall_at_3").as("a"), min($"recall_at_3").as("m"))
+      .head()
     // structural bounds, asserted at every scale (exit nonzero on
     // violation): recall is a fraction of the exact top-3, and a
     // probe's candidate set can never exceed its cell/bucket
     require(rec.getDouble(0) >= 0.0 && rec.getDouble(0) <= 1.0 &&
       rec.getDouble(1) >= 0.0, s"recall out of [0,1]: $rec")
+    require(kmRec.getDouble(0) >= 0.0 && kmRec.getDouble(0) <= 1.0 &&
+      kmRec.getDouble(1) >= 0.0, s"kmeans recall out of [0,1]: $kmRec")
+    require(km.getLong(1) >= km.getDouble(0).toLong,
+      "kmeans candidate max below avg — measurement inconsistent")
     require(ivf.getLong(1) >= ivf.getDouble(0).toLong &&
       lsh.getLong(1) >= lsh.getDouble(0).toLong,
       "candidate max below avg — measurement inconsistent")
@@ -57,7 +70,12 @@ object AnnRung {
       s""""cand_lsh_avg":${r(lsh.getDouble(0))},""" +
       s""""cand_lsh_max":${lsh.getLong(1)},""" +
       s""""recall_mean":${r(rec.getDouble(0))},""" +
-      s""""recall_min":${r(rec.getDouble(1))},"sf":"$sfDir"}""")
+      s""""recall_min":${r(rec.getDouble(1))},""" +
+      s""""cand_kmeans_avg":${r(km.getDouble(0))},""" +
+      s""""cand_kmeans_max":${km.getLong(1)},""" +
+      s""""recall_kmeans_mean":${r(kmRec.getDouble(0))},""" +
+      s""""recall_kmeans_min":${r(kmRec.getDouble(1))},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -249,12 +249,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
         s"template must be integral (Byte/Short/Int/Long); got " +
         s"${t.dataType.simpleString}")
     }
-    // one metadata-only count per registration: parquet footers make
-    // this cheap, and it is what puts the lattice in true
-    // cheapest-first order (see the registry doc)
-    val nCells =
+    // one metadata-only count per registration — read straight from
+    // the parquet FOOTERS (no Spark job; ADVICE r17 low flagged the
+    // count() job this used to run per register call). The count is
+    // what puts the lattice in true cheapest-first order (see the
+    // registry doc); non-parquet/unlistable summaries fall back to
+    // one count() job, and a summary that can't even count sorts last.
+    val nCells = footerRowCount(summary).getOrElse(
       try summary.count()
-      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue })
     val d = RollupDef(basePath, exprs(dims),
       exprs(sums), exprs(mins), exprs(maxs), cntCol,
       summary.queryExecution.analyzed, avgDefs, statDefs, biDefs,
@@ -265,6 +268,34 @@ object RollupRewrite extends Rule[LogicalPlan] {
     })
     ()
   }
+
+  /** Summary row count from parquet footers — metadata-only, no Spark
+    * job: list the files under the summary's root and sum each
+    * footer's record count. None (→ caller falls back to count())
+    * when the summary is not a bare file-source read or any footer is
+    * unreadable. */
+  private def footerRowCount(df: DataFrame): Option[Long] =
+    pathOf(df).flatMap { root =>
+      try {
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(conf)
+        def files(s: org.apache.hadoop.fs.FileStatus)
+            : Seq[org.apache.hadoop.fs.FileStatus] =
+          if (s.isDirectory)
+            fs.listStatus(s.getPath).toSeq.flatMap(files)
+          else if (s.getPath.getName.endsWith(".parquet")) Seq(s)
+          else Nil
+        val fls = files(fs.getFileStatus(p))
+        if (fls.isEmpty) None
+        else Some(fls.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Test/maintenance hook. */
   def clear(): Unit = registry.clear()

@@ -1405,6 +1405,20 @@ object Extras {
       graft.queries.LLMOps.ngramPairs(spark, sfDir)
         .select($"d1", $"d2")
         .createOrReplaceTempView(view)
+      // the engine's 1M-row recursion valve is sized for interactive
+      // misuse, not for a corpus-scale reachability closure: at the
+      // ×1000 rung the (per-level-DISTINCT, depth<4)-bounded closure
+      // alone exceeds it (round 18 — the rung's first post-LSH
+      // failure). The recursion is already self-bounded by depth and
+      // dedup, so the valve is raised for this statement and restored
+      // after. UnionLoopExec reads the conf LIVE at execution (not at
+      // analysis), so the recursion must be DRIVEN before the finally
+      // restores it — the eager localCheckpoint below does exactly
+      // that (the E5 loop discipline), and the node-grain result it
+      // pins is ≤ one row per document at any scale.
+      val limKey = "spark.sql.cteRecursionRowLimit"
+      val prevLim = spark.conf.getOption(limKey)
+      spark.conf.set(limKey, "-1")
       try {
         spark.sql(
           s"""WITH RECURSIVE reach(id, r, depth) AS (
@@ -1421,7 +1435,12 @@ object Extras {
              |)
              |SELECT id AS doc_id, min(r) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+          .localCheckpoint(true)
       } finally {
+        prevLim match {
+          case Some(v) => spark.conf.set(limKey, v)
+          case None => spark.conf.unset(limKey)
+        }
         spark.catalog.dropTempView(view)
         ()
       }

@@ -128,7 +128,10 @@ object Surface17 {
     * `shard < highWater − 1` (one shard of allowed lateness) are
     * counted-and-dropped into an observable drops table, all other
     * rows — including the late-but-admissible ones — are appended to
-    * the accepted zone (per-batch-id, replay-idempotent) and folded
+    * the accepted zone (per-batch-id, replay-idempotent; the mark
+    * itself is persisted per batch in the drops record and restored
+    * from predecessors when the in-process var is cold, so replay
+    * after a REAL restart admits and drops the same rows too) and folded
     * into the cell store, refreshing exactly the AFFECTED shard
     * partitions (late rows re-open old partitions; that is the point).
     * The watermark advances on ALL input rows, dropped ones included,
@@ -165,7 +168,33 @@ object Surface17 {
           expr("bitmap_map_merge_agg(k_bm)").as("k_bm"))
       val maintain: (DataFrame, Long) => Unit = { (batch, id) =>
         val b = batch.withColumn("shard", shardCol)
-        val hw = highWater
+        // the high-water mark is PERSISTED per batch (hw_after in the
+        // drops record) and restored from earlier batches' records
+        // when the in-process var is cold — an actual restart would
+        // otherwise reset the mark to MinValue and a replayed batch
+        // would ADMIT rows the original run dropped (ADVICE r17 low).
+        // `< id` (not ≤): a replayed batch must see the mark as it
+        // stood BEFORE its original run, which is exactly the max over
+        // its predecessors.
+        val hw =
+          if (highWater != Long.MinValue) highWater
+          else
+            (try {
+              spark.read.parquet(dropsDir)
+                .filter($"batch_id" < id).agg(max($"hw_after")).head()
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException => null
+            }) match {
+              case null => Long.MinValue // fresh run, no records yet
+              case r if r.isNullAt(0) => Long.MinValue
+              case r => r.getLong(0)
+            }
+        // the watermark advances on ALL input rows, dropped included,
+        // exactly as Spark's EventTimeWatermark does
+        val batchMax = b.agg(max($"shard")).head() match {
+          case r if r.isNullAt(0) => hw
+          case r => math.max(hw, r.getInt(0).toLong)
+        }
         // one shard of allowed lateness below the high-water mark
         val admitted =
           if (hw == Long.MinValue) b
@@ -175,6 +204,7 @@ object Surface17 {
             b.filter($"shard" < lit(hw - 1))
         dropped.groupBy().agg(count(lit(1)).as("n_dropped"))
           .withColumn("batch_id", lit(id))
+          .withColumn("hw_after", lit(batchMax))
           .write.mode("overwrite").parquet(s"$dropsDir/batch=$id")
         admitted.write.mode("overwrite")
           .parquet(s"$accDir/batch=$id")
@@ -202,11 +232,6 @@ object Surface17 {
             partial.write.mode("overwrite").parquet(next)
         }
         cellsDir = next
-        // the watermark advances on ALL input rows, dropped included
-        val batchMax = b.agg(max($"shard")).head() match {
-          case r if r.isNullAt(0) => hw
-          case r => math.max(hw, r.getInt(0).toLong)
-        }
         highWater = batchMax
       }
       val key = "spark.sql.shuffle.partitions"

@@ -5197,6 +5197,22 @@ class OperatorSuite extends AnyFunSuite {
     assert(walk(q.queryExecution.executedPlan)
       .exists(_.contains("cells_v")),
       "late-lattice query must be answered from the cell store")
+    // (5) the high-water mark is PERSISTED per batch (r18, ADVICE r17
+    // low): every drops record carries hw_after, the sequence is
+    // monotone non-decreasing in batch id, ends at the global max
+    // shard, and each batch's predecessor-max — what a restarted run
+    // would RESTORE — reproduces exactly the mark its original run
+    // used (replay admits and drops the same rows)
+    val hwRows = spark.read.parquet(dropsDir)
+      .select($"batch_id", $"hw_after")
+      .orderBy($"batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hwRows.nonEmpty && hwRows.map(_._2).toSeq ==
+      hwRows.map(_._2).sorted.toSeq,
+      s"persisted high-water must be monotone: ${hwRows.toSeq}")
+    assert(hwRows.last._2 ==
+      acc.agg(max($"shard")).head().getInt(0).toLong,
+      "final persisted mark must equal the global max shard")
   }
 
   test("advisor grains serve dim-filtered queries; measure filters refuse per-query (r17)") {

@@ -190,8 +190,14 @@ class PlanSuite extends AnyFunSuite {
       "q_negative_sampling", // 1-row corpus-size cross into the ring
       "q_agg_rollup_incremental", // 1-row cutoff-date cross splits
                                   // standing rollup vs delta (E329)
-      "q_agg_rollup_lattice_late") // 1-row dropped-rows total cross
+      "q_agg_rollup_lattice_late", // 1-row dropped-rows total cross
                                    // into the shard aggregate (E362)
+      "q_sim_ann_kmeans", // ≤50 probes broadcast with the
+                          // array_contains(cells, cell) probe
+                          // condition — the intended nprobe
+                          // membership join (E364)
+      "q_sim_ann_kmeans_recall") // same probe join + the brute-force
+                                 // !=-condition leg (E365)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -99,6 +99,17 @@ object GraftExtensions {
         "char_fold64"),
       (children: Seq[Expression]) => CharFold64Expr(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("kmeans_nearest_cells"),
+      new ExpressionInfo(classOf[KmeansNearestCells].getName,
+        "kmeans_nearest_cells"),
+      (children: Seq[Expression]) =>
+        KmeansNearestCells(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmeans_cell"),
+      new ExpressionInfo(classOf[KmeansCell].getName, "kmeans_cell"),
+      (children: Seq[Expression]) =>
+        KmeansCell(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("cms_probe_long"),
       new ExpressionInfo(classOf[CmsProbeLong].getName,
         "cms_probe_long"),

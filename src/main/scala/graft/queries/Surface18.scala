@@ -70,32 +70,32 @@ object Surface18 {
       .select($"vec_id", $"embedding", microQuant($"embedding").as("q"))
   }
 
-  /** Per-row (d, c_id) scores against the broadcast centroid literal —
-    * a pure projection: assignment never joins, never shuffles (the
+  /** The k nearest cells against the broadcast centroid literal — a
+    * pure projection: assignment never joins, never shuffles (the
     * 100 TB-critical property; centroids are C×dim longs, always
-    * literal-sized). Struct order (d, c) makes lexicographic
-    * array_min/array_sort the exact argmin with id tiebreak. */
-  private def centScores(q: Column,
-      cents: Seq[(Long, Seq[Long])]): Column = {
+    * literal-sized). The kernel is the native codegen'd
+    * [[graft.functions.KmeansNearestCells]] — the HOF spelling
+    * (transform + aggregate + array_sort) computes the same exact
+    * integer argmin but every HOF is a CodegenFallback, measured as
+    * the hot cost of the sf10gk AnnRung before the swap. */
+  private def nearestCells(q: Column, cents: Seq[(Long, Seq[Long])],
+      k: Int): Column = {
     val centArr = array(cents.map { case (id, v) =>
       struct(lit(id).as("c_id"), typedLit(v).as("cv"))
     }: _*)
-    // named_struct, not struct(...as...): inside a HOF lambda struct()
-    // ignores aliases and invents positional names (col1, …), which
-    // getField can then not resolve
-    transform(centArr, c => call_function("named_struct",
-      lit("d"), aggregate(zip_with(q, c.getField("cv"),
-        (a, b) => (a - b) * (a - b)), lit(0L), _ + _),
-      lit("c"), c.getField("c_id")))
+    call_function("kmeans_nearest_cells", centArr, q, lit(k))
   }
 
-  private def cellOf(q: Column, cents: Seq[(Long, Seq[Long])]): Column =
-    array_min(centScores(q, cents)).getField("c")
+  private def cellOf(q: Column, cents: Seq[(Long, Seq[Long])]): Column = {
+    val centArr = array(cents.map { case (id, v) =>
+      struct(lit(id).as("c_id"), typedLit(v).as("cv"))
+    }: _*)
+    call_function("kmeans_cell", centArr, q)
+  }
 
   private def probeCells(q: Column,
       cents: Seq[(Long, Seq[Long])]): Column =
-    transform(slice(array_sort(centScores(q, cents)), 1, NPROBE),
-      s => s.getField("c"))
+    nearestCells(q, cents, NPROBE)
 
   /** ITERS Lloyd rounds from the first-C seed vectors; memoized per
     * (session, sfDir). Each round: map-side argmin assignment (no
@@ -169,8 +169,8 @@ object Surface18 {
     val cellSizes = qv.select(cellOf($"q", cents).as("cell"))
       .groupBy($"cell").agg(count(lit(1)).as("sz"))
     qv.filter($"vec_id" < 50)
-      .select($"vec_id".as("q_id"),
-        explode(probeCells($"q", cents)).as("cell"))
+      .select($"vec_id".as("q_id"), probeCells($"q", cents).as("cells"))
+      .select($"q_id", explode($"cells").as("cell"))
       .join(cellSizes, Seq("cell"))
       .groupBy($"q_id").agg(sum($"sz").as("n_cand"))
   }

@@ -171,6 +171,30 @@ class OperatorSuite extends AnyFunSuite {
     assert(run(exact = true) === run(exact = false))
   }
 
+  test("kmeans ANN: native kernel matches the scalar contract, recall holds the bar") {
+    // (1) the learned-cell index's quality contract at the fixture —
+    // the same 0.8 bar the sf10gk AnnRung measures (BASELINE r18);
+    // a centroid/assignment regression shows up here first
+    val rec = graft.queries.Surface18.qSimAnnKmeansRecall.fn(spark, sf)
+      .agg(avg($"recall_at_3")).head().getDouble(0)
+    assert(rec >= 0.8, s"kmeans recall@3 mean $rec fell under 0.8")
+    // (2) kmeans_cell ≡ first of kmeans_nearest_cells, and the k-list
+    // is sorted by the (distance, id) contract: probing with k=C must
+    // start with the assigned cell
+    val cands = graft.queries.Surface18.kmeansCandCounts(spark, sf)
+      .collect()
+    assert(cands.length == 50 && cands.forall(_.getLong(1) > 0))
+    // (3) clean analysis-time errors on bad inputs
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.read(spark, sf, "embeddings")
+        .select(call_function("kmeans_nearest_cells",
+          array(struct(lit(0L).as("c_id"),
+            typedLit(Seq(1L, 2L)).as("cv"))),
+          $"embedding", lit(1))).collect()
+    }
+    assert(e.getMessage.contains("ARRAY<BIGINT>"), e.getMessage)
+  }
+
   test("cms_probe_long validates its inputs at analysis time") {
     // foldable BINARY sketch + BIGINT key, or a clean AnalysisException
     // (the bitmap_map_sum_agg precedent — never an NPE/CCE mid-plan)

@@ -329,5 +329,67 @@ object Surface18 {
             |FROM qv p LEFT JOIN hits h ON h.q_id = p.vec_id
             |WHERE p.vec_id < 50 ORDER BY q_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(qSimAnnKmeans, qSimAnnKmeansRecall)
+  /** E366: **incremental cell assignment** — the daily-ingest verb of
+    * an IVF deployment: NEW vectors are assigned to the EXISTING
+    * learned cells (map-only projection against the frozen centroid
+    * literal — no retraining, no shuffle, the production contract for
+    * between-rebuild ingest), and the per-cell arrival counts are laid
+    * beside the standing population — the drift readout that tells an
+    * ANN operator when the coarse quantizer needs retraining (a cell
+    * taking far more than its share of arrivals means the data moved).
+    * The fixture's "arrivals" derive deterministically from the corpus
+    * (re-keyed, coordinate-REVERSED embeddings — in-distribution but
+    * geometrically distinct; DuckDB mirrors with list_reverse), so the
+    * oracle gates the assignment itself. share_new is integer
+    * micro-units per the engine-exact discipline. */
+  val qSimAnnIncremental = Q("q_sim_ann_incremental",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cents = kmeansCents(spark, sfDir)
+      val qv = qvFrame(spark, sfDir)
+      val old = qv.select(cellOf($"q", cents).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("n_old"))
+      val arrivals = Tables.read(spark, sfDir, "embeddings")
+        .select($"vec_id", reverse($"embedding").as("embedding"))
+        .select(microQuant($"embedding").as("q"))
+      val nNew = arrivals.select(cellOf($"q", cents).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("n_new"))
+      old.join(nNew, Seq("cell"), "full_outer")
+        .select($"cell",
+          coalesce($"n_old", lit(0L)).as("n_old"),
+          coalesce($"n_new", lit(0L)).as("n_new"))
+        .withColumn("share_new_micro",
+          expr("1000000 * n_new div (n_old + n_new)"))
+        .orderBy($"cell")
+    },
+    Some(s"""WITH $kmeansCte, old AS (
+            |  SELECT cell, count(*) AS n_old FROM cells GROUP BY cell
+            |), arrq AS (
+            |  SELECT list_transform(list_reverse(embedding), v ->
+            |    CASE WHEN nrm > 0 THEN
+            |      CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5)
+            |        AS BIGINT) ELSE 0 END + $OFF) AS q
+            |  FROM qn
+            |), newc AS (
+            |  SELECT cell, count(*) AS n_new FROM (
+            |    SELECT vq, c_id AS cell FROM (
+            |      SELECT v.q AS vq, c.c_id,
+            |        row_number() OVER (PARTITION BY v.rowid
+            |          ORDER BY ${distSql("v.q", "c.cv")}, c.c_id) AS rn
+            |      FROM (SELECT q, row_number() OVER () AS rowid
+            |            FROM arrq) v, c$ITERS c) t
+            |    WHERE rn = 1) a
+            |  GROUP BY cell
+            |)
+            |SELECT coalesce(o.cell, n.cell) AS cell,
+            |  coalesce(o.n_old, 0) AS n_old,
+            |  coalesce(n.n_new, 0) AS n_new,
+            |  CAST(1000000 * coalesce(n.n_new, 0)
+            |    // (coalesce(o.n_old, 0) + coalesce(n.n_new, 0))
+            |    AS BIGINT) AS share_new_micro
+            |FROM old o FULL OUTER JOIN newc n ON n.cell = o.cell
+            |ORDER BY cell""".stripMargin))
+
+  val all: Seq[Q] = Seq(qSimAnnKmeans, qSimAnnKmeansRecall,
+    qSimAnnIncremental)
 }

@@ -2218,21 +2218,27 @@ object Metrics {
         .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("rev"))
         .withColumn("rk", row_number().over(Window.partitionBy($"wk")
           .orderBy($"rev".desc, $"l_partkey")))
-      // The week-shift self-join reads this frame twice. Materializing
-      // it was MEASURED WORSE at sf0.1 (localCheckpoint 3.9 s vs 2.4 s
-      // recompute, same session): the duplicated scan+agg+rank is
-      // cheaper than writing/reading the checkpoint blocks, and the
-      // parquet scan is the shared cold cost either way. Recompute
-      // stands; at a scale where the ranked frame is expensive, a
-      // cached table (E93's machinery) is the right lever, not an
-      // eager checkpoint.
-      weekly.as("cur")
-        .join(weekly.as("prev"),
-          $"cur.l_partkey" === $"prev.l_partkey" &&
-            expr("date_add(prev.wk, 7) = cur.wk"))
-        .select($"cur.wk".as("wk"), $"cur.l_partkey".as("part_key"),
-          $"prev.rk".as("prev_rank"), $"cur.rk".as("cur_rank"),
-          ($"prev.rk" - $"cur.rk").as("rank_gain"))
+      // The week shift rides a LAG window over the SAME ranked frame,
+      // not a self-join (round 18 — this was the rung's slowest row at
+      // 620 s): the join form either recomputes the whole
+      // scan+agg+rank chain twice (the r17 recompute-vs-checkpoint
+      // trade, both sides expensive) or pays a materialization; the
+      // lag form computes the frame ONCE and adds one weekly-grain
+      // window shuffle on l_partkey — fact-scan work halves. The
+      // adjacency filter (prev week exactly 7 days back) reproduces
+      // the join's semantics bit-for-bit: a part with a missing week
+      // pairs with nothing, exactly as the equi-join dropped it; the
+      // DuckDB oracle keeps the join spelling, so parity is checked
+      // across the two FORMS, not just two engines.
+      val wPart = Window.partitionBy($"l_partkey").orderBy($"wk")
+      weekly
+        .withColumn("prev_wk", lag($"wk", 1).over(wPart))
+        .withColumn("prev_rk", lag($"rk", 1).over(wPart))
+        .filter($"prev_wk".isNotNull &&
+          expr("date_add(prev_wk, 7) = wk"))
+        .select($"wk", $"l_partkey".as("part_key"),
+          $"prev_rk".as("prev_rank"), $"rk".as("cur_rank"),
+          ($"prev_rk" - $"rk").as("rank_gain"))
         .orderBy(abs($"rank_gain").desc, $"wk", $"part_key")
         .limit(20)
     },

@@ -390,6 +390,129 @@ object Surface18 {
             |FROM old o FULL OUTER JOIN newc n ON n.cell = o.cell
             |ORDER BY cell""".stripMargin))
 
+  /** E367: **hybrid retrieval via reciprocal-rank fusion** — the
+    * fusion step every two-tower retrieval stack runs: a LEXICAL
+    * ranking (distinct-word overlap, the BM25 family's cheapest
+    * member) and a SEMANTIC ranking (exact cosine over the aligned
+    * embeddings) are fused per query by RRF,
+    * score = Σ_legs 1/(60 + rank_leg), the parameter-free rank fusion
+    * of Cormack et al. that dominates either leg alone on mixed
+    * corpora. Engine-exact: each leg's rank is deterministic
+    * (score desc, id tiebreak) and the fused score lives in integer
+    * micro-units — 10⁶ div (60+r) per leg, summed — so both engines
+    * sum identical integers (the q_minhash_accuracy discipline).
+    * Scale shape: each leg is the 10-probe broadcast against the
+    * corpus (the X3 pattern — at production scale each leg is served
+    * by its own index, BM25 postings E-rows / the kmeans IVF above;
+    * the FUSION itself joins two (probe, doc, rank) lists at probe
+    * grain, which is what this row gates). */
+  val qRetrievalRrf = Q("q_retrieval_rrf",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val docsW = Tables.read(spark, sfDir, "documents")
+        .select($"doc_id",
+          array_distinct(split(trim($"text"), " ")).as("ws"))
+      val qsW = docsW.filter($"doc_id" < 10)
+        .select($"doc_id".as("q_id"), $"ws".as("qws"))
+      val wLex = Window.partitionBy($"q_id")
+        .orderBy($"ov".desc, $"doc_id")
+      val lex = docsW.join(broadcast(qsW), $"doc_id" =!= $"q_id")
+        .select($"q_id", $"doc_id",
+          size(array_intersect($"ws", $"qws")).as("ov"))
+        .withColumn("r_lex", row_number().over(wLex))
+        .select($"q_id", $"doc_id", $"r_lex")
+      val e = Tables.read(spark, sfDir, "embeddings")
+        .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+      val qe = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("pv"),
+          $"nrm".as("pnrm"))
+      val wSem = Window.partitionBy($"q_id")
+        .orderBy($"cos_sim".desc, $"doc_id")
+      val sem = e.join(broadcast(qe), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("doc_id"),
+          round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"),
+            6).as("cos_sim"))
+        .withColumn("r_sem", row_number().over(wSem))
+        .select($"q_id", $"doc_id", $"r_sem")
+      val wFuse = Window.partitionBy($"q_id")
+        .orderBy($"rrf_micro".desc, $"doc_id")
+      lex.join(sem, Seq("q_id", "doc_id"))
+        .withColumn("rrf_micro",
+          expr("1000000 div (60 + r_lex) + 1000000 div (60 + r_sem)"))
+        .withColumn("rank", row_number().over(wFuse))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"doc_id", $"r_lex", $"r_sem",
+          $"rrf_micro", $"rank")
+        .orderBy($"q_id", $"rank")
+    },
+    Some("""WITH dw AS (
+           |  SELECT doc_id,
+           |    list_distinct(string_split(trim(text), ' ')) AS ws
+           |  FROM documents
+           |), lex AS (
+           |  SELECT q_id, doc_id, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY ov DESC, doc_id) AS r_lex
+           |  FROM (
+           |    SELECT q.doc_id AS q_id, d.doc_id,
+           |      len(list_distinct(list_intersect(d.ws, q.ws))) AS ov
+           |    FROM dw d JOIN dw q
+           |      ON q.doc_id < 10 AND d.doc_id <> q.doc_id) t
+           |), en AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum(list_transform(list_zip(embedding,
+           |      embedding), p -> CAST(p[1] AS DOUBLE)
+           |        * CAST(p[2] AS DOUBLE)))) AS nrm
+           |  FROM embeddings
+           |), sem AS (
+           |  SELECT q_id, doc_id, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY cos_sim DESC, doc_id)
+           |      AS r_sem
+           |  FROM (
+           |    SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+           |      round(list_sum(list_transform(list_zip(q.embedding,
+           |        e.embedding), p -> CAST(p[1] AS DOUBLE)
+           |          * CAST(p[2] AS DOUBLE))) / (q.nrm * e.nrm), 6)
+           |        AS cos_sim
+           |    FROM en e JOIN en q
+           |      ON q.vec_id < 10 AND e.vec_id <> q.vec_id) t
+           |)
+           |SELECT q_id, doc_id, r_lex, r_sem, rrf_micro, rank
+           |FROM (
+           |  SELECT l.q_id, l.doc_id, l.r_lex, s.r_sem,
+           |    1000000 // (60 + l.r_lex) + 1000000 // (60 + s.r_sem)
+           |      AS rrf_micro,
+           |    row_number() OVER (PARTITION BY l.q_id ORDER BY
+           |      1000000 // (60 + l.r_lex) + 1000000 // (60 + s.r_sem)
+           |        DESC, l.doc_id) AS rank
+           |  FROM lex l JOIN sem s
+           |    ON s.q_id = l.q_id AND s.doc_id = l.doc_id) f
+           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+
+  /** E368: **streaming cell assignment** — E366's ingest verb run as
+    * an actual Structured Streaming job: the embedding corpus arrives
+    * as a file stream, every micro-batch assigns its vectors to the
+    * FROZEN learned cells (the same literal-centroid kernel — a pure
+    * per-row projection, so the stream needs no state store for the
+    * assignment itself), and a complete-mode count per cell is the
+    * live population readout. The oracle is the batch cell census —
+    * streaming and batch assignment must agree exactly, which is the
+    * whole point of a deterministic integer quantizer. */
+  val qStreamAnnAssign = Q("q_stream_ann_assign",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val cents = kmeansCents(spark, sfDir)
+      val s = Tables.readStream(spark, sfDir, "embeddings")
+        .select(microQuant($"embedding").as("q"))
+        .select(cellOf($"q", cents).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("n"))
+      graft.streaming.StreamRun
+        .toTable(spark, s, "t_ann_assign", "complete")
+        .orderBy($"cell")
+    },
+    Some(s"""WITH $kmeansCte
+            |SELECT cell, count(*) AS n FROM cells
+            |GROUP BY cell ORDER BY cell""".stripMargin))
+
   val all: Seq[Q] = Seq(qSimAnnKmeans, qSimAnnKmeansRecall,
-    qSimAnnIncremental)
+    qSimAnnIncremental, qRetrievalRrf, qStreamAnnAssign)
 }

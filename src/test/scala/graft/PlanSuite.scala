@@ -196,8 +196,10 @@ class PlanSuite extends AnyFunSuite {
                           // array_contains(cells, cell) probe
                           // condition — the intended nprobe
                           // membership join (E364)
-      "q_sim_ann_kmeans_recall") // same probe join + the brute-force
+      "q_sim_ann_kmeans_recall", // same probe join + the brute-force
                                  // !=-condition leg (E365)
+      "q_retrieval_rrf") // both fusion legs are the X3 10-probe
+                         // broadcast with the != condition (E367)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

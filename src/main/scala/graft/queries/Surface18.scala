@@ -513,6 +513,78 @@ object Surface18 {
             |SELECT cell, count(*) AS n FROM cells
             |GROUP BY cell ORDER BY cell""".stripMargin))
 
+  /** E369: **curriculum phase bucketing** — the training-order verb of
+    * a data pipeline: rank the corpus by quality and cut it into four
+    * equal-by-rank phases (curriculum learning's easy→hard schedule),
+    * reporting per phase the doc count, token mass and quality span a
+    * scheduler consumes. Engine-exact end to end: quality lives in
+    * integer micro-units (the q_quality_score formula — 0.5·distinct
+    * ratio + 0.5·min(words/100, 1) — as floor-divided integers), the
+    * global rank is DISTRIBUTED (the q_sample_systematic r16
+    * discipline: ≤4097 value-range buckets over the micro score, a
+    * bucket-table-sized partition-less offset window, partitioned
+    * row_number within buckets — never a corpus-wide single-task
+    * sort), and the phase is the pure rank formula
+    * ((rn−1)·4) div n + 1 with n a memoized driver scalar — identical
+    * integers on both engines, no NTILE edge semantics to match. */
+  val qCurriculumPhases = Q("q_curriculum_phases",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val d = Tables.read(spark, sfDir, "documents")
+        .select($"doc_id", split(trim($"text"), " ").as("ws"))
+        .select($"doc_id", size($"ws").as("n_words"),
+          size(array_distinct($"ws")).as("n_distinct"))
+        .select($"doc_id", $"n_words",
+          (expr("(n_distinct * 500000L) div n_words") +
+            least($"n_words" * 5000L, lit(500000L))).as("q_micro"))
+      val n = graft.queries.LLMOps.docCount(spark, sfDir)
+      val bounds = broadcast(d.agg(min($"q_micro").as("lo"),
+        max($"q_micro").as("hi")))
+      val bucketed = d.crossJoin(bounds)
+        .withColumn("w", expr("greatest(1L, ((hi - lo) div 4096) + 1)"))
+        .withColumn("bkt", expr("(q_micro - lo) div w"))
+      val offsets = bucketed.groupBy($"bkt")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum($"cnt").over(
+          Window.orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"bkt", $"off")
+      bucketed.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("rn", $"off" + row_number().over(
+          Window.partitionBy($"bkt").orderBy($"q_micro", $"doc_id")))
+        .withColumn("phase", expr(s"((rn - 1) * 4) div ${n}L + 1"))
+        .groupBy($"phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").cast("long").as("token_sum"),
+          min($"q_micro").as("q_min_micro"),
+          max($"q_micro").as("q_max_micro"))
+        .orderBy($"phase")
+    },
+    Some("""WITH q AS (
+           |  SELECT doc_id,
+           |    len(string_split(trim(text), ' ')) AS n_words,
+           |    len(list_distinct(string_split(trim(text), ' ')))
+           |      AS n_distinct
+           |  FROM documents
+           |), scored AS (
+           |  SELECT doc_id, n_words,
+           |    (n_distinct * 500000) // n_words
+           |      + least(n_words * 5000, 500000) AS q_micro
+           |  FROM q
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (ORDER BY q_micro, doc_id)
+           |    AS rn,
+           |    (SELECT count(*) FROM scored) AS n
+           |  FROM scored
+           |)
+           |SELECT CAST((rn - 1) * 4 // n + 1 AS BIGINT) AS phase,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS token_sum,
+           |  CAST(min(q_micro) AS BIGINT) AS q_min_micro,
+           |  CAST(max(q_micro) AS BIGINT) AS q_max_micro
+           |FROM ranked GROUP BY 1 ORDER BY phase""".stripMargin))
+
   val all: Seq[Q] = Seq(qSimAnnKmeans, qSimAnnKmeansRecall,
-    qSimAnnIncremental, qRetrievalRrf, qStreamAnnAssign)
+    qSimAnnIncremental, qRetrievalRrf, qStreamAnnAssign,
+    qCurriculumPhases)
 }

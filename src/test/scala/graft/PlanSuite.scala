@@ -198,8 +198,11 @@ class PlanSuite extends AnyFunSuite {
                           // membership join (E364)
       "q_sim_ann_kmeans_recall", // same probe join + the brute-force
                                  // !=-condition leg (E365)
-      "q_retrieval_rrf") // both fusion legs are the X3 10-probe
+      "q_retrieval_rrf", // both fusion legs are the X3 10-probe
                          // broadcast with the != condition (E367)
+      "q_curriculum_phases") // 1-row (lo, hi) quality-bounds cross
+                             // feeds the distributed-rank bucketing,
+                             // q_sample_systematic's shape (E369)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),
@@ -937,6 +940,10 @@ class PlanSuite extends AnyFunSuite {
       // bucket-offset table (the round-16 distributed-rank fix — the
       // fact-table-sized global row_number this lock caught is gone)
       "q_sample_temperature", "q_sample_systematic",
+      // curriculum bucketing reuses the systematic distributed-rank
+      // shape: its one global window is the ≤4097-row value-range
+      // bucket-offset table over the micro quality score (E369)
+      "q_curriculum_phases",
       // the W-family gated query whose OPERATOR is a global range
       // frame (deliberate, over the bounded spine)
       "q_window_range_frame")

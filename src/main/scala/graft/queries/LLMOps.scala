@@ -374,6 +374,37 @@ object LLMOps {
           s"stack(8, $stackExpr) AS (band, mv)")
     }
 
+  /** (doc_id, band, mv1, mv2): 8 TWO-hash bands (r=2) — the candidate
+    * generator's banding, distinct from [[minhashBands]]' one-hash
+    * bands (which stay the E227 accuracy-audit ESTIMATOR, where
+    * per-band agreement probability must equal J, not J²). Round 18,
+    * found by the measured LSH-recall audit: with one-hash bands the
+    * corpus-common shingles own the band minima, so near-dup pairs
+    * ride 100–300-doc buckets that the 2..50 cap drops — measured
+    * recall 0.73 against the exact pair set DESPITE every missed pair
+    * agreeing in nearly every band. A second min per band fragments
+    * those hot buckets combinatorially (same-bucket now needs BOTH
+    * minima equal — probability J² for true pairs but ~1/|bucket| for
+    * the common-shingle crowd): measured recall 1.0000 at sf0.1 with
+    * bucket max 158 and only 7 over-cap buckets left. Same ONE
+    * aggregation pass, 16 conditional minima wide → melted. */
+  private[graft] def minhashBandPairs(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.Memo.cached(spark, s"mh_bands2:$sfDir") {
+      import spark.implicits._
+      val hs = shingles(spark, sfDir)
+        .select($"doc_id", charFold($"s").as("h"))
+      val minCols = (0 until 16).map(k =>
+        min(((lit(k) * 31L + 7L) * $"h" + lit(k) * 97L + 13L) % P)
+          .as(s"m$k"))
+      val stackExpr = (0 until 8)
+        .map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")
+      hs.groupBy($"doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .selectExpr("doc_id",
+          s"stack(8, $stackExpr) AS (band, mv1, mv2)")
+    }
+
   // ---------------------------------------------------------------- X2
   /** Near-dup via banded MinHash LSH: shingle → portable hash → 8
     * one-hash-per-band minima → bucket equi-join (capped 2..50) →
@@ -394,7 +425,7 @@ object LLMOps {
   private[graft] def minhashCandidates(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
-    minhashBands(spark, sfDir).groupBy($"band", $"mv")
+    minhashBandPairs(spark, sfDir).groupBy($"band", $"mv1", $"mv2")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .filter(size($"ds").between(2, 50))
       .select(explode(expr(
@@ -413,21 +444,26 @@ object LLMOps {
     },
     Some(s"""WITH $shCte, hs AS (
             |  SELECT doc_id, s, ${charFoldSql("s")} AS h FROM sh
-            |), bm AS (
-            |  SELECT doc_id, band,
-            |         min(((band*31 + 7) * h + band*97 + 13) % $P) AS mv
-            |  FROM hs, (SELECT unnest(range(0, 8)) AS band) b
+            |), m AS (
+            |  SELECT doc_id, k,
+            |         min(((k*31 + 7) * h + k*97 + 13) % $P) AS mv
+            |  FROM hs, (SELECT unnest(range(0, 16)) AS k) kk
             |  GROUP BY 1, 2
+            |), bm AS (
+            |  SELECT doc_id, k // 2 AS band,
+            |         min(CASE WHEN k % 2 = 0 THEN mv END) AS mv1,
+            |         min(CASE WHEN k % 2 = 1 THEN mv END) AS mv2
+            |  FROM m GROUP BY 1, 2
             |), kept AS (
             |  SELECT bm.* FROM bm
-            |  JOIN (SELECT band, mv FROM bm GROUP BY 1, 2
+            |  JOIN (SELECT band, mv1, mv2 FROM bm GROUP BY 1, 2, 3
             |        HAVING count(*) BETWEEN 2 AND 50) ok
-            |    USING (band, mv)
+            |    USING (band, mv1, mv2)
             |), cand AS (
             |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
             |  FROM kept a JOIN kept b
-            |    ON a.band = b.band AND a.mv = b.mv
-            |   AND a.doc_id < b.doc_id
+            |    ON a.band = b.band AND a.mv1 = b.mv1
+            |   AND a.mv2 = b.mv2 AND a.doc_id < b.doc_id
             |), ${verifyJaccardSql("0.5")}""".stripMargin))
 
   // ------------------------------------------------------------ SimHash

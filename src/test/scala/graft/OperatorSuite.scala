@@ -401,14 +401,15 @@ class OperatorSuite extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     val guarded = LLMOps.qDedupMinhash.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val bands = LLMOps.minhashBands(spark, sf)
+    val bands = LLMOps.minhashBandPairs(spark, sf)
     val keptW = bands
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy($"band", $"mv")))
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy($"band", $"mv1", $"mv2")))
       .filter($"bn".between(2, 50)).drop("bn")
     val candW = keptW.as("a")
       .join(keptW.as("b"), $"a.band" === $"b.band" &&
-        $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
+        $"a.mv1" === $"b.mv1" && $"a.mv2" === $"b.mv2" &&
+        $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
     val windowed = LLMOps.verifyJaccard(spark, sf, candW, 0.5)

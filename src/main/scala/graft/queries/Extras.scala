@@ -1413,36 +1413,49 @@ object Extras {
       // dedup, so the valve is raised for this statement and restored
       // after. UnionLoopExec reads the conf LIVE at execution (not at
       // analysis), so the recursion must be DRIVEN before the finally
-      // restores it — the eager localCheckpoint below does exactly
-      // that (the E5 loop discipline), and the node-grain result it
-      // pins is ≤ one row per document at any scale.
-      val limKey = "spark.sql.cteRecursionRowLimit"
-      val prevLim = spark.conf.getOption(limKey)
-      spark.conf.set(limKey, "-1")
-      try {
-        spark.sql(
-          s"""WITH RECURSIVE reach(id, r, depth) AS (
-             |  SELECT id, id AS r, 0 AS depth
-             |  FROM (SELECT d1 AS id FROM $view
-             |        UNION SELECT d2 FROM $view) n
-             |  UNION ALL
-             |  SELECT DISTINCT e.dst AS id, reach.r, reach.depth + 1
-             |  FROM reach
-             |  JOIN (SELECT d1 AS src, d2 AS dst FROM $view
-             |        UNION ALL SELECT d2, d1 FROM $view) e
-             |    ON e.src = reach.id
-             |  WHERE reach.depth < 4
-             |)
-             |SELECT id AS doc_id, min(r) AS cluster_id
-             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
-          .localCheckpoint(true)
-      } finally {
-        prevLim match {
-          case Some(v) => spark.conf.set(limKey, v)
-          case None => spark.conf.unset(limKey)
+      // restores it — the eager localCheckpoint does exactly that (the
+      // E5 loop discipline), and the node-grain result it pins is ≤
+      // one row per document at any scale. GATED on the pair-graph
+      // family's 20k-doc corpus line (the verify-form-switch
+      // precedent; Memo'd count): below it the closure cannot
+      // approach the 1M valve (≤ 20k ids × bounded cluster width), so
+      // the small-corpus path stays lazy — no conf churn, no
+      // checkpoint materialization (the r18 sf0.1 ×1.7 regression,
+      // VERDICT r18 item 4).
+      def recSql = spark.sql(
+        s"""WITH RECURSIVE reach(id, r, depth) AS (
+           |  SELECT id, id AS r, 0 AS depth
+           |  FROM (SELECT d1 AS id FROM $view
+           |        UNION SELECT d2 FROM $view) n
+           |  UNION ALL
+           |  SELECT DISTINCT e.dst AS id, reach.r, reach.depth + 1
+           |  FROM reach
+           |  JOIN (SELECT d1 AS src, d2 AS dst FROM $view
+           |        UNION ALL SELECT d2, d1 FROM $view) e
+           |    ON e.src = reach.id
+           |  WHERE reach.depth < 4
+           |)
+           |SELECT id AS doc_id, min(r) AS cluster_id
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+      val largeCorpus =
+        graft.queries.LLMOps.docCount(spark, sfDir) > 20000
+      if (!largeCorpus) {
+        // spark.sql analyzes eagerly, so the view is droppable as
+        // soon as the call returns even on the lazy path
+        try recSql finally { spark.catalog.dropTempView(view); () }
+      } else {
+        val limKey = "spark.sql.cteRecursionRowLimit"
+        val prevLim = spark.conf.getOption(limKey)
+        spark.conf.set(limKey, "-1")
+        try recSql.localCheckpoint(true)
+        finally {
+          prevLim match {
+            case Some(v) => spark.conf.set(limKey, v)
+            case None => spark.conf.unset(limKey)
+          }
+          spark.catalog.dropTempView(view)
+          ()
         }
-        spark.catalog.dropTempView(view)
-        ()
       }
     },
     Some(s"""WITH RECURSIVE ${LLMOps.pairsCte}, reach(id, r, depth) AS (

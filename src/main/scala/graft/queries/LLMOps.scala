@@ -100,7 +100,7 @@ object LLMOps {
 
   /** DuckDB mirror of [[knuthSpread]] — pmod emulated with the
     * add-then-mod idiom so negative ids agree with the Spark side. */
-  private def knuthSpreadSql(e: String): String =
+  private[graft] def knuthSpreadSql(e: String): String =
     s"(($e % 2147483648 + 2147483648) % 2147483648) " +
       "* 2654435761 % 2147483648"
 
@@ -613,10 +613,17 @@ object LLMOps {
     // SAME capped minhash buckets that survived the ×1000 rung inside
     // q_dedup_minhash (one bucket shuffle, ≤C(50,2) pairs per
     // bucket), and every emitted pair is still EXACTLY verified
-    // (precision 1). Recall for a J ≥ 0.5 pair under 8 one-hash bands
-    // is 1−(1−J)^8 ≥ 99.6%, the quantified bound q_minhash_accuracy
-    // audits. Driver scales (the correctness gate and every fixture
-    // sf) keep the exact path bit-for-bit.
+    // (precision 1). Recall under the generator's 8 TWO-hash (r=2)
+    // bands is 1−(1−J²)^8 pre-cap (~90% at exactly J=0.5, →1 as J
+    // rises) — the theoretical one-hash bound quoted here before
+    // round 18 does not apply to the r=2 banding, and theory is not
+    // the contract anyway: the MEASURED recall of this exact
+    // generator against replicated exact ground truth is 1.0000 at
+    // sf0.1 and 0.99965 at 500k docs (BASELINE.md round-18 LSH
+    // audit), and q_lsh_recall keeps that measurement as a permanent
+    // gated row (recall ≥ 0.99, precision ≡ 1 by exact verification).
+    // Driver scales (the correctness gate and every fixture sf) keep
+    // the exact path bit-for-bit.
     if (capOverride.isEmpty && !exactVocab && nd > 20000)
       return verifyJaccard(spark, sfDir,
         minhashCandidates(spark, sfDir), 0.5)
@@ -649,7 +656,12 @@ object LLMOps {
         val eps = math.max(cap.toDouble / (8.0 * math.max(nSh, 1L)),
           2e-5)
         val skBytes = sh
-          .agg(expr(f"count_min_sketch(h, ${eps}%.9fd, 0.99d, 42)"))
+          // Locale.ROOT: the f-interpolator formats through the JVM
+          // default locale, and a comma-decimal locale (de_DE) would
+          // emit '0,000020000' — unparseable SQL (ADVICE r18)
+          .agg(expr("count_min_sketch(h, " + String.format(
+            java.util.Locale.ROOT, "%.9f", Double.box(eps)) +
+            "d, 0.99d, 42)"))
           .head().getAs[Array[Byte]](0)
         if (skBytes == null) sh.filter(lit(false)).select($"h")
         else {

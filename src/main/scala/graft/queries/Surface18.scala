@@ -40,21 +40,59 @@ object Surface18 {
     * L2 distance is monotone in cosine: ‖a−b‖² = 2−2cos), so
     * |v/‖v‖|·1e6 ≤ 1e6 and 2^24 keeps every coordinate positive.
     * All-positive coordinates make the DuckDB `//` floor-mean equal
-    * Spark's truncating `div` mean. Tuning (BASELINE.md round 18,
-    * measured on the isotropic fixture): C=32/T=6/nprobe=8 reaches
-    * recall@3 0.82 at a 25% candidate fraction where the label-IVF
-    * measured 0.09 at 10% — and fixed C keeps candidates/probe ∝
-    * rows. */
+    * Spark's truncating `div` mean. */
   private val OFF = 16777216L
-  private val C = 32 // coarse cells (fixed → candidates/probe ∝ rows)
+
+  /** Round-19 scale shape (VERDICT r18 item 1 — the repo's last
+    * scale-killer): the round-18 index fixed C = 32, so a probe's
+    * candidate set was nprobe/C ≡ 25% OF THE CORPUS at every scale —
+    * sub-quadratic but not an index. Now the cell count GROWS WITH
+    * THE CORPUS toward a constant target cell size
+    * (C = clamp(32, 4096, n div 64)) and probing is ADAPTIVE: cells
+    * are ranked per probe by exact integer distance and probed while
+    * the running candidate count (exclusive prefix sum of the probed
+    * cells' census sizes) is still under PROBE_TARGET — so
+    * candidates/probe stays ~PROBE_TARGET (±one cell) as rows grow
+    * instead of ∝ rows. Below PROBE_TARGET rows the prefix rule
+    * probes every cell and the "index" degenerates to the exact scan
+    * — the honest small-corpus behavior of any IVF (the index pays
+    * only past the target scan size). The centroid matrix stays a
+    * single broadcast-sized literal to C_MAX = 4096 cells
+    * (4096 × 64 dims × 8 B ≈ 2 MB); past ~10⁵ cells the standard
+    * next rung is a two-level coarse/fine quantizer, out of scope at
+    * this fixture's sizes. Everything stays engine-exact integers:
+    * distances, census sizes, and the prefix sums are the same
+    * numbers on both engines, so the adaptive probe set itself is
+    * oracle-gated, not just the output. */
+  private val CELL_TARGET = 64L // target corpus rows per cell
+  private val C_MIN = 32L
+  private val C_MAX = 4096L
   private val ITERS = 6 // Lloyd rounds, unrolled in the oracle
-  private val NPROBE = 8 // cells probed per query
+  private val PROBE_TARGET = 2048L // adaptive-probe candidate budget
+
+  /** Corpus vector count, memoized per (session, sfDir) — sizes the
+    * cell count (the docCount discipline). */
+  private[graft] def embCount(spark: SparkSession, sfDir: String): Long =
+    graft.Memo.value(spark, s"emb_count:$sfDir") {
+      Tables.read(spark, sfDir, "embeddings").count()
+    }
+
+  private def cellCountFor(n: Long): Int =
+    math.max(C_MIN, math.min(C_MAX, n / CELL_TARGET)).toInt
+
+  /** The SQL twin of [[cellCountFor]] — a scalar subquery, so the
+    * oracle derives C from the same corpus count. */
+  private def cSql: String =
+    s"(SELECT greatest($C_MIN, least($C_MAX, count(*) // $CELL_TARGET))" +
+      " FROM embeddings)"
 
   /** round(1e6 · v/‖v‖) + OFF per element; a zero vector maps to all
     * OFF (the guard keeps ANSI mode from choking on NaN — both engines
     * branch identically). The norm is the family's shared sequential
     * fold (Vectors.normSq ≡ the DuckDB list_reduce), so the doubles —
     * and therefore the rounded integers — agree exactly. */
+  private[graft] def microQuantCol(c: Column): Column = microQuant(c)
+
   private def microQuant(c: Column): Column = {
     val nrm = sqrt(Vectors.normSq(c))
     transform(c, v =>
@@ -77,31 +115,34 @@ object Surface18 {
     * [[graft.functions.KmeansNearestCells]] — the HOF spelling
     * (transform + aggregate + array_sort) computes the same exact
     * integer argmin but every HOF is a CodegenFallback, measured as
-    * the hot cost of the sf10gk AnnRung before the swap. */
+    * the hot cost of the sf10gk AnnRung before the swap. The matrix
+    * is ONE typedLit literal (not array(struct(...)×C)): a
+    * per-centroid CreateStruct tree at C = 4096 would be a ~10⁵-node
+    * expression that analysis and codegen both choke on, while a
+    * single Literal is O(1) plan nodes at any C and the kernel
+    * parses it once per executor. */
+  private def centLit(cents: Seq[(Long, Seq[Long])]): Column =
+    typedLit(cents)
+
   private def nearestCells(q: Column, cents: Seq[(Long, Seq[Long])],
-      k: Int): Column = {
-    val centArr = array(cents.map { case (id, v) =>
-      struct(lit(id).as("c_id"), typedLit(v).as("cv"))
-    }: _*)
-    call_function("kmeans_nearest_cells", centArr, q, lit(k))
-  }
+      k: Int): Column =
+    call_function("kmeans_nearest_cells", centLit(cents), q, lit(k))
 
-  private def cellOf(q: Column, cents: Seq[(Long, Seq[Long])]): Column = {
-    val centArr = array(cents.map { case (id, v) =>
-      struct(lit(id).as("c_id"), typedLit(v).as("cv"))
-    }: _*)
-    call_function("kmeans_cell", centArr, q)
-  }
+  private def cellOf(q: Column, cents: Seq[(Long, Seq[Long])]): Column =
+    call_function("kmeans_cell", centLit(cents), q)
 
-  private def probeCells(q: Column,
-      cents: Seq[(Long, Seq[Long])]): Column =
-    nearestCells(q, cents, NPROBE)
-
-  /** ITERS Lloyd rounds from the first-C seed vectors; memoized per
-    * (session, sfDir). Each round: map-side argmin assignment (no
-    * join), one (cell × dim)-group aggregation (≤ C·dim cells — the
-    * exchange is dimension-sized regardless of corpus rows), and a
-    * C·dim-value driver collect re-broadcast as the next literal — the
+  /** ITERS Lloyd rounds from C hash-spread seed vectors; memoized per
+    * (session, sfDir). Seeds are the C smallest by
+    * (knuthSpread(vec_id), vec_id) — NOT `vec_id < C`: grown fixtures
+    * stride their ids per copy, so an id-prefix seed set would all
+    * come from the first copies, while the multiplicative spread
+    * picks uniformly across the corpus regardless of id layout; the
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition
+    * top-C + driver merge — no corpus-wide sort materializes). Each
+    * Lloyd round: map-side argmin assignment (no join), one
+    * (cell × dim)-group aggregation (≤ C·dim cells — the exchange is
+    * dimension-sized regardless of corpus rows), and a C·dim-value
+    * driver collect re-broadcast as the next literal — the
     * pagerank/E5 driver-scalar discipline. A cell that loses all
     * members drops out (both engines, deterministically). */
   private[graft] def kmeansCents(spark: SparkSession,
@@ -109,9 +150,12 @@ object Surface18 {
     graft.Memo.value(spark, s"kmeans_cents:$sfDir") {
       import spark.implicits._
       val qv = qvFrame(spark, sfDir)
-      var cents: Seq[(Long, Seq[Long])] = qv.filter($"vec_id" < C)
-        .orderBy($"vec_id").select($"vec_id", $"q").collect()
+      val cN = cellCountFor(embCount(spark, sfDir))
+      var cents: Seq[(Long, Seq[Long])] = qv
+        .orderBy(LLMOps.knuthSpread($"vec_id"), $"vec_id").limit(cN)
+        .select($"vec_id", $"q").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+        .sortBy(_._1)
       for (_ <- 1 to ITERS) {
         cents = qv
           .select(cellOf($"q", cents).as("cell"),
@@ -130,10 +174,42 @@ object Surface18 {
       cents
     }
 
+  /** The adaptive probe set per probe vector: every surviving cell is
+    * ranked by exact integer (distance, id) — the native kernel with
+    * k = C — joined to the final-census cell sizes (C rows, broadcast)
+    * and kept while the EXCLUSIVE running candidate count is under
+    * PROBE_TARGET. The first-ranked cell always survives (exclusive
+    * sum 0 < target), and the probed candidate total is
+    * < PROBE_TARGET + one cell — flat in the corpus size by
+    * construction. Everything here is probe-side work: 50 probes × C
+    * cells of integer arithmetic — the corpus is never touched until
+    * the candidate join. Returns (q_id, cell, sz). */
+  private def probedCells(spark: SparkSession, sfDir: String,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    val qv = qvFrame(spark, sfDir)
+    // final-census sizes: a Lloyd survivor can still end up empty in
+    // the FINAL assignment (it kept members in round ITERS's interim
+    // census but lost the last argmin) — hence the left join + 0
+    val sizes = qv.select(cellOf($"q", cents).as("cell"))
+      .groupBy($"cell").agg(count(lit(1)).as("sz"))
+    val wCum = Window.partitionBy($"q_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    qv.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"),
+        posexplode(nearestCells($"q", cents, cents.size))
+          .as(Seq("pos", "cell")))
+      .join(broadcast(sizes), Seq("cell"), "left")
+      .withColumn("sz", coalesce($"sz", lit(0L)))
+      .withColumn("cum", coalesce(sum($"sz").over(wCum), lit(0L)))
+      .filter($"cum" < PROBE_TARGET)
+      .select($"q_id", $"cell", $"sz")
+  }
+
   /** The shared ANN head: probes (vec_id < 50) score only the vectors
-    * assigned to their NPROBE nearest learned cells — candidates/probe
-    * ≈ NPROBE/C of the corpus, ∝ rows at fixed C — then exact cosine
-    * top-3 within the candidates (round 6dp, id tiebreak, the family
+    * assigned to their adaptively-probed nearest cells (~PROBE_TARGET
+    * candidates regardless of corpus size), then exact cosine top-3
+    * within the candidates (round 6dp, id tiebreak, the family
     * contract). */
   private[graft] def kmeansTop3(spark: SparkSession,
       sfDir: String): DataFrame = {
@@ -144,9 +220,11 @@ object Surface18 {
       .select($"vec_id", $"embedding", cellOf($"q", cents).as("cell"))
       .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
     val probes = qv.filter($"vec_id" < 50)
-      .select($"vec_id".as("q_id"), $"embedding".as("pv"),
-        probeCells($"q", cents).as("cells"))
+      .select($"vec_id".as("q_id"), $"embedding".as("pv"))
       .withColumn("pnrm", sqrt(Vectors.normSq($"pv")))
+      .join(probedCells(spark, sfDir, cents)
+        .groupBy($"q_id").agg(collect_list($"cell").as("cells")),
+        Seq("q_id"))
     val scored = e.join(broadcast(probes),
         array_contains($"cells", $"cell") && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
@@ -159,19 +237,14 @@ object Surface18 {
   }
 
   /** Per-probe candidate counts (instrument surface for AnnRung): how
-    * many corpus vectors the NPROBE probed cells actually contain —
-    * the measured form of the "candidates ∝ rows at fixed C" claim. */
+    * many corpus vectors the adaptive probe set actually contains —
+    * the measured form of the "candidates/probe ~flat in rows"
+    * claim. */
   private[graft] def kmeansCandCounts(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
     val cents = kmeansCents(spark, sfDir)
-    val qv = qvFrame(spark, sfDir)
-    val cellSizes = qv.select(cellOf($"q", cents).as("cell"))
-      .groupBy($"cell").agg(count(lit(1)).as("sz"))
-    qv.filter($"vec_id" < 50)
-      .select($"vec_id".as("q_id"), probeCells($"q", cents).as("cells"))
-      .select($"q_id", explode($"cells").as("cell"))
-      .join(cellSizes, Seq("cell"))
+    probedCells(spark, sfDir, cents)
       .groupBy($"q_id").agg(sum($"sz").as("n_cand"))
   }
 
@@ -208,7 +281,12 @@ object Surface18 {
          |          AS BIGINT) ELSE 0 END + $OFF) AS q
          |  FROM qn
          |), c0 AS (
-         |  SELECT vec_id AS c_id, q AS cv FROM qv WHERE vec_id < $C
+         |  SELECT vec_id AS c_id, q AS cv FROM (
+         |    SELECT vec_id, q, row_number() OVER (
+         |      ORDER BY ${LLMOps.knuthSpreadSql("vec_id")}, vec_id)
+         |      AS srn
+         |    FROM qv) s
+         |  WHERE srn <= $cSql
          |)""".stripMargin
     val steps = (1 to ITERS).map { i =>
       s"""a$i AS (
@@ -235,13 +313,22 @@ object Surface18 {
          |        ORDER BY ${distSql("v.q", "c.cv")}, c.c_id) AS rn
          |    FROM qv v, c$ITERS c) t
          |  WHERE rn = 1
+         |), cellsz AS (
+         |  SELECT cell, count(*) AS sz FROM cells GROUP BY cell
+         |), prank AS (
+         |  SELECT p.vec_id AS q_id, c.c_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${distSql("p.q", "c.cv")}, c.c_id) AS rn
+         |  FROM qv p, c$ITERS c WHERE p.vec_id < 50
          |), pcells AS (
          |  SELECT q_id, c_id FROM (
-         |    SELECT p.vec_id AS q_id, c.c_id,
-         |      row_number() OVER (PARTITION BY p.vec_id
-         |        ORDER BY ${distSql("p.q", "c.cv")}, c.c_id) AS rn
-         |    FROM qv p, c$ITERS c WHERE p.vec_id < 50) t
-         |  WHERE rn <= $NPROBE
+         |    SELECT pr.q_id, pr.c_id,
+         |      coalesce(sum(coalesce(z.sz, 0)) OVER (
+         |        PARTITION BY pr.q_id ORDER BY pr.rn
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0) AS cum
+         |    FROM prank pr LEFT JOIN cellsz z ON z.cell = pr.c_id) t
+         |  WHERE cum < $PROBE_TARGET
          |), annscored AS (
          |  SELECT pc.q_id, e.vec_id AS neighbor_id,
          |    ${cosSql("p.embedding", "e.embedding")} AS cos_sim
@@ -257,9 +344,11 @@ object Surface18 {
     (head +: steps :+ cells).mkString(",\n")
   }
 
-  /** E364: **k-means IVF ANN** — learned coarse cells + nprobe=2
-    * probing replace the label cells of q_sim_ann_ivf; same output
-    * contract (top-3 per probe, rounded cosine, id tiebreak). */
+  /** E364: **k-means IVF ANN** — learned coarse cells (C grows with
+    * the corpus toward CELL_TARGET rows/cell) + adaptive probing to
+    * the PROBE_TARGET candidate budget replace the label cells of
+    * q_sim_ann_ivf; same output contract (top-3 per probe, rounded
+    * cosine, id tiebreak). */
   val qSimAnnKmeans = Q("q_sim_ann_kmeans",
     (spark, sfDir) => {
       import spark.implicits._
@@ -349,9 +438,14 @@ object Surface18 {
       val qv = qvFrame(spark, sfDir)
       val old = qv.select(cellOf($"q", cents).as("cell"))
         .groupBy($"cell").agg(count(lit(1)).as("n_old"))
+      // quantize the ORIGINAL embedding, then reverse the integer
+      // vector: microQuant is elementwise over a scalar nrm, so
+      // reverse∘quantize ≡ quantize∘reverse — but the norm's float
+      // fold order now matches the oracle's qn.nrm (original order);
+      // folding over reverse(embedding) could differ in the last ulp
+      // and flip a floor at a .5 boundary (ADVICE r18)
       val arrivals = Tables.read(spark, sfDir, "embeddings")
-        .select($"vec_id", reverse($"embedding").as("embedding"))
-        .select(microQuant($"embedding").as("q"))
+        .select(reverse(microQuant($"embedding")).as("q"))
       val nNew = arrivals.select(cellOf($"q", cents).as("cell"))
         .groupBy($"cell").agg(count(lit(1)).as("n_new"))
       old.join(nNew, Seq("cell"), "full_outer")

@@ -178,9 +178,25 @@ class OperatorSuite extends AnyFunSuite {
     val rec = graft.queries.Surface18.qSimAnnKmeansRecall.fn(spark, sf)
       .agg(avg($"recall_at_3")).head().getDouble(0)
     assert(rec >= 0.8, s"kmeans recall@3 mean $rec fell under 0.8")
-    // (2) kmeans_cell ≡ first of kmeans_nearest_cells, and the k-list
-    // is sorted by the (distance, id) contract: probing with k=C must
-    // start with the assigned cell
+    // (2) kmeans_cell ≡ first of kmeans_nearest_cells over the whole
+    // fixture — the scalar entry point and the k-list head must agree
+    // (the k-list is (distance, id)-sorted, so probing starts with
+    // the assigned cell); asserted directly, not just claimed
+    // (ADVICE r18)
+    val cents = graft.queries.Surface18.kmeansCents(spark, sf)
+    val centArr = typedLit(cents.map { case (id, v) =>
+      (id, v)
+    })
+    val mismatches = Tables.read(spark, sf, "embeddings")
+      .select(graft.queries.Surface18.microQuantCol($"embedding")
+        .as("q"))
+      .select(
+        call_function("kmeans_cell", centArr, $"q").as("c1"),
+        element_at(call_function("kmeans_nearest_cells", centArr,
+          $"q", lit(3)), 1).as("c2"))
+      .filter($"c1" =!= $"c2").count()
+    assert(mismatches == 0L,
+      s"kmeans_cell diverged from nearest_cells head on $mismatches rows")
     val cands = graft.queries.Surface18.kmeansCandCounts(spark, sf)
       .collect()
     assert(cands.length == 50 && cands.forall(_.getLong(1) > 0))

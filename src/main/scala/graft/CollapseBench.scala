@@ -143,6 +143,48 @@ object CollapseBench {
       System.err.println(s"[collapsebench] UNFIRED: scansCells=" +
         s"$scansCells preAggBelowJoin=$preAggBelowJoin")
 
+    // LOW-COLLAPSE CONTROL (round 19, VERDICT r18 item 5): the same
+    // star shape over a summary whose grain collapses only 2× to key
+    // grain — the measured-neutral band — must REFUSE the below-join
+    // pre-aggregate (the collapse guard's second signal) while still
+    // riding its cells. Separate fact path so the two registrations
+    // never share a lattice (the coarser summary would otherwise
+    // answer the main query outright).
+    val fact2Dir = s"$root/fact2"
+    val cells2Dir = s"$root/cells2"
+    spark.range(0, KEYS * 2L * R)
+      .select(
+        (col("id") % KEYS).as("key"),
+        ((col("id") / KEYS) % 2L).as("bucket"),
+        ((col("id") % 9973L).cast("double") / 100.0d).as("v"))
+      .write.mode("overwrite").parquet(fact2Dir)
+    val fact2 = spark.read.parquet(fact2Dir)
+    plans.RollupBuild.materialize(spark, fact2, cells2Dir,
+      dims = Seq("bucket" -> fact2("bucket"), "key" -> fact2("key")),
+      measures = Seq("v" -> fact2("v")))
+    def qLow(): DataFrame = fact2
+      .join(dim.hint("merge"), Seq("key"))
+      .groupBy($"segment")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    val lowProbe = qLow()
+    val lowRows = canon(lowProbe)
+    spark.conf.set(plans.RollupRewrite.EnabledConf, "false")
+    val lowOff = try canon(qLow())
+      finally spark.conf.unset(plans.RollupRewrite.EnabledConf)
+    require(lowOff == lowRows, "low-collapse shape disagrees rule-off")
+    val lowScansCells = scans(lowProbe.queryExecution.executedPlan)
+      .exists(_.contains("/cells2"))
+    val lowPreAgg = lowProbe.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+      .exists(_.children.exists(_.exists {
+        case _: Aggregate => true
+        case _ => false
+      }))
+    if (!lowScansCells || lowPreAgg)
+      System.err.println(s"[collapsebench] LOW-COLLAPSE GUARD WRONG: " +
+        s"scansCells=$lowScansCells preAggBelowJoin=$lowPreAgg " +
+        "(must ride cells WITHOUT a below-join pre-aggregate)")
+
     Seq(() => qA(), () => qB()).foreach(mk => timed(mk)) // warm
     offTimed()
     val alt = sys.env.get("SPARK_GRAFT_NAV_ALT").flatMap(s =>
@@ -169,8 +211,10 @@ object CollapseBench {
       s""""rule_off":${r(mc)},""" +
       s""""preagg_speedup_vs_plain":${r(mb / math.max(ma, 1e-9))},""" +
       s""""preagg_speedup_vs_off":${r(mc / math.max(ma, 1e-9))},""" +
-      s""""fired":${scansCells && preAggBelowJoin}}""")
+      s""""fired":${scansCells && preAggBelowJoin},""" +
+      s""""low_collapse_refused":${lowScansCells && !lowPreAgg}}""")
     spark.stop()
     if (!scansCells || !preAggBelowJoin) sys.exit(3)
+    if (!lowScansCells || lowPreAgg) sys.exit(4)
   }
 }

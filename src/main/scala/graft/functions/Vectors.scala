@@ -85,4 +85,51 @@ object Vectors {
   /** CentroidAgg as an untyped column function. */
   val centroidUdaf =
     udaf(CentroidAgg, ExpressionEncoder[Seq[Float]]())
+
+  /** Element-wise EXACT long-vector sum + member count — the Lloyd
+    * mean's aggregation kernel (Surface18). Integer adds are
+    * order-free, so partial aggregation/merge order can never change
+    * the result (the engine-exact k-means discipline); the shuffle
+    * carries ONE (dim-long buffer, count) per (cell × partition)
+    * instead of dim exploded rows per corpus row, and the grouping
+    * key (the kmeans_cell kernel) is evaluated once per input row —
+    * the exploded groupBy spelling re-ran the C·dim argmin per
+    * exploded ELEMENT (dim× the work, found by jstack at sf10gk,
+    * round 19). */
+  object VecSumLongAgg
+      extends Aggregator[Seq[Long], (Array[Long], Long), (Seq[Long], Long)] {
+    def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
+
+    def reduce(b: (Array[Long], Long),
+        v: Seq[Long]): (Array[Long], Long) = {
+      val acc = if (b._1.isEmpty) new Array[Long](v.length) else b._1
+      var i = 0
+      while (i < v.length) { acc(i) += v(i); i += 1 }
+      (acc, b._2 + 1)
+    }
+
+    def merge(x: (Array[Long], Long),
+        y: (Array[Long], Long)): (Array[Long], Long) = {
+      if (x._1.isEmpty) y
+      else if (y._1.isEmpty) x
+      else {
+        var i = 0
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+    }
+
+    def finish(r: (Array[Long], Long)): (Seq[Long], Long) =
+      (r._1.toSeq, r._2)
+
+    def bufferEncoder: Encoder[(Array[Long], Long)] =
+      ExpressionEncoder[(Array[Long], Long)]()
+    def outputEncoder: Encoder[(Seq[Long], Long)] =
+      ExpressionEncoder[(Seq[Long], Long)]()
+  }
+
+  /** VecSumLongAgg as an untyped column function: returns a struct
+    * `(_1: ARRAY<BIGINT> sums, _2: BIGINT count)`. */
+  val vecSumLongUdaf =
+    udaf(VecSumLongAgg, ExpressionEncoder[Seq[Long]]())
 }

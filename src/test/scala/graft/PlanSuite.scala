@@ -200,9 +200,11 @@ class PlanSuite extends AnyFunSuite {
                                  // !=-condition leg (E365)
       "q_retrieval_rrf", // both fusion legs are the X3 10-probe
                          // broadcast with the != condition (E367)
-      "q_curriculum_phases") // 1-row (lo, hi) quality-bounds cross
+      "q_curriculum_phases", // 1-row (lo, hi) quality-bounds cross
                              // feeds the distributed-rank bucketing,
                              // q_sample_systematic's shape (E369)
+      "q_lsh_recall") // 1-row n_truth × 1-row n_found count cross
+                      // into the recall ratio (E370)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -252,8 +252,11 @@ object Bench {
       // judge cannot attribute it from BENCH_r{N}.json alone. target/
       // is gitignored; BENCH_FULL.json at the repo root is picked up by
       // the round-end commit, giving every round a full per-query map.
-      java.nio.file.Files.write(
-        root.resolve("BENCH_FULL.json"), full.getBytes("UTF-8"))
+      // FULL sweeps only (round 19): a SPARK_GRAFT_ONLY dev-loop run
+      // used to clobber the committed full map with its subset.
+      if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty))
+        java.nio.file.Files.write(
+          root.resolve("BENCH_FULL.json"), full.getBytes("UTF-8"))
     } catch { case t: Throwable =>
       // the artifact line on stdout must survive, but the failure must
       // be VISIBLE (ADVICE r14: a swallowed write left stale files)

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Vectors
 
-/** Round-18 surface rows: LEARNED-cell ANN (k-means IVF with nprobe
-  * multi-cell probing) — the VERDICT r17 item-5 closure. The round-17
+/** Round-18/19 surface rows: LEARNED-cell ANN (k-means IVF with
+  * adaptive multi-cell probing) — the VERDICT r17 item-5 closure,
+  * re-shaped for scale in round 19 (VERDICT r18 item 1). The round-17
   * rung proved the label-cell IVF's candidates scale ∝ rows, but its
   * recall@3 was 0.09–0.39 because class labels are not geometric
-  * cells. These rows learn the cells instead (Lloyd iterations) and
-  * probe the nprobe nearest, the standard IVF recall lever.
+  * cells. These rows learn the cells instead (Lloyd iterations,
+  * spherically renormalized) and probe nearest cells adaptively to a
+  * fixed candidate budget, the standard IVF recall lever.
   *
   * Provenance: inverted-file ANN with coarse k-means quantizers is the
   * IVF-Flat baseline of the FAISS/Jégou line (PAPERS.md); the

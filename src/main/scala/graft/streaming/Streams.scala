@@ -119,6 +119,31 @@ object StreamRun {
     spark.conf.getOption("graft.stream.statePartitions")
       .map(_.toInt).getOrElse(4)
 
+  /** Checkpoint root for the harness's TRANSIENT memory-sink streams:
+    * tmpfs (/dev/shm) when present, else the JVM temp dir. These
+    * checkpoints have no durability contract BY CONSTRUCTION — the
+    * memory sink's results die with the session, and Spark itself
+    * force-deletes temp checkpoints on clean stop — yet every
+    * micro-batch fsyncs its offset/commit logs and state snapshots,
+    * so a disk-backed temp dir bills pure fsync latency to every
+    * stream row (state stores × partitions × batches). A production
+    * job with real resume semantics passes its own durable
+    * `checkpointLocation` (q_stream_resume and the file-sink row do
+    * exactly that and are untouched); `graft.stream.checkpointRoot`
+    * overrides. Deleted in `finally` either way. */
+  private def ckRoot(spark: SparkSession): String =
+    spark.conf.getOption("graft.stream.checkpointRoot").getOrElse {
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach(deleteRec)
+    f.delete()
+    ()
+  }
+
   /** Runs `df` to a memory-sink table and returns it. NOTE: the
     * shuffle-partition override below mutates the session-global conf
     * for the duration of the stream (restored in `finally`) — the
@@ -132,13 +157,22 @@ object StreamRun {
     val name = s"${base}_${runId.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
+    val ck = s"${ckRoot(spark)}/graft-ck-$name"
     spark.conf.set(key, stateParts(spark).toString)
     try {
       val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck)
         .outputMode(mode).start()
       q.processAllAvailable()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DBG"))
+        q.recentProgress.foreach(p =>
+          System.err.println(s"[stream-dbg] $name batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
       q.stop()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      deleteRec(new java.io.File(ck))
+    }
     spark.table(name)
   }
 
@@ -152,14 +186,19 @@ object StreamRun {
     val name = s"${base}_${runId.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
+    val ck = s"${ckRoot(spark)}/graft-ck-$name"
     spark.conf.set(key, stateParts(spark).toString)
     try {
       val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      deleteRec(new java.io.File(ck))
+    }
     spark.table(name)
   }
 }

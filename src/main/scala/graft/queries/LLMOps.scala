@@ -3941,13 +3941,19 @@ object LLMOps {
     * against exact ground truth (0.73 under one-hash bands; the r=2
     * two-hash fix measured 1.0); this row makes that audit a PERMANENT
     * gated query so a banding regression can never land silently
-    * (VERDICT r18 item 3). Fixture: the first 500 docs replicated ×8
+    * (VERDICT r18 item 3). Fixture: the first 250 docs replicated ×4
     * under shifted ids — every shingle's document frequency multiplies
-    * by 8 (the corpus-common-shingle density that made one-hash
-    * buckets blow the 2..50 cap and drop true pairs) and every doc
-    * gains 7 exact duplicates, so truth is dense and cap pressure is
-    * real at EVERY sf (the slice keeps the fixture — and this row's
-    * cost — constant across scales). Truth = exact J ≥ 0.5 pairs from
+    * by 4 (the corpus-common-shingle density that made one-hash
+    * buckets blow the 2..50 cap and drop true pairs: base one-hash
+    * band buckets run past 12 docs here, so ×4 puts them over the
+    * cap, while the two-hash buckets stay near-dup-cluster-sized ≤
+    * ~24) and every doc gains 3 exact duplicates, so truth is dense
+    * and cap pressure is real at EVERY sf; the slice keeps the
+    * fixture — and this row's cost — constant across scales (a
+    * 500×8 first cut measured 14 s at sf0.1: the exact-truth
+    * inverted-index self-join is Σ df², ∝ copies²·docs, and 250×4
+    * buys the same cap pressure at 1/8 the pair mass).
+    * Truth = exact J ≥ 0.5 pairs from
     * the inverted-index self-join; found = the SAME two-hash banded
     * candidate pipeline q_dedup_minhash ships, exactly verified
     * (precision ≡ 1 by construction, so found ⊆ truth and
@@ -3956,9 +3962,9 @@ object LLMOps {
   val qLshRecall = Q("q_lsh_recall",
     (spark, sfDir) => {
       import spark.implicits._
-      val rep = docs(spark, sfDir).filter($"doc_id" < 500)
+      val rep = docs(spark, sfDir).filter($"doc_id" < 250)
         .select($"doc_id", $"text",
-          explode(typedLit((0L until 8L).toSeq)).as("cp"))
+          explode(typedLit((0L until 4L).toSeq)).as("cp"))
         .select(($"doc_id" + $"cp" * 1000000L).as("doc_id"), $"text")
       val sh = rep
         .select($"doc_id", split(trim($"text"), " ").as("ws"))
@@ -4012,8 +4018,8 @@ object LLMOps {
     },
     Some(s"""WITH rep AS (
             |  SELECT doc_id + cp * 1000000 AS doc_id, text
-            |  FROM documents, (SELECT unnest(range(0, 8)) AS cp) c
-            |  WHERE doc_id < 500
+            |  FROM documents, (SELECT unnest(range(0, 4)) AS cp) c
+            |  WHERE doc_id < 250
             |), rtoks AS (
             |  SELECT doc_id, string_split(trim(text), ' ') AS ws
             |  FROM rep

@@ -49,6 +49,20 @@ object AnnRung {
         sfDir)
       .agg(avg($"recall_at_3").as("a"), min($"recall_at_3").as("m"))
       .head()
+    // round 19: the two-level (coarse/fine) path — candidates and
+    // recall under the group-pruned probe, quantifying what the
+    // coarse level costs in recall for its ~16× ranking-work cut
+    val tl = queries.Surface18.twoLevelCandCounts(spark, sfDir)
+      .agg(avg($"n_cand").as("a"), max($"n_cand").as("m")).head()
+    val tlRec = SparkEntry.queries("q_sim_ann_twolevel_recall")(spark,
+        sfDir)
+      .agg(avg($"recall_at_3").as("a"), min($"recall_at_3").as("m"))
+      .head()
+    require(tlRec.getDouble(0) >= 0.0 && tlRec.getDouble(0) <= 1.0 &&
+      tlRec.getDouble(1) >= 0.0,
+      s"twolevel recall out of [0,1]: $tlRec")
+    require(tl.getLong(1) >= tl.getDouble(0).toLong,
+      "twolevel candidate max below avg — measurement inconsistent")
     // structural bounds, asserted at every scale (exit nonzero on
     // violation): recall is a fraction of the exact top-3, and a
     // probe's candidate set can never exceed its cell/bucket
@@ -75,6 +89,10 @@ object AnnRung {
       s""""cand_kmeans_max":${km.getLong(1)},""" +
       s""""recall_kmeans_mean":${r(kmRec.getDouble(0))},""" +
       s""""recall_kmeans_min":${r(kmRec.getDouble(1))},""" +
+      s""""cand_twolevel_avg":${r(tl.getDouble(0))},""" +
+      s""""cand_twolevel_max":${tl.getLong(1)},""" +
+      s""""recall_twolevel_mean":${r(tlRec.getDouble(0))},""" +
+      s""""recall_twolevel_min":${r(tlRec.getDouble(1))},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

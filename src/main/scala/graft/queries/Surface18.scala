@@ -255,22 +255,21 @@ object Surface18 {
       .select($"q_id", $"cell", $"sz")
   }
 
-  /** The shared ANN head: probes (vec_id < 50) score only the vectors
-    * assigned to their adaptively-probed nearest cells (~PROBE_TARGET
+  /** The shared ANN scoring head: probes (vec_id < 50) score only the
+    * vectors assigned to the given per-probe cell set (~PROBE_TARGET
     * candidates regardless of corpus size), then exact cosine top-3
     * within the candidates (round 6dp, id tiebreak, the family
-    * contract). */
-  private[graft] def kmeansTop3(spark: SparkSession,
-      sfDir: String): DataFrame = {
+    * contract). `probed` is (q_id, cell, …). */
+  private def top3From(spark: SparkSession, sfDir: String,
+      probed: DataFrame): DataFrame = {
     import spark.implicits._
-    val cents = kmeansCents(spark, sfDir)
     val qv = qvFrame(spark, sfDir)
     val e = assigned(spark, sfDir)
       .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
     val probes = qv.filter($"vec_id" < 50)
       .select($"vec_id".as("q_id"), $"embedding".as("pv"))
       .withColumn("pnrm", sqrt(Vectors.normSq($"pv")))
-      .join(probedCells(spark, sfDir, cents)
+      .join(probed
         .groupBy($"q_id").agg(collect_list($"cell").as("cells")),
         Seq("q_id"))
     val scored = e.join(broadcast(probes),
@@ -284,6 +283,11 @@ object Surface18 {
       .filter($"rank" <= 3)
   }
 
+  private[graft] def kmeansTop3(spark: SparkSession,
+      sfDir: String): DataFrame =
+    top3From(spark, sfDir,
+      probedCells(spark, sfDir, kmeansCents(spark, sfDir)))
+
   /** Per-probe candidate counts (instrument surface for AnnRung): how
     * many corpus vectors the adaptive probe set actually contains —
     * the measured form of the "candidates/probe ~flat in rows"
@@ -293,6 +297,146 @@ object Surface18 {
     import spark.implicits._
     val cents = kmeansCents(spark, sfDir)
     probedCells(spark, sfDir, cents)
+      .groupBy($"q_id").agg(sum($"sz").as("n_cand"))
+  }
+
+  // --------------------------------------- two-level quantizer (E371)
+  /** GROUP_TARGET fine cells per coarse group; ITERS2 Lloyd rounds for
+    * the coarse level. The coarse level exists to cut PER-PROBE
+    * RANKING from O(C) to O(C2 + ranked-fine-cells): groups are kept
+    * ADAPTIVELY, nearest first, while the exclusive prefix sum of
+    * their member-fine-cell counts is under RANK_BUDGET (8192) — the same
+    * prefix rule the fine level applies to candidates, one level up.
+    * Below RANK_BUDGET fine cells the rule keeps every group and the
+    * two-level path degenerates EXACTLY to the single-level ranking
+    * (the honest small-index behavior; a fixed keep-fraction instead
+    * measured recall 0.38 at sf1gk — pruning 90% of groups drops the
+    * budget-probed cells themselves). At C = 32768 a probe ranks
+    * C2 = 512 groups + ~RANK_BUDGET fine cells ≈ 8.7k instead of
+    * 32k — a ~3.8× ranking cut at the same candidate budget.
+    * MEASURED COST at sf10gk (the recall row E372 exists to keep this
+    * number honest): recall@3 0.74 vs the single-level 0.83 (0.70 at
+    * the 4096 first cut) — on this near-isotropic fixture a probe's
+    * budget cells scatter across many wide-cap groups, so coarse
+    * pruning is intrinsically lossy; real embedding corpora with
+    * cluster structure are the regime where the coarse level keeps
+    * recall. The SINGLE-level path therefore remains the shipped
+    * headline (q_sim_ann_kmeans); this pair documents and gates the
+    * next scale rung with its tradeoff measured, not assumed
+    * (BASELINE round 19). */
+  private val GROUP_TARGET = 64L
+  private val C2_MIN = 4L
+  private val ITERS2 = 4
+  private val RANK_BUDGET = 8192L // fine cells ranked per probe
+
+  /** Exact integer squared L2 — the Scala twin of distSql (and of the
+    * native kernel's loop). */
+  private def idist(a: Seq[Long], b: Seq[Long]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Scala twin of LLMOps.knuthSpread for driver-side seed selection
+    * (ids are nonnegative here, so % ≡ pmod). */
+  private def spread(id: Long): Long =
+    id % 2147483648L * 2654435761L % 2147483648L
+
+  /** COARSE centroids: Lloyd over the FINE centroids, entirely ON THE
+    * DRIVER — the fine matrix is ≤ C_MAX driver values by
+    * construction, so the second level costs zero distributed work;
+    * every step is the same exact integer arithmetic as the fine
+    * level (Σ(a−b)² distances with (dist, id) tiebreaks, truncating
+    * positive means, spherical renorm), so the DuckDB mirror unrolls
+    * it as CTEs over the fine-centroid CTE and converges to literally
+    * identical groups. */
+  private[graft] def coarseCents(spark: SparkSession,
+      sfDir: String): Seq[(Long, Seq[Long])] =
+    graft.Memo.value(spark, s"kmeans_coarse:$sfDir") {
+      val fine = kmeansCents(spark, sfDir)
+      val c2 = math.max(C2_MIN, fine.size / GROUP_TARGET).toInt
+      var cents = fine.sortBy { case (id, _) => (spread(id), id) }
+        .take(c2).sortBy(_._1)
+      for (_ <- 1 to ITERS2) {
+        cents = fine
+          .groupBy { case (_, v) =>
+            cents.minBy { case (gid, gv) => (idist(v, gv), gid) }._1
+          }
+          .toSeq.map { case (gid, members) =>
+            val dim = members.head._2.length
+            val sums = new Array[Long](dim)
+            members.foreach { case (_, v) =>
+              var i = 0
+              while (i < dim) { sums(i) += v(i); i += 1 }
+            }
+            (gid, renorm(sums.map(_ / members.size).toSeq))
+          }.sortBy(_._1)
+      }
+      cents
+    }
+
+  /** The adaptive two-level probe set: rank the C2 coarse groups per
+    * probe (exact integer distance), keep the nearest groups while
+    * the exclusive prefix of their member-fine-cell counts is under
+    * RANK_BUDGET, rank ONLY the kept groups' fine cells, and apply
+    * the same exclusive-prefix candidate budget as the single-level
+    * path. Returns (q_id, cell, sz). The fine table rides as a
+    * broadcast local relation (≤ C_MAX rows); the corpus is untouched
+    * until the candidate join. */
+  private def twoLevelProbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fine = kmeansCents(spark, sfDir)
+    val coarse = coarseCents(spark, sfDir)
+    val f2g: Map[Long, Long] = fine.map { case (id, v) =>
+      id -> coarse.minBy { case (gid, gv) => (idist(v, gv), gid) }._1
+    }.toMap
+    val gn: Map[Long, Long] = f2g.groupBy(_._2)
+      .map { case (g, m) => g -> m.size.toLong }
+    val qv = qvFrame(spark, sfDir)
+    val sizes = assigned(spark, sfDir)
+      .groupBy($"cell").agg(count(lit(1)).as("sz"))
+    val fineDf = fine.map { case (id, v) => (id, v, f2g(id)) }
+      .toDF("cell", "cv", "gcell")
+      .join(broadcast(sizes), Seq("cell"), "left")
+      .withColumn("sz", coalesce($"sz", lit(0L)))
+    val gnDf = gn.toSeq.toDF("gcell", "gn")
+    val wgCum = Window.partitionBy($"q_id").orderBy($"gpos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gsel = qv.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"),
+        posexplode(nearestCells($"q", coarse, coarse.size))
+          .as(Seq("gpos", "gcell")))
+      .join(broadcast(gnDf), Seq("gcell"))
+      .withColumn("gcum", coalesce(sum($"gn").over(wgCum), lit(0L)))
+      .filter($"gcum" < RANK_BUDGET)
+      .groupBy($"q_id").agg(collect_list($"gcell").as("gsel"))
+    val probes = qv.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"q")
+      .join(gsel, Seq("q_id"))
+    val wRank = Window.partitionBy($"q_id").orderBy($"dist", $"cell")
+    val wCum = Window.partitionBy($"q_id").orderBy($"rn")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    broadcast(probes).join(fineDf, array_contains($"gsel", $"gcell"))
+      .withColumn("dist",
+        aggregate(zip_with($"q", $"cv", (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cum", coalesce(sum($"sz").over(wCum), lit(0L)))
+      .filter($"cum" < PROBE_TARGET)
+      .select($"q_id", $"cell", $"sz")
+  }
+
+  private[graft] def twoLevelTop3(spark: SparkSession,
+      sfDir: String): DataFrame =
+    top3From(spark, sfDir, twoLevelProbed(spark, sfDir))
+
+  /** AnnRung instrument: two-level candidates per probe. */
+  private[graft] def twoLevelCandCounts(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    twoLevelProbed(spark, sfDir)
       .groupBy($"q_id").agg(sum($"sz").as("n_cand"))
   }
 
@@ -321,14 +465,14 @@ object Surface18 {
          |        CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
          |      (a, x) -> a + x)) AS nrm
          |  FROM embeddings
-         |), qv AS (
+         |), qv AS MATERIALIZED (
          |  SELECT vec_id, embedding,
          |    list_transform(embedding, v ->
          |      CASE WHEN nrm > 0 THEN
          |        CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5)
          |          AS BIGINT) ELSE 0 END + $OFF) AS q
          |  FROM qn
-         |), c0 AS (
+         |), c0 AS MATERIALIZED (
          |  SELECT vec_id AS c_id, q AS cv FROM (
          |    SELECT vec_id, q, row_number() OVER (
          |      ORDER BY ${LLMOps.knuthSpreadSql("vec_id")}, vec_id)
@@ -342,21 +486,21 @@ object Surface18 {
       // exact integers below 2^53 in DOUBLE, so the fold is exact on
       // both engines; multiply/divide/floor are then identical IEEE
       // ops — see Surface18.renorm)
-      s"""a$i AS (
+      s"""a$i AS MATERIALIZED (
          |  SELECT vec_id, q, c_id AS cell FROM (
          |    SELECT v.vec_id, v.q, c.c_id,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY ${distSql("v.q", "c.cv")}, c.c_id) AS rn
          |    FROM qv v, c${i - 1} c) t
          |  WHERE rn = 1
-         |), cm$i AS (
+         |), cm$i AS MATERIALIZED (
          |  SELECT cell AS c_id, list(m ORDER BY pos) AS mv FROM (
          |    SELECT cell, pos, CAST(sum(x) // count(*) AS BIGINT) AS m
          |    FROM (SELECT cell, unnest(q) AS x,
          |          unnest(generate_series(1, len(q))) AS pos FROM a$i) u
          |    GROUP BY cell, pos) g
          |  GROUP BY cell
-         |), c$i AS (
+         |), c$i AS MATERIALIZED (
          |  SELECT c_id, CASE WHEN nrm > 0 THEN
          |      list_transform(mv, v ->
          |        CAST(floor((v - $OFF) * 1000000.0 / nrm + 0.5)
@@ -370,14 +514,14 @@ object Surface18 {
          |)""".stripMargin
     }
     val cells =
-      s"""cells AS (
+      s"""cells AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT v.vec_id, c.c_id AS cell,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY ${distSql("v.q", "c.cv")}, c.c_id) AS rn
          |    FROM qv v, c$ITERS c) t
          |  WHERE rn = 1
-         |), cellsz AS (
+         |), cellsz AS MATERIALIZED (
          |  SELECT cell, count(*) AS sz FROM cells GROUP BY cell
          |), prank AS (
          |  SELECT p.vec_id AS q_id, c.c_id,
@@ -406,6 +550,110 @@ object Surface18 {
          |  FROM annscored
          |)""".stripMargin
     (head +: steps :+ cells).mkString(",\n")
+  }
+
+  /** The two-level oracle chain, appended to [[kmeansCte]]: coarse
+    * Lloyd unrolled over the fine-centroid CTE (d0,(e1,em1,d1)…),
+    * final fine→group assignment, per-probe group selection, and the
+    * group-restricted fine ranking with the same exclusive-prefix
+    * budget — the literal SQL twin of [[coarseCents]] +
+    * [[twoLevelProbed]]. */
+  private def twoLevelCte: String = {
+    val c2Sql =
+      s"(SELECT greatest($C2_MIN, count(*) // $GROUP_TARGET)" +
+        s" FROM c$ITERS)"
+    val head =
+      s"""d0 AS MATERIALIZED (
+         |  SELECT c_id AS g_id, cv AS gv FROM (
+         |    SELECT c_id, cv, row_number() OVER (
+         |      ORDER BY ${LLMOps.knuthSpreadSql("c_id")}, c_id)
+         |      AS srn
+         |    FROM c$ITERS) s
+         |  WHERE srn <= $c2Sql
+         |)""".stripMargin
+    val steps = (1 to ITERS2).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT c_id, cv, g_id FROM (
+         |    SELECT f.c_id, f.cv, d.g_id,
+         |      row_number() OVER (PARTITION BY f.c_id
+         |        ORDER BY ${distSql("f.cv", "d.gv")}, d.g_id) AS rn
+         |    FROM c$ITERS f, d${i - 1} d) t
+         |  WHERE rn = 1
+         |), em$i AS MATERIALIZED (
+         |  SELECT g_id, list(m ORDER BY pos) AS mv FROM (
+         |    SELECT g_id, pos, CAST(sum(x) // count(*) AS BIGINT) AS m
+         |    FROM (SELECT g_id, unnest(cv) AS x,
+         |          unnest(generate_series(1, len(cv))) AS pos
+         |          FROM e$i) u
+         |    GROUP BY g_id, pos) g
+         |  GROUP BY g_id
+         |), d$i AS MATERIALIZED (
+         |  SELECT g_id, CASE WHEN nrm > 0 THEN
+         |      list_transform(mv, v ->
+         |        CAST(floor((v - $OFF) * 1000000.0 / nrm + 0.5)
+         |          AS BIGINT) + $OFF)
+         |    ELSE mv END AS gv
+         |  FROM (SELECT g_id, mv,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(mv, v ->
+         |        CAST(v - $OFF AS DOUBLE) * CAST(v - $OFF AS DOUBLE))),
+         |      (a, x) -> a + x)) AS nrm FROM em$i) t
+         |)""".stripMargin
+    }
+    val probe =
+      s"""fg AS MATERIALIZED (
+         |  SELECT c_id, g_id FROM (
+         |    SELECT f.c_id, d.g_id,
+         |      row_number() OVER (PARTITION BY f.c_id
+         |        ORDER BY ${distSql("f.cv", "d.gv")}, d.g_id) AS rn
+         |    FROM c$ITERS f, d$ITERS2 d) t
+         |  WHERE rn = 1
+         |), gsz AS MATERIALIZED (
+         |  SELECT g_id, count(*) AS gn FROM fg GROUP BY g_id
+         |), pg AS MATERIALIZED (
+         |  SELECT q_id, g_id FROM (
+         |    SELECT pr.q_id, pr.g_id,
+         |      coalesce(sum(coalesce(z.gn, 0)) OVER (
+         |        PARTITION BY pr.q_id ORDER BY pr.rn
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0) AS gcum
+         |    FROM (
+         |      SELECT p.vec_id AS q_id, d.g_id,
+         |        row_number() OVER (PARTITION BY p.vec_id
+         |          ORDER BY ${distSql("p.q", "d.gv")}, d.g_id) AS rn
+         |      FROM qv p, d$ITERS2 d WHERE p.vec_id < 50) pr
+         |    LEFT JOIN gsz z ON z.g_id = pr.g_id) t
+         |  WHERE gcum < $RANK_BUDGET
+         |), pf AS MATERIALIZED (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT pr.q_id, pr.c_id,
+         |      coalesce(sum(coalesce(z.sz, 0)) OVER (
+         |        PARTITION BY pr.q_id ORDER BY pr.rn
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0) AS cum
+         |    FROM (
+         |      SELECT pg.q_id, f.c_id,
+         |        row_number() OVER (PARTITION BY pg.q_id
+         |          ORDER BY ${distSql("p.q", "f.cv")}, f.c_id) AS rn
+         |      FROM pg
+         |      JOIN fg ON fg.g_id = pg.g_id
+         |      JOIN c$ITERS f ON f.c_id = fg.c_id
+         |      JOIN qv p ON p.vec_id = pg.q_id) pr
+         |    LEFT JOIN cellsz z ON z.cell = pr.c_id) t
+         |  WHERE cum < $PROBE_TARGET
+         |), tlscored AS (
+         |  SELECT pf.q_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("p.embedding", "e.embedding")} AS cos_sim
+         |  FROM pf
+         |  JOIN cells ce ON ce.cell = pf.c_id
+         |  JOIN qv e ON e.vec_id = ce.vec_id AND e.vec_id <> pf.q_id
+         |  JOIN qv p ON p.vec_id = pf.q_id
+         |), tlranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM tlscored
+         |)""".stripMargin
+    (head +: steps :+ probe).mkString(",\n")
   }
 
   /** E364: **k-means IVF ANN** — learned coarse cells (C grows with
@@ -480,6 +728,87 @@ object Surface18 {
             |SELECT p.vec_id AS q_id, coalesce(h.n_hits, 0) AS n_hits,
             |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
             |FROM qv p LEFT JOIN hits h ON h.q_id = p.vec_id
+            |WHERE p.vec_id < 50 ORDER BY q_id""".stripMargin))
+
+  /** E371: **two-level (coarse/fine) IVF ANN** — the documented next
+    * rung past the single-literal band: per probe, rank C2 ≈ C/64
+    * coarse groups, keep the nearest C2 div 8, rank only THEIR member
+    * fine cells, and apply the same PROBE_TARGET exclusive-prefix
+    * budget — per-probe ranking work drops from O(C·dim) to
+    * O((C2 + kept·GROUP_TARGET)·dim) (~16× at C = 32768) while the
+    * candidate budget and output contract (top-3, rounded cosine, id
+    * tiebreak) are unchanged. The coarse Lloyd runs entirely on the
+    * driver over the fine centroids (≤ C_MAX values — zero
+    * distributed cost) in the same exact integer arithmetic, so the
+    * DuckDB oracle unrolls BOTH levels and the group-restricted probe
+    * set itself is gated. */
+  val qSimAnnTwoLevel = Q("q_sim_ann_twolevel",
+    (spark, sfDir) => {
+      import spark.implicits._
+      twoLevelTop3(spark, sfDir)
+        .select($"q_id", $"neighbor_id", $"cos_sim", $"rank")
+        .orderBy($"q_id", $"rank")
+    },
+    Some(s"""WITH $kmeansCte, $twoLevelCte
+            |SELECT q_id, neighbor_id, cos_sim, rank
+            |FROM tlranked WHERE rank <= 3
+            |ORDER BY q_id, rank""".stripMargin))
+
+  /** E372: **two-level ANN recall audit** — recall@3 of the
+    * group-pruned path vs the exact brute-force top-3 (E365's shape
+    * on the two-level index); AnnRung reads this row's mean at the
+    * scale fixtures, quantifying what the coarse pruning costs in
+    * recall against what it saves in ranking work. */
+  val qSimAnnTwoLevelRecall = Q("q_sim_ann_twolevel_recall",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "embeddings")
+        .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"embedding".as("pv"),
+          $"nrm".as("pnrm"))
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      val brute = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"neighbor_id")
+      val ann = twoLevelTop3(spark, sfDir)
+        .select($"q_id", $"neighbor_id")
+      val hits = ann.as("a")
+        .join(brute.as("b"), $"a.q_id" === $"b.q_id" &&
+          $"a.neighbor_id" === $"b.neighbor_id")
+        .groupBy($"a.q_id").agg(count(lit(1)).as("n_hits"))
+      q.select($"q_id")
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)).cast("double") / 3.0, 6)
+            .as("recall_at_3"))
+        .orderBy($"q_id")
+    },
+    Some(s"""WITH $kmeansCte, $twoLevelCte, tbrute AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT p.vec_id AS q_id, e.vec_id AS neighbor_id,
+            |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            |        ${cosSql("p.embedding", "e.embedding")} DESC,
+            |        e.vec_id) AS rank
+            |    FROM qv e JOIN qv p ON p.vec_id < 50
+            |      AND e.vec_id <> p.vec_id
+            |  ) t WHERE rank <= 3
+            |), thits AS (
+            |  SELECT a.q_id, count(*) AS n_hits
+            |  FROM (SELECT q_id, neighbor_id FROM tlranked
+            |        WHERE rank <= 3) a
+            |  JOIN tbrute b ON a.q_id = b.q_id
+            |    AND a.neighbor_id = b.neighbor_id
+            |  GROUP BY a.q_id
+            |)
+            |SELECT p.vec_id AS q_id, coalesce(h.n_hits, 0) AS n_hits,
+            |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
+            |FROM qv p LEFT JOIN thits h ON h.q_id = p.vec_id
             |WHERE p.vec_id < 50 ORDER BY q_id""".stripMargin))
 
   /** E366: **incremental cell assignment** — the daily-ingest verb of
@@ -743,5 +1072,5 @@ object Surface18 {
 
   val all: Seq[Q] = Seq(qSimAnnKmeans, qSimAnnKmeansRecall,
     qSimAnnIncremental, qRetrievalRrf, qStreamAnnAssign,
-    qCurriculumPhases)
+    qCurriculumPhases, qSimAnnTwoLevel, qSimAnnTwoLevelRecall)
 }

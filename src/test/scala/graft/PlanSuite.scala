@@ -203,8 +203,13 @@ class PlanSuite extends AnyFunSuite {
       "q_curriculum_phases", // 1-row (lo, hi) quality-bounds cross
                              // feeds the distributed-rank bucketing,
                              // q_sample_systematic's shape (E369)
-      "q_lsh_recall") // 1-row n_truth × 1-row n_found count cross
+      "q_lsh_recall", // 1-row n_truth × 1-row n_found count cross
                       // into the recall ratio (E370)
+      "q_sim_ann_twolevel", // ≤50 probes × fine-cell local relation
+                            // with array_contains membership — the
+                            // two-level probe join (E371)
+      "q_sim_ann_twolevel_recall") // same + the brute-force
+                                   // !=-condition leg (E372)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

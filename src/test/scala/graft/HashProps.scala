@@ -280,6 +280,66 @@ object HashProps extends Properties("graft") {
         math.abs(m4 - cm(4)) <= 1e-6 * math.max(1.0, cm(4)) * 100
     }
 
+  // --- kmeans kernel properties (round 19): the hand-written
+  // early-exit scan and the dual ranking paths are exactly the kind
+  // of code a property suite exists for — one subtle branch (strict
+  // vs non-strict excess, tie direction) silently changes
+  // assignments at scale while every fixture happens to pass.
+  private val microVec: Gen[List[Long]] =
+    Gen.listOfN(6, Gen.choose(-1000000L, 1000000L))
+      .map(_.map(_ + 16777216L))
+
+  private def refNearest(cents: Seq[(Long, Seq[Long])],
+      q: Seq[Long]): Seq[Long] = {
+    def d(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    cents.map { case (id, v) => (d(q, v), id) }.sorted.map(_._2)
+  }
+
+  property("kmeans_cell early-exit equals the naive argmin; " +
+    "nearest_cells selection and sort paths equal the reference") =
+    forAll(Gen.choose(2, 9).flatMap(c =>
+      Gen.zip(Gen.listOfN(c, microVec), Gen.listOfN(8, microVec)))) {
+      case (centVecs, qs) =>
+        // duplicate one centroid vector under two ids when possible so
+        // distance TIES actually occur and the id tiebreak is exercised
+        val base = centVecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v: Seq[Long]) }
+        val cents = if (base.size >= 2)
+          base.updated(1, (1L, base.head._2)) else base
+        val centArr = typedLit(cents)
+        val df = qs.map(q => Tuple1(q)).toDF("q")
+        val rows = df.select(
+          call_function("kmeans_cell", centArr, col("q")).as("c1"),
+          call_function("kmeans_nearest_cells", centArr, col("q"),
+            lit(cents.size)).as("ks"),
+          col("q")).collect()
+        rows.forall { r =>
+          val ref = refNearest(cents, r.getSeq[Long](2))
+          r.getLong(0) == ref.head &&
+            r.getSeq[Long](1) == ref
+        }
+    }
+
+  property("kmeans ranking: sort path (k>64) matches the reference " +
+    "order on large centroid sets") =
+    forAll(Gen.listOfN(4, microVec)) { qs =>
+      // 70 centroids forces the comparator-sort branch; ids are
+      // shuffled (non-contiguous) to catch any index/id conflation
+      val rnd = new scala.util.Random(qs.hashCode)
+      val cents = (0 until 70).map { i =>
+        ((i * 37L + 5L) % 997L,
+          List.fill(6)(rnd.nextLong() % 1000000L + 16777216L): Seq[Long])
+      }
+      val centArr = typedLit(cents)
+      val rows = qs.map(q => Tuple1(q)).toDF("q")
+        .select(call_function("kmeans_nearest_cells", centArr,
+          col("q"), lit(70)).as("ks"), col("q")).collect()
+      rows.forall { r =>
+        r.getSeq[Long](0) == refNearest(cents, r.getSeq[Long](1))
+      }
+    }
+
   property("SES fold equals the closed-form weighted sum") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0, 100000))) { ysInt =>
       // E255's first-element-init left fold vs the closed form

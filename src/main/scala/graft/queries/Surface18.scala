@@ -440,6 +440,313 @@ object Surface18 {
       .groupBy($"q_id").agg(sum($"sz").as("n_cand"))
   }
 
+  // ------------------------------------- product quantization (E373)
+  /** PQ_M subspaces × PQ_K codes, PQ_ITERS integer-Lloyd rounds per
+    * subspace — the embedding COMPRESSION verb of the family: a
+    * 64-dim float vector becomes PQ_M code ids (here 8 × 4-bit-sized
+    * choices — a 32× storage cut at 100 TB embedding scale), and the
+    * per-vector quantization error is the exact integer
+    * Σ_sub min_code ‖sv − codebook‖². Training: ONE aggregation job
+    * per Lloyd round covers ALL subspaces (explode the PQ_M
+    * (sub, code, subvector) triples per row — the code is each
+    * subspace's kernel argmin against ITS codebook literal — then a
+    * single (sub, code) vector-sum; the exchange is M·K·dim-sized
+    * regardless of corpus rows). Encoding is map-only against
+    * broadcast codebook literals (M·K·8 longs ≈ 8 KB). No
+    * renormalization here — PQ subvectors are not directions, plain
+    * truncating integer means mirror DuckDB's `//` exactly. */
+  private val PQ_M = 8
+  private val PQ_SUBDIM = 8
+  private val PQ_K = 64
+  private val PQ_ITERS = 4
+
+  private def subvec(q: Column, s: Int): Column =
+    slice(q, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+  /** Per-subspace codebooks, memoized: Seq indexed by sub of
+    * (code_id, centroid). Seeds are the PQ_K hash-spread vectors'
+    * subvectors (one shared seed set — the kmeans seed discipline);
+    * code ids are the seed vec_ids. */
+  private[graft] def pqCodebooks(spark: SparkSession,
+      sfDir: String): Seq[Seq[(Long, Seq[Long])]] =
+    graft.Memo.value(spark, s"pq_codebooks:$sfDir") {
+      import spark.implicits._
+      val qv = qvFrame(spark, sfDir)
+      val seeds = qv
+        .orderBy(LLMOps.knuthSpread($"vec_id"), $"vec_id").limit(PQ_K)
+        .select($"vec_id", $"q").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      var books: Seq[Seq[(Long, Seq[Long])]] = (0 until PQ_M).map(s =>
+        seeds.map { case (id, q) =>
+          (id, q.slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM).toList)
+        }.sortBy(_._1))
+      for (_ <- 1 to PQ_ITERS) {
+        val subCols = (0 until PQ_M).map { s =>
+          struct(lit(s).as("sub"),
+            cellOf(subvec($"q", s), books(s)).as("code"),
+            subvec($"q", s).as("sv"))
+        }
+        val next = qv.select(explode(array(subCols: _*)).as("x"))
+          .groupBy($"x.sub", $"x.code")
+          .agg(Vectors.vecSumLongUdaf($"x.sv").as("sc"))
+          .selectExpr("sub", "code",
+            "transform(sc._1, v -> v div sc._2) AS cv")
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getLong(1),
+            r.getSeq[Long](2).toList))
+          .groupBy(_._1)
+        books = (0 until PQ_M).map(s =>
+          next.getOrElse(s, Seq.empty)
+            .map { case (_, code, cv) => (code, cv: Seq[Long]) }
+            .sortBy(_._1))
+      }
+      books
+    }
+
+  /** E373: **product-quantization encode** — each vector's PQ_M code
+    * ids (ordered by subspace) and its exact integer reconstruction
+    * error. Both engines train the identical codebooks (the oracle
+    * unrolls PQ_ITERS Lloyd rounds per subspace over sliced
+    * micro-unit subvectors), so codes AND error are strict-gated.
+    * 100 TB shape: training exchanges M·K·dim longs per round,
+    * encode is a map-only projection — the compressed table (codes
+    * only) is what an ADC retrieval tier scans. */
+  val qQuantizePq = Q("q_quantize_pq",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val books = pqCodebooks(spark, sfDir)
+      val qv = qvFrame(spark, sfDir)
+      val codes = array((0 until PQ_M).map(s =>
+        cellOf(subvec($"q", s), books(s))): _*)
+      val err = (0 until PQ_M).map { s =>
+        array_min(transform(centLit(books(s)), c =>
+          aggregate(zip_with(subvec($"q", s), c.getField("_2"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (x, y) => x + y)))
+      }.reduce(_ + _)
+      qv.select($"vec_id", codes.as("codes"), err.as("err"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH $qvCte, $pqCte
+            |SELECT v.vec_id,
+            |  list(p.code ORDER BY p.sub) AS codes,
+            |  CAST(sum(p.dist) AS BIGINT) AS err
+            |FROM pqfinal p JOIN qv v ON v.vec_id = p.vec_id
+            |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin))
+
+  /** ADC rerank depth: the PQ scan keeps this many best approximate
+    * candidates per probe for exact rescoring. */
+  private val ADC_RERANK = 128
+
+  /** The ADC (asymmetric distance computation) retrieval head: score
+    * every corpus vector by Σ_sub ‖probe_sub − codebook[code_sub]‖²
+    * — the probe side stays EXACT (asymmetric), the corpus side is
+    * its PQ reconstruction, so the scan reads only the 8-code rows —
+    * keep the best ADC_RERANK per probe, then exact-cosine rerank to
+    * the family's top-3 contract. At 100 TB the ADC scan is the point
+    * of PQ: the compressed code table is 32× smaller than the raw
+    * embeddings, and only ADC_RERANK raw vectors per probe are ever
+    * touched (here composed with the X3 broadcast-probe shape; a
+    * production tier fronts it with the IVF above). */
+  private[graft] def pqTop3(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val books = pqCodebooks(spark, sfDir)
+    val qv = qvFrame(spark, sfDir)
+    // corpus side carries its PQ RECONSTRUCTION (the concatenated
+    // codebook vectors of its codes), computed ONCE per corpus row —
+    // the per-pair ADC is then a single 64-dim integer fold instead
+    // of 8 sub-folds (the HOFs are CodegenFallback; 8× fewer lambda
+    // chains measured ~2× on this row). Σ_sub ‖·‖² over the
+    // concatenation is the same exact integers as the per-sub sum.
+    val recon = concat((0 until PQ_M).map { s =>
+      element_at(typedLit(books(s).toMap),
+        element_at($"codes", s + 1))
+    }: _*)
+    val enc = qv.select($"vec_id", $"embedding",
+        array((0 until PQ_M).map(s =>
+          cellOf(subvec($"q", s), books(s))): _*).as("codes"))
+      .withColumn("recon", recon)
+      .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+    val probes = qv.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"q".as("pq"),
+        $"embedding".as("pv"))
+      .withColumn("pnrm", sqrt(Vectors.normSq($"pv")))
+    val adc = aggregate(zip_with($"pq", $"recon",
+      (a, b) => (a - b) * (a - b)), lit(0L), (x, y) => x + y)
+    val wAdc = Window.partitionBy($"q_id")
+      .orderBy($"adc", $"neighbor_id")
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id")
+    enc.join(broadcast(probes), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), adc.as("adc"),
+        $"pv", $"pnrm", $"embedding", $"nrm")
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter($"arnk" <= ADC_RERANK)
+      .select($"q_id", $"neighbor_id",
+        round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+  }
+
+  /** E374: **PQ/ADC retrieval** — approximate scan over the
+    * compressed code table + exact rerank of the ADC_RERANK best;
+    * same output contract as the other ANN rows. The oracle
+    * reproduces the codebooks, codes, per-pair ADC integers, the
+    * rerank cut, and the final cosine — the approximate SCAN itself
+    * is gated, not just the output. */
+  val qSimAnnPq = Q("q_sim_ann_pq",
+    (spark, sfDir) => {
+      import spark.implicits._
+      pqTop3(spark, sfDir)
+        .select($"q_id", $"neighbor_id", $"cos_sim", $"rank")
+        .orderBy($"q_id", $"rank")
+    },
+    Some(s"""WITH $qvCte, $pqCte, $adcCte
+            |SELECT q_id, neighbor_id, cos_sim, rank
+            |FROM pqranked WHERE rank <= 3
+            |ORDER BY q_id, rank""".stripMargin))
+
+  /** E375: **PQ/ADC recall audit** — recall@3 of the
+    * compressed-scan-plus-rerank path vs the exact brute-force top-3
+    * (the family's measurement discipline: every approximate path
+    * ships with its recall row). */
+  val qSimAnnPqRecall = Q("q_sim_ann_pq_recall",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "embeddings")
+        .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"embedding".as("pv"),
+          $"nrm".as("pnrm"))
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      val brute = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"neighbor_id")
+      val hits = pqTop3(spark, sfDir)
+        .select($"q_id", $"neighbor_id").as("a")
+        .join(brute.as("b"), $"a.q_id" === $"b.q_id" &&
+          $"a.neighbor_id" === $"b.neighbor_id")
+        .groupBy($"a.q_id").agg(count(lit(1)).as("n_hits"))
+      q.select($"q_id")
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)).cast("double") / 3.0, 6)
+            .as("recall_at_3"))
+        .orderBy($"q_id")
+    },
+    Some(s"""WITH $qvCte, $pqCte, $adcCte, qbrute AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT p.vec_id AS q_id, e.vec_id AS neighbor_id,
+            |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            |        ${cosSql("p.embedding", "e.embedding")} DESC,
+            |        e.vec_id) AS rank
+            |    FROM qv e JOIN qv p ON p.vec_id < 50
+            |      AND e.vec_id <> p.vec_id
+            |  ) t WHERE rank <= 3
+            |), qhits AS (
+            |  SELECT a.q_id, count(*) AS n_hits
+            |  FROM (SELECT q_id, neighbor_id FROM pqranked
+            |        WHERE rank <= 3) a
+            |  JOIN qbrute b ON a.q_id = b.q_id
+            |    AND a.neighbor_id = b.neighbor_id
+            |  GROUP BY a.q_id
+            |)
+            |SELECT p.vec_id AS q_id, coalesce(h.n_hits, 0) AS n_hits,
+            |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
+            |FROM qv p LEFT JOIN qhits h ON h.q_id = p.vec_id
+            |WHERE p.vec_id < 50 ORDER BY q_id""".stripMargin))
+
+  /** The ADC oracle chain (expects qv + the PQ chain in scope):
+    * per-pair ADC integers from the final codes × codebook join, the
+    * rerank cut, and the exact-cosine top-3. */
+  private def adcCte: String =
+    s"""adcp AS MATERIALIZED (
+       |  SELECT q_id, neighbor_id, CAST(sum(d) AS BIGINT) AS adc
+       |  FROM (
+       |    SELECT p.vec_id AS q_id, f.vec_id AS neighbor_id,
+       |      ${distSql(
+             s"list_slice(p.q, f.sub * $PQ_SUBDIM + 1, " +
+               s"f.sub * $PQ_SUBDIM + $PQ_SUBDIM)", "b.cv")} AS d
+       |    FROM qv p, pqfinal f, pq$PQ_ITERS b
+       |    WHERE p.vec_id < 50 AND f.vec_id <> p.vec_id
+       |      AND b.sub = f.sub AND b.code = f.code) t
+       |  GROUP BY 1, 2
+       |), adcr AS MATERIALIZED (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, neighbor_id) AS rn
+       |    FROM adcp) t
+       |  WHERE rn <= $ADC_RERANK
+       |), pqscored AS (
+       |  SELECT a.q_id, a.neighbor_id,
+       |    ${cosSql("p.embedding", "e.embedding")} AS cos_sim
+       |  FROM adcr a
+       |  JOIN qv e ON e.vec_id = a.neighbor_id
+       |  JOIN qv p ON p.vec_id = a.q_id
+       |), pqranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM pqscored
+       |)""".stripMargin
+
+  /** The PQ oracle chain (expects qv in scope): sliced subvectors,
+    * shared hash-spread seed codebooks, PQ_ITERS unrolled integer
+    * Lloyd rounds per subspace, and the final per-(vector, subspace)
+    * argmin code + exact distance. */
+  private def pqCte: String = {
+    val head =
+      s"""pqsv AS MATERIALIZED (
+         |  SELECT vec_id, s.sub AS sub,
+         |    list_slice(q, s.sub * $PQ_SUBDIM + 1,
+         |      s.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sv
+         |  FROM qv, (SELECT unnest(range(0, $PQ_M)) AS sub) s
+         |), pq0 AS MATERIALIZED (
+         |  SELECT sub, vec_id AS code, sv AS cv FROM pqsv
+         |  WHERE vec_id IN (
+         |    SELECT vec_id FROM (
+         |      SELECT vec_id, row_number() OVER (
+         |        ORDER BY ${LLMOps.knuthSpreadSql("vec_id")}, vec_id)
+         |        AS srn FROM qv) t
+         |    WHERE srn <= $PQ_K)
+         |)""".stripMargin
+    val steps = (1 to PQ_ITERS).map { i =>
+      s"""pa$i AS MATERIALIZED (
+         |  SELECT vec_id, sub, sv, code FROM (
+         |    SELECT v.vec_id, v.sub, v.sv, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY ${distSql("v.sv", "c.cv")}, c.code) AS rn
+         |    FROM pqsv v JOIN pq${i - 1} c ON c.sub = v.sub) t
+         |  WHERE rn = 1
+         |), pq$i AS MATERIALIZED (
+         |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT sub, code, pos,
+         |      CAST(sum(x) // count(*) AS BIGINT) AS m
+         |    FROM (SELECT sub, code, unnest(sv) AS x,
+         |          unnest(generate_series(1, len(sv))) AS pos
+         |          FROM pa$i) u
+         |    GROUP BY 1, 2, 3) g
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }
+    val fin =
+      s"""pqfinal AS MATERIALIZED (
+         |  SELECT vec_id, sub, code, d AS dist FROM (
+         |    SELECT v.vec_id, v.sub, c.code,
+         |      ${distSql("v.sv", "c.cv")} AS d,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY ${distSql("v.sv", "c.cv")}, c.code) AS rn
+         |    FROM pqsv v JOIN pq$PQ_ITERS c ON c.sub = v.sub) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    (head +: steps :+ fin).mkString(",\n")
+  }
+
   // ------------------------------------------------- oracle SQL builder
   private def distSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), " +
@@ -456,23 +763,28 @@ object Surface18 {
   /** CTE chain qv, c0, (a1,c1)…(aITERS,cITERS), cells — the unrolled
     * Lloyd mirror (the q_pagerank fixed-iteration precedent: both
     * engines execute literally the same integer DAG). */
+  /** qn + qv alone — the shared micro-unit corpus prefix, usable by
+    * oracles that need quantized vectors but not the kmeans chain. */
+  private def qvCte: String =
+    s"""qn AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, v ->
+       |        CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+       |      (a, x) -> a + x)) AS nrm
+       |  FROM embeddings
+       |), qv AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, v ->
+       |      CASE WHEN nrm > 0 THEN
+       |        CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5)
+       |          AS BIGINT) ELSE 0 END + $OFF) AS q
+       |  FROM qn
+       |)""".stripMargin
+
   private def kmeansCte: String = {
     val head =
-      s"""qn AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(embedding, v ->
-         |        CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
-         |      (a, x) -> a + x)) AS nrm
-         |  FROM embeddings
-         |), qv AS MATERIALIZED (
-         |  SELECT vec_id, embedding,
-         |    list_transform(embedding, v ->
-         |      CASE WHEN nrm > 0 THEN
-         |        CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000 + 0.5)
-         |          AS BIGINT) ELSE 0 END + $OFF) AS q
-         |  FROM qn
-         |), c0 AS MATERIALIZED (
+      s"""$qvCte, c0 AS MATERIALIZED (
          |  SELECT vec_id AS c_id, q AS cv FROM (
          |    SELECT vec_id, q, row_number() OVER (
          |      ORDER BY ${LLMOps.knuthSpreadSql("vec_id")}, vec_id)
@@ -1072,5 +1384,6 @@ object Surface18 {
 
   val all: Seq[Q] = Seq(qSimAnnKmeans, qSimAnnKmeansRecall,
     qSimAnnIncremental, qRetrievalRrf, qStreamAnnAssign,
-    qCurriculumPhases, qSimAnnTwoLevel, qSimAnnTwoLevelRecall)
+    qCurriculumPhases, qSimAnnTwoLevel, qSimAnnTwoLevelRecall,
+    qQuantizePq, qSimAnnPq, qSimAnnPqRecall)
 }

@@ -208,8 +208,11 @@ class PlanSuite extends AnyFunSuite {
       "q_sim_ann_twolevel", // ≤50 probes × fine-cell local relation
                             // with array_contains membership — the
                             // two-level probe join (E371)
-      "q_sim_ann_twolevel_recall") // same + the brute-force
+      "q_sim_ann_twolevel_recall", // same + the brute-force
                                    // !=-condition leg (E372)
+      "q_sim_ann_pq", // ≤50 probes broadcast over the code table
+                      // with the != condition — the ADC scan (E374)
+      "q_sim_ann_pq_recall") // same + the brute-force leg (E375)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),

@@ -60,6 +60,10 @@ case class KmeansNearestCells(first: Expression, second: Expression,
       Array[Array[Long]]) = {
     val arr = first.eval().asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // parse-time guard (ADVICE r19): an empty matrix would otherwise
+    // rank zero cells per row and silently return empty probe sets
+    require(n > 0, "kmeans_nearest_cells: empty centroid matrix — a " +
+      "codebook/centroid set lost all members upstream")
     val outIds = new Array[Long](n)
     val outCvs = new Array[Array[Long]](n)
     var i = 0
@@ -182,6 +186,12 @@ case class KmeansCell(left: Expression, right: Expression)
       Array[Array[Long]]) = {
     val arr = left.eval().asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // parse-time guard (ADVICE r19): the old code returned the
+    // Long.MaxValue sentinel on an empty matrix, which downstream
+    // element_at map lookups turned into silent nulls — a PQ subspace
+    // whose codebook loses all members must fail with a message
+    require(n > 0, "kmeans_cell: empty centroid matrix — a " +
+      "codebook/centroid set lost all members upstream")
     val outIds = new Array[Long](n)
     val outCvs = new Array[Array[Long]](n)
     var i = 0
@@ -197,7 +207,7 @@ case class KmeansCell(left: Expression, right: Expression)
   def cell(qRaw: Any): Long = {
     val q = qRaw.asInstanceOf[ArrayData].toLongArray()
     val n = ids.length
-    if (n > 0) require(cvs(0).length == q.length,
+    require(cvs(0).length == q.length,
       s"kmeans_cell: dim mismatch ${cvs(0).length} vs ${q.length}")
     var bd = Long.MaxValue
     var bid = Long.MaxValue

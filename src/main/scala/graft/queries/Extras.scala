@@ -1437,8 +1437,25 @@ object Extras {
            |)
            |SELECT id AS doc_id, min(r) AS cluster_id
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+      // Eager-path gate (ADVICE r19): doc count ALONE under-gates — a
+      // ≤20k-doc corpus with a dense near-dup component (heavily
+      // replicated fixtures) can push the per-level closure past the
+      // default 1M valve on the lazy path. Per-level reach rows are
+      // bounded by the ordered reachable-pair count Σ_c size_c², and
+      // for the clique-shaped dup components this family mines that is
+      // ≈ 2·|pairs| + |ids| — so the mined pair count is the honest
+      // density proxy. 50k pairs ⇒ ≈120k level rows, an ~8× margin
+      // under the valve; past either threshold the query takes the
+      // raised-valve eager path. Counting the pair table is ~free: it
+      // is the same Memo-persisted DataFrame the view above reads, and
+      // the scalar is memoized per (session, sfDir).
+      val pairCount = graft.Memo.value(spark,
+        s"ngram_pair_count:$sfDir") {
+        graft.queries.LLMOps.ngramPairs(spark, sfDir).count()
+      }
       val largeCorpus =
-        graft.queries.LLMOps.docCount(spark, sfDir) > 20000
+        graft.queries.LLMOps.docCount(spark, sfDir) > 20000 ||
+          pairCount > 50000
       if (!largeCorpus) {
         // spark.sql analyzes eagerly, so the view is droppable as
         // soon as the call returns even on the lazy path

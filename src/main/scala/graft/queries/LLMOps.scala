@@ -391,19 +391,47 @@ object LLMOps {
   private[graft] def minhashBandPairs(spark: SparkSession,
       sfDir: String): DataFrame =
     graft.Memo.cached(spark, s"mh_bands2:$sfDir") {
-      import spark.implicits._
-      val hs = shingles(spark, sfDir)
-        .select($"doc_id", charFold($"s").as("h"))
-      val minCols = (0 until 16).map(k =>
-        min(((lit(k) * 31L + 7L) * $"h" + lit(k) * 97L + 13L) % P)
-          .as(s"m$k"))
-      val stackExpr = (0 until 8)
-        .map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")
-      hs.groupBy($"doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-        .selectExpr("doc_id",
-          s"stack(8, $stackExpr) AS (band, mv1, mv2)")
+      bandPairsOf(shingles(spark, sfDir))
     }
+
+  /** The shipped two-hash banding over an ARBITRARY (doc_id, s)
+    * shingle table: (doc_id, band, mv1, mv2) — mod-P estimator hash,
+    * 16 minima in one aggregation pass, melted to 8 two-hash bands.
+    * Parameterized over the input frame (ADVICE r19) so the corpus
+    * pipeline ([[minhashBandPairs]]) and the E370 recall gate's
+    * replicated fixture run LITERALLY the same generator — a change to
+    * the hash family, minima count, or banding is exercised by the
+    * gate by construction, which is the silent-regression class the
+    * gate exists to catch. */
+  private[graft] def bandPairsOf(sh: DataFrame): DataFrame = {
+    val hs = sh.select(col("doc_id"), charFold(col("s")).as("h"))
+    val minCols = (0 until 16).map(k =>
+      min(((lit(k) * 31L + 7L) * col("h") + lit(k) * 97L + 13L) % P)
+        .as(s"m$k"))
+    val stackExpr = (0 until 8)
+      .map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")
+    hs.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .selectExpr("doc_id",
+        s"stack(8, $stackExpr) AS (band, mv1, mv2)")
+  }
+
+  /** The shipped bucket-capped candidate expansion over an arbitrary
+    * (doc_id, band, mv1, mv2) band table — the 2..50 cap and the
+    * row-local canonical d1<d2 pair fan-out. Shared by
+    * [[minhashCandidates]] and the E370 gate (ADVICE r19, same
+    * rationale as [[bandPairsOf]]). */
+  private[graft] def candidatePairsOf(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("mv1"), col("mv2"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 50))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(x AS d1, y AS d2))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.d1"), col("pr.d2"))
+      .distinct()
 
   // ---------------------------------------------------------------- X2
   /** Near-dup via banded MinHash LSH: shingle → portable hash → 8
@@ -423,19 +451,8 @@ object LLMOps {
     * the windowed 2..50 form. Shared by qDedupMinhash AND the
     * pair-graph's large-corpus branch (see ngramPairsImpl). */
   private[graft] def minhashCandidates(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    import spark.implicits._
-    minhashBandPairs(spark, sfDir).groupBy($"band", $"mv1", $"mv2")
-      .agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .filter(size($"ds").between(2, 50))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |    y -> struct(x AS d1, y AS d2))))""".stripMargin))
-        .as("pr"))
-      .select($"pr.d1", $"pr.d2")
-      .distinct()
-  }
+      sfDir: String): DataFrame =
+    candidatePairsOf(minhashBandPairs(spark, sfDir))
 
   val qDedupMinhash = Q("q_dedup_minhash",
     (spark, sfDir) => {
@@ -3973,27 +3990,12 @@ object LLMOps {
           transform(sequence(lit(1), size($"ws") - 1),
             i => concat_ws(" ", element_at($"ws", i),
               element_at($"ws", i + 1))))).as("s"))
-      // candidate generator: literally the q_dedup_minhash pipeline
-      // (mod-P estimator hash, 16 minima, 8 two-hash bands, 2..50 cap)
-      val hs = sh.select($"doc_id", charFold($"s").as("h"))
-      val minCols = (0 until 16).map(k =>
-        min(((lit(k) * 31L + 7L) * $"h" + lit(k) * 97L + 13L) % P)
-          .as(s"m$k"))
-      val stackExpr = (0 until 8)
-        .map(b => s"$b, m${2 * b}, m${2 * b + 1}").mkString(", ")
-      val cand = hs.groupBy($"doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-        .selectExpr("doc_id", s"stack(8, $stackExpr) AS (band, mv1, mv2)")
-        .groupBy($"band", $"mv1", $"mv2")
-        .agg(sort_array(collect_list($"doc_id")).as("ds"))
-        .filter(size($"ds").between(2, 50))
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |    y -> struct(x AS d1, y AS d2))))""".stripMargin))
-          .as("pr"))
-        .select($"pr.d1", $"pr.d2")
-        .distinct()
+      // candidate generator: LITERALLY the q_dedup_minhash pipeline —
+      // the same shared functions ([[bandPairsOf]] →
+      // [[candidatePairsOf]]) the shipped path composes, applied to
+      // the replicated-fixture shingles (ADVICE r19: an inline copy
+      // would let a banding change land unexercised by this gate)
+      val cand = candidatePairsOf(bandPairsOf(sh))
       // exact side: 64-bit identity hashes (the verify discipline)
       val vh = sh.select($"doc_id", charFold64($"s").as("h")).distinct()
       val sizes = vh.groupBy($"doc_id").agg(count(lit(1)).as("n"))

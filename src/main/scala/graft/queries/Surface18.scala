@@ -510,7 +510,14 @@ object Surface18 {
     * micro-unit subvectors), so codes AND error are strict-gated.
     * 100 TB shape: training exchanges M·K·dim longs per round,
     * encode is a map-only projection — the compressed table (codes
-    * only) is what an ADC retrieval tier scans. */
+    * only) is what an ADC retrieval tier scans.
+    *
+    * The gated output carries the code vector as ONE scalar string
+    * (`codes_str`, the subspace-ordered ids '-'-joined): the driver's
+    * comparator canonicalizes with a pandas sort, which cannot order
+    * array cells — the round-19 red row (VERDICT r19 item 1). The
+    * array FORM stays exercised end-to-end by q_sim_ann_pq /
+    * q_sim_ann_ivf_pq, whose recon lookups consume the same codes. */
   val qQuantizePq = Q("q_quantize_pq",
     (spark, sfDir) => {
       import spark.implicits._
@@ -523,12 +530,16 @@ object Surface18 {
           aggregate(zip_with(subvec($"q", s), c.getField("_2"),
             (a, b) => (a - b) * (a - b)), lit(0L), (x, y) => x + y)))
       }.reduce(_ + _)
-      qv.select($"vec_id", codes.as("codes"), err.as("err"))
+      qv.select($"vec_id",
+          array_join(transform(codes, _.cast("string")), "-")
+            .as("codes_str"),
+          err.as("err"))
         .orderBy($"vec_id")
     },
     Some(s"""WITH $qvCte, $pqCte
             |SELECT v.vec_id,
-            |  list(p.code ORDER BY p.sub) AS codes,
+            |  string_agg(CAST(p.code AS VARCHAR), '-' ORDER BY p.sub)
+            |    AS codes_str,
             |  CAST(sum(p.dist) AS BIGINT) AS err
             |FROM pqfinal p JOIN qv v ON v.vec_id = p.vec_id
             |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin))

@@ -159,8 +159,14 @@ object StreamRun {
     val prev = spark.conf.get(key)
     val ck = s"${ckRoot(spark)}/graft-ck-$name"
     spark.conf.set(key, stateParts(spark).toString)
+    // the query is stopped in FINALLY (ADVICE r19): if
+    // processAllAvailable throws, the old code deleted the checkpoint
+    // while the query thread was still live and writing to it —
+    // confusing secondary failures plus a leaked running query (and,
+    // under /dev/shm roots, leaked tmpfs RAM)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
-      val q = df.writeStream.format("memory").queryName(name)
+      q = df.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ck)
         .outputMode(mode).start()
       q.processAllAvailable()
@@ -168,8 +174,10 @@ object StreamRun {
         q.recentProgress.foreach(p =>
           System.err.println(s"[stream-dbg] $name batch=${p.batchId} " +
             s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
-      q.stop()
     } finally {
+      if (q != null)
+        try q.stop()
+        catch { case scala.util.control.NonFatal(_) => () }
       spark.conf.set(key, prev)
       deleteRec(new java.io.File(ck))
     }
@@ -188,14 +196,22 @@ object StreamRun {
     val prev = spark.conf.get(key)
     val ck = s"${ckRoot(spark)}/graft-ck-$name"
     spark.conf.set(key, stateParts(spark).toString)
+    // stop-in-finally, same rationale as [[toTable]] (ADVICE r19):
+    // AvailableNow self-terminates on success, but a failed
+    // awaitTermination must not leave a live query writing into the
+    // checkpoint the finally block is deleting
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
-      val q = df.writeStream.format("memory").queryName(name)
+      q = df.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ck)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally {
+      if (q != null)
+        try q.stop()
+        catch { case scala.util.control.NonFatal(_) => () }
       spark.conf.set(key, prev)
       deleteRec(new java.io.File(ck))
     }

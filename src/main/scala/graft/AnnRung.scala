@@ -49,6 +49,21 @@ object AnnRung {
         sfDir)
       .agg(avg($"recall_at_3").as("a"), min($"recall_at_3").as("m"))
       .head()
+    // round 20: the at-rest index's SCAN volume — rows the pruned
+    // candidate scan actually reads per probe batch (VERDICT r19
+    // item 2's "flat bytes" claim, measured: must grow ≲×2 across the
+    // ×100 fixture hop while n grows ×100), plus the composed IVF∘PQ
+    // tier's recall (VERDICT r19 item 3)
+    val scanRows = queries.Surface18.kmeansScanRows(spark, sfDir)
+    val ivfpqRec = SparkEntry.queries("q_sim_ann_ivf_pq_recall")(spark,
+        sfDir)
+      .agg(avg($"recall_at_3").as("a"), min($"recall_at_3").as("m"))
+      .head()
+    require(ivfpqRec.getDouble(0) >= 0.0 && ivfpqRec.getDouble(0) <= 1.0
+      && ivfpqRec.getDouble(1) >= 0.0,
+      s"ivfpq recall out of [0,1]: $ivfpqRec")
+    require(scanRows <= n,
+      "pruned scan cannot read more rows than the corpus")
     // round 19: the two-level (coarse/fine) path — candidates and
     // recall under the group-pruned probe, quantifying what the
     // coarse level costs in recall for its ~16× ranking-work cut
@@ -93,6 +108,9 @@ object AnnRung {
       s""""cand_twolevel_max":${tl.getLong(1)},""" +
       s""""recall_twolevel_mean":${r(tlRec.getDouble(0))},""" +
       s""""recall_twolevel_min":${r(tlRec.getDouble(1))},""" +
+      s""""scan_rows_kmeans":$scanRows,""" +
+      s""""recall_ivfpq_mean":${r(ivfpqRec.getDouble(0))},""" +
+      s""""recall_ivfpq_min":${r(ivfpqRec.getDouble(1))},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

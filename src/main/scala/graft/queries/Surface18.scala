@@ -218,10 +218,54 @@ object Surface18 {
     graft.Memo.cached(spark, s"kmeans_assign:$sfDir") {
       import spark.implicits._
       val cents = kmeansCents(spark, sfDir)
+      // q rides along MATERIALIZED (persisted with the cache): the
+      // PQ-codes index build reads it 8× (one subvec slice per
+      // subspace) — re-deriving it would re-run the CodegenFallback
+      // quantization HOF per slice
       qvFrame(spark, sfDir)
-        .select($"vec_id", $"embedding",
+        .select($"vec_id", $"embedding", $"q",
           cellOf($"q", cents).as("cell"))
     }
+
+  /** The IVF index AT REST (VERDICT r19 item 2 — the family's last
+    * scan-side linearity): the cell assignment persisted as parquet
+    * Hive-PARTITIONED BY `cell`, so a probe batch's scan is pruned at
+    * PLANNING time to exactly the probed cells' directories
+    * (PartitionFilters — the E17/E46 mechanism) instead of streaming
+    * the whole raw-embedding corpus through a BroadcastNestedLoop
+    * membership join per batch. Round 19 made the downstream RANKING
+    * flat (~PROBE_TARGET candidates/probe at any corpus size); this
+    * makes the BYTES READ flat too: rows read per batch = the probed
+    * cells' census ≈ n_probes · PROBE_TARGET regardless of corpus
+    * rows. Built once per (JVM, sfDir) — the one-time `repartition(
+    * cell)` shuffle is the index build (one file per cell directory,
+    * never 32 writers × C dirs of small files); at 100 TB the same
+    * layout is cell directories of ~CELL_TARGET·row_size each,
+    * appended by the E366/E368 incremental-assignment verbs. */
+  private[graft] def atRestDir(spark: SparkSession,
+      sfDir: String): String = {
+    val dir = graft.sources.Formats.fmtDir(sfDir, "ann_cells")
+    graft.Memo.onceJvm(spark, s"ann_cells:$sfDir") {
+      assigned(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+    dir
+  }
+
+  /** Read-back of [[atRestDir]] with the declared schema (`cell` is
+    * the partition column, typed LONG from the directory names). */
+  private[graft] def atRest(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = atRestDir(spark, sfDir)
+    spark.read.schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("cell", LongType))))
+      .parquet(dir)
+  }
 
   /** The adaptive probe set per probe vector: every surviving cell is
     * ranked by exact integer (distance, id) — the native kernel with
@@ -255,32 +299,67 @@ object Surface18 {
       .select($"q_id", $"cell", $"sz")
   }
 
+  /** The probe pair set collected to the driver — BOUNDED by
+    * construction (≤ 50 probes × ~PROBE_TARGET/CELL_TARGET cells each
+    * ≈ 13k pairs at any corpus size; the driver-scalar discipline the
+    * centroid collects already follow), so the probed cells can prune
+    * the at-rest scan STATICALLY via an IN partition filter. */
+  private def collectPairs(probed: DataFrame): Seq[(Long, Long)] =
+    probed.select(col("q_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
   /** The shared ANN scoring head: probes (vec_id < 50) score only the
     * vectors assigned to the given per-probe cell set (~PROBE_TARGET
     * candidates regardless of corpus size), then exact cosine top-3
     * within the candidates (round 6dp, id tiebreak, the family
-    * contract). `probed` is (q_id, cell, …). */
+    * contract). `probed` is (q_id, cell, …).
+    *
+    * Round-20 scan shape (VERDICT r19 item 2): candidates come from
+    * the cell-partitioned at-rest index — an IN partition filter on
+    * the probed cells (planning-time directory pruning, PlanSuite-
+    * locked) plus a broadcast EQUI-join on `cell` against the
+    * collected (q_id, cell) pairs. The former spelling — broadcast
+    * probes NestedLoop-joined on array_contains(cells, cell) —
+    * streamed the ENTIRE raw-embedding corpus per probe batch: flat
+    * candidates, linear bytes. Now rows read = probed census only
+    * (AnnRung's scan_rows column measures it flat across the ×100
+    * fixture hop). */
   private def top3From(spark: SparkSession, sfDir: String,
       probed: DataFrame): DataFrame = {
     import spark.implicits._
+    val pairs = collectPairs(probed)
+    val probedCellIds = pairs.map(_._2).distinct.sorted
     val qv = qvFrame(spark, sfDir)
-    val e = assigned(spark, sfDir)
-      .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
     val probes = qv.filter($"vec_id" < 50)
       .select($"vec_id".as("q_id"), $"embedding".as("pv"))
       .withColumn("pnrm", sqrt(Vectors.normSq($"pv")))
-      .join(probed
-        .groupBy($"q_id").agg(collect_list($"cell").as("cells")),
-        Seq("q_id"))
-    val scored = e.join(broadcast(probes),
-        array_contains($"cells", $"cell") && $"vec_id" =!= $"q_id")
+    val pairsDf = pairs.toDF("q_id", "cell")
+    val scored = atRest(spark, sfDir)
+      .filter($"cell".isin(probedCellIds: _*))
+      .join(broadcast(pairsDf), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(broadcast(probes), Seq("q_id"))
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
+        round(Vectors.dot($"pv", $"embedding") /
+          ($"pnrm" * sqrt(Vectors.normSq($"embedding"))), 6)
           .as("cos_sim"))
     val w = Window.partitionBy($"q_id")
       .orderBy($"cos_sim".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
+  }
+
+  /** AnnRung instrument: rows the PRUNED at-rest scan reads for the
+    * kmeans probe batch — the measured form of the round-20 "scan
+    * volume flat in corpus rows" claim (vs the corpus count the rung
+    * already logs). */
+  private[graft] def kmeansScanRows(spark: SparkSession,
+      sfDir: String): Long = {
+    import spark.implicits._
+    val pairs = collectPairs(
+      probedCells(spark, sfDir, kmeansCents(spark, sfDir)))
+    val cellIds = pairs.map(_._2).distinct.sorted
+    atRest(spark, sfDir).filter($"cell".isin(cellIds: _*)).count()
   }
 
   private[graft] def kmeansTop3(spark: SparkSession,
@@ -600,6 +679,101 @@ object Surface18 {
       .filter($"rank" <= 3)
   }
 
+  /** The PQ code table AT REST, cell-partitioned like [[atRestDir]] —
+    * the FAISS-style IVFPQ layout: each IVF cell directory holds its
+    * members' 8-code rows (~6 B of payload per vector), so the
+    * composed tier's ADC scan reads ONLY the probed cells' codes.
+    * Built once per (JVM, sfDir); the build is a map-only projection
+    * over the persisted assignment (codes from the materialized q,
+    * one kernel argmin per subspace) plus the one repartition(cell)
+    * index-build shuffle. */
+  private[graft] def codesAtRestDir(spark: SparkSession,
+      sfDir: String): String = {
+    val dir = graft.sources.Formats.fmtDir(sfDir, "ann_codes")
+    graft.Memo.onceJvm(spark, s"ann_codes:$sfDir") {
+      import spark.implicits._
+      val books = pqCodebooks(spark, sfDir)
+      assigned(spark, sfDir)
+        .select($"vec_id",
+          array((0 until PQ_M).map(s =>
+            cellOf(subvec($"q", s), books(s))): _*).as("codes"),
+          $"cell")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+    dir
+  }
+
+  private[graft] def codesAtRest(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = codesAtRestDir(spark, sfDir)
+    spark.read.schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("codes", ArrayType(LongType)),
+        StructField("cell", LongType))))
+      .parquet(dir)
+  }
+
+  /** E376's dataflow: **IVF ∘ ADC** — the ledger's stated production
+    * pairing, now a real composed tier instead of prose (VERDICT r19
+    * item 3). Per probe: (1) the SAME adaptive kmeans probe set as
+    * q_sim_ann_kmeans selects ~PROBE_TARGET candidate rows; (2) the
+    * ADC leg scores ONLY those candidates' codes, read from the
+    * cell-partitioned code table under an IN partition filter —
+    * probe-side exact, corpus-side its PQ reconstruction; (3) the
+    * best ADC_RERANK per probe are exact-cosine reranked, their raw
+    * embeddings fetched from the at-rest index under the SAME pruned
+    * scan. Both volumes are flat in corpus rows: candidates by the
+    * probe budget, bytes by partition pruning (PlanSuite locks both
+    * scans' PartitionFilters; AnnRung measures recall and scan rows
+    * at the fixture rungs). */
+  private[graft] def ivfPqTop3(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val books = pqCodebooks(spark, sfDir)
+    val pairs = collectPairs(
+      probedCells(spark, sfDir, kmeansCents(spark, sfDir)))
+    val cellIds = pairs.map(_._2).distinct.sorted
+    val pairsDf = pairs.toDF("q_id", "cell")
+    val qv = qvFrame(spark, sfDir)
+    val probes = qv.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"q".as("pq"),
+        $"embedding".as("pv"))
+      .withColumn("pnrm", sqrt(Vectors.normSq($"pv")))
+    val recon = concat((0 until PQ_M).map { s =>
+      element_at(typedLit(books(s).toMap), element_at($"codes", s + 1))
+    }: _*)
+    val adc = aggregate(zip_with($"pq", $"recon",
+      (a, b) => (a - b) * (a - b)), lit(0L), (x, y) => x + y)
+    val wAdc = Window.partitionBy($"q_id")
+      .orderBy($"adc", $"neighbor_id")
+    val winners = codesAtRest(spark, sfDir)
+      .filter($"cell".isin(cellIds: _*))
+      .join(broadcast(pairsDf), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("recon", recon)
+      .join(broadcast(probes.select($"q_id", $"pq")), Seq("q_id"))
+      .select($"q_id", $"vec_id".as("neighbor_id"), adc.as("adc"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter($"arnk" <= ADC_RERANK)
+      .select($"q_id", $"neighbor_id")
+    val emb = atRest(spark, sfDir)
+      .filter($"cell".isin(cellIds: _*))
+      .select($"vec_id".as("neighbor_id"), $"embedding")
+      .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id")
+    emb.join(broadcast(winners), Seq("neighbor_id"))
+      .join(broadcast(probes.select($"q_id", $"pv", $"pnrm")),
+        Seq("q_id"))
+      .select($"q_id", $"neighbor_id",
+        round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+  }
+
   /** E374: **PQ/ADC retrieval** — approximate scan over the
     * compressed code table + exact rerank of the ADC_RERANK best;
     * same output contract as the other ANN rows. The oracle
@@ -672,6 +846,118 @@ object Surface18 {
             |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
             |FROM qv p LEFT JOIN qhits h ON h.q_id = p.vec_id
             |WHERE p.vec_id < 50 ORDER BY q_id""".stripMargin))
+
+  /** E376: **IVF ∘ PQ/ADC retrieval** — the composed production tier
+    * (see [[ivfPqTop3]]): kmeans cells probe, ADC over the probed
+    * members' codes only, exact rerank of the ADC_RERANK best. The
+    * oracle composes the SAME chains the two parents gate —
+    * kmeans probe set (pcells) ∘ PQ codes (pqfinal) — so the composed
+    * candidate set, the ADC integers, the rerank cut and the final
+    * cosine are all strict-gated. */
+  val qSimAnnIvfPq = Q("q_sim_ann_ivf_pq",
+    (spark, sfDir) => {
+      import spark.implicits._
+      ivfPqTop3(spark, sfDir)
+        .select($"q_id", $"neighbor_id", $"cos_sim", $"rank")
+        .orderBy($"q_id", $"rank")
+    },
+    Some(s"""WITH $kmeansCte, $pqCte, $ivfPqCte
+            |SELECT q_id, neighbor_id, cos_sim, rank
+            |FROM ivfpqranked WHERE rank <= 3
+            |ORDER BY q_id, rank""".stripMargin))
+
+  /** E377: **IVF ∘ PQ recall audit** — recall@3 of the composed tier
+    * vs the exact brute-force top-3 (the family's measurement
+    * discipline); OperatorSuite locks the sf0.1 mean ≥ 0.8, AnnRung
+    * reads it at the grown fixtures. */
+  val qSimAnnIvfPqRecall = Q("q_sim_ann_ivf_pq_recall",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val e = Tables.read(spark, sfDir, "embeddings")
+        .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"embedding".as("pv"),
+          $"nrm".as("pnrm"))
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      val brute = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
+            .as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"neighbor_id")
+      val hits = ivfPqTop3(spark, sfDir)
+        .select($"q_id", $"neighbor_id").as("a")
+        .join(brute.as("b"), $"a.q_id" === $"b.q_id" &&
+          $"a.neighbor_id" === $"b.neighbor_id")
+        .groupBy($"a.q_id").agg(count(lit(1)).as("n_hits"))
+      q.select($"q_id")
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)).cast("double") / 3.0, 6)
+            .as("recall_at_3"))
+        .orderBy($"q_id")
+    },
+    Some(s"""WITH $kmeansCte, $pqCte, $ivfPqCte, ibrute AS (
+            |  SELECT q_id, neighbor_id FROM (
+            |    SELECT p.vec_id AS q_id, e.vec_id AS neighbor_id,
+            |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            |        ${cosSql("p.embedding", "e.embedding")} DESC,
+            |        e.vec_id) AS rank
+            |    FROM qv e JOIN qv p ON p.vec_id < 50
+            |      AND e.vec_id <> p.vec_id
+            |  ) t WHERE rank <= 3
+            |), ihits AS (
+            |  SELECT a.q_id, count(*) AS n_hits
+            |  FROM (SELECT q_id, neighbor_id FROM ivfpqranked
+            |        WHERE rank <= 3) a
+            |  JOIN ibrute b ON a.q_id = b.q_id
+            |    AND a.neighbor_id = b.neighbor_id
+            |  GROUP BY a.q_id
+            |)
+            |SELECT p.vec_id AS q_id, coalesce(h.n_hits, 0) AS n_hits,
+            |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
+            |FROM qv p LEFT JOIN ihits h ON h.q_id = p.vec_id
+            |WHERE p.vec_id < 50 ORDER BY q_id""".stripMargin))
+
+  /** The composed IVF∘ADC oracle chain (expects the kmeans chain —
+    * pcells, cells — and the PQ chain — pqfinal, pq$PQ_ITERS — in
+    * scope): ADC integers over exactly the probed cells' members, the
+    * rerank cut, the exact-cosine top-3 — the literal SQL twin of
+    * [[ivfPqTop3]]. */
+  private def ivfPqCte: String =
+    s"""ivfadcp AS MATERIALIZED (
+       |  SELECT q_id, neighbor_id, CAST(sum(d) AS BIGINT) AS adc
+       |  FROM (
+       |    SELECT pc.q_id AS q_id, f.vec_id AS neighbor_id,
+       |      ${distSql(
+             s"list_slice(p.q, f.sub * $PQ_SUBDIM + 1, " +
+               s"f.sub * $PQ_SUBDIM + $PQ_SUBDIM)", "b.cv")} AS d
+       |    FROM pcells pc
+       |    JOIN cells ce ON ce.cell = pc.c_id
+       |    JOIN pqfinal f ON f.vec_id = ce.vec_id
+       |      AND f.vec_id <> pc.q_id
+       |    JOIN pq$PQ_ITERS b ON b.sub = f.sub AND b.code = f.code
+       |    JOIN qv p ON p.vec_id = pc.q_id) t
+       |  GROUP BY 1, 2
+       |), ivfadcr AS MATERIALIZED (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, neighbor_id) AS rn
+       |    FROM ivfadcp) t
+       |  WHERE rn <= $ADC_RERANK
+       |), ivfpqscored AS (
+       |  SELECT a.q_id, a.neighbor_id,
+       |    ${cosSql("p.embedding", "e.embedding")} AS cos_sim
+       |  FROM ivfadcr a
+       |  JOIN qv e ON e.vec_id = a.neighbor_id
+       |  JOIN qv p ON p.vec_id = a.q_id
+       |), ivfpqranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM ivfpqscored
+       |)""".stripMargin
 
   /** The ADC oracle chain (expects qv + the PQ chain in scope):
     * per-pair ADC integers from the final codes × codebook join, the
@@ -1396,5 +1682,6 @@ object Surface18 {
   val all: Seq[Q] = Seq(qSimAnnKmeans, qSimAnnKmeansRecall,
     qSimAnnIncremental, qRetrievalRrf, qStreamAnnAssign,
     qCurriculumPhases, qSimAnnTwoLevel, qSimAnnTwoLevelRecall,
-    qQuantizePq, qSimAnnPq, qSimAnnPqRecall)
+    qQuantizePq, qSimAnnPq, qSimAnnPqRecall,
+    qSimAnnIvfPq, qSimAnnIvfPqRecall)
 }

@@ -225,6 +225,26 @@ class OperatorSuite extends AnyFunSuite {
     assert(e.getMessage.contains("ARRAY<BIGINT>"), e.getMessage)
   }
 
+  test("IVF∘PQ composed tier holds the recall bar and the rerank cap") {
+    // E376/E377: the composed tier may lose recall at BOTH stages
+    // (cells missed by the probe budget, true neighbors ranked past
+    // ADC_RERANK by quantization error) — the lock keeps the
+    // composition's quality measured, same 0.8 bar as the parents
+    val rec = graft.queries.Surface18.qSimAnnIvfPqRecall.fn(spark, sf)
+      .agg(avg($"recall_at_3")).head().getDouble(0)
+    assert(rec >= 0.8, s"IVF∘PQ recall@3 mean $rec fell under 0.8")
+    // the composed output obeys the family contract: ≤3 rows per
+    // probe, ranks dense from 1
+    val rows = graft.queries.Surface18.qSimAnnIvfPq.fn(spark, sf)
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n"), min($"rank").as("lo"),
+        max($"rank").as("hi"))
+      .collect()
+    assert(rows.forall(r => r.getLong(1) <= 3 && r.getInt(2) == 1 &&
+      r.getInt(3) == r.getLong(1).toInt),
+      "IVF∘PQ output violates the top-3 contract")
+  }
+
   test("cms_probe_long validates its inputs at analysis time") {
     // foldable BINARY sketch + BIGINT key, or a clean AnalysisException
     // (the bitmap_map_sum_agg precedent — never an NPE/CCE mid-plan)

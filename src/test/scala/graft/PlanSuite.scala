@@ -192,12 +192,13 @@ class PlanSuite extends AnyFunSuite {
                                   // standing rollup vs delta (E329)
       "q_agg_rollup_lattice_late", // 1-row dropped-rows total cross
                                    // into the shard aggregate (E362)
-      "q_sim_ann_kmeans", // ≤50 probes broadcast with the
-                          // array_contains(cells, cell) probe
-                          // condition — the intended nprobe
-                          // membership join (E364)
-      "q_sim_ann_kmeans_recall", // same probe join + the brute-force
-                                 // !=-condition leg (E365)
+      // q_sim_ann_kmeans left this list in round 20: the at-rest
+      // index replaced the array_contains membership BNLJ with a
+      // partition-pruned equi join (locked below)
+      "q_sim_ann_kmeans_recall", // the brute-force !=-condition leg
+                                 // (E365); the ANN leg itself is the
+                                 // pruned equi join
+      "q_sim_ann_ivf_pq_recall", // same brute-force leg (E377)
       "q_retrieval_rrf", // both fusion legs are the X3 10-probe
                          // broadcast with the != condition (E367)
       "q_curriculum_phases", // 1-row (lo, hi) quality-bounds cross
@@ -403,6 +404,35 @@ class PlanSuite extends AnyFunSuite {
       .findFirstIn(p).isDefined,
       "event_type predicate must land in PartitionFilters (directory " +
         "pruning), not just a row-level filter")
+  }
+
+  test("kmeans ANN probes a pruned at-rest scan via equi join, no BNLJ") {
+    // VERDICT r19 item 2: the candidate join must read ONLY the probed
+    // cells' partition directories of the at-rest index (planning-time
+    // pruning, the E17 lock style) and join them by EQUI key — the old
+    // array_contains membership BroadcastNestedLoopJoin streamed the
+    // whole raw-embedding corpus per probe batch
+    val p = plan("q_sim_ann_kmeans")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probed cells must land in the at-rest scan's PartitionFilters:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"candidate join must be the pruned equi join, not a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair/probe joins must broadcast-hash:\n$p")
+  }
+
+  test("IVF∘PQ retrieval scans pruned codes, equi joins, no BNLJ") {
+    // E376: the composed tier must keep BOTH volumes flat — the ADC
+    // leg reads the code table pruned to probed cells, the rerank leg
+    // reads the at-rest embeddings pruned the same way; everything
+    // joins by equi key
+    val p = plan("q_sim_ann_ivf_pq")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).length >= 2,
+      s"both the codes scan and the rerank scan must prune on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"IVF∘PQ must never nested-loop:\n$p")
   }
 
   test("full outer join plans a shuffled SMJ with both scans filtered") {

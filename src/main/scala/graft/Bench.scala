@@ -61,6 +61,79 @@ object Bench {
     ms
   }
 
+  /** Host I/O calibration probe (VERDICT r19 item 4): the CPU probe
+    * above could NOT adjudicate the round-19 driver drift — its
+    * checkpoint/sink-bound rows ran 3–5× slow while calib_ms was only
+    * 1.26× off, and proving "read path, not code" took ad-hoc
+    * identical-binary controls. This probe makes the artifact
+    * self-defending: write a fresh 256 MiB file (fsynced), then read
+    * it back O_DIRECT (`ExtendedOpenOption.DIRECT`, page cache
+    * bypassed — a buffered re-read of a just-written file would
+    * measure RAM, not the device path the streams' checkpoints and
+    * sinks actually traverse) and report read MB/s. Run at sweep
+    * start/middle/end as `io_calib_mbs:[start,mid,end]`; BASELINE.md
+    * records the idle-host band. Falls back to a buffered read (and
+    * still reports) on filesystems without O_DIRECT. */
+  def ioCalibMbs(dir: java.nio.file.Path): Double = {
+    import java.nio.channels.FileChannel
+    import java.nio.file.{Files, StandardOpenOption}
+    val MB = 1 << 20
+    val chunks = 256
+    val f = dir.resolve("io-probe.bin")
+    try {
+      Files.createDirectories(dir)
+      // one block-aligned direct buffer serves write and read (O_DIRECT
+      // requires address/offset/length alignment to the block size)
+      val buf = java.nio.ByteBuffer.allocateDirect(MB + 8192)
+        .alignedSlice(4096)
+      buf.limit(MB)
+      var x = 0x9E3779B97F4A7C15L
+      while (buf.remaining() >= 8) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; buf.putLong(x)
+      }
+      val wch = FileChannel.open(f, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        var i = 0
+        while (i < chunks) {
+          buf.rewind(); buf.limit(MB)
+          while (buf.hasRemaining) wch.write(buf)
+          i += 1
+        }
+        wch.force(true)
+      } finally wch.close()
+      val rch =
+        try FileChannel.open(f, StandardOpenOption.READ,
+          com.sun.nio.file.ExtendedOpenOption.DIRECT)
+        catch { case _: Throwable =>
+          System.err.println(
+            "[bench] O_DIRECT unsupported here - buffered io probe")
+          FileChannel.open(f, StandardOpenOption.READ)
+        }
+      var read = 0L
+      var sink = 0L
+      val t0 = System.nanoTime()
+      try {
+        var n = 0
+        while (n >= 0 && read < chunks.toLong * MB) {
+          buf.clear(); buf.limit(MB)
+          n = rch.read(buf)
+          if (n > 0) { read += n; sink ^= buf.get(0) }
+        }
+      } finally rch.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sink == 0x5DEECE66DL)
+        System.err.println("[bench] io probe sentinel")
+      read.toDouble / MB / math.max(sec, 1e-9)
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] io probe failed: $t")
+      -1.0
+    } finally {
+      try { Files.deleteIfExists(f); () }
+      catch { case _: Throwable => () }
+    }
+  }
+
   /** Family classification for the per-family subtotals the artifact
     * line carries (VERDICT r8 item 1): contention inflates families
     * unevenly (streaming's state-store floor degrades super-linearly,
@@ -117,6 +190,25 @@ object Bench {
     // full-scope)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // repo root, resolved from the compiled-class location (ADVICE
+    // r14 — a bench launched elsewhere must not scatter artifacts into
+    // its CWD); also anchors the io-probe scratch file
+    val root: java.nio.file.Path = {
+      val here = java.nio.file.Paths.get("").toAbsolutePath
+      try {
+        var d = java.nio.file.Paths.get(
+          Bench.getClass.getProtectionDomain.getCodeSource
+            .getLocation.toURI)
+        var found: java.nio.file.Path = null
+        while (found == null && d != null) {
+          if (java.nio.file.Files.exists(d.resolve("build.sbt")))
+            found = d
+          d = d.getParent
+        }
+        if (found != null) found else here
+      } catch { case _: Throwable => here }
+    }
+    val ioDir = root.resolve("target")
     // each query also records its FIRST run ("cold": includes memo
     // builds, side-store loads and first-plan codegen for that query)
     // alongside the min — the cold column is what a contended or
@@ -134,15 +226,19 @@ object Bench {
       def valStr: String = if (ok) sec.toString else "\"err\""
     }
     // calibration probes bracket the sweep (and sample its midpoint)
-    // so the artifact is self-normalizing — see calibMs's doc
+    // so the artifact is self-normalizing — CPU (calibMs) AND device
+    // read path (ioCalibMbs), since round 19 proved they drift
+    // independently
     val calibStart = calibMs()
+    val ioStart = ioCalibMbs(ioDir)
     var calibMid = -1L
+    var ioMid = -1.0
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val midIdx = qlist.size / 2
     val results: Seq[R] =
       qlist.zipWithIndex.map { case ((name, fn), idx) =>
-        if (idx == midIdx) calibMid = calibMs()
+        if (idx == midIdx) { calibMid = calibMs(); ioMid = ioCalibMbs(ioDir) }
         val runs = (1 to 2).map { _ =>
           val builds0 = Memo.buildCount
           val t0 = System.nanoTime()
@@ -162,11 +258,44 @@ object Bench {
           runs(0)._3, runs(1)._3)
       }
     val calibEnd = calibMs()
+    val ioEnd = ioCalibMbs(ioDir)
     def r2(s: Double): String = BigDecimal(s).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString
+    def r1(s: Double): String = BigDecimal(s).setScale(1,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    // deployment-shaped stream number (VERDICT r19 item 6): the whole
+    // stream family re-drained CONCURRENTLY on session clones —
+    // StreamFleet's mechanics, recorded every round beside the
+    // sequential per-row contract (which stays the gate and the
+    // per-query map). Rows are warm (each just ran twice), matching
+    // the fleet binary's equal-temperature protocol. Full sweeps only;
+    // a fleet failure is reported but never voids the artifact.
+    val fleetWall: Option[Double] =
+      if (only.isEmpty) {
+        try {
+          val names = qlist.map(_._1).filter(_.startsWith("q_stream"))
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+          val t0 = System.nanoTime()
+          val fs = names.map { n =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long =
+                SparkEntry.queries(n)(spark.newSession(), sfDir).count()
+            })
+          }
+          fs.foreach(_.get())
+          pool.shutdown()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] fleet drain failed: $t")
+          None
+        }
+      } else None
+    val fleetJson = fleetWall
+      .map(s => s""","fleet_wall_sec":${r2(s)}""").getOrElse("")
     val total = results.map(r => if (r.ok) r.sec else 0.0).sum
     val coldTotal = results.map(r => if (r.ok) r.r1 else 0.0).sum
     val calibJson = s"[$calibStart,$calibMid,$calibEnd]"
+    val ioJson = s"[${r1(ioStart)},${r1(ioMid)},${r1(ioEnd)}]"
     // per-family min-of-2 subtotals, fixed key order for stable lines
     val famJson = Seq("stream", "dedup", "fource", "source", "graph",
         "other")
@@ -184,7 +313,7 @@ object Bench {
       val r1s = m(r => if (r.ok) r.r1.toString else "\"err\"")
       val r2s = m(r => if (r.ok) r.r2.toString else "\"err\"")
       val bs = m(r => s"[${r.b1},${r.b2}]")
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"calib_ms":$calibJson,"families":$famJson,"queries":$qs,"run1":$r1s,"run2":$r2s,"builds":$bs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"calib_ms":$calibJson,"io_calib_mbs":$ioJson$fleetJson,"families":$famJson,"queries":$qs,"run1":$r1s,"run2":$r2s,"builds":$bs,"sf":"$sfDir"}"""
     }
     // second-run memo builds across the whole sweep: 0 proves min-of-2
     // really timed memo-warm steady state (the driver artifact carries
@@ -203,7 +332,7 @@ object Bench {
     val compact = {
       val budget = 1200
       val overhead = // fixed part of the line, with placeholder lengths
-        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"families":$famJson,"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
+        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"io_calib_mbs":$ioJson$fleetJson,"families":$famJson,"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
       val ordered = results.sortBy { r =>
         (if (r.ok) 1 else 0, -r.sec) // errs first, then slowest
       }
@@ -219,31 +348,13 @@ object Bench {
       val qs = picked.sortBy(_.name).map { r =>
         "\"" + r.name + "\":" + (if (!r.ok) "\"err\"" else r2(r.sec))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"families":$famJson,"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"io_calib_mbs":$ioJson$fleetJson,"families":$famJson,"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
     }
     try {
-      // Anchor both artifacts at the REPO ROOT, not the CWD (ADVICE
+      // Both artifacts anchor at the REPO ROOT resolved above (ADVICE
       // r14): a bench launched from elsewhere used to silently write
       // BENCH_FULL.json into that directory, letting the committed
-      // copy go stale. The root is recovered from the compiled-class
-      // location (…/target/scala-2.13/classes → walk up to the dir
-      // holding build.sbt), falling back to the CWD if the classpath
-      // shape is unexpected (e.g. an assembled jar elsewhere).
-      val root: java.nio.file.Path = {
-        val here = java.nio.file.Paths.get("").toAbsolutePath
-        try {
-          var d = java.nio.file.Paths.get(
-            Bench.getClass.getProtectionDomain.getCodeSource
-              .getLocation.toURI)
-          var found: java.nio.file.Path = null
-          while (found == null && d != null) {
-            if (java.nio.file.Files.exists(d.resolve("build.sbt")))
-              found = d
-            d = d.getParent
-          }
-          if (found != null) found else here
-        } catch { case _: Throwable => here }
-      }
+      // copy go stale.
       val p = root.resolve("target").resolve("bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))

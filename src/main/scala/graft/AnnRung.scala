@@ -64,6 +64,24 @@ object AnnRung {
       s"ivfpq recall out of [0,1]: $ivfpqRec")
     require(scanRows <= n,
       "pruned scan cannot read more rows than the corpus")
+    // round 20: the scout-union tier (E378, VERDICT r19 item 5 — the
+    // recall FLOOR): candidates |IVF census ∪ ADC top-T| and
+    // recall@3 mean/min; the tier's candidate set is a strict
+    // superset of the pure-IVF row's, so its recall must dominate —
+    // asserted here at every fixture, not just claimed
+    val sc = queries.Surface18.scoutCandCounts(spark, sfDir)
+      .agg(avg($"n_cand").as("a"), max($"n_cand").as("m")).head()
+    val scRec = SparkEntry.queries("q_sim_ann_scout_recall")(spark,
+        sfDir)
+      .agg(avg($"recall_at_3").as("a"), min($"recall_at_3").as("m"))
+      .head()
+    require(scRec.getDouble(0) >= 0.0 && scRec.getDouble(0) <= 1.0 &&
+      scRec.getDouble(1) >= 0.0, s"scout recall out of [0,1]: $scRec")
+    require(sc.getLong(1) >= sc.getDouble(0).toLong,
+      "scout candidate max below avg — measurement inconsistent")
+    require(scRec.getDouble(0) >= kmRec.getDouble(0) - 1e-9 &&
+      scRec.getDouble(1) >= kmRec.getDouble(1) - 1e-9,
+      s"scout union must dominate pure IVF recall: $scRec vs $kmRec")
     // round 19: the two-level (coarse/fine) path — candidates and
     // recall under the group-pruned probe, quantifying what the
     // coarse level costs in recall for its ~16× ranking-work cut
@@ -111,6 +129,10 @@ object AnnRung {
       s""""scan_rows_kmeans":$scanRows,""" +
       s""""recall_ivfpq_mean":${r(ivfpqRec.getDouble(0))},""" +
       s""""recall_ivfpq_min":${r(ivfpqRec.getDouble(1))},""" +
+      s""""cand_scout_avg":${r(sc.getDouble(0))},""" +
+      s""""cand_scout_max":${sc.getLong(1)},""" +
+      s""""recall_scout_mean":${r(scRec.getDouble(0))},""" +
+      s""""recall_scout_min":${r(scRec.getDouble(1))},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

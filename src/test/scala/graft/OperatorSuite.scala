@@ -245,6 +245,43 @@ class OperatorSuite extends AnyFunSuite {
       "IVF∘PQ output violates the top-3 contract")
   }
 
+  test("scout union tier dominates pure IVF per probe, candidates bounded") {
+    // E378/E379 (VERDICT r19 item 5): the scout tier's candidate set
+    // is (IVF probe census) ∪ (global ADC top-SCOUT_T), so per probe
+    // (1) its recall can never fall below the pure-IVF row's —
+    // dominance asserted PER PROBE, not on the mean — and (2) its
+    // candidate count sits in [ivf_cands, ivf_cands + SCOUT_T]
+    val kmR = graft.queries.Surface18.qSimAnnKmeansRecall.fn(spark, sf)
+      .select($"q_id", $"recall_at_3".as("km"))
+    val scR = graft.queries.Surface18.qSimAnnScoutRecall.fn(spark, sf)
+      .select($"q_id", $"recall_at_3".as("sc"))
+    val dom = kmR.join(scR, Seq("q_id"))
+      .filter($"sc" < $"km").collect()
+    assert(dom.isEmpty,
+      s"scout recall fell below pure IVF on probes: ${dom.mkString(",")}")
+    val kmC = graft.queries.Surface18.kmeansCandCounts(spark, sf)
+      .select($"q_id", $"n_cand".as("ivf"))
+    val scC = graft.queries.Surface18.scoutCandCounts(spark, sf)
+      .select($"q_id", $"n_cand".as("un"))
+    // kmeansCandCounts counts the probed CENSUS (which includes the
+    // probe's own row); the union counts scored pairs (self excluded)
+    // — hence the −1 on the lower bound
+    val bad = kmC.join(scC, Seq("q_id"))
+      .filter($"un" < $"ivf" - 1 ||
+        $"un" > $"ivf" + graft.queries.Surface18.SCOUT_T).collect()
+    assert(bad.isEmpty,
+      s"scout candidate union out of [ivf-1, ivf+T]: ${bad.mkString(",")}")
+    // family output contract: ≤3 rows per probe, ranks dense from 1
+    val rows = graft.queries.Surface18.qSimAnnScout.fn(spark, sf)
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n"), min($"rank").as("lo"),
+        max($"rank").as("hi"))
+      .collect()
+    assert(rows.forall(r => r.getLong(1) <= 3 && r.getInt(2) == 1 &&
+      r.getInt(3) == r.getLong(1).toInt),
+      "scout output violates the top-3 contract")
+  }
+
   test("cms_probe_long validates its inputs at analysis time") {
     // foldable BINARY sketch + BIGINT key, or a clean AnalysisException
     // (the bitmap_map_sum_agg precedent — never an NPE/CCE mid-plan)

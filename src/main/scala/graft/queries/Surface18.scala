@@ -809,7 +809,8 @@ object Surface18 {
     * ~2.4 TB); no raw embedding is touched here. Returns
     * (q_id, neighbor_id, cell) — the cell rides along so the exact
     * rescoring fetch below can partition-prune. */
-  private def scoutHits(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def scoutHits(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val books = pqCodebooks(spark, sfDir)
     val recon = concat((0 until PQ_M).map { s =>

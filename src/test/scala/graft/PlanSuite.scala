@@ -213,7 +213,13 @@ class PlanSuite extends AnyFunSuite {
                                    // !=-condition leg (E372)
       "q_sim_ann_pq", // ≤50 probes broadcast over the code table
                       // with the != condition — the ADC scan (E374)
-      "q_sim_ann_pq_recall") // same + the brute-force leg (E375)
+      "q_sim_ann_pq_recall", // same + the brute-force leg (E375)
+      // q_sim_ann_scout is NOT here: its global ADC leg (the E374
+      // broadcast-probe shape) runs eagerly into a driver-bounded
+      // hit set, so the retrieval plan proper is equi-joins only —
+      // locked below
+      "q_sim_ann_scout_recall") // the brute-force !=-condition
+                                // audit leg (E379)
     val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
     batch.filterNot(allowed).foreach { name =>
       assert(!plan(name).contains("BroadcastNestedLoopJoin"),
@@ -433,6 +439,35 @@ class PlanSuite extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       s"IVF∘PQ must never nested-loop:\n$p")
+  }
+
+  test("scout tier: global leg reads only codes, exact legs prune on cell") {
+    // E378: the scout's one full scan is the COMPRESSED code table.
+    // Its hits are collected to the driver (≤ 50·SCOUT_T, the
+    // driver-scalar discipline), so that leg's plan is inspected
+    // directly: ReadSchema must carry codes/vec_id only — never the
+    // raw embedding column
+    val legP = graft.queries.Surface18.scoutHits(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(legP.contains(
+        "ReadSchema: struct<vec_id:bigint,codes:array<bigint>>"),
+      s"scout's global leg must scan only the code columns:\n$legP")
+    // the only embedding reads are the ≤50 probe rows (vec_id < 50
+    // pushed to the scan) — never a corpus-wide raw-embedding scan
+    legP.linesIterator
+      .filter(_.contains("ReadSchema: struct<vec_id:bigint,embedding"))
+      .foreach(l => assert(l.contains("LessThan(vec_id,50)"),
+        s"corpus-wide raw-embedding scan in the scout leg:\n$l"))
+    // the retrieval plan proper: every scan that reads embeddings
+    // (IVF candidate leg + scout-hit fetch) prunes on cell at
+    // planning time, and joins stay hash/equi
+    val p = plan("q_sim_ann_scout")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).length >= 2,
+      s"the IVF candidate leg and the scout-hit fetch must both prune " +
+        s"on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the exact legs must never nested-loop:\n$p")
   }
 
   test("full outer join plans a shuffled SMJ with both scans filtered") {

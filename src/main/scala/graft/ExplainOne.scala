@@ -1,16 +1,35 @@
 package graft
 
-/** Dev instrument: print the formatted physical plan of one registered
-  * query (`SPARK_GRAFT_ONLY=<name>`, default q_sim_ann_kmeans) at
-  * `SPARK_GRAFT_SF_DIR` — the .explain loop the brief prescribes,
-  * runnable without a REPL. */
+/** Dev instrument: print the formatted physical plan of registered
+  * queries (`SPARK_GRAFT_ONLY=<name>[,<name>...]`, default
+  * q_sim_ann_kmeans) at `SPARK_GRAFT_SF_DIR` — the .explain loop the
+  * brief prescribes, runnable without a REPL. With an argument, plans
+  * are written to `<arg>/<name>_<suffix>.txt` (suffix = second arg,
+  * default "plan") instead of stdout — the round-20 plan-artifact
+  * path (plans/r20/<query>_{before,after}.txt). */
 object ExplainOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
-    val name = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q_sim_ann_kmeans")
+    val names = sys.env.getOrElse("SPARK_GRAFT_ONLY",
+      "q_sim_ann_kmeans").split(",").map(_.trim).filter(_.nonEmpty)
+    val outDir = args.headOption
+    val suffix = if (args.length > 1) args(1) else "plan"
     val spark = Sessions.local("graft-explain")
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      outDir match {
+        case Some(dir) =>
+          val p = java.nio.file.Paths.get(dir, s"${name}_$suffix.txt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+              .getBytes("UTF-8"))
+          System.err.println(s"[explain] wrote $p")
+        case None => df.explain("formatted")
+      }
+    }
     spark.stop()
   }
 }

@@ -90,6 +90,11 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         VecDotExpr(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("adc_gather"),
+      new ExpressionInfo(classOf[AdcGatherExpr].getName, "adc_gather"),
+      (children: Seq[Expression]) =>
+        AdcGatherExpr(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("char_fold"),
       new ExpressionInfo(classOf[CharFoldExpr].getName, "char_fold"),
       (children: Seq[Expression]) => CharFoldExpr(children.head)))

@@ -654,51 +654,111 @@ object Surface18 {
     * ADC rank 336; see BASELINE.md round 20). */
   private[graft] val SCOUT_T = 1024
 
+  /** Per-subspace sorted code-id tables as one literal — the layout
+    * contract of [[graft.functions.AdcGatherExpr]] (books are already
+    * id-ascending per subspace). */
+  private def booksIdsLit(books: Seq[Seq[(Long, Seq[Long])]]): Column =
+    typedLit(books.map(_.map(_._1)))
+
+  /** The classical ADC distance table of ONE probe: for every
+    * (subspace, codebook centroid), the exact integer ‖q_sub − c‖² —
+    * Σ_sub K_sub longs, flat, subspace-major, id-ascending within a
+    * subspace. Computed once per probe on the DRIVER (≤ 50 × M·K
+    * longs ≈ 4 KB each); the per-corpus-row ADC then collapses from a
+    * dim-length reconstruct-and-fold to M table gathers
+    * ([[graft.functions.AdcGatherExpr]] — round 20, guide §4: the
+    * fold spelling was a per-pair CodegenFallback lambda chain).
+    * Identical integers: the gather groups the same Σ_dim (q−c)²
+    * terms by subspace; Long addition is exact and order-free. */
+  private def adcDtab(books: Seq[Seq[(Long, Seq[Long])]],
+      q: Seq[Long]): Seq[Long] =
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.map { case (_, cv) =>
+        var d = 0L
+        var j = 0
+        while (j < cv.length) {
+          val t = q(s * PQ_SUBDIM + j) - cv(j)
+          d += t * t
+          j += 1
+        }
+        d
+      }
+    }
+
+  /** (q_id, dtab): the ≤ 50 probes with their driver-built ADC
+    * distance tables. Memoized per (session, sfDir) like the
+    * centroids and codebooks they derive from (Memo.value — the
+    * driver-scalar discipline): the tables are index-side constants
+    * of the fixture (fixed probe contract vec_id < 50 × frozen
+    * codebooks), and the one bounded collect (50 rows off the cached
+    * assignment) otherwise re-runs as a Spark job on EVERY query
+    * construction. */
+  private[graft] def probeDtabs(spark: SparkSession, sfDir: String,
+      books: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
+    import spark.implicits._
+    graft.Memo.value(spark, s"pq_dtabs:$sfDir") {
+      assigned(spark, sfDir).filter($"vec_id" < 50)
+        .select($"vec_id", $"q").collect()
+        .map(r => (r.getLong(0), adcDtab(books, r.getSeq[Long](1))))
+        .toSeq.sortBy(_._1)
+    }.toDF("q_id", "dtab")
+  }
+
   /** The ADC (asymmetric distance computation) retrieval head: score
     * every corpus vector by Σ_sub ‖probe_sub − codebook[code_sub]‖²
-    * — the probe side stays EXACT (asymmetric), the corpus side is
-    * its PQ reconstruction, so the scan reads only the 8-code rows —
-    * keep the best ADC_RERANK per probe, then exact-cosine rerank to
-    * the family's top-3 contract. At 100 TB the ADC scan is the point
-    * of PQ: the compressed code table is 32× smaller than the raw
-    * embeddings, and only ADC_RERANK raw vectors per probe are ever
-    * touched (here composed with the X3 broadcast-probe shape; a
-    * production tier fronts it with the IVF above). */
+    * — the probe side stays EXACT (asymmetric), the corpus side only
+    * its 8 codes (scored via the per-probe distance TABLE, never a
+    * materialized reconstruction) — keep the best ADC_RERANK per
+    * probe, then exact-cosine rerank to the family's top-3 contract.
+    * At 100 TB the ADC scan is the point of PQ: the compressed code
+    * table is 32× smaller than the raw embeddings, and only
+    * ADC_RERANK raw vectors per probe are ever touched (here composed
+    * with the X3 broadcast-probe shape; a production tier fronts it
+    * with the IVF above). */
   private[graft] def pqTop3(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
     val books = pqCodebooks(spark, sfDir)
-    val qv = qvFrame(spark, sfDir)
-    // corpus side carries its PQ RECONSTRUCTION (the concatenated
-    // codebook vectors of its codes), computed ONCE per corpus row —
-    // the per-pair ADC is then a single 64-dim integer fold instead
-    // of 8 sub-folds (the HOFs are CodegenFallback; 8× fewer lambda
-    // chains measured ~2× on this row). Σ_sub ‖·‖² over the
-    // concatenation is the same exact integers as the per-sub sum.
-    val recon = concat((0 until PQ_M).map { s =>
-      element_at(typedLit(books(s).toMap),
-        element_at($"codes", s + 1))
-    }: _*)
-    val enc = qv.select($"vec_id", $"embedding",
-        array((0 until PQ_M).map(s =>
-          cellOf(subvec($"q", s), books(s))): _*).as("codes"))
-      .withColumn("recon", recon)
-      .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
-    val probes = qv.filter($"vec_id" < 50)
-      .select($"vec_id".as("q_id"), $"q".as("pq"),
-        $"embedding".as("pv"))
-      .withColumn("pnrm", sqrt(Vectors.normSq($"pv")))
-    val adc = aggregate(zip_with($"pq", $"recon",
-      (a, b) => (a - b) * (a - b)), lit(0L), (x, y) => x + y)
+    // Round-20 expression + dataflow shape (guide §2.3/§4/§8): the
+    // ADC pass encodes off the cached assignment's materialized q
+    // (the former spelling re-ran the CodegenFallback micro-unit
+    // quantization HOF over the raw parquet scan on every run; the
+    // cell-partitioned code table was measured WORSE here — its
+    // C≈n/8 8-row files cost ~2500 opens at the sf1gk rung, 13.5 s
+    // vs 2.6 s — the global tier wants dense storage), scores with
+    // the adc_gather table lookup (M gathers/pair — the recon +
+    // zip_with fold was a CodegenFallback lambda chain allocating
+    // per pair), and carries ONLY (q_id, neighbor_id, adc) into the
+    // rerank-cut window — the old plan dragged both raw embedding
+    // vectors through the sort. Raw embeddings are fetched AFTER the
+    // cut, for the ≤ 50·ADC_RERANK winners, by broadcast equi-join.
+    // Identical integers and cut, so bit-identical output (the
+    // DuckDB oracle keeps the fold spelling — parity checks the two
+    // FORMS).
+    val dt = probeDtabs(spark, sfDir, books)
+    val adc = call_function("adc_gather", booksIdsLit(books),
+      $"dtab", $"codes")
     val wAdc = Window.partitionBy($"q_id")
       .orderBy($"adc", $"neighbor_id")
-    val w = Window.partitionBy($"q_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id")
-    enc.join(broadcast(probes), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("neighbor_id"), adc.as("adc"),
-        $"pv", $"pnrm", $"embedding", $"nrm")
+    val enc = assigned(spark, sfDir).select($"vec_id",
+      array((0 until PQ_M).map(s =>
+        cellOf(subvec($"q", s), books(s))): _*).as("codes"))
+    val winners = enc
+      .join(broadcast(dt), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), adc.as("adc"))
       .withColumn("arnk", row_number().over(wAdc))
       .filter($"arnk" <= ADC_RERANK)
+      .select($"q_id", $"neighbor_id")
+    val e = Tables.read(spark, sfDir, "embeddings")
+      .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
+    val probes = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"embedding".as("pv"),
+        $"nrm".as("pnrm"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id")
+    e.select($"vec_id".as("neighbor_id"), $"embedding", $"nrm")
+      .join(broadcast(winners), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("q_id"))
       .select($"q_id", $"neighbor_id",
         round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
           .as("cos_sim"))
@@ -763,24 +823,24 @@ object Surface18 {
       probedCells(spark, sfDir, kmeansCents(spark, sfDir)))
     val cellIds = pairs.map(_._2).distinct.sorted
     val pairsDf = pairs.toDF("q_id", "cell")
-    val qv = qvFrame(spark, sfDir)
-    val probes = qv.filter($"vec_id" < 50)
-      .select($"vec_id".as("q_id"), $"q".as("pq"),
-        $"embedding".as("pv"))
+    // probe side: the ADC leg joins the driver-built distance tables
+    // (adc_gather — round 20; the recon + zip_with fold was a
+    // CodegenFallback lambda chain per candidate pair), the rerank
+    // leg the raw probe vectors — same integers, same cut
+    val probes = Tables.read(spark, sfDir, "embeddings")
+      .filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"embedding".as("pv"))
       .withColumn("pnrm", sqrt(Vectors.normSq($"pv")))
-    val recon = concat((0 until PQ_M).map { s =>
-      element_at(typedLit(books(s).toMap), element_at($"codes", s + 1))
-    }: _*)
-    val adc = aggregate(zip_with($"pq", $"recon",
-      (a, b) => (a - b) * (a - b)), lit(0L), (x, y) => x + y)
+    val dt = probeDtabs(spark, sfDir, books)
+    val adc = call_function("adc_gather", booksIdsLit(books),
+      $"dtab", $"codes")
     val wAdc = Window.partitionBy($"q_id")
       .orderBy($"adc", $"neighbor_id")
     val winners = codesAtRest(spark, sfDir)
       .filter($"cell".isin(cellIds: _*))
       .join(broadcast(pairsDf), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("recon", recon)
-      .join(broadcast(probes.select($"q_id", $"pq")), Seq("q_id"))
+      .join(broadcast(dt), Seq("q_id"))
       .select($"q_id", $"vec_id".as("neighbor_id"), adc.as("adc"))
       .withColumn("arnk", row_number().over(wAdc))
       .filter($"arnk" <= IVF_ADC_RERANK)
@@ -792,8 +852,7 @@ object Surface18 {
     val w = Window.partitionBy($"q_id")
       .orderBy($"cos_sim".desc, $"neighbor_id")
     emb.join(broadcast(winners), Seq("neighbor_id"))
-      .join(broadcast(probes.select($"q_id", $"pv", $"pnrm")),
-        Seq("q_id"))
+      .join(broadcast(probes), Seq("q_id"))
       .select($"q_id", $"neighbor_id",
         round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
           .as("cos_sim"))
@@ -813,17 +872,21 @@ object Surface18 {
       sfDir: String): DataFrame = {
     import spark.implicits._
     val books = pqCodebooks(spark, sfDir)
-    val recon = concat((0 until PQ_M).map { s =>
-      element_at(typedLit(books(s).toMap), element_at($"codes", s + 1))
-    }: _*)
-    val probes = qvFrame(spark, sfDir).filter($"vec_id" < 50)
-      .select($"vec_id".as("q_id"), $"q".as("pq"))
-    val adc = aggregate(zip_with($"pq", $"recon",
-      (a, b) => (a - b) * (a - b)), lit(0L), (x, y) => x + y)
+    // Round-20 expression shape (guide §4): the global scan's
+    // per-pair ADC is the adc_gather table lookup against the
+    // driver-built probe distance tables — M gathers per pair; the
+    // former reconstruct-and-fold spelling interpreted a
+    // CodegenFallback lambda chain and allocated the reconstruction
+    // per (corpus row × probe). Same exact integers, same top-T set.
+    // This leg is the one deliberately linear pass of the tier: at
+    // 100 TB it reads the 42×-compressed codes — the per-pair
+    // constant IS the scan cost, which is why it is a table gather.
+    val probes = probeDtabs(spark, sfDir, books)
+    val adc = call_function("adc_gather", booksIdsLit(books),
+      $"dtab", $"codes")
     val wAdc = Window.partitionBy($"q_id")
       .orderBy($"adc", $"neighbor_id")
     codesAtRest(spark, sfDir)
-      .withColumn("recon", recon)
       .join(broadcast(probes), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), $"cell",
         adc.as("adc"))
@@ -862,7 +925,14 @@ object Surface18 {
       .select($"q_id", $"neighbor_id",
         round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
           .as("cos_sim"))
+    // One exchange serves dedup AND ranking (round 20, guide §2.4):
+    // hash by q_id once — HashPartitioning(q_id) clusters
+    // (q_id, neighbor_id) for the dedup aggregate AND q_id for the
+    // downstream rank window, so neither inserts its own shuffle
+    // (before: Exchange(q_id, neighbor_id) for the groupBy plus
+    // Exchange(q_id) for the window — 2 → 1, narrow 3-column rows).
     ivfScored.unionByName(scoutScored)
+      .repartition($"q_id")
       .groupBy($"q_id", $"neighbor_id")
       .agg(max($"cos_sim").as("cos_sim"))
   }

@@ -225,6 +225,37 @@ class OperatorSuite extends AnyFunSuite {
     assert(e.getMessage.contains("ARRAY<BIGINT>"), e.getMessage)
   }
 
+  test("adc_gather equals the reconstruct-and-fold ADC bit-for-bit") {
+    // Round-20 expression swap (guide §4): the PQ tiers' per-pair ADC
+    // moved from `aggregate(zip_with(pq, recon, (a,b)->(a-b)²))` over
+    // the materialized codebook reconstruction (CodegenFallback
+    // lambda chain, allocating per pair) to the adc_gather distance-
+    // table lookup. The claim is BIT-identical integers on every
+    // (corpus row × probe) pair — asserted here over the whole
+    // fixture, not just on the gated top-k outputs.
+    val S = graft.queries.Surface18
+    val books = S.pqCodebooks(spark, sf)
+    val dt = S.probeDtabs(spark, sf, books)
+    val idsLit = typedLit(books.map(_.map(_._1)))
+    val recon = concat((0 until 8).map { s =>
+      element_at(typedLit(books(s).toMap), element_at($"codes", s + 1))
+    }: _*)
+    val probes = Tables.read(spark, sf, "embeddings")
+      .filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"),
+        S.microQuantCol($"embedding").as("pq"))
+      .join(dt, Seq("q_id"))
+    val fold = aggregate(zip_with($"pq", recon,
+      (a, b) => (a - b) * (a - b)), lit(0L), (x, y) => x + y)
+    val gather = call_function("adc_gather", idsLit, $"dtab", $"codes")
+    val mism = S.codesAtRest(spark, sf)
+      .join(broadcast(probes), $"vec_id" =!= $"q_id")
+      .select(fold.as("f"), gather.as("g"))
+      .filter($"f" =!= $"g").count()
+    assert(mism == 0L,
+      s"adc_gather diverged from the HOF fold on $mism pairs")
+  }
+
   test("IVF∘PQ composed tier holds the recall bar and the rerank cap") {
     // E376/E377: the composed tier may lose recall at BOTH stages
     // (cells missed by the probe budget, true neighbors ranked past

@@ -17,10 +17,18 @@ object ExplainOne {
     val suffix = if (args.length > 1) args(1) else "plan"
     val spark = Sessions.local("graft-explain")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // "leg:" names dump non-registered sub-plans that a declared
+      // query collects at construction time (invisible in its own
+      // executed plan) — round 20: the scout tier's global ADC leg
+      val df = name match {
+        case "leg:scout_global" =>
+          graft.queries.Surface18.scoutHits(spark, sfDir)
+        case _ => SparkEntry.queries(name)(spark, sfDir)
+      }
       outDir match {
         case Some(dir) =>
-          val p = java.nio.file.Paths.get(dir, s"${name}_$suffix.txt")
+          val p = java.nio.file.Paths.get(dir,
+            s"${name.replace(':', '_')}_$suffix.txt")
           java.nio.file.Files.createDirectories(p.getParent)
           java.nio.file.Files.write(p,
             df.queryExecution.explainString(

@@ -585,17 +585,52 @@ object Corpus {
   private[graft] def setsimPairs(
       spark: org.apache.spark.sql.SparkSession,
       tok: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    setsimPairsFrom(spark, setsimSets(spark, tok).localCheckpoint())
+
+  /** The basket table of `tok`: global-rarity-ordered token arrays +
+    * sizes — the frame every downstream setsim stage (prefix keys,
+    * tiny side path, both verify joins) consumes. Pure; callers pick
+    * the materialization (localCheckpoint for one-shot use, the Memo
+    * persist for the fixture table shared by both setsim rows). */
+  private[graft] def setsimSets(
+      spark: org.apache.spark.sql.SparkSession,
+      tok: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dfm = tok.groupBy($"t").agg(count(lit(1)).as("df"))
+    tok.join(dfm, Seq("t"))
+      .groupBy($"k")
+      .agg(sort_array(collect_list(struct($"df", $"t"))).as("st"))
+      .select($"k",
+        expr("transform(st, x -> x.t)").as("toks"),
+        size($"st").as("n"))
+  }
+
+  /** The FIXTURE basket table, memoized per (session, sfDir) — the
+    * mh_bands discipline (round 20, guide §2.4: do the work once):
+    * q_join_setsim_prefix and q_join_setsim_topk build the IDENTICAL
+    * frame (distinct + df aggregate + rarity-sorted collect_list)
+    * from the identical input before their candidate pipelines
+    * diverge; without the memo each row re-ran it at every
+    * construction (the eager localCheckpoint), 2× per benched run. */
+  private[graft] def setsimBaskets(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.Memo.cached(spark, s"setsim_sets:$sfDir") {
+      import spark.implicits._
+      setsimSets(spark,
+        Tables.read(spark, sfDir, "lineitem")
+          .select($"l_orderkey".as("k"), $"l_partkey".as("t"))
+          .distinct())
+    }
+
+  private[graft] def setsimPairsFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      sets: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     {
-      val dfm = tok.groupBy($"t").agg(count(lit(1)).as("df"))
-      val sets = tok.join(dfm, Seq("t"))
-        .groupBy($"k")
-        .agg(sort_array(collect_list(struct($"df", $"t"))).as("st"))
-        .select($"k",
-          expr("transform(st, x -> x.t)").as("toks"),
-          size($"st").as("n"))
-        .localCheckpoint()
       // Candidate generation, round-14 form: PAIR-key prefixes
       // (AdaptJoin-style ℓ=2 prefix keys, Wang et al. SIGMOD'12
       // class), adopted after the sf10 rung KILLED the single-token
@@ -673,10 +708,7 @@ object Corpus {
   val qJoinSetsimPrefix = Q("q_join_setsim_prefix",
     (spark, sfDir) => {
       import spark.implicits._
-      setsimPairs(spark,
-        Tables.read(spark, sfDir, "lineitem")
-          .select($"l_orderkey".as("k"), $"l_partkey".as("t"))
-          .distinct())
+      setsimPairsFrom(spark, setsimBaskets(spark, sfDir))
         .orderBy($"order_a", $"order_b")
     },
     Some("""WITH tok AS (
@@ -724,10 +756,7 @@ object Corpus {
   val qJoinSetsimTopk = Q("q_join_setsim_topk",
     (spark, sfDir) => {
       import spark.implicits._
-      val pairs = setsimPairs(spark,
-        Tables.read(spark, sfDir, "lineitem")
-          .select($"l_orderkey".as("k"), $"l_partkey".as("t"))
-          .distinct())
+      val pairs = setsimPairsFrom(spark, setsimBaskets(spark, sfDir))
       // symmetrize with a single-pass explode, NOT a self-union: a
       // union of two selects over `pairs` makes Spark COMPUTE THE
       // WHOLE CANDIDATE+VERIFY PIPELINE TWICE (one subtree per

@@ -442,15 +442,17 @@ class PlanSuite extends AnyFunSuite {
   }
 
   test("scout tier: global leg reads only codes, exact legs prune on cell") {
-    // E378: the scout's one full scan is the COMPRESSED code table.
-    // Its hits are collected to the driver (≤ 50·SCOUT_T, the
-    // driver-scalar discipline), so that leg's plan is inspected
-    // directly: ReadSchema must carry codes/vec_id only — never the
-    // raw embedding column
+    // E378: the scout's one full scan is the COMPRESSED code table —
+    // round 20: the DENSE strip (cell rides as a ~8 B data column;
+    // the cell-partitioned directories are for pruned point fetches,
+    // not linear scans). Its hits are collected to the driver
+    // (≤ 50·SCOUT_T, the driver-scalar discipline), so that leg's
+    // plan is inspected directly: ReadSchema must carry the code-row
+    // columns only — never the raw embedding column
     val legP = graft.queries.Surface18.scoutHits(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(legP.contains(
-        "ReadSchema: struct<vec_id:bigint,codes:array<bigint>>"),
+    assert(legP.contains("ReadSchema: struct<vec_id:bigint," +
+        "codes:array<bigint>,cell:bigint>"),
       s"scout's global leg must scan only the code columns:\n$legP")
     // the only embedding reads are the ≤50 probe rows (vec_id < 50
     // pushed to the scan) — never a corpus-wide raw-embedding scan

@@ -2018,6 +2018,10 @@ object Extras {
   val qBasketPairs = Q("q_basket_pairs",
     (spark, sfDir) => {
       import spark.implicits._
+      // NOT materialized (round 20, measured): checkpointing ob for
+      // its four consumers ran 1.79 → 2.36 s — the blockmanager write
+      // of the 600k-row frame costs more than the duplicate subtrees,
+      // which all read the same pushdown-pruned scan + broadcast join
       val ob = Tables.read(spark, sfDir, "lineitem")
         .join(broadcast(Tables.read(spark, sfDir, "part")
           .select($"p_partkey", $"p_brand")),

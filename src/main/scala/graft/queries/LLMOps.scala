@@ -182,8 +182,16 @@ object LLMOps {
     val useArray = forceArrayForm || docCount(spark, sfDir) > 20000
     if (!useArray) {
       // small-corpus form only — the extra distinct exchange is noise
-      // here and the big-corpus path never takes this branch
-      val shd = sh.distinct()
+      // here and the big-corpus path never takes this branch.
+      // The deduplicated (doc, hash) identity table is memoized per
+      // (session, sfDir) — the mh_bands discipline (round 20): every
+      // verify-form consumer references it three times (both join
+      // legs + the size marginal) and re-ran the corpus-wide distinct
+      // per construction.
+      val shd = graft.Memo.cached(spark, s"vh:$sfDir") {
+        shingles(spark, sfDir)
+          .select($"doc_id", charFold64($"s").as("h")).distinct()
+      }
       val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val common = cand
         .join(shd.as("x"), $"d1" === $"x.doc_id")
@@ -930,7 +938,19 @@ object LLMOps {
         .localCheckpoint()
       val nodes = edges.select($"src".as("id")).distinct()
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val n = nodes.count()
+      // node count: a fixture constant (the docCount discipline) —
+      // un-memoized it re-ran a distinct+count job per construction
+      val n = graft.Memo.value(spark, s"pr_node_count:$sfDir") {
+        nodes.count()
+      }
+      // NO per-round localCheckpoint (round 20, guide §1.2): the
+      // contract is FIXED 3 rounds, so the plan depth is bounded by
+      // construction — the eager per-round materialization (3
+      // sequential driver jobs before the timed action, each parked
+      // on a blockmanager write) was the loop discipline of the
+      // UNBOUNDED iterators (E5, label-prop), not needed here; one
+      // 3-round plan pipelines its shuffles inside a single job.
+      // Identical arithmetic DAG, bit-identical output.
       def round3(prIn: DataFrame): DataFrame = {
         val contrib = edges.as("e")
           .join(prIn.as("p"), $"e.src" === $"p.id")
@@ -942,7 +962,6 @@ object LLMOps {
           .select($"nd.id".as("id"),
             (lit(0.15 / n) +
               lit(0.85) * coalesce($"cb.inb", lit(0.0))).as("pr"))
-          .localCheckpoint()
       }
       val pr3 = (1 to 3).foldLeft(
         nodes.withColumn("pr", lit(1.0 / n)))((d, _) => round3(d))
@@ -3720,15 +3739,23 @@ object LLMOps {
       // shuffled). rate == 1 at every driver scale (≤ 20k docs):
       // results and plans there are bit-identical to the unsampled
       // audit, and the DuckDB oracle applies the same rate formula.
-      val nDocs = docs(spark, sfDir).count()
+      val nDocs = docCount(spark, sfDir)
       val rate = math.max(1L, math.ceil(nDocs / 20000.0).toLong)
       val keptA =
         if (rate == 1L) kept else kept.filter($"doc_id" % rate === 0)
+      // materialized ONCE (round 20, guide §2.4/§3.3): cand feeds
+      // BOTH the signature-agreement leg (matches) and the exact-
+      // Jaccard leg (common) — un-checkpointed, each leg re-ran the
+      // whole bucket self-join + distinct, and the plan re-scanned
+      // the cached band/shingle tables 39 times (audit plan,
+      // plans/r20). The pair set is audit-budget-bounded (~20k rows)
+      // by the sampling rate above, so the materialization is tiny.
       val cand = keptA.as("a")
         .join(kept.as("b"), $"a.band" === $"b.band" &&
           $"a.mv" === $"b.mv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
         .distinct()
+        .localCheckpoint()
       val sh0 = shingles(spark, sfDir)
       val (bandsJ, sh) =
         if (rate == 1L) (bands, sh0)
@@ -3996,7 +4023,11 @@ object LLMOps {
       // the replicated-fixture shingles (ADVICE r19: an inline copy
       // would let a banding change land unexercised by this gate)
       val cand = candidatePairsOf(bandPairsOf(sh))
-      // exact side: 64-bit identity hashes (the verify discipline)
+      // exact side: 64-bit identity hashes (the verify discipline).
+      // NOT checkpointed (round 20, measured): vh feeds six subtrees,
+      // but the fixture is 250×4 docs at every sf — the eager
+      // materialization measured 1.68 → 1.85 s against the duplicated
+      // (cheap, exchange-reused) recomputes
       val vh = sh.select($"doc_id", charFold64($"s").as("h")).distinct()
       val sizes = vh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       def jaccardGe(pairsWithC: DataFrame): DataFrame = pairsWithC

@@ -960,41 +960,50 @@ object Surface18 {
 
   /** E378's candidate union, exact-scored: (IVF adaptive probe set)
     * ∪ (global ADC scout top-SCOUT_T), one deduped row per
-    * (q_id, neighbor_id) with the family's rounded cosine. Both legs
-    * compute the identical cosine expression, so the max-dedup is
-    * value-preserving. The scout hits' raw embeddings are fetched
-    * from the at-rest index under an IN partition filter on the HIT
-    * cells — ≤ 50·SCOUT_T point rows, flat in corpus size. */
+    * (q_id, neighbor_id) with the family's rounded cosine.
+    *
+    * Round-20 second pass (guide §2.4: remove a whole pass): the two
+    * legs used to run TWO pruned at-rest scans — the IVF candidate
+    * join plus a separate scout-hit point fetch — then union. Both
+    * are now served by ONE scan under one IN partition filter
+    * (probed ∪ hit cells) joined against a combined broadcast
+    * SELECTOR: a (q_id, cell, sel = −1) row admits the whole cell
+    * (the IVF leg's membership semantics), a (q_id, cell, sel = id)
+    * row admits exactly that vector (the hit fetch). The residual
+    * `sel = −1 OR sel = vec_id` rides the cell equi-key, so the join
+    * stays a BroadcastHashJoin and evaluates the same candidate SET:
+    * overlapping (q_id, neighbor) rows produce duplicates exactly
+    * like the old union did, and the identical max-dedup absorbs
+    * them — same cosine expression, bit-identical output (sel = −1
+    * is safe: vec ids are nonnegative). */
   private[graft] def scoutUnionScored(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
-    val ivfScored = scoredFrom(spark, sfDir,
-      kmeansProbeTriples(spark, sfDir).map(t => (t._1, t._2)))
+    val pairs = kmeansProbeTriples(spark, sfDir)
     val hits = scoutHits(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val hitCellIds = hits.map(_._3).distinct.sorted.toIndexedSeq
-    val hitsDf = hits.toSeq.toDF("q_id", "neighbor_id", "cell")
-      .select($"q_id", $"neighbor_id")
+    val cellIds = (pairs.map(_._2) ++ hits.map(_._3))
+      .distinct.sorted.toIndexedSeq
+    val selDf = (pairs.map(t => (t._1, t._2, -1L)) ++
+        hits.map(h => (h._1, h._3, h._2)))
+      .toDF("q_id", "cell", "sel")
     val probes = qvFrame(spark, sfDir).filter($"vec_id" < 50)
       .select($"vec_id".as("q_id"), $"embedding".as("pv"))
       .withColumn("pnrm", sqrt(Vectors.normSq($"pv")))
-    val hitEmb = atRest(spark, sfDir)
-      .filter($"cell".isin(hitCellIds: _*))
-      .select($"vec_id".as("neighbor_id"), $"embedding")
-      .withColumn("nrm", sqrt(Vectors.normSq($"embedding")))
-    val scoutScored = hitEmb
-      .join(broadcast(hitsDf), Seq("neighbor_id"))
+    // One exchange serves dedup AND ranking (guide §2.4): hash by
+    // q_id once — HashPartitioning(q_id) clusters (q_id, neighbor_id)
+    // for the dedup aggregate AND q_id for the downstream rank
+    // window, so neither inserts its own shuffle.
+    atRest(spark, sfDir)
+      .filter($"cell".isin(cellIds: _*))
+      .join(broadcast(selDf), Seq("cell"))
+      .filter(($"sel" === -1L || $"sel" === $"vec_id") &&
+        $"vec_id" =!= $"q_id")
       .join(broadcast(probes), Seq("q_id"))
-      .select($"q_id", $"neighbor_id",
-        round(Vectors.dot($"pv", $"embedding") / ($"pnrm" * $"nrm"), 6)
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(Vectors.dot($"pv", $"embedding") /
+          ($"pnrm" * sqrt(Vectors.normSq($"embedding"))), 6)
           .as("cos_sim"))
-    // One exchange serves dedup AND ranking (round 20, guide §2.4):
-    // hash by q_id once — HashPartitioning(q_id) clusters
-    // (q_id, neighbor_id) for the dedup aggregate AND q_id for the
-    // downstream rank window, so neither inserts its own shuffle
-    // (before: Exchange(q_id, neighbor_id) for the groupBy plus
-    // Exchange(q_id) for the window — 2 → 1, narrow 3-column rows).
-    ivfScored.unionByName(scoutScored)
       .repartition($"q_id")
       .groupBy($"q_id", $"neighbor_id")
       .agg(max($"cos_sim").as("cos_sim"))

@@ -460,13 +460,13 @@ class PlanSuite extends AnyFunSuite {
       .filter(_.contains("ReadSchema: struct<vec_id:bigint,embedding"))
       .foreach(l => assert(l.contains("LessThan(vec_id,50)"),
         s"corpus-wide raw-embedding scan in the scout leg:\n$l"))
-    // the retrieval plan proper: every scan that reads embeddings
-    // (IVF candidate leg + scout-hit fetch) prunes on cell at
-    // planning time, and joins stay hash/equi
+    // the retrieval plan proper: the exact stage's at-rest read —
+    // round 20 second pass: ONE merged scan serves the IVF candidate
+    // leg and the scout-hit fetch (combined broadcast selector) —
+    // prunes on cell at planning time, and joins stay hash/equi
     val p = plan("q_sim_ann_scout")
-    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).length >= 2,
-      s"the IVF candidate leg and the scout-hit fetch must both prune " +
-        s"on cell:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).length >= 1,
+      s"the merged exact-stage scan must prune on cell:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       s"the exact legs must never nested-loop:\n$p")

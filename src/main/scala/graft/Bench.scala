@@ -228,17 +228,29 @@ object Bench {
     // calibration probes bracket the sweep (and sample its midpoint)
     // so the artifact is self-normalizing — CPU (calibMs) AND device
     // read path (ioCalibMbs), since round 19 proved they drift
-    // independently
+    // independently. Round 21 (VERDICT r20 item 6 — make the artifact
+    // io-ADJUDICABLE, not merely io-annotated): the device probe now
+    // fires every `ioEvery` queries, and the full sequence is emitted
+    // as io_calib_seq (+ io_calib_every); queries run sorted by name,
+    // so a reader maps any query to its window via
+    // floor(rank / io_calib_every) and can mechanically classify a
+    // round-over-round delta as code vs window — the r20 driver
+    // comparison manufactured 3 phantom regressions (and a ~2×
+    // phantom stream gain) precisely because the 3-point bracket
+    // could not localize drift. io_calib_mbs keeps its
+    // [start, ~mid, end] shape, now drawn from the same sequence.
     val calibStart = calibMs()
-    val ioStart = ioCalibMbs(ioDir)
     var calibMid = -1L
-    var ioMid = -1.0
+    val ioEvery = 64
+    val ioSeq = scala.collection.mutable.ArrayBuffer[Double]()
+    ioSeq += ioCalibMbs(ioDir)
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val midIdx = qlist.size / 2
     val results: Seq[R] =
       qlist.zipWithIndex.map { case ((name, fn), idx) =>
-        if (idx == midIdx) { calibMid = calibMs(); ioMid = ioCalibMbs(ioDir) }
+        if (idx == midIdx) calibMid = calibMs()
+        if (idx > 0 && idx % ioEvery == 0) ioSeq += ioCalibMbs(ioDir)
         val runs = (1 to 2).map { _ =>
           val builds0 = Memo.buildCount
           val t0 = System.nanoTime()
@@ -258,7 +270,13 @@ object Bench {
           runs(0)._3, runs(1)._3)
       }
     val calibEnd = calibMs()
-    val ioEnd = ioCalibMbs(ioDir)
+    ioSeq += ioCalibMbs(ioDir)
+    val ioStart = ioSeq.head
+    val ioEnd = ioSeq.last
+    // the ~mid sample of the legacy 3-point field = the sequence
+    // element nearest the sweep midpoint
+    val ioMid = ioSeq(math.min(ioSeq.length - 1,
+      math.max(0, math.round(midIdx.toDouble / ioEvery).toInt)))
     def r2(s: Double): String = BigDecimal(s).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString
     def r1(s: Double): String = BigDecimal(s).setScale(1,
@@ -296,6 +314,8 @@ object Bench {
     val coldTotal = results.map(r => if (r.ok) r.r1 else 0.0).sum
     val calibJson = s"[$calibStart,$calibMid,$calibEnd]"
     val ioJson = s"[${r1(ioStart)},${r1(ioMid)},${r1(ioEnd)}]"
+    val ioSeqJson = ioSeq.map(r1).mkString(
+      s""""io_calib_seq":[""", ",", s"""],"io_calib_every":$ioEvery""")
     // per-family min-of-2 subtotals, fixed key order for stable lines
     val famJson = Seq("stream", "dedup", "fource", "source", "graph",
         "other")
@@ -313,7 +333,7 @@ object Bench {
       val r1s = m(r => if (r.ok) r.r1.toString else "\"err\"")
       val r2s = m(r => if (r.ok) r.r2.toString else "\"err\"")
       val bs = m(r => s"[${r.b1},${r.b2}]")
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"calib_ms":$calibJson,"io_calib_mbs":$ioJson$fleetJson,"families":$famJson,"queries":$qs,"run1":$r1s,"run2":$r2s,"builds":$bs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"calib_ms":$calibJson,"io_calib_mbs":$ioJson,$ioSeqJson$fleetJson,"families":$famJson,"queries":$qs,"run1":$r1s,"run2":$r2s,"builds":$bs,"sf":"$sfDir"}"""
     }
     // second-run memo builds across the whole sweep: 0 proves min-of-2
     // really timed memo-warm steady state (the driver artifact carries
@@ -332,7 +352,7 @@ object Bench {
     val compact = {
       val budget = 1200
       val overhead = // fixed part of the line, with placeholder lengths
-        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"io_calib_mbs":$ioJson$fleetJson,"families":$famJson,"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
+        s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"io_calib_mbs":$ioJson,$ioSeqJson$fleetJson,"families":$famJson,"queries":{},"others_sec":00000.00,"sf":"$sfDir"}""".length
       val ordered = results.sortBy { r =>
         (if (r.ok) 1 else 0, -r.sec) // errs first, then slowest
       }
@@ -348,7 +368,7 @@ object Bench {
       val qs = picked.sortBy(_.name).map { r =>
         "\"" + r.name + "\":" + (if (!r.ok) "\"err\"" else r2(r.sec))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"io_calib_mbs":$ioJson$fleetJson,"families":$famJson,"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cold_total":${r2(coldTotal)},"n_queries":${results.size},"rebuilds":$rebuilds,"calib_ms":$calibJson,"io_calib_mbs":$ioJson,$ioSeqJson$fleetJson,"families":$famJson,"queries":$qs,"others_sec":$othersSec,"sf":"$sfDir"}"""
     }
     try {
       // Both artifacts anchor at the REPO ROOT resolved above (ADVICE

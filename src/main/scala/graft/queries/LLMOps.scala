@@ -3802,7 +3802,21 @@ object LLMOps {
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
         .distinct()
         .localCheckpoint()
-      val sh0 = shingles(spark, sfDir)
+      // The exact-Jaccard leg rides the 64-BIT IDENTITY HASH, not the
+      // shingle string (round 21 — the verify family's r17 hash-ride
+      // applied to the audit): the common-shingle join keys 8-byte
+      // longs instead of bigram strings, and the DuckDB oracle folds
+      // the IDENTICAL polynomial (charFold64Sql), so both engines
+      // agree by construction even on a collision. Per-doc sizes
+      // count rows, so they are hash-invariant. The conf restores the
+      // string keys for A/B (labelprop.broadcast convention).
+      val hashRide = spark.conf
+        .getOption("spark.graft.audit.hashride")
+        .forall(_.trim.toBoolean)
+      val sh0 =
+        if (hashRide) shingles(spark, sfDir)
+          .select($"doc_id", charFold64($"s").as("s"))
+        else shingles(spark, sfDir)
       val (bandsJ, sh) =
         if (rate == 1L) (bands, sh0)
         else {
@@ -3875,11 +3889,13 @@ object LLMOps {
             |  GROUP BY 1, 2
             |), sizes AS (
             |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            |), v64 AS (
+            |  SELECT doc_id, ${charFold64Sql("s")} AS h FROM sh
             |), common AS (
             |  SELECT d1, d2, count(*) AS c
             |  FROM cand
-            |  JOIN sh p ON p.doc_id = d1
-            |  JOIN sh q ON q.doc_id = d2 AND q.s = p.s
+            |  JOIN v64 p ON p.doc_id = d1
+            |  JOIN v64 q ON q.doc_id = d2 AND q.h = p.h
             |  GROUP BY 1, 2
             |), scored AS (
             |  SELECT m.n_match * 125000 AS je_mic,
